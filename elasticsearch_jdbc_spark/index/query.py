@@ -1,0 +1,271 @@
+"""BM25 top-k query engine over the block-encoded index.
+
+Three execution paths, all rank-identical:
+  * search()        — driver-side block-max WAND (the interactive path;
+                      reads ONLY the query terms' posting blocks via
+                      parquet predicate pushdown).
+  * search_brute()  — driver-side full decode + numpy scoring (test oracle
+                      for WAND correctness).
+  * search_df()     — distributed DataFrame path: decode blocks in a
+                      vectorized UDF -> per-doc partial scores -> groupBy
+                      sum -> top-k. The scale path for very hot query terms
+                      (a driver collect of a 10^12-doc posting list would
+                      not fit; this path never collects postings).
+
+Scoring: classic BM25, score(q,d) = sum_t idf(t) * (k1+1) * w(t,d),
+w = tf / (tf + k1*(1-b+b*dl/avgdl)), idf = ln(1+(N-df+0.5)/(df+0.5))
+(k1=1.2, b=0.75 — the ES/Lucene defaults the reference relies on).
+Ties broken by ascending doc_id for rank-stable output.
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+import os
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.tokenizer import tokenize_py
+from .codec import bm25_idf, decode_block
+
+
+class _Cursor:
+    """Per-term posting cursor over sorted blocks; decodes lazily."""
+
+    __slots__ = ("term", "idf", "blocks", "c", "term_ub", "bi", "pi", "docs", "tf", "dl")
+
+    def __init__(self, term, idf, blocks, c):
+        self.term, self.idf, self.blocks, self.c = term, idf, blocks, c
+        self.term_ub = idf * c * max(b[6] for b in blocks)
+        self.bi = 0
+        self.docs = None
+        self._load()
+
+    def _load(self):
+        if self.bi < len(self.blocks):
+            _bid, n, first, gaps, tfs, dls, _mw = self.blocks[self.bi]
+            self.docs, self.tf, self.dl = decode_block(first, n, gaps, tfs, dls)
+            self.pi = 0
+        else:
+            self.docs = None
+
+    def cur_doc(self):
+        return int(self.docs[self.pi])
+
+    def block_ub(self):
+        return self.idf * self.c * self.blocks[self.bi][6]
+
+    def advance_to(self, target: int):
+        while self.docs is not None:
+            if int(self.docs[-1]) >= target:
+                j = int(np.searchsorted(self.docs, target))
+                self.pi = j
+                return
+            self.bi += 1
+            self._load()
+
+    def next_doc(self):
+        self.pi += 1
+        if self.pi >= len(self.docs):
+            self.bi += 1
+            self._load()
+
+    def score_cur(self, k1, b, avgdl):
+        tf = float(self.tf[self.pi])
+        dl = float(self.dl[self.pi])
+        w = tf / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        return self.idf * self.c * w
+
+
+class IndexReader:
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "manifest.json")) as f:
+            self.manifest = json.load(f)
+        self.n_docs = self.manifest["n_docs"]
+        self.avgdl = self.manifest["avgdl"]
+        self.k1 = self.manifest["k1"]
+        self.b = self.manifest["b"]
+
+    # ---------- shared helpers ----------
+
+    def query_terms(self, query: str) -> list[str]:
+        """Unique query terms, first-occurrence order (dedup like Values,
+        reference Values.java:43-94 — repeated values collapse)."""
+        seen, out = set(), []
+        for t in tokenize_py(query):
+            if t not in seen:
+                seen.add(t)
+                out.append(t)
+        return out
+
+    def _term_idfs(self, terms: list[str]) -> dict[str, float]:
+        if not terms:
+            return {}
+        tdf = (
+            self.spark.read.parquet(os.path.join(self.index_dir, "terms"))
+            .filter(F.col("term").isin(terms))
+            .collect()
+        )
+        return {
+            r["term"]: float(bm25_idf(np.array([r["df"]]), self.n_docs)[0]) for r in tdf
+        }
+
+    def _postings_df(self, terms: list[str]) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "postings")).filter(
+            F.col("term").isin(terms)
+        )
+
+    def _collect_blocks(self, terms: list[str]) -> dict[str, list]:
+        """term -> [(block_id, n, first_doc, gaps, tfs, dls, max_weight)],
+        sorted by block_id."""
+        rows = self._postings_df(terms).collect()
+        out: dict[str, list] = {t: [] for t in terms}
+        for r in rows:
+            out[r["term"]].append(
+                (r["block_id"], r["n"], r["first_doc"], bytes(r["doc_gaps"]),
+                 bytes(r["tfs"]), bytes(r["dls"]), r["max_weight"])
+            )
+        for t in out:
+            out[t].sort(key=lambda x: x[0])
+        return out
+
+    @staticmethod
+    def _topk(scores_by_doc: dict[int, float], k: int) -> list[tuple[int, float]]:
+        return sorted(scores_by_doc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    # ---------- brute force (reference scoring path) ----------
+
+    def search_brute(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        terms = self.query_terms(query)
+        idfs = self._term_idfs(terms)
+        blocks = self._collect_blocks(terms)
+        acc: dict[int, float] = {}
+        c = self.k1 + 1.0
+        for t in terms:
+            if t not in idfs:
+                continue
+            idf = idfs[t]
+            for (_bid, n, first, gaps, tfs, dls, _mw) in blocks[t]:
+                docs, tf, dl = decode_block(first, n, gaps, tfs, dls)
+                w = tf / (tf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl))
+                contrib = idf * c * w
+                for d, s in zip(docs.tolist(), contrib.tolist()):
+                    acc[d] = acc.get(d, 0.0) + s
+        return self._topk(acc, k)
+
+    # ---------- block-max WAND ----------
+
+    def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """WAND with block-max refinement, rank-identical to search_brute.
+
+        Pivot selection uses safe TERM-level upper bounds
+        (idf*(k1+1)*max-block-weight over the whole posting list); once the
+        cursors align on a pivot doc, the per-block max weights give a
+        tighter bound that can skip exact scoring. Blocks whose last doc
+        precedes the advance target are skipped without decoding (the
+        block-metadata skip that makes this sublinear)."""
+        terms = self.query_terms(query)
+        idfs = self._term_idfs(terms)
+        terms = [t for t in terms if t in idfs]
+        if not terms:
+            return []
+        blocks = self._collect_blocks(terms)
+        c = self.k1 + 1.0
+        cursors = [
+            _Cursor(t, idfs[t], blocks[t], c) for t in terms if blocks[t]
+        ]
+        heap: list[tuple[float, int]] = []  # min-heap of (score, -doc), size k
+        threshold = -np.inf
+
+        while True:
+            live = [cu for cu in cursors if cu.docs is not None]
+            if not live:
+                break
+            live.sort(key=lambda cu: cu.cur_doc())
+            # pivot: smallest prefix whose TERM-UB sum can reach threshold
+            ub, pivot = 0.0, None
+            for i, cu in enumerate(live):
+                ub += cu.term_ub
+                if len(heap) < k or ub >= threshold:
+                    pivot = i
+                    break
+            if pivot is None:
+                break  # no remaining doc can enter the top-k
+            pivot_doc = live[pivot].cur_doc()
+            if live[0].cur_doc() == pivot_doc:
+                aligned = [cu for cu in live if cu.cur_doc() == pivot_doc]
+                block_ub = sum(cu.block_ub() for cu in aligned)
+                if len(heap) < k or block_ub >= threshold:
+                    score = sum(
+                        cu.score_cur(self.k1, self.b, self.avgdl) for cu in aligned
+                    )
+                    item = (score, -pivot_doc)
+                    if len(heap) < k:
+                        heapq.heappush(heap, item)
+                    elif item > heap[0]:
+                        heapq.heapreplace(heap, item)
+                    if len(heap) == k:
+                        threshold = heap[0][0]
+                for cu in aligned:
+                    cu.next_doc()
+            else:
+                for cu in live[:pivot]:
+                    cu.advance_to(pivot_doc)
+        out = sorted(((-nd, s) for s, nd in heap), key=lambda kv: (-kv[1], kv[0]))
+        return [(int(d), float(s)) for d, s in out]
+
+    # ---------- distributed scoring ----------
+
+    def search_df(self, query: str, k: int = 10) -> DataFrame:
+        """Distributed top-k: postings stay on executors end-to-end."""
+        terms = self.query_terms(query)
+        idfs = self._term_idfs(terms)
+        terms = [t for t in terms if t in idfs]
+        k1, b, avgdl, c = self.k1, self.b, self.avgdl, self.k1 + 1.0
+        out_schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("partial", T.DoubleType(), False),
+            ]
+        )
+        if not terms:
+            return self.spark.createDataFrame([], out_schema).groupBy("doc_id").agg(
+                F.sum("partial").alias("score")
+            )
+        idf_items = list(idfs.items())
+
+        def score_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            idf_map = dict(idf_items)
+            for pdf in batches:
+                docs_all, contrib_all = [], []
+                for term, n, first, gaps, tfs, dls in zip(
+                    pdf["term"], pdf["n"], pdf["first_doc"], pdf["doc_gaps"], pdf["tfs"], pdf["dls"]
+                ):
+                    docs, tf, dl = decode_block(int(first), int(n), bytes(gaps), bytes(tfs), bytes(dls))
+                    w = tf / (tf + k1 * (1.0 - b + b * dl / avgdl))
+                    docs_all.append(docs)
+                    contrib_all.append(idf_map[term] * c * w)
+                if docs_all:
+                    yield pd.DataFrame(
+                        {
+                            "doc_id": np.concatenate(docs_all),
+                            "partial": np.concatenate(contrib_all),
+                        }
+                    )
+
+        return (
+            self._postings_df(terms)
+            .mapInPandas(score_blocks, out_schema)
+            .groupBy("doc_id")
+            .agg(F.sum("partial").alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )

@@ -1,0 +1,112 @@
+"""End-to-end: build index over the synthetic corpus, verify rank-identical
+BM25 top-k (docIDs AND scores) against the independent pure-Python oracle,
+plus the sha256 ingest invariant and WAND == brute-force."""
+
+import hashlib
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_jdbc_spark.index.build import IndexBuilder
+from elasticsearch_jdbc_spark.index.oracle import BM25Oracle
+from elasticsearch_jdbc_spark.index.query import IndexReader
+from elasticsearch_jdbc_spark.sources.corpus import synthetic_corpus
+
+N_FILES = 800
+
+QUERIES = [
+    "merge segment posting",
+    "getValue buffer flush",
+    "snake_case token stream",
+    "public static void query",
+    "encode decode varint block",
+    "reader writer lock pool",
+    "index",
+    "nosuchtermanywhere",
+    "fetch batch cursor row column",
+    "func struct interface range",
+]
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    idx_dir = str(tmp_path_factory.mktemp("idx"))
+    corpus = synthetic_corpus(spark, n_files=N_FILES, seed=42)
+    builder = IndexBuilder(spark, idx_dir, partitions=8)
+    manifest = builder.build(corpus, resume=False)
+    return idx_dir, manifest, corpus
+
+
+@pytest.fixture(scope="module")
+def oracle(built, spark):
+    idx_dir, _, _ = built
+    docs = spark.read.parquet(os.path.join(idx_dir, "docs"))
+    tok = spark.read.parquet(os.path.join(idx_dir, "tokenized"))
+    # reconstruct doc_id -> content is not stored; rebuild corpus text by key
+    corpus = synthetic_corpus(spark, n_files=N_FILES, seed=42)
+    joined = docs.join(corpus, ["repo", "path", "commit"]).select("doc_id", "content")
+    return BM25Oracle({r["doc_id"]: r["content"] for r in joined.collect()})
+
+
+def test_manifest_stats(built, spark):
+    idx_dir, manifest, _ = built
+    assert manifest["n_docs"] == N_FILES
+    assert manifest["avgdl"] > 0
+    docs = spark.read.parquet(os.path.join(idx_dir, "docs"))
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    assert sorted(ids) == list(range(N_FILES))  # dense, stable doc ids
+
+
+def test_sha256_ingest_invariant(built, spark):
+    """Per-row sha256(content) equality vs the source (input_hint contract)."""
+    idx_dir, _, corpus = built
+    docs = spark.read.parquet(os.path.join(idx_dir, "docs"))
+    src = corpus.withColumn("expect", F.sha2("content", 256))
+    mismatch = (
+        docs.join(src, ["repo", "path", "commit"])
+        .filter(F.col("sha256") != F.col("expect"))
+        .count()
+    )
+    assert mismatch == 0
+    # spot-check one row against hashlib (independent of Spark)
+    row = corpus.limit(1).collect()[0]
+    expect = hashlib.sha256(row["content"].encode()).hexdigest()
+    got = (
+        docs.filter(
+            (F.col("repo") == row["repo"])
+            & (F.col("path") == row["path"])
+            & (F.col("commit") == row["commit"])
+        )
+        .collect()[0]["sha256"]
+    )
+    assert got == expect
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_rank_identical_vs_oracle(built, oracle, spark, query):
+    idx_dir, _, _ = built
+    reader = IndexReader(spark, idx_dir)
+    got = reader.search(query, k=10)
+    want = oracle.search(query, k=10)
+    assert [d for d, _ in got] == [d for d, _ in want], f"docID rank mismatch for {query!r}"
+    for (_, gs), (_, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-12, abs=1e-12)
+
+
+def test_wand_equals_brute(built, spark):
+    idx_dir, _, _ = built
+    reader = IndexReader(spark, idx_dir)
+    for q in QUERIES:
+        assert reader.search(q, k=10) == reader.search_brute(q, k=10)
+
+
+def test_distributed_equals_driver(built, spark):
+    idx_dir, _, _ = built
+    reader = IndexReader(spark, idx_dir)
+    for q in QUERIES[:4]:
+        want = reader.search(q, k=10)
+        got = [(r["doc_id"], r["score"]) for r in reader.search_df(q, k=10).collect()]
+        assert [d for d, _ in got] == [d for d, _ in want]
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-9)
