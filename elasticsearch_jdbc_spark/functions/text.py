@@ -1,0 +1,89 @@
+"""Text analysis functions for corpus pipelines: language ID, quality
+scoring, token counting, fingerprinting. All built from JVM-side
+pyspark.sql.functions (codegen) — the expressions are deliberately
+SQL-expressible so DuckDB can oracle-check them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# language -> characteristic stopwords (tiny, deterministic heuristic).
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "die", "und", "das", "nicht"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "los", "que", "de"],
+}
+
+EN_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "this", "that",
+]
+
+
+def word_tokens(col: str | Column) -> Column:
+    """Whitespace+punct word tokens, lowercase, empties dropped."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(
+        F.split(F.lower(c), r"[^a-z0-9]+"), lambda t: t != ""
+    )
+
+
+def token_count(col: str | Column) -> Column:
+    return F.size(word_tokens(col))
+
+
+def distinct_token_count(col: str | Column) -> Column:
+    return F.size(F.array_distinct(word_tokens(col)))
+
+
+def stopword_ratio(col: str | Column, stopwords: list[str] | None = None) -> Column:
+    sw = F.array(*[F.lit(s) for s in (stopwords or EN_STOPWORDS)])
+    toks = word_tokens(col)
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) > 0, n_sw / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(col: str | Column) -> Column:
+    """Heuristic doc quality in [0,1]: rewards moderate length, lexical
+    diversity, and some stopword presence (prose-likeness)."""
+    toks = word_tokens(col)
+    n = F.size(toks)
+    diversity = F.when(n > 0, F.size(F.array_distinct(toks)) / n).otherwise(F.lit(0.0))
+    len_ok = F.when((n >= 10) & (n <= 5000), F.lit(1.0)).otherwise(F.lit(0.5))
+    sw = stopword_ratio(col)
+    prose = F.when((sw > 0.01) & (sw < 0.6), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round((diversity + len_ok + prose) / 3.0, 6)
+
+
+def lang_id(col: str | Column) -> Column:
+    """Marker-stopword language vote; 'unknown' when no marker hits.
+    A real pipeline plugs a model here — the Spark shape (scalar expr over
+    tokens, no shuffle) is the contract."""
+    toks = word_tokens(col)
+    best_lang, best_score = None, None
+    score_cols = []
+    for lang, markers in LANG_MARKERS.items():
+        m = F.array(*[F.lit(x) for x in markers])
+        score_cols.append(
+            F.struct(
+                F.size(F.filter(toks, lambda t: F.array_contains(m, t))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.array_max(F.array(*score_cols))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("unknown"))
+
+
+def fingerprint64(col: str | Column) -> Column:
+    """Order-insensitive 64-bit content fingerprint: xor-free sum of token
+    hashes (mod 2^64 via long overflow) over distinct tokens — a cheap
+    document sketch for joins/dedup prefilters."""
+    toks = F.array_distinct(word_tokens(col))
+    return F.aggregate(
+        F.transform(toks, lambda t: F.xxhash64(t)),
+        F.lit(0).cast("long"),
+        lambda acc, h: acc + h,
+    )

@@ -1,0 +1,253 @@
+"""Deduplication operators for large-scale corpus pipelines.
+
+Beyond the reference's capability set (its dedup story is doc-identity
+upsert: same `_id` re-indexes idempotently, StandardSink.java:191-228);
+a training-data pipeline needs content-level dedup. All operators are
+DataFrame-native and shuffle-conscious:
+
+  * exact_dedup          — hash groupBy; shuffle carries (hash, id) only.
+  * ngram_jaccard_pairs  — EXACT n-gram Jaccard via shingle inverted join
+                           (candidates = docs sharing a shingle) — no O(n^2)
+                           cross join; the shingle join is the posting-list
+                           trick, and a shingle-frequency cutoff defuses
+                           hot-shingle skew.
+  * minhash_lsh_pairs    — MinHash + banded LSH: candidates from band-bucket
+                           join, verified with exact shingle Jaccard. The
+                           scale path: shuffle is (band, bucket) pairs.
+  * simhash64            — 64-bit SimHash fingerprint per doc; near-dup =
+                           small Hamming distance, found via 4-way table
+                           split (Charikar/Manku et al., WWW'07).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One survivor (min id) per distinct text; content compared by sha256
+    so the shuffle carries 32-byte keys, not documents."""
+    h = df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("h"))
+    return h.groupBy("h").agg(
+        F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies")
+    )
+
+
+def _shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, shingle) pairs: distinct word n-grams per doc (whitespace words,
+    lowercase). Built with JVM functions only: split -> transform -> explode."""
+    words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    k = F.size(words) - (n - 1)
+    grams = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("sh"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact pairwise n-gram Jaccard >= threshold, via shingle-join.
+
+    jaccard(a,b) = |A ∩ B| / (|A| + |B| - |A ∩ B|). Candidates are only doc
+    pairs sharing >=1 shingle. `max_shingle_df` drops ubiquitous shingles
+    before the self-join (skew defusal: a shingle shared by m docs creates
+    m^2 candidate rows).
+    """
+    sh = _shingles(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    if max_shingle_df:
+        hot = sh.groupBy("sh").agg(F.count("*").alias("df")).filter(
+            F.col("df") > max_shingle_df
+        )
+        sh = sh.join(F.broadcast(hot.select("sh")), "sh", "left_anti")
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# ---------------- MinHash + LSH ----------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, num_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig: array<long>) MinHash signatures over word n-gram shingles.
+
+    Shingle -> uint64 via xxhash64 (JVM-side); the permutation min-reduce is
+    a vectorized pandas aggregation over (id, shingle_hash) pairs — Arrow
+    batches, numpy broadcasting, no per-row Python.
+    """
+    a, b = _minhash_params(num_perm, seed)
+    sh = _shingles(df, id_col, text_col, n).select(
+        "id", F.xxhash64("sh").cast("long").alias("hv")
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("sig", T.ArrayType(T.LongType()), False),
+        ]
+    )
+
+    def min_reduce(pdf: pd.DataFrame) -> pd.DataFrame:
+        hv = pdf["hv"].to_numpy().astype(np.uint64)
+        # (num_perm, n_shingles) permuted hashes -> min per perm
+        ph = (a[:, None] * hv[None, :] + b[:, None]) % np.uint64(_MERSENNE)
+        sig = ph.min(axis=1).astype(np.int64)
+        return pd.DataFrame({"id": [pdf["id"].iloc[0]], "sig": [sig.tolist()]})
+
+    return sh.groupBy("id").applyInPandas(min_reduce, out_schema)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    verify_threshold: float | None = 0.5,
+) -> DataFrame:
+    """Near-dup candidate pairs via banded LSH over MinHash signatures,
+    optionally verified with exact shingle Jaccard.
+
+    bands=16 x rows=4 over 64 perms -> catches jaccard >~0.5 pairs w.h.p.
+    The only shuffles are the signature groupBy and the (band, bucket)
+    self-join; bucket collisions are rare so the join is near-uniform.
+    """
+    rows = num_perm // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, num_perm, seed)
+    band_cols = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.xxhash64(F.concat_ws(",", *[F.col("sig")[i * rows + j].cast("string") for j in range(rows)])).alias("bucket"),
+                )
+                for i in range(bands)
+            ]
+        )
+    ).alias("bb")
+    banded = sigs.select("id", band_cols).select("id", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    if verify_threshold is None:
+        return cands
+    exact = ngram_jaccard_pairs(df, id_col, text_col, n, verify_threshold)
+    return cands.join(exact, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+
+
+# ---------------- SimHash ----------------
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash over whitespace tokens: sign(sum over tokens of
+    (+1/-1 per bit of xxhash64(token), weighted by tf)). Vectorized numpy
+    bit unpacking inside applyInPandas."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    weighted = toks.groupBy("id", "tok").agg(F.count("*").alias("w")).select(
+        "id", F.xxhash64("tok").alias("hv"), "w"
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("simhash", T.LongType(), False),
+        ]
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        hv = pdf["hv"].to_numpy().astype(np.uint64)
+        w = pdf["w"].to_numpy().astype(np.float64)
+        bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.float64)
+        acc = ((bits * 2 - 1) * w[:, None]).sum(axis=0)
+        fp = np.uint64(0)
+        for i in np.flatnonzero(acc > 0):
+            fp |= np.uint64(1) << np.uint64(i)
+        return pd.DataFrame({"id": [pdf["id"].iloc[0]], "simhash": [np.int64(fp)]})
+
+    return weighted.groupBy("id").applyInPandas(fold, out_schema)
+
+
+def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs among simhash fingerprints with Hamming distance <=
+    max_hamming, via 4-way table split (each 16-bit quarter exact-matches in
+    at least one table when distance <= 3) — turns O(n^2) into 4 equi-joins."""
+    parts = [
+        F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias(f"q{i}")
+        for i in range(4)
+    ]
+    t = sim.select("id", "simhash", *parts)
+    pairs = None
+    for i in range(4):
+        a = t.alias("a")
+        b = t.alias("b")
+        p = a.join(
+            b,
+            (F.col(f"a.q{i}") == F.col(f"b.q{i}")) & (F.col("a.id") < F.col("b.id")),
+        ).select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.distinct().filter(F.col("hamming") <= max_hamming)

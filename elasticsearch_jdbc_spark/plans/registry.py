@@ -1,0 +1,751 @@
+"""Query registry: every operator from SURVEY.md §2, as (Spark builder,
+DuckDB oracle SQL) pairs over the shared /root/testdata tables.
+
+Cross-engine determinism rules used throughout (so the driver's
+order-insensitive value-hash matches):
+  * money sums go through DECIMAL(18,2) (exact) then cast to DOUBLE;
+  * averages are exact-sum / count, not engine avg();
+  * floating scores (BM25, cosine) are rounded to >=6 digits below their
+    cross-engine noise floor;
+  * DuckDB integer sums cast to BIGINT (DuckDB widens to HUGEINT, Spark
+    stays long);
+  * timestamps are projected as 'yyyy-MM-dd' strings;
+  * every computed column is aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..functions import text as X
+from ..operators import dedup, incremental, similarity
+from ..index.bm25_df import bm25_topk_df, BM25_SQL, REFERENCE_QUERIES  # noqa: F401
+
+QUERIES: dict = {}
+ORACLE_SQL: dict = {}
+
+
+def _reg(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(c, p=18, s=2):
+    return F.col(c).cast(f"decimal({p},{s})") if isinstance(c, str) else c.cast(f"decimal({p},{s})")
+
+
+# =====================================================================
+# Relational backbone (SURVEY §2 B1-B10) — the SQL surface the reference
+# ships to its JDBC database, answered natively.
+# =====================================================================
+
+
+@_reg(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1(spark, sf_dir):
+    """TPC-H Q1 shape (scan -> filter -> agg). Filter pushes to parquet;
+    partial aggregation map-side (reference delegates this to the DB, B7)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast("double").alias("sum_disc_price"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_reg(
+    "q3_top_orders",
+    """
+    SELECT o.o_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+)
+def q3(spark, sf_dir):
+    """Join + agg + top-k (B3/B5/B6). Customer side is small -> broadcast."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast("double").alias("revenue")
+        )
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@_reg(
+    "q5_region_revenue",
+    """
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n.n_name
+    """,
+)
+def q5(spark, sf_dir):
+    """5-way star join (B3): dims broadcast, single shuffle on the agg key."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast("double").alias("revenue")
+        )
+    )
+
+
+@_reg(
+    "b1_project_bill",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS bill,
+           l_returnflag || '/' || l_linestatus AS flag_status
+    FROM lineitem WHERE l_orderkey < 100
+    """,
+)
+def b1(spark, sf_dir):
+    """Projection + computed alias (B1) — the reference's
+    `quantity * price as "product.customer.bill"` shape (mock h2.xml sql1)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey") < 100).select(
+        "l_orderkey",
+        "l_linenumber",
+        (_dec("l_quantity") * _dec("l_extendedprice")).cast("double").alias("bill"),
+        F.concat_ws("/", "l_returnflag", "l_linestatus").alias("flag_status"),
+    )
+
+
+@_reg(
+    "b2_filter_range",
+    """
+    SELECT l_orderkey, l_partkey, l_quantity, l_discount
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20 AND l_discount > 0.05
+      AND l_returnflag = 'R'
+    """,
+)
+def b2(spark, sf_dir):
+    """Predicates: equality + range (B2); all pushed into the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_quantity").between(10, 20)
+        & (F.col("l_discount") > 0.05)
+        & (F.col("l_returnflag") == "R")
+    ).select("l_orderkey", "l_partkey", "l_quantity", "l_discount")
+
+
+@_reg(
+    "b3_join_inner_part",
+    """
+    SELECT p.p_brand, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+    WHERE p.p_size < 15
+    GROUP BY p.p_brand
+    """,
+)
+def b3(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") < 15)
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(_dec("l_quantity")).cast("double").alias("total_qty"),
+        )
+    )
+
+
+@_reg(
+    "b4_join_left_customer",
+    """
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def b4(spark, sf_dir):
+    """Left outer join (B4, mock sql2 `left join employees`)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@_reg(
+    "b5_topk_orders",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def b5(spark, sf_dir):
+    """Order by + limit (B5/B6): Spark plans this as TakeOrderedAndProject —
+    per-partition top-k then driver merge, no global sort."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    )
+
+
+@_reg(
+    "b7_counts",
+    """
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem
+    """,
+)
+def b7(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@_reg(
+    "b8_datediff",
+    """
+    SELECT l.l_linestatus,
+           CAST(SUM(date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE))) AS BIGINT) AS total_days,
+           COUNT(*) AS n
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY l.l_linestatus
+    """,
+)
+def b8(spark, sf_dir):
+    """Date arithmetic (B8) — the reference's TIMESTAMPDIFF predicates
+    (ColumnSource.java:137-151)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))).alias("total_days"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@_reg(
+    "b9_round_decimal",
+    """
+    SELECT p_brand,
+           ROUND(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 2) AS avg_price,
+           CAST(MAX(p_size) AS INT) AS max_size
+    FROM part GROUP BY p_brand
+    """,
+)
+def b9(spark, sf_dir):
+    """Numeric rounding + scale handling (B9; reference decimal scale +
+    rounding config, StandardSource.java:1624-1656)."""
+    return (
+        _t(spark, sf_dir, "part")
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(_dec("p_retailprice")).cast("double") / F.count("*"), 2).alias("avg_price"),
+            F.max("p_size").alias("max_size"),
+        )
+    )
+
+
+@_reg(
+    "b10_watermark_events",
+    """
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE ts >= (SELECT MAX(ts) FROM events) - INTERVAL 7 DAY
+    GROUP BY event_type
+    """,
+)
+def b10(spark, sf_dir):
+    """Incremental as-of watermark (B10/A11): filter vs checkpointed
+    last-run time — here derived from max(ts) so the query is reproducible."""
+    ev = _t(spark, sf_dir, "events")
+    last = ev.agg(F.max("ts")).collect()[0][0]
+    return (
+        incremental.watermark_filter(ev, "ts", last, overlap_seconds=7 * 86400)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+        )
+    )
+
+
+# =====================================================================
+# Reference fold semantics (SURVEY §2 A4-A8, A11)
+# =====================================================================
+
+
+@_reg(
+    "a4_fold_orders",
+    """
+    SELECT o_custkey,
+           to_json(list_sort(list(o_orderkey))) AS order_keys,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def a4(spark, sf_dir):
+    """Row->document fold (A4): consecutive same-id rows merge into one doc
+    with multi-value cells (PlainKeyValueStreamListener.java:132-203).
+    Spark groupBy is unordered so the fold order is made explicit."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.to_json(F.sort_array(F.collect_list("o_orderkey"))).alias("order_keys"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@_reg(
+    "a4_fold_multivalue",
+    """
+    SELECT o_custkey,
+           to_json(list_sort(list(DISTINCT o_orderstatus))) AS statuses,
+           CAST(COUNT(DISTINCT o_orderstatus) AS INT) AS n_status
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def a4mv(spark, sf_dir):
+    """Values-cell algebra (Values.java:43-94): repeated keys append with
+    dedup; rendered 1 value -> scalar, n -> array (sorted here to make the
+    unordered-groupBy fold deterministic)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.to_json(F.sort_array(F.array_distinct(F.collect_list("o_orderstatus")))).alias("statuses"),
+        F.size(F.array_distinct(F.collect_list("o_orderstatus"))).alias("n_status"),
+    )
+
+
+@_reg(
+    "a5_nested_doc",
+    """
+    SELECT o_orderkey,
+           to_json(struct_pack(id := o_orderkey,
+                               meta := struct_pack(status := o_orderstatus,
+                                                   priority := o_orderpriority))) AS doc
+    FROM orders WHERE o_orderkey < 200
+    """,
+)
+def a5(spark, sf_dir):
+    """Dot-path nested-object construction (A5): label `meta.status` nests
+    (PlainKeyValueStreamListener.java:272-352; README.md:493-532)."""
+    from ..operators.fold import nested_doc
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    return nested_doc(
+        o, {"id": "o_orderkey", "meta.status": "o_orderstatus", "meta.priority": "o_orderpriority"}
+    ).select("o_orderkey", "doc")
+
+
+@_reg(
+    "a6_json_detect",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def a6(spark, sf_dir):
+    """Embedded-JSON detection (A6, detect_json:
+    PlainKeyValueStreamListener.java:181-192): string cells parsing as JSON
+    become structure."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        F.count("*").alias("n"),
+    )
+
+
+@_reg(
+    "a7_antijoin_nulls",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderkey IS NULL
+    """,
+)
+def a7(spark, sf_dir):
+    """Null handling (A7 ignore_null_values): the left-join null pattern;
+    Spark plans the filter as a proper anti-join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, o.o_custkey == c.c_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@_reg(
+    "a8_route_optype",
+    """
+    SELECT CASE WHEN o_orderstatus = 'F' THEN 'index'
+                WHEN o_orderstatus = 'O' THEN 'create'
+                WHEN o_orderstatus = 'P' THEN 'update'
+                ELSE 'index' END AS _optype,
+           COUNT(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def a8(spark, sf_dir):
+    """Optype router (A8, SinkKeyValueStreamListener.java:57-77): route each
+    doc to index/create/update/delete; unknown -> default 'index'."""
+    from ..operators.fold import route_optype
+
+    o = _t(spark, sf_dir, "orders")
+    mapped = F.when(F.col("o_orderstatus") == "F", "index").when(
+        F.col("o_orderstatus") == "O", "create"
+    ).when(F.col("o_orderstatus") == "P", "update").otherwise("bogus")
+    return route_optype(o, mapped).groupBy("_optype").agg(F.count("*").alias("n"))
+
+
+@_reg(
+    "a11_classify_ops",
+    """
+    WITH t AS (SELECT MAX(ts) - INTERVAL 30 DAY AS cut FROM events),
+    e AS (SELECT ts AS created_at,
+                 ts + INTERVAL 1 HOUR * CAST(value AS INT) AS updated_at,
+                 CASE WHEN event_type = 'error' THEN ts END AS deleted_at
+          FROM events)
+    SELECT CASE WHEN deleted_at >= cut THEN 'delete'
+                WHEN created_at >= cut THEN 'create'
+                WHEN updated_at >= cut AND created_at < cut THEN 'index'
+           END AS _optype,
+           COUNT(*) AS n
+    FROM e, t
+    WHERE deleted_at >= cut OR created_at >= cut
+       OR (updated_at >= cut AND created_at < cut)
+    GROUP BY 1
+    """,
+)
+def a11(spark, sf_dir):
+    """Column-strategy incremental classification (A11,
+    ColumnSource.java:131-167): create / index / delete by timestamp vs
+    last_run_time."""
+    ev = _t(spark, sf_dir, "events")
+    cut = ev.agg(F.max("ts")).collect()[0][0]
+    import datetime as dt
+
+    cut = cut - dt.timedelta(days=30)
+    staged = ev.select(
+        F.col("ts").alias("created_at"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR") * F.col("value").cast("int")).alias("updated_at"),
+        F.when(F.col("event_type") == "error", F.col("ts")).alias("deleted_at"),
+    )
+    return (
+        incremental.classify_ops(staged, "created_at", "updated_at", "deleted_at", cut)
+        .groupBy("_optype")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# =====================================================================
+# Pipeline operators: dedup / similarity / text analysis
+# =====================================================================
+
+
+@_reg(
+    "dedup_exact_docs",
+    """
+    SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+)
+def dedup_exact_q(spark, sf_dir):
+    """Exact dedup (hash-groupBy): one survivor per distinct content."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d, "doc_id", "text").select("keep_id", "n_copies")
+
+
+@_reg(
+    "dedup_jaccard_pairs",
+    """
+    WITH sh AS (
+      SELECT DISTINCT doc_id, t.sh
+      FROM documents,
+           UNNEST(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS t(sh)
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(common * 1.0 / (sa.sz + sb.sz - common), 6) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.8
+    """,
+)
+def dedup_jaccard_q(spark, sf_dir):
+    """Exact n-gram (n=1) Jaccard near-dup pairs via shingle inverted join —
+    candidates share a token, never an O(n^2) cross join."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=1, threshold=0.8).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+@_reg("dedup_minhash_lsh")  # rows-only: LSH banding is not SQL-expressible
+def dedup_minhash_q(spark, sf_dir):
+    """MinHash+LSH near-dup candidates, exact-verified (the scale path:
+    shuffle carries (band,bucket) keys, not shingles)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        d, "doc_id", "text", n=1, num_perm=64, bands=16, verify_threshold=0.8
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@_reg("dedup_simhash")  # rows-only: bit-level simhash not SQL-expressible
+def dedup_simhash_q(spark, sf_dir):
+    """SimHash64 fingerprints + Hamming<=3 near-pairs via 4-way split."""
+    d = _t(spark, sf_dir, "documents")
+    sim = dedup.simhash64(d, "doc_id", "text")
+    return dedup.simhash_near_pairs(sim, max_hamming=3)
+
+
+@_reg(
+    "knn_cosine",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3
+    ),
+    pairs AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[])
+             / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))) AS cs
+      FROM embeddings e, q WHERE e.vec_id != q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cs,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rank
+      FROM pairs
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+           ROUND(cs, 6) AS cos_sim
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def knn_q(spark, sf_dir):
+    """Brute-force cosine top-k (the exact ANN baseline): broadcast the
+    query vectors, score JVM-side (zip_with/aggregate), window top-k."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    out = similarity.knn_bruteforce(e, q, k=5)
+    return out.select(
+        "query_id", "rank", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim")
+    )
+
+
+@_reg("knn_lsh")  # rows-only: hyperplane LSH bucketing not SQL-expressible
+def knn_lsh_q(spark, sf_dir):
+    """ANN via random-hyperplane LSH buckets — the no-full-scan path."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return similarity.knn_lsh(e, q, k=5, n_planes=6).select(
+        "query_id", "rank", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim")
+    )
+
+
+@_reg(
+    "text_stats_by_lang",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def text_stats_q(spark, sf_dir):
+    """Token counting + corpus stats per language partition."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(X.token_count("text")).alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@_reg(
+    "text_quality",
+    """
+    WITH t AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, source, len(toks) AS n,
+             len(list_distinct(toks)) AS n_distinct,
+             len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','this','that'], x))) AS n_sw
+      FROM t
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           ROUND(SUM(CASE WHEN n > 0 THEN n_distinct * 1.0 / n ELSE 0 END) / COUNT(*), 6) AS avg_diversity,
+           ROUND(SUM(CASE WHEN n > 0 THEN n_sw * 1.0 / n ELSE 0 END) / COUNT(*), 6) AS avg_stopword_ratio
+    FROM s GROUP BY source
+    """,
+)
+def text_quality_q(spark, sf_dir):
+    """Quality scoring: lexical diversity + stopword ratio per source."""
+    d = _t(spark, sf_dir, "documents")
+    toks = X.word_tokens("text")
+    n = F.size(toks)
+    diversity = F.when(n > 0, F.size(F.array_distinct(toks)) / n).otherwise(F.lit(0.0))
+    return (
+        d.select("source", diversity.alias("div"), X.stopword_ratio("text").alias("swr"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.sum("div") / F.count("*"), 6).alias("avg_diversity"),
+            F.round(F.sum("swr") / F.count("*"), 6).alias("avg_stopword_ratio"),
+        )
+    )
+
+
+@_reg(
+    "lang_id_counts",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             len(list_filter(toks, x -> list_contains(['the','and','of','to','in'], x))) AS h_en,
+             len(list_filter(toks, x -> list_contains(['der','die','und','das','nicht'], x))) AS h_de,
+             len(list_filter(toks, x -> list_contains(['le','la','et','les','des'], x))) AS h_fr,
+             len(list_filter(toks, x -> list_contains(['el','la','los','que','de'], x))) AS h_es
+      FROM t
+    )
+    SELECT CASE WHEN GREATEST(h_en, h_de, h_fr, h_es) = 0 THEN 'unknown'
+                WHEN h_fr = GREATEST(h_en, h_de, h_fr, h_es) THEN 'fr'
+                WHEN h_es = GREATEST(h_en, h_de, h_fr, h_es) THEN 'es'
+                WHEN h_en = GREATEST(h_en, h_de, h_fr, h_es) THEN 'en'
+                ELSE 'de' END AS detected_lang,
+           COUNT(*) AS n
+    FROM h GROUP BY 1
+    """,
+)
+def lang_id_q(spark, sf_dir):
+    """Marker-stopword language ID (ties broken by descending lang code —
+    matches array_max struct ordering)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(X.lang_id("text").alias("detected_lang")).groupBy(
+        "detected_lang"
+    ).agg(F.count("*").alias("n"))
+
+
+@_reg("text_fingerprint")  # rows-only: xxhash64 not available in DuckDB
+def fingerprint_q(spark, sf_dir):
+    """64-bit order-insensitive content fingerprints (dedup prefilter)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", X.fingerprint64("text").alias("fingerprint"))
+
+
+# =====================================================================
+# Full-text: BM25 (the flagship) — registered from index.bm25_df
+# =====================================================================
+
+QUERIES["bm25_topk"] = bm25_topk_df
+ORACLE_SQL["bm25_topk"] = BM25_SQL
+
+
+@_reg(
+    "term_df_top",
+    """
+    WITH tok AS (
+      SELECT DISTINCT doc_id, t.term
+      FROM documents,
+           UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t(term)
+    )
+    SELECT term, COUNT(*) AS df
+    FROM tok GROUP BY term
+    ORDER BY df DESC, term LIMIT 20
+    """,
+)
+def term_df_q(spark, sf_dir):
+    """Term dictionary head: document frequency per term (the terms/ table
+    of the index, here over the documents testdata)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(F.array_distinct(X.word_tokens("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(20)
+    )
