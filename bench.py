@@ -1,0 +1,139 @@
+"""Benchmark harness. Prints ONE JSON line:
+
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+ "index_build": {...}, "scaling": {...}}
+
+Sections:
+  * queries: wall seconds per headline relational/pipeline query at
+    $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+    local[$SPARK_GRAFT_CPUS].
+  * index_build: build the inverted index over the sf documents corpus +
+    BM25 search latency.
+  * scaling: the north-rule evidence — the same synthetic-corpus build at
+    two parallelism levels (local[N] vs local[4N]) in fresh subprocesses,
+    steady-state (warmup build, then median of timed builds), reporting
+    files/sec at both and efficiency = thr_4N / (4 * thr_N).
+
+Set SPARK_GRAFT_BENCH_SKIP_SCALING=1 to skip the scaling section (it costs
+a few minutes of subprocess runs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
+SCALE_FILES = int(os.environ.get("SPARK_GRAFT_SCALE_FILES", "400000"))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "b4_join_left_customer",
+    "bm25_topk",
+    "dedup_exact_docs",
+    "dedup_minhash_lsh",
+    "knn_cosine",
+    "text_stats_by_lang",
+]
+
+
+def bench_queries(spark) -> dict[str, float]:
+    from elasticsearch_jdbc_spark.plans.registry import QUERIES
+
+    out = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        fn(spark, SF_DIR).collect()  # warm (plans, workers, page cache)
+        t0 = time.time()
+        fn(spark, SF_DIR).collect()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def bench_index(spark) -> dict:
+    from elasticsearch_jdbc_spark.index import IndexBuilder, IndexReader
+    from elasticsearch_jdbc_spark.sources import corpus_from_documents
+
+    corpus = corpus_from_documents(spark, SF_DIR)
+    n_docs = corpus.count()
+    idx_dir = "/dev/shm/bench_idx_docs"
+    b = IndexBuilder(spark, idx_dir, partitions=CPUS)
+    b.reset()
+    t0 = time.time()
+    b.build(corpus, resume=False)
+    build_s = time.time() - t0
+    reader = IndexReader(spark, idx_dir)
+    t0 = time.time()
+    hits = reader.search("fast key merge sort window", k=10)
+    search_s = time.time() - t0
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    return {
+        "n_docs": n_docs,
+        "build_s": round(build_s, 2),
+        "files_per_sec": round(n_docs / build_s, 1),
+        "search_s": round(search_s, 3),
+        "top1": hits[0][0] if hits else None,
+    }
+
+
+def bench_scaling() -> dict:
+    here = os.path.dirname(os.path.abspath(__file__))
+    levels = {}
+    for cores in (SCALE_N, SCALE_N * 4):
+        r = subprocess.run(
+            [sys.executable, os.path.join(here, "bench_scale_run.py"), str(cores), str(SCALE_FILES)],
+            capture_output=True, text=True, timeout=3000,
+        )
+        m = re.search(r"SCALE_RESULT (\{.*\})", r.stdout)
+        if not m:
+            return {"error": (r.stdout + r.stderr)[-500:]}
+        levels[str(cores)] = json.loads(m.group(1))
+    lo, hi = levels[str(SCALE_N)], levels[str(SCALE_N * 4)]
+    eff = hi["files_per_sec"] / (4.0 * lo["files_per_sec"])
+    return {
+        "n_cores": SCALE_N,
+        "4n_cores": SCALE_N * 4,
+        "files": SCALE_FILES,
+        "files_per_sec_n": lo["files_per_sec"],
+        "files_per_sec_4n": hi["files_per_sec"],
+        "efficiency": round(eff, 3),
+        "detail": levels,
+    }
+
+
+def main() -> None:
+    from elasticsearch_jdbc_spark.session import get_spark
+
+    t_total = time.time()
+    spark = get_spark("bench", cores=CPUS)
+    queries = bench_queries(spark)
+    index = bench_index(spark)
+    spark.stop()
+    scaling = {} if os.environ.get("SPARK_GRAFT_BENCH_SKIP_SCALING") else bench_scaling()
+    total = round(time.time() - t_total, 2)
+    result = {
+        "metric": "headline wall seconds (sum) + index files/sec + N->4N scaling efficiency",
+        "value": round(sum(queries.values()) + index["build_s"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "index_build": index,
+        "scaling": scaling,
+        "bench_total_s": total,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,108 @@
+"""Multimodal column handling: image/audio/video as opaque binary + typed
+metadata, with decode/feature steps as Arrow-batched UDFs.
+
+The decode kernels are STUBBED (no image/audio libs in this container):
+`decode_image_stub` produces a deterministic fake decode so the Spark-side
+plumbing — schema, batch shape, partitioning — is real and tested; swap the
+stub body for PIL/ffmpeg in production. Marked clearly below.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), False),  # opaque bytes
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("sha256", T.StringType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table (binary payloads) for tests."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            rows = {"media_id": ids, "kind": [], "mime": [], "payload": [], "meta": []}
+            for i in ids.tolist():
+                rng = np.random.default_rng(seed + i)
+                kind = ["image", "audio", "video"][i % 3]
+                rows["kind"].append(kind)
+                rows["mime"].append({"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind])
+                rows["payload"].append(rng.integers(0, 256, 128 + i % 512, dtype=np.uint8).tobytes())
+                rows["meta"].append({"w": str(64 + i % 256), "h": str(64 + (i * 7) % 256)})
+            yield pd.DataFrame(rows)
+
+    return spark.range(0, n, 1, 4).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def decode_image_stub(payload: bytes, meta: dict) -> tuple[int, int, np.ndarray]:
+    """STUB — production replaces this with a real decoder (PIL/libvips).
+
+    Deterministic fake: dims from metadata, 8-dim 'embedding' from a
+    sha256-seeded projection of the payload bytes.
+    """
+    w = int((meta or {}).get("w", 0)) or None
+    h = int((meta or {}).get("h", 0)) or None
+    digest = hashlib.sha256(payload).digest()
+    rng = np.random.default_rng(int.from_bytes(digest[:8], "little"))
+    feat = rng.standard_normal(8).astype(np.float32)
+    return w, h, feat
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads: Arrow-batched,
+    partition-parallel; the real decode slots into decode_image_stub."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in FEATURE_SCHEMA.names}
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                payload = bytes(payload)
+                w, h, feat = decode_image_stub(payload, meta)
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_bytes"].append(len(payload))
+                out["sha256"].append(hashlib.sha256(payload).hexdigest())
+                out["feature"].append(feat.tolist())
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def frame_sample_stub(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling plumbing: emits (media_id, frame_no) rows for
+    videos; the decode of each frame is production-stubbed. Demonstrates
+    the 1->N explode shape a real sampler uses."""
+    return (
+        media.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(F.lit(0), (F.length("payload") / every_n).cast("int"), F.lit(every_n))
+            ).alias("frame_no"),
+        )
+    )

@@ -81,6 +81,17 @@ POSTINGS_SCHEMA = T.StructType(
         T.StructField("dls", T.BinaryType(), False),
         T.StructField("max_tf", T.IntegerType(), False),
         T.StructField("max_weight", T.DoubleType(), False),
+        T.StructField("tf_sum", T.LongType(), False),
+    ]
+)
+
+TF_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("dl", T.IntegerType(), False),
+        T.StructField("tf", T.IntegerType(), False),
+        T.StructField("block_id", T.LongType(), False),
     ]
 )
 
@@ -186,9 +197,14 @@ class IndexBuilder:
         """
         t0 = time.time()
         keys = self.key_cols
+        # hash partition on the doc key (ONE scan of the source — range
+        # partitioning would sample-scan it twice), then sort within
+        # partitions: doc_id = offset[hash-partition] + local rank is dense
+        # and deterministic in (keys, partitions) — independent of cluster
+        # size and input order.
         keyed = (
             df.withColumn("sha256", F.sha2(F.col(self.text_col), 256))
-            .repartitionByRange(self.partitions, *[F.col(k) for k in keys])
+            .repartition(self.partitions, *[F.col(k) for k in keys])
             .sortWithinPartitions(*keys)
         )
         text_col = self.text_col
@@ -221,40 +237,50 @@ class IndexBuilder:
         keyed.mapInPandas(ingest_part, TOKENIZED_SCHEMA).write.mode("overwrite").parquet(tokenized_dir)
 
         tok = self.spark.read.parquet(tokenized_dir)
-        counts = {
-            r["pid"]: r["cnt"]
-            for r in tok.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
-        }
+        # ONE aggregation job: per-partition counts (-> doc_id offsets),
+        # source fingerprint, and doc-length stats (avgdl for stats phase)
+        per_pid = (
+            tok.groupBy("pid")
+            .agg(
+                F.count("*").alias("cnt"),
+                F.sum(F.crc32(F.col("sha256"))).alias("crc"),
+                F.sum("dl").alias("sum_dl"),
+            )
+            .collect()
+        )
+        counts = {r["pid"]: r["cnt"] for r in per_pid}
+        # offsets are aligned UP to block_size multiples: doc ids stay
+        # unique and partition-contiguous, and no 128-doc posting block ever
+        # spans two partitions -> postings encode needs no shuffle (the
+        # merge phase re-clusters already-encoded blocks instead).
+        bs = self.block_size
         offsets, acc = {}, 0
         for pid in sorted(counts):
             offsets[pid] = acc
             acc += counts[pid]
-        # docs table: doc_id = offset[pid] + local_seq (broadcast-joined)
+            acc = ((acc + bs - 1) // bs) * bs
+        # docs table: doc_id = offset[pid] + local_seq (broadcast-joined);
+        # keeps the tokenized partitioning (no extra shuffle)
         off_df = self.spark.createDataFrame(
             [(int(p), int(o)) for p, o in offsets.items()], "pid int, offset long"
         )
-        docs = (
-            tok.join(F.broadcast(off_df), "pid")
-            .select(
-                (F.col("offset") + F.col("local_seq")).alias("doc_id"),
-                *self.key_cols,
-                "lang",
-                "sha256",
-                "dl",
-            )
-            .repartitionByRange(max(1, self.partitions // 4), "doc_id")
-            .sortWithinPartitions("doc_id")
+        docs = tok.join(F.broadcast(off_df), "pid").select(
+            (F.col("offset") + F.col("local_seq")).alias("doc_id"),
+            *self.key_cols,
+            "lang",
+            "sha256",
+            "dl",
         )
         docs_dir = os.path.join(self.index_dir, "docs")
         docs.write.mode("overwrite").parquet(docs_dir)
-        fp = tok.agg(
-            F.count("*").alias("n"), F.sum(F.crc32(F.col("sha256"))).alias("crc")
-        ).collect()[0]
+        n_rows = int(sum(r["cnt"] for r in per_pid))
+        sum_dl = int(sum(r["sum_dl"] or 0 for r in per_pid))
         return self._commit_phase(
             "ingest",
             {
-                "n_rows": fp["n"],
-                "source_fingerprint": int(fp["crc"] or 0),
+                "n_rows": n_rows,
+                "sum_dl": sum_dl,
+                "source_fingerprint": int(sum(r["crc"] or 0 for r in per_pid)),
                 "offsets": {str(k): v for k, v in offsets.items()},
                 "partitions": {
                     "tokenized": self._dir_lineage(tokenized_dir),
@@ -265,86 +291,102 @@ class IndexBuilder:
         )
 
     def _phase_stats(self) -> dict:
+        """Corpus stats, derived from the ingest marker (no extra job)."""
         t0 = time.time()
-        docs = self.spark.read.parquet(os.path.join(self.index_dir, "docs"))
-        r = docs.agg(
-            F.count("*").alias("n"), F.avg(F.col("dl").cast("double")).alias("avgdl")
-        ).collect()[0]
+        ing = self._phase_done("ingest")
+        n = ing["n_rows"]
         return self._commit_phase(
             "stats",
-            {"n_docs": r["n"], "avgdl": float(r["avgdl"] or 0.0), "wall_s": round(time.time() - t0, 3)},
+            {
+                "n_docs": n,
+                "avgdl": (ing["sum_dl"] / n) if n else 0.0,
+                "wall_s": round(time.time() - t0, 3),
+            },
         )
 
-    def _tf_pairs(self) -> DataFrame:
-        """(term, doc_id, dl, tf) from the tokenized checkpoint."""
+    def _phase_postings(self, stats: dict) -> dict:
+        """Tokenized docs -> encoded posting segments -> merged layout.
+
+        SHUFFLE-FREE ENCODE: doc ids are contiguous per ingest partition and
+        partition offsets are block-aligned, so every (term, 128-doc block)
+        group is complete inside one partition — tf counting, sorting and
+        varint block encoding all happen partition-locally in one Arrow
+        kernel (the reference's analogue: a bulk batch is built entirely
+        from the rows the source streams, StandardSink.java:191-228).
+
+        The wide exchange happens AFTER compression, in the merge: encoded
+        block rows (~10x smaller than raw tf rows) are range-repartitioned
+        by (term, block_id) — a hot term's blocks spread across partitions
+        at block granularity, which is the skew defusal — and written
+        sorted, so query-time term filters prune parquet files/row-groups.
+        """
+        t0 = time.time()
+        k1, b, bs = self.k1, self.b, self.block_size
+        avgdl = stats["avgdl"]
         ing = self._phase_done("ingest")
         offsets = {int(k): v for k, v in ing["offsets"].items()}
         off_df = self.spark.createDataFrame(
             [(p, o) for p, o in offsets.items()], "pid int, offset long"
         )
+        # A read-split must never break a doc range apart (a block group
+        # would straddle tasks). Tokenized files are one-per-ingest-
+        # partition; they are only split if larger than
+        # spark.sql.files.maxPartitionBytes (128MB default), so ingest
+        # partitioning must keep them under that — size `partitions`
+        # accordingly. (Packing several whole files into one task is fine:
+        # each file's doc range is block-aligned.)
         tok = self.spark.read.parquet(os.path.join(self.index_dir, "tokenized"))
-        return (
-            tok.join(F.broadcast(off_df), "pid")
-            .select(
-                (F.col("offset") + F.col("local_seq")).alias("doc_id"),
-                "dl",
-                F.explode("tokens").alias("term"),
-            )
-            # map-side partial aggregation makes this shuffle carry distinct
-            # (term, doc) pairs only, not raw token occurrences
-            .groupBy("term", "doc_id", "dl")
-            .agg(F.count("*").alias("tf"))
+        docs = tok.join(F.broadcast(off_df), "pid").select(
+            (F.col("offset") + F.col("local_seq")).alias("doc_id"), "dl", "tokens"
         )
 
-    def _phase_postings(self, stats: dict) -> dict:
-        t0 = time.time()
-        bs, k1, b = self.block_size, self.k1, self.b
-        avgdl = stats["avgdl"]
-        tf = self._tf_pairs()
+        def build_segments(batches):
+            import pyarrow as pa
+
+            got = list(batches)
+            if not got:
+                return
+            tbl = pa.Table.from_batches(got)
+            if tbl.num_rows == 0:
+                return
+            out = _segment_from_tokens(tbl, bs, avgdl, k1, b)
+            if out is not None:
+                yield out
+
+        segments_dir = os.path.join(self.index_dir, "segments")
+        docs.mapInArrow(build_segments, POSTINGS_SCHEMA).write.mode("overwrite").parquet(segments_dir)
+
+        # merge: re-cluster the already-encoded blocks into term-range
+        # partitions (sort-merge over compressed data)
+        seg = self.spark.read.parquet(segments_dir)
+        postings_dir = os.path.join(self.index_dir, "postings")
+        (
+            seg.repartitionByRange(self.partitions, "term", "block_id")
+            .sortWithinPartitions("term", "block_id")
+            .write.mode("overwrite")
+            .parquet(postings_dir)
+        )
+        # term dictionary (df/cf) aggregated from the tiny block rows —
+        # never recomputes the token stream
         terms_dir = os.path.join(self.index_dir, "terms")
         (
-            tf.groupBy("term")
-            .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
-            .repartitionByRange(max(1, self.partitions // 4), "term")
+            self.spark.read.parquet(postings_dir)
+            .groupBy("term")
+            .agg(F.sum("n").alias("df"), F.sum("tf_sum").alias("cf"))
+            .repartition(max(1, self.partitions // 8))
             .sortWithinPartitions("term")
             .write.mode("overwrite")
             .parquet(terms_dir)
         )
-
-        blocks = tf.withColumn("block_id", (F.col("doc_id") / bs).cast("long"))
-        enc_input = blocks.repartitionByRange(
-            self.partitions, "term", "block_id"
-        ).sortWithinPartitions("term", "block_id", "doc_id")
-
-        def encode_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            buf = None
-            for pdf in batches:
-                if buf is not None and len(buf):
-                    pdf = pd.concat([buf, pdf], ignore_index=True)
-                if not len(pdf):
-                    continue
-                # hold back the final (possibly incomplete) group
-                last_term = pdf["term"].iat[-1]
-                last_blk = pdf["block_id"].iat[-1]
-                tail_mask = (pdf["term"] == last_term) & (pdf["block_id"] == last_blk)
-                # tail rows are contiguous at the end (input sorted)
-                n_tail = int(tail_mask.to_numpy()[::-1].cumprod().sum())
-                buf = pdf.iloc[len(pdf) - n_tail :]
-                head = pdf.iloc[: len(pdf) - n_tail]
-                if len(head):
-                    yield _encode_groups(head, avgdl, k1, b)
-            if buf is not None and len(buf):
-                yield _encode_groups(buf, avgdl, k1, b)
-
-        postings_dir = os.path.join(self.index_dir, "postings")
-        enc_input.mapInPandas(encode_part, POSTINGS_SCHEMA).write.mode("overwrite").parquet(postings_dir)
-        n_terms = self.spark.read.parquet(terms_dir).count()
+        terms_lineage = self._dir_lineage(terms_dir)
+        n_terms = int(sum(p["rows"] for p in terms_lineage.values()))
         return self._commit_phase(
             "postings",
             {
                 "n_terms": n_terms,
                 "partitions": {
-                    "terms": self._dir_lineage(terms_dir),
+                    "terms": terms_lineage,
+                    "segments": self._dir_lineage(segments_dir),
                     "postings": self._dir_lineage(postings_dir),
                 },
                 "wall_s": round(time.time() - t0, 3),
@@ -358,53 +400,85 @@ class IndexBuilder:
         os.makedirs(self.index_dir, exist_ok=True)
 
 
-def _encode_groups(pdf: pd.DataFrame, avgdl: float, k1: float, b: float) -> pd.DataFrame:
-    """Encode all complete (term, block_id) groups in a sorted chunk.
+def _segment_from_tokens(tbl, bs: int, avgdl: float, k1: float, b: float):
+    """One ingest partition's (doc_id, dl, tokens) -> encoded block rows.
 
-    Group detection and varint layout are vectorized; the per-group loop
-    only slices precomputed byte arrays.
+    Single fused Arrow/numpy kernel, no per-row Python:
+      1. flatten token lists (zero-copy), dictionary-encode terms (C++ hash)
+      2. per-(doc, term) tf via one np.unique over packed int keys
+      3. lexsort by (lexicographic term rank, block, doc)
+      4. per-(term, block) groups: ufunc.reduceat aggregates + varint
+         streams sliced into zero-copy Arrow binary arrays (slices are
+         contiguous because every group's gap stream starts with a 0).
     """
-    terms = pdf["term"].to_numpy()
-    blks = pdf["block_id"].to_numpy()
-    docs = pdf["doc_id"].to_numpy(dtype=np.int64)
-    tfs = pdf["tf"].to_numpy(dtype=np.int64)
-    dls = pdf["dl"].to_numpy(dtype=np.int64)
+    import pyarrow as pa
 
-    new_grp = np.ones(len(pdf), bool)
-    new_grp[1:] = (terms[1:] != terms[:-1]) | (blks[1:] != blks[:-1])
+    tokens = tbl.column("tokens")
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+    flat = tokens.flatten()
+    if len(flat) == 0:
+        return None
+    lens = pa.compute.list_value_length(tokens).to_numpy(zero_copy_only=False).astype(np.int64)
+    denc = flat.dictionary_encode()
+    codes0 = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = denc.dictionary
+    nv = len(vocab)
+    doc_id = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+    dl_col = tbl.column("dl").to_numpy(zero_copy_only=False)
+    doc_idx = np.repeat(np.arange(len(doc_id)), lens)
+
+    # per-(doc, term) tf in one sort
+    key = doc_idx * nv + codes0
+    uk, counts = np.unique(key, return_counts=True)
+    g_doc = (uk // nv).astype(np.int64)
+    g_code = (uk % nv).astype(np.int64)
+    docs = doc_id[g_doc]
+    dls = dl_col[g_doc].astype(np.int64)
+    tfs = counts.astype(np.int64)
+    blks = docs // bs
+
+    # order groups by lexicographic term, then block, then doc
+    vorder = pa.compute.sort_indices(vocab).to_numpy(zero_copy_only=False).astype(np.int64)
+    vrank = np.empty_like(vorder)
+    vrank[vorder] = np.arange(nv)
+    order = np.lexsort((docs, blks, vrank[g_code]))
+    codes, blks, docs, tfs, dls = g_code[order], blks[order], docs[order], tfs[order], dls[order]
+    n = len(codes)
+
+    new_grp = np.ones(n, bool)
+    new_grp[1:] = (codes[1:] != codes[:-1]) | (blks[1:] != blks[:-1])
     starts = np.flatnonzero(new_grp)
-    ends = np.concatenate((starts[1:], [len(pdf)]))
+    ends = np.concatenate((starts[1:], [n]))
 
-    # gaps: doc deltas, zeroed at group starts (first doc stored absolutely)
-    gaps = np.zeros(len(pdf), np.uint64)
+    gaps = np.zeros(n, np.uint64)
     np.subtract(docs[1:], docs[:-1], out=gaps[1:], casting="unsafe")
     gaps[starts] = 0
 
     weights = bm25_weight(tfs, dls, avgdl, k1, b)
 
-    gap_bytes, gap_len = varint_encode(gaps)
-    tf_bytes, tf_len = varint_encode(tfs.astype(np.uint64))
-    dl_bytes, dl_len = varint_encode(dls.astype(np.uint64))
-    gap_off = np.concatenate(([0], np.cumsum(gap_len)))
-    tf_off = np.concatenate(([0], np.cumsum(tf_len)))
-    dl_off = np.concatenate(([0], np.cumsum(dl_len)))
-    gap_mv, tf_mv, dl_mv = gap_bytes.tobytes(), tf_bytes.tobytes(), dl_bytes.tobytes()
+    def binary_col(values: np.ndarray) -> pa.Array:
+        data, lens_ = varint_encode(values)
+        off = np.zeros(len(starts) + 1, np.int32)
+        np.cumsum(lens_, out=lens_)
+        off[1:] = lens_[ends - 1]
+        return pa.Array.from_buffers(
+            pa.binary(), len(starts),
+            [None, pa.py_buffer(off.tobytes()), pa.py_buffer(data.tobytes())],
+        )
 
-    rows = {k: [] for k in POSTINGS_SCHEMA.names}
-    for s, e in zip(starts.tolist(), ends.tolist()):
-        rows["term"].append(terms[s])
-        rows["block_id"].append(int(blks[s]))
-        rows["n"].append(e - s)
-        rows["first_doc"].append(int(docs[s]))
-        # skip the zeroed first gap: start at s+1
-        rows["doc_gaps"].append(gap_mv[gap_off[s + 1] : gap_off[e]] if e > s + 1 else b"")
-        rows["tfs"].append(tf_mv[tf_off[s] : tf_off[e]])
-        rows["dls"].append(dl_mv[dl_off[s] : dl_off[e]])
-        rows["max_tf"].append(int(tfs[s:e].max()))
-        rows["max_weight"].append(float(weights[s:e].max()))
-    out = pd.DataFrame(rows)
-    out["block_id"] = out["block_id"].astype(np.int64)
-    out["n"] = out["n"].astype(np.int32)
-    out["first_doc"] = out["first_doc"].astype(np.int64)
-    out["max_tf"] = out["max_tf"].astype(np.int32)
-    return out
+    return pa.RecordBatch.from_arrays(
+        [
+            vocab.take(pa.array(codes[starts])),
+            pa.array(blks[starts], pa.int64()),
+            pa.array((ends - starts).astype(np.int32), pa.int32()),
+            pa.array(docs[starts], pa.int64()),
+            binary_col(gaps),
+            binary_col(tfs.astype(np.uint64)),
+            binary_col(dls.astype(np.uint64)),
+            pa.array(np.maximum.reduceat(tfs, starts).astype(np.int32), pa.int32()),
+            pa.array(np.maximum.reduceat(weights, starts), pa.float64()),
+            pa.array(np.add.reduceat(tfs, starts), pa.int64()),
+        ],
+        names=POSTINGS_SCHEMA.names,
+    )

@@ -24,16 +24,13 @@ def varint_encode(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
         return np.empty(0, np.uint8), np.empty(0, np.int64)
-    # bits needed -> bytes needed (ceil(bits/7), min 1)
-    nbits = np.zeros(v.shape, np.int64)
-    tmp = v.copy()
-    while True:
-        nz = tmp > 0
-        if not nz.any():
+    # bytes needed: 1 + (#7-bit thresholds <= value); early-exit per band
+    nbytes = np.ones(v.shape, np.int64)
+    for j in range(7, 64, 7):
+        mask = v >= np.uint64(1) << np.uint64(j)
+        if not mask.any():
             break
-        nbits[nz] += 1
-        tmp >>= np.uint64(1)
-    nbytes = np.maximum(1, (nbits + 6) // 7)
+        nbytes += mask
     total = int(nbytes.sum())
     out = np.zeros(total, np.uint8)
     # start offset of each value's byte run
@@ -66,11 +63,16 @@ def varint_decode(buf: bytes | np.ndarray) -> np.ndarray:
 
 
 def encode_block(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray) -> tuple[bytes, bytes, bytes]:
-    """Encode one posting block (doc_ids strictly ascending)."""
+    """Encode one posting block (doc_ids strictly ascending).
+
+    The gap stream holds n entries with a leading 0 (first doc is stored
+    absolutely in the block row): one padding byte per block buys contiguous
+    per-group slices in the bulk encoder (zero-copy Arrow binary arrays).
+    """
     gaps = np.empty(doc_ids.shape, np.uint64)
-    gaps[0] = 0  # first doc stored absolutely in the block row
+    gaps[0] = 0
     np.subtract(doc_ids[1:], doc_ids[:-1], out=gaps[1:], casting="unsafe")
-    g, _ = varint_encode(gaps[1:])
+    g, _ = varint_encode(gaps)
     t, _ = varint_encode(tfs.astype(np.uint64))
     d, _ = varint_encode(dls.astype(np.uint64))
     return g.tobytes(), t.tobytes(), d.tobytes()
@@ -78,11 +80,9 @@ def encode_block(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray) -> tuple
 
 def decode_block(first_doc: int, n: int, gaps_bin: bytes, tfs_bin: bytes, dls_bin: bytes):
     """Decode one block -> (doc_ids int64, tfs int64, dls int64)."""
-    docs = np.empty(n, np.int64)
+    docs = varint_decode(gaps_bin).astype(np.int64)
     docs[0] = first_doc
-    if n > 1:
-        docs[1:] = varint_decode(gaps_bin).astype(np.int64)
-        np.cumsum(docs, out=docs)
+    np.cumsum(docs, out=docs)
     tfs = varint_decode(tfs_bin).astype(np.int64)
     dls = varint_decode(dls_bin).astype(np.int64)
     return docs, tfs, dls

@@ -189,8 +189,28 @@ def minhash_lsh_pairs(
     )
     if verify_threshold is None:
         return cands
-    exact = ngram_jaccard_pairs(df, id_col, text_col, n, verify_threshold)
-    return cands.join(exact, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+    # exact-verify ONLY the candidate pairs (never the quadratic all-pairs
+    # join): per pair, |A ∩ B| = count of shingles present on both sides.
+    sh = _shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    sh_a = sh.select(F.col("id").alias("id_a"), "sh")
+    sh_b = sh.select(F.col("id").alias("id_b"), "sh")
+    common = (
+        cands.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= verify_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 # ---------------- SimHash ----------------

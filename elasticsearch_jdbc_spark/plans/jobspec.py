@@ -1,0 +1,87 @@
+"""Job specification -> pipeline wiring.
+
+The reference is driven by a JSON settings document piped to stdin
+(`echo '{jdbc-spec}' | java ... JDBCImporter`, README.md:20-34), with a
+statefile merged over it on restart (JDBCImporter.java:82-120). This module
+is the Spark-native equivalent: a dict/JSON spec selects source, strategy
+and index options; resume state lives in the index manifest (not a separate
+statefile — the manifest IS the lineage).
+
+Spec shape (all keys optional except source):
+
+    {
+      "source": {"format": "parquet", "path": ".../corpus"},
+      "strategy": "standard" | "column",          # column = incremental
+      "key_cols": ["repo", "path", "commit"],
+      "text_col": "content",
+      "index_dir": "/data/index",
+      "incremental": {"ts_col": "commit_ts", "overlap_seconds": 60},
+      "k1": 1.2, "b": 0.75, "block_size": 128, "partitions": 64
+    }
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..index.build import IndexBuilder
+from ..operators.incremental import watermark_filter
+
+
+def load_spec(spec: dict | str) -> dict:
+    if isinstance(spec, str):
+        spec = json.loads(spec)
+    if "source" not in spec:
+        raise ValueError("jobspec requires a 'source' block")
+    return {
+        "strategy": "standard",
+        "key_cols": ["repo", "path", "commit"],
+        "text_col": "content",
+        "k1": 1.2,
+        "b": 0.75,
+        "block_size": 128,
+        "partitions": None,
+        **spec,
+    }
+
+
+def read_source(spark: SparkSession, spec: dict) -> DataFrame:
+    src = spec["source"]
+    fmt = src.get("format", "parquet")
+    reader = spark.read
+    for k, v in src.get("options", {}).items():
+        reader = reader.option(k, v)
+    if fmt == "jdbc":
+        # the reference's home turf (StandardSource.java:460-517): Spark's
+        # JDBC source handles fetchsize/partitioned reads declaratively
+        return reader.format("jdbc").load()
+    if fmt == "csv":
+        return reader.option("header", src.get("header", "true")).csv(src["path"])
+    return reader.format(fmt).load(src["path"])
+
+
+def run_import(spark: SparkSession, spec: dict | str, resume: bool = True) -> dict:
+    """Execute one import run (the reference's Context.execute state
+    machine, StandardContext.java:160-214): read -> (optional incremental
+    filter) -> index build -> manifest."""
+    spec = load_spec(spec)
+    df = read_source(spark, spec)
+    if spec["strategy"] == "column" and "incremental" in spec:
+        inc = spec["incremental"]
+        if inc.get("last_run"):
+            df = watermark_filter(
+                df, inc["ts_col"], inc["last_run"], inc.get("overlap_seconds", 0)
+            )
+    builder = IndexBuilder(
+        spark,
+        spec["index_dir"],
+        k1=spec["k1"],
+        b=spec["b"],
+        block_size=spec["block_size"],
+        key_cols=tuple(spec["key_cols"]),
+        text_col=spec["text_col"],
+        partitions=spec["partitions"],
+    )
+    return builder.build(df, resume=resume)

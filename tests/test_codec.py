@@ -45,6 +45,6 @@ def test_block_roundtrip():
 def test_block_singleton():
     docs = np.array([42], np.int64)
     g, t, d = encode_block(docs, np.array([3]), np.array([9]))
-    assert g == b""
+    assert g == b"\x00"  # explicit leading zero gap
     dd, tt, ll = decode_block(42, 1, g, t, d)
     assert dd.tolist() == [42] and tt.tolist() == [3] and ll.tolist() == [9]

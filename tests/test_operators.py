@@ -1,0 +1,134 @@
+"""Unit tests for dedup / similarity / incremental / text / geo /
+multimodal operators beyond what the DuckDB-oracle harness covers."""
+
+import datetime as dt
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_jdbc_spark.functions.geo import detect_json, wkt_to_geojson_py
+from elasticsearch_jdbc_spark.functions.multimodal import (
+    extract_features,
+    frame_sample_stub,
+    synthetic_media,
+)
+from elasticsearch_jdbc_spark.operators import dedup, incremental, similarity
+
+
+def test_wkt_point_polygon():
+    assert json.loads(wkt_to_geojson_py("POINT (100.0 0.0)")) == {
+        "type": "Point", "coordinates": [100.0, 0.0],
+    }
+    gj = json.loads(wkt_to_geojson_py("POLYGON ((30 10, 40 40, 20 40, 30 10))"))
+    assert gj["type"] == "Polygon"
+    assert gj["coordinates"][0][0] == [30.0, 10.0]
+    assert wkt_to_geojson_py("not wkt") is None
+    assert wkt_to_geojson_py(None) is None
+
+
+def test_detect_json(spark):
+    df = spark.createDataFrame(
+        [('{"a": 1}',), ("plain text",), ("[1,2,3]",), ("{broken",)], "s string"
+    )
+    out = [r[0] for r in df.select(detect_json("s")).collect()]
+    assert json.loads(out[0]) == {"a": 1}
+    assert out[1] is None
+    assert json.loads(out[2]) == [1, 2, 3]
+    assert out[3] is None
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], "id long, t string"
+    )
+    out = {r["keep_id"]: r["n_copies"] for r in dedup.exact_dedup(df, "id", "t").collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    near = base.replace("lazy", "sleepy")
+    other = "completely different words nothing shared here at all " * 5
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "id long, t string"
+    )
+    pairs = dedup.minhash_lsh_pairs(df, "id", "t", n=2, num_perm=64, bands=16,
+                                    verify_threshold=0.3).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got
+    assert all(3 not in p for p in got)
+
+
+def test_simhash_hamming(spark):
+    # near-dup: one token changed in a 180-token doc -> tiny hamming;
+    # distinct doc -> ~32 bits apart (independent hashes)
+    words = " ".join(f"w{i % 60}" for i in range(180))
+    near = words.replace("w7 ", "w99 ", 1)
+    other = " ".join(f"z{i}" for i in range(180))
+    df = spark.createDataFrame(
+        [(1, words), (2, near), (3, other)], "id long, t string"
+    )
+    sim = dedup.simhash64(df, "id", "t")
+    pairs = dedup.simhash_near_pairs(sim, max_hamming=6).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert (1, 2) in got and got[(1, 2)] <= 6
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_knn_lsh_recall_vs_brute(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    brute = similarity.knn_bruteforce(e, q, k=5).collect()
+    approx = similarity.knn_lsh(e, q, k=5, n_planes=4).collect()
+    bs = {(r["query_id"], r["neighbor_id"]) for r in brute}
+    as_ = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    # LSH with few planes on random gaussian vectors: just require overlap
+    # plus correctly ranked output shape
+    assert len(as_ & bs) >= 1
+    assert all(r["rank"] >= 1 for r in approx)
+
+
+def test_classify_ops(spark):
+    t0 = dt.datetime(2024, 6, 1)
+    rows = [
+        (t0 + dt.timedelta(days=2), t0 + dt.timedelta(days=2), None),   # create
+        (t0 - dt.timedelta(days=9), t0 + dt.timedelta(days=1), None),   # index (updated)
+        (t0 - dt.timedelta(days=9), t0 - dt.timedelta(days=5), None),   # dropped
+        (t0 - dt.timedelta(days=9), t0 - dt.timedelta(days=5), t0 + dt.timedelta(days=1)),  # delete
+    ]
+    df = spark.createDataFrame(rows, "created_at timestamp, updated_at timestamp, deleted_at timestamp")
+    out = [r["_optype"] for r in incremental.classify_ops(df, "created_at", "updated_at", "deleted_at", t0).collect()]
+    assert sorted(out) == ["create", "delete", "index"]
+
+
+def test_multimodal_features(spark):
+    media = synthetic_media(spark, n=32)
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 32
+    assert all(len(r["feature"]) == 8 for r in rows)
+    assert all(len(r["sha256"]) == 64 for r in rows)
+    # determinism: same payload -> same feature
+    again = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
+    first = {r["media_id"]: r["feature"] for r in rows}
+    assert again == first
+    frames = frame_sample_stub(media, every_n=32)
+    assert frames.count() > 0
+
+
+def test_jobspec_roundtrip(spark, tmp_path):
+    from elasticsearch_jdbc_spark.plans.jobspec import run_import
+    from elasticsearch_jdbc_spark.sources import synthetic_corpus
+
+    src_dir = str(tmp_path / "corpus")
+    synthetic_corpus(spark, n_files=200, seed=5).write.parquet(src_dir)
+    manifest = run_import(
+        spark,
+        {"source": {"format": "parquet", "path": src_dir},
+         "index_dir": str(tmp_path / "idx"), "partitions": 4},
+    )
+    assert manifest["n_docs"] == 200
+    assert manifest["n_terms"] > 0
