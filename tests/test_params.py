@@ -1,0 +1,58 @@
+"""Bind-variable resolution tests (reference StandardSource.bind,
+StandardSource.java:1275-1352; incremental contract README.md:680-727)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from elasticsearch_jdbc_spark.plans.params import resolve_params, sql_with_params
+
+
+STATE = {
+    "state": "AFTER_FETCH",
+    "job": "nightly",
+    "lastrowcount": 42,
+    "metrics": {
+        "counter": 7,
+        "lastexecutionstart": "2026-08-15T00:00:00",
+        "lastexecutionend": "2026-08-15T00:05:00",
+        "totalrows": 1000,
+    },
+}
+
+
+def test_pseudo_variables():
+    now = dt.datetime(2026, 8, 16, tzinfo=dt.timezone.utc)
+    got = resolve_params(
+        ["$now", "$state", "$job", "$lastrowcount", "$metrics.counter",
+         "$metrics.lastexecutionstart", 99, "plain"],
+        STATE, now=now,
+    )
+    assert got == [now, "AFTER_FETCH", "nightly", 42, 7,
+                   "2026-08-15T00:00:00", 99, "plain"]
+
+
+def test_row_backrefs_pass_through():
+    assert resolve_params(["$row.id", "$meta._id"], {}) == ["$row.id", "$meta._id"]
+
+
+def test_unknown_pseudo_raises():
+    with pytest.raises(KeyError):
+        resolve_params(["$bogus"], {})
+
+
+def test_sql_with_params_watermark(spark, sf_dir):
+    # the incremental-fetch contract: bind the previous run's start as the
+    # as-of watermark (README.md:693-697) via parameterized SQL
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView("orders_v")
+    df = sql_with_params(
+        spark,
+        "SELECT count(*) AS n FROM orders_v WHERE o_orderdate >= :watermark",
+        {"watermark": "$metrics.lastexecutionstart"},
+        state={"metrics": {"lastexecutionstart": "1997-01-01"}},
+    )
+    n = df.collect()[0]["n"]
+    total = spark.table("orders_v").count()
+    assert 0 < n < total
