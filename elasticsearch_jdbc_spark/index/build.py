@@ -201,21 +201,30 @@ class IndexBuilder:
         # partitioning would sample-scan it twice), then sort within
         # partitions: doc_id = offset[hash-partition] + local rank is dense
         # and deterministic in (keys, partitions) — independent of cluster
-        # size and input order.
+        # size and input order. sha256 is computed AFTER the shuffle so the
+        # (possibly few-task) source scan stays I/O-only.
         keyed = (
-            df.withColumn("sha256", F.sha2(F.col(self.text_col), 256))
-            .repartition(self.partitions, *[F.col(k) for k in keys])
+            df.repartition(self.partitions, *[F.col(k) for k in keys])
             .sortWithinPartitions(*keys)
+            .withColumn("sha256", F.sha2(F.col(self.text_col), 256))
         )
         text_col = self.text_col
         other_cols = [c for c in keyed.columns if c not in (*keys, text_col, "sha256")]
         lang_col = "lang" if "lang" in other_cols else None
+        stats_dir = os.path.join(self.index_dir, "partstats")
+        if os.path.isdir(stats_dir):  # stale sidecars from an aborted run
+            shutil.rmtree(stats_dir)
+        os.makedirs(stats_dir, exist_ok=True)
 
         def ingest_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import zlib
+
             from pyspark import TaskContext
 
             pid = TaskContext.get().partitionId()
             seq = 0
+            sum_dl = 0
+            crc = 0
             for pdf in batches:
                 toks = tokenize_pandas(pdf[text_col])
                 out = pd.DataFrame(
@@ -228,26 +237,35 @@ class IndexBuilder:
                     out[k] = pdf[k].to_numpy()
                 out["lang"] = pdf[lang_col].to_numpy() if lang_col else None
                 out["sha256"] = pdf["sha256"].to_numpy()
-                out["dl"] = toks.str.len().to_numpy(dtype=np.int32)
+                dls = toks.str.len().to_numpy(dtype=np.int32)
+                out["dl"] = dls
                 out["tokens"] = toks.to_numpy()
                 seq += len(pdf)
+                sum_dl += int(dls.sum())
+                crc += int(
+                    sum(zlib.crc32(s.encode()) for s in pdf["sha256"])
+                )
                 yield out
+            # per-partition checkpoint sidecar (the reference's statefile,
+            # sharded per partition, StandardContext.java:240-277): counts
+            # feed doc_id offsets, sums feed corpus stats — no second
+            # aggregation job over the tokenized table. Task retries
+            # overwrite idempotently (write-temp-then-rename).
+            payload = {"pid": pid, "cnt": seq, "sum_dl": sum_dl, "crc": crc}
+            p = os.path.join(stats_dir, f"pid={pid}.json")
+            with open(p + f".tmp{os.getpid()}", "w") as f:
+                json.dump(payload, f)
+            os.replace(p + f".tmp{os.getpid()}", p)
 
         tokenized_dir = os.path.join(self.index_dir, "tokenized")
         keyed.mapInPandas(ingest_part, TOKENIZED_SCHEMA).write.mode("overwrite").parquet(tokenized_dir)
 
         tok = self.spark.read.parquet(tokenized_dir)
-        # ONE aggregation job: per-partition counts (-> doc_id offsets),
-        # source fingerprint, and doc-length stats (avgdl for stats phase)
-        per_pid = (
-            tok.groupBy("pid")
-            .agg(
-                F.count("*").alias("cnt"),
-                F.sum(F.crc32(F.col("sha256"))).alias("crc"),
-                F.sum("dl").alias("sum_dl"),
-            )
-            .collect()
-        )
+        per_pid = []
+        for fn in sorted(os.listdir(stats_dir)):
+            if fn.endswith(".json"):
+                with open(os.path.join(stats_dir, fn)) as f:
+                    per_pid.append(json.load(f))
         counts = {r["pid"]: r["cnt"] for r in per_pid}
         # offsets are aligned UP to block_size multiples: doc ids stay
         # unique and partition-contiguous, and no 128-doc posting block ever
@@ -325,39 +343,55 @@ class IndexBuilder:
         avgdl = stats["avgdl"]
         ing = self._phase_done("ingest")
         offsets = {int(k): v for k, v in ing["offsets"].items()}
-        off_df = self.spark.createDataFrame(
-            [(p, o) for p, o in offsets.items()], "pid int, offset long"
+        # One task per tokenized file, driven by an explicit file list:
+        # Spark's scan would PACK the (small) per-partition files into a
+        # handful of read tasks (maxPartitionBytes-sized), capping encode
+        # parallelism — and a file SPLIT would let a 128-doc block group
+        # straddle tasks. Reading whole files inside the kernel guarantees
+        # both full parallelism and block alignment; doc_id = offset[pid] +
+        # local_seq is computed in the kernel, so no join/shuffle at all.
+        tokenized_dir = os.path.join(self.index_dir, "tokenized")
+        files = sorted(
+            os.path.join(tokenized_dir, f)
+            for f in os.listdir(tokenized_dir)
+            if f.endswith(".parquet")
         )
-        # A read-split must never break a doc range apart (a block group
-        # would straddle tasks). Tokenized files are one-per-ingest-
-        # partition; they are only split if larger than
-        # spark.sql.files.maxPartitionBytes (128MB default), so ingest
-        # partitioning must keep them under that — size `partitions`
-        # accordingly. (Packing several whole files into one task is fine:
-        # each file's doc range is block-aligned.)
-        tok = self.spark.read.parquet(os.path.join(self.index_dir, "tokenized"))
-        docs = tok.join(F.broadcast(off_df), "pid").select(
-            (F.col("offset") + F.col("local_seq")).alias("doc_id"), "dl", "tokens"
-        )
+        paths_df = self.spark.createDataFrame(
+            [(p,) for p in files], "path string"
+        ).repartition(max(1, len(files)))
 
         def build_segments(batches):
             import pyarrow as pa
+            import pyarrow.parquet as pq
 
-            got = list(batches)
-            if not got:
-                return
-            tbl = pa.Table.from_batches(got)
-            if tbl.num_rows == 0:
-                return
-            out = _segment_from_tokens(tbl, bs, avgdl, k1, b)
-            if out is not None:
-                yield out
+            for batch in batches:
+                for path in batch.column("path").to_pylist():
+                    tbl = pq.read_table(
+                        path, columns=["pid", "local_seq", "dl", "tokens"]
+                    )
+                    if tbl.num_rows == 0:
+                        continue
+                    pids = pa.compute.unique(tbl.column("pid")).to_pylist()
+                    if len(pids) != 1:  # one file == one ingest partition
+                        raise ValueError(f"{path}: expected single pid, got {pids}")
+                    doc_id = pa.compute.add(
+                        tbl.column("local_seq"), offsets[pids[0]]
+                    ).cast(pa.int64())
+                    tbl = pa.table(
+                        {"doc_id": doc_id, "dl": tbl.column("dl"), "tokens": tbl.column("tokens")}
+                    )
+                    out = _segment_from_tokens(tbl, bs, avgdl, k1, b)
+                    if out is not None:
+                        yield out
 
         segments_dir = os.path.join(self.index_dir, "segments")
-        docs.mapInArrow(build_segments, POSTINGS_SCHEMA).write.mode("overwrite").parquet(segments_dir)
+        t_seg = time.time()
+        paths_df.mapInArrow(build_segments, POSTINGS_SCHEMA).write.mode("overwrite").parquet(segments_dir)
+        seg_s = time.time() - t_seg
 
         # merge: re-cluster the already-encoded blocks into term-range
         # partitions (sort-merge over compressed data)
+        t_merge = time.time()
         seg = self.spark.read.parquet(segments_dir)
         postings_dir = os.path.join(self.index_dir, "postings")
         (
@@ -366,8 +400,10 @@ class IndexBuilder:
             .write.mode("overwrite")
             .parquet(postings_dir)
         )
+        merge_s = time.time() - t_merge
         # term dictionary (df/cf) aggregated from the tiny block rows —
         # never recomputes the token stream
+        t_terms = time.time()
         terms_dir = os.path.join(self.index_dir, "terms")
         (
             self.spark.read.parquet(postings_dir)
@@ -378,12 +414,18 @@ class IndexBuilder:
             .write.mode("overwrite")
             .parquet(terms_dir)
         )
+        terms_s = time.time() - t_terms
         terms_lineage = self._dir_lineage(terms_dir)
         n_terms = int(sum(p["rows"] for p in terms_lineage.values()))
         return self._commit_phase(
             "postings",
             {
                 "n_terms": n_terms,
+                "sub_wall_s": {
+                    "segments": round(seg_s, 3),
+                    "merge": round(merge_s, 3),
+                    "terms": round(terms_s, 3),
+                },
                 "partitions": {
                     "terms": terms_lineage,
                     "segments": self._dir_lineage(segments_dir),

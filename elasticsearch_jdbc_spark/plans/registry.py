@@ -554,12 +554,13 @@ def dedup_jaccard_q(spark, sf_dir):
 
 @_reg("dedup_minhash_lsh")  # rows-only: LSH banding is not SQL-expressible
 def dedup_minhash_q(spark, sf_dir):
-    """MinHash+LSH near-dup candidates, exact-verified (the scale path:
-    shuffle carries (band,bucket) keys, not shingles)."""
+    """MinHash+LSH near-dup DEDUP, exact-verified: one (doc, keep_id) row
+    per duplicate — linear in corpus size even on duplicate-heavy data
+    (all-pairs output is quadratic per cluster; see minhash_dedup)."""
     d = _t(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(
+    return dedup.minhash_dedup(
         d, "doc_id", "text", n=1, num_perm=64, bands=16, verify_threshold=0.8
-    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    ).select("id_b", "keep_id", F.round("jaccard", 6).alias("jaccard"))
 
 
 @_reg("dedup_simhash")  # rows-only: bit-level simhash not SQL-expressible
@@ -749,3 +750,232 @@ def term_df_q(spark, sf_dir):
         .orderBy(F.desc("df"), F.asc("term"))
         .limit(20)
     )
+
+
+# =====================================================================
+# Catalyst-surfaced relational operators (SURVEY §2 "delegated to the
+# RDBMS" — we surface them for the oracle gate: window functions, rollup,
+# set ops, semi/anti joins, string/regexp projection)
+# =====================================================================
+
+
+@_reg(
+    "w1_top_orders_per_cust",
+    """
+    WITH r AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(o_totalprice AS DOUBLE) AS totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC,
+                                         o_orderkey) AS rn
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey, totalprice, CAST(rn AS INT) AS rn
+    FROM r WHERE rn <= 2 AND o_custkey < 100
+    """,
+)
+def w1(spark, sf_dir):
+    """Window function: top-2 orders per customer (partitioned row_number —
+    the shuffle is one hash exchange on the partition key; at scale the
+    window never materializes a global sort)."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").cast("decimal(18,2)").desc(), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") <= 2) & (F.col("o_custkey") < 100))
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+            "rn",
+        )
+    )
+
+
+@_reg(
+    "g1_rollup_revenue",
+    """
+    SELECT COALESCE(n.n_name, '<all>') AS nation,
+           COALESCE(CAST(EXTRACT(year FROM o.o_orderdate) AS VARCHAR), '<all>') AS order_year,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY ROLLUP (n.n_name, CAST(EXTRACT(year FROM o.o_orderdate) AS VARCHAR))
+    """,
+)
+def g1(spark, sf_dir):
+    """ROLLUP aggregate (nation, year) with subtotal + grand-total rows.
+    Catalyst expands grouping sets into one pass; the nation dim is
+    broadcast."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    return (
+        j.select(
+            F.col("n_name").alias("nation_r"),
+            F.year("o_orderdate").cast("string").alias("year_r"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("tp"),
+        )
+        .rollup("nation_r", "year_r")
+        .agg(F.sum("tp").cast("double").alias("revenue"), F.count("*").alias("n_orders"))
+        .select(
+            F.coalesce("nation_r", F.lit("<all>")).alias("nation"),
+            F.coalesce("year_r", F.lit("<all>")).alias("order_year"),
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
+@_reg(
+    "s1_parts_never_ordered",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_never_ordered FROM (
+      SELECT p_partkey FROM part
+      EXCEPT
+      SELECT DISTINCT l_partkey FROM lineitem
+    )
+    """,
+)
+def s1(spark, sf_dir):
+    """Set operation (EXCEPT) == left-anti join after Catalyst: parts with
+    no lineitem. The anti join build side is the distinct key set only."""
+    p = _t(spark, sf_dir, "part").select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("p_partkey"))
+    return p.exceptAll(li.distinct()).agg(F.count("*").alias("n_never_ordered"))
+
+
+@_reg(
+    "e1_orders_with_big_lineitem",
+    """
+    SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND CAST(l.l_quantity AS DOUBLE) > 49)
+    ORDER BY o_orderkey LIMIT 50
+    """,
+)
+def e1(spark, sf_dir):
+    """EXISTS subquery == left-semi join (no duplication of the probe side,
+    no materialized subquery)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity").cast("double") > 49)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .select("o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
+        .orderBy("o_orderkey")
+        .limit(50)
+    )
+
+
+@_reg(
+    "p1_string_ops",
+    """
+    SELECT p_partkey,
+           UPPER(p_name) AS name_upper,
+           regexp_extract(p_type, '^([A-Z]+)', 1) AS type_head,
+           len(p_name) AS name_len
+    FROM part
+    WHERE p_name LIKE '%ol%' AND regexp_matches(p_type, '^(ECONOMY|SMALL)')
+    ORDER BY p_partkey LIMIT 100
+    """,
+)
+def p1(spark, sf_dir):
+    """String/regexp projection + LIKE filter (B1-family scalar surface)."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_name").like("%ol%") & F.col("p_type").rlike("^(ECONOMY|SMALL)"))
+        .select(
+            "p_partkey",
+            F.upper("p_name").alias("name_upper"),
+            F.regexp_extract("p_type", "^([A-Z]+)", 1).alias("type_head"),
+            F.length("p_name").alias("name_len"),
+        )
+        .orderBy("p_partkey")
+        .limit(100)
+    )
+
+
+# =====================================================================
+# Embedding near-dup + IVF ANN
+# =====================================================================
+
+
+@_reg(
+    "dedup_embedding_cosine",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.95
+    """,
+)
+def dedup_emb_q(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, exact (the verification baseline;
+    the LSH-bucketed variant below is the no-cross-join scale path)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_pairs_exact(e, "vec_id", "embedding", 0.95).select(
+        "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")
+    )
+
+
+@_reg("dedup_embedding_lsh")  # rows-only: hyperplane LSH not SQL-expressible
+def dedup_emb_lsh_q(spark, sf_dir):
+    """Embedding near-dup via multi-table hyperplane LSH + exact verify —
+    shuffle carries (table, bucket) keys, never the O(n^2) cross join."""
+    e = _t(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_pairs_lsh(
+        e, "vec_id", "embedding", threshold=0.95, dim=64, n_planes=8, n_tables=6
+    ).select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+@_reg("knn_ivf")  # rows-only: kmeans coarse quantizer not SQL-expressible
+def knn_ivf_q(spark, sf_dir):
+    """IVF-flat ANN: probe the nearest centroid lists only (FAISS shape;
+    the partition-pruning ANN path at corpus scale)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return similarity.knn_ivf(
+        e, q, k=5, n_centroids=16, n_probe=6
+    ).select("query_id", "rank", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+# =====================================================================
+# Document construction (SURVEY §2 A4/A5 full label grammar)
+# =====================================================================
+
+
+@_reg("a5_doc_builder")  # rows-only: golden JSON spec'd in tests/test_doc_builder.py
+def a5_doc_builder_q(spark, sf_dir):
+    """Label-grammar document build over orders->lineitem: bracket arrays
+    (one object per lineitem), dot-path nesting, fold by _id — the
+    reference's full document-construction semantics as one aggregation."""
+    from ..operators.doc_builder import fold_documents
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    li = _t(spark, sf_dir, "lineitem")
+    rows = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_orderkey").cast("string").alias("_id"),
+            F.col("o_orderstatus").alias("order.status"),
+            F.col("o_totalprice").cast("string").alias("order.total"),
+            F.col("l_linenumber").cast("string").alias("order.lines[no]"),
+            F.col("l_quantity").cast("string").alias("order.lines[qty]"),
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("_seq"),
+        )
+    )
+    labels = ["_id", "order.status", "order.total", "order.lines[no]", "order.lines[qty]"]
+    return fold_documents(rows, labels, order_col="_seq").orderBy("_id")

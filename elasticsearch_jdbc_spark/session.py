@@ -29,6 +29,14 @@ def get_spark(
     master = f"local[{cores}]" if cores else "local[*]"
     if not shuffle_partitions:
         shuffle_partitions = cores if cores else (os.cpu_count() or 8)
+    # heap must scale with task concurrency: in local mode ONE JVM serves
+    # all N task threads, so a fixed heap that is fine at local[4] GC-
+    # thrashes at local[16] (measured: the posting merge went 2.9s -> 8.8s
+    # anti-scaling until the heap grew). On a real cluster this is
+    # spark.executor.memory per executor; 3 GiB/core mirrors a common
+    # executor sizing.
+    n_threads = cores if cores else (os.cpu_count() or 8)
+    default_mem = f"{min(max(16, 3 * n_threads), 64)}g"
     b = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -40,9 +48,14 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", default_mem))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # smaller split size than the 128MB default: local corpora are a
+        # few hundred MB, and a 2-task scan serializes the first stage of
+        # every build (on a 100TB cluster the default is fine — files are
+        # big; this only LOWERS the per-task bytes, never merges files)
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
     )
     # shuffle/spill on tmpfs when available: local-mode shuffles are
     # disk-bound under high task concurrency on virtio disks
