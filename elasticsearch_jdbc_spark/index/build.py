@@ -56,19 +56,20 @@ from pyspark.sql import types as T
 from ..functions.tokenizer import tokenize_pandas
 from .codec import bm25_weight, varint_encode
 
-TOKENIZED_SCHEMA = T.StructType(
-    [
-        T.StructField("pid", T.IntegerType(), False),
-        T.StructField("local_seq", T.LongType(), False),
-        T.StructField("repo", T.StringType(), False),
-        T.StructField("path", T.StringType(), False),
-        T.StructField("commit", T.StringType(), False),
-        T.StructField("lang", T.StringType(), True),
-        T.StructField("sha256", T.StringType(), False),
-        T.StructField("dl", T.IntegerType(), False),
-        T.StructField("tokens", T.ArrayType(T.StringType()), False),
-    ]
-)
+def tokenized_schema(key_fields: list[T.StructField]) -> T.StructType:
+    """Checkpoint schema for the tokenized table — key columns keep their
+    source types (key_cols is configurable, jobspec `key_cols`)."""
+    return T.StructType(
+        [
+            T.StructField("pid", T.IntegerType(), False),
+            T.StructField("local_seq", T.LongType(), False),
+            *[T.StructField(f.name, f.dataType, f.nullable) for f in key_fields],
+            T.StructField("lang", T.StringType(), True),
+            T.StructField("sha256", T.StringType(), False),
+            T.StructField("dl", T.IntegerType(), False),
+            T.StructField("tokens", T.ArrayType(T.StringType()), False),
+        ]
+    )
 
 POSTINGS_SCHEMA = T.StructType(
     [
@@ -109,14 +110,27 @@ class IndexBuilder:
         key_cols: tuple = ("repo", "path", "commit"),
         text_col: str = "content",
         partitions: int | None = None,
+        pretokenized: bool = False,
     ):
         self.spark = spark
         self.index_dir = index_dir
         self.k1, self.b = k1, b
         self.block_size = block_size
         self.key_cols = list(key_cols)
+        reserved = {"pid", "local_seq", "doc_id", "dl", "tokens", "sha256"}
+        clash = reserved.intersection(self.key_cols)
+        if clash:
+            raise ValueError(
+                f"key_cols {sorted(clash)} collide with reserved index "
+                "columns; rename them first (jobspec 'rename', the "
+                "column_name_map analogue)"
+            )
         self.text_col = text_col
         self.partitions = partitions or spark.sparkContext.defaultParallelism
+        # pretokenized: input already carries (sha256, dl, tokens) — the
+        # compaction path (IncrementalIndexReader.compact_to) reuses the
+        # tokenized checkpoints, skipping re-tokenization entirely
+        self.pretokenized = pretokenized
 
     # ---------- phase bookkeeping (reference statefile analogue,
     # StandardContext.writeState, StandardContext.java:240-277) ----------
@@ -203,11 +217,10 @@ class IndexBuilder:
         # and deterministic in (keys, partitions) — independent of cluster
         # size and input order. sha256 is computed AFTER the shuffle so the
         # (possibly few-task) source scan stays I/O-only.
-        keyed = (
-            df.repartition(self.partitions, *[F.col(k) for k in keys])
-            .sortWithinPartitions(*keys)
-            .withColumn("sha256", F.sha2(F.col(self.text_col), 256))
-        )
+        pretok = self.pretokenized
+        keyed = df.repartition(self.partitions, *[F.col(k) for k in keys]).sortWithinPartitions(*keys)
+        if not pretok:
+            keyed = keyed.withColumn("sha256", F.sha2(F.col(self.text_col), 256))
         text_col = self.text_col
         other_cols = [c for c in keyed.columns if c not in (*keys, text_col, "sha256")]
         lang_col = "lang" if "lang" in other_cols else None
@@ -226,7 +239,7 @@ class IndexBuilder:
             sum_dl = 0
             crc = 0
             for pdf in batches:
-                toks = tokenize_pandas(pdf[text_col])
+                toks = pdf["tokens"] if pretok else tokenize_pandas(pdf[text_col])
                 out = pd.DataFrame(
                     {
                         "pid": np.full(len(pdf), pid, np.int32),
@@ -237,7 +250,11 @@ class IndexBuilder:
                     out[k] = pdf[k].to_numpy()
                 out["lang"] = pdf[lang_col].to_numpy() if lang_col else None
                 out["sha256"] = pdf["sha256"].to_numpy()
-                dls = toks.str.len().to_numpy(dtype=np.int32)
+                dls = (
+                    pdf["dl"].to_numpy().astype(np.int32)
+                    if pretok
+                    else toks.str.len().to_numpy(dtype=np.int32)
+                )
                 out["dl"] = dls
                 out["tokens"] = toks.to_numpy()
                 seq += len(pdf)
@@ -258,7 +275,8 @@ class IndexBuilder:
             os.replace(p + f".tmp{os.getpid()}", p)
 
         tokenized_dir = os.path.join(self.index_dir, "tokenized")
-        keyed.mapInPandas(ingest_part, TOKENIZED_SCHEMA).write.mode("overwrite").parquet(tokenized_dir)
+        out_schema = tokenized_schema([keyed.schema[k] for k in keys])
+        keyed.mapInPandas(ingest_part, out_schema).write.mode("overwrite").parquet(tokenized_dir)
 
         tok = self.spark.read.parquet(tokenized_dir)
         per_pid = []

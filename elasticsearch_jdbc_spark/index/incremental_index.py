@@ -1,0 +1,278 @@
+"""Incremental index maintenance: delta segments + tombstones.
+
+The reference's sink applies optype-routed operations — index/create
+(upsert), delete — against Elasticsearch (SinkKeyValueStreamListener.java:
+57-77; StandardSink.java:191-298), and the column strategy emits those ops
+from timestamp predicates (ColumnSource.java:116-190). This module is the
+index-side counterpart for our own index layout:
+
+  base index      <dir>/            (IndexBuilder output)
+  delta indexes   <dir>/delta=N/    (IndexBuilder output over the op batch)
+  tombstones      <dir>/tombstones/delta=N/*.parquet
+                  rows (segment, doc_id, dl): masked docs in EARLIER
+                  segments (delete, or the old version of an upsert)
+
+Semantics (Lucene-style, which is also what ES does underneath):
+  * an upsert writes the new document to the newest delta and tombstones
+    every older live version (same doc key = key_cols, the reference's
+    stable `_id`);
+  * a delete only tombstones;
+  * global BM25 stats (N, avgdl) are corrected for tombstoned docs (their
+    dl is recorded in the tombstone row); per-term df still counts masked
+    docs until a real merge — exactly Lucene's deleted-doc behavior, where
+    deletes affect stats only after segment merges.
+
+Search fans out over base+deltas with shared global stats, filters
+tombstoned (segment, doc_id) pairs, and merges top-k — so results are
+identical to a from-scratch rebuild except for the df-of-masked-docs
+nuance above (spec'd in tests/test_incremental_index.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .build import IndexBuilder
+from .codec import bm25_idf
+from .query import IndexReader
+
+
+def _list_segments(index_dir: str) -> list[str]:
+    """Base ('' ) + delta=N subdirs, oldest first (base, delta=0, delta=1…)."""
+    segs = []
+    if os.path.exists(os.path.join(index_dir, "manifest.json")):
+        segs.append("")
+    deltas = []
+    for d in os.listdir(index_dir):
+        m = re.fullmatch(r"delta=(\d+)", d)
+        if m and os.path.exists(os.path.join(index_dir, d, "manifest.json")):
+            deltas.append(int(m.group(1)))
+    segs.extend(f"delta={n}" for n in sorted(deltas))
+    return segs
+
+
+def _next_delta_id(index_dir: str) -> int:
+    """Next batch id — counts BOTH delta index dirs and tombstone batch
+    dirs (a delete-only batch creates only the latter; reusing its id
+    would overwrite its tombstones)."""
+    ids = [-1]
+    dirs = list(os.listdir(index_dir))
+    tdir = os.path.join(index_dir, "tombstones")
+    if os.path.isdir(tdir):
+        dirs += os.listdir(tdir)
+    for d in dirs:
+        m = re.fullmatch(r"delta=(\d+)", d)
+        if m:
+            ids.append(int(m.group(1)))
+    return max(ids) + 1
+
+
+def apply_incremental(
+    spark: SparkSession,
+    index_dir: str,
+    ops: DataFrame,
+    key_cols: tuple = ("repo", "path", "commit"),
+    text_col: str = "content",
+    partitions: int | None = None,
+) -> dict:
+    """Apply one optype-tagged batch (column `_optype` in
+    index/create/update/delete — see operators.incremental.classify_ops and
+    operators.fold.route_optype) to an existing index.
+
+    Returns {"delta": id, "upserts": n, "tombstones": n}.
+    """
+    delta_id = _next_delta_id(index_dir)
+    keys = list(key_cols)
+
+    up = ops.filter(F.col("_optype").isin("index", "create", "update"))
+    dele = ops.filter(F.col("_optype") == "delete")
+
+    # tombstone every older live version of upserted/deleted keys
+    affected = up.select(*keys).unionByName(dele.select(*keys)).distinct()
+    reader = IncrementalIndexReader(spark, index_dir) if _list_segments(index_dir) else None
+    n_tomb = 0
+    if reader is not None:
+        tomb_dir = os.path.join(index_dir, "tombstones", f"delta={delta_id}")
+        live = reader.live_docs()  # (segment, doc_id, *keys, dl)
+        new_tombs = live.join(F.broadcast(affected), keys, "left_semi").select(
+            "segment", "doc_id", "dl"
+        )
+        os.makedirs(tomb_dir, exist_ok=True)
+        new_tombs.write.mode("overwrite").parquet(tomb_dir)
+        n_tomb = spark.read.parquet(tomb_dir).count()
+
+    n_up = up.count()
+    if n_up:
+        b = IndexBuilder(
+            spark,
+            os.path.join(index_dir, f"delta={delta_id}"),
+            key_cols=key_cols,
+            text_col=text_col,
+            partitions=partitions,
+        )
+        b.build(up.drop("_optype"), resume=False)
+    return {"delta": delta_id, "upserts": int(n_up), "tombstones": int(n_tomb)}
+
+
+class IncrementalIndexReader:
+    """Search over base + deltas with tombstone masking and corrected
+    global stats. Each segment keeps its own dense doc_ids; results are
+    (segment, doc_id, *keys, score)."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.segments = _list_segments(index_dir)
+        if not self.segments:
+            raise FileNotFoundError(f"no index at {index_dir}")
+        self.readers = {
+            s: IndexReader(spark, os.path.join(index_dir, s) if s else index_dir)
+            for s in self.segments
+        }
+        r0 = self.readers[self.segments[0]]
+        self.k1, self.b = r0.k1, r0.b
+        # tombstones (all batches)
+        tdir = os.path.join(index_dir, "tombstones")
+        self._tombs: dict[str, set[int]] = {}
+        tomb_n, tomb_dl = 0, 0
+        if os.path.isdir(tdir):
+            import pyarrow.dataset as ds
+
+            t = ds.dataset(tdir, format="parquet").to_table()
+            segs = t.column("segment").to_pylist()
+            dids = t.column("doc_id").to_pylist()
+            dls = t.column("dl").to_pylist()
+            for s, d, dl in zip(segs, dids, dls):
+                if d not in self._tombs.setdefault(s, set()):
+                    self._tombs[s].add(d)
+                    tomb_n += 1
+                    tomb_dl += dl
+        raw_n = sum(r.n_docs for r in self.readers.values())
+        raw_dl = sum(r.n_docs * r.avgdl for r in self.readers.values())
+        self.n_docs = raw_n - tomb_n
+        self.avgdl = (raw_dl - tomb_dl) / self.n_docs if self.n_docs else 0.0
+
+    def live_docs(self) -> DataFrame:
+        """(segment, doc_id, *keys, dl) for every non-tombstoned doc."""
+        out = None
+        for s in self.segments:
+            base = os.path.join(self.index_dir, s) if s else self.index_dir
+            d = self.spark.read.parquet(os.path.join(base, "docs")).withColumn(
+                "segment", F.lit(s)
+            )
+            out = d if out is None else out.unionByName(d)
+        tomb = self._tomb_df()
+        if tomb is not None:
+            out = out.join(tomb, ["segment", "doc_id"], "left_anti")
+        return out
+
+    def _tomb_df(self) -> DataFrame | None:
+        tdir = os.path.join(self.index_dir, "tombstones")
+        if not os.path.isdir(tdir):
+            return None
+        files = [
+            os.path.join(tdir, d)
+            for d in os.listdir(tdir)
+            if os.path.isdir(os.path.join(tdir, d))
+        ]
+        if not files:
+            return None
+        return self.spark.read.parquet(*files).select("segment", "doc_id").distinct()
+
+    def _global_idfs(self, terms: list[str]) -> dict[str, float]:
+        """Global df summed across segments (masked docs still counted,
+        the Lucene deleted-docs stats rule)."""
+        dfs: dict[str, int] = {}
+        for s in self.segments:
+            r = self.readers[s]
+            tdf = (
+                self.spark.read.parquet(os.path.join(r.index_dir, "terms"))
+                .filter(F.col("term").isin(terms))
+                .collect()
+            )
+            for row in tdf:
+                dfs[row["term"]] = dfs.get(row["term"], 0) + row["df"]
+        return {
+            t: float(bm25_idf(np.array([d]), self.n_docs)[0]) for t, d in dfs.items()
+        }
+
+    def search(self, query: str, k: int = 10) -> list[tuple[str, int, float]]:
+        """Top-k (segment, doc_id, score) across live docs, global stats.
+        Newest segment wins ties (its docs are the freshest)."""
+        r0 = self.readers[self.segments[0]]
+        terms = r0.query_terms(query)
+        if not terms:
+            return []
+        idfs = self._global_idfs(terms)
+        terms = [t for t in terms if t in idfs]
+        if not terms:
+            return []
+        c = self.k1 + 1.0
+        acc: dict[tuple[str, int], float] = {}
+        for s in self.segments:
+            r = self.readers[s]
+            blocks = r._collect_blocks(terms)
+            masked = self._tombs.get(s, set())
+            from .codec import decode_block
+
+            for t in terms:
+                idf = idfs[t]
+                for (_bid, n, first, gaps, tfs, dls, _mw) in blocks.get(t, []):
+                    docs, tf, dl = decode_block(first, n, gaps, tfs, dls)
+                    w = tf / (tf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl))
+                    contrib = idf * c * w
+                    for d, sc in zip(docs.tolist(), contrib.tolist()):
+                        if d in masked:
+                            continue
+                        key = (s, d)
+                        acc[key] = acc.get(key, 0.0) + sc
+        return [
+            (s, d, sc)
+            for (s, d), sc in sorted(
+                acc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )[:k]
+        ]
+
+    def live_tokenized(self) -> DataFrame:
+        """Live (keys..., lang, sha256, dl, tokens) rows reassembled from
+        every segment's tokenized checkpoint + ingest offsets — no
+        re-tokenization, the content never has to be re-read."""
+        out = None
+        for s in self.segments:
+            base = os.path.join(self.index_dir, s) if s else self.index_dir
+            with open(os.path.join(base, "_phase_ingest.json")) as f:
+                offsets = {int(k): v for k, v in json.load(f)["offsets"].items()}
+            off_df = self.spark.createDataFrame(
+                [(p, o) for p, o in offsets.items()], "pid int, offset long"
+            )
+            tok = self.spark.read.parquet(os.path.join(base, "tokenized"))
+            d = (
+                tok.join(F.broadcast(off_df), "pid")
+                .withColumn("doc_id", F.col("offset") + F.col("local_seq"))
+                .withColumn("segment", F.lit(s))
+                .drop("pid", "local_seq", "offset")
+            )
+            out = d if out is None else out.unionByName(d)
+        tomb = self._tomb_df()
+        if tomb is not None:
+            out = out.join(tomb, ["segment", "doc_id"], "left_anti")
+        return out.drop("segment", "doc_id")
+
+    def compact_to(self, new_dir: str, partitions: int | None = None) -> dict:
+        """Segment merge: fold base + deltas − tombstones into a fresh
+        single-segment index (makes df exact again, drops masked docs) —
+        ES force-merge / Lucene segment merge, over the tokenized
+        checkpoints instead of raw content."""
+        key_cols = tuple(self.readers[self.segments[0]].manifest["key_cols"])
+        b = IndexBuilder(
+            self.spark, new_dir, key_cols=key_cols,
+            partitions=partitions, pretokenized=True,
+        )
+        b.reset()
+        return b.build(self.live_tokenized(), resume=False)

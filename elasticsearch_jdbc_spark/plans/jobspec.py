@@ -64,10 +64,13 @@ def read_source(spark: SparkSession, spec: dict) -> DataFrame:
 
 def run_import(spark: SparkSession, spec: dict | str, resume: bool = True) -> dict:
     """Execute one import run (the reference's Context.execute state
-    machine, StandardContext.java:160-214): read -> (optional incremental
-    filter) -> index build -> manifest."""
+    machine, StandardContext.java:160-214): read -> (optional rename,
+    the column_name_map analogue, StandardSource.java:1938-1955) ->
+    (optional incremental filter) -> index build -> manifest."""
     spec = load_spec(spec)
     df = read_source(spark, spec)
+    for old, new in spec.get("rename", {}).items():
+        df = df.withColumnRenamed(old, new)
     if spec["strategy"] == "column" and "incremental" in spec:
         inc = spec["incremental"]
         if inc.get("last_run"):

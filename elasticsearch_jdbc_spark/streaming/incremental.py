@@ -25,7 +25,11 @@ def watermarked_event_counts(
     lateness: str = "10 minutes",
 ) -> DataFrame:
     """Tumbling-window counts with allowed lateness (works on both batch
-    and streaming DataFrames — same plan, Catalyst handles either)."""
+    and streaming DataFrames — same plan, Catalyst handles either).
+
+    Event-time watermarks require TIMESTAMP (ltz); parquet sources often
+    deliver TIMESTAMP_NTZ, so the column is cast up front."""
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return (
         events.withWatermark(ts_col, lateness)
         .groupBy(F.window(F.col(ts_col), window).alias("win"), "event_type")
