@@ -47,33 +47,46 @@ def _query_term_pairs() -> list[tuple[int, str]]:
 
 
 def bm25_topk_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE action, one tokenization pass per consumer: corpus stats ride in
+    as a broadcast 1-row cross join instead of a driver collect (no
+    separate job, no second analysis of the plan)."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = d.select(
-        "doc_id", F.explode(word_tokens("text")).alias("term"),
-        F.size(word_tokens("text")).alias("dl"),
+    base = d.select(
+        "doc_id", word_tokens("text").alias("toks")
+    ).select("doc_id", F.size("toks").alias("dl"), "toks")
+    stats = base.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
     )
-    stats = d.select(F.size(word_tokens("text")).alias("dl")).agg(
-        F.count("*").alias("n"), F.sum("dl").alias("sum_dl")
-    ).collect()[0]
-    n_docs, avgdl = stats["n"], float(stats["sum_dl"]) / float(stats["n"])
-
-    tf = toks.groupBy("term", "doc_id", "dl").agg(F.count("*").alias("tf"))
-    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
-    q = spark.createDataFrame(_query_term_pairs(), "query_id int, term string")
+    pairs = _query_term_pairs()
+    qterms = sorted({t for _qid, t in pairs})
+    # prune to query terms AT the explode — the declarative analogue of
+    # reading only the query terms' posting lists; df per term is then a
+    # window count over the surviving (term, doc) rows, so tf is computed
+    # exactly once (a broadcast of a separate df aggregate would force the
+    # whole corpus tf twice)
+    tf = (
+        base.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(qterms))
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("df", F.count("*").over(W.partitionBy("term")))
+    )
+    q = spark.createDataFrame(pairs, "query_id int, term string")
 
     scored = (
         tf.join(F.broadcast(q), "term")
-        .join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
         .withColumn(
             "idf",
-            F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+            F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
         )
         .withColumn(
             "w",
             F.col("tf")
             / (
                 F.col("tf")
-                + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.lit(avgdl))
+                + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.col("avgdl"))
             ),
         )
         .groupBy("query_id", "doc_id")

@@ -48,7 +48,21 @@ def load_spec(spec: dict | str) -> dict:
 
 
 def read_source(spark: SparkSession, spec: dict) -> DataFrame:
+    """Read the spec's source — a single block or a LIST of blocks (the
+    reference's `sql` statement list, SQLCommand.java:49-57: multiple
+    statements feed one sink; here multiple sources union into one build).
+    All blocks must project the same columns."""
     src = spec["source"]
+    if isinstance(src, list):
+        dfs = [_read_one(spark, s) for s in src]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+    return _read_one(spark, src)
+
+
+def _read_one(spark: SparkSession, src: dict) -> DataFrame:
     fmt = src.get("format", "parquet")
     reader = spark.read
     for k, v in src.get("options", {}).items():
@@ -58,7 +72,12 @@ def read_source(spark: SparkSession, spec: dict) -> DataFrame:
         # JDBC source handles fetchsize/partitioned reads declaratively
         return reader.format("jdbc").load()
     if fmt == "csv":
-        return reader.option("header", src.get("header", "true")).csv(src["path"])
+        reader = reader.option("header", src.get("header", "true"))
+        if "schema" in src:
+            reader = reader.schema(src["schema"])
+        else:
+            reader = reader.option("inferSchema", "true")
+        return reader.csv(src["path"])
     return reader.format(fmt).load(src["path"])
 
 
@@ -88,3 +107,37 @@ def run_import(spark: SparkSession, spec: dict | str, resume: bool = True) -> di
         partitions=spec["partitions"],
     )
     return builder.build(df, resume=resume)
+
+
+def build_metrics(manifest: dict) -> dict:
+    """The reference's metrics vocabulary (MetricsLogger.java:40-110:
+    dps = rows*1000/elapsed_ms, MB/s, avg size) derived from a build
+    manifest — total and per-phase, plus per-partition rows/bytes from the
+    lineage (SourceMetric analogue, per-partition instead of per-thread)."""
+    phases = manifest["phases"]
+    n = manifest["n_docs"]
+    wall = manifest["built_wall_s"]
+    per_phase = {}
+    total_bytes = 0
+    for name, ph in phases.items():
+        pw = ph.get("wall_s", 0.0)
+        parts = ph.get("partitions", {})
+        nbytes = sum(
+            f["bytes"] for d in parts.values() for f in d.values()
+        )
+        total_bytes += nbytes
+        per_phase[name] = {
+            "wall_s": pw,
+            "dps": round(n / pw, 1) if pw else None,
+            "bytes_written": nbytes,
+            "mb_per_s": round(nbytes / 1e6 / pw, 2) if pw else None,
+        }
+    return {
+        "n_docs": n,
+        "wall_s": wall,
+        "dps": round(n / wall, 1) if wall else None,
+        "bytes_written": total_bytes,
+        "mb_per_s": round(total_bytes / 1e6 / wall, 2) if wall else None,
+        "avg_doc_tokens": round(manifest["avgdl"], 1),
+        "phases": per_phase,
+    }
