@@ -45,11 +45,16 @@ def varint_encode(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def varint_decode(buf: bytes | np.ndarray) -> np.ndarray:
-    """Decode a LEB128 byte stream back to uint64. Fully vectorized."""
+    """Decode a LEB128 byte stream back to uint64. Fully vectorized, with a
+    fast path for all-single-byte streams (the common case for gap/tf
+    streams: hot terms have tiny gaps) — that path is a plain uint8 view."""
     b = np.frombuffer(buf, np.uint8) if not isinstance(buf, np.ndarray) else buf
     if b.size == 0:
         return np.empty(0, np.uint64)
-    ends = (b & 0x80) == 0
+    cont = b & 0x80
+    if not cont.any():
+        return b.astype(np.uint64)
+    ends = cont == 0
     n = int(ends.sum())
     # group id per byte: 0-based index of the value this byte belongs to
     group = np.zeros(b.size, np.int64)
@@ -60,6 +65,34 @@ def varint_decode(buf: bytes | np.ndarray) -> np.ndarray:
     vals = np.zeros(n, np.uint64)
     np.bitwise_or.at(vals, group, (b & np.uint8(0x7F)).astype(np.uint64) << (7 * pos).astype(np.uint64))
     return vals
+
+
+def decode_term_blocks(
+    first_docs: np.ndarray,
+    ns: np.ndarray,
+    gaps_cat: bytes,
+    tfs_cat: bytes,
+    dls_cat: bytes,
+):
+    """Decode ALL blocks of one term in three vectorized passes.
+
+    Block streams are self-contained (each gap stream starts with a 0 for
+    the absolute first doc), so the per-block byte strings can be
+    concatenated and decoded as one stream; absolute doc ids come from a
+    segmented cumsum (block-relative prefix sums + per-block first_doc).
+    Replaces one decode_block call per 128-doc block — ~100x fewer Python
+    transitions on hot terms.
+    """
+    g = varint_decode(gaps_cat).astype(np.int64)
+    ns = np.asarray(ns, np.int64)
+    starts = np.concatenate(([0], np.cumsum(ns)[:-1]))
+    block_idx = np.repeat(np.arange(len(ns)), ns)
+    g[starts] = 0
+    cs = np.cumsum(g)
+    docs = np.asarray(first_docs, np.int64)[block_idx] + (cs - cs[starts][block_idx])
+    tfs = varint_decode(tfs_cat).astype(np.int64)
+    dls = varint_decode(dls_cat).astype(np.int64)
+    return docs, tfs, dls
 
 
 def encode_block(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray) -> tuple[bytes, bytes, bytes]:

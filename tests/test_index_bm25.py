@@ -96,11 +96,19 @@ def test_rank_identical_vs_oracle(built, oracle, spark, query):
         assert gs == pytest.approx(ws, rel=1e-12, abs=1e-12)
 
 
-def test_wand_equals_brute(built, spark):
+def test_all_driver_paths_rank_identical(built, spark):
+    """dense (default), block-max WAND, and brute must agree exactly —
+    same docIDs, same scores (dense accumulates in the same FP order as
+    brute; WAND scores within 1e-12 reorder noise, ranks identical)."""
     idx_dir, _, _ = built
     reader = IndexReader(spark, idx_dir)
     for q in QUERIES:
-        assert reader.search(q, k=10) == reader.search_brute(q, k=10)
+        brute = reader.search_brute(q, k=10)
+        assert reader.search(q, k=10) == brute
+        wand = reader.search_wand(q, k=10)
+        assert [d for d, _ in wand] == [d for d, _ in brute]
+        for (_, ws), (_, bs) in zip(wand, brute):
+            assert ws == pytest.approx(bs, rel=1e-12, abs=1e-12)
 
 
 def test_distributed_equals_driver(built, spark):
