@@ -214,30 +214,48 @@ class IncrementalIndexReader:
         if not terms:
             return []
         c = self.k1 + 1.0
-        acc: dict[tuple[str, int], float] = {}
+        from .codec import decode_term_blocks
+
+        results: list[tuple[str, int, float]] = []
         for s in self.segments:
             r = self.readers[s]
             blocks = r._collect_blocks(terms)
             masked = self._tombs.get(s, set())
-            from .codec import decode_block
-
+            # dense per-segment scoring (same vectorized kernel as
+            # IndexReader._search_dense), tombstones zeroed before top-k
+            max_doc = -1
+            per_term = []
             for t in terms:
-                idf = idfs[t]
-                for (_bid, n, first, gaps, tfs, dls, _mw) in blocks.get(t, []):
-                    docs, tf, dl = decode_block(first, n, gaps, tfs, dls)
-                    w = tf / (tf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl))
-                    contrib = idf * c * w
-                    for d, sc in zip(docs.tolist(), contrib.tolist()):
-                        if d in masked:
-                            continue
-                        key = (s, d)
-                        acc[key] = acc.get(key, 0.0) + sc
-        return [
-            (s, d, sc)
-            for (s, d), sc in sorted(
-                acc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
-            )[:k]
-        ]
+                if not blocks.get(t):
+                    continue
+                first_docs = np.array([b[2] for b in blocks[t]], np.int64)
+                ns = np.array([b[1] for b in blocks[t]], np.int64)
+                docs, tf, dl = decode_term_blocks(
+                    first_docs, ns,
+                    b"".join(b[3] for b in blocks[t]),
+                    b"".join(b[4] for b in blocks[t]),
+                    b"".join(b[5] for b in blocks[t]),
+                )
+                w = tf / (tf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl))
+                per_term.append((docs, idfs[t] * c * w))
+                max_doc = max(max_doc, int(docs[-1]))
+            if max_doc < 0:
+                continue
+            score = np.zeros(max_doc + 1, np.float64)
+            hit = np.zeros(max_doc + 1, bool)
+            for docs, contrib in per_term:
+                score[docs] += contrib
+                hit[docs] = True
+            if masked:
+                mk = np.fromiter(masked, np.int64)
+                mk = mk[mk <= max_doc]
+                hit[mk] = False
+            nz = np.flatnonzero(hit)
+            if len(nz) > k:
+                kth = np.partition(score[nz], len(nz) - k)[len(nz) - k]
+                nz = nz[score[nz] >= kth]
+            results.extend((s, int(d), float(score[d])) for d in nz)
+        return sorted(results, key=lambda x: (-x[2], x[0], x[1]))[:k]
 
     def live_tokenized(self) -> DataFrame:
         """Live (keys..., lang, sha256, dl, tokens) rows reassembled from

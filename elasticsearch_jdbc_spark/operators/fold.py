@@ -62,9 +62,8 @@ def render_cell(col: str) -> Column:
     (Values.java:161-176): 0 values -> null, 1 value -> scalar, else array.
     Output as a JSON fragment string for engine-portable comparison."""
     c = F.col(col)
-    one = F.to_json(F.slice(c, 1, 1))  # ["v"] -> strip brackets -> "v"
+    # '["v"]' minus the enclosing brackets -> the scalar JSON fragment
     scalar = F.expr(f"substring(to_json(slice({col}, 1, 1)), 2, length(to_json(slice({col}, 1, 1))) - 2)")
-    _ = one  # scalar JSON fragment built via the expr above
     return (
         F.when(F.size(c) == 0, F.lit(None))
         .when(F.size(c) == 1, scalar)

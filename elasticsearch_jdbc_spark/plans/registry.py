@@ -979,3 +979,22 @@ def a5_doc_builder_q(spark, sf_dir):
     )
     labels = ["_id", "order.status", "order.total", "order.lines[no]", "order.lines[qty]"]
     return fold_documents(rows, labels, order_col="_seq").orderBy("_id")
+
+
+@_reg("a6_wkt_geojson")  # rows-only: WKT parse is a pandas UDF, not SQL
+def a6_geo_q(spark, sf_dir):
+    """WKT -> GeoJSON content detection (A6, GeoJSONShapeSerializer
+    semantics) over synthesized point/polygon strings keyed by nation."""
+    from ..functions.geo import wkt_to_geojson
+
+    n = _t(spark, sf_dir, "nation")
+    wkt = F.concat(
+        F.lit("POINT ("),
+        (F.col("n_nationkey") * 2.5).cast("string"), F.lit(" "),
+        (F.col("n_regionkey") * 10.0).cast("string"), F.lit(")"),
+    )
+    return n.select(
+        "n_nationkey",
+        wkt.alias("wkt"),
+        wkt_to_geojson(wkt).alias("geojson"),
+    ).orderBy("n_nationkey")
