@@ -181,6 +181,42 @@ class IndexReader:
                     acc[d] = acc.get(d, 0.0) + s
         return self._topk(acc, k)
 
+    # ---------- prefix queries (ES prefix / scoring_boolean rewrite) ----------
+
+    def expand_prefix(self, prefix: str, limit: int = 128) -> list[str]:
+        """Terms starting with `prefix`, lexicographic order, from the
+        sorted term dictionary (row-group range pruning makes this a
+        point-range read — the ES/Lucene term-enum analogue)."""
+        if not prefix:
+            return []
+        import pyarrow.dataset as ds
+
+        hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+        t = (
+            ds.dataset(os.path.join(self.index_dir, "terms"), format="parquet")
+            .to_table(
+                filter=(ds.field("term") >= prefix) & (ds.field("term") < hi),
+                columns=["term"],
+            )
+        )
+        return sorted(t.column("term").to_pylist())[:limit]
+
+    def search_prefix(self, query: str, k: int = 10, limit: int = 128) -> list[tuple[int, float]]:
+        """BM25 top-k where each query token matches every indexed term it
+        prefixes (Lucene MultiTermQuery with scoring_boolean rewrite: each
+        expanded term scores with its own idf). Expansion is capped at
+        `limit` terms per token, lexicographic — deterministic."""
+        expanded: list[str] = []
+        seen = set()
+        for tok in self.query_terms(query):
+            for t in self.expand_prefix(tok, limit):
+                if t not in seen:
+                    seen.add(t)
+                    expanded.append(t)
+        if not expanded:
+            return []
+        return self._search_dense_terms(expanded, k)
+
     # ---------- vectorized dense scoring (the default driver path) ----------
 
     # above this many docs the dense accumulator (8 bytes/doc) stops being
@@ -204,7 +240,9 @@ class IndexReader:
         return self.search_wand(query, k)
 
     def _search_dense(self, query: str, k: int) -> list[tuple[int, float]]:
-        terms = self.query_terms(query)
+        return self._search_dense_terms(self.query_terms(query), k)
+
+    def _search_dense_terms(self, terms: list[str], k: int) -> list[tuple[int, float]]:
         idfs = self._term_idfs(terms)
         terms = [t for t in terms if t in idfs]
         if not terms:

@@ -120,3 +120,24 @@ def test_distributed_equals_driver(built, spark):
         assert [d for d, _ in got] == [d for d, _ in want]
         for (_, gs), (_, ws) in zip(got, want):
             assert gs == pytest.approx(ws, rel=1e-9)
+
+
+def test_prefix_expansion_and_search(built, spark):
+    """Prefix queries: expansion comes from the sorted term dictionary;
+    scoring equals a hand-expanded dense query (scoring_boolean rewrite)."""
+    idx_dir, _, _ = built
+    reader = IndexReader(spark, idx_dir)
+    exp = reader.expand_prefix("enc")
+    assert exp and all(t.startswith("enc") for t in exp)
+    hits = reader.search_prefix("enc", k=10)
+    assert hits
+    manual = reader._search_dense_terms(list(exp), k=10)
+    assert hits == manual
+    # non-prefix sanity: exact term search of the expansion superset covers
+    # at least the exact-term hits
+    exact = reader.search(exp[0], k=5)
+    assert set(d for d, _ in exact) <= set(
+        d for d, _ in reader.search_prefix("enc", k=reader.n_docs)
+    )
+    assert reader.expand_prefix("zzzzno") == []
+    assert reader.search_prefix("zzzzno", k=5) == []
