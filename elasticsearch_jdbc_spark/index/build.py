@@ -83,6 +83,10 @@ POSTINGS_SCHEMA = T.StructType(
         T.StructField("max_tf", T.IntegerType(), False),
         T.StructField("max_weight", T.DoubleType(), False),
         T.StructField("tf_sum", T.LongType(), False),
+        # varint position stream (phrase queries): per posting, tf position
+        # entries — first absolute, then gaps; empty when the index is
+        # built without positions
+        T.StructField("positions", T.BinaryType(), True),
     ]
 )
 
@@ -111,6 +115,7 @@ class IndexBuilder:
         text_col: str = "content",
         partitions: int | None = None,
         pretokenized: bool = False,
+        with_positions: bool = False,
     ):
         self.spark = spark
         self.index_dir = index_dir
@@ -131,6 +136,10 @@ class IndexBuilder:
         # compaction path (IncrementalIndexReader.compact_to) reuses the
         # tokenized checkpoints, skipping re-tokenization entirely
         self.pretokenized = pretokenized
+        # with_positions: store per-posting token positions (phrase
+        # queries); ~doubles the posting payload, so it is opt-in like
+        # disabling _source/positions is in ES mappings
+        self.with_positions = with_positions
 
     # ---------- phase bookkeeping (reference statefile analogue,
     # StandardContext.writeState, StandardContext.java:240-277) ----------
@@ -186,6 +195,7 @@ class IndexBuilder:
             po = self._phase_postings(st)
         manifest = {
             "version": 1,
+            "with_positions": self.with_positions,
             "k1": self.k1,
             "b": self.b,
             "block_size": self.block_size,
@@ -358,6 +368,7 @@ class IndexBuilder:
         """
         t0 = time.time()
         k1, b, bs = self.k1, self.b, self.block_size
+        wpos = self.with_positions
         avgdl = stats["avgdl"]
         ing = self._phase_done("ingest")
         offsets = {int(k): v for k, v in ing["offsets"].items()}
@@ -398,7 +409,7 @@ class IndexBuilder:
                     tbl = pa.table(
                         {"doc_id": doc_id, "dl": tbl.column("dl"), "tokens": tbl.column("tokens")}
                     )
-                    out = _segment_from_tokens(tbl, bs, avgdl, k1, b)
+                    out = _segment_from_tokens(tbl, bs, avgdl, k1, b, wpos)
                     if out is not None:
                         yield out
 
@@ -460,7 +471,8 @@ class IndexBuilder:
         os.makedirs(self.index_dir, exist_ok=True)
 
 
-def _segment_from_tokens(tbl, bs: int, avgdl: float, k1: float, b: float):
+def _segment_from_tokens(tbl, bs: int, avgdl: float, k1: float, b: float,
+                         with_positions: bool = False):
     """One ingest partition's (doc_id, dl, tokens) -> encoded block rows.
 
     Single fused Arrow/numpy kernel, no per-row Python:
@@ -470,6 +482,10 @@ def _segment_from_tokens(tbl, bs: int, avgdl: float, k1: float, b: float):
       4. per-(term, block) groups: ufunc.reduceat aggregates + varint
          streams sliced into zero-copy Arrow binary arrays (slices are
          contiguous because every group's gap stream starts with a 0).
+      5. optional positions: the token stream re-sorted by (term, block,
+         doc, position) aligns 1:1 with the posting order, so each
+         posting's tf position entries are a contiguous run — gap-encoded
+         (first absolute), sliced per (term, block) group.
     """
     import pyarrow as pa
 
@@ -517,15 +533,37 @@ def _segment_from_tokens(tbl, bs: int, avgdl: float, k1: float, b: float):
 
     weights = bm25_weight(tfs, dls, avgdl, k1, b)
 
-    def binary_col(values: np.ndarray) -> pa.Array:
+    def binary_col(values: np.ndarray, seg_ends: np.ndarray) -> pa.Array:
+        """Varint-encode `values` and slice the byte stream at the
+        positions given by `seg_ends` (exclusive ends in value space);
+        segments tile the stream so offsets are contiguous."""
         data, lens_ = varint_encode(values)
-        off = np.zeros(len(starts) + 1, np.int32)
+        off = np.zeros(len(seg_ends) + 1, np.int32)
         np.cumsum(lens_, out=lens_)
-        off[1:] = lens_[ends - 1]
+        off[1:] = lens_[seg_ends - 1]
         return pa.Array.from_buffers(
-            pa.binary(), len(starts),
+            pa.binary(), len(seg_ends),
             [None, pa.py_buffer(off.tobytes()), pa.py_buffer(data.tobytes())],
         )
+
+    if with_positions:
+        # token position within its doc
+        doc_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        tokpos = np.arange(len(codes0), dtype=np.int64) - doc_starts[doc_idx]
+        tok_doc = doc_id[doc_idx]
+        tok_blk = tok_doc // bs
+        order2 = np.lexsort((tokpos, tok_doc, tok_blk, vrank[codes0]))
+        pos_sorted = tokpos[order2].astype(np.int64)
+        # runs of length tf per posting, in posting order; gap-encode with
+        # absolute first entry per run
+        tf_cum = np.concatenate(([0], np.cumsum(tfs)))
+        run_starts = tf_cum[:-1]
+        pg = np.zeros(len(pos_sorted), np.uint64)
+        np.subtract(pos_sorted[1:], pos_sorted[:-1], out=pg[1:], casting="unsafe")
+        pg[run_starts] = pos_sorted[run_starts]
+        pos_col = binary_col(pg, tf_cum[ends])
+    else:
+        pos_col = pa.nulls(len(starts), pa.binary())
 
     return pa.RecordBatch.from_arrays(
         [
@@ -533,12 +571,13 @@ def _segment_from_tokens(tbl, bs: int, avgdl: float, k1: float, b: float):
             pa.array(blks[starts], pa.int64()),
             pa.array((ends - starts).astype(np.int32), pa.int32()),
             pa.array(docs[starts], pa.int64()),
-            binary_col(gaps),
-            binary_col(tfs.astype(np.uint64)),
-            binary_col(dls.astype(np.uint64)),
+            binary_col(gaps, ends),
+            binary_col(tfs.astype(np.uint64), ends),
+            binary_col(dls.astype(np.uint64), ends),
             pa.array(np.maximum.reduceat(tfs, starts).astype(np.int32), pa.int32()),
             pa.array(np.maximum.reduceat(weights, starts), pa.float64()),
             pa.array(np.add.reduceat(tfs, starts), pa.int64()),
+            pos_col,
         ],
         names=POSTINGS_SCHEMA.names,
     )

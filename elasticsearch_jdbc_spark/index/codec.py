@@ -121,6 +121,20 @@ def decode_block(first_doc: int, n: int, gaps_bin: bytes, tfs_bin: bytes, dls_bi
     return docs, tfs, dls
 
 
+def decode_positions(tfs: np.ndarray, pos_cat: bytes) -> np.ndarray:
+    """Decode a concatenated position stream (per posting: tf entries,
+    first absolute then gaps) into absolute positions, aligned with the
+    postings' flattened order — segmented cumsum with run lengths = tfs."""
+    p = varint_decode(pos_cat).astype(np.int64)
+    tfs = np.asarray(tfs, np.int64)
+    run_starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+    run_idx = np.repeat(np.arange(len(tfs)), tfs)
+    first = p[run_starts].copy()
+    p[run_starts] = 0
+    cs = np.cumsum(p)
+    return first[run_idx] + (cs - cs[run_starts][run_idx])
+
+
 def bm25_weight(tf, dl, avgdl: float, k1: float, b: float):
     """Per-posting BM25 weight (idf excluded): tf / (tf + k1*(1-b+b*dl/avgdl)).
 

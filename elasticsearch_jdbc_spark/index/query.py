@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.tokenizer import tokenize_py
-from .codec import bm25_idf, decode_block, decode_term_blocks
+from .codec import bm25_idf, decode_block, decode_positions, decode_term_blocks
 
 
 class _Cursor:
@@ -132,27 +132,32 @@ class IndexReader:
             F.col("term").isin(terms)
         )
 
-    def _collect_blocks(self, terms: list[str]) -> dict[str, list]:
-        """term -> [(block_id, n, first_doc, gaps, tfs, dls, max_weight)],
-        sorted by block_id. Driver-side pyarrow read with term filter
-        (postings are term-range-partitioned AND term-sorted within files,
-        so file- and row-group-level stats prune almost everything)."""
+    def _collect_blocks(
+        self, terms: list[str], positions: bool = False
+    ) -> dict[str, list]:
+        """term -> [(block_id, n, first_doc, gaps, tfs, dls, max_weight
+        [, positions])], sorted by block_id. Driver-side pyarrow read with
+        term filter (postings are term-range-partitioned AND term-sorted
+        within files, so file- and row-group-level stats prune almost
+        everything)."""
         import pyarrow.dataset as ds
 
+        names = ["term", "block_id", "n", "first_doc", "doc_gaps", "tfs",
+                 "dls", "max_weight"]
+        if positions:
+            names.append("positions")
         tbl = (
             ds.dataset(os.path.join(self.index_dir, "postings"), format="parquet")
-            .to_table(
-                filter=ds.field("term").isin(terms),
-                columns=["term", "block_id", "n", "first_doc", "doc_gaps",
-                         "tfs", "dls", "max_weight"],
-            )
+            .to_table(filter=ds.field("term").isin(terms), columns=names)
         )
         out: dict[str, list] = {t: [] for t in terms}
-        cols = [tbl.column(c).to_pylist() for c in
-                ("term", "block_id", "n", "first_doc", "doc_gaps", "tfs",
-                 "dls", "max_weight")]
-        for term, bid, n, first, gaps, tfs, dls, mw in zip(*cols):
-            out[term].append((bid, n, first, bytes(gaps), bytes(tfs), bytes(dls), mw))
+        cols = [tbl.column(c).to_pylist() for c in names]
+        for row in zip(*cols):
+            term, bid, n, first, gaps, tfs, dls, mw = row[:8]
+            rec = [bid, n, first, bytes(gaps), bytes(tfs), bytes(dls), mw]
+            if positions:
+                rec.append(bytes(row[8]) if row[8] is not None else b"")
+            out[term].append(tuple(rec))
         for t in out:
             out[t].sort(key=lambda x: x[0])
         return out
@@ -180,6 +185,76 @@ class IndexReader:
                 for d, s in zip(docs.tolist(), contrib.tolist()):
                     acc[d] = acc.get(d, 0.0) + s
         return self._topk(acc, k)
+
+    # ---------- phrase queries (ES match_phrase / Lucene PhraseQuery) ----------
+
+    def search_phrase(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """Exact-phrase top-k: docs containing the query tokens at
+        consecutive positions. Requires an index built with
+        with_positions=True. Scoring is Lucene PhraseQuery: tf = phrase
+        frequency, idf = sum of the terms' idfs, same BM25 weight curve;
+        ties broken by ascending doc_id."""
+        if not self.manifest.get("with_positions"):
+            raise ValueError(
+                "index was built without positions; rebuild with "
+                "IndexBuilder(with_positions=True) for phrase queries"
+            )
+        terms = [t for t in tokenize_py(query)]  # order + duplicates kept
+        if not terms:
+            return []
+        uniq = list(dict.fromkeys(terms))
+        idfs = self._term_idfs(uniq)
+        if any(t not in idfs for t in uniq):
+            return []  # a missing term can never form the phrase
+        blocks = self._collect_blocks(uniq, positions=True)
+        per_term: dict[str, tuple] = {}
+        for t in uniq:
+            if not blocks[t]:
+                return []
+            first_docs = np.array([b[2] for b in blocks[t]], np.int64)
+            ns = np.array([b[1] for b in blocks[t]], np.int64)
+            docs, tf, dl = decode_term_blocks(
+                first_docs, ns,
+                b"".join(b[3] for b in blocks[t]),
+                b"".join(b[4] for b in blocks[t]),
+                b"".join(b[5] for b in blocks[t]),
+            )
+            pos = decode_positions(tf, b"".join(b[7] for b in blocks[t]))
+            pos_ends = np.cumsum(tf)
+            per_term[t] = (docs, dl, pos, pos_ends)
+        # candidate docs: present in EVERY term's postings
+        cand = per_term[uniq[0]][0]
+        for t in uniq[1:]:
+            cand = np.intersect1d(cand, per_term[t][0], assume_unique=True)
+            if len(cand) == 0:
+                return []
+        idf_sum = sum(idfs[t] for t in terms)  # duplicates count (Lucene)
+        c = self.k1 + 1.0
+        scored: list[tuple[int, float]] = []
+        docs0, dl0, _, _ = per_term[uniq[0]]
+        dl_of = dict(zip(docs0.tolist(), dl0.tolist()))
+        for d in cand.tolist():
+            s = self._doc_positions(per_term[terms[0]], d)
+            for i, t in enumerate(terms[1:], 1):
+                nxt = self._doc_positions(per_term[t], d)
+                s = s[np.isin(s + i, nxt, assume_unique=False)]
+                if len(s) == 0:
+                    break
+            if len(s) == 0:
+                continue
+            pf = float(len(s))
+            dl = float(dl_of[d])
+            w = pf / (pf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl))
+            scored.append((d, idf_sum * c * w))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        return scored[:k]
+
+    @staticmethod
+    def _doc_positions(entry: tuple, doc: int) -> np.ndarray:
+        docs, _dl, pos, pos_ends = entry
+        i = int(np.searchsorted(docs, doc))
+        lo = 0 if i == 0 else int(pos_ends[i - 1])
+        return pos[lo : int(pos_ends[i])]
 
     # ---------- prefix queries (ES prefix / scoring_boolean rewrite) ----------
 

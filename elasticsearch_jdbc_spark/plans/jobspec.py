@@ -16,7 +16,8 @@ Spec shape (all keys optional except source):
       "text_col": "content",
       "index_dir": "/data/index",
       "incremental": {"ts_col": "commit_ts", "overlap_seconds": 60},
-      "k1": 1.2, "b": 0.75, "block_size": 128, "partitions": 64
+      "k1": 1.2, "b": 0.75, "block_size": 128, "partitions": 64,
+      "positions": false            # true -> phrase-query support
     }
 """
 
@@ -43,6 +44,7 @@ def load_spec(spec: dict | str) -> dict:
         "b": 0.75,
         "block_size": 128,
         "partitions": None,
+        "positions": False,
         **spec,
     }
 
@@ -105,6 +107,7 @@ def run_import(spark: SparkSession, spec: dict | str, resume: bool = True) -> di
         key_cols=tuple(spec["key_cols"]),
         text_col=spec["text_col"],
         partitions=spec["partitions"],
+        with_positions=spec["positions"],
     )
     return builder.build(df, resume=resume)
 

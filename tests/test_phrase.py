@@ -1,0 +1,128 @@
+"""Phrase query tests: positional postings roundtrip + match_phrase
+semantics (adjacent-position intersection, Lucene PhraseQuery scoring)
+against a pure-Python model."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from elasticsearch_jdbc_spark.functions.tokenizer import tokenize_py
+from elasticsearch_jdbc_spark.index import IndexBuilder, IndexReader
+
+DOCS = [
+    ("r", "a.py", "c0", "py", "alpha beta gamma delta"),
+    ("r", "b.py", "c0", "py", "beta alpha gamma beta alpha"),      # no 'alpha beta'
+    ("r", "c.py", "c0", "py", "alpha beta alpha beta zeta"),       # phrase twice
+    ("r", "d.py", "c0", "py", "gamma delta epsilon"),
+    ("r", "e.py", "c0", "py", "go go gadget go go"),               # duplicate-term phrase
+    ("r", "f.py", "c0", "py", "alpha zeta beta"),                  # both words, not adjacent
+]
+
+
+@pytest.fixture(scope="module")
+def pos_idx(spark, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("ph") / "idx")
+    df = spark.createDataFrame(
+        DOCS, "repo string, path string, commit string, lang string, content string"
+    )
+    b = IndexBuilder(spark, idx, partitions=2, block_size=4, with_positions=True)
+    b.reset()
+    b.build(df, resume=False)
+    reader = IndexReader(spark, idx)
+    docs = spark.read.parquet(f"{idx}/docs").collect()
+    key2id = {r["path"]: r["doc_id"] for r in docs}
+    return reader, key2id
+
+
+def _model_phrase_freq(content: str, phrase: str) -> int:
+    toks = tokenize_py(content)
+    p = tokenize_py(phrase)
+    return sum(
+        1
+        for i in range(len(toks) - len(p) + 1)
+        if toks[i : i + len(p)] == p
+    )
+
+
+def test_phrase_matches_only_adjacent(pos_idx):
+    reader, key2id = pos_idx
+    hits = dict(reader.search_phrase("alpha beta", k=10))
+    assert key2id["a.py"] in hits
+    assert key2id["c.py"] in hits
+    assert key2id["b.py"] not in hits  # words present, wrong order
+    assert key2id["f.py"] not in hits  # words present, not adjacent
+
+
+def test_phrase_freq_scoring(pos_idx):
+    reader, key2id = pos_idx
+    hits = dict(reader.search_phrase("alpha beta", k=10))
+    # c.py has the phrase twice -> higher tf -> higher score than a.py
+    # (same dl=5 vs 4 — check the model agrees on ordering)
+    freqs = {p: _model_phrase_freq(c, "alpha beta") for _, p, _, _, c in
+             [(d[0], d[1], d[2], d[3], d[4]) for d in DOCS]}
+    assert freqs["c.py"] == 2 and freqs["a.py"] == 1
+    assert hits[key2id["c.py"]] > hits[key2id["a.py"]]
+
+
+def test_phrase_with_duplicate_terms(pos_idx):
+    reader, key2id = pos_idx
+    hits = dict(reader.search_phrase("go go", k=10))
+    assert set(hits) == {key2id["e.py"]}
+    assert _model_phrase_freq("go go gadget go go", "go go") == 2
+
+
+def test_three_term_phrase(pos_idx):
+    reader, key2id = pos_idx
+    hits = dict(reader.search_phrase("alpha beta gamma", k=10))
+    assert set(hits) == {key2id["a.py"]}
+
+
+def test_phrase_absent(pos_idx):
+    reader, _ = pos_idx
+    assert reader.search_phrase("epsilon alpha", k=10) == []
+    assert reader.search_phrase("nosuchterm here", k=10) == []
+
+
+def test_regular_search_unaffected_by_positions(pos_idx):
+    reader, key2id = pos_idx
+    assert reader.search("alpha", k=10) == reader.search_brute("alpha", k=10)
+
+
+def test_positions_roundtrip(pos_idx):
+    """Decoded positions equal the token positions recomputed from text."""
+    reader, key2id = pos_idx
+    blocks = reader._collect_blocks(["alpha"], positions=True)["alpha"]
+    from elasticsearch_jdbc_spark.index.codec import (
+        decode_positions,
+        decode_term_blocks,
+    )
+
+    first_docs = np.array([b[2] for b in blocks], np.int64)
+    ns = np.array([b[1] for b in blocks], np.int64)
+    docs, tf, _dl = decode_term_blocks(
+        first_docs, ns,
+        b"".join(b[3] for b in blocks),
+        b"".join(b[4] for b in blocks),
+        b"".join(b[5] for b in blocks),
+    )
+    pos = decode_positions(tf, b"".join(b[7] for b in blocks))
+    id2path = {v: k for k, v in key2id.items()}
+    content = {p: c for _, p, _, _, c in DOCS}
+    off = 0
+    for d, t in zip(docs.tolist(), tf.tolist()):
+        toks = tokenize_py(content[id2path[d]])
+        expect = [i for i, tok in enumerate(toks) if tok == "alpha"]
+        assert pos[off : off + t].tolist() == expect
+        off += t
+
+
+def test_phrase_requires_positions(spark, tmp_path):
+    df = spark.createDataFrame(
+        DOCS[:2], "repo string, path string, commit string, lang string, content string"
+    )
+    idx = str(tmp_path / "nopos")
+    IndexBuilder(spark, idx, partitions=2).build(df, resume=False)
+    r = IndexReader(spark, idx)
+    with pytest.raises(ValueError, match="positions"):
+        r.search_phrase("alpha beta")
