@@ -43,6 +43,8 @@ SCALE_FILES = int(os.environ.get("SPARK_GRAFT_SCALE_FILES", "400000"))
 
 HEADLINE = [
     "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "w1_top_orders_per_cust",
     "q3_top_orders",
     "q5_region_revenue",
     "b4_join_left_customer",

@@ -282,6 +282,18 @@ class IncrementalIndexReader:
             out = out.join(tomb, ["segment", "doc_id"], "left_anti")
         return out.drop("segment", "doc_id")
 
+    def should_compact(
+        self, max_deltas: int = 8, max_tombstone_frac: float = 0.2
+    ) -> bool:
+        """Compaction policy (the ES merge-policy analogue): compact when
+        delta segments pile up (every query fans out over all of them) or
+        masked docs exceed a fraction of the corpus (df drift + wasted
+        scan). Both thresholds mirror Lucene's tiered-merge intuitions."""
+        n_deltas = len(self.segments) - 1
+        raw_n = sum(r.n_docs for r in self.readers.values())
+        tomb_frac = (raw_n - self.n_docs) / raw_n if raw_n else 0.0
+        return n_deltas > max_deltas or tomb_frac > max_tombstone_frac
+
     def compact_to(self, new_dir: str, partitions: int | None = None) -> dict:
         """Segment merge: fold base + deltas − tombstones into a fresh
         single-segment index (makes df exact again, drops masked docs) —

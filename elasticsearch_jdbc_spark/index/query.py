@@ -186,6 +186,26 @@ class IndexReader:
                     acc[d] = acc.get(d, 0.0) + s
         return self._topk(acc, k)
 
+    def lookup_docs(self, doc_ids: list[int]) -> dict[int, dict]:
+        """doc_id -> {key cols, lang, sha256, dl} for hit enrichment (the
+        docs table is doc_id-sorted parquet; pyarrow range-pruned read)."""
+        import pyarrow.dataset as ds
+
+        t = (
+            ds.dataset(os.path.join(self.index_dir, "docs"), format="parquet")
+            .to_table(filter=ds.field("doc_id").isin(list(doc_ids)))
+        )
+        rows = t.to_pylist()
+        return {r["doc_id"]: {k: v for k, v in r.items() if k != "doc_id"} for r in rows}
+
+    def search_with_keys(self, query: str, k: int = 10) -> list[dict]:
+        """search() + doc-key enrichment: one list of hit dicts, ES-style."""
+        hits = self.search(query, k)
+        meta = self.lookup_docs([d for d, _ in hits])
+        return [
+            {"doc_id": d, "score": s, **meta.get(d, {})} for d, s in hits
+        ]
+
     # ---------- phrase queries (ES match_phrase / Lucene PhraseQuery) ----------
 
     def search_phrase(self, query: str, k: int = 10) -> list[tuple[int, float]]:

@@ -117,3 +117,11 @@ def test_compaction_equals_fresh_build(spark, base_idx, tmp_path):
     assert [d for _s, d, _ in r2.search("merge segment buffer", k=5)] == [
         d for d, _ in hits
     ]
+
+
+def test_should_compact_policy(spark, base_idx):
+    r = IncrementalIndexReader(spark, base_idx[0])
+    # after the delete + upsert above: few deltas, small tombstone fraction
+    assert r.should_compact(max_deltas=0) is True      # any delta triggers
+    assert r.should_compact(max_deltas=8, max_tombstone_frac=0.5) is False
+    assert r.should_compact(max_deltas=8, max_tombstone_frac=0.001) is True

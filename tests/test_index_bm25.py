@@ -141,3 +141,17 @@ def test_prefix_expansion_and_search(built, spark):
     )
     assert reader.expand_prefix("zzzzno") == []
     assert reader.search_prefix("zzzzno", k=5) == []
+
+
+def test_search_with_keys(built, spark):
+    idx_dir, _, corpus = built
+    reader = IndexReader(spark, idx_dir)
+    hits = reader.search_with_keys("merge segment posting", k=5)
+    assert len(hits) == 5
+    for h in hits:
+        assert {"doc_id", "score", "repo", "path", "commit", "sha256"} <= set(h)
+    # keys resolve to real corpus rows
+    row = corpus.filter(
+        (F.col("repo") == hits[0]["repo"]) & (F.col("path") == hits[0]["path"])
+    ).collect()
+    assert len(row) == 1
