@@ -32,21 +32,70 @@ _TOKEN = re.compile(r"[a-z0-9]+")
 DUCKDB_TOKENIZE_SQL = "list_filter(string_split_regex(lower({col}), '[^a-z0-9]+'), t -> t <> '')"
 
 
-def tokenize_py(text: str) -> list[str]:
+# Language-aware filtering (the "lang-aware" leg of the analyzer chain):
+# per-language keyword stop-sets — code keywords carry almost no BM25
+# signal (near-ubiquitous within a language, so idf ~ 0) but inflate
+# posting volume. Opt-in, recorded in the index manifest; the same sets
+# apply in the Python oracle so rank-identity is preserved.
+LANG_STOPTOKENS: dict[str, frozenset] = {
+    "py": frozenset(
+        "def return self import from class if else elif for while in not "
+        "and or is none true false with as pass lambda try except raise".split()
+    ),
+    "go": frozenset(
+        "func var const type struct interface package import return if "
+        "else for range go defer chan map nil true false switch case".split()
+    ),
+    "java": frozenset(
+        "public private protected static final void class interface extends "
+        "implements return if else for while new this null true false "
+        "import package try catch throw throws".split()
+    ),
+    "js": frozenset(
+        "function var let const return if else for while new this null "
+        "undefined true false import export class extends async await".split()
+    ),
+    "rs": frozenset(
+        "fn let mut pub struct enum impl trait use mod return if else for "
+        "while loop match self none some true false".split()
+    ),
+}
+
+
+def tokenize_py(text: str, lang: str | None = None, lang_filter: bool = False) -> list[str]:
     """Pure-Python reference tokenizer (the oracle side)."""
     if text is None:
         return []
-    return _TOKEN.findall(_CAMEL.sub(" ", text).lower())
+    toks = _TOKEN.findall(_CAMEL.sub(" ", text).lower())
+    if lang_filter:
+        stop = LANG_STOPTOKENS.get(lang or "", frozenset())
+        if stop:
+            toks = [t for t in toks if t not in stop]
+    return toks
 
 
-def tokenize_pandas(s: pd.Series) -> pd.Series:
-    """Vectorized pandas implementation — same output as tokenize_py."""
-    return (
+def tokenize_pandas(
+    s: pd.Series, langs: pd.Series | None = None, lang_filter: bool = False
+) -> pd.Series:
+    """Vectorized pandas implementation — same output as tokenize_py.
+    With lang_filter, each row's tokens are filtered by its language's
+    stop-set (unknown languages pass through unfiltered)."""
+    toks = (
         s.fillna("")
         .str.replace(_CAMEL, " ", regex=True)
         .str.lower()
         .str.findall(_TOKEN)
     )
+    if lang_filter and langs is not None:
+        stops = langs.map(lambda la: LANG_STOPTOKENS.get(la or "", frozenset()))
+        toks = pd.Series(
+            [
+                [t for t in ts if t not in st] if st else ts
+                for ts, st in zip(toks, stops)
+            ],
+            index=toks.index,
+        )
+    return toks
 
 
 @F.pandas_udf(T.ArrayType(T.StringType()))

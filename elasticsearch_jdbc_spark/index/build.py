@@ -116,6 +116,7 @@ class IndexBuilder:
         partitions: int | None = None,
         pretokenized: bool = False,
         with_positions: bool = False,
+        lang_filter: bool = False,
     ):
         self.spark = spark
         self.index_dir = index_dir
@@ -140,6 +141,10 @@ class IndexBuilder:
         # queries); ~doubles the posting payload, so it is opt-in like
         # disabling _source/positions is in ES mappings
         self.with_positions = with_positions
+        # lang_filter: drop per-language code keywords at tokenize time
+        # (near-zero idf, large posting volume); the analyzer setting is
+        # part of the index contract, so it is recorded in the manifest
+        self.lang_filter = lang_filter
 
     # ---------- phase bookkeeping (reference statefile analogue,
     # StandardContext.writeState, StandardContext.java:240-277) ----------
@@ -196,6 +201,7 @@ class IndexBuilder:
         manifest = {
             "version": 1,
             "with_positions": self.with_positions,
+            "lang_filter": self.lang_filter,
             "k1": self.k1,
             "b": self.b,
             "block_size": self.block_size,
@@ -228,6 +234,7 @@ class IndexBuilder:
         # size and input order. sha256 is computed AFTER the shuffle so the
         # (possibly few-task) source scan stays I/O-only.
         pretok = self.pretokenized
+        lfilter = self.lang_filter
         keyed = df.repartition(self.partitions, *[F.col(k) for k in keys]).sortWithinPartitions(*keys)
         if not pretok:
             keyed = keyed.withColumn("sha256", F.sha2(F.col(self.text_col), 256))
@@ -249,7 +256,15 @@ class IndexBuilder:
             sum_dl = 0
             crc = 0
             for pdf in batches:
-                toks = pdf["tokens"] if pretok else tokenize_pandas(pdf[text_col])
+                toks = (
+                    pdf["tokens"]
+                    if pretok
+                    else tokenize_pandas(
+                        pdf[text_col],
+                        pdf[lang_col] if (lfilter and lang_col) else None,
+                        lfilter,
+                    )
+                )
                 out = pd.DataFrame(
                     {
                         "pid": np.full(len(pdf), pid, np.int32),

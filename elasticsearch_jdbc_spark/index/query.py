@@ -276,6 +276,92 @@ class IndexReader:
         lo = 0 if i == 0 else int(pos_ends[i - 1])
         return pos[lo : int(pos_ends[i])]
 
+    def search_phrase_df(self, query: str, k: int = 10) -> DataFrame:
+        """Distributed phrase top-k: postings stay on executors (the
+        10^12-doc path — a driver collect of a hot term's positions would
+        not fit). Blocks decode in a vectorized UDF -> (doc, term,
+        positions) rows -> per-doc grouped adjacency check -> score ->
+        global top-k. Rank-identical to search_phrase."""
+        if not self.manifest.get("with_positions"):
+            raise ValueError("index was built without positions")
+        terms = [t for t in tokenize_py(query)]
+        if not terms:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        uniq = list(dict.fromkeys(terms))
+        idfs = self._term_idfs(uniq)
+        if any(t not in idfs for t in uniq):
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        idf_sum = float(sum(idfs[t] for t in terms))
+        k1, b, avgdl, c = self.k1, self.b, self.avgdl, self.k1 + 1.0
+        n_uniq = len(uniq)
+        term_list = list(terms)
+        uniq_list = list(uniq)
+
+        decode_schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("term", T.StringType(), False),
+                T.StructField("dl", T.IntegerType(), False),
+                T.StructField("pos", T.ArrayType(T.IntegerType()), False),
+            ]
+        )
+
+        def decode_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from .codec import decode_block as _db
+            from .codec import decode_positions as _dp
+
+            for pdf in batches:
+                out = {"doc_id": [], "term": [], "dl": [], "pos": []}
+                for term, n, first, gaps, tfs, dls, posb in zip(
+                    pdf["term"], pdf["n"], pdf["first_doc"], pdf["doc_gaps"],
+                    pdf["tfs"], pdf["dls"], pdf["positions"],
+                ):
+                    docs, tf, dl = _db(int(first), int(n), bytes(gaps), bytes(tfs), bytes(dls))
+                    pos = _dp(tf, bytes(posb))
+                    ends = np.cumsum(tf)
+                    lo = 0
+                    for d, dlen, e in zip(docs.tolist(), dl.tolist(), ends.tolist()):
+                        out["doc_id"].append(d)
+                        out["term"].append(term)
+                        out["dl"].append(dlen)
+                        out["pos"].append(pos[lo:e].astype(np.int32).tolist())
+                        lo = e
+                if out["doc_id"]:
+                    yield pd.DataFrame(out)
+
+        score_schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("score", T.DoubleType(), False),
+            ]
+        )
+
+        def phrase_score(pdf: pd.DataFrame) -> pd.DataFrame:
+            if pdf["term"].nunique() < n_uniq:
+                return pd.DataFrame({"doc_id": [], "score": []})
+            by_term = {t: np.array(p, np.int64)
+                       for t, p in zip(pdf["term"], pdf["pos"])}
+            s = by_term[term_list[0]]
+            for i, t in enumerate(term_list[1:], 1):
+                s = s[np.isin(s + i, by_term[t])]
+                if len(s) == 0:
+                    return pd.DataFrame({"doc_id": [], "score": []})
+            pf = float(len(s))
+            dl = float(pdf["dl"].iloc[0])
+            w = pf / (pf + k1 * (1.0 - b + b * dl / avgdl))
+            return pd.DataFrame(
+                {"doc_id": [pdf["doc_id"].iloc[0]], "score": [idf_sum * c * w]}
+            )
+
+        return (
+            self._postings_df(uniq)
+            .mapInPandas(decode_rows, decode_schema)
+            .groupBy("doc_id")
+            .applyInPandas(phrase_score, score_schema)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     # ---------- prefix queries (ES prefix / scoring_boolean rewrite) ----------
 
     def expand_prefix(self, prefix: str, limit: int = 128) -> list[str]:

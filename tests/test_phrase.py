@@ -126,3 +126,14 @@ def test_phrase_requires_positions(spark, tmp_path):
     r = IndexReader(spark, idx)
     with pytest.raises(ValueError, match="positions"):
         r.search_phrase("alpha beta")
+
+
+def test_distributed_phrase_equals_driver(pos_idx):
+    reader, _ = pos_idx
+    for q in ("alpha beta", "go go", "alpha beta gamma"):
+        want = reader.search_phrase(q, k=10)
+        got = [(r["doc_id"], r["score"]) for r in reader.search_phrase_df(q, k=10).collect()]
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (_, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-9
+    assert reader.search_phrase_df("nosuchterm here", k=5).count() == 0

@@ -25,3 +25,51 @@ def test_pandas_matches_py():
     vec = tokenize_pandas(pd.Series(texts)).tolist()
     ref = [tokenize_py(t) for t in texts]
     assert vec == ref
+
+
+def test_lang_filter_drops_keywords():
+    from elasticsearch_jdbc_spark.functions.tokenizer import tokenize_py
+
+    code = "def getValue(self): return self.value"
+    plain = tokenize_py(code)
+    assert "def" in plain and "self" in plain
+    filtered = tokenize_py(code, lang="py", lang_filter=True)
+    assert "def" not in filtered and "self" not in filtered and "return" not in filtered
+    assert "get" in filtered and "value" in filtered
+    # unknown language -> passthrough
+    assert tokenize_py(code, lang="cobol", lang_filter=True) == plain
+
+
+def test_lang_filter_pandas_matches_py():
+    import pandas as pd
+
+    from elasticsearch_jdbc_spark.functions.tokenizer import (
+        tokenize_pandas,
+        tokenize_py,
+    )
+
+    texts = pd.Series(["def f(): return 1", "func main() { return }", None])
+    langs = pd.Series(["py", "go", "py"])
+    got = tokenize_pandas(texts, langs, lang_filter=True).tolist()
+    want = [tokenize_py(t, la, True) for t, la in zip(texts, langs)]
+    assert got == want
+
+
+def test_builder_lang_filter_end_to_end(spark, tmp_path):
+    from elasticsearch_jdbc_spark.index import IndexBuilder
+    import pyarrow.dataset as ds
+
+    df = spark.createDataFrame(
+        [("r", "a.py", "c", "py", "def alpha(self): return beta"),
+         ("r", "b.go", "c", "go", "func alpha() { return beta }")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    idx = str(tmp_path / "lf")
+    m = IndexBuilder(spark, idx, partitions=2, lang_filter=True).build(df, resume=False)
+    assert m["lang_filter"] is True
+    terms = set(
+        ds.dataset(f"{idx}/terms", format="parquet").to_table(columns=["term"])
+        .column("term").to_pylist()
+    )
+    assert "alpha" in terms and "beta" in terms
+    assert "def" not in terms and "func" not in terms and "return" not in terms
