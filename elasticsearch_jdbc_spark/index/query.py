@@ -206,6 +206,91 @@ class IndexReader:
             {"doc_id": d, "score": s, **meta.get(d, {})} for d, s in hits
         ]
 
+    # ---------- boolean queries (ES bool: must / should / must_not) ----------
+
+    def search_bool(
+        self,
+        must: str | list[str] = "",
+        should: str | list[str] = "",
+        must_not: str | list[str] = "",
+        k: int = 10,
+    ) -> list[tuple[int, float]]:
+        """ES bool-query semantics over the dense kernel:
+          * every `must` term is required (conjunction) and scores;
+          * `should` terms are optional and add to the score;
+          * `must_not` terms exclude (pure filter, never score).
+        Each argument is a query string (tokenized) or a token list.
+        Ties broken by ascending doc_id."""
+        def toks(q):
+            if isinstance(q, str):
+                return self.query_terms(q)
+            return list(dict.fromkeys(q))
+
+        must_t, should_t, not_t = toks(must), toks(should), toks(must_not)
+        if not must_t and not should_t:
+            return []
+        scoring = list(dict.fromkeys(must_t + should_t))
+        idfs = self._term_idfs(scoring + not_t)
+        if any(t not in idfs for t in must_t):
+            return []  # a missing must term matches nothing
+        scoring = [t for t in scoring if t in idfs]
+        blocks = self._collect_blocks([t for t in scoring + not_t if t in idfs])
+        c = self.k1 + 1.0
+
+        def term_arrays(t):
+            bl = blocks.get(t, [])
+            if not bl:
+                return None
+            first_docs = np.array([b[2] for b in bl], np.int64)
+            ns = np.array([b[1] for b in bl], np.int64)
+            return decode_term_blocks(
+                first_docs, ns,
+                b"".join(b[3] for b in bl),
+                b"".join(b[4] for b in bl),
+                b"".join(b[5] for b in bl),
+            )
+
+        decoded = {t: term_arrays(t) for t in set(scoring + [t for t in not_t if t in idfs])}
+        max_doc = max(
+            (int(d[0][-1]) for d in decoded.values() if d is not None), default=-1
+        )
+        if max_doc < 0:
+            return []
+        score = np.zeros(max_doc + 1, np.float64)
+        hit = np.zeros(max_doc + 1, bool)
+        for t in scoring:
+            d = decoded[t]
+            if d is None:
+                continue
+            docs, tf, dl = d
+            w = tf / (tf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl))
+            score[docs] += idfs[t] * c * w
+            hit[docs] = True
+        # conjunction: docs must contain EVERY must term
+        for t in must_t:
+            d = decoded[t]
+            if d is None:
+                return []
+            m = np.zeros(max_doc + 1, bool)
+            m[d[0]] = True
+            hit &= m
+        # exclusion
+        for t in not_t:
+            d = decoded.get(t)
+            if d is not None:
+                valid = d[0][d[0] <= max_doc]
+                hit[valid] = False
+        nz = np.flatnonzero(hit)
+        if len(nz) == 0:
+            return []
+        s = score[nz]
+        if len(nz) > k:
+            kth = np.partition(s, len(s) - k)[len(s) - k]
+            keep = s >= kth
+            nz, s = nz[keep], s[keep]
+        order = np.lexsort((nz, -s))[:k]
+        return [(int(d), float(score[d])) for d in nz[order]]
+
     # ---------- phrase queries (ES match_phrase / Lucene PhraseQuery) ----------
 
     def search_phrase(self, query: str, k: int = 10) -> list[tuple[int, float]]:
