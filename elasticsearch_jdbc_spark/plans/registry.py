@@ -1053,3 +1053,139 @@ def q4(spark, sf_dir):
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("order_count"))
     )
+
+
+@_reg(
+    "bm25_phrase_topk",
+    """
+    WITH q(query_id, t1, t2) AS (VALUES (0, 'fast', 'key'), (1, 'hash', 'value'),
+                                        (2, 'slow', 'query')),
+    tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n, SUM(len(toks)) * 1.0 / COUNT(*) AS avgdl FROM tok
+    ),
+    dft AS (
+      SELECT t.term, COUNT(DISTINCT doc_id) AS df
+      FROM tok, UNNEST(list_distinct(toks)) AS t(term)
+      GROUP BY t.term
+    ),
+    pf AS (
+      SELECT q.query_id, tok.doc_id, len(tok.toks) AS dl,
+             len(list_filter(range(1, len(tok.toks)),
+                             i -> tok.toks[i] = q.t1 AND tok.toks[i+1] = q.t2)) AS freq
+      FROM tok, q
+    ),
+    scored AS (
+      SELECT pf.query_id, pf.doc_id,
+             (ln(1.0 + (stats.n - d1.df + 0.5) / (d1.df + 0.5))
+              + ln(1.0 + (stats.n - d2.df + 0.5) / (d2.df + 0.5)))
+             * 2.2 * (pf.freq / (pf.freq + 1.2 * (0.25 + 0.75 * pf.dl / stats.avgdl))) AS score
+      FROM pf
+      JOIN q ON q.query_id = pf.query_id
+      JOIN dft d1 ON d1.term = q.t1
+      JOIN dft d2 ON d2.term = q.t2, stats
+      WHERE pf.freq > 0
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, doc_id, ROUND(score, 4) AS score
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def bm25_phrase_q(spark, sf_dir):
+    """Phrase (adjacent bigram) BM25 top-k, fully declarative over the raw
+    table: phrase frequency = count of adjacent (t1, t2) positions via a
+    JVM array filter — the oracle-checkable twin of the positional-index
+    phrase path (tests/test_phrase.py covers the index path)."""
+    PHRASES = [(0, "fast", "key"), (1, "hash", "value"), (2, "slow", "query")]
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = d.select(
+        "doc_id", X.word_tokens("text").alias("toks")
+    ).select("doc_id", F.size("toks").alias("dl"), "toks")
+    stats = base.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    terms = sorted({t for _, a, b2 in PHRASES for t in (a, b2)})
+    dft = (
+        base.select("doc_id", F.explode(F.array_distinct("toks")).alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    q = spark.createDataFrame(PHRASES, "query_id int, t1 string, t2 string")
+    freq = (
+        base.crossJoin(F.broadcast(q))
+        .withColumn(
+            "freq",
+            F.size(
+                F.filter(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: (F.element_at("toks", i) == F.col("t1"))
+                    & (F.element_at("toks", i + 1) == F.col("t2")),
+                )
+            ),
+        )
+        .filter(F.col("freq") > 0)
+    )
+    d1 = dft.select(F.col("term").alias("t1"), F.col("df").alias("df1"))
+    d2 = dft.select(F.col("term").alias("t2"), F.col("df").alias("df2"))
+    scored = (
+        freq.join(F.broadcast(d1), "t1")
+        .join(F.broadcast(d2), "t2")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "score",
+            (
+                F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df1") + 0.5) / (F.col("df1") + 0.5))
+                + F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df2") + 0.5) / (F.col("df2") + 0.5))
+            )
+            * F.lit(2.2)
+            * (F.col("freq") / (F.col("freq") + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("avgdl")))),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "rank", "doc_id", F.round("score", 4).alias("score"))
+    )
+
+
+@_reg("bm25_index_search")  # rows-only: the REAL index engine end-to-end
+def bm25_index_q(spark, sf_dir):
+    """Index-engine path in the driver contract: build (resume-cached per
+    sf_dir) a positional index over the documents corpus, run the
+    distributed searcher, map internal doc ids back to documents.doc_id."""
+    import hashlib as _h
+    import os as _os
+    import tempfile as _tmp
+
+    from ..index import IndexBuilder, IndexReader
+    from ..sources import corpus_from_documents
+
+    corpus = corpus_from_documents(spark, sf_dir)
+    tag = _h.sha1(sf_dir.encode()).hexdigest()[:10]
+    idx = _os.path.join(_tmp.gettempdir(), f"registry_idx_{tag}")
+    IndexBuilder(spark, idx, partitions=8).build(corpus)  # resume: instant when built
+    reader = IndexReader(spark, idx)
+    out = None
+    for qid, qtext in REFERENCE_QUERIES[:3]:
+        hits = reader.search_df(qtext, k=10).withColumn("query_id", F.lit(qid))
+        out = hits if out is None else out.unionByName(hits)
+    docs = spark.read.parquet(f"{idx}/docs").select(
+        "doc_id",
+        F.regexp_extract("path", r"doc/(\d+)\.txt", 1).cast("long").alias("documents_doc_id"),
+    )
+    return (
+        out.join(docs, "doc_id")
+        .select("query_id", "documents_doc_id", F.round("score", 4).alias("score"))
+        .orderBy("query_id", F.desc("score"), "documents_doc_id")
+    )
