@@ -1171,8 +1171,13 @@ def bm25_index_q(spark, sf_dir):
     from ..index import IndexBuilder, IndexReader
     from ..sources import corpus_from_documents
 
+    from ..index.build import POSTINGS_SCHEMA
+
     corpus = corpus_from_documents(spark, sf_dir)
-    tag = _h.sha1(sf_dir.encode()).hexdigest()[:10]
+    # cache key includes the postings layout so a stale cross-version
+    # cache can never be resumed into the wrong format
+    layout = ",".join(POSTINGS_SCHEMA.names)
+    tag = _h.sha1(f"{sf_dir}|{layout}".encode()).hexdigest()[:10]
     idx = _os.path.join(_tmp.gettempdir(), f"registry_idx_{tag}")
     IndexBuilder(spark, idx, partitions=8).build(corpus)  # resume: instant when built
     reader = IndexReader(spark, idx)
