@@ -206,6 +206,101 @@ class IndexReader:
             {"doc_id": d, "score": s, **meta.get(d, {})} for d, s in hits
         ]
 
+    # ---------- fuzzy queries (ES fuzzy, edit distance <= 1) ----------
+
+    def enable_fuzzy(self) -> None:
+        """Build (once) the SymSpell-style deletion table: every indexed
+        term mapped from itself and each of its single-char deletions.
+        Two strings within Levenshtein distance 1 always share a variant,
+        so fuzzy lookup is an equi-join — no term-dictionary scan per
+        query. One Spark job over the (small) terms table; idempotent."""
+        fdir = os.path.join(self.index_dir, "fuzzy")
+        if os.path.isdir(fdir) and any(
+            f.endswith(".parquet") for f in os.listdir(fdir)
+        ):
+            return
+        terms = self.spark.read.parquet(os.path.join(self.index_dir, "terms")).select("term")
+        variants = terms.select(
+            "term",
+            F.explode(
+                F.array_union(
+                    F.array(F.col("term")),
+                    F.filter(
+                        F.transform(
+                            F.sequence(F.lit(1), F.length("term")),
+                            # delete char i: term[1..i-1] || term[i+1..]
+                            lambda i: F.concat(
+                                F.col("term").substr(F.lit(1), i - 1),
+                                F.col("term").substr(i + 1, F.length("term")),
+                            ),
+                        ),
+                        lambda v: v != F.col("term"),
+                    ),
+                )
+            ).alias("variant"),
+        )
+        (
+            variants.repartition(max(1, self.spark.sparkContext.defaultParallelism // 4), "variant")
+            .sortWithinPartitions("variant")
+            .write.mode("overwrite")
+            .parquet(fdir)
+        )
+
+    @staticmethod
+    def _lev1(a: str, b: str) -> bool:
+        """Levenshtein distance <= 1 (verification after variant join)."""
+        if a == b:
+            return True
+        la, lb = len(a), len(b)
+        if abs(la - lb) > 1:
+            return False
+        if la > lb:
+            a, b, la, lb = b, a, lb, la
+        i = j = diff = 0
+        while i < la and j < lb:
+            if a[i] == b[j]:
+                i += 1
+                j += 1
+                continue
+            diff += 1
+            if diff > 1:
+                return False
+            if la == lb:
+                i += 1
+            j += 1
+        return True
+
+    def expand_fuzzy(self, token: str, limit: int = 32) -> list[str]:
+        """Indexed terms within edit distance 1 of `token` (the token
+        itself first if indexed), via the deletion-variant equi-join."""
+        import pyarrow.dataset as ds
+
+        self.enable_fuzzy()
+        qvars = [token] + [token[:i] + token[i + 1:] for i in range(len(token))]
+        t = (
+            ds.dataset(os.path.join(self.index_dir, "fuzzy"), format="parquet")
+            .to_table(filter=ds.field("variant").isin(qvars), columns=["term"])
+        )
+        cands = sorted(set(t.column("term").to_pylist()))
+        out = [c for c in cands if self._lev1(token, c)]
+        out.sort(key=lambda c: (c != token, c))  # exact match first
+        return out[:limit]
+
+    def search_fuzzy(self, query: str, k: int = 10, limit: int = 16) -> list[tuple[int, float]]:
+        """BM25 top-k where each query token also matches indexed terms
+        within edit distance 1 (ES fuzziness=1, scoring_boolean rewrite —
+        each expansion scores with its own idf)."""
+        expanded: list[str] = []
+        seen = set()
+        for tok in self.query_terms(query):
+            for t in self.expand_fuzzy(tok, limit):
+                if t not in seen:
+                    seen.add(t)
+                    expanded.append(t)
+        if not expanded:
+            return []
+        return self._search_dense_terms(expanded, k)
+
     # ---------- boolean queries (ES bool: must / should / must_not) ----------
 
     def search_bool(

@@ -1,0 +1,80 @@
+"""Fuzzy (edit-distance-1) query tests: SymSpell deletion-table expansion
++ scoring_boolean rewrite, vs exhaustive Levenshtein over the vocabulary."""
+
+from __future__ import annotations
+
+import pytest
+
+from elasticsearch_jdbc_spark.index import IndexBuilder, IndexReader
+
+DOCS = [
+    ("r", "0", "c", "t", "merge buffer stream"),
+    ("r", "1", "c", "t", "merg buffr streem"),       # 1-edit variants
+    ("r", "2", "c", "t", "merged buffers"),          # 1-edit of merge? 'merged' ed=1
+    ("r", "3", "c", "t", "completely different words"),
+    ("r", "4", "c", "t", "emrge stream"),            # transposition: ed=2 under plain Lev
+]
+
+
+def _lev(a: str, b: str) -> int:
+    import numpy as np
+
+    d = np.arange(len(b) + 1)
+    for i, ca in enumerate(a, 1):
+        prev = d.copy()
+        d[0] = i
+        for j, cb in enumerate(b, 1):
+            d[j] = min(prev[j] + 1, d[j - 1] + 1, prev[j - 1] + (ca != cb))
+    return int(d[-1])
+
+
+@pytest.fixture(scope="module")
+def fz_idx(spark, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("fz") / "idx")
+    df = spark.createDataFrame(
+        DOCS, "repo string, path string, commit string, lang string, content string"
+    )
+    IndexBuilder(spark, idx, partitions=2).build(df, resume=False)
+    return IndexReader(spark, idx)
+
+
+def test_expand_fuzzy_matches_exhaustive(fz_idx, spark):
+    import pyarrow.dataset as ds
+    import os
+
+    vocab = ds.dataset(
+        os.path.join(fz_idx.index_dir, "terms"), format="parquet"
+    ).to_table(columns=["term"]).column("term").to_pylist()
+    for tok in ("merge", "buffer", "stream", "xyzzy", "merg"):
+        got = set(fz_idx.expand_fuzzy(tok))
+        want = {t for t in vocab if _lev(tok, t) <= 1}
+        assert got == want, tok
+
+
+def test_fuzzy_search_covers_variant_docs(fz_idx, spark):
+    hits = {d for d, _ in fz_idx.search_fuzzy("merge buffer", k=10)}
+    meta = fz_idx.lookup_docs(list(hits))
+    paths = {meta[d]["path"] for d in hits}
+    # doc "0" (exact), "1" (1-edit terms), "2" ('merged'/'buffers' ed=1)
+    assert {"0", "1", "2"} <= paths
+    assert "3" not in paths and "4" not in paths  # ed>1 stays out
+    exact = {d for d, _ in fz_idx.search("merge buffer", k=10)}
+    assert exact < hits  # fuzzy is a strict superset here
+
+
+def test_fuzzy_exact_term_ranks_first_expansion(fz_idx):
+    exp = fz_idx.expand_fuzzy("merge")
+    assert exp[0] == "merge"
+
+
+def test_fuzzy_no_match(fz_idx):
+    assert fz_idx.search_fuzzy("qqqqqqqq", k=5) == []
+
+
+def test_fuzzy_table_idempotent(fz_idx):
+    import os
+
+    fdir = os.path.join(fz_idx.index_dir, "fuzzy")
+    before = sorted(os.listdir(fdir))
+    fz_idx.enable_fuzzy()  # second call must not rebuild
+    assert sorted(os.listdir(fdir)) == before
