@@ -117,6 +117,7 @@ class IndexBuilder:
         pretokenized: bool = False,
         with_positions: bool = False,
         lang_filter: bool = False,
+        fields: list[str] | None = None,
     ):
         self.spark = spark
         self.index_dir = index_dir
@@ -145,6 +146,20 @@ class IndexBuilder:
         # (near-zero idf, large posting volume); the analyzer setting is
         # part of the index contract, so it is recorded in the manifest
         self.lang_filter = lang_filter
+        # fields: multi-field indexing (ES multi_match substrate). Each
+        # field's tokens are namespaced as "<field>\x1f<token>", so every
+        # field gets its own postings and df; query-time boosts weight the
+        # per-field term scores (IndexReader.search_fields). Length norm is
+        # the doc's TOTAL token count across fields (the blended-norm
+        # simplification vs full BM25F per-field norms — documented index
+        # contract, recorded in the manifest).
+        self.fields = list(fields) if fields else None
+        if self.fields:
+            if pretokenized:
+                raise ValueError("fields and pretokenized are exclusive")
+            missing = [f for f in self.fields if f in self.key_cols]
+            if missing:
+                raise ValueError(f"fields {missing} collide with key_cols")
 
     # ---------- phase bookkeeping (reference statefile analogue,
     # StandardContext.writeState, StandardContext.java:240-277) ----------
@@ -202,6 +217,7 @@ class IndexBuilder:
             "version": 1,
             "with_positions": self.with_positions,
             "lang_filter": self.lang_filter,
+            "fields": self.fields,
             "k1": self.k1,
             "b": self.b,
             "block_size": self.block_size,
@@ -235,9 +251,17 @@ class IndexBuilder:
         # (possibly few-task) source scan stays I/O-only.
         pretok = self.pretokenized
         lfilter = self.lang_filter
+        fields = self.fields
         keyed = df.repartition(self.partitions, *[F.col(k) for k in keys]).sortWithinPartitions(*keys)
         if not pretok:
-            keyed = keyed.withColumn("sha256", F.sha2(F.col(self.text_col), 256))
+            # multi-field: the ingest invariant hashes the concatenated
+            # field contents (RS-separated, deterministic)
+            content = (
+                F.concat_ws("\x1e", *[F.col(f) for f in fields])
+                if fields
+                else F.col(self.text_col)
+            )
+            keyed = keyed.withColumn("sha256", F.sha2(content, 256))
         text_col = self.text_col
         other_cols = [c for c in keyed.columns if c not in (*keys, text_col, "sha256")]
         lang_col = "lang" if "lang" in other_cols else None
@@ -256,15 +280,34 @@ class IndexBuilder:
             sum_dl = 0
             crc = 0
             for pdf in batches:
-                toks = (
-                    pdf["tokens"]
-                    if pretok
-                    else tokenize_pandas(
+                if pretok:
+                    toks = pdf["tokens"]
+                elif fields:
+                    # per-field tokenize, then namespace as field\x1ftoken
+                    langs = pdf[lang_col] if (lfilter and lang_col) else None
+                    per_field = [
+                        (f, tokenize_pandas(pdf[f], langs, lfilter))
+                        for f in fields
+                    ]
+                    toks = pd.Series(
+                        [
+                            [
+                                f + "\x1f" + t
+                                for f, ts in zip(
+                                    (pf[0] for pf in per_field), row_lists
+                                )
+                                for t in ts
+                            ]
+                            for row_lists in zip(*(pf[1] for pf in per_field))
+                        ],
+                        index=pdf.index,
+                    )
+                else:
+                    toks = tokenize_pandas(
                         pdf[text_col],
                         pdf[lang_col] if (lfilter and lang_col) else None,
                         lfilter,
                     )
-                )
                 out = pd.DataFrame(
                     {
                         "pid": np.full(len(pdf), pid, np.int32),

@@ -603,7 +603,38 @@ class IndexReader:
     def _search_dense(self, query: str, k: int) -> list[tuple[int, float]]:
         return self._search_dense_terms(self.query_terms(query), k)
 
-    def _search_dense_terms(self, terms: list[str], k: int) -> list[tuple[int, float]]:
+    def search_fields(
+        self,
+        query: str,
+        boosts: dict[str, float] | None = None,
+        k: int = 10,
+    ) -> list[tuple[int, float]]:
+        """Multi-field BM25 top-k over a fields-indexed corpus (ES
+        multi_match, best-of-both-worlds rewrite): each query token expands
+        to its per-field namespaced terms ("<field>\\x1f<token>"), each
+        scoring with its own field df and the field's boost. Requires an
+        index built with IndexBuilder(fields=[...])."""
+        fields = self.manifest.get("fields")
+        if not fields:
+            raise ValueError(
+                "index was not built with fields=[...]; multi-field search "
+                "needs field-namespaced postings"
+            )
+        boosts = boosts or {f: 1.0 for f in fields}
+        unknown = set(boosts) - set(fields)
+        if unknown:
+            raise ValueError(f"unknown fields {sorted(unknown)}; indexed: {fields}")
+        terms, weights = [], {}
+        for tok in self.query_terms(query):
+            for f, w in boosts.items():
+                t = f + "\x1f" + tok
+                terms.append(t)
+                weights[t] = float(w)
+        return self._search_dense_terms(terms, k, weights)
+
+    def _search_dense_terms(
+        self, terms: list[str], k: int, weights: dict[str, float] | None = None
+    ) -> list[tuple[int, float]]:
         idfs = self._term_idfs(terms)
         terms = [t for t in terms if t in idfs]
         if not terms:
@@ -626,7 +657,8 @@ class IndexReader:
                 b"".join(blk[5] for blk in blocks[t]),
             )
             w = tf / (tf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl))
-            contrib = idfs[t] * c * w
+            boost = weights.get(t, 1.0) if weights else 1.0
+            contrib = boost * idfs[t] * c * w
             max_doc = max(max_doc, int(docs[-1]))
             per_term.append((docs, contrib))
         if max_doc < 0:

@@ -1,0 +1,89 @@
+"""Multi-field indexing + boosted multi_match (field-namespaced postings,
+per-field df, query-time boosts)."""
+
+from __future__ import annotations
+
+import pytest
+
+from elasticsearch_jdbc_spark.index import IndexBuilder, IndexReader
+
+DOCS = [
+    # (repo, path, commit, lang, title, body)
+    ("r", "0", "c", "t", "spark engine", "a long body about other things entirely"),
+    ("r", "1", "c", "t", "unrelated title", "spark spark spark in the body text"),
+    ("r", "2", "c", "t", "engine room", "machinery and boilers"),
+]
+
+
+@pytest.fixture(scope="module")
+def mf_idx(spark, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("mf") / "idx")
+    df = spark.createDataFrame(
+        DOCS,
+        "repo string, path string, commit string, lang string, "
+        "title string, body string",
+    )
+    IndexBuilder(spark, idx, partitions=2, fields=["title", "body"]).build(
+        df, resume=False
+    )
+    reader = IndexReader(spark, idx)
+    docs = spark.read.parquet(f"{idx}/docs").collect()
+    return reader, {r["path"]: r["doc_id"] for r in docs}
+
+
+def test_fields_recorded_and_namespaced(mf_idx, spark):
+    reader, _ = mf_idx
+    assert reader.manifest["fields"] == ["title", "body"]
+    import os
+
+    import pyarrow.dataset as ds
+
+    terms = set(
+        ds.dataset(os.path.join(reader.index_dir, "terms"), format="parquet")
+        .to_table(columns=["term"]).column("term").to_pylist()
+    )
+    assert "title\x1fspark" in terms and "body\x1fspark" in terms
+    assert "spark" not in terms  # only namespaced terms exist
+
+
+def test_title_boost_changes_ranking(mf_idx):
+    reader, key2id = mf_idx
+    # balanced: body doc wins on tf (spark x3)
+    flat = reader.search_fields("spark", boosts={"title": 1.0, "body": 1.0}, k=3)
+    # title-heavy boost: the title match outranks the tf-heavy body match
+    boosted = reader.search_fields("spark", boosts={"title": 10.0, "body": 1.0}, k=3)
+    assert boosted[0][0] == key2id["0"]
+    assert {d for d, _ in flat} == {key2id["0"], key2id["1"]}
+
+
+def test_single_field_restriction(mf_idx):
+    reader, key2id = mf_idx
+    only_title = reader.search_fields("spark", boosts={"title": 1.0}, k=5)
+    assert [d for d, _ in only_title] == [key2id["0"]]
+    only_body = reader.search_fields("spark", boosts={"body": 1.0}, k=5)
+    assert [d for d, _ in only_body] == [key2id["1"]]
+
+
+def test_field_errors(mf_idx, spark, tmp_path):
+    reader, _ = mf_idx
+    with pytest.raises(ValueError, match="unknown fields"):
+        reader.search_fields("spark", boosts={"nope": 1.0})
+    df = spark.createDataFrame(
+        [("r", "0", "c", "t", "x")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    idx = str(tmp_path / "plain")
+    IndexBuilder(spark, idx, partitions=1).build(df, resume=False)
+    with pytest.raises(ValueError, match="fields"):
+        IndexReader(spark, idx).search_fields("x")
+
+
+def test_sha_invariant_over_concatenated_fields(mf_idx, spark):
+    import hashlib
+
+    reader, key2id = mf_idx
+    docs = {r["path"]: r["sha256"] for r in
+            spark.read.parquet(f"{reader.index_dir}/docs").collect()}
+    for _, p, _, _, title, body in DOCS:
+        expect = hashlib.sha256(f"{title}\x1e{body}".encode()).hexdigest()
+        assert docs[p] == expect
