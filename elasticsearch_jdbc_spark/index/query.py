@@ -596,6 +596,11 @@ class IndexReader:
         * WAND (huge corpora): skip-capable cursor intersection — O(k)
           memory, sublinear decode via block metadata.
         """
+        if self.manifest.get("fields"):
+            # fields-indexed corpora have only namespaced terms; a plain
+            # search means "match any field, equal boosts" (ES multi_match
+            # default)
+            return self.search_fields(query, k=k)
         if self.n_docs <= self.DENSE_LIMIT:
             return self._search_dense(query, k)
         return self.search_wand(query, k)

@@ -87,3 +87,11 @@ def test_sha_invariant_over_concatenated_fields(mf_idx, spark):
     for _, p, _, _, title, body in DOCS:
         expect = hashlib.sha256(f"{title}\x1e{body}".encode()).hexdigest()
         assert docs[p] == expect
+
+
+def test_plain_search_routes_to_all_fields(mf_idx):
+    reader, key2id = mf_idx
+    plain = reader.search("spark", k=5)
+    mm = reader.search_fields("spark", boosts={"title": 1.0, "body": 1.0}, k=5)
+    assert plain == mm
+    assert {d for d, _ in plain} == {key2id["0"], key2id["1"]}
