@@ -78,12 +78,13 @@ def lang_id(col: str | Column) -> Column:
 
 
 def fingerprint64(col: str | Column) -> Column:
-    """Order-insensitive 64-bit content fingerprint: xor-free sum of token
-    hashes (mod 2^64 via long overflow) over distinct tokens — a cheap
-    document sketch for joins/dedup prefilters."""
+    """Order-insensitive 64-bit content fingerprint: XOR-fold of token
+    hashes over distinct tokens — a cheap document sketch for joins/dedup
+    prefilters. XOR (not sum) so the fold can never overflow under ANSI
+    mode and stays commutative/associative."""
     toks = F.array_distinct(word_tokens(col))
     return F.aggregate(
         F.transform(toks, lambda t: F.xxhash64(t)),
         F.lit(0).cast("long"),
-        lambda acc, h: acc + h,
+        lambda acc, h: acc.bitwiseXOR(h),
     )

@@ -153,10 +153,11 @@ class IndexBuilder:
         # the doc's TOTAL token count across fields (the blended-norm
         # simplification vs full BM25F per-field norms — documented index
         # contract, recorded in the manifest).
+        # with pretokenized=True, fields is a manifest-only declaration:
+        # the checkpointed tokens are assumed already field-namespaced
+        # (compaction of a fields index re-uses them verbatim)
         self.fields = list(fields) if fields else None
-        if self.fields:
-            if pretokenized:
-                raise ValueError("fields and pretokenized are exclusive")
+        if self.fields and not pretokenized:
             missing = [f for f in self.fields if f in self.key_cols]
             if missing:
                 raise ValueError(f"fields {missing} collide with key_cols")

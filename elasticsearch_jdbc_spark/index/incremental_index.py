@@ -44,7 +44,16 @@ from .query import IndexReader
 
 
 def _list_segments(index_dir: str) -> list[str]:
-    """Base ('' ) + delta=N subdirs, oldest first (base, delta=0, delta=1…)."""
+    """Live segments, oldest first (base '', delta=0, delta=1, …).
+
+    When a `segments.json` commit point exists (written by tiered
+    compaction, the Lucene segments_N analogue) it is authoritative —
+    directory contents that are not listed are pre-commit or pre-cleanup
+    garbage. Otherwise fall back to a directory scan."""
+    seg_file = os.path.join(index_dir, "segments.json")
+    if os.path.exists(seg_file):
+        with open(seg_file) as f:
+            return json.load(f)["segments"]
     segs = []
     if os.path.exists(os.path.join(index_dir, "manifest.json")):
         segs.append("")
@@ -55,6 +64,36 @@ def _list_segments(index_dir: str) -> list[str]:
             deltas.append(int(m.group(1)))
     segs.extend(f"delta={n}" for n in sorted(deltas))
     return segs
+
+
+def _commit_segments(index_dir: str, segments: list[str]) -> None:
+    """Atomically publish the live-segment list (write-temp-then-rename)."""
+    seg_file = os.path.join(index_dir, "segments.json")
+    with open(seg_file + ".tmp", "w") as f:
+        json.dump({"segments": segments}, f)
+    os.replace(seg_file + ".tmp", seg_file)
+
+
+def _segment_manifest(index_dir: str, segment: str) -> dict:
+    base = os.path.join(index_dir, segment) if segment else index_dir
+    with open(os.path.join(base, "manifest.json")) as f:
+        return json.load(f)
+
+
+def _builder_kwargs_from_manifest(m: dict) -> dict:
+    """Index-contract settings a delta/compaction build MUST inherit from
+    the base segment (ADVICE: defaults here silently lose positions/fields
+    capability, drift df with a different lang_filter, or rescore at the
+    wrong k1/b)."""
+    return {
+        "k1": m["k1"],
+        "b": m["b"],
+        "block_size": m["block_size"],
+        "with_positions": m.get("with_positions", False),
+        "lang_filter": m.get("lang_filter", False),
+        "fields": m.get("fields"),
+        "key_cols": tuple(m["key_cols"]),
+    }
 
 
 def _next_delta_id(index_dir: str) -> int:
@@ -88,7 +127,16 @@ def apply_incremental(
     Returns {"delta": id, "upserts": n, "tombstones": n}.
     """
     delta_id = _next_delta_id(index_dir)
-    keys = list(key_cols)
+    segs_before = _list_segments(index_dir)
+    # inherit the index contract from the base segment: k1/b/block_size/
+    # positions/lang_filter/fields (and key_cols) must match or a delta
+    # silently loses phrase/multi-field capability and drifts scores
+    builder_kwargs: dict = {"key_cols": key_cols}
+    if segs_before:
+        builder_kwargs = _builder_kwargs_from_manifest(
+            _segment_manifest(index_dir, segs_before[0])
+        )
+    keys = list(builder_kwargs["key_cols"])
 
     up = ops.filter(F.col("_optype").isin("index", "create", "update"))
     dele = ops.filter(F.col("_optype") == "delete")
@@ -112,11 +160,15 @@ def apply_incremental(
         b = IndexBuilder(
             spark,
             os.path.join(index_dir, f"delta={delta_id}"),
-            key_cols=key_cols,
             text_col=text_col,
             partitions=partitions,
+            **builder_kwargs,
         )
         b.build(up.drop("_optype"), resume=False)
+        # keep the commit point current when one exists (tiered compaction
+        # introduces it; without this the new delta would stay invisible)
+        if os.path.exists(os.path.join(index_dir, "segments.json")):
+            _commit_segments(index_dir, segs_before + [f"delta={delta_id}"])
     return {"delta": delta_id, "upserts": int(n_up), "tombstones": int(n_tomb)}
 
 
@@ -187,20 +239,37 @@ class IncrementalIndexReader:
 
     def _global_idfs(self, terms: list[str]) -> dict[str, float]:
         """Global df summed across segments (masked docs still counted,
-        the Lucene deleted-docs stats rule)."""
+        the Lucene deleted-docs stats rule). ONE pyarrow union-dataset read
+        with a term filter over every segment's (term-sorted) dictionary —
+        no Spark job, no per-segment collect."""
+        if not terms:
+            return {}
+        import pyarrow.dataset as ds
+
+        union = ds.dataset(
+            [
+                ds.dataset(
+                    os.path.join(self.readers[s].index_dir, "terms"),
+                    format="parquet",
+                )
+                for s in self.segments
+            ]
+        )
+        t = union.to_table(
+            filter=ds.field("term").isin(terms), columns=["term", "df"]
+        )
         dfs: dict[str, int] = {}
-        for s in self.segments:
-            r = self.readers[s]
-            tdf = (
-                self.spark.read.parquet(os.path.join(r.index_dir, "terms"))
-                .filter(F.col("term").isin(terms))
-                .collect()
-            )
-            for row in tdf:
-                dfs[row["term"]] = dfs.get(row["term"], 0) + row["df"]
+        for term, df in zip(t.column("term").to_pylist(), t.column("df").to_pylist()):
+            dfs[term] = dfs.get(term, 0) + df
         return {
             t: float(bm25_idf(np.array([d]), self.n_docs)[0]) for t, d in dfs.items()
         }
+
+    def _seg_rank(self, segment: str) -> int:
+        """Numeric recency rank (base=0, newest delta = len-1). Tie-breaks
+        MUST use this, not the segment string: lexicographic comparison
+        orders 'delta=10' before 'delta=2' and '' (base) first."""
+        return self.segments.index(segment)
 
     def search(self, query: str, k: int = 10) -> list[tuple[str, int, float]]:
         """Top-k (segment, doc_id, score) across live docs, global stats.
@@ -255,14 +324,102 @@ class IncrementalIndexReader:
                 kth = np.partition(score[nz], len(nz) - k)[len(nz) - k]
                 nz = nz[score[nz] >= kth]
             results.extend((s, int(d), float(score[d])) for d in nz)
-        return sorted(results, key=lambda x: (-x[2], x[0], x[1]))[:k]
+        return sorted(
+            results, key=lambda x: (-x[2], -self._seg_rank(x[0]), x[1])
+        )[:k]
 
-    def live_tokenized(self) -> DataFrame:
-        """Live (keys..., lang, sha256, dl, tokens) rows reassembled from
-        every segment's tokenized checkpoint + ingest offsets — no
-        re-tokenization, the content never has to be re-read."""
-        out = None
+    def search_df(self, query: str, k: int = 10) -> DataFrame:
+        """Distributed top-k over base + deltas: postings stay on executors
+        end-to-end (the continuous-ingest scale path — a driver collect of
+        a hot term's postings across every segment would not fit).
+
+        Plan: union the per-segment postings scans (term filter pushed to
+        parquet), decode+score blocks in one vectorized kernel with GLOBAL
+        stats (summed df, tombstone-corrected N/avgdl), anti-join the
+        tombstone DataFrame on (segment, doc_id), groupBy-sum partials,
+        global top-k. Rank-identical to `search` (same stats, same
+        newest-segment-wins tie-break)."""
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        r0 = self.readers[self.segments[0]]
+        terms = r0.query_terms(query)
+        idfs = self._global_idfs(terms)
+        terms = [t for t in terms if t in idfs]
+        out_schema = T.StructType(
+            [
+                T.StructField("segment", T.StringType(), False),
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("partial", T.DoubleType(), False),
+            ]
+        )
+        empty = self.spark.createDataFrame([], out_schema).select(
+            "segment", "doc_id", F.col("partial").alias("score")
+        )
+        if not terms:
+            return empty
+        scans = None
         for s in self.segments:
+            p = self.readers[s]._postings_df(terms).withColumn("segment", F.lit(s))
+            scans = p if scans is None else scans.unionByName(p)
+        k1, b, avgdl, c = self.k1, self.b, self.avgdl, self.k1 + 1.0
+        idf_items = list(idfs.items())
+
+        def score_blocks(batches):
+            from .codec import decode_block as _db
+
+            idf_map = dict(idf_items)
+            for pdf in batches:
+                segs_out, docs_all, contrib_all = [], [], []
+                for seg, term, n, first, gaps, tfs, dls in zip(
+                    pdf["segment"], pdf["term"], pdf["n"], pdf["first_doc"],
+                    pdf["doc_gaps"], pdf["tfs"], pdf["dls"],
+                ):
+                    docs, tf, dl = _db(int(first), int(n), bytes(gaps), bytes(tfs), bytes(dls))
+                    w = tf / (tf + k1 * (1.0 - b + b * dl / avgdl))
+                    segs_out.append(np.full(len(docs), seg, dtype=object))
+                    docs_all.append(docs)
+                    contrib_all.append(idf_map[term] * c * w)
+                if docs_all:
+                    yield pd.DataFrame(
+                        {
+                            "segment": np.concatenate(segs_out),
+                            "doc_id": np.concatenate(docs_all),
+                            "partial": np.concatenate(contrib_all),
+                        }
+                    )
+
+        partials = scans.mapInPandas(score_blocks, out_schema)
+        tomb = self._tomb_df()
+        if tomb is not None:
+            partials = partials.join(tomb, ["segment", "doc_id"], "left_anti")
+        # newest-segment-wins tie-break via a literal recency-rank map
+        # (a handful of segments — stays a scalar expression, no join)
+        rank_map = F.create_map(
+            *[
+                x
+                for s in self.segments
+                for x in (F.lit(s), F.lit(self._seg_rank(s)))
+            ]
+        )
+        return (
+            partials.groupBy("segment", "doc_id")
+            .agg(F.sum("partial").alias("score"))
+            .orderBy(
+                F.desc("score"),
+                F.desc(rank_map[F.col("segment")]),
+                F.asc("doc_id"),
+            )
+            .limit(k)
+        )
+
+    def live_tokenized(self, segments: list[str] | None = None) -> DataFrame:
+        """Live (keys..., lang, sha256, dl, tokens) rows reassembled from
+        the given segments' (default: all) tokenized checkpoints + ingest
+        offsets — no re-tokenization, the content never has to be
+        re-read."""
+        out = None
+        for s in (self.segments if segments is None else segments):
             base = os.path.join(self.index_dir, s) if s else self.index_dir
             with open(os.path.join(base, "_phase_ingest.json")) as f:
                 offsets = {int(k): v for k, v in json.load(f)["offsets"].items()}
@@ -298,11 +455,84 @@ class IncrementalIndexReader:
         """Segment merge: fold base + deltas − tombstones into a fresh
         single-segment index (makes df exact again, drops masked docs) —
         ES force-merge / Lucene segment merge, over the tokenized
-        checkpoints instead of raw content."""
-        key_cols = tuple(self.readers[self.segments[0]].manifest["key_cols"])
+        checkpoints instead of raw content. Inherits the base segment's
+        full index contract (k1/b/block_size/positions/lang_filter/fields);
+        positions are re-derived from the checkpointed token stream."""
+        kwargs = _builder_kwargs_from_manifest(
+            self.readers[self.segments[0]].manifest
+        )
         b = IndexBuilder(
-            self.spark, new_dir, key_cols=key_cols,
-            partitions=partitions, pretokenized=True,
+            self.spark, new_dir, partitions=partitions,
+            pretokenized=True, **kwargs,
         )
         b.reset()
         return b.build(self.live_tokenized(), resume=False)
+
+    def compact_deltas(
+        self, partitions: int | None = None, max_ratio: float = 0.5
+    ) -> dict | None:
+        """Tiered (minor) compaction: merge ONLY the delta segments into one
+        fresh delta, leaving the (large) base segment untouched — Lucene's
+        tiered merge policy, where a merge never rewrites a segment that is
+        `1/max_ratio`x bigger than the data being merged.
+
+        Returns None (and does nothing) when there is nothing to merge or
+        the deltas are too big relative to the base (use `compact_to` for a
+        full merge instead). Otherwise merges deltas − their tombstones into
+        `delta=K`, carries base-targeting tombstones forward, and atomically
+        publishes the new segment list via segments.json (the commit point);
+        old delta/tombstone dirs are removed post-commit (crash before the
+        commit leaves the old state fully live)."""
+        import shutil
+
+        deltas = [s for s in self.segments if s]
+        if not deltas or not self.segments[0] == "":
+            return None
+        base_docs = self.readers[""].n_docs
+        delta_docs = sum(self.readers[s].n_docs for s in deltas)
+        if base_docs and delta_docs > max_ratio * base_docs:
+            return None
+        new_id = _next_delta_id(self.index_dir)
+        new_seg = f"delta={new_id}"
+        kwargs = _builder_kwargs_from_manifest(self.readers[""].manifest)
+        b = IndexBuilder(
+            self.spark,
+            os.path.join(self.index_dir, new_seg),
+            partitions=partitions,
+            pretokenized=True,
+            **kwargs,
+        )
+        b.reset()
+        manifest = b.build(self.live_tokenized(deltas), resume=False)
+        # tombstones targeting the surviving base segment carry forward into
+        # one consolidated batch dir; tombstones targeting merged deltas are
+        # already applied (their docs were dropped above)
+        tomb = self._tomb_df()
+        tomb_dir = os.path.join(self.index_dir, "tombstones")
+        old_tomb_dirs = (
+            [os.path.join(tomb_dir, d) for d in os.listdir(tomb_dir)]
+            if os.path.isdir(tomb_dir)
+            else []
+        )
+        new_tomb_dir = os.path.join(tomb_dir, f"delta={new_id}")
+        if tomb is not None:
+            base_tombs = tomb.filter(F.col("segment") == "")
+            # re-attach dl (dropped by _tomb_df's distinct) from the base
+            # docs table so stats correction stays exact
+            dls = self.spark.read.parquet(
+                os.path.join(self.index_dir, "docs")
+            ).select("doc_id", "dl")
+            keep = base_tombs.join(dls, "doc_id").select("segment", "doc_id", "dl")
+            if keep.limit(1).count():
+                os.makedirs(new_tomb_dir, exist_ok=True)
+                keep.write.mode("overwrite").parquet(new_tomb_dir)
+        # COMMIT: the new segment list becomes visible atomically
+        _commit_segments(self.index_dir, ["", new_seg])
+        # post-commit cleanup (best-effort; stale dirs are ignored by
+        # _list_segments once segments.json exists)
+        for s in deltas:
+            shutil.rmtree(os.path.join(self.index_dir, s), ignore_errors=True)
+        for d in old_tomb_dirs:
+            if os.path.abspath(d) != os.path.abspath(new_tomb_dir):
+                shutil.rmtree(d, ignore_errors=True)
+        return manifest

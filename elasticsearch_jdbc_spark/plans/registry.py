@@ -1122,7 +1122,11 @@ def bm25_phrase_q(spark, sf_dir):
     )
     q = spark.createDataFrame(PHRASES, "query_id int, t1 string, t2 string")
     freq = (
-        base.crossJoin(F.broadcast(q))
+        # docs with <2 tokens can't contain a bigram; dropping them here
+        # also avoids F.sequence(1, size-1) auto-stepping DOWN to [1, 0]
+        # (and element_at(toks, 0) raising) when size <= 1
+        base.filter(F.size("toks") >= 2)
+        .crossJoin(F.broadcast(q))
         .withColumn(
             "freq",
             F.size(

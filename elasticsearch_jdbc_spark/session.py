@@ -36,7 +36,19 @@ def get_spark(
     # spark.executor.memory per executor; 3 GiB/core mirrors a common
     # executor sizing.
     n_threads = cores if cores else (os.cpu_count() or 8)
-    default_mem = f"{min(max(16, 3 * n_threads), 64)}g"
+    # cap the scaled default by physical RAM (70%) so many-core hosts with
+    # modest memory don't get a swapping/OOM-killed JVM; floor drops to
+    # what the box can actually hold when even 16g doesn't fit
+    ram_cap = 64
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    ram_cap = max(2, int(int(line.split()[1]) * 0.7 / (1024 * 1024)))
+                    break
+    except OSError:
+        pass
+    default_mem = f"{min(max(16, 3 * n_threads), 64, ram_cap)}g"
     b = (
         SparkSession.builder.master(master)
         .appName(app_name)

@@ -125,3 +125,162 @@ def test_should_compact_policy(spark, base_idx):
     assert r.should_compact(max_deltas=0) is True      # any delta triggers
     assert r.should_compact(max_deltas=8, max_tombstone_frac=0.5) is False
     assert r.should_compact(max_deltas=8, max_tombstone_frac=0.001) is True
+
+
+def test_search_df_matches_driver_search(spark, base_idx):
+    """Distributed search over base+deltas is rank-identical to the driver
+    path (same global stats, same tombstone masking, same tie-break)."""
+    r = IncrementalIndexReader(spark, base_idx[0])
+    for q in ["merge segment buffer", "zanzibar quixotic flume", "hash index scan"]:
+        drv = r.search(q, k=10)
+        dist = [
+            (row["segment"], row["doc_id"], row["score"])
+            for row in r.search_df(q, k=10).collect()
+        ]
+        assert [(s, d) for s, d, _ in dist] == [(s, d) for s, d, _ in drv]
+        for (_, _, a), (_, _, b) in zip(dist, drv):
+            assert abs(a - b) < 1e-9
+
+
+def test_tie_break_newest_segment_wins(spark, tmp_path):
+    """Two live docs with identical content (base vs delta) score equally;
+    the delta (newest) doc must rank first — driver AND distributed path."""
+    idx = str(tmp_path / "tie")
+    base = spark.createDataFrame(
+        [
+            ("r", "a.txt", "c1", "py", "xylophone zebra quartet"),
+            ("r", "b.txt", "c1", "py", "unrelated filler content here"),
+        ],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    b = IndexBuilder(spark, idx, partitions=2)
+    b.reset()
+    b.build(base, resume=False)
+    ops = spark.createDataFrame(
+        [("r", "z.txt", "c2", "py", "xylophone zebra quartet", "index")],
+        "repo string, path string, commit string, lang string, content string, _optype string",
+    )
+    apply_incremental(spark, idx, ops)
+    r = IncrementalIndexReader(spark, idx)
+    hits = r.search("xylophone zebra", k=3)
+    assert len(hits) == 2
+    assert abs(hits[0][2] - hits[1][2]) < 1e-12, "scores must tie"
+    assert hits[0][0].startswith("delta="), "newest segment must win the tie"
+    assert hits[1][0] == ""
+    dist = r.search_df("xylophone zebra", k=3).collect()
+    assert dist[0]["segment"].startswith("delta=")
+    assert dist[1]["segment"] == ""
+
+
+def test_delta_inherits_index_contract(spark, tmp_path):
+    """Deltas and compactions carry the base manifest's k1/b/block_size/
+    with_positions/lang_filter through (ADVICE: defaults here silently
+    rescore or drop phrase capability)."""
+    import json as _json
+    import os as _os
+
+    from elasticsearch_jdbc_spark.index import IndexReader
+
+    idx = str(tmp_path / "contract")
+    corpus = synthetic_corpus(spark, n_files=60, seed=7)
+    b = IndexBuilder(
+        spark, idx, partitions=2, k1=1.6, b=0.6, block_size=64, with_positions=True
+    )
+    b.reset()
+    b.build(corpus, resume=False)
+    ops = spark.createDataFrame(
+        [("r", "new.txt", "c9", "py", "grape banana grape banana", "index")],
+        "repo string, path string, commit string, lang string, content string, _optype string",
+    )
+    res = apply_incremental(spark, idx, ops)
+    with open(_os.path.join(idx, f"delta={res['delta']}", "manifest.json")) as f:
+        dm = _json.load(f)
+    assert (dm["k1"], dm["b"], dm["block_size"], dm["with_positions"]) == (
+        1.6, 0.6, 64, True,
+    )
+    # full compaction keeps the contract too — phrase search still works
+    r = IncrementalIndexReader(spark, idx)
+    cdir = str(tmp_path / "contract_compact")
+    r.compact_to(cdir, partitions=2)
+    cr = IndexReader(spark, cdir)
+    assert (cr.k1, cr.b) == (1.6, 0.6)
+    assert cr.manifest["with_positions"] is True
+    assert cr.search_phrase("grape banana", k=3), "positions must survive compaction"
+
+
+def test_compact_deltas_tiered(spark, tmp_path):
+    """Minor compaction merges ONLY deltas: base untouched byte-for-byte,
+    results identical (delta batches are pure inserts + one base delete, so
+    no df drift), segments.json commit point honored by later deltas."""
+    import os as _os
+
+    idx = str(tmp_path / "tiered")
+    corpus = synthetic_corpus(spark, n_files=200, seed=11).cache()
+    b = IndexBuilder(spark, idx, partitions=2)
+    b.reset()
+    b.build(corpus, resume=False)
+    # two pure-insert delta batches with brand-new keys
+    ops1 = spark.createDataFrame(
+        [("r2", "n1.txt", "c1", "py", "quixotic flume zanzibar engine", "index")],
+        "repo string, path string, commit string, lang string, content string, _optype string",
+    )
+    ops2 = spark.createDataFrame(
+        [("r2", "n2.txt", "c1", "py", "quixotic flume harbor engine", "index")],
+        "repo string, path string, commit string, lang string, content string, _optype string",
+    )
+    apply_incremental(spark, idx, ops1)
+    apply_incremental(spark, idx, ops2)
+    # one delete of a base doc
+    victim = corpus.limit(1).collect()[0]
+    dele = spark.createDataFrame(
+        [(victim["repo"], victim["path"], victim["commit"], victim["lang"], victim["content"], "delete")],
+        "repo string, path string, commit string, lang string, content string, _optype string",
+    )
+    apply_incremental(spark, idx, dele)
+
+    r = IncrementalIndexReader(spark, idx)
+    before = r.search("quixotic flume", k=10)
+    # resolve keys NOW — compaction removes the old delta dirs
+    before_keyed = [
+        (_key_of(r, spark, s, d), round(sc, 9)) for s, d, sc in before
+    ]
+    n_before = r.n_docs
+    base_files = {
+        f: _os.path.getmtime(_os.path.join(idx, "postings", f))
+        for f in _os.listdir(_os.path.join(idx, "postings"))
+    }
+    # refuse when deltas are too big relative to the base
+    assert r.compact_deltas(max_ratio=1e-9) is None
+    m = r.compact_deltas(partitions=2)
+    assert m is not None and m["n_docs"] == 2
+
+    after_files = {
+        f: _os.path.getmtime(_os.path.join(idx, "postings", f))
+        for f in _os.listdir(_os.path.join(idx, "postings"))
+    }
+    assert after_files == base_files, "base segment must not be rewritten"
+
+    r2 = IncrementalIndexReader(spark, idx)
+    assert r2.segments[0] == "" and len(r2.segments) == 2
+    assert r2.n_docs == n_before
+    after = r2.search("quixotic flume", k=10)
+    # delta doc_ids are reassigned by the merge — compare by doc KEY, and
+    # tie-insensitively (equal-score docs legitimately reorder when their
+    # segments merge: recency rank collapses to doc_id order, as in Lucene)
+    after_keyed = [
+        (_key_of(r2, spark, s, d), round(sc, 9)) for s, d, sc in after
+    ]
+    canon = lambda rows: sorted(rows, key=lambda x: (-x[1], x[0]))  # noqa: E731
+    assert canon(after_keyed) == canon(before_keyed)
+    # the deleted base doc stays masked (its tombstone carried forward)
+    live_keys = {tuple(x[k] for k in KEYS) for x in r2.live_docs().collect()}
+    assert (victim["repo"], victim["path"], victim["commit"]) not in live_keys
+    # a post-compaction delta lands in segments.json and is searchable
+    ops3 = spark.createDataFrame(
+        [("r3", "n3.txt", "c1", "py", "brand new post compact doc", "index")],
+        "repo string, path string, commit string, lang string, content string, _optype string",
+    )
+    apply_incremental(spark, idx, ops3)
+    r3 = IncrementalIndexReader(spark, idx)
+    assert len(r3.segments) == 3
+    assert r3.search("post compact doc", k=1)

@@ -46,3 +46,40 @@ def test_q5_star_join_no_shuffle_join_on_dims(spark, sf_dir):
 def test_semi_join_for_exists(spark, sf_dir):
     plan = _plan(spark, sf_dir, "e1_orders_with_big_lineitem")
     assert "LeftSemi" in plan
+
+
+def test_fingerprint64_order_insensitive_no_overflow(spark):
+    """XOR-fold fingerprint: order-insensitive, ANSI-safe (the additive fold
+    crashed with ARITHMETIC_OVERFLOW under ANSI mode — CORRECTNESS_r01)."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_jdbc_spark.functions.text import fingerprint64
+
+    df = spark.createDataFrame(
+        [("alpha beta gamma",), ("gamma beta alpha",), ("alpha beta delta",), ("",)],
+        "text string",
+    ).select(fingerprint64("text").alias("fp"))
+    a, b, c, empty = [r["fp"] for r in df.collect()]
+    assert a == b, "token order must not matter"
+    assert a != c
+    assert empty == 0
+
+
+def test_bm25_phrase_topk_survives_short_docs(spark, tmp_path):
+    """Docs with 0/1 tokens must not crash the adjacent-bigram scan
+    (F.sequence(1, size-1) steps DOWN when size<=1 — ADVICE r01)."""
+    from elasticsearch_jdbc_spark.plans.registry import QUERIES
+
+    d = spark.createDataFrame(
+        [
+            (0, "fast key lookup wins", "s", "en", 20),
+            (1, "x", "s", "en", 1),
+            (2, "", "s", "en", 0),
+            (3, "hash value store", "s", "en", 16),
+        ],
+        "doc_id long, text string, source string, lang string, n_chars int",
+    )
+    sf = str(tmp_path / "mini")
+    d.write.parquet(f"{sf}/documents.parquet")
+    out = QUERIES["bm25_phrase_topk"](spark, sf).collect()
+    assert {r["doc_id"] for r in out} == {0, 3}
