@@ -206,38 +206,58 @@ class IndexReader:
             {"doc_id": d, "score": s, **meta.get(d, {})} for d, s in hits
         ]
 
-    # ---------- fuzzy queries (ES fuzzy, edit distance <= 1) ----------
+    # ---------- fuzzy queries (ES fuzzy, edit distance <= 2, AUTO) ----------
 
-    def enable_fuzzy(self) -> None:
-        """Build (once) the SymSpell-style deletion table: every indexed
-        term mapped from itself and each of its single-char deletions.
-        Two strings within Levenshtein distance 1 always share a variant,
-        so fuzzy lookup is an equi-join — no term-dictionary scan per
-        query. One Spark job over the (small) terms table; idempotent."""
+    def _fuzzy_meta_path(self) -> str:
+        return os.path.join(self.index_dir, "fuzzy_meta.json")
+
+    def _fuzzy_depth(self) -> int:
+        """Deletion depth of the on-disk table (0 = no table). A legacy
+        table without a meta file is depth 1."""
         fdir = os.path.join(self.index_dir, "fuzzy")
-        if os.path.isdir(fdir) and any(
-            f.endswith(".parquet") for f in os.listdir(fdir)
+        if not (
+            os.path.isdir(fdir)
+            and any(f.endswith(".parquet") for f in os.listdir(fdir))
         ):
+            return 0
+        if os.path.exists(self._fuzzy_meta_path()):
+            with open(self._fuzzy_meta_path()) as f:
+                return json.load(f)["max_dist"]
+        return 1
+
+    def enable_fuzzy(self, max_dist: int = 1) -> None:
+        """Build (once) the SymSpell-style deletion table: every indexed
+        term mapped from itself and each variant obtained by deleting up to
+        `max_dist` chars. Two strings within Levenshtein distance d share a
+        depth-d deletion variant, so fuzzy lookup is an equi-join — no
+        term-dictionary scan per query. One Spark job over the (small)
+        terms table; idempotent, rebuilt only when a deeper table is
+        requested."""
+        if self._fuzzy_depth() >= max_dist:
             return
-        terms = self.spark.read.parquet(os.path.join(self.index_dir, "terms")).select("term")
-        variants = terms.select(
-            "term",
-            F.explode(
-                F.array_union(
-                    F.array(F.col("term")),
-                    F.filter(
-                        F.transform(
-                            F.sequence(F.lit(1), F.length("term")),
-                            # delete char i: term[1..i-1] || term[i+1..]
-                            lambda i: F.concat(
-                                F.col("term").substr(F.lit(1), i - 1),
-                                F.col("term").substr(i + 1, F.length("term")),
-                            ),
-                        ),
-                        lambda v: v != F.col("term"),
+        fdir = os.path.join(self.index_dir, "fuzzy")
+
+        def dels(col):
+            # single-char deletions of a string column (empty-safe: never
+            # builds a descending sequence(1, 0))
+            return F.when(
+                F.length(col) > 0,
+                F.transform(
+                    F.sequence(F.lit(1), F.length(col)),
+                    lambda i: F.concat(
+                        col.substr(F.lit(1), i - 1),
+                        col.substr(i + 1, F.length(col)),
                     ),
-                )
-            ).alias("variant"),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+
+        terms = self.spark.read.parquet(os.path.join(self.index_dir, "terms")).select("term")
+        d1 = dels(F.col("term"))
+        var_arr = F.concat(F.array(F.col("term")), d1)
+        if max_dist >= 2:
+            var_arr = F.concat(var_arr, F.flatten(F.transform(d1, dels)))
+        variants = terms.select(
+            "term", F.explode(F.array_distinct(var_arr)).alias("variant")
         )
         (
             variants.repartition(max(1, self.spark.sparkContext.defaultParallelism // 4), "variant")
@@ -245,61 +265,109 @@ class IndexReader:
             .write.mode("overwrite")
             .parquet(fdir)
         )
+        with open(self._fuzzy_meta_path() + ".tmp", "w") as f:
+            json.dump({"max_dist": max_dist}, f)
+        os.replace(self._fuzzy_meta_path() + ".tmp", self._fuzzy_meta_path())
 
     @staticmethod
-    def _lev1(a: str, b: str) -> bool:
-        """Levenshtein distance <= 1 (verification after variant join)."""
+    def _auto_fuzziness(token: str) -> int:
+        """ES fuzziness=AUTO (AUTO:3,6): exact under 3 chars, 1 edit for
+        3-5 chars, 2 edits for 6+."""
+        n = len(token)
+        return 0 if n < 3 else (1 if n <= 5 else 2)
+
+    @staticmethod
+    def _lev_within(a: str, b: str, d: int) -> bool:
+        """Bounded Levenshtein: distance(a, b) <= d (verification after
+        the variant join). Full DP with per-row early exit — terms are
+        short, d <= 2."""
         if a == b:
             return True
         la, lb = len(a), len(b)
-        if abs(la - lb) > 1:
+        if abs(la - lb) > d:
             return False
-        if la > lb:
-            a, b, la, lb = b, a, lb, la
-        i = j = diff = 0
-        while i < la and j < lb:
-            if a[i] == b[j]:
-                i += 1
-                j += 1
-                continue
-            diff += 1
-            if diff > 1:
+        prev = list(range(lb + 1))
+        for i in range(1, la + 1):
+            cur = [i] + [0] * lb
+            for j in range(1, lb + 1):
+                cost = 0 if a[i - 1] == b[j - 1] else 1
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if min(cur) > d:
                 return False
-            if la == lb:
-                i += 1
-            j += 1
-        return True
+            prev = cur
+        return prev[lb] <= d
 
-    def expand_fuzzy(self, token: str, limit: int = 32) -> list[str]:
-        """Indexed terms within edit distance 1 of `token` (the token
-        itself first if indexed), via the deletion-variant equi-join."""
+    @staticmethod
+    def _deletion_variants(s: str, d: int) -> list[str]:
+        out, frontier = {s}, {s}
+        for _ in range(d):
+            nxt = {v[:i] + v[i + 1:] for v in frontier for i in range(len(v))}
+            out |= nxt
+            frontier = nxt
+        return list(out)
+
+    def expand_fuzzy(
+        self,
+        token: str,
+        limit: int = 32,
+        max_dist: int = 1,
+        field: str | None = None,
+    ) -> list[str]:
+        """Indexed terms within edit distance `max_dist` of `token` (the
+        token itself first if indexed), via the deletion-variant equi-join.
+        With `field`, candidates are the field-namespaced terms and edits
+        apply to the token part only (the shared-variant guarantee holds:
+        all edit positions sit in the token part, so a shared variant needs
+        only token-part deletions)."""
         import pyarrow.dataset as ds
 
-        self.enable_fuzzy()
-        qvars = [token] + [token[:i] + token[i + 1:] for i in range(len(token))]
+        key = (field + "\x1f" + token) if field else token
+        if max_dist <= 0:
+            return [key] if self._term_idfs([key]) else []
+        self.enable_fuzzy(max_dist)
+        qvars = self._deletion_variants(token, max_dist)
+        if field:
+            qvars = [field + "\x1f" + v for v in qvars]
         t = (
             ds.dataset(os.path.join(self.index_dir, "fuzzy"), format="parquet")
             .to_table(filter=ds.field("variant").isin(qvars), columns=["term"])
         )
         cands = sorted(set(t.column("term").to_pylist()))
-        out = [c for c in cands if self._lev1(token, c)]
-        out.sort(key=lambda c: (c != token, c))  # exact match first
+        out = [c for c in cands if self._lev_within(key, c, max_dist)]
+        out.sort(key=lambda c: (c != key, c))  # exact match first
         return out[:limit]
 
-    def search_fuzzy(self, query: str, k: int = 10, limit: int = 16) -> list[tuple[int, float]]:
+    def search_fuzzy(
+        self,
+        query: str,
+        k: int = 10,
+        limit: int = 16,
+        fuzziness: int | str = "AUTO",
+        boosts: dict[str, float] | None = None,
+    ) -> list[tuple[int, float]]:
         """BM25 top-k where each query token also matches indexed terms
-        within edit distance 1 (ES fuzziness=1, scoring_boolean rewrite —
-        each expansion scores with its own idf)."""
+        within its edit-distance budget (ES fuzziness=AUTO by default: 0/1/2
+        by token length; scoring_boolean rewrite — each expansion scores
+        with its own idf). On a fields-indexed corpus, tokens expand to
+        per-field namespaced terms weighted by `boosts` (ES multi_match +
+        fuzziness). Routes through the dense/WAND dispatcher, so it scales
+        past DENSE_LIMIT docs."""
+        fields = self.manifest.get("fields")
+        if boosts and not fields:
+            raise ValueError("boosts requires a fields-indexed corpus")
+        field_w = (boosts or {f: 1.0 for f in fields}) if fields else {None: 1.0}
         expanded: list[str] = []
-        seen = set()
+        weights: dict[str, float] = {}
         for tok in self.query_terms(query):
-            for t in self.expand_fuzzy(tok, limit):
-                if t not in seen:
-                    seen.add(t)
-                    expanded.append(t)
+            d = self._auto_fuzziness(tok) if fuzziness == "AUTO" else int(fuzziness)
+            for fld, w in field_w.items():
+                for t in self.expand_fuzzy(tok, limit, max_dist=d, field=fld):
+                    if t not in weights:
+                        weights[t] = float(w)
+                        expanded.append(t)
         if not expanded:
             return []
-        return self._search_dense_terms(expanded, k)
+        return self._search_terms(expanded, k, weights)
 
     # ---------- boolean queries (ES bool: must / should / must_not) ----------
 
@@ -309,27 +377,62 @@ class IndexReader:
         should: str | list[str] = "",
         must_not: str | list[str] = "",
         k: int = 10,
+        boosts: dict[str, float] | None = None,
     ) -> list[tuple[int, float]]:
-        """ES bool-query semantics over the dense kernel:
-          * every `must` term is required (conjunction) and scores;
-          * `should` terms are optional and add to the score;
-          * `must_not` terms exclude (pure filter, never score).
-        Each argument is a query string (tokenized) or a token list.
-        Ties broken by ascending doc_id."""
+        """ES bool-query semantics:
+          * every `must` token is required (conjunction) and scores;
+          * `should` tokens are optional and add to the score;
+          * `must_not` tokens exclude (pure filter, never score).
+        Each argument is a query string (tokenized) or a token list. Ties
+        broken by ascending doc_id.
+
+        On a fields-indexed corpus each token is a GROUP of per-field
+        namespaced terms (ES bool-of-multi_match): a `must` token requires
+        a hit in ANY field, every matching field contributes its boosted
+        score, a `must_not` hit in any field excludes.
+
+        Two execution strategies, rank-identical: dense accumulator under
+        DENSE_LIMIT, cursor-based conjunction/WAND beyond it."""
         def toks(q):
             if isinstance(q, str):
                 return self.query_terms(q)
             return list(dict.fromkeys(q))
 
+        fields = self.manifest.get("fields")
+        if boosts and not fields:
+            raise ValueError("boosts requires a fields-indexed corpus")
+        field_w = (boosts or {f: 1.0 for f in fields}) if fields else None
+
+        def groups(tokens):
+            # token -> group of (namespaced) terms that satisfy it
+            if not fields:
+                return [[t] for t in tokens]
+            return [[f + "\x1f" + t for f in field_w] for t in tokens]
+
         must_t, should_t, not_t = toks(must), toks(should), toks(must_not)
         if not must_t and not should_t:
             return []
-        scoring = list(dict.fromkeys(must_t + should_t))
-        idfs = self._term_idfs(scoring + not_t)
-        if any(t not in idfs for t in must_t):
-            return []  # a missing must term matches nothing
+        weights = (
+            {f + "\x1f" + t: float(w) for t in must_t + should_t for f, w in field_w.items()}
+            if fields
+            else None
+        )
+        must_g = groups(must_t)
+        flat = lambda gs: [t for g in gs for t in g]  # noqa: E731
+        scoring = list(dict.fromkeys(flat(must_g) + flat(groups(should_t))))
+        not_terms = list(dict.fromkeys(flat(groups(not_t))))
+        idfs = self._term_idfs(scoring + not_terms)
+        # a must token matches nothing when NO term of its group is indexed
+        if any(all(t not in idfs for t in g) for g in must_g):
+            return []
         scoring = [t for t in scoring if t in idfs]
-        blocks = self._collect_blocks([t for t in scoring + not_t if t in idfs])
+        must_g = [[t for t in g if t in idfs] for g in must_g]
+        not_terms = [t for t in not_terms if t in idfs]
+        if self.n_docs > self.DENSE_LIMIT:
+            return self._search_bool_cursors(
+                must_g, scoring, not_terms, idfs, k, weights
+            )
+        blocks = self._collect_blocks(scoring + not_terms)
         c = self.k1 + 1.0
 
         def term_arrays(t):
@@ -345,7 +448,7 @@ class IndexReader:
                 b"".join(b[5] for b in bl),
             )
 
-        decoded = {t: term_arrays(t) for t in set(scoring + [t for t in not_t if t in idfs])}
+        decoded = {t: term_arrays(t) for t in set(scoring + not_terms)}
         max_doc = max(
             (int(d[0][-1]) for d in decoded.values() if d is not None), default=-1
         )
@@ -359,18 +462,23 @@ class IndexReader:
                 continue
             docs, tf, dl = d
             w = tf / (tf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl))
-            score[docs] += idfs[t] * c * w
+            boost = weights.get(t, 1.0) if weights else 1.0
+            score[docs] += boost * idfs[t] * c * w
             hit[docs] = True
-        # conjunction: docs must contain EVERY must term
-        for t in must_t:
-            d = decoded[t]
-            if d is None:
-                return []
+        # conjunction: docs must satisfy EVERY must group (any term in it)
+        for g in must_g:
             m = np.zeros(max_doc + 1, bool)
-            m[d[0]] = True
+            any_docs = False
+            for t in g:
+                d = decoded[t]
+                if d is not None:
+                    m[d[0]] = True
+                    any_docs = True
+            if not any_docs:
+                return []
             hit &= m
-        # exclusion
-        for t in not_t:
+        # exclusion (a hit in any field/term of the group excludes)
+        for t in not_terms:
             d = decoded.get(t)
             if d is not None:
                 valid = d[0][d[0] <= max_doc]
@@ -385,6 +493,115 @@ class IndexReader:
             nz, s = nz[keep], s[keep]
         order = np.lexsort((nz, -s))[:k]
         return [(int(d), float(score[d])) for d in nz[order]]
+
+    def _search_bool_cursors(
+        self,
+        must_g: list[list[str]],
+        scoring: list[str],
+        not_terms: list[str],
+        idfs: dict[str, float],
+        k: int,
+        weights: dict[str, float] | None,
+    ) -> list[tuple[int, float]]:
+        """Huge-corpus bool path: O(k) memory cursor evaluation instead of
+        the dense 8-bytes-per-doc accumulator.
+
+        * with `must` groups: leapfrog conjunction over per-group union
+          cursors (a group matches when ANY member term matches — the
+          fields-index OR); should/not cursors just advance alongside.
+        * pure-should: weighted block-max WAND with a must_not filter
+          (exclusion checked only at scoring alignment, so pruning bounds
+          stay safe — skipping an excluded doc never loses a better one).
+        Rank-identical to the dense path (same contributions, same FP
+        accumulation order: scoring-term order)."""
+        blocks = self._collect_blocks(scoring + not_terms)
+        c = self.k1 + 1.0
+
+        def mk_cursor(t):
+            if not blocks.get(t):
+                return None
+            boost = weights.get(t, 1.0) if weights else 1.0
+            return _Cursor(t, idfs[t] * boost, blocks[t], c)
+
+        not_cur = [cu for cu in (mk_cursor(t) for t in not_terms) if cu]
+
+        def excluded(d: int) -> bool:
+            for cu in not_cur:
+                if cu.docs is not None:
+                    cu.advance_to(d)
+                    if cu.docs is not None and cu.cur_doc() == d:
+                        return True
+            return False
+
+        if must_g:
+            group_cur = []
+            for g in must_g:
+                members = [cu for cu in (mk_cursor(t) for t in g) if cu]
+                if not members:
+                    return []  # some must group matches nothing at all
+                group_cur.append(members)
+            # scoring cursors NOT in any must group (should terms)
+            in_must = {t for g in must_g for t in g}
+            extra_cur = [
+                cu for cu in (mk_cursor(t) for t in scoring if t not in in_must) if cu
+            ]
+            order_of = {t: i for i, t in enumerate(scoring)}
+            heap: list[tuple[float, int]] = []
+            while True:
+                # candidate: max over groups of (min alive member doc)
+                cand = -1
+                dead = False
+                for members in group_cur:
+                    alive = [cu for cu in members if cu.docs is not None]
+                    if not alive:
+                        dead = True
+                        break
+                    cand = max(cand, min(cu.cur_doc() for cu in alive))
+                if dead:
+                    break
+                aligned = True
+                for members in group_cur:
+                    hit = False
+                    for cu in members:
+                        if cu.docs is not None:
+                            cu.advance_to(cand)
+                            if cu.docs is not None and cu.cur_doc() == cand:
+                                hit = True
+                    if not hit:
+                        aligned = False
+                if not aligned:
+                    continue  # some group jumped past cand — re-derive
+                if not excluded(cand):
+                    # score in scoring-term order (FP-identical to dense)
+                    parts = []
+                    for members in group_cur:
+                        for cu in members:
+                            if cu.docs is not None and cu.cur_doc() == cand:
+                                parts.append((order_of[cu.term], cu.score_cur(self.k1, self.b, self.avgdl)))
+                    for cu in extra_cur:
+                        if cu.docs is not None:
+                            cu.advance_to(cand)
+                            if cu.docs is not None and cu.cur_doc() == cand:
+                                parts.append((order_of[cu.term], cu.score_cur(self.k1, self.b, self.avgdl)))
+                    score = 0.0
+                    for _, s in sorted(parts):
+                        score += s
+                    item = (score, -cand)
+                    if len(heap) < k:
+                        heapq.heappush(heap, item)
+                    elif item > heap[0]:
+                        heapq.heapreplace(heap, item)
+                # advance every group cursor sitting on cand
+                for members in group_cur:
+                    for cu in members:
+                        if cu.docs is not None and cu.cur_doc() == cand:
+                            cu.next_doc()
+            out = sorted(((-nd, s) for s, nd in heap), key=lambda kv: (-kv[1], kv[0]))
+            return [(int(d), float(s)) for d, s in out]
+        # pure-should: WAND with exclusion at alignment time
+        return self._wand_loop(
+            [cu for cu in (mk_cursor(t) for t in scoring) if cu], k, excluded
+        )
 
     # ---------- phrase queries (ES match_phrase / Lucene PhraseQuery) ----------
 
@@ -562,21 +779,38 @@ class IndexReader:
         )
         return sorted(t.column("term").to_pylist())[:limit]
 
-    def search_prefix(self, query: str, k: int = 10, limit: int = 128) -> list[tuple[int, float]]:
+    def search_prefix(
+        self,
+        query: str,
+        k: int = 10,
+        limit: int = 128,
+        boosts: dict[str, float] | None = None,
+    ) -> list[tuple[int, float]]:
         """BM25 top-k where each query token matches every indexed term it
         prefixes (Lucene MultiTermQuery with scoring_boolean rewrite: each
         expanded term scores with its own idf). Expansion is capped at
-        `limit` terms per token, lexicographic — deterministic."""
+        `limit` terms per token, lexicographic — deterministic. On a
+        fields-indexed corpus each token expands per field ("f\\x1ftok*"),
+        weighted by `boosts`. Routes through the dense/WAND dispatcher."""
+        fields = self.manifest.get("fields")
+        if boosts and not fields:
+            raise ValueError("boosts requires a fields-indexed corpus")
+        prefixes = (
+            [(f + "\x1f", w) for f, w in (boosts or {f: 1.0 for f in fields}).items()]
+            if fields
+            else [("", 1.0)]
+        )
         expanded: list[str] = []
-        seen = set()
+        weights: dict[str, float] = {}
         for tok in self.query_terms(query):
-            for t in self.expand_prefix(tok, limit):
-                if t not in seen:
-                    seen.add(t)
-                    expanded.append(t)
+            for ns, w in prefixes:
+                for t in self.expand_prefix(ns + tok, limit):
+                    if t not in weights:
+                        weights[t] = float(w)
+                        expanded.append(t)
         if not expanded:
             return []
-        return self._search_dense_terms(expanded, k)
+        return self._search_terms(expanded, k, weights)
 
     # ---------- vectorized dense scoring (the default driver path) ----------
 
@@ -635,7 +869,18 @@ class IndexReader:
                 t = f + "\x1f" + tok
                 terms.append(t)
                 weights[t] = float(w)
-        return self._search_dense_terms(terms, k, weights)
+        return self._search_terms(terms, k, weights)
+
+    def _search_terms(
+        self, terms: list[str], k: int, weights: dict[str, float] | None = None
+    ) -> list[tuple[int, float]]:
+        """Expanded-term dispatcher: dense accumulator while the doc-id
+        space fits driver memory, weighted block-max WAND beyond it — so
+        prefix/fuzzy/multi-field searches scale exactly like plain
+        search()."""
+        if self.n_docs <= self.DENSE_LIMIT:
+            return self._search_dense_terms(terms, k, weights)
+        return self.search_wand_terms(terms, k, weights)
 
     def _search_dense_terms(
         self, terms: list[str], k: int, weights: dict[str, float] | None = None
@@ -688,7 +933,16 @@ class IndexReader:
     # ---------- block-max WAND ----------
 
     def search_wand(self, query: str, k: int = 10) -> list[tuple[int, float]]:
-        """WAND with block-max refinement, rank-identical to search_brute.
+        """WAND over the query's tokens (see search_wand_terms)."""
+        return self.search_wand_terms(self.query_terms(query), k)
+
+    def search_wand_terms(
+        self, terms: list[str], k: int = 10, weights: dict[str, float] | None = None
+    ) -> list[tuple[int, float]]:
+        """WAND with block-max refinement, rank-identical to search_brute
+        (and, with `weights`, to _search_dense_terms with the same boosts —
+        a boosted term's idf, upper bounds and contributions all scale by
+        its weight, so pruning stays safe).
 
         Pivot selection uses safe TERM-level upper bounds
         (idf*(k1+1)*max-block-weight over the whole posting list); once the
@@ -696,7 +950,6 @@ class IndexReader:
         tighter bound that can skip exact scoring. Blocks whose last doc
         precedes the advance target are skipped without decoding (the
         block-metadata skip that makes this sublinear)."""
-        terms = self.query_terms(query)
         idfs = self._term_idfs(terms)
         terms = [t for t in terms if t in idfs]
         if not terms:
@@ -704,8 +957,24 @@ class IndexReader:
         blocks = self._collect_blocks(terms)
         c = self.k1 + 1.0
         cursors = [
-            _Cursor(t, idfs[t], blocks[t], c) for t in terms if blocks[t]
+            _Cursor(
+                t,
+                idfs[t] * (weights.get(t, 1.0) if weights else 1.0),
+                blocks[t],
+                c,
+            )
+            for t in terms
+            if blocks[t]
         ]
+        return self._wand_loop(cursors, k)
+
+    def _wand_loop(
+        self, cursors: list, k: int, excluded=None
+    ) -> list[tuple[int, float]]:
+        """The block-max WAND driver loop over prepared cursors. `excluded`
+        (optional doc -> bool) filters docs at scoring alignment — used by
+        the bool must_not path; skipping an excluded doc never disturbs the
+        threshold, so pruning stays safe."""
         heap: list[tuple[float, int]] = []  # min-heap of (score, -doc), size k
         threshold = -np.inf
 
@@ -727,7 +996,9 @@ class IndexReader:
             if live[0].cur_doc() == pivot_doc:
                 aligned = [cu for cu in live if cu.cur_doc() == pivot_doc]
                 block_ub = sum(cu.block_ub() for cu in aligned)
-                if len(heap) < k or block_ub >= threshold:
+                if (len(heap) < k or block_ub >= threshold) and not (
+                    excluded is not None and excluded(pivot_doc)
+                ):
                     score = sum(
                         cu.score_cur(self.k1, self.b, self.avgdl) for cu in aligned
                     )

@@ -90,3 +90,24 @@ def test_bool_edge_cases(bool_idx):
     assert reader.search_bool(must="apple banana") == reader.search_bool(
         must=["apple", "banana"]
     )
+
+
+@pytest.mark.parametrize("must,should,must_not", [
+    (["apple"], [], []),
+    (["apple", "banana"], [], []),
+    (["apple"], ["date"], []),
+    (["apple"], [], ["date"]),
+    ([], ["banana", "date"], ["cherry"]),
+    (["apple", "banana"], ["cherry"], ["date"]),
+])
+def test_bool_cursor_path_rank_identical(bool_idx, must, should, must_not):
+    """Above DENSE_LIMIT search_bool switches to cursor evaluation; forcing
+    the switch must not change a single score."""
+    reader, _ = bool_idx
+    dense = reader.search_bool(must=must, should=should, must_not=must_not, k=10)
+    reader.DENSE_LIMIT = 0  # instance attr shadows class attr
+    try:
+        cur = reader.search_bool(must=must, should=should, must_not=must_not, k=10)
+    finally:
+        del reader.DENSE_LIMIT
+    assert cur == dense, (must, should, must_not)

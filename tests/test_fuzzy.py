@@ -78,3 +78,65 @@ def test_fuzzy_table_idempotent(fz_idx):
     before = sorted(os.listdir(fdir))
     fz_idx.enable_fuzzy()  # second call must not rebuild
     assert sorted(os.listdir(fdir)) == before
+
+
+def test_expand_fuzzy_distance2_matches_exhaustive(fz_idx, spark):
+    import os
+
+    import pyarrow.dataset as ds
+
+    vocab = ds.dataset(
+        os.path.join(fz_idx.index_dir, "terms"), format="parquet"
+    ).to_table(columns=["term"]).column("term").to_pylist()
+    for tok in ("merge", "buffer", "stream", "emrge", "bufr", "xyzzy"):
+        got = set(fz_idx.expand_fuzzy(tok, max_dist=2))
+        want = {t for t in vocab if _lev(tok, t) <= 2}
+        assert got == want, tok
+
+
+def test_auto_fuzziness_policy(fz_idx):
+    # ES AUTO:3,6 — <3 exact, 3..5 one edit, >=6 two edits
+    assert fz_idx._auto_fuzziness("ab") == 0
+    assert fz_idx._auto_fuzziness("abc") == 1
+    assert fz_idx._auto_fuzziness("abcde") == 1
+    assert fz_idx._auto_fuzziness("abcdef") == 2
+
+
+def test_search_fuzzy_auto_finds_transposition(fz_idx):
+    """'stream' (6 chars -> 2 edits under AUTO) matches doc 4's 'emrge
+    stream'; and querying 'emrge'(5 chars -> 1 edit) alone must NOT match
+    'merge' docs (transposition = 2 plain-Levenshtein edits)."""
+    hits = {d for d, _ in fz_idx.search_fuzzy("stream", k=10, fuzziness="AUTO")}
+    meta = fz_idx.lookup_docs(list(hits))
+    assert "4" in {meta[d]["path"] for d in hits}
+    one = {d for d, _ in fz_idx.search_fuzzy("emrge", k=10, fuzziness=1)}
+    paths = {fz_idx.lookup_docs(list(one))[d]["path"] for d in one}
+    assert "0" not in paths and "2" not in paths
+    two = {d for d, _ in fz_idx.search_fuzzy("emrge", k=10, fuzziness=2)}
+    paths2 = {fz_idx.lookup_docs(list(two))[d]["path"] for d in two}
+    assert "0" in paths2  # distance 2 reaches 'merge'
+
+
+def test_fuzzy_deeper_table_rebuild_is_idempotent(fz_idx):
+    import os
+
+    fz_idx.enable_fuzzy(2)
+    assert fz_idx._fuzzy_depth() == 2
+    fdir = os.path.join(fz_idx.index_dir, "fuzzy")
+    before = sorted(os.listdir(fdir))
+    fz_idx.enable_fuzzy(1)  # shallower request must not downgrade/rebuild
+    assert sorted(os.listdir(fdir)) == before
+    assert fz_idx._fuzzy_depth() == 2
+
+
+def test_plain_surfaces_wand_rank_identical(fz_idx):
+    """Forcing the WAND fallback (DENSE_LIMIT=0) must not change expanded-
+    term results on a plain index either."""
+    dense_fz = fz_idx.search_fuzzy("merge buffer", k=10)
+    dense_pref = fz_idx.search_prefix("mer", k=10)
+    fz_idx.DENSE_LIMIT = 0
+    try:
+        assert fz_idx.search_fuzzy("merge buffer", k=10) == dense_fz
+        assert fz_idx.search_prefix("mer", k=10) == dense_pref
+    finally:
+        del fz_idx.DENSE_LIMIT

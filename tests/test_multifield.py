@@ -95,3 +95,39 @@ def test_plain_search_routes_to_all_fields(mf_idx):
     mm = reader.search_fields("spark", boosts={"title": 1.0, "body": 1.0}, k=5)
     assert plain == mm
     assert {d for d, _ in plain} == {key2id["0"], key2id["1"]}
+
+
+def test_fields_prefix_fuzzy_bool_surfaces(mf_idx):
+    """Prefix/fuzzy/bool on a fields-indexed corpus expand tokens to
+    per-field namespaced terms instead of silently returning [] (ADVICE
+    r01)."""
+    reader, key2id = mf_idx
+    pref = {d for d, _ in reader.search_prefix("spar", k=5)}
+    assert pref == {key2id["0"], key2id["1"]}
+    fz = {d for d, _ in reader.search_fuzzy("sparkk", k=5, fuzziness=1)}
+    assert fz == {key2id["0"], key2id["1"]}
+    b = reader.search_bool(must="spark", must_not="engine", k=5)
+    assert [d for d, _ in b] == [key2id["1"]]
+    # must = AND across tokens, ANY field per token
+    b2 = reader.search_bool(must="spark engine", k=5)
+    assert [d for d, _ in b2] == [key2id["0"]]
+    # title-only boost restricts prefix matches to the title field
+    only_title = {d for d, _ in reader.search_prefix("spar", boosts={"title": 1.0}, k=5)}
+    assert only_title == {key2id["0"]}
+
+
+def test_fields_surfaces_wand_rank_identical(mf_idx):
+    reader, _ = mf_idx
+    dense_pref = reader.search_prefix("spar", k=5)
+    dense_fz = reader.search_fuzzy("sparkk", k=5, fuzziness=1)
+    dense_mm = reader.search_fields("spark", boosts={"title": 3.0, "body": 1.0}, k=5)
+    reader.DENSE_LIMIT = 0
+    try:
+        assert reader.search_prefix("spar", k=5) == dense_pref
+        assert reader.search_fuzzy("sparkk", k=5, fuzziness=1) == dense_fz
+        assert (
+            reader.search_fields("spark", boosts={"title": 3.0, "body": 1.0}, k=5)
+            == dense_mm
+        )
+    finally:
+        del reader.DENSE_LIMIT
