@@ -4,8 +4,9 @@ Reference: PlainKeyValueStreamListener.values detects WKT POINT/POLYGON
 strings and embedded JSON in cells (PlainKeyValueStreamListener.java:166-196,
 GeoJSONShapeSerializer.java:38-202; toggles detect_geo / detect_json,
 README.md:247-249). Spark-native: JSON detection is `F.from_json` /
-`F.get_json_object` (JVM); WKT parsing is a vectorized pandas UDF (regex +
-numpy — shapely-free, Point/LineString/Polygon/MultiPoint subset).
+`F.get_json_object` (JVM); WKT parsing is a vectorized pandas UDF (regex —
+shapely-free) covering every shape the reference serializes: Point,
+LineString, Polygon, MultiPoint, MultiPolygon, Envelope/Rectangle.
 """
 
 from __future__ import annotations
@@ -19,7 +20,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _WKT_RE = re.compile(
-    r"^\s*(POINT|LINESTRING|POLYGON|MULTIPOINT)\s*\((.*)\)\s*$", re.IGNORECASE
+    r"^\s*(POINT|LINESTRING|POLYGON|MULTIPOINT|MULTIPOLYGON|ENVELOPE)\s*\((.*)\)\s*$",
+    re.IGNORECASE,
 )
 
 
@@ -31,10 +33,33 @@ def _parse_coords(body: str) -> list[list[float]]:
     ]
 
 
+def _split_top_level(body: str) -> list[str]:
+    """Split on commas at parenthesis depth 0 (for nested WKT bodies like
+    MULTIPOLYGON's '((...),(...)), ((...))')."""
+    out, depth, cur = [], 0, []
+    for ch in body:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return [s.strip() for s in out if s.strip()]
+
+
 def wkt_to_geojson_py(wkt: str) -> str | None:
     """One WKT literal -> GeoJSON string (None if not WKT).
-    Mirrors GeoJSONShapeSerializer coordinate layout (lon, lat order kept
-    as written, GeoJSONShapeSerializer.java:38-61)."""
+    Mirrors GeoJSONShapeSerializer's coordinate layout for all six shapes
+    the reference serializes (lon, lat order kept as written; Point/
+    LineString/Polygon/MultiPoint: GeoJSONShapeSerializer.java:38-61;
+    MultiPolygon :160-175; Rectangle -> type "Envelope" with
+    [[minX, maxY], [maxX, minY]] i.e. upper-left, lower-right :70-77 —
+    the ENVELOPE WKT order itself is spatial4j's (minX, maxX, maxY, minY))."""
     if not wkt:
         return None
     m = _WKT_RE.match(wkt)
@@ -55,6 +80,22 @@ def wkt_to_geojson_py(wkt: str) -> str | None:
             rings = re.findall(r"\(([^()]*)\)", body)
             return json.dumps(
                 {"type": "Polygon", "coordinates": [_parse_coords(r) for r in rings]}
+            )
+        if kind == "MULTIPOLYGON":
+            polys = []
+            for poly in _split_top_level(body):
+                # each part is '((ring),(hole),...)': the innermost paren
+                # groups are exactly the ring bodies
+                rings = re.findall(r"\(([^()]*)\)", poly)
+                polys.append([_parse_coords(r) for r in rings])
+            return json.dumps({"type": "MultiPolygon", "coordinates": polys})
+        if kind == "ENVELOPE":
+            vals = [float(x) for x in body.replace(",", " ").split()]
+            if len(vals) != 4:
+                return None
+            minx, maxx, maxy, miny = vals
+            return json.dumps(
+                {"type": "Envelope", "coordinates": [[minx, maxy], [maxx, miny]]}
             )
     except (ValueError, IndexError):
         return None

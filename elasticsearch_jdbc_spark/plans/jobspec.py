@@ -65,6 +65,17 @@ def read_source(spark: SparkSession, spec: dict) -> DataFrame:
 
 
 def _read_one(spark: SparkSession, src: dict) -> DataFrame:
+    """Format dispatch. Driver-jar requirements (not bundled here — ship
+    them via spark-submit --jars / --packages exactly as any Spark job):
+      * jdbc:    the database's JDBC driver jar (e.g. org.postgresql:
+                 postgresql); options url/dbtable/user/password/fetchsize/
+                 partitionColumn per Spark's JDBC source docs.
+      * iceberg: org.apache.iceberg:iceberg-spark-runtime matching the
+                 Spark version, plus catalog conf; `path` is the table
+                 identifier or metadata location.
+    Both branches are plain `spark.read.format(...)` passthroughs, so the
+    dispatch itself is unit-testable without the jars (test_jobspec_sources).
+    """
     fmt = src.get("format", "parquet")
     reader = spark.read
     for k, v in src.get("options", {}).items():

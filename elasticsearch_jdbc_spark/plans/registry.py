@@ -1087,15 +1087,24 @@ def a5_doc_builder_q(spark, sf_dir):
 
 @_reg("a6_wkt_geojson")  # rows-only: WKT parse is a pandas UDF, not SQL
 def a6_geo_q(spark, sf_dir):
-    """WKT -> GeoJSON content detection (A6, GeoJSONShapeSerializer
-    semantics) over synthesized point/polygon strings keyed by nation."""
+    """WKT -> GeoJSON content detection (A6) over synthesized shapes keyed
+    by nation — cycles through ALL SIX shapes the reference serializes
+    (GeoJSONShapeSerializer.java:38-61, Rectangle :70-77, MultiPolygon
+    :160-175): Point, LineString, Polygon, MultiPoint, MultiPolygon,
+    Envelope."""
     from ..functions.geo import wkt_to_geojson
 
     n = _t(spark, sf_dir, "nation")
-    wkt = F.concat(
-        F.lit("POINT ("),
-        (F.col("n_nationkey") * 2.5).cast("string"), F.lit(" "),
-        (F.col("n_regionkey") * 10.0).cast("string"), F.lit(")"),
+    x = (F.col("n_nationkey") * 2.5).cast("string")
+    y = (F.col("n_regionkey") * 10.0).cast("string")
+    m = F.col("n_nationkey") % 6
+    wkt = (
+        F.when(m == 0, F.format_string("POINT (%s %s)", x, y))
+        .when(m == 1, F.format_string("LINESTRING (%s %s, %s 0.0)", x, y, y))
+        .when(m == 2, F.format_string("POLYGON ((0 0, %s 0, %s %s, 0 0), (1 1, 2 1, 1 2, 1 1))", x, x, y))
+        .when(m == 3, F.format_string("MULTIPOINT (%s %s, 0.0 %s)", x, y, y))
+        .when(m == 4, F.format_string("MULTIPOLYGON (((0 0, %s 0, %s %s, 0 0)), ((5 5, 6 5, 6 6, 5 5)))", x, x, y))
+        .otherwise(F.format_string("ENVELOPE (%s, %s, %s, 0.0)", x, y, y))
     )
     return n.select(
         "n_nationkey",

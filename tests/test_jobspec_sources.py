@@ -69,3 +69,93 @@ def test_rename_applied_before_build(spark, sf_dir, tmp_path):
     assert manifest["n_docs"] == 30
     docs = spark.read.parquet(os.path.join(spec["index_dir"], "docs"))
     assert "docno" in docs.columns and "doc_id" in docs.columns
+
+
+class _FakeReader:
+    """Records the spark.read call chain (format/option/schema/load/csv) so
+    the jdbc/iceberg dispatch is testable without driver jars."""
+
+    def __init__(self, calls):
+        self.calls = calls
+
+    def option(self, k, v):
+        self.calls.append(("option", k, v))
+        return self
+
+    def format(self, fmt):
+        self.calls.append(("format", fmt))
+        return self
+
+    def schema(self, s):
+        self.calls.append(("schema", s))
+        return self
+
+    def load(self, path=None):
+        self.calls.append(("load", path))
+        return "DF"
+
+    def csv(self, path):
+        self.calls.append(("csv", path))
+        return "DF"
+
+
+class _FakeSpark:
+    def __init__(self):
+        self.calls = []
+
+    @property
+    def read(self):
+        return _FakeReader(self.calls)
+
+
+def test_jdbc_dispatch_passes_options_no_path():
+    from elasticsearch_jdbc_spark.plans.jobspec import read_source
+
+    fake = _FakeSpark()
+    out = read_source(fake, {"source": {
+        "format": "jdbc",
+        "options": {"url": "jdbc:postgresql://db/x", "dbtable": "t", "fetchsize": "1000"},
+    }})
+    assert out == "DF"
+    assert ("format", "jdbc") in fake.calls
+    assert ("option", "url", "jdbc:postgresql://db/x") in fake.calls
+    assert ("option", "dbtable", "t") in fake.calls
+    assert ("option", "fetchsize", "1000") in fake.calls
+    assert ("load", None) in fake.calls  # jdbc loads from options, not path
+
+
+def test_iceberg_dispatch_formats_and_loads_table():
+    from elasticsearch_jdbc_spark.plans.jobspec import read_source
+
+    fake = _FakeSpark()
+    out = read_source(fake, {"source": {
+        "format": "iceberg",
+        "path": "catalog.db.repos",
+        "options": {"snapshot-id": "123"},
+    }})
+    assert out == "DF"
+    assert ("format", "iceberg") in fake.calls
+    assert ("option", "snapshot-id", "123") in fake.calls
+    assert ("load", "catalog.db.repos") in fake.calls
+
+
+def test_csv_dispatch_header_and_schema():
+    from elasticsearch_jdbc_spark.plans.jobspec import read_source
+
+    fake = _FakeSpark()
+    read_source(fake, {"source": {
+        "format": "csv", "path": "/x.csv", "header": "false",
+        "schema": "a string, b int",
+    }})
+    assert ("option", "header", "false") in fake.calls
+    assert ("schema", "a string, b int") in fake.calls
+    assert ("csv", "/x.csv") in fake.calls
+
+
+def test_parquet_dispatch_default():
+    from elasticsearch_jdbc_spark.plans.jobspec import read_source
+
+    fake = _FakeSpark()
+    read_source(fake, {"source": {"path": "/corpus"}})
+    assert ("format", "parquet") in fake.calls
+    assert ("load", "/corpus") in fake.calls

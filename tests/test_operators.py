@@ -184,3 +184,42 @@ def test_simhash_kernel_is_shuffle_free_and_scales(spark):
         assert n >= 0
     finally:
         sim.unpersist()
+
+
+def test_wkt_multipolygon_and_envelope():
+    """Golden tests mirroring GeoJSONShapeSerializer: MultiPolygon
+    (:160-175, each polygon = [exterior ring, holes...]) and Rectangle ->
+    type 'Envelope' with [[minX, maxY], [maxX, minY]] (:70-77); ENVELOPE
+    WKT order is spatial4j's (minX, maxX, maxY, minY)."""
+    import json
+
+    mp = json.loads(
+        wkt_to_geojson_py(
+            "MULTIPOLYGON (((0 0, 10 0, 10 10, 0 0), (5 5, 7 5, 7 7, 5 5)), "
+            "((20 20, 30 20, 30 30, 20 20)))"
+        )
+    )
+    assert mp == {
+        "type": "MultiPolygon",
+        "coordinates": [
+            [
+                [[0, 0], [10, 0], [10, 10], [0, 0]],
+                [[5, 5], [7, 5], [7, 7], [5, 5]],
+            ],
+            [[[20, 20], [30, 20], [30, 30], [20, 20]]],
+        ],
+    }
+    env = json.loads(wkt_to_geojson_py("ENVELOPE (10, 30, 40, 20)"))
+    assert env == {"type": "Envelope", "coordinates": [[10, 40], [30, 20]]}
+    # all six shapes parse; junk still rejected
+    for s in (
+        "POINT (1 2)",
+        "LINESTRING (1 2, 3 4)",
+        "POLYGON ((0 0, 1 0, 1 1, 0 0))",
+        "MULTIPOINT (1 2, 3 4)",
+        "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)))",
+        "ENVELOPE (0, 1, 1, 0)",
+    ):
+        assert wkt_to_geojson_py(s) is not None, s
+    assert wkt_to_geojson_py("ENVELOPE (1, 2, 3)") is None
+    assert wkt_to_geojson_py("CIRCLE (0 0, 5)") is None

@@ -56,3 +56,49 @@ def test_sql_with_params_watermark(spark, sf_dir):
     n = df.collect()[0]["n"]
     total = spark.table("orders_v").count()
     assert 0 < n < total
+
+
+def test_row_backreference_capture_and_bind(spark):
+    """$row.* chains statements: the previous statement's LAST row binds
+    into the next (StandardSource.java:1100-1110 + bind() :1330-1336)."""
+    from elasticsearch_jdbc_spark.plans.params import (
+        capture_last_row,
+        resolve_params,
+        sql_with_params,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "seq int, k string, v int"
+    )
+    last = capture_last_row(df, "seq")
+    assert last == {"$row.seq": 3, "$row.k": "c", "$row.v": 30}
+    assert resolve_params(["$row.v", "$row.nope", 7], last_row=last) == [
+        30, "$row.nope", 7,  # unresolved falls back to the literal (reference bind())
+    ]
+    df.createOrReplaceTempView("chain_t")
+    out = sql_with_params(
+        spark,
+        "SELECT k FROM chain_t WHERE v < :prev ORDER BY seq",
+        {"prev": "$row.v"},
+        last_row=last,
+    ).collect()
+    assert [r["k"] for r in out] == ["a", "b"]
+
+
+def test_meta_backreference_and_lastexceptiondate():
+    from elasticsearch_jdbc_spark.plans.params import resolve_params
+
+    meta = {"$meta.db.alltablesareselectable": True}
+    got = resolve_params(
+        ["$meta.db.alltablesareselectable", "$lastexceptiondate"],
+        state={"lastexceptiondate": "2026-01-01"},
+        meta=meta,
+    )
+    assert got == [True, "2026-01-01"]
+
+
+def test_empty_frame_capture(spark):
+    from elasticsearch_jdbc_spark.plans.params import capture_last_row
+
+    df = spark.createDataFrame([], "seq int, v int")
+    assert capture_last_row(df, "seq") == {}
