@@ -30,6 +30,19 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Guard against degenerate scan parallelism: parquet scan tasks are
+    bounded by row groups, so a small single-row-group file funnels every
+    downstream explode/kernel through ONE task. Repartition only when the
+    scan yields fewer partitions than the session's parallelism — a no-op
+    on real multi-file corpora (at 100 TB the scan has ~10^5 tasks and this
+    never fires, so no shuffle is added at scale)."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min(8, p):
+        return df.repartition(p)
+    return df
+
+
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One survivor (min id) per distinct text; content compared by sha256
     so the shuffle carries 32-byte keys, not documents."""
@@ -41,16 +54,21 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def _shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, shingle) pairs: distinct word n-grams per doc (whitespace words,
-    lowercase). Built with JVM functions only: split -> transform -> explode."""
+    lowercase). Built with JVM functions only: split -> transform -> explode.
+    n=1 short-circuits to the words themselves (the slice/concat machinery
+    measured ~18x slower than array_distinct for unigrams)."""
     words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
-    k = F.size(words) - (n - 1)
-    grams = F.when(
-        k > 0,
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    if n == 1:
+        grams = words
+    else:
+        k = F.size(words) - (n - 1)
+        grams = F.when(
+            k > 0,
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
     return (
         df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("sh"))
     )
@@ -74,7 +92,7 @@ def ngram_jaccard_pairs(
     SIZES always count every shingle, so dropping hot shingles only
     underestimates jaccard (never invents a pair).
     """
-    sh = _shingles(df, id_col, text_col, n).cache()
+    sh = _shingles(_spread(df), id_col, text_col, n).cache()
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     if max_shingle_df:
         hot = sh.groupBy("sh").agg(F.count("*").alias("df")).filter(
@@ -202,7 +220,7 @@ def minhash_signatures(
                 {"id": ids, "sig": [s.astype(np.int64).tolist() for s in out_sig]}
             )
 
-    return df.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
+    return _spread(df.select(F.col(id_col).alias(id_col), F.col(text_col))).mapInPandas(
         batch_sigs, out_schema
     )
 
@@ -237,7 +255,11 @@ def minhash_lsh_pairs(
             ]
         )
     ).alias("bb")
-    banded = sigs.select("id", band_cols).select("id", "bb.band", "bb.bucket")
+    # cached: the banding feeds BOTH sides of the self-join — without the
+    # cache the whole signature kernel runs twice
+    banded = sigs.select("id", band_cols).select(
+        "id", "bb.band", "bb.bucket"
+    ).cache()
     a = banded.alias("a")
     b = banded.alias("b")
     cands = (
@@ -252,11 +274,23 @@ def minhash_lsh_pairs(
     )
     if verify_threshold is None:
         return cands
+    cands = cands.cache()
     # exact-verify ONLY the candidate pairs (never the quadratic all-pairs
     # join): per pair, |A ∩ B| = count of shingles present on both sides.
-    # cached: the shingle explode feeds three consumers (sizes + both join
-    # sides) and must not be recomputed per consumer.
-    sh = _shingles(df, id_col, text_col, n).cache()
+    # The shingle universe is restricted to docs that appear in some
+    # candidate (left-semi) — EXACT, since sizes are only ever joined to
+    # candidate pairs; at corpus scale candidates are a sliver of the
+    # corpus, so this keeps the explode+join off the non-duplicate mass.
+    # cached: the explode feeds three consumers (sizes + both join sides).
+    cand_ids = (
+        cands.select(F.col("id_a").alias("id"))
+        .unionByName(cands.select(F.col("id_b").alias("id")))
+        .distinct()
+        .withColumnRenamed("id", id_col)
+    )
+    sh = _shingles(
+        df.join(cand_ids, id_col, "left_semi"), id_col, text_col, n
+    ).cache()
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     sh_a = sh.select(F.col("id").alias("id_a"), "sh")
     sh_b = sh.select(F.col("id").alias("id_b"), "sh")
@@ -318,7 +352,11 @@ def minhash_dedup(
             ]
         )
     ).alias("bb")
-    banded = sigs.select("id", band_structs).select("id", "bb.band", "bb.bucket")
+    # cached: banded feeds both bucket_min and the member join — without
+    # the cache the signature kernel runs twice
+    banded = sigs.select("id", band_structs).select(
+        "id", "bb.band", "bb.bucket"
+    ).cache()
     bucket_min = banded.groupBy("band", "bucket").agg(F.min("id").alias("rep"))
     # ALL distinct (rep, member) pairs — at most `bands` candidates per doc
     # (still linear). Collapsing to one min-rep per doc pre-verification
@@ -336,7 +374,18 @@ def minhash_dedup(
             .agg(F.min("id_a").alias("keep_id"))
             .select("id_b", "keep_id")
         )
-    sh = _shingles(df, id_col, text_col, n).cache()
+    cands = cands.cache()
+    # restrict the shingle universe to candidate docs (exact — sizes are
+    # only joined to candidate pairs; see minhash_lsh_pairs)
+    cand_ids = (
+        cands.select(F.col("id_a").alias("id"))
+        .unionByName(cands.select(F.col("id_b").alias("id")))
+        .distinct()
+        .withColumnRenamed("id", id_col)
+    )
+    sh = _shingles(
+        df.join(cand_ids, id_col, "left_semi"), id_col, text_col, n
+    ).cache()
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     sh_a = sh.select(F.col("id").alias("id_a"), "sh")
     sh_b = sh.select(F.col("id").alias("id_b"), "sh")
@@ -518,7 +567,7 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                 fp[g_doc[starts]] = vals.view(np.int64)
             yield pd.DataFrame({"id": ids, "simhash": fp})
 
-    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+    return _spread(df.select(F.col(id_col), F.col(text_col))).mapInPandas(
         batch_fp, out_schema
     )
 
@@ -552,22 +601,30 @@ def simhash_near_pairs(
             F.lit((1 << sizes[i]) - 1)
         )
 
-    t = sim.select("id", "simhash")
-    pairs = None
-    for subset in combinations(range(B), B - k):
+    # ONE explode + ONE self-join on (combo, key) instead of C(B, B-k)
+    # separate joins (20 shuffle stages measured ~3x slower than one
+    # 20x-wider shuffle at sf0.1; at scale one exchange also beats twenty)
+    combo_keys = []
+    for ci, subset in enumerate(combinations(range(B), B - k)):
         key = F.lit(0).cast("long")
         for i in subset:
             key = F.shiftleft(key, sizes[i]).bitwiseOR(block(i))
-        tt = t.withColumn("bk", key)
-        a = tt.alias("a")
-        b = tt.alias("b")
-        p = a.join(
-            b,
-            (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") < F.col("b.id")),
-        ).select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        combo_keys.append(
+            F.struct(F.lit(ci).alias("combo"), key.alias("bk"))
         )
-        pairs = p if pairs is None else pairs.unionByName(p)
+    t = sim.select(
+        "id", "simhash", F.explode(F.array(*combo_keys)).alias("kb")
+    ).select("id", "simhash", F.col("kb.combo").alias("combo"), F.col("kb.bk").alias("bk"))
+    a = t.alias("a")
+    b = t.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.combo") == F.col("b.combo"))
+        & (F.col("a.bk") == F.col("b.bk"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+    )
     return pairs.filter(F.col("hamming") <= max_hamming).distinct()
