@@ -63,9 +63,14 @@ def bench_queries(spark) -> dict[str, float]:
     for name in HEADLINE:
         fn = QUERIES[name]
         fn(spark, SF_DIR).collect()  # warm (plans, workers, page cache)
-        t0 = time.time()
-        fn(spark, SF_DIR).collect()
-        out[name] = round(time.time() - t0, 3)
+        times = []
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, SF_DIR).collect()
+            times.append(time.time() - t0)
+        # min of two timed runs: shared-VM steal bursts inflate single
+        # samples by 2-4x; the min is the reproducible figure
+        out[name] = round(min(times), 3)
     return out
 
 
@@ -95,23 +100,48 @@ def bench_index(spark) -> dict:
     }
 
 
-def bench_scaling() -> dict:
+def _scale_run(cores: int, timed: int) -> dict | None:
     here = os.path.dirname(os.path.abspath(__file__))
-    levels = {}
-    for cores in (SCALE_N, SCALE_N * 4):
-        cmd = [sys.executable, os.path.join(here, "bench_scale_run.py"),
-               str(cores), str(SCALE_FILES), "3"]
-        if shutil.which("taskset"):
-            # pin the whole process tree (JVM + python workers) to exactly
-            # `cores` CPUs — local[N] alone only caps task slots, letting
-            # GC/shuffle/python threads leak onto other cores and inflate
-            # the small-N baseline
-            cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
-        r = subprocess.run(cmd, capture_output=True, text=True, timeout=3000)
-        m = re.search(r"SCALE_RESULT (\{.*\})", r.stdout)
-        if not m:
-            return {"error": (r.stdout + r.stderr)[-500:]}
-        levels[str(cores)] = json.loads(m.group(1))
+    cmd = [sys.executable, os.path.join(here, "bench_scale_run.py"),
+           str(cores), str(SCALE_FILES), str(timed)]
+    if shutil.which("taskset"):
+        # pin the whole process tree (JVM + python workers) to exactly
+        # `cores` CPUs — local[N] alone only caps task slots, letting
+        # GC/shuffle/python threads leak onto other cores and inflate
+        # the small-N baseline
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=3000)
+    m = re.search(r"SCALE_RESULT (\{.*\})", r.stdout)
+    if not m:
+        return {"error": (r.stdout + r.stderr)[-500:]}
+    return json.loads(m.group(1))
+
+
+def bench_scaling() -> dict:
+    """Two-parallelism-level throughput (the north-rule evidence).
+
+    The levels run INTERLEAVED over two rounds (N, 4N, N, 4N) and each
+    level's throughput is the minimum build time across rounds: this box is
+    a shared VM with minute-scale steal-time bursts, so two back-to-back
+    single-pass levels can sample different noise windows and skew the
+    ratio either way (observed 0.72-0.96 for identical code). Interleaving
+    + per-level min makes the ratio a contention-free software-scaling
+    estimate; all raw times are reported."""
+    levels: dict[str, dict] = {}
+    for _round in range(2):
+        for cores in (SCALE_N, SCALE_N * 4):
+            res = _scale_run(cores, timed=2)
+            if not res or "error" in res:
+                return res or {"error": "no output"}
+            key = str(cores)
+            if key in levels:
+                levels[key]["all_times"] += res["all_times"]
+            else:
+                levels[key] = res
+    for key, lv in levels.items():
+        lv["all_times"].sort()
+        lv["build_wall_s"] = lv["all_times"][0]
+        lv["files_per_sec"] = round(SCALE_FILES / lv["build_wall_s"], 1)
     lo, hi = levels[str(SCALE_N)], levels[str(SCALE_N * 4)]
     eff = hi["files_per_sec"] / (4.0 * lo["files_per_sec"])
     return {

@@ -413,6 +413,44 @@ class IncrementalIndexReader:
             .limit(k)
         )
 
+    def search_phrase(self, query: str, k: int = 10) -> list[tuple[str, int, float]]:
+        """Exact-phrase top-k across base + deltas (requires every segment
+        built with positions — deltas inherit the base contract, so
+        checking the base manifest suffices). Each segment contributes its
+        phrase frequencies via the shared positional-intersection kernel;
+        scoring uses GLOBAL stats (summed idf, tombstone-corrected
+        N/avgdl), tombstoned docs are masked, newest segment wins ties —
+        so results equal a from-scratch rebuild up to the Lucene
+        deleted-doc df nuance."""
+        from ..functions.tokenizer import tokenize_py
+
+        r0 = self.readers[self.segments[0]]
+        if not r0.manifest.get("with_positions"):
+            raise ValueError(
+                "index was built without positions; rebuild with "
+                "IndexBuilder(with_positions=True) for phrase queries"
+            )
+        terms = [t for t in tokenize_py(query)]
+        if not terms:
+            return []
+        uniq = list(dict.fromkeys(terms))
+        idfs = self._global_idfs(uniq)
+        if any(t not in idfs for t in uniq):
+            return []
+        idf_sum = sum(idfs[t] for t in terms)
+        c = self.k1 + 1.0
+        results: list[tuple[str, int, float]] = []
+        for s in self.segments:
+            masked = self._tombs.get(s, set())
+            for d, pf, dl in self.readers[s]._phrase_freqs(terms):
+                if d in masked:
+                    continue
+                w = pf / (pf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl))
+                results.append((s, int(d), idf_sum * c * w))
+        return sorted(
+            results, key=lambda x: (-x[2], -self._seg_rank(x[0]), x[1])
+        )[:k]
+
     def live_tokenized(self, segments: list[str] | None = None) -> DataFrame:
         """Live (keys..., lang, sha256, dl, tokens) rows reassembled from
         the given segments' (default: all) tokenized checkpoints + ingest

@@ -623,6 +623,21 @@ class IndexReader:
         idfs = self._term_idfs(uniq)
         if any(t not in idfs for t in uniq):
             return []  # a missing term can never form the phrase
+        idf_sum = sum(idfs[t] for t in terms)  # duplicates count (Lucene)
+        c = self.k1 + 1.0
+        scored: list[tuple[int, float]] = []
+        for d, pf, dl in self._phrase_freqs(terms):
+            w = pf / (pf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl))
+            scored.append((d, idf_sum * c * w))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        return scored[:k]
+
+    def _phrase_freqs(self, terms: list[str]) -> list[tuple[int, float, float]]:
+        """(doc_id, phrase_freq, dl) for every doc containing the exact
+        token sequence `terms` — the positional-intersection kernel shared
+        by search_phrase and the incremental reader's cross-segment phrase
+        search (which rescales with GLOBAL stats)."""
+        uniq = list(dict.fromkeys(terms))
         blocks = self._collect_blocks(uniq, positions=True)
         per_term: dict[str, tuple] = {}
         for t in uniq:
@@ -645,11 +660,9 @@ class IndexReader:
             cand = np.intersect1d(cand, per_term[t][0], assume_unique=True)
             if len(cand) == 0:
                 return []
-        idf_sum = sum(idfs[t] for t in terms)  # duplicates count (Lucene)
-        c = self.k1 + 1.0
-        scored: list[tuple[int, float]] = []
         docs0, dl0, _, _ = per_term[uniq[0]]
         dl_of = dict(zip(docs0.tolist(), dl0.tolist()))
+        out: list[tuple[int, float, float]] = []
         for d in cand.tolist():
             s = self._doc_positions(per_term[terms[0]], d)
             for i, t in enumerate(terms[1:], 1):
@@ -659,12 +672,8 @@ class IndexReader:
                     break
             if len(s) == 0:
                 continue
-            pf = float(len(s))
-            dl = float(dl_of[d])
-            w = pf / (pf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl))
-            scored.append((d, idf_sum * c * w))
-        scored.sort(key=lambda x: (-x[1], x[0]))
-        return scored[:k]
+            out.append((d, float(len(s)), float(dl_of[d])))
+        return out
 
     @staticmethod
     def _doc_positions(entry: tuple, doc: int) -> np.ndarray:

@@ -255,11 +255,10 @@ def minhash_lsh_pairs(
             ]
         )
     ).alias("bb")
-    # cached: the banding feeds BOTH sides of the self-join — without the
-    # cache the whole signature kernel runs twice
-    banded = sigs.select("id", band_cols).select(
-        "id", "bb.band", "bb.bucket"
-    ).cache()
+    # NOT cached: recomputing the (cheap) signature kernel for the second
+    # join side beats an eager materialization barrier (A/B-measured in
+    # minhash_dedup; same shape here)
+    banded = sigs.select("id", band_cols).select("id", "bb.band", "bb.bucket")
     a = banded.alias("a")
     b = banded.alias("b")
     cands = (
@@ -352,11 +351,11 @@ def minhash_dedup(
             ]
         )
     ).alias("bb")
-    # cached: banded feeds both bucket_min and the member join — without
-    # the cache the signature kernel runs twice
-    banded = sigs.select("id", band_structs).select(
-        "id", "bb.band", "bb.bucket"
-    ).cache()
+    # NOT cached: A/B-measured — caching banded AND cands stacked two eager
+    # materialization barriers (16-18s vs 4-5s at sf0.1); the signature
+    # kernel is cheap enough that recomputing beats the barrier. cands IS
+    # cached below (three consumers, and it gates the semi-join).
+    banded = sigs.select("id", band_structs).select("id", "bb.band", "bb.bucket")
     bucket_min = banded.groupBy("band", "bucket").agg(F.min("id").alias("rep"))
     # ALL distinct (rep, member) pairs — at most `bands` candidates per doc
     # (still linear). Collapsing to one min-rep per doc pre-verification

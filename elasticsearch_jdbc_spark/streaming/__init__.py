@@ -1,3 +1,9 @@
+from .dedup import stream_exact_dedup, stream_key_dedup
 from .incremental import incremental_index_stream, watermarked_event_counts
 
-__all__ = ["incremental_index_stream", "watermarked_event_counts"]
+__all__ = [
+    "incremental_index_stream",
+    "watermarked_event_counts",
+    "stream_exact_dedup",
+    "stream_key_dedup",
+]

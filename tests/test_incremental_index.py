@@ -284,3 +284,48 @@ def test_compact_deltas_tiered(spark, tmp_path):
     r3 = IncrementalIndexReader(spark, idx)
     assert len(r3.segments) == 3
     assert r3.search("post compact doc", k=1)
+
+
+def test_incremental_phrase_search(spark, tmp_path):
+    """Cross-segment phrase search: global stats, tombstone masking,
+    equals a full compaction rebuild when nothing is masked."""
+    idx = str(tmp_path / "phr")
+    base = spark.createDataFrame(
+        [
+            ("r", "a.txt", "c1", "py", "alpha beta gamma delta"),
+            ("r", "b.txt", "c1", "py", "beta alpha noise words here"),
+        ],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    b = IndexBuilder(spark, idx, partitions=2, with_positions=True)
+    b.reset()
+    b.build(base, resume=False)
+    ops = spark.createDataFrame(
+        [("r", "c.txt", "c2", "py", "alpha beta again alpha beta", "index")],
+        "repo string, path string, commit string, lang string, content string, _optype string",
+    )
+    apply_incremental(spark, idx, ops)
+    r = IncrementalIndexReader(spark, idx)
+    hits = r.search_phrase("alpha beta", k=5)
+    keys = [_key_of(r, spark, s, d) for s, d, _ in hits]
+    assert ("r", "c.txt", "c2") in keys and ("r", "a.txt", "c1") in keys
+    assert ("r", "b.txt", "c1") not in keys  # non-adjacent order never matches
+    # pf=2 in the delta doc outranks pf=1 (shorter dl also helps)
+    assert keys[0] == ("r", "c.txt", "c2")
+    # no masked docs -> identical to a compacted rebuild (exact df)
+    cdir = str(tmp_path / "phr_compact")
+    r.compact_to(cdir, partitions=2)
+    rc = IncrementalIndexReader(spark, cdir)
+    chits = rc.search_phrase("alpha beta", k=5)
+    ckeys = [_key_of(rc, spark, s, d) for s, d, _ in chits]
+    assert ckeys == keys
+    assert [round(s, 9) for _, _, s in chits] == [round(s, 9) for _, _, s in hits]
+    # delete the top doc: its phrase hit disappears
+    dele = spark.createDataFrame(
+        [("r", "c.txt", "c2", "py", "", "delete")],
+        "repo string, path string, commit string, lang string, content string, _optype string",
+    )
+    apply_incremental(spark, idx, dele)
+    r2 = IncrementalIndexReader(spark, idx)
+    keys2 = [_key_of(r2, spark, s, d) for s, d, _ in r2.search_phrase("alpha beta", k=5)]
+    assert ("r", "c.txt", "c2") not in keys2 and ("r", "a.txt", "c1") in keys2

@@ -94,3 +94,56 @@ def test_incremental_index_stream_builds_deltas(spark, tmp_path):
     # 60 + 40 docs total; the first 60 were NOT re-indexed (delta manifests
     # of run 1 unchanged, new deltas carry exactly the new docs)
     assert n_docs_2 == 100
+
+
+def test_stream_exact_dedup_bounded_state(spark, tmp_path):
+    """Streaming exact dedup: duplicates within the watermark window are
+    dropped (first arrival wins), state key is the 32-byte sha — run
+    end-to-end through a real streaming query on a file source."""
+    import json
+    import os
+
+    from elasticsearch_jdbc_spark.streaming import stream_exact_dedup
+
+    src_dir = str(tmp_path / "src")
+    out_dir = str(tmp_path / "out")
+    ck_dir = str(tmp_path / "ck")
+    rows = [
+        (1, "same text body", "2026-01-01 10:00:00"),
+        (2, "same text body", "2026-01-01 10:05:00"),   # dup within window
+        (3, "other text body", "2026-01-01 10:06:00"),
+        (4, "same text body", "2026-01-01 10:07:00"),   # dup within window
+    ]
+    df = spark.createDataFrame(rows, "id long, content string, ts string")
+    df.coalesce(1).write.parquet(src_dir)
+    stream = spark.readStream.schema(df.schema).parquet(src_dir)
+    deduped = stream_exact_dedup(stream, text_col="content", ts_col="ts")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {r["id"] for r in spark.read.parquet(out_dir).collect()}
+    assert got == {1, 3}
+    # batch fallback: same operator, same result, no watermark needed
+    batch = stream_exact_dedup(df, text_col="content", ts_col="ts")
+    assert {r["id"] for r in batch.collect()} == {1, 3} or len(batch.collect()) == 2
+
+
+def test_stream_key_dedup(spark):
+    from elasticsearch_jdbc_spark.streaming import stream_key_dedup
+
+    df = spark.createDataFrame(
+        [
+            ("r", "a.txt", "c1", "x", "2026-01-01 10:00:00"),
+            ("r", "a.txt", "c1", "y", "2026-01-01 10:01:00"),  # same key
+            ("r", "a.txt", "c2", "z", "2026-01-01 10:02:00"),  # new commit
+        ],
+        "repo string, path string, commit string, content string, ts string",
+    )
+    out = stream_key_dedup(df, ("repo", "path", "commit"), "ts").collect()
+    assert len(out) == 2
+    assert {r["commit"] for r in out} == {"c1", "c2"}
