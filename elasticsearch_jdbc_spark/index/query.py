@@ -1087,9 +1087,42 @@ class IndexReader:
 
     # ---------- distributed scoring ----------
 
+    def search_fields_df(
+        self,
+        query: str,
+        boosts: dict[str, float] | None = None,
+        k: int = 10,
+    ) -> DataFrame:
+        """Distributed multi-field top-k (the 10^12-doc multi_match path):
+        expand tokens to per-field namespaced terms with boosts, score via
+        the same executor-side kernel as search_df. Rank-identical to the
+        driver search_fields."""
+        fields = self.manifest.get("fields")
+        if not fields:
+            raise ValueError(
+                "index was not built with fields=[...]; multi-field search "
+                "needs field-namespaced postings"
+            )
+        boosts = boosts or {f: 1.0 for f in fields}
+        unknown = set(boosts) - set(fields)
+        if unknown:
+            raise ValueError(f"unknown fields {sorted(unknown)}; indexed: {fields}")
+        terms, weights = [], {}
+        for tok in self.query_terms(query):
+            for f, w in boosts.items():
+                t = f + "\x1f" + tok
+                terms.append(t)
+                weights[t] = float(w)
+        return self.search_terms_df(terms, k, weights)
+
     def search_df(self, query: str, k: int = 10) -> DataFrame:
         """Distributed top-k: postings stay on executors end-to-end."""
-        terms = self.query_terms(query)
+        return self.search_terms_df(self.query_terms(query), k)
+
+    def search_terms_df(
+        self, terms: list[str], k: int = 10, weights: dict[str, float] | None = None
+    ) -> DataFrame:
+        """Distributed top-k over explicit (optionally boosted) terms."""
         idfs = self._term_idfs(terms)
         terms = [t for t in terms if t in idfs]
         k1, b, avgdl, c = self.k1, self.b, self.avgdl, self.k1 + 1.0
@@ -1103,7 +1136,10 @@ class IndexReader:
             return self.spark.createDataFrame([], out_schema).groupBy("doc_id").agg(
                 F.sum("partial").alias("score")
             )
-        idf_items = list(idfs.items())
+        idf_items = [
+            (t, i * (weights.get(t, 1.0) if weights else 1.0))
+            for t, i in idfs.items()
+        ]
 
         def score_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             idf_map = dict(idf_items)

@@ -1307,28 +1307,44 @@ def _index_docid_map(spark, idx):
     )
 
 
-@_reg("bm25_index_search")  # rows-only: the REAL index engine end-to-end
+@_reg("bm25_index_search")
 def bm25_index_q(spark, sf_dir):
-    """Index-engine path in the driver contract: build (resume-cached per
-    sf_dir) an index over the documents corpus, run the distributed
-    searcher, map internal doc ids back to documents.doc_id."""
+    """The REAL index engine end-to-end, ORACLE-CHECKED: build
+    (resume-cached per sf_dir) an index over the documents corpus, run the
+    distributed searcher for the full reference query set, map internal
+    doc ids back to documents.doc_id, and re-rank on the mapped id — the
+    result must equal the declarative BM25 plan's DuckDB oracle exactly
+    (same stats provenance, same scoring formula, same tie-break).
+
+    k = n_docs so the per-query cut happens AFTER the id mapping (internal
+    ids sort by path string order, which breaks score ties differently
+    than numeric documents order)."""
     from ..index import IndexReader
 
     idx = _registry_index(spark, sf_dir)
     reader = IndexReader(spark, idx)
+    ids = _index_docid_map(spark, idx)
     out = None
-    for qid, qtext in REFERENCE_QUERIES[:3]:
-        hits = reader.search_df(qtext, k=10).withColumn("query_id", F.lit(qid))
+    for qid, qtext in REFERENCE_QUERIES:
+        hits = reader.search_df(qtext, k=reader.n_docs).withColumn(
+            "query_id", F.lit(qid)
+        )
         out = hits if out is None else out.unionByName(hits)
-    docs = spark.read.parquet(f"{idx}/docs").select(
-        "doc_id",
-        F.regexp_extract("path", r"doc/(\d+)\.txt", 1).cast("long").alias("documents_doc_id"),
-    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("documents_doc_id"))
     return (
-        out.join(docs, "doc_id")
-        .select("query_id", "documents_doc_id", F.round("score", 4).alias("score"))
-        .orderBy("query_id", F.desc("score"), "documents_doc_id")
+        out.join(ids, "doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "rank",
+            F.col("documents_doc_id").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
     )
+
+
+ORACLE_SQL["bm25_index_search"] = BM25_SQL
 
 
 @_reg("bm25_phrase_index")

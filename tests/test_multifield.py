@@ -131,3 +131,16 @@ def test_fields_surfaces_wand_rank_identical(mf_idx):
         )
     finally:
         del reader.DENSE_LIMIT
+
+
+def test_search_fields_df_rank_identical(mf_idx):
+    """Distributed multi_match equals the driver path, boosts included."""
+    reader, _ = mf_idx
+    for boosts in ({"title": 1.0, "body": 1.0}, {"title": 10.0, "body": 1.0},
+                   {"title": 1.0}):
+        drv = reader.search_fields("spark engine", boosts=boosts, k=5)
+        dist = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in reader.search_fields_df("spark engine", boosts=boosts, k=5).collect()
+        ]
+        assert dist == [(d, round(s, 9)) for d, s in drv], boosts
