@@ -93,6 +93,61 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+def resize_image_stub(
+    media: DataFrame, max_side: int = 224
+) -> DataFrame:
+    """Image-resize plumbing: aspect-preserving target dims computed
+    JVM-side from metadata (REAL — this is the part that matters for the
+    pipeline shape: pure column math, no shuffle); the pixel resample
+    itself is production-stubbed (payload passes through untouched)."""
+    w = F.col("meta").getItem("w").cast("int")
+    h = F.col("meta").getItem("h").cast("int")
+    scale = F.least(
+        F.lit(1.0), F.lit(max_side) / F.greatest(w, h).cast("double")
+    )
+    return media.filter(F.col("kind") == "image").select(
+        "media_id",
+        w.alias("width"),
+        h.alias("height"),
+        F.round(w * scale).cast("int").alias("target_width"),
+        F.round(h * scale).cast("int").alias("target_height"),
+        # STUB: a real resample replaces payload here (PIL/libvips kernel
+        # in a mapInPandas over this same frame)
+        "payload",
+    )
+
+
+def audio_windows_stub(
+    media: DataFrame, window_bytes: int = 4000, overlap: float = 0.5
+) -> DataFrame:
+    """Audio windowing plumbing: one row per (overlapping) analysis window
+    over the payload byte-range — the 1->N explode shape of a real
+    spectrogram/VAD pass, with stride math done JVM-side. The per-window
+    DSP is production-stubbed."""
+    stride = max(1, int(window_bytes * (1.0 - overlap)))
+    n = F.greatest(
+        F.lit(1),
+        F.ceil((F.length("payload") - F.lit(window_bytes)) / F.lit(stride)) + 1,
+    ).cast("int")
+    return (
+        media.filter(F.col("kind") == "audio")
+        .select(
+            "media_id",
+            F.length("payload").alias("n_bytes"),
+            F.explode(F.sequence(F.lit(0), n - 1)).alias("window_no"),
+        )
+        .select(
+            "media_id",
+            "window_no",
+            (F.col("window_no") * stride).alias("offset"),
+            F.least(
+                F.lit(window_bytes),
+                F.col("n_bytes") - F.col("window_no") * stride,
+            ).alias("length"),
+        )
+    )
+
+
 def frame_sample_stub(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling plumbing: emits (media_id, frame_no) rows for
     videos; the decode of each frame is production-stubbed. Demonstrates

@@ -223,3 +223,35 @@ def test_wkt_multipolygon_and_envelope():
         assert wkt_to_geojson_py(s) is not None, s
     assert wkt_to_geojson_py("ENVELOPE (1, 2, 3)") is None
     assert wkt_to_geojson_py("CIRCLE (0 0, 5)") is None
+
+
+def test_multimodal_resize_and_audio_windows(spark):
+    from elasticsearch_jdbc_spark.functions.multimodal import (
+        audio_windows_stub,
+        resize_image_stub,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=30)
+    resized = resize_image_stub(media, max_side=100).collect()
+    assert resized, "fixture contains images"
+    for r in resized:
+        assert max(r["target_width"], r["target_height"]) <= 100
+        # aspect preserved within rounding
+        assert abs(
+            r["target_width"] / r["target_height"] - r["width"] / r["height"]
+        ) < 0.05
+        # never upscale
+        assert r["target_width"] <= r["width"] and r["target_height"] <= r["height"]
+    wins = audio_windows_stub(media, window_bytes=100, overlap=0.5).collect()
+    assert wins, "fixture contains audio"
+    by_media = {}
+    for w in wins:
+        by_media.setdefault(w["media_id"], []).append(w)
+    for rows in by_media.values():
+        rows.sort(key=lambda r: r["window_no"])
+        assert rows[0]["offset"] == 0
+        assert all(r["length"] > 0 for r in rows)
+        # 50% overlap stride
+        if len(rows) > 1:
+            assert rows[1]["offset"] - rows[0]["offset"] == 50
