@@ -83,3 +83,60 @@ def test_bm25_phrase_topk_survives_short_docs(spark, tmp_path):
     d.write.parquet(f"{sf}/documents.parquet")
     out = QUERIES["bm25_phrase_topk"](spark, sf).collect()
     assert {r["doc_id"] for r in out} == {0, 3}
+
+
+def test_search_df_pushes_term_filter_to_postings_scan(spark, tmp_path):
+    """The distributed searcher must read ONLY the query terms' posting
+    rows: the term IN-filter has to reach the parquet scan."""
+    from elasticsearch_jdbc_spark.index import IndexBuilder, IndexReader
+
+    idx = str(tmp_path / "pidx")
+    df = spark.createDataFrame(
+        [("r", str(i), "c", "t", f"alpha beta w{i}") for i in range(30)],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    IndexBuilder(spark, idx, partitions=2).build(df, resume=False)
+    plan = (
+        IndexReader(spark, idx)
+        .search_df("alpha beta", k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [In(term" in plan
+
+
+def test_dedup_plans_have_no_cartesian(spark, sf_dir):
+    """MinHash/SimHash/LSH candidate generation must stay equi-join —
+    a CartesianProduct anywhere means the O(n^2) path snuck back in."""
+    from elasticsearch_jdbc_spark.plans.registry import QUERIES
+
+    for name in ("dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_lsh",
+                 "dedup_jaccard_pairs"):
+        plan = (
+            QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_simhash_pairs_single_join(spark):
+    """The Manku tables must compile to ONE self-join over the exploded
+    (combo, key) rows, not C(6,3)=20 separate joins."""
+    from elasticsearch_jdbc_spark.operators import dedup
+
+    sim = dedup.simhash64(
+        spark.createDataFrame([(1, "a b c"), (2, "a b d")], "id long, t string"),
+        "id", "t",
+    )
+    plan = (
+        dedup.simhash_near_pairs(sim, max_hamming=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    n_joins = plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") + plan.count("ShuffledHashJoin")
+    assert n_joins == 1, f"expected one equi-join, saw {n_joins}"
