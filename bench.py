@@ -120,9 +120,10 @@ def _scale_run(cores: int, timed: int) -> dict | None:
 def bench_scaling() -> dict:
     """Two-parallelism-level throughput (the north-rule evidence).
 
-    The levels run INTERLEAVED over two rounds (N, 4N, N, 4N) and each
-    level's throughput is the minimum build time across rounds: this box is
-    a shared VM with minute-scale steal-time bursts, so two back-to-back
+    The levels run INTERLEAVED over two rounds (N, 4N, N, 4N; each
+    subprocess does a warmup build + one timed build) and each level's
+    throughput is the minimum timed build across rounds: this box is a
+    shared VM with minute-scale steal-time bursts, so two back-to-back
     single-pass levels can sample different noise windows and skew the
     ratio either way (observed 0.72-0.96 for identical code). Interleaving
     + per-level min makes the ratio a contention-free software-scaling
@@ -130,7 +131,7 @@ def bench_scaling() -> dict:
     levels: dict[str, dict] = {}
     for _round in range(2):
         for cores in (SCALE_N, SCALE_N * 4):
-            res = _scale_run(cores, timed=2)
+            res = _scale_run(cores, timed=1)
             if not res or "error" in res:
                 return res or {"error": "no output"}
             key = str(cores)
