@@ -94,11 +94,37 @@ def _read_one(spark: SparkSession, src: dict) -> DataFrame:
     return reader.format(fmt).load(src["path"])
 
 
+def write_ack(spark: SparkSession, manifest: dict, ack_dir: str) -> None:
+    """Write-back acknowledgment (A17): the reference's sink acks each bulk
+    request and exposes run metrics (`metrics` settings, MetricsLogger);
+    here one append-only parquet row per completed run carries the run's
+    metrics + lineage digest, so downstream jobs (or the next run) can
+    JOIN on ingest state instead of parsing manifests. Append mode — the
+    directory is a run log."""
+    m = build_metrics(manifest)
+    row = [
+        (
+            manifest["phases"]["ingest"]["source_fingerprint"],
+            manifest["n_docs"],
+            manifest["n_terms"],
+            float(m["wall_s"]),
+            float(m["dps"] or 0.0),
+            int(m["bytes_written"]),
+        )
+    ]
+    spark.createDataFrame(
+        row,
+        "source_fingerprint long, n_docs long, n_terms long, "
+        "wall_s double, dps double, bytes_written long",
+    ).coalesce(1).write.mode("append").parquet(ack_dir)
+
+
 def run_import(spark: SparkSession, spec: dict | str, resume: bool = True) -> dict:
     """Execute one import run (the reference's Context.execute state
     machine, StandardContext.java:160-214): read -> (optional rename,
     the column_name_map analogue, StandardSource.java:1938-1955) ->
-    (optional incremental filter) -> index build -> manifest."""
+    (optional incremental filter) -> index build -> manifest ->
+    (optional `ack_dir` write-back, A17)."""
     spec = load_spec(spec)
     df = read_source(spark, spec)
     for old, new in spec.get("rename", {}).items():
@@ -120,7 +146,10 @@ def run_import(spark: SparkSession, spec: dict | str, resume: bool = True) -> di
         partitions=spec["partitions"],
         with_positions=spec["positions"],
     )
-    return builder.build(df, resume=resume)
+    manifest = builder.build(df, resume=resume)
+    if spec.get("ack_dir"):
+        write_ack(spark, manifest, spec["ack_dir"])
+    return manifest
 
 
 def build_metrics(manifest: dict) -> dict:

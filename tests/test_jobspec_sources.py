@@ -159,3 +159,29 @@ def test_parquet_dispatch_default():
     read_source(fake, {"source": {"path": "/corpus"}})
     assert ("format", "parquet") in fake.calls
     assert ("load", "/corpus") in fake.calls
+
+
+def test_ack_writeback(spark, sf_dir, tmp_path):
+    """A17 write-back: each completed run appends one ack row (metrics +
+    lineage digest) — two runs, two rows, fingerprints equal for identical
+    input."""
+    from elasticsearch_jdbc_spark.plans.jobspec import run_import
+
+    src = str(tmp_path / "src")
+    spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40).selectExpr(
+        "source AS repo", "CAST(doc_id AS STRING) AS path",
+        "'c1' AS commit", "lang", "text AS content",
+    ).write.parquet(src)
+    ack = str(tmp_path / "acks")
+    spec = {
+        "source": {"format": "parquet", "path": src},
+        "index_dir": str(tmp_path / "idx"),
+        "partitions": 2,
+        "ack_dir": ack,
+    }
+    run_import(spark, spec, resume=False)
+    run_import(spark, spec, resume=False)
+    rows = spark.read.parquet(ack).collect()
+    assert len(rows) == 2
+    assert all(r["n_docs"] == 40 and r["bytes_written"] > 0 for r in rows)
+    assert rows[0]["source_fingerprint"] == rows[1]["source_fingerprint"]
