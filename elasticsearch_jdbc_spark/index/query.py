@@ -886,7 +886,9 @@ class IndexReader:
     # driver-friendly and search() falls back to block-max WAND
     DENSE_LIMIT = 200_000_000
 
-    def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+    def search(
+        self, query: str, k: int = 10, min_should_match: int = 1
+    ) -> list[tuple[int, float]]:
         """Driver top-k. Two strategies, both rank-identical to
         search_brute:
 
@@ -897,6 +899,11 @@ class IndexReader:
           memory is 8 bytes x doc-id-space, fine up to ~2x10^8 docs.
         * WAND (huge corpora): skip-capable cursor intersection — O(k)
           memory, sublinear decode via block metadata.
+
+        min_should_match: ES match-query semantics — a doc qualifies only
+        when at least that many DISTINCT query terms occur in it (both
+        strategies honor it; excluding a low-match doc never disturbs WAND
+        pruning, the threshold only ever under-prunes).
         """
         if self.manifest.get("fields"):
             # fields-indexed corpora have only namespaced terms; a plain
@@ -904,11 +911,12 @@ class IndexReader:
             # default)
             return self.search_fields(query, k=k)
         if self.n_docs <= self.DENSE_LIMIT:
-            return self._search_dense(query, k)
-        return self.search_wand(query, k)
-
-    def _search_dense(self, query: str, k: int) -> list[tuple[int, float]]:
-        return self._search_dense_terms(self.query_terms(query), k)
+            return self._search_dense_terms(
+                self.query_terms(query), k, min_match=min_should_match
+            )
+        return self.search_wand_terms(
+            self.query_terms(query), k, min_match=min_should_match
+        )
 
     def search_fields(
         self,
@@ -951,7 +959,11 @@ class IndexReader:
         return self.search_wand_terms(terms, k, weights)
 
     def _search_dense_terms(
-        self, terms: list[str], k: int, weights: dict[str, float] | None = None
+        self,
+        terms: list[str],
+        k: int,
+        weights: dict[str, float] | None = None,
+        min_match: int = 1,
     ) -> list[tuple[int, float]]:
         idfs = self._term_idfs(terms)
         terms = [t for t in terms if t in idfs]
@@ -982,13 +994,13 @@ class IndexReader:
         if max_doc < 0:
             return []
         score = np.zeros(max_doc + 1, np.float64)
-        hit = np.zeros(max_doc + 1, bool)
+        nmatch = np.zeros(max_doc + 1, np.int16)
         # accumulate in term order — the same FP addition order as
         # search_brute, so scores are bit-identical
         for docs, contrib in per_term:
             score[docs] += contrib  # docs unique within a term
-            hit[docs] = True
-        nz = np.flatnonzero(hit)
+            nmatch[docs] += 1
+        nz = np.flatnonzero(nmatch >= max(1, min_match))
         s = score[nz]
         if len(nz) > k:
             kth = np.partition(s, len(s) - k)[len(s) - k]  # k-th largest
@@ -1005,7 +1017,11 @@ class IndexReader:
         return self.search_wand_terms(self.query_terms(query), k)
 
     def search_wand_terms(
-        self, terms: list[str], k: int = 10, weights: dict[str, float] | None = None
+        self,
+        terms: list[str],
+        k: int = 10,
+        weights: dict[str, float] | None = None,
+        min_match: int = 1,
     ) -> list[tuple[int, float]]:
         """WAND with block-max refinement, rank-identical to search_brute
         (and, with `weights`, to _search_dense_terms with the same boosts —
@@ -1034,15 +1050,17 @@ class IndexReader:
             for t in terms
             if blocks[t]
         ]
-        return self._wand_loop(cursors, k)
+        return self._wand_loop(cursors, k, min_match=min_match)
 
     def _wand_loop(
-        self, cursors: list, k: int, excluded=None
+        self, cursors: list, k: int, excluded=None, min_match: int = 1
     ) -> list[tuple[int, float]]:
         """The block-max WAND driver loop over prepared cursors. `excluded`
         (optional doc -> bool) filters docs at scoring alignment — used by
         the bool must_not path; skipping an excluded doc never disturbs the
-        threshold, so pruning stays safe."""
+        threshold, so pruning stays safe. `min_match` requires that many
+        aligned cursors before a doc scores (ES minimum_should_match) —
+        again exclusion-only, so pruning bounds remain valid."""
         heap: list[tuple[float, int]] = []  # min-heap of (score, -doc), size k
         threshold = -np.inf
 
@@ -1064,8 +1082,10 @@ class IndexReader:
             if live[0].cur_doc() == pivot_doc:
                 aligned = [cu for cu in live if cu.cur_doc() == pivot_doc]
                 block_ub = sum(cu.block_ub() for cu in aligned)
-                if (len(heap) < k or block_ub >= threshold) and not (
-                    excluded is not None and excluded(pivot_doc)
+                if (
+                    (len(heap) < k or block_ub >= threshold)
+                    and len(aligned) >= min_match
+                    and not (excluded is not None and excluded(pivot_doc))
                 ):
                     score = sum(
                         cu.score_cur(self.k1, self.b, self.avgdl) for cu in aligned

@@ -155,3 +155,45 @@ def test_search_with_keys(built, spark):
         (F.col("repo") == hits[0]["repo"]) & (F.col("path") == hits[0]["path"])
     ).collect()
     assert len(row) == 1
+
+
+def test_minimum_should_match(spark, tmp_path):
+    """ES minimum_should_match: docs below the distinct-term floor are
+    excluded regardless of score — dense and WAND paths agree with a
+    brute-force model."""
+    from elasticsearch_jdbc_spark.functions.tokenizer import tokenize_py
+    from elasticsearch_jdbc_spark.index import IndexBuilder, IndexReader
+
+    docs = [
+        ("r", "0", "c", "t", "alpha alpha alpha alpha alpha"),   # 1 term, high tf
+        ("r", "1", "c", "t", "alpha beta filler words here"),    # 2 terms
+        ("r", "2", "c", "t", "alpha beta gamma more filler"),    # 3 terms
+        ("r", "3", "c", "t", "unrelated content entirely"),
+    ]
+    idx = str(tmp_path / "msm")
+    df = spark.createDataFrame(
+        docs, "repo string, path string, commit string, lang string, content string"
+    )
+    IndexBuilder(spark, idx, partitions=2).build(df, resume=False)
+    reader = IndexReader(spark, idx)
+    q = "alpha beta gamma"
+    qterms = set(tokenize_py(q))
+    texts = {int(p): set(tokenize_py(c)) for _, p, _, _, c in docs}
+    id_of = {r["path"]: r["doc_id"] for r in spark.read.parquet(f"{idx}/docs").collect()}
+    base = dict(reader.search(q, k=10))
+    for m in (1, 2, 3):
+        want = {
+            id_of[str(p)]
+            for p, toks in texts.items()
+            if len(qterms & toks) >= m
+        }
+        dense = reader.search(q, k=10, min_should_match=m)
+        assert {d for d, _ in dense} == want, m
+        # scores unchanged — mSM only filters
+        assert all(s == base[d] for d, s in dense)
+        reader.DENSE_LIMIT = 0
+        try:
+            assert reader.search(q, k=10, min_should_match=m) == dense, m
+        finally:
+            del reader.DENSE_LIMIT
+    assert reader.search(q, k=10, min_should_match=4) == []
