@@ -274,8 +274,69 @@ class IncrementalIndexReader:
     def search(self, query: str, k: int = 10) -> list[tuple[str, int, float]]:
         """Top-k (segment, doc_id, score) across live docs, global stats.
         Newest segment wins ties (its docs are the freshest)."""
+        return self.search_terms(
+            self.readers[self.segments[0]].query_terms(query), k
+        )
+
+    def search_prefix(
+        self, query: str, k: int = 10, limit: int = 128
+    ) -> list[tuple[str, int, float]]:
+        """Prefix top-k across base + deltas: each token expands against
+        EVERY segment's term dictionary (a delta-only term must match too),
+        unioned, lexicographically capped at `limit` per token — identical
+        expansion to a compacted index's search_prefix."""
+        expanded: list[str] = []
+        seen = set()
+        for tok in self.readers[self.segments[0]].query_terms(query):
+            union = sorted(
+                {
+                    t
+                    for s in self.segments
+                    for t in self.readers[s].expand_prefix(tok, limit)
+                }
+            )[:limit]
+            for t in union:
+                if t not in seen:
+                    seen.add(t)
+                    expanded.append(t)
+        return self.search_terms(expanded, k)
+
+    def search_fuzzy(
+        self,
+        query: str,
+        k: int = 10,
+        limit: int = 16,
+        fuzziness: int | str = "AUTO",
+    ) -> list[tuple[str, int, float]]:
+        """Fuzzy top-k across base + deltas: per-token edit-distance
+        expansion against every segment's vocabulary (each segment owns a
+        SymSpell table), unioned with the exact token first, capped at
+        `limit` — matching a compacted index's expansion."""
         r0 = self.readers[self.segments[0]]
-        terms = r0.query_terms(query)
+        expanded: list[str] = []
+        seen = set()
+        for tok in r0.query_terms(query):
+            d = r0._auto_fuzziness(tok) if fuzziness == "AUTO" else int(fuzziness)
+            union = sorted(
+                {
+                    t
+                    for s in self.segments
+                    for t in self.readers[s].expand_fuzzy(tok, limit, max_dist=d)
+                },
+                key=lambda c: (c != tok, c),
+            )[:limit]
+            for t in union:
+                if t not in seen:
+                    seen.add(t)
+                    expanded.append(t)
+        return self.search_terms(expanded, k)
+
+    def search_terms(
+        self, terms: list[str], k: int = 10, weights: dict[str, float] | None = None
+    ) -> list[tuple[str, int, float]]:
+        """Dense per-segment scoring over explicit (optionally boosted)
+        terms with GLOBAL stats; tombstones zeroed before each segment's
+        top-k, newest segment wins ties."""
         if not terms:
             return []
         idfs = self._global_idfs(terms)
@@ -291,7 +352,7 @@ class IncrementalIndexReader:
             blocks = r._collect_blocks(terms)
             masked = self._tombs.get(s, set())
             # dense per-segment scoring (same vectorized kernel as
-            # IndexReader._search_dense), tombstones zeroed before top-k
+            # IndexReader's dense path), tombstones zeroed before top-k
             max_doc = -1
             per_term = []
             for t in terms:
@@ -306,7 +367,8 @@ class IncrementalIndexReader:
                     b"".join(b[5] for b in blocks[t]),
                 )
                 w = tf / (tf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl))
-                per_term.append((docs, idfs[t] * c * w))
+                boost = weights.get(t, 1.0) if weights else 1.0
+                per_term.append((docs, boost * idfs[t] * c * w))
                 max_doc = max(max_doc, int(docs[-1]))
             if max_doc < 0:
                 continue

@@ -329,3 +329,45 @@ def test_incremental_phrase_search(spark, tmp_path):
     r2 = IncrementalIndexReader(spark, idx)
     keys2 = [_key_of(r2, spark, s, d) for s, d, _ in r2.search_phrase("alpha beta", k=5)]
     assert ("r", "c.txt", "c2") not in keys2 and ("r", "a.txt", "c1") in keys2
+
+
+def test_incremental_prefix_and_fuzzy(spark, tmp_path):
+    """Expanded-term search across segments: a delta-only term must be
+    found by prefix AND fuzzy expansion (per-segment vocab union); results
+    equal a compacted rebuild when nothing is masked."""
+    idx = str(tmp_path / "exp")
+    base = spark.createDataFrame(
+        [
+            ("r", "a.txt", "c1", "py", "quantify the results"),
+            ("r", "b.txt", "c1", "py", "other unrelated words"),
+        ],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    b = IndexBuilder(spark, idx, partitions=2)
+    b.reset()
+    b.build(base, resume=False)
+    ops = spark.createDataFrame(
+        [("r", "c.txt", "c2", "py", "quantum leap forward", "index")],
+        "repo string, path string, commit string, lang string, content string, _optype string",
+    )
+    apply_incremental(spark, idx, ops)
+    r = IncrementalIndexReader(spark, idx)
+    # prefix 'quant' matches base 'quantify' AND delta-only 'quantum'
+    pref = r.search_prefix("quant", k=5)
+    pref_keys = {_key_of(r, spark, s, d) for s, d, _ in pref}
+    assert ("r", "a.txt", "c1") in pref_keys and ("r", "c.txt", "c2") in pref_keys
+    # fuzzy 'quantun' (1 edit from delta-only 'quantum')
+    fz = r.search_fuzzy("quantun", k=5, fuzziness=1)
+    fz_keys = {_key_of(r, spark, s, d) for s, d, _ in fz}
+    assert fz_keys == {("r", "c.txt", "c2")}
+    # no masks -> identical ranking+scores vs a compacted rebuild
+    cdir = str(tmp_path / "exp_compact")
+    r.compact_to(cdir, partitions=2)
+    rc = IncrementalIndexReader(spark, cdir)
+    for got, want in (
+        (pref, rc.search_prefix("quant", k=5)),
+        (fz, rc.search_fuzzy("quantun", k=5, fuzziness=1)),
+    ):
+        assert [(_key_of(r, spark, s, d), round(sc, 9)) for s, d, sc in got] == [
+            (_key_of(rc, spark, s, d), round(sc, 9)) for s, d, sc in want
+        ]
