@@ -390,6 +390,22 @@ class IncrementalIndexReader:
             results, key=lambda x: (-x[2], -self._seg_rank(x[0]), x[1])
         )[:k]
 
+    def search_with_keys(self, query: str, k: int = 10) -> list[dict]:
+        """search() + doc-key enrichment (ES-style hit dicts): internal ids
+        resolve through each hit segment's docs table, batched per
+        segment."""
+        hits = self.search(query, k)
+        by_seg: dict[str, list[int]] = {}
+        for s, d, _ in hits:
+            by_seg.setdefault(s, []).append(d)
+        meta = {
+            s: self.readers[s].lookup_docs(ids) for s, ids in by_seg.items()
+        }
+        return [
+            {"segment": s, "doc_id": d, "score": sc, **meta[s].get(d, {})}
+            for s, d, sc in hits
+        ]
+
     def search_df(self, query: str, k: int = 10) -> DataFrame:
         """Distributed top-k over base + deltas: postings stay on executors
         end-to-end (the continuous-ingest scale path — a driver collect of

@@ -371,3 +371,14 @@ def test_incremental_prefix_and_fuzzy(spark, tmp_path):
         assert [(_key_of(r, spark, s, d), round(sc, 9)) for s, d, sc in got] == [
             (_key_of(rc, spark, s, d), round(sc, 9)) for s, d, sc in want
         ]
+
+
+def test_incremental_search_with_keys(spark, base_idx):
+    r = IncrementalIndexReader(spark, base_idx[0])
+    hits = r.search_with_keys("merge segment buffer", k=3)
+    assert len(hits) == 3
+    for h in hits:
+        assert {"segment", "doc_id", "score", *KEYS} <= set(h)
+        assert _key_of(r, spark, h["segment"], h["doc_id"]) == tuple(
+            h[k] for k in KEYS
+        )
