@@ -69,8 +69,25 @@ def test_dow_quartz_numbering():
     assert cron_next("0 0 9 ? * 1", T0) == dt.datetime(2026, 1, 4, 9, 0, 0)
 
 
-def test_unsupported_modifiers_raise():
-    for expr in ("0 0 12 L * ?", "0 0 12 15W * ?", "0 0 12 ? * 6#3"):
+def test_quartz_l_w_hash_modifiers():
+    # L: last day of month (Jan 2026)
+    assert cron_next("0 0 12 L * ?", T0) == dt.datetime(2026, 1, 31, 12, 0, 0)
+    # LW: last weekday — Jan 31 2026 is a Saturday, so Fri Jan 30
+    assert cron_next("0 0 12 LW * ?", T0) == dt.datetime(2026, 1, 30, 12, 0, 0)
+    # 15W: Jan 15 2026 is a Thursday -> itself
+    assert cron_next("0 0 12 15W * ?", T0) == dt.datetime(2026, 1, 15, 12, 0, 0)
+    # 15W in a month where the 15th is a Saturday (Aug 2026) -> Fri the 14th
+    assert cron_next("0 0 12 15W 8 ?", T0) == dt.datetime(2026, 8, 14, 12, 0, 0)
+    # 6#3: third Friday of Jan 2026 = Jan 16
+    assert cron_next("0 0 9 ? * 6#3", T0) == dt.datetime(2026, 1, 16, 9, 0, 0)
+    # 5L: last Thursday of Jan 2026 = Jan 29
+    assert cron_next("0 0 9 ? * 5L", T0) == dt.datetime(2026, 1, 29, 9, 0, 0)
+    # bare L in dow = Saturday -> Jan 3
+    assert cron_next("0 0 9 ? * L", T0) == dt.datetime(2026, 1, 3, 9, 0, 0)
+
+
+def test_malformed_modifiers_raise():
+    for expr in ("0 0 12 3L * ?", "0 0 12 ? * 8#3", "0 0 12 40W * ?"):
         with pytest.raises(ValueError):
             parse_cron(expr)
 
