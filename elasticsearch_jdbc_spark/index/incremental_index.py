@@ -491,8 +491,12 @@ class IncrementalIndexReader:
             .limit(k)
         )
 
-    def search_phrase(self, query: str, k: int = 10) -> list[tuple[str, int, float]]:
-        """Exact-phrase top-k across base + deltas (requires every segment
+    def search_phrase(
+        self, query: str, k: int = 10, slop: int = 0
+    ) -> list[tuple[str, int, float]]:
+        """Phrase top-k (exact, or within `slop` positions — see
+        IndexReader.search_phrase's contract) across base + deltas
+        (requires every segment
         built with positions — deltas inherit the base contract, so
         checking the base manifest suffices). Each segment contributes its
         phrase frequencies via the shared positional-intersection kernel;
@@ -520,7 +524,7 @@ class IncrementalIndexReader:
         results: list[tuple[str, int, float]] = []
         for s in self.segments:
             masked = self._tombs.get(s, set())
-            for d, pf, dl in self.readers[s]._phrase_freqs(terms):
+            for d, pf, dl in self.readers[s]._phrase_freqs(terms, slop=slop):
                 if d in masked:
                     continue
                 w = pf / (pf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl))

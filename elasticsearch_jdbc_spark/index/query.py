@@ -605,12 +605,26 @@ class IndexReader:
 
     # ---------- phrase queries (ES match_phrase / Lucene PhraseQuery) ----------
 
-    def search_phrase(self, query: str, k: int = 10) -> list[tuple[int, float]]:
-        """Exact-phrase top-k: docs containing the query tokens at
-        consecutive positions. Requires an index built with
-        with_positions=True. Scoring is Lucene PhraseQuery: tf = phrase
-        frequency, idf = sum of the terms' idfs, same BM25 weight curve;
-        ties broken by ascending doc_id."""
+    def search_phrase(
+        self, query: str, k: int = 10, slop: int = 0
+    ) -> list[tuple[int, float]]:
+        """Phrase top-k: docs containing the query tokens at consecutive
+        positions (slop=0), or within a position window (slop>0 — the ES
+        match_phrase `slop` analogue). Requires an index built with
+        with_positions=True. Scoring is Lucene PhraseQuery-shaped: tf =
+        phrase frequency, idf = sum of the terms' idfs, same BM25 weight
+        curve; ties broken by ascending doc_id.
+
+        Sloppy-match contract (documented, deterministic): with shifted
+        positions S_i = {q - i : q a position of term_i}, an occurrence is
+        counted per anchor p in S_0 for which some window [a, a+slop]
+        contains p and at least one member of EVERY S_i — i.e. all terms
+        appear with their relative offsets displaced by at most `slop`
+        total spread (reordering allowed once slop covers the swap). This
+        is the standard span criterion; Lucene additionally down-weights
+        sloppier matches (1/(distance+1)) — here every match counts 1,
+        which keeps pf integral and the scoring curve identical to the
+        exact-phrase path."""
         if not self.manifest.get("with_positions"):
             raise ValueError(
                 "index was built without positions; rebuild with "
@@ -626,17 +640,57 @@ class IndexReader:
         idf_sum = sum(idfs[t] for t in terms)  # duplicates count (Lucene)
         c = self.k1 + 1.0
         scored: list[tuple[int, float]] = []
-        for d, pf, dl in self._phrase_freqs(terms):
+        for d, pf, dl in self._phrase_freqs(terms, slop=slop):
             w = pf / (pf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl))
             scored.append((d, idf_sum * c * w))
         scored.sort(key=lambda x: (-x[1], x[0]))
         return scored[:k]
 
-    def _phrase_freqs(self, terms: list[str]) -> list[tuple[int, float, float]]:
-        """(doc_id, phrase_freq, dl) for every doc containing the exact
-        token sequence `terms` — the positional-intersection kernel shared
-        by search_phrase and the incremental reader's cross-segment phrase
-        search (which rescales with GLOBAL stats)."""
+    @staticmethod
+    def _sloppy_freq(shifted: list[np.ndarray], slop: int) -> int:
+        """Count anchors p in shifted[0] admitting a window [a, a+slop]
+        that contains p and intersects every shifted[i].
+
+        EXACT: the feasible-a region for term i is the union of intervals
+        [c-slop, c] over its in-range elements; any nonempty intersection
+        of such unions (clipped to [p-slop, p], which keeps p inside the
+        window automatically) contains the max of participating lower
+        endpoints — so testing every clipped lower endpoint as a candidate
+        start is complete."""
+        pf = 0
+        for p in shifted[0].tolist():
+            cand = {p - slop}
+            feasible = True
+            for s_i in shifted[1:]:
+                lo = int(np.searchsorted(s_i, p - slop, side="left"))
+                hi = int(np.searchsorted(s_i, p + slop, side="right"))
+                if lo == hi:
+                    feasible = False  # no element can share ANY p-window
+                    break
+                for c_val in s_i[lo:hi].tolist():
+                    cand.add(min(max(c_val - slop, p - slop), p))
+            if not feasible:
+                continue
+            for a in cand:
+                good = True
+                for s_i in shifted[1:]:
+                    j = int(np.searchsorted(s_i, a))
+                    if not (j < len(s_i) and s_i[j] <= a + slop):
+                        good = False
+                        break
+                if good:
+                    pf += 1
+                    break
+        return pf
+
+    def _phrase_freqs(
+        self, terms: list[str], slop: int = 0
+    ) -> list[tuple[int, float, float]]:
+        """(doc_id, phrase_freq, dl) for every doc containing the token
+        sequence `terms` (exactly, or within `slop` — see search_phrase) —
+        the positional-intersection kernel shared by search_phrase and the
+        incremental reader's cross-segment phrase search (which rescales
+        with GLOBAL stats)."""
         uniq = list(dict.fromkeys(terms))
         blocks = self._collect_blocks(uniq, positions=True)
         per_term: dict[str, tuple] = {}
@@ -664,15 +718,23 @@ class IndexReader:
         dl_of = dict(zip(docs0.tolist(), dl0.tolist()))
         out: list[tuple[int, float, float]] = []
         for d in cand.tolist():
-            s = self._doc_positions(per_term[terms[0]], d)
-            for i, t in enumerate(terms[1:], 1):
-                nxt = self._doc_positions(per_term[t], d)
-                s = s[np.isin(s + i, nxt, assume_unique=False)]
-                if len(s) == 0:
-                    break
-            if len(s) == 0:
+            if slop <= 0:
+                s = self._doc_positions(per_term[terms[0]], d)
+                for i, t in enumerate(terms[1:], 1):
+                    nxt = self._doc_positions(per_term[t], d)
+                    s = s[np.isin(s + i, nxt, assume_unique=False)]
+                    if len(s) == 0:
+                        break
+                pf = float(len(s))
+            else:
+                shifted = [
+                    np.sort(self._doc_positions(per_term[t], d) - i)
+                    for i, t in enumerate(terms)
+                ]
+                pf = float(self._sloppy_freq(shifted, slop))
+            if pf == 0:
                 continue
-            out.append((d, float(len(s)), float(dl_of[d])))
+            out.append((d, pf, float(dl_of[d])))
         return out
 
     @staticmethod

@@ -137,3 +137,64 @@ def test_distributed_phrase_equals_driver(pos_idx):
         for (_, gs), (_, ws) in zip(got, want):
             assert abs(gs - ws) < 1e-9
     assert reader.search_phrase_df("nosuchterm here", k=5).count() == 0
+
+
+def _brute_sloppy_pf(token_lists, qterms, slop):
+    """Reference model of the documented span criterion: anchor p in
+    shifted S_0 counts iff some integer window [a, a+slop] contains p and
+    one member of every shifted S_i."""
+    out = {}
+    for doc, toks in token_lists.items():
+        shifted = []
+        for i, t in enumerate(qterms):
+            shifted.append([p - i for p, x in enumerate(toks) if x == t])
+        if any(not s for s in shifted):
+            continue
+        pf = 0
+        for p in shifted[0]:
+            hit = False
+            for a in range(p - slop, p + 1):
+                if all(any(a <= c <= a + slop for c in s) for s in shifted[1:]):
+                    hit = True
+                    break
+            if hit:
+                pf += 1
+        if pf:
+            out[doc] = pf
+    return out
+
+
+def test_sloppy_phrase_vs_brute_model(spark, tmp_path):
+    from elasticsearch_jdbc_spark.functions.tokenizer import tokenize_py
+    from elasticsearch_jdbc_spark.index import IndexBuilder, IndexReader
+
+    DOCS = [
+        ("r", "0", "c", "t", "alpha beta gap"),                 # exact adjacency
+        ("r", "1", "c", "t", "alpha filler beta end"),          # 1 insert
+        ("r", "2", "c", "t", "beta alpha swapped order"),       # reorder (needs slop>=2)
+        ("r", "3", "c", "t", "alpha one two three beta far"),   # 3 inserts
+        ("r", "4", "c", "t", "alpha only here"),                # missing term
+        ("r", "5", "c", "t", "alpha beta alpha x beta twice"),  # multiple matches
+    ]
+    idx = str(tmp_path / "slop")
+    df = spark.createDataFrame(
+        DOCS, "repo string, path string, commit string, lang string, content string"
+    )
+    IndexBuilder(spark, idx, partitions=2, with_positions=True).build(df, resume=False)
+    reader = IndexReader(spark, idx)
+    id_of = {r["path"]: r["doc_id"] for r in spark.read.parquet(f"{idx}/docs").collect()}
+    toks = {id_of[p]: tokenize_py(c) for _, p, _, _, c in DOCS}
+    qterms = ["alpha", "beta"]
+    for slop in (0, 1, 2, 3):
+        want = _brute_sloppy_pf(toks, qterms, slop)
+        got = {d: pf for d, pf, _ in reader._phrase_freqs(qterms, slop=slop)}
+        assert got == want, slop
+    # monotonic: larger slop never loses a match
+    prev = set()
+    for slop in (0, 1, 2, 3, 5):
+        cur = {d for d, _ in reader.search_phrase("alpha beta", k=10, slop=slop)}
+        assert prev <= cur, slop
+        prev = cur
+    # slop=0 equals the exact path; reorder doc appears only at slop>=2
+    assert id_of["2"] not in {d for d, _ in reader.search_phrase("alpha beta", k=10, slop=1)}
+    assert id_of["2"] in {d for d, _ in reader.search_phrase("alpha beta", k=10, slop=2)}
