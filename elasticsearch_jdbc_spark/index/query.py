@@ -232,7 +232,13 @@ class IndexReader:
         depth-d deletion variant, so fuzzy lookup is an equi-join — no
         term-dictionary scan per query. One Spark job over the (small)
         terms table; idempotent, rebuilt only when a deeper table is
-        requested."""
+        requested. Depth is capped at 2 (the ES fuzziness cap — deeper
+        tables grow combinatorially and ES never asks for them)."""
+        if max_dist > 2:
+            raise ValueError(
+                f"max_dist={max_dist}: the deletion table caps at depth 2 "
+                "(the Elasticsearch fuzziness limit)"
+            )
         if self._fuzzy_depth() >= max_dist:
             return
         fdir = os.path.join(self.index_dir, "fuzzy")
@@ -252,10 +258,14 @@ class IndexReader:
             ).otherwise(F.array().cast("array<string>"))
 
         terms = self.spark.read.parquet(os.path.join(self.index_dir, "terms")).select("term")
-        d1 = dels(F.col("term"))
-        var_arr = F.concat(F.array(F.col("term")), d1)
-        if max_dist >= 2:
-            var_arr = F.concat(var_arr, F.flatten(F.transform(d1, dels)))
+        # one dels() pass per depth level, so the recorded max_dist always
+        # equals the depth actually built (ADVICE: a single nested pass
+        # with {"max_dist": N>2} would silently lose distance-N recall)
+        frontier = dels(F.col("term"))
+        var_arr = F.concat(F.array(F.col("term")), frontier)
+        for _ in range(max_dist - 1):
+            frontier = F.flatten(F.transform(frontier, dels))
+            var_arr = F.concat(var_arr, frontier)
         variants = terms.select(
             "term", F.explode(F.array_distinct(var_arr)).alias("variant")
         )
@@ -333,7 +343,18 @@ class IndexReader:
             .to_table(filter=ds.field("variant").isin(qvars), columns=["term"])
         )
         cands = sorted(set(t.column("term").to_pylist()))
-        out = [c for c in cands if self._lev_within(key, c, max_dist)]
+        if field:
+            # verify the TOKEN part only, after an exact field-name match:
+            # running the edit budget over the whole namespaced string
+            # would let edits span the field name (ADVICE: 'title'/'titles'
+            # cross-matching under the wrong field's boost)
+            out = []
+            for c in cands:
+                fld, sep, tok_part = c.partition("\x1f")
+                if sep and fld == field and self._lev_within(token, tok_part, max_dist):
+                    out.append(c)
+        else:
+            out = [c for c in cands if self._lev_within(key, c, max_dist)]
         out.sort(key=lambda c: (c != key, c))  # exact match first
         return out[:limit]
 
@@ -970,8 +991,9 @@ class IndexReader:
         if self.manifest.get("fields"):
             # fields-indexed corpora have only namespaced terms; a plain
             # search means "match any field, equal boosts" (ES multi_match
-            # default)
-            return self.search_fields(query, k=k)
+            # default); min_should_match counts TOKEN groups there (a token
+            # matched in any field counts once)
+            return self.search_fields(query, k=k, min_should_match=min_should_match)
         if self.n_docs <= self.DENSE_LIMIT:
             return self._search_dense_terms(
                 self.query_terms(query), k, min_match=min_should_match
@@ -985,12 +1007,17 @@ class IndexReader:
         query: str,
         boosts: dict[str, float] | None = None,
         k: int = 10,
+        min_should_match: int = 1,
     ) -> list[tuple[int, float]]:
         """Multi-field BM25 top-k over a fields-indexed corpus (ES
         multi_match, best-of-both-worlds rewrite): each query token expands
         to its per-field namespaced terms ("<field>\\x1f<token>"), each
         scoring with its own field df and the field's boost. Requires an
-        index built with IndexBuilder(fields=[...])."""
+        index built with IndexBuilder(fields=[...]).
+
+        min_should_match counts TOKEN groups: a doc qualifies when at least
+        that many distinct query tokens match it in ANY field (ES
+        minimum_should_match over multi_match)."""
         fields = self.manifest.get("fields")
         if not fields:
             raise ValueError(
@@ -1001,24 +1028,45 @@ class IndexReader:
         unknown = set(boosts) - set(fields)
         if unknown:
             raise ValueError(f"unknown fields {sorted(unknown)}; indexed: {fields}")
-        terms, weights = [], {}
+        terms, weights, groups = [], {}, []
         for tok in self.query_terms(query):
+            g = []
             for f, w in boosts.items():
                 t = f + "\x1f" + tok
                 terms.append(t)
                 weights[t] = float(w)
-        return self._search_terms(terms, k, weights)
+                g.append(t)
+            groups.append(g)
+        return self._search_terms(
+            terms, k, weights, min_match=min_should_match, groups=groups
+        )
 
     def _search_terms(
-        self, terms: list[str], k: int, weights: dict[str, float] | None = None
+        self,
+        terms: list[str],
+        k: int,
+        weights: dict[str, float] | None = None,
+        min_match: int = 1,
+        groups: list[list[str]] | None = None,
     ) -> list[tuple[int, float]]:
         """Expanded-term dispatcher: dense accumulator while the doc-id
         space fits driver memory, weighted block-max WAND beyond it — so
         prefix/fuzzy/multi-field searches scale exactly like plain
-        search()."""
+        search(). `groups` makes min_match count token GROUPS (any member
+        term matching counts the group once) instead of raw terms."""
         if self.n_docs <= self.DENSE_LIMIT:
-            return self._search_dense_terms(terms, k, weights)
-        return self.search_wand_terms(terms, k, weights)
+            return self._search_dense_terms(
+                terms, k, weights, min_match=min_match, groups=groups
+            )
+        if groups and min_match > 1:
+            # group-level counting needs the per-doc group bitmap the dense
+            # accumulator provides; WAND cursors only see aligned terms.
+            # Explicit error beats silently dropping the constraint.
+            raise ValueError(
+                "min_should_match > 1 over a fields index is only supported "
+                f"up to DENSE_LIMIT={self.DENSE_LIMIT} docs"
+            )
+        return self.search_wand_terms(terms, k, weights, min_match=min_match)
 
     def _search_dense_terms(
         self,
@@ -1026,6 +1074,7 @@ class IndexReader:
         k: int,
         weights: dict[str, float] | None = None,
         min_match: int = 1,
+        groups: list[list[str]] | None = None,
     ) -> list[tuple[int, float]]:
         idfs = self._term_idfs(terms)
         terms = [t for t in terms if t in idfs]
@@ -1034,6 +1083,7 @@ class IndexReader:
         blocks = self._collect_blocks(terms)
         c = self.k1 + 1.0
         per_term: list[tuple[np.ndarray, np.ndarray]] = []
+        decoded_docs: dict[str, np.ndarray] = {}
         max_doc = -1
         for t in terms:
             if not blocks[t]:
@@ -1053,6 +1103,7 @@ class IndexReader:
             contrib = boost * idfs[t] * c * w
             max_doc = max(max_doc, int(docs[-1]))
             per_term.append((docs, contrib))
+            decoded_docs[t] = docs
         if max_doc < 0:
             return []
         score = np.zeros(max_doc + 1, np.float64)
@@ -1062,6 +1113,17 @@ class IndexReader:
         for docs, contrib in per_term:
             score[docs] += contrib  # docs unique within a term
             nmatch[docs] += 1
+        if groups and min_match > 1:
+            # min_should_match counts token GROUPS: a group matches when
+            # any member term does (the fields-index OR)
+            nmatch = np.zeros(max_doc + 1, np.int16)
+            for g in groups:
+                gm = np.zeros(max_doc + 1, bool)
+                for t in g:
+                    d = decoded_docs.get(t)
+                    if d is not None:
+                        gm[d] = True
+                nmatch += gm
         nz = np.flatnonzero(nmatch >= max(1, min_match))
         s = score[nz]
         if len(nz) > k:

@@ -140,3 +140,12 @@ def test_plain_surfaces_wand_rank_identical(fz_idx):
         assert fz_idx.search_prefix("mer", k=10) == dense_pref
     finally:
         del fz_idx.DENSE_LIMIT
+
+
+def test_fuzzy_depth_above_es_cap_raises(fz_idx):
+    """ES caps fuzziness at 2; deeper tables would be combinatorial and the
+    old code silently recorded a depth it never built (ADVICE r02)."""
+    with pytest.raises(ValueError, match="caps at depth 2"):
+        fz_idx.enable_fuzzy(3)
+    with pytest.raises(ValueError, match="caps at depth 2"):
+        fz_idx.expand_fuzzy("merge", max_dist=3)

@@ -144,3 +144,53 @@ def test_search_fields_df_rank_identical(mf_idx):
             for r in reader.search_fields_df("spark engine", boosts=boosts, k=5).collect()
         ]
         assert dist == [(d, round(s, 9)) for d, s in drv], boosts
+
+
+def test_min_should_match_counts_token_groups(mf_idx):
+    """min_should_match on a fields index counts distinct TOKENS matched in
+    any field — and is no longer silently dropped by search() (ADVICE
+    r02)."""
+    reader, key2id = mf_idx
+    loose = {d for d, _ in reader.search("spark engine", k=5)}
+    assert loose == {key2id["0"], key2id["1"], key2id["2"]}
+    strict = reader.search("spark engine", k=5, min_should_match=2)
+    # only doc 0 has both tokens (title: "spark engine")
+    assert [d for d, _ in strict] == [key2id["0"]]
+    # the strict doc's score equals its loose score (mSM filters, never
+    # rescores)
+    loose_scores = dict(reader.search("spark engine", k=5))
+    assert strict[0][1] == loose_scores[key2id["0"]]
+    # the WAND fallback cannot count token groups: explicit error, not a
+    # silently dropped constraint
+    reader.DENSE_LIMIT = 0
+    try:
+        with pytest.raises(ValueError, match="min_should_match"):
+            reader.search("spark engine", k=5, min_should_match=2)
+    finally:
+        del reader.DENSE_LIMIT
+
+
+def test_fuzzy_edit_budget_cannot_span_field_name(spark, tmp_path_factory):
+    """With similarly-named fields ('title'/'titles'), a fuzzy expansion for
+    field='title' must not admit terms of field 'titles' by spending the
+    edit budget on the field name (ADVICE r02)."""
+    idx = str(tmp_path_factory.mktemp("mf_fz") / "idx")
+    df = spark.createDataFrame(
+        [("r", "0", "c", "t", "spark rules", "other words"),
+         ("r", "1", "c", "t", "nothing here", "spark text")],
+        "repo string, path string, commit string, lang string, "
+        "title string, titles string",
+    )
+    IndexBuilder(spark, idx, partitions=1, fields=["title", "titles"]).build(
+        df, resume=False
+    )
+    reader = IndexReader(spark, idx)
+    exp = reader.expand_fuzzy("spark", max_dist=1, field="title")
+    assert "title\x1fspark" in exp
+    assert all(t.split("\x1f")[0] == "title" for t in exp)
+    # and the per-field restriction holds end-to-end
+    hits = {d for d, _ in reader.search_fuzzy("spark", fuzziness=1,
+                                              boosts={"title": 1.0}, k=5)}
+    docs = {r["path"]: r["doc_id"] for r in
+            spark.read.parquet(f"{idx}/docs").collect()}
+    assert hits == {docs["0"]}
