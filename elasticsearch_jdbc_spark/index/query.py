@@ -627,12 +627,14 @@ class IndexReader:
     # ---------- phrase queries (ES match_phrase / Lucene PhraseQuery) ----------
 
     def search_phrase(
-        self, query: str, k: int = 10, slop: int = 0
+        self, query: str, k: int = 10, slop: int = 0, field: str | None = None
     ) -> list[tuple[int, float]]:
         """Phrase top-k: docs containing the query tokens at consecutive
         positions (slop=0), or within a position window (slop>0 — the ES
         match_phrase `slop` analogue). Requires an index built with
-        with_positions=True. Scoring is Lucene PhraseQuery-shaped: tf =
+        with_positions=True. A fields-indexed corpus requires `field` (ES
+        match_phrase always targets one field; raw tokens would silently
+        match nothing). Scoring is Lucene PhraseQuery-shaped: tf =
         phrase frequency, idf = sum of the terms' idfs, same BM25 weight
         curve; ties broken by ascending doc_id.
 
@@ -651,7 +653,7 @@ class IndexReader:
                 "index was built without positions; rebuild with "
                 "IndexBuilder(with_positions=True) for phrase queries"
             )
-        terms = [t for t in tokenize_py(query)]  # order + duplicates kept
+        terms = self._phrase_terms(query, field)
         if not terms:
             return []
         uniq = list(dict.fromkeys(terms))
@@ -666,6 +668,26 @@ class IndexReader:
             scored.append((d, idf_sum * c * w))
         scored.sort(key=lambda x: (-x[1], x[0]))
         return scored[:k]
+
+    def _phrase_terms(self, query: str, field: str | None) -> list[str]:
+        """Tokenize a phrase query (order + duplicates kept) and namespace
+        per `field` on a fields-indexed corpus — which REQUIRES a field (ES
+        match_phrase targets exactly one); a plain corpus rejects one."""
+        fields = self.manifest.get("fields")
+        if fields and field is None:
+            raise ValueError(
+                f"fields-indexed corpus: pass field=<one of {fields}> "
+                "(ES match_phrase targets a single field)"
+            )
+        if field is not None:
+            if not fields:
+                raise ValueError("field= requires a fields-indexed corpus")
+            if field not in fields:
+                raise ValueError(f"unknown field {field!r}; indexed: {fields}")
+        terms = [t for t in tokenize_py(query)]
+        if field is not None:
+            terms = [field + "\x1f" + t for t in terms]
+        return terms
 
     @staticmethod
     def _sloppy_freq(shifted: list[np.ndarray], slop: int) -> int:
@@ -765,7 +787,9 @@ class IndexReader:
         lo = 0 if i == 0 else int(pos_ends[i - 1])
         return pos[lo : int(pos_ends[i])]
 
-    def search_phrase_df(self, query: str, k: int = 10) -> DataFrame:
+    def search_phrase_df(
+        self, query: str, k: int = 10, field: str | None = None
+    ) -> DataFrame:
         """Distributed phrase top-k: postings stay on executors (the
         10^12-doc path — a driver collect of a hot term's positions would
         not fit). Blocks decode in a vectorized UDF -> (doc, term,
@@ -773,7 +797,7 @@ class IndexReader:
         global top-k. Rank-identical to search_phrase."""
         if not self.manifest.get("with_positions"):
             raise ValueError("index was built without positions")
-        terms = [t for t in tokenize_py(query)]
+        terms = self._phrase_terms(query, field)
         if not terms:
             return self.spark.createDataFrame([], "doc_id long, score double")
         uniq = list(dict.fromkeys(terms))
