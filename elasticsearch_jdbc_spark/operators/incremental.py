@@ -39,8 +39,11 @@ def classify_ops(
     delete  — deleted_at >= T
     Rows older than T on all axes are dropped (already synced)."""
     t = F.lit(last_run).cast("timestamp")
-    created = F.col(created_col) >= t
-    updated = (F.col(updated_col) >= t) & (F.col(created_col) < t)
+    alive = F.col(deleted_col).isNull() if deleted_col else F.lit(True)
+    created = (F.col(created_col) >= t) & alive
+    updated = (F.col(updated_col) >= t) & (F.col(created_col) < t) & alive
+    # any row with a deletion stamp in the window deletes — even if it was
+    # also updated after T (delete wins; a dead row must never reindex)
     deleted = F.col(deleted_col) >= t if deleted_col else F.lit(False)
     return (
         df.withColumn(

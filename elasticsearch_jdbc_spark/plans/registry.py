@@ -472,13 +472,16 @@ def a8(spark, sf_dir):
                  CASE WHEN event_type = 'error' THEN ts END AS deleted_at
           FROM events)
     SELECT CASE WHEN deleted_at >= cut THEN 'delete'
-                WHEN created_at >= cut THEN 'create'
-                WHEN updated_at >= cut AND created_at < cut THEN 'index'
+                WHEN created_at >= cut AND deleted_at IS NULL THEN 'create'
+                WHEN updated_at >= cut AND created_at < cut
+                     AND deleted_at IS NULL THEN 'index'
            END AS _optype,
            COUNT(*) AS n
     FROM e, t
-    WHERE deleted_at >= cut OR created_at >= cut
-       OR (updated_at >= cut AND created_at < cut)
+    WHERE deleted_at >= cut
+       OR (deleted_at IS NULL
+           AND (created_at >= cut
+                OR (updated_at >= cut AND created_at < cut)))
     GROUP BY 1
     """,
 )
@@ -500,6 +503,88 @@ def a11(spark, sf_dir):
         incremental.classify_ops(staged, "created_at", "updated_at", "deleted_at", cut)
         .groupBy("_optype")
         .agg(F.count("*").alias("n"))
+    )
+
+
+@_reg(
+    "a11_column_sync",
+    """
+    SELECT 'd' AS repo, CAST(doc_id AS VARCHAR) AS path, 'c' AS "commit",
+           sha256(CASE WHEN doc_id % 5 = 0 THEN text || ' updated'
+                       ELSE text END) AS sha256
+    FROM documents WHERE doc_id % 11 != 0
+    """,
+)
+def a11_column_sync_q(spark, sf_dir):
+    """The column strategy END-TO-END through the jobspec entry point
+    (VERDICT r02 #1): run_import builds a base index from source v1, then a
+    second run classifies v2's adds/updates/deletes against the
+    checkpointed last_run and routes them through apply_incremental. The
+    surviving live docs' sha256(content) must equal the oracle's final
+    corpus — content identity (the north-rule per-row invariant) proves
+    adds present, deletes masked, AND updates visible, not just key
+    survival.
+
+    v1 = documents minus doc_id%7==0; v2 adds those back (created T3),
+    updates %5==0 (text+' updated', updated T3) and deletes %11==0
+    (deleted T3). Fresh temp dir per invocation."""
+    import datetime as dtm
+    import tempfile as _tmpf
+
+    from .jobspec import run_import
+
+    work = _tmpf.mkdtemp(prefix="colsync_")
+    t1, t3 = dtm.datetime(2026, 1, 1), dtm.datetime(2026, 1, 3)
+    base = _t(spark, sf_dir, "documents").select(
+        F.lit("d").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("c").alias("commit"),
+        "lang",
+        "doc_id",
+        "text",
+    )
+    is_new = F.col("doc_id") % 7 == 0
+    is_upd = F.col("doc_id") % 5 == 0
+    is_del = F.col("doc_id") % 11 == 0
+    v1 = base.filter(~is_new).select(
+        "repo", "path", "commit", "lang",
+        F.col("text").alias("content"),
+        F.lit(t1).alias("created_at"),
+        F.lit(t1).alias("updated_at"),
+        F.lit(None).cast("timestamp").alias("deleted_at"),
+    )
+    v2 = base.select(
+        "repo", "path", "commit", "lang",
+        F.when(is_upd, F.concat("text", F.lit(" updated")))
+        .otherwise(F.col("text"))
+        .alias("content"),
+        F.when(is_new, t3).otherwise(t1).alias("created_at"),
+        F.when(is_new | is_upd, t3).otherwise(t1).alias("updated_at"),
+        F.when(is_del, t3).cast("timestamp").alias("deleted_at"),
+    )
+    v1.write.parquet(f"{work}/v1")
+    v2.write.parquet(f"{work}/v2")
+
+    def spec(src, now):
+        return {
+            "source": {"format": "parquet", "path": src},
+            "strategy": "column",
+            "index_dir": f"{work}/idx",
+            "partitions": 8,
+            "incremental": {
+                "created_col": "created_at",
+                "updated_col": "updated_at",
+                "deleted_col": "deleted_at",
+                "now": now,
+            },
+        }
+
+    run_import(spark, spec(f"{work}/v1", "2026-01-02 00:00:00"))
+    run_import(spark, spec(f"{work}/v2", "2026-01-04 00:00:00"))
+    from ..index import IncrementalIndexReader
+
+    return IncrementalIndexReader(spark, f"{work}/idx").live_docs().select(
+        "repo", "path", "commit", "sha256"
     )
 
 
