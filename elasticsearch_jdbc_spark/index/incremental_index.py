@@ -652,7 +652,12 @@ class IncrementalIndexReader:
         )
 
     def search_phrase(
-        self, query: str, k: int = 10, slop: int = 0, field: str | None = None
+        self,
+        query: str,
+        k: int = 10,
+        slop: int = 0,
+        field: str | None = None,
+        weight_mode: str = "count",
     ) -> list[tuple[str, int, float]]:
         """Phrase top-k (exact, or within `slop` positions — see
         IndexReader.search_phrase's contract) across base + deltas
@@ -695,9 +700,13 @@ class IncrementalIndexReader:
         idf_sum = sum(idfs[t] for t in terms)
         c = self.k1 + 1.0
         results: list[tuple[str, int, float]] = []
+        if weight_mode not in ("count", "lucene"):
+            raise ValueError(f"weight_mode {weight_mode!r}: use 'count' or 'lucene'")
         for s in self.segments:
             masked = self._tombs.get(s, set())
-            for d, pf, dl in self.readers[s]._phrase_freqs(terms, slop=slop):
+            for d, pf, dl in self.readers[s]._phrase_freqs(
+                terms, slop=slop, lucene_weight=weight_mode == "lucene"
+            ):
                 if d in masked:
                     continue
                 w = pf / (pf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl))

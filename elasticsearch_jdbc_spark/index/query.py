@@ -83,6 +83,63 @@ class _Cursor:
         return self.idf * self.c * w
 
 
+def _anchor_feasible(shifted: list[np.ndarray], p: int, w: int) -> bool:
+    """Does some integer window [a, a+w] contain anchor p and intersect
+    every shifted[i]?
+
+    EXACT: the feasible-a region for term i is the union of intervals
+    [c-w, c] over its in-range elements; any nonempty intersection of such
+    unions (clipped to [p-w, p], which keeps p inside the window
+    automatically) contains the max of participating lower endpoints — so
+    testing every clipped lower endpoint as a candidate start is
+    complete."""
+    cand = {p - w}
+    for s_i in shifted[1:]:
+        lo = int(np.searchsorted(s_i, p - w, side="left"))
+        hi = int(np.searchsorted(s_i, p + w, side="right"))
+        if lo == hi:
+            return False  # no element can share ANY p-window
+        for c_val in s_i[lo:hi].tolist():
+            cand.add(min(max(c_val - w, p - w), p))
+    for a in cand:
+        good = True
+        for s_i in shifted[1:]:
+            j = int(np.searchsorted(s_i, a))
+            if not (j < len(s_i) and s_i[j] <= a + w):
+                good = False
+                break
+        if good:
+            return True
+    return False
+
+
+def _sloppy_freq(
+    shifted: list[np.ndarray], slop: int, lucene_weight: bool = False
+) -> float:
+    """Sloppy phrase frequency over per-term shifted position arrays
+    (S_i = positions of term_i minus i): each anchor p in shifted[0]
+    admitting a window [a, a+slop] that contains p and intersects every
+    shifted[i] counts.
+
+    lucene_weight=False (default contract): every match counts 1 — pf stays
+    integral, scoring curve identical to the exact-phrase path.
+    lucene_weight=True: each match counts 1/(d+1) where d is the MINIMAL
+    window width admitting it (0 for an in-order adjacent match) — the
+    Lucene SloppyPhraseScorer sloppyFreq shape, where tighter matches score
+    higher. Feasibility is monotone in the width, so the minimal d is the
+    first feasible width."""
+    pf = 0.0
+    for p in shifted[0].tolist():
+        if not _anchor_feasible(shifted, p, slop):
+            continue
+        if lucene_weight:
+            d = next(w for w in range(slop + 1) if _anchor_feasible(shifted, p, w))
+            pf += 1.0 / (d + 1)
+        else:
+            pf += 1.0
+    return pf
+
+
 class IndexReader:
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
@@ -627,7 +684,12 @@ class IndexReader:
     # ---------- phrase queries (ES match_phrase / Lucene PhraseQuery) ----------
 
     def search_phrase(
-        self, query: str, k: int = 10, slop: int = 0, field: str | None = None
+        self,
+        query: str,
+        k: int = 10,
+        slop: int = 0,
+        field: str | None = None,
+        weight_mode: str = "count",
     ) -> list[tuple[int, float]]:
         """Phrase top-k: docs containing the query tokens at consecutive
         positions (slop=0), or within a position window (slop>0 — the ES
@@ -644,10 +706,15 @@ class IndexReader:
         contains p and at least one member of EVERY S_i — i.e. all terms
         appear with their relative offsets displaced by at most `slop`
         total spread (reordering allowed once slop covers the swap). This
-        is the standard span criterion; Lucene additionally down-weights
-        sloppier matches (1/(distance+1)) — here every match counts 1,
-        which keeps pf integral and the scoring curve identical to the
-        exact-phrase path."""
+        is the standard span criterion.
+
+        weight_mode: "count" (default contract) counts every match as 1 —
+        pf stays integral and the scoring curve is identical to the
+        exact-phrase path; "lucene" counts each match as 1/(d+1) with d the
+        minimal admitting window width (the Lucene SloppyPhraseScorer
+        sloppyFreq shape — tighter matches score higher)."""
+        if weight_mode not in ("count", "lucene"):
+            raise ValueError(f"weight_mode {weight_mode!r}: use 'count' or 'lucene'")
         if not self.manifest.get("with_positions"):
             raise ValueError(
                 "index was built without positions; rebuild with "
@@ -663,7 +730,9 @@ class IndexReader:
         idf_sum = sum(idfs[t] for t in terms)  # duplicates count (Lucene)
         c = self.k1 + 1.0
         scored: list[tuple[int, float]] = []
-        for d, pf, dl in self._phrase_freqs(terms, slop=slop):
+        for d, pf, dl in self._phrase_freqs(
+            terms, slop=slop, lucene_weight=weight_mode == "lucene"
+        ):
             w = pf / (pf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl))
             scored.append((d, idf_sum * c * w))
         scored.sort(key=lambda x: (-x[1], x[0]))
@@ -689,45 +758,10 @@ class IndexReader:
             terms = [field + "\x1f" + t for t in terms]
         return terms
 
-    @staticmethod
-    def _sloppy_freq(shifted: list[np.ndarray], slop: int) -> int:
-        """Count anchors p in shifted[0] admitting a window [a, a+slop]
-        that contains p and intersects every shifted[i].
-
-        EXACT: the feasible-a region for term i is the union of intervals
-        [c-slop, c] over its in-range elements; any nonempty intersection
-        of such unions (clipped to [p-slop, p], which keeps p inside the
-        window automatically) contains the max of participating lower
-        endpoints — so testing every clipped lower endpoint as a candidate
-        start is complete."""
-        pf = 0
-        for p in shifted[0].tolist():
-            cand = {p - slop}
-            feasible = True
-            for s_i in shifted[1:]:
-                lo = int(np.searchsorted(s_i, p - slop, side="left"))
-                hi = int(np.searchsorted(s_i, p + slop, side="right"))
-                if lo == hi:
-                    feasible = False  # no element can share ANY p-window
-                    break
-                for c_val in s_i[lo:hi].tolist():
-                    cand.add(min(max(c_val - slop, p - slop), p))
-            if not feasible:
-                continue
-            for a in cand:
-                good = True
-                for s_i in shifted[1:]:
-                    j = int(np.searchsorted(s_i, a))
-                    if not (j < len(s_i) and s_i[j] <= a + slop):
-                        good = False
-                        break
-                if good:
-                    pf += 1
-                    break
-        return pf
+    _sloppy_freq = staticmethod(_sloppy_freq)
 
     def _phrase_freqs(
-        self, terms: list[str], slop: int = 0
+        self, terms: list[str], slop: int = 0, lucene_weight: bool = False
     ) -> list[tuple[int, float, float]]:
         """(doc_id, phrase_freq, dl) for every doc containing the token
         sequence `terms` (exactly, or within `slop` — see search_phrase) —
@@ -774,7 +808,7 @@ class IndexReader:
                     np.sort(self._doc_positions(per_term[t], d) - i)
                     for i, t in enumerate(terms)
                 ]
-                pf = float(self._sloppy_freq(shifted, slop))
+                pf = float(self._sloppy_freq(shifted, slop, lucene_weight))
             if pf == 0:
                 continue
             out.append((d, pf, float(dl_of[d])))
@@ -788,13 +822,22 @@ class IndexReader:
         return pos[lo : int(pos_ends[i])]
 
     def search_phrase_df(
-        self, query: str, k: int = 10, field: str | None = None
+        self,
+        query: str,
+        k: int = 10,
+        field: str | None = None,
+        slop: int = 0,
+        weight_mode: str = "count",
     ) -> DataFrame:
         """Distributed phrase top-k: postings stay on executors (the
         10^12-doc path — a driver collect of a hot term's positions would
         not fit). Blocks decode in a vectorized UDF -> (doc, term,
-        positions) rows -> per-doc grouped adjacency check -> score ->
-        global top-k. Rank-identical to search_phrase."""
+        positions) rows -> per-doc grouped adjacency (or, with slop>0, the
+        span-criterion sloppy match — same contract and weight_mode options
+        as search_phrase) -> score -> global top-k. Rank-identical to
+        search_phrase."""
+        if weight_mode not in ("count", "lucene"):
+            raise ValueError(f"weight_mode {weight_mode!r}: use 'count' or 'lucene'")
         if not self.manifest.get("with_positions"):
             raise ValueError("index was built without positions")
         terms = self._phrase_terms(query, field)
@@ -809,6 +852,7 @@ class IndexReader:
         n_uniq = len(uniq)
         term_list = list(terms)
         uniq_list = list(uniq)
+        slop_val, lucene = int(slop), weight_mode == "lucene"
 
         decode_schema = T.StructType(
             [
@@ -876,12 +920,23 @@ class IndexReader:
             by_term = dict(zip(terms, pos_lists))
             if len(by_term) < n_uniq:
                 return None
-            s = np.asarray(by_term[term_list[0]], np.int64)
-            for i, t in enumerate(term_list[1:], 1):
-                s = s[np.isin(s + i, np.asarray(by_term[t], np.int64))]
-                if len(s) == 0:
+            if slop_val <= 0:
+                s = np.asarray(by_term[term_list[0]], np.int64)
+                for i, t in enumerate(term_list[1:], 1):
+                    s = s[np.isin(s + i, np.asarray(by_term[t], np.int64))]
+                    if len(s) == 0:
+                        return None
+                pf = float(len(s))
+            else:
+                from .query import _sloppy_freq as _sf
+
+                shifted = [
+                    np.sort(np.asarray(by_term[t], np.int64) - i)
+                    for i, t in enumerate(term_list)
+                ]
+                pf = float(_sf(shifted, slop_val, lucene))
+                if pf == 0:
                     return None
-            pf = float(len(s))
             w = pf / (pf + k1 * (1.0 - b + b * float(dl0) / avgdl))
             return idf_sum * c * w
 

@@ -198,3 +198,97 @@ def test_sloppy_phrase_vs_brute_model(spark, tmp_path):
     # slop=0 equals the exact path; reorder doc appears only at slop>=2
     assert id_of["2"] not in {d for d, _ in reader.search_phrase("alpha beta", k=10, slop=1)}
     assert id_of["2"] in {d for d, _ in reader.search_phrase("alpha beta", k=10, slop=2)}
+
+
+def _brute_sloppy_weighted(token_lists, qterms, slop):
+    """Weighted model: each matching anchor counts 1/(d+1) with d the
+    MINIMAL window width admitting it (Lucene sloppyFreq shape)."""
+    out = {}
+    for doc, toks in token_lists.items():
+        shifted = []
+        for i, t in enumerate(qterms):
+            shifted.append([p - i for p, x in enumerate(toks) if x == t])
+        if any(not s for s in shifted):
+            continue
+        pf = 0.0
+        for p in shifted[0]:
+            best = None
+            for w in range(slop + 1):
+                hit = any(
+                    all(any(a <= c <= a + w for c in s) for s in shifted[1:])
+                    for a in range(p - w, p + 1)
+                )
+                if hit:
+                    best = w
+                    break
+            if best is not None:
+                pf += 1.0 / (best + 1)
+        if pf:
+            out[doc] = pf
+    return out
+
+
+@pytest.fixture(scope="module")
+def slop_idx(spark, tmp_path_factory):
+    DOCS2 = [
+        ("r", "0", "c", "t", "alpha beta gap"),
+        ("r", "1", "c", "t", "alpha filler beta end"),
+        ("r", "2", "c", "t", "beta alpha swapped order"),
+        ("r", "3", "c", "t", "alpha one two three beta far"),
+        ("r", "4", "c", "t", "alpha only here"),
+        ("r", "5", "c", "t", "alpha beta alpha x beta twice"),
+    ]
+    idx = str(tmp_path_factory.mktemp("slopw") / "idx")
+    df = spark.createDataFrame(
+        DOCS2, "repo string, path string, commit string, lang string, content string"
+    )
+    IndexBuilder(spark, idx, partitions=2, with_positions=True).build(df, resume=False)
+    reader = IndexReader(spark, idx)
+    id_of = {r["path"]: r["doc_id"] for r in spark.read.parquet(f"{idx}/docs").collect()}
+    toks = {id_of[p]: tokenize_py(c) for _, p, _, _, c in DOCS2}
+    return reader, id_of, toks
+
+
+def test_lucene_sloppy_weight_vs_brute_model(slop_idx):
+    """Opt-in 1/(distance+1) weighting (Lucene SloppyPhraseScorer) against
+    the weighted brute model; the default contract stays integral."""
+    reader, id_of, toks = slop_idx
+    qterms = ["alpha", "beta"]
+    for slop in (1, 2, 3):
+        want = _brute_sloppy_weighted(toks, qterms, slop)
+        got = {
+            d: pf
+            for d, pf, _ in reader._phrase_freqs(qterms, slop=slop, lucene_weight=True)
+        }
+        assert {d: round(v, 9) for d, v in got.items()} == {
+            d: round(v, 9) for d, v in want.items()
+        }, slop
+    # exact adjacency counts full weight; a distance-2 reorder counts 1/3
+    got2 = {
+        d: pf for d, pf, _ in reader._phrase_freqs(qterms, slop=2, lucene_weight=True)
+    }
+    assert got2[id_of["0"]] == 1.0
+    assert abs(got2[id_of["2"]] - 1 / 3) < 1e-12
+    # weighted mode never scores higher than count mode
+    cnt = {d: pf for d, pf, _ in reader._phrase_freqs(qterms, slop=2)}
+    assert all(got2[d] <= cnt[d] for d in got2)
+    with pytest.raises(ValueError, match="weight_mode"):
+        reader.search_phrase("alpha beta", slop=2, weight_mode="nope")
+
+
+def test_distributed_slop_phrase_equals_driver(slop_idx):
+    """search_phrase_df(slop=...) rank-identical to the driver path, both
+    weight modes (VERDICT r02 #5: the distributed path was exact-only)."""
+    reader, _, _ = slop_idx
+    for slop in (0, 1, 2, 3):
+        for mode in ("count", "lucene"):
+            want = reader.search_phrase("alpha beta", k=10, slop=slop, weight_mode=mode)
+            got = [
+                (r["doc_id"], r["score"])
+                for r in reader.search_phrase_df(
+                    "alpha beta", k=10, slop=slop, weight_mode=mode
+                ).collect()
+            ]
+            assert [d for d, _ in got] == [d for d, _ in want], (slop, mode)
+            for (_, gs), (_, ws) in zip(got, want):
+                assert abs(gs - ws) < 1e-9
