@@ -43,7 +43,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import time
 from collections.abc import Iterator
 
@@ -55,6 +54,7 @@ from pyspark.sql import types as T
 
 from ..functions.tokenizer import tokenize_pandas
 from .codec import bm25_weight, varint_encode
+from .storage import LocalFS
 
 def tokenized_schema(key_fields: list[T.StructField]) -> T.StructType:
     """Checkpoint schema for the tokenized table — key columns keep their
@@ -118,9 +118,13 @@ class IndexBuilder:
         with_positions: bool = False,
         lang_filter: bool = False,
         fields: list[str] | None = None,
+        fs=None,
     ):
         self.spark = spark
         self.index_dir = index_dir
+        # control-plane storage (markers/sidecars/manifest/commit files);
+        # the parquet data plane always goes through Spark/pyarrow
+        self.fs = fs or LocalFS()
         self.k1, self.b = k1, b
         self.block_size = block_size
         self.key_cols = list(key_cols)
@@ -170,32 +174,28 @@ class IndexBuilder:
 
     def _phase_done(self, phase: str) -> dict | None:
         p = self._marker_path(phase)
-        if os.path.exists(p):
-            with open(p) as f:
-                return json.load(f)
+        if self.fs.exists(p):
+            return json.loads(self.fs.read_text(p))
         return None
 
     def _commit_phase(self, phase: str, payload: dict) -> dict:
         payload = {"phase": phase, "status": "done", **payload}
-        tmp = self._marker_path(phase) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(payload, f, indent=1)
-        os.replace(tmp, self._marker_path(phase))  # write-temp-then-rename
+        # write-temp-then-rename via the storage abstraction
+        self.fs.write_text(self._marker_path(phase), json.dumps(payload, indent=1))
         return payload
 
-    @staticmethod
-    def _dir_lineage(path: str) -> dict:
+    def _dir_lineage(self, path: str) -> dict:
         """Per-partition lineage from parquet footers: file -> rows/bytes."""
         import pyarrow.parquet as pq
 
         files = sorted(
-            f for f in os.listdir(path) if f.endswith(".parquet")
+            f for f in self.fs.listdir(path) if f.endswith(".parquet")
         )
         parts = {}
         for fn in files:
             fp = os.path.join(path, fn)
             md = pq.read_metadata(fp)
-            parts[fn] = {"rows": md.num_rows, "bytes": os.path.getsize(fp)}
+            parts[fn] = {"rows": md.num_rows, "bytes": self.fs.getsize(fp)}
         return parts
 
     # ---------- phases ----------
@@ -203,7 +203,7 @@ class IndexBuilder:
     def build(self, df: DataFrame, resume: bool = True) -> dict:
         """Run all phases; with resume=True completed phases are skipped
         (their markers carry the lineage needed by later phases)."""
-        os.makedirs(self.index_dir, exist_ok=True)
+        self.fs.makedirs(self.index_dir)
         t0 = time.time()
         ing = self._phase_done("ingest") if resume else None
         if not ing:
@@ -229,10 +229,10 @@ class IndexBuilder:
             "built_wall_s": round(time.time() - t0, 3),
             "phases": {"ingest": ing, "stats": st, "postings": po},
         }
-        tmp = os.path.join(self.index_dir, "manifest.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=1)
-        os.replace(tmp, os.path.join(self.index_dir, "manifest.json"))
+        self.fs.write_text(
+            os.path.join(self.index_dir, "manifest.json"),
+            json.dumps(manifest, indent=1),
+        )
         return manifest
 
     def _phase_ingest(self, df: DataFrame) -> dict:
@@ -267,9 +267,10 @@ class IndexBuilder:
         other_cols = [c for c in keyed.columns if c not in (*keys, text_col, "sha256")]
         lang_col = "lang" if "lang" in other_cols else None
         stats_dir = os.path.join(self.index_dir, "partstats")
-        if os.path.isdir(stats_dir):  # stale sidecars from an aborted run
-            shutil.rmtree(stats_dir)
-        os.makedirs(stats_dir, exist_ok=True)
+        if self.fs.isdir(stats_dir):  # stale sidecars from an aborted run
+            self.fs.rmtree(stats_dir)
+        self.fs.makedirs(stats_dir)
+        fs = self.fs  # picklable; executors write sidecars through it
 
         def ingest_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             import zlib
@@ -338,10 +339,11 @@ class IndexBuilder:
             # aggregation job over the tokenized table. Task retries
             # overwrite idempotently (write-temp-then-rename).
             payload = {"pid": pid, "cnt": seq, "sum_dl": sum_dl, "crc": crc}
-            p = os.path.join(stats_dir, f"pid={pid}.json")
-            with open(p + f".tmp{os.getpid()}", "w") as f:
-                json.dump(payload, f)
-            os.replace(p + f".tmp{os.getpid()}", p)
+            fs.write_text(
+                os.path.join(stats_dir, f"pid={pid}.json"),
+                json.dumps(payload),
+                tmp_suffix=str(os.getpid()),
+            )
 
         tokenized_dir = os.path.join(self.index_dir, "tokenized")
         out_schema = tokenized_schema([keyed.schema[k] for k in keys])
@@ -349,10 +351,11 @@ class IndexBuilder:
 
         tok = self.spark.read.parquet(tokenized_dir)
         per_pid = []
-        for fn in sorted(os.listdir(stats_dir)):
+        for fn in sorted(self.fs.listdir(stats_dir)):
             if fn.endswith(".json"):
-                with open(os.path.join(stats_dir, fn)) as f:
-                    per_pid.append(json.load(f))
+                per_pid.append(
+                    json.loads(self.fs.read_text(os.path.join(stats_dir, fn)))
+                )
         counts = {r["pid"]: r["cnt"] for r in per_pid}
         # offsets are aligned UP to block_size multiples: doc ids stay
         # unique and partition-contiguous, and no 128-doc posting block ever
@@ -441,7 +444,7 @@ class IndexBuilder:
         tokenized_dir = os.path.join(self.index_dir, "tokenized")
         files = sorted(
             os.path.join(tokenized_dir, f)
-            for f in os.listdir(tokenized_dir)
+            for f in self.fs.listdir(tokenized_dir)
             if f.endswith(".parquet")
         )
         paths_df = self.spark.createDataFrame(
@@ -525,9 +528,9 @@ class IndexBuilder:
 
     def reset(self):
         """Delete all phase outputs + markers (full rebuild)."""
-        if os.path.isdir(self.index_dir):
-            shutil.rmtree(self.index_dir)
-        os.makedirs(self.index_dir, exist_ok=True)
+        if self.fs.isdir(self.index_dir):
+            self.fs.rmtree(self.index_dir)
+        self.fs.makedirs(self.index_dir)
 
 
 def _segment_from_tokens(tbl, bs: int, avgdl: float, k1: float, b: float,

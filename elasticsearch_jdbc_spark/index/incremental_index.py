@@ -41,43 +41,44 @@ from pyspark.sql import functions as F
 from .build import IndexBuilder
 from .codec import bm25_idf
 from .query import IndexReader
+from .storage import LocalFS
 
 
-def _list_segments(index_dir: str) -> list[str]:
+def _list_segments(index_dir: str, fs=None) -> list[str]:
     """Live segments, oldest first (base '', delta=0, delta=1, …).
 
     When a `segments.json` commit point exists (written by tiered
     compaction, the Lucene segments_N analogue) it is authoritative —
     directory contents that are not listed are pre-commit or pre-cleanup
     garbage. Otherwise fall back to a directory scan."""
+    fs = fs or LocalFS()
     seg_file = os.path.join(index_dir, "segments.json")
-    if os.path.exists(seg_file):
-        with open(seg_file) as f:
-            return json.load(f)["segments"]
+    if fs.exists(seg_file):
+        return json.loads(fs.read_text(seg_file))["segments"]
     segs = []
-    if os.path.exists(os.path.join(index_dir, "manifest.json")):
+    if fs.exists(os.path.join(index_dir, "manifest.json")):
         segs.append("")
     deltas = []
-    for d in os.listdir(index_dir):
+    for d in fs.listdir(index_dir):
         m = re.fullmatch(r"delta=(\d+)", d)
-        if m and os.path.exists(os.path.join(index_dir, d, "manifest.json")):
+        if m and fs.exists(os.path.join(index_dir, d, "manifest.json")):
             deltas.append(int(m.group(1)))
     segs.extend(f"delta={n}" for n in sorted(deltas))
     return segs
 
 
-def _commit_segments(index_dir: str, segments: list[str]) -> None:
+def _commit_segments(index_dir: str, segments: list[str], fs=None) -> None:
     """Atomically publish the live-segment list (write-temp-then-rename)."""
-    seg_file = os.path.join(index_dir, "segments.json")
-    with open(seg_file + ".tmp", "w") as f:
-        json.dump({"segments": segments}, f)
-    os.replace(seg_file + ".tmp", seg_file)
+    fs = fs or LocalFS()
+    fs.write_text(
+        os.path.join(index_dir, "segments.json"), json.dumps({"segments": segments})
+    )
 
 
-def _segment_manifest(index_dir: str, segment: str) -> dict:
+def _segment_manifest(index_dir: str, segment: str, fs=None) -> dict:
+    fs = fs or LocalFS()
     base = os.path.join(index_dir, segment) if segment else index_dir
-    with open(os.path.join(base, "manifest.json")) as f:
-        return json.load(f)
+    return json.loads(fs.read_text(os.path.join(base, "manifest.json")))
 
 
 def _builder_kwargs_from_manifest(m: dict) -> dict:
@@ -96,15 +97,16 @@ def _builder_kwargs_from_manifest(m: dict) -> dict:
     }
 
 
-def _next_delta_id(index_dir: str) -> int:
+def _next_delta_id(index_dir: str, fs=None) -> int:
     """Next batch id — counts BOTH delta index dirs and tombstone batch
     dirs (a delete-only batch creates only the latter; reusing its id
     would overwrite its tombstones)."""
+    fs = fs or LocalFS()
     ids = [-1]
-    dirs = list(os.listdir(index_dir))
+    dirs = list(fs.listdir(index_dir))
     tdir = os.path.join(index_dir, "tombstones")
-    if os.path.isdir(tdir):
-        dirs += os.listdir(tdir)
+    if fs.isdir(tdir):
+        dirs += fs.listdir(tdir)
     for d in dirs:
         m = re.fullmatch(r"delta=(\d+)", d)
         if m:
@@ -119,6 +121,7 @@ def apply_incremental(
     key_cols: tuple = ("repo", "path", "commit"),
     text_col: str = "content",
     partitions: int | None = None,
+    fs=None,
 ) -> dict:
     """Apply one optype-tagged batch (column `_optype` in
     index/create/update/delete — see operators.incremental.classify_ops and
@@ -126,15 +129,16 @@ def apply_incremental(
 
     Returns {"delta": id, "upserts": n, "tombstones": n}.
     """
-    delta_id = _next_delta_id(index_dir)
-    segs_before = _list_segments(index_dir)
+    fs = fs or LocalFS()
+    delta_id = _next_delta_id(index_dir, fs)
+    segs_before = _list_segments(index_dir, fs)
     # inherit the index contract from the base segment: k1/b/block_size/
     # positions/lang_filter/fields (and key_cols) must match or a delta
     # silently loses phrase/multi-field capability and drifts scores
     builder_kwargs: dict = {"key_cols": key_cols}
     if segs_before:
         builder_kwargs = _builder_kwargs_from_manifest(
-            _segment_manifest(index_dir, segs_before[0])
+            _segment_manifest(index_dir, segs_before[0], fs)
         )
     keys = list(builder_kwargs["key_cols"])
 
@@ -143,7 +147,11 @@ def apply_incremental(
 
     # tombstone every older live version of upserted/deleted keys
     affected = up.select(*keys).unionByName(dele.select(*keys)).distinct()
-    reader = IncrementalIndexReader(spark, index_dir) if _list_segments(index_dir) else None
+    reader = (
+        IncrementalIndexReader(spark, index_dir, fs=fs)
+        if _list_segments(index_dir, fs)
+        else None
+    )
     n_tomb = 0
     if reader is not None:
         tomb_dir = os.path.join(index_dir, "tombstones", f"delta={delta_id}")
@@ -151,7 +159,7 @@ def apply_incremental(
         new_tombs = live.join(F.broadcast(affected), keys, "left_semi").select(
             "segment", "doc_id", "dl"
         )
-        os.makedirs(tomb_dir, exist_ok=True)
+        fs.makedirs(tomb_dir)
         new_tombs.write.mode("overwrite").parquet(tomb_dir)
         n_tomb = spark.read.parquet(tomb_dir).count()
 
@@ -162,13 +170,14 @@ def apply_incremental(
             os.path.join(index_dir, f"delta={delta_id}"),
             text_col=text_col,
             partitions=partitions,
+            fs=fs,
             **builder_kwargs,
         )
         b.build(up.drop("_optype"), resume=False)
         # keep the commit point current when one exists (tiered compaction
         # introduces it; without this the new delta would stay invisible)
-        if os.path.exists(os.path.join(index_dir, "segments.json")):
-            _commit_segments(index_dir, segs_before + [f"delta={delta_id}"])
+        if fs.exists(os.path.join(index_dir, "segments.json")):
+            _commit_segments(index_dir, segs_before + [f"delta={delta_id}"], fs)
     return {"delta": delta_id, "upserts": int(n_up), "tombstones": int(n_tomb)}
 
 
@@ -177,10 +186,11 @@ class IncrementalIndexReader:
     global stats. Each segment keeps its own dense doc_ids; results are
     (segment, doc_id, *keys, score)."""
 
-    def __init__(self, spark: SparkSession, index_dir: str):
+    def __init__(self, spark: SparkSession, index_dir: str, fs=None):
         self.spark = spark
         self.index_dir = index_dir
-        self.segments = _list_segments(index_dir)
+        self.fs = fs or LocalFS()
+        self.segments = _list_segments(index_dir, self.fs)
         if not self.segments:
             raise FileNotFoundError(f"no index at {index_dir}")
         self.readers = {
@@ -217,7 +227,7 @@ class IncrementalIndexReader:
         before compaction kicks in only if compaction is misconfigured, but
         the reader must not be the thing that falls over)."""
         tdir = os.path.join(self.index_dir, "tombstones")
-        if not os.path.isdir(tdir):
+        if not self.fs.isdir(tdir):
             return 0, 0
         import pyarrow.compute as pc
         import pyarrow.dataset as ds
@@ -251,7 +261,7 @@ class IncrementalIndexReader:
         if self._tombs_cache is None:
             tombs: dict[str, set[int]] = {}
             tdir = os.path.join(self.index_dir, "tombstones")
-            if os.path.isdir(tdir):
+            if self.fs.isdir(tdir):
                 import pyarrow.dataset as ds
 
                 t = ds.dataset(tdir, format="parquet").to_table(
@@ -281,12 +291,12 @@ class IncrementalIndexReader:
 
     def _tomb_df(self) -> DataFrame | None:
         tdir = os.path.join(self.index_dir, "tombstones")
-        if not os.path.isdir(tdir):
+        if not self.fs.isdir(tdir):
             return None
         files = [
             os.path.join(tdir, d)
-            for d in os.listdir(tdir)
-            if os.path.isdir(os.path.join(tdir, d))
+            for d in self.fs.listdir(tdir)
+            if self.fs.isdir(os.path.join(tdir, d))
         ]
         if not files:
             return None
@@ -723,8 +733,8 @@ class IncrementalIndexReader:
         out = None
         for s in (self.segments if segments is None else segments):
             base = os.path.join(self.index_dir, s) if s else self.index_dir
-            with open(os.path.join(base, "_phase_ingest.json")) as f:
-                offsets = {int(k): v for k, v in json.load(f)["offsets"].items()}
+            ing = json.loads(self.fs.read_text(os.path.join(base, "_phase_ingest.json")))
+            offsets = {int(k): v for k, v in ing["offsets"].items()}
             off_df = self.spark.createDataFrame(
                 [(p, o) for p, o in offsets.items()], "pid int, offset long"
             )
@@ -765,7 +775,7 @@ class IncrementalIndexReader:
         )
         b = IndexBuilder(
             self.spark, new_dir, partitions=partitions,
-            pretokenized=True, **kwargs,
+            pretokenized=True, fs=self.fs, **kwargs,
         )
         b.reset()
         return b.build(self.live_tokenized(), resume=False)
@@ -785,8 +795,6 @@ class IncrementalIndexReader:
         publishes the new segment list via segments.json (the commit point);
         old delta/tombstone dirs are removed post-commit (crash before the
         commit leaves the old state fully live)."""
-        import shutil
-
         deltas = [s for s in self.segments if s]
         if not deltas or not self.segments[0] == "":
             return None
@@ -794,7 +802,7 @@ class IncrementalIndexReader:
         delta_docs = sum(self.readers[s].n_docs for s in deltas)
         if base_docs and delta_docs > max_ratio * base_docs:
             return None
-        new_id = _next_delta_id(self.index_dir)
+        new_id = _next_delta_id(self.index_dir, self.fs)
         new_seg = f"delta={new_id}"
         kwargs = _builder_kwargs_from_manifest(self.readers[""].manifest)
         b = IndexBuilder(
@@ -802,6 +810,7 @@ class IncrementalIndexReader:
             os.path.join(self.index_dir, new_seg),
             partitions=partitions,
             pretokenized=True,
+            fs=self.fs,
             **kwargs,
         )
         b.reset()
@@ -812,8 +821,8 @@ class IncrementalIndexReader:
         tomb = self._tomb_df()
         tomb_dir = os.path.join(self.index_dir, "tombstones")
         old_tomb_dirs = (
-            [os.path.join(tomb_dir, d) for d in os.listdir(tomb_dir)]
-            if os.path.isdir(tomb_dir)
+            [os.path.join(tomb_dir, d) for d in self.fs.listdir(tomb_dir)]
+            if self.fs.isdir(tomb_dir)
             else []
         )
         new_tomb_dir = os.path.join(tomb_dir, f"delta={new_id}")
@@ -826,15 +835,15 @@ class IncrementalIndexReader:
             ).select("doc_id", "dl")
             keep = base_tombs.join(dls, "doc_id").select("segment", "doc_id", "dl")
             if keep.limit(1).count():
-                os.makedirs(new_tomb_dir, exist_ok=True)
+                self.fs.makedirs(new_tomb_dir)
                 keep.write.mode("overwrite").parquet(new_tomb_dir)
         # COMMIT: the new segment list becomes visible atomically
-        _commit_segments(self.index_dir, ["", new_seg])
+        _commit_segments(self.index_dir, ["", new_seg], self.fs)
         # post-commit cleanup (best-effort; stale dirs are ignored by
         # _list_segments once segments.json exists)
         for s in deltas:
-            shutil.rmtree(os.path.join(self.index_dir, s), ignore_errors=True)
+            self.fs.rmtree(os.path.join(self.index_dir, s), ignore_errors=True)
         for d in old_tomb_dirs:
             if os.path.abspath(d) != os.path.abspath(new_tomb_dir):
-                shutil.rmtree(d, ignore_errors=True)
+                self.fs.rmtree(d, ignore_errors=True)
         return manifest
