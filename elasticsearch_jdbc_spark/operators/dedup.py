@@ -124,6 +124,32 @@ def ngram_jaccard_pairs(
 _MERSENNE = (1 << 61) - 1
 
 
+def _hash_words64(vocab, salt: int) -> np.ndarray:
+    """Vectorized 64-bit FNV-1a over each word's UTF-32 codepoints: one
+    numpy pass per character COLUMN of the fixed-width vocab matrix instead
+    of a per-unique-word Python hashlib loop (VERDICT r02 #9 — at large
+    per-batch vocabularies the loop was the last per-element Python in the
+    dedup kernels). Padding NULs are masked out; `salt` domain-separates
+    the minhash and simhash hash families."""
+    if len(vocab) == 0:
+        return np.empty(0, np.uint64)
+    u = np.asarray(vocab, dtype="U")
+    width = u.dtype.itemsize // 4
+    h = np.full(
+        len(u), np.uint64(0xCBF29CE484222325) ^ np.uint64(salt), np.uint64
+    )
+    if width == 0:
+        return h
+    m = u.view(np.uint32).reshape(len(u), width).astype(np.uint64)
+    prime = np.uint64(0x100000001B3)
+    for j in range(width):
+        c = m[:, j]
+        # NUL = padding (words cannot contain it); where beats fancy
+        # indexing ~2x here
+        h = np.where(c != np.uint64(0), (h ^ c) * prime, h)
+    return h
+
+
 def _minhash_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
     a = rng.integers(1, _MERSENNE, num_perm, dtype=np.int64).astype(np.uint64)
@@ -162,8 +188,6 @@ def minhash_signatures(
     )
 
     def batch_sigs(batches):
-        import hashlib
-
         P = np.uint64(0x100000001B3)  # FNV-ish odd multiplier for combines
         for pdf in batches:
             ids = pdf[id_col].to_numpy()
@@ -175,18 +199,7 @@ def minhash_signatures(
                     [w if isinstance(w, list) else [] for w in words]
                 )
                 codes, vocab = pd.factorize(flat)
-                vh = np.array(
-                    [
-                        int.from_bytes(
-                            hashlib.blake2b(
-                                w.encode(), digest_size=8, salt=b"minhash1"
-                            ).digest(),
-                            "little",
-                        )
-                        for w in vocab
-                    ],
-                    np.uint64,
-                )
+                vh = _hash_words64(vocab, 0x6D696E6861736831)  # "minhash1"
                 wh = vh[codes]
                 # n-gram hash: polynomial over n consecutive word hashes;
                 # grams never cross doc boundaries (mask by position)
@@ -522,8 +535,6 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     shifts = np.arange(64, dtype=np.uint64)
 
     def batch_fp(batches):
-        import hashlib
-
         for pdf in batches:
             ids = pdf[id_col].to_numpy()
             words = pdf[text_col].str.lower().str.split()
@@ -534,18 +545,7 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                     [w if isinstance(w, list) else [] for w in words]
                 )
                 codes, vocab = pd.factorize(flat)
-                vh = np.array(
-                    [
-                        int.from_bytes(
-                            hashlib.blake2b(
-                                w.encode(), digest_size=8, salt=b"simhash1"
-                            ).digest(),
-                            "little",
-                        )
-                        for w in vocab
-                    ],
-                    np.uint64,
-                )
+                vh = _hash_words64(vocab, 0x73696D6861736831)  # "simhash1"
                 nv = len(vocab)
                 doc_idx = np.repeat(np.arange(len(ids), dtype=np.int64), lens)
                 key = doc_idx * nv + codes
