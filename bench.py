@@ -120,14 +120,14 @@ def _scale_run(cores: int, timed: int) -> dict | None:
 def bench_scaling() -> dict:
     """Two-parallelism-level throughput (the north-rule evidence).
 
-    The levels run INTERLEAVED over two rounds (N, 4N, N, 4N; each
-    subprocess does a warmup build + one timed build) and each level's
-    throughput is the minimum timed build across rounds: this box is a
-    shared VM with minute-scale steal-time bursts, so two back-to-back
-    single-pass levels can sample different noise windows and skew the
-    ratio either way (observed 0.72-0.96 for identical code). Interleaving
-    + per-level min makes the ratio a contention-free software-scaling
-    estimate; all raw times are reported."""
+    The levels run INTERLEAVED over a FIXED three rounds (N, 4N, N, 4N,
+    N, 4N; each subprocess does a warmup build + timed builds) and each
+    level's throughput is the minimum timed build across all rounds: this
+    box is a shared VM with minute-scale steal-time bursts, so two
+    back-to-back single-pass levels can sample different noise windows and
+    skew the ratio either way (observed 0.72-0.96 for identical code).
+    Interleaving + per-level min makes the ratio a contention-free
+    software-scaling estimate; all raw times are reported."""
     levels: dict[str, dict] = {}
 
     def one_round() -> dict | None:
@@ -163,17 +163,13 @@ def bench_scaling() -> dict:
             "detail": levels,
         }
 
+    # FIXED round count (ADVICE r02: the old loop resampled only while the
+    # ratio was below the bar — a one-sided stopping rule that could only
+    # bias the reported efficiency upward). Three interleaved rounds
+    # always run; the ratio comes from ALL samples' per-level minima, and
+    # every raw time is reported in `detail`.
     rounds = 0
-    for _ in range(2):
-        err = one_round()
-        if err:
-            return err
-        rounds += 1
-    # adaptive: a degraded ratio is usually one level catching a steal
-    # burst; extra rounds resample BOTH levels (minima only ever move
-    # toward the true contention-free time, so this cannot manufacture
-    # efficiency that is not there — a genuine software bottleneck stays)
-    while summarize()["efficiency"] < 0.82 and rounds < 4:
+    for _ in range(3):
         err = one_round()
         if err:
             return err

@@ -449,6 +449,160 @@ class IndexReader:
 
     # ---------- boolean queries (ES bool: must / should / must_not) ----------
 
+    def _bool_spec(
+        self,
+        must: str | list[str],
+        should: str | list[str],
+        must_not: str | list[str],
+        boosts: dict[str, float] | None,
+    ):
+        """Shared front half of the bool paths (driver and distributed):
+        tokenize each clause, expand per-field term groups on a fields
+        index, resolve idfs. Returns None when no doc can possibly match —
+        nothing to score, or a must token none of whose group terms is
+        indexed. Otherwise (must_groups, scoring_terms, not_terms, idfs,
+        weights)."""
+        def toks(q):
+            if isinstance(q, str):
+                return self.query_terms(q)
+            return list(dict.fromkeys(q))
+
+        fields = self.manifest.get("fields")
+        if boosts and not fields:
+            raise ValueError("boosts requires a fields-indexed corpus")
+        field_w = (boosts or {f: 1.0 for f in fields}) if fields else None
+
+        def groups(tokens):
+            # token -> group of (namespaced) terms that satisfy it
+            if not fields:
+                return [[t] for t in tokens]
+            return [[f + "\x1f" + t for f in field_w] for t in tokens]
+
+        must_t, should_t, not_t = toks(must), toks(should), toks(must_not)
+        if not must_t and not should_t:
+            return None
+        weights = (
+            {f + "\x1f" + t: float(w) for t in must_t + should_t for f, w in field_w.items()}
+            if fields
+            else None
+        )
+        must_g = groups(must_t)
+        flat = lambda gs: [t for g in gs for t in g]  # noqa: E731
+        scoring = list(dict.fromkeys(flat(must_g) + flat(groups(should_t))))
+        not_terms = list(dict.fromkeys(flat(groups(not_t))))
+        idfs = self._term_idfs(scoring + not_terms)
+        # a must token matches nothing when NO term of its group is indexed
+        if any(all(t not in idfs for t in g) for g in must_g):
+            return None
+        scoring = [t for t in scoring if t in idfs]
+        must_g = [[t for t in g if t in idfs] for g in must_g]
+        not_terms = [t for t in not_terms if t in idfs]
+        return must_g, scoring, not_terms, idfs, weights
+
+    def search_bool_df(
+        self,
+        must: str | list[str] = "",
+        should: str | list[str] = "",
+        must_not: str | list[str] = "",
+        k: int = 10,
+        boosts: dict[str, float] | None = None,
+    ) -> DataFrame:
+        """Distributed ES bool query (the 10^12-doc path — postings stay on
+        executors, nothing collects to the driver). Same semantics as
+        search_bool, rank-identical output.
+
+        Plan: ONE postings scan over scoring + must_not terms (term filter
+        pushed to parquet) -> vectorized block decode emitting (doc_id,
+        must-group id, partial score, is_not) rows -> one groupBy(doc_id)
+        computing the score sum, the count of DISTINCT satisfied must
+        groups, and the exclusion flag -> filter (every must group
+        satisfied, not excluded) -> global top-k. Conjunction and exclusion
+        are aggregation predicates, so no extra joins or shuffles beyond
+        the single aggregate."""
+        out_schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("group_id", T.IntegerType(), False),
+                T.StructField("partial", T.DoubleType(), False),
+                T.StructField("is_not", T.IntegerType(), False),
+            ]
+        )
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        spec = self._bool_spec(must, should, must_not, boosts)
+        if spec is None:
+            return empty
+        must_g, scoring, not_terms, idfs, weights = spec
+        if not scoring:
+            return empty
+        k1, b, avgdl, c = self.k1, self.b, self.avgdl, self.k1 + 1.0
+        group_of = {t: gi for gi, g in enumerate(must_g) for t in g}
+        # term -> (must group or -1, boosted idf, exclusion flag); an
+        # excluded term never scores even if it also appears in a clause
+        term_meta = {
+            t: (
+                group_of.get(t, -1),
+                idfs.get(t, 0.0) * (weights.get(t, 1.0) if weights else 1.0),
+                1 if t in set(not_terms) else 0,
+            )
+            for t in set(scoring) | set(not_terms)
+        }
+        n_groups = len(must_g)
+
+        def score_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                docs_all, grp_all, par_all, not_all = [], [], [], []
+                for term, n, first, gaps, tfs, dls in zip(
+                    pdf["term"], pdf["n"], pdf["first_doc"],
+                    pdf["doc_gaps"], pdf["tfs"], pdf["dls"],
+                ):
+                    docs, tf, dl = decode_block(
+                        int(first), int(n), bytes(gaps), bytes(tfs), bytes(dls)
+                    )
+                    gi, wi, isnot = term_meta[term]
+                    if isnot:
+                        contrib = np.zeros(len(docs), np.float64)
+                    else:
+                        w = tf / (tf + k1 * (1.0 - b + b * dl / avgdl))
+                        contrib = wi * c * w
+                    docs_all.append(docs)
+                    grp_all.append(np.full(len(docs), gi, np.int32))
+                    par_all.append(contrib)
+                    not_all.append(np.full(len(docs), isnot, np.int32))
+                if docs_all:
+                    yield pd.DataFrame(
+                        {
+                            "doc_id": np.concatenate(docs_all),
+                            "group_id": np.concatenate(grp_all),
+                            "partial": np.concatenate(par_all),
+                            "is_not": np.concatenate(not_all),
+                        }
+                    )
+
+        partials = self._postings_df(
+            list(term_meta)
+        ).mapInPandas(score_blocks, out_schema)
+        return (
+            partials.groupBy("doc_id")
+            .agg(
+                F.sum(F.when(F.col("is_not") == 0, F.col("partial"))).alias("score"),
+                F.count_distinct(
+                    F.when(
+                        (F.col("is_not") == 0) & (F.col("group_id") >= 0),
+                        F.col("group_id"),
+                    )
+                ).alias("must_hits"),
+                F.max("is_not").alias("excluded"),
+            )
+            .filter(
+                (F.col("excluded") == 0)
+                & (F.col("must_hits") == F.lit(n_groups))
+                & F.col("score").isNotNull()
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .select("doc_id", "score")
+        )
+
     def search_bool(
         self,
         must: str | list[str] = "",
@@ -471,41 +625,10 @@ class IndexReader:
 
         Two execution strategies, rank-identical: dense accumulator under
         DENSE_LIMIT, cursor-based conjunction/WAND beyond it."""
-        def toks(q):
-            if isinstance(q, str):
-                return self.query_terms(q)
-            return list(dict.fromkeys(q))
-
-        fields = self.manifest.get("fields")
-        if boosts and not fields:
-            raise ValueError("boosts requires a fields-indexed corpus")
-        field_w = (boosts or {f: 1.0 for f in fields}) if fields else None
-
-        def groups(tokens):
-            # token -> group of (namespaced) terms that satisfy it
-            if not fields:
-                return [[t] for t in tokens]
-            return [[f + "\x1f" + t for f in field_w] for t in tokens]
-
-        must_t, should_t, not_t = toks(must), toks(should), toks(must_not)
-        if not must_t and not should_t:
+        spec = self._bool_spec(must, should, must_not, boosts)
+        if spec is None:
             return []
-        weights = (
-            {f + "\x1f" + t: float(w) for t in must_t + should_t for f, w in field_w.items()}
-            if fields
-            else None
-        )
-        must_g = groups(must_t)
-        flat = lambda gs: [t for g in gs for t in g]  # noqa: E731
-        scoring = list(dict.fromkeys(flat(must_g) + flat(groups(should_t))))
-        not_terms = list(dict.fromkeys(flat(groups(not_t))))
-        idfs = self._term_idfs(scoring + not_terms)
-        # a must token matches nothing when NO term of its group is indexed
-        if any(all(t not in idfs for t in g) for g in must_g):
-            return []
-        scoring = [t for t in scoring if t in idfs]
-        must_g = [[t for t in g if t in idfs] for g in must_g]
-        not_terms = [t for t in not_terms if t in idfs]
+        must_g, scoring, not_terms, idfs, weights = spec
         if self.n_docs > self.DENSE_LIMIT:
             return self._search_bool_cursors(
                 must_g, scoring, not_terms, idfs, k, weights

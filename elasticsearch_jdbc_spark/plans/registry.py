@@ -1486,3 +1486,124 @@ def bm25_phrase_index_q(spark, sf_dir):
 
 
 ORACLE_SQL["bm25_phrase_index"] = ORACLE_SQL["bm25_phrase_topk"]
+
+
+# ES bool queries over the REAL index (distributed path), oracle-checked.
+# Every case carries at least one `must` clause so candidacy is pure
+# conjunction (the SQL's qualified-set join); scoring covers must+should,
+# must_not excludes — the exact search_bool contract.
+BOOL_CASES = [
+    (0, "fast key", "", ""),
+    (1, "merge", "sort window", ""),
+    (2, "stream", "", "filter"),
+    (3, "customer order", "line", "batch"),
+]
+
+
+def _bool_sql() -> str:
+    from ..functions.tokenizer import tokenize_py
+    from ..index.bm25_df import B, K1, TOP_K
+
+    rows = []
+    for qid, must, should, not_ in BOOL_CASES:
+        for role, text in (("must", must), ("should", should), ("not", not_)):
+            for t in dict.fromkeys(tokenize_py(text)):
+                rows.append(f"({qid}, '{t}', '{role}')")
+    values = ", ".join(rows)
+    return f"""
+    WITH cases(query_id, term, role) AS (VALUES {values}),
+    tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    flat AS (
+      SELECT doc_id, len(toks) AS dl, t.term
+      FROM tok, UNNEST(toks) AS t(term)
+    ),
+    tf AS (
+      SELECT term, doc_id, dl, COUNT(*) AS tf FROM flat GROUP BY 1, 2, 3
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n, SUM(dl) * 1.0 / COUNT(*) AS avgdl
+      FROM (SELECT doc_id, len(toks) AS dl FROM tok)
+    ),
+    dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    need AS (
+      SELECT query_id, COUNT(DISTINCT term) AS n_must
+      FROM cases WHERE role = 'must' GROUP BY 1
+    ),
+    hits AS (
+      SELECT c.query_id, tf.doc_id, COUNT(DISTINCT tf.term) AS got
+      FROM tf JOIN cases c USING (term) WHERE c.role = 'must' GROUP BY 1, 2
+    ),
+    qualified AS (
+      SELECT n.query_id, h.doc_id
+      FROM need n JOIN hits h USING (query_id) WHERE h.got = n.n_must
+    ),
+    excl AS (
+      SELECT DISTINCT c.query_id, tf.doc_id
+      FROM tf JOIN cases c USING (term) WHERE c.role = 'not'
+    ),
+    scoring AS (
+      SELECT DISTINCT query_id, term FROM cases WHERE role IN ('must', 'should')
+    ),
+    scored AS (
+      SELECT s.query_id, tf.doc_id,
+             SUM(
+               ln(1.0 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+               * {K1 + 1.0}
+               * (tf.tf / (tf.tf + {K1} * ({1.0 - B} + {B} * tf.dl / stats.avgdl)))
+             ) AS score
+      FROM tf
+      JOIN scoring s USING (term)
+      JOIN dft USING (term), stats
+      JOIN qualified q ON q.query_id = s.query_id AND q.doc_id = tf.doc_id
+      GROUP BY 1, 2
+    ),
+    surviving AS (
+      SELECT sc.* FROM scored sc
+      LEFT JOIN excl e ON e.query_id = sc.query_id AND e.doc_id = sc.doc_id
+      WHERE e.doc_id IS NULL
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+      FROM surviving
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, doc_id, ROUND(score, 4) AS score
+    FROM ranked WHERE rank <= {TOP_K}
+    """
+
+
+@_reg("bool_index_search", _bool_sql())
+def bool_index_q(spark, sf_dir):
+    """ES bool queries (must/should/must_not) through the REAL index's
+    DISTRIBUTED path (search_bool_df: one postings scan, conjunction and
+    exclusion as aggregation predicates), ORACLE-CHECKED against a DuckDB
+    bool-BM25 plan over the raw corpus. k = n_docs so the per-query cut
+    happens after mapping internal ids back to documents.doc_id
+    (re-ranked on the mapped id, matching the oracle tie-break)."""
+    from ..index import IndexReader
+
+    idx = _registry_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    ids = _index_docid_map(spark, idx)
+    out = None
+    for qid, must, should, not_ in BOOL_CASES:
+        hits = reader.search_bool_df(
+            must=must, should=should, must_not=not_, k=reader.n_docs
+        ).withColumn("query_id", F.lit(qid))
+        out = hits if out is None else out.unionByName(hits)
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("documents_doc_id"))
+    return (
+        out.join(ids, "doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "rank",
+            F.col("documents_doc_id").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+    )

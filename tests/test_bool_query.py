@@ -111,3 +111,58 @@ def test_bool_cursor_path_rank_identical(bool_idx, must, should, must_not):
     finally:
         del reader.DENSE_LIMIT
     assert cur == dense, (must, should, must_not)
+
+
+def test_bool_df_rank_identical_to_driver(bool_idx):
+    """search_bool_df (distributed: one scan, conjunction/exclusion as
+    aggregation predicates) equals the driver path on every clause shape."""
+    reader, key2id = bool_idx
+    cases = [
+        {"must": "apple banana"},
+        {"must": "apple", "should": "date"},
+        {"should": "apple banana cherry"},
+        {"must": "apple", "must_not": "date"},
+        {"should": "banana", "must_not": "apple"},
+        {"must": "apple banana cherry date"},       # impossible conjunction
+        {"must": "apple zzznope"},                  # unindexed must token
+        {"must_not": "apple"},                      # nothing to score
+    ]
+    for case in cases:
+        want = reader.search_bool(**case, k=10)
+        got = [
+            (r["doc_id"], r["score"])
+            for r in reader.search_bool_df(**case, k=10).collect()
+        ]
+        assert [d for d, _ in got] == [d for d, _ in want], case
+        for (_, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-9, case
+
+
+def test_bool_df_fields_boosted(spark, tmp_path):
+    """Distributed bool over a fields index: per-token ANY-field groups,
+    boosted scoring, exclusion in any field."""
+    df = spark.createDataFrame(
+        [("r", "0", "c", "t", "spark engine", "other body"),
+         ("r", "1", "c", "t", "plain title", "spark in body"),
+         ("r", "2", "c", "t", "engine title", "spark body too")],
+        "repo string, path string, commit string, lang string, "
+        "title string, body string",
+    )
+    idx = str(tmp_path / "bf")
+    IndexBuilder(spark, idx, partitions=1, fields=["title", "body"]).build(
+        df, resume=False
+    )
+    reader = IndexReader(spark, idx)
+    for case in (
+        {"must": "spark", "boosts": {"title": 5.0, "body": 1.0}},
+        {"must": "spark engine"},
+        {"must": "spark", "must_not": "engine"},
+    ):
+        want = reader.search_bool(**case, k=10)
+        got = [
+            (r["doc_id"], r["score"])
+            for r in reader.search_bool_df(**case, k=10).collect()
+        ]
+        assert [d for d, _ in got] == [d for d, _ in want], case
+        for (_, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-9, case
