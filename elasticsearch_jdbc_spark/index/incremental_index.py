@@ -673,6 +673,131 @@ class IncrementalIndexReader:
             .limit(k)
         )
 
+    def search_bool_df(
+        self,
+        must: str | list[str] = "",
+        should: str | list[str] = "",
+        must_not: str | list[str] = "",
+        k: int = 10,
+        boosts: dict[str, float] | None = None,
+    ) -> DataFrame:
+        """Distributed ES bool query across base + deltas (continuous
+        ingest + bool, the reference's core query pairing): same plan as
+        IndexReader.search_bool_df — one unioned postings scan, conjunction
+        and exclusion as aggregation predicates — with GLOBAL idfs (summed
+        df, tombstone-corrected N/avgdl), tombstone anti-join, and the
+        newest-segment-wins tie-break. Returns (segment, doc_id, score)."""
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        out_schema = T.StructType(
+            [
+                T.StructField("segment", T.StringType(), False),
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("group_id", T.IntegerType(), False),
+                T.StructField("partial", T.DoubleType(), False),
+                T.StructField("is_not", T.IntegerType(), False),
+            ]
+        )
+        empty = self.spark.createDataFrame(
+            [], "segment string, doc_id long, score double"
+        )
+        r0 = self.readers[self.segments[0]]
+        spec = r0._bool_spec(must, should, must_not, boosts, idf_fn=self._global_idfs)
+        if spec is None:
+            return empty
+        must_g, scoring, not_terms, idfs, weights = spec
+        if not scoring:
+            return empty
+        k1, b, avgdl, c = self.k1, self.b, self.avgdl, self.k1 + 1.0
+        group_of = {t: gi for gi, g in enumerate(must_g) for t in g}
+        term_meta = {
+            t: (
+                group_of.get(t, -1),
+                idfs.get(t, 0.0) * (weights.get(t, 1.0) if weights else 1.0),
+                1 if t in set(not_terms) else 0,
+            )
+            for t in set(scoring) | set(not_terms)
+        }
+        n_groups = len(must_g)
+        scans = None
+        for s in self.segments:
+            p = self.readers[s]._postings_df(list(term_meta)).withColumn(
+                "segment", F.lit(s)
+            )
+            scans = p if scans is None else scans.unionByName(p)
+
+        def score_blocks(batches):
+            from .codec import decode_block as _db
+
+            for pdf in batches:
+                seg_all, docs_all, grp_all, par_all, not_all = [], [], [], [], []
+                for seg, term, n, first, gaps, tfs, dls in zip(
+                    pdf["segment"], pdf["term"], pdf["n"], pdf["first_doc"],
+                    pdf["doc_gaps"], pdf["tfs"], pdf["dls"],
+                ):
+                    docs, tf, dl = _db(
+                        int(first), int(n), bytes(gaps), bytes(tfs), bytes(dls)
+                    )
+                    gi, wi, isnot = term_meta[term]
+                    if isnot:
+                        contrib = np.zeros(len(docs), np.float64)
+                    else:
+                        w = tf / (tf + k1 * (1.0 - b + b * dl / avgdl))
+                        contrib = wi * c * w
+                    seg_all.append(np.full(len(docs), seg, dtype=object))
+                    docs_all.append(docs)
+                    grp_all.append(np.full(len(docs), gi, np.int32))
+                    par_all.append(contrib)
+                    not_all.append(np.full(len(docs), isnot, np.int32))
+                if docs_all:
+                    yield pd.DataFrame(
+                        {
+                            "segment": np.concatenate(seg_all),
+                            "doc_id": np.concatenate(docs_all),
+                            "group_id": np.concatenate(grp_all),
+                            "partial": np.concatenate(par_all),
+                            "is_not": np.concatenate(not_all),
+                        }
+                    )
+
+        partials = scans.mapInPandas(score_blocks, out_schema)
+        tomb = self._tomb_df()
+        if tomb is not None:
+            partials = partials.join(tomb, ["segment", "doc_id"], "left_anti")
+        rank_map = F.create_map(
+            *[
+                x
+                for s in self.segments
+                for x in (F.lit(s), F.lit(self._seg_rank(s)))
+            ]
+        )
+        return (
+            partials.groupBy("segment", "doc_id")
+            .agg(
+                F.sum(F.when(F.col("is_not") == 0, F.col("partial"))).alias("score"),
+                F.count_distinct(
+                    F.when(
+                        (F.col("is_not") == 0) & (F.col("group_id") >= 0),
+                        F.col("group_id"),
+                    )
+                ).alias("must_hits"),
+                F.max("is_not").alias("excluded"),
+            )
+            .filter(
+                (F.col("excluded") == 0)
+                & (F.col("must_hits") == F.lit(n_groups))
+                & F.col("score").isNotNull()
+            )
+            .orderBy(
+                F.desc("score"),
+                F.desc(rank_map[F.col("segment")]),
+                F.asc("doc_id"),
+            )
+            .limit(k)
+            .select("segment", "doc_id", "score")
+        )
+
     def search_phrase(
         self,
         query: str,

@@ -455,13 +455,15 @@ class IndexReader:
         should: str | list[str],
         must_not: str | list[str],
         boosts: dict[str, float] | None,
+        idf_fn=None,
     ):
         """Shared front half of the bool paths (driver and distributed):
         tokenize each clause, expand per-field term groups on a fields
         index, resolve idfs. Returns None when no doc can possibly match —
         nothing to score, or a must token none of whose group terms is
         indexed. Otherwise (must_groups, scoring_terms, not_terms, idfs,
-        weights)."""
+        weights). `idf_fn` overrides the idf resolver — the incremental
+        reader passes its global cross-segment stats."""
         def toks(q):
             if isinstance(q, str):
                 return self.query_terms(q)
@@ -490,7 +492,7 @@ class IndexReader:
         flat = lambda gs: [t for g in gs for t in g]  # noqa: E731
         scoring = list(dict.fromkeys(flat(must_g) + flat(groups(should_t))))
         not_terms = list(dict.fromkeys(flat(groups(not_t))))
-        idfs = self._term_idfs(scoring + not_terms)
+        idfs = (idf_fn or self._term_idfs)(scoring + not_terms)
         # a must token matches nothing when NO term of its group is indexed
         if any(all(t not in idfs for t in g) for g in must_g):
             return None

@@ -184,3 +184,44 @@ def test_stale_tombstones_are_inert(spark, inc_idx):
     assert [r for r in after.search_df("spark", k=10).collect()] == [
         r for r in after.search_df("spark", k=10).collect()
     ]
+
+
+def test_incremental_bool_df(spark, inc_idx, tmp_path):
+    """Cross-segment distributed bool: no-tombstone corpus scores equal a
+    from-scratch rebuild's search_bool_df; after a delete the masked doc
+    vanishes from bool results."""
+    inc = IncrementalIndexReader(spark, inc_idx)
+    full = _full_idx(spark, tmp_path)
+    cases = [
+        {"must": "spark"},
+        {"must": "spark", "must_not": "engine"},
+        {"must": "spark", "should": "fresh"},
+        {"must": "spark", "boosts": {"title": 5.0, "body": 1.0}},
+    ]
+    live = {
+        (r["segment"], r["doc_id"]): r["path"] for r in inc.live_docs().collect()
+    }
+    for case in cases:
+        got = [
+            (live[(r["segment"], r["doc_id"])], round(r["score"], 9))
+            for r in inc.search_bool_df(**case, k=10).collect()
+        ]
+        want = _full_paths(
+            full,
+            [(r["doc_id"], r["score"]) for r in full.search_bool_df(**case, k=10).collect()],
+        )
+        assert got == want, case
+    # delete doc 1 (the body-spark doc): bool results must drop it
+    ops = spark.createDataFrame(
+        [("r", "1", "c", "t", "x", "x", "delete")], SCHEMA + ", _optype string"
+    )
+    apply_incremental(spark, inc_idx, ops)
+    inc2 = IncrementalIndexReader(spark, inc_idx)
+    live2 = {
+        (r["segment"], r["doc_id"]): r["path"] for r in inc2.live_docs().collect()
+    }
+    got2 = {
+        live2[(r["segment"], r["doc_id"])]
+        for r in inc2.search_bool_df(must="spark", k=10).collect()
+    }
+    assert "1" not in got2 and got2 == {"0", "3", "4"}
