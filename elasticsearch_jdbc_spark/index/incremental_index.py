@@ -367,16 +367,21 @@ class IncrementalIndexReader:
             raise ValueError(f"unknown fields {sorted(unknown)}; indexed: {self.fields}")
         return boosts
 
-    def search(self, query: str, k: int = 10) -> list[tuple[str, int, float]]:
+    def search(
+        self, query: str, k: int = 10, min_should_match: int = 1
+    ) -> list[tuple[str, int, float]]:
         """Top-k (segment, doc_id, score) across live docs, global stats.
         Newest segment wins ties (its docs are the freshest). On a
         fields-indexed corpus this is multi_match with equal boosts —
         query tokens namespace per field exactly like IndexReader.search
-        (raw tokens would silently match nothing, VERDICT r02 #2)."""
+        (raw tokens would silently match nothing, VERDICT r02 #2).
+        min_should_match counts distinct tokens (token groups on a fields
+        corpus), matching IndexReader.search."""
         if self.fields:
-            return self.search_fields(query, k=k)
+            return self.search_fields(query, k=k, min_should_match=min_should_match)
         return self.search_terms(
-            self.readers[self.segments[0]].query_terms(query), k
+            self.readers[self.segments[0]].query_terms(query), k,
+            min_match=min_should_match,
         )
 
     def search_fields(
@@ -384,10 +389,12 @@ class IncrementalIndexReader:
         query: str,
         boosts: dict[str, float] | None = None,
         k: int = 10,
+        min_should_match: int = 1,
     ) -> list[tuple[str, int, float]]:
         """Multi-field top-k across base + deltas (ES multi_match over a
         continuously-ingested corpus): tokens expand to per-field namespaced
-        terms with boosts, scored with GLOBAL per-field df."""
+        terms with boosts, scored with GLOBAL per-field df;
+        min_should_match counts token groups."""
         if not self.fields:
             raise ValueError(
                 "index was not built with fields=[...]; multi-field search "
@@ -395,13 +402,18 @@ class IncrementalIndexReader:
             )
         boosts = self._field_boosts(boosts)
         r0 = self.readers[self.segments[0]]
-        terms, weights = [], {}
+        terms, weights, groups = [], {}, []
         for tok in r0.query_terms(query):
+            g = []
             for f, w in boosts.items():
                 t = f + "\x1f" + tok
                 terms.append(t)
                 weights[t] = float(w)
-        return self.search_terms(terms, k, weights)
+                g.append(t)
+            groups.append(g)
+        return self.search_terms(
+            terms, k, weights, min_match=min_should_match, groups=groups
+        )
 
     def search_prefix(
         self,
@@ -409,6 +421,7 @@ class IncrementalIndexReader:
         k: int = 10,
         limit: int = 128,
         boosts: dict[str, float] | None = None,
+        min_should_match: int = 1,
     ) -> list[tuple[str, int, float]]:
         """Prefix top-k across base + deltas: each token expands against
         EVERY segment's term dictionary (a delta-only term must match too),
@@ -422,7 +435,9 @@ class IncrementalIndexReader:
         )
         expanded: list[str] = []
         weights: dict[str, float] = {}
+        groups: list[list[str]] = []
         for tok in self.readers[self.segments[0]].query_terms(query):
+            g: list[str] = []
             for ns, w in nss:
                 union = sorted(
                     {
@@ -435,7 +450,13 @@ class IncrementalIndexReader:
                     if t not in weights:
                         weights[t] = float(w)
                         expanded.append(t)
-        return self.search_terms(expanded, k, weights if self.fields else None)
+                    g.append(t)
+            if g:
+                groups.append(g)
+        return self.search_terms(
+            expanded, k, weights if self.fields else None,
+            min_match=min_should_match, groups=groups,
+        )
 
     def search_fuzzy(
         self,
@@ -444,6 +465,7 @@ class IncrementalIndexReader:
         limit: int = 16,
         fuzziness: int | str = "AUTO",
         boosts: dict[str, float] | None = None,
+        min_should_match: int = 1,
     ) -> list[tuple[str, int, float]]:
         """Fuzzy top-k across base + deltas: per-token edit-distance
         expansion against every segment's vocabulary (each segment owns a
@@ -456,8 +478,10 @@ class IncrementalIndexReader:
         r0 = self.readers[self.segments[0]]
         expanded: list[str] = []
         weights: dict[str, float] = {}
+        groups: list[list[str]] = []
         for tok in r0.query_terms(query):
             d = r0._auto_fuzziness(tok) if fuzziness == "AUTO" else int(fuzziness)
+            g: list[str] = []
             for fld in flds:
                 key = (fld + "\x1f" + tok) if fld else tok
                 union = sorted(
@@ -475,14 +499,27 @@ class IncrementalIndexReader:
                     if t not in weights:
                         weights[t] = float(w)
                         expanded.append(t)
-        return self.search_terms(expanded, k, weights if self.fields else None)
+                    g.append(t)
+            if g:
+                groups.append(g)
+        return self.search_terms(
+            expanded, k, weights if self.fields else None,
+            min_match=min_should_match, groups=groups,
+        )
 
     def search_terms(
-        self, terms: list[str], k: int = 10, weights: dict[str, float] | None = None
+        self,
+        terms: list[str],
+        k: int = 10,
+        weights: dict[str, float] | None = None,
+        min_match: int = 1,
+        groups: list[list[str]] | None = None,
     ) -> list[tuple[str, int, float]]:
         """Dense per-segment scoring over explicit (optionally boosted)
         terms with GLOBAL stats; tombstones zeroed before each segment's
-        top-k, newest segment wins ties."""
+        top-k, newest segment wins ties. min_match requires that many
+        distinct terms (or, with `groups`, term groups — the multi_match
+        token rule) per doc."""
         if not terms:
             return []
         idfs = self._global_idfs(terms)
@@ -501,6 +538,7 @@ class IncrementalIndexReader:
             # IndexReader's dense path), tombstones zeroed before top-k
             max_doc = -1
             per_term = []
+            decoded_docs: dict[str, np.ndarray] = {}
             for t in terms:
                 if not blocks.get(t):
                     continue
@@ -515,6 +553,7 @@ class IncrementalIndexReader:
                 w = tf / (tf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl))
                 boost = weights.get(t, 1.0) if weights else 1.0
                 per_term.append((docs, boost * idfs[t] * c * w))
+                decoded_docs[t] = docs
                 max_doc = max(max_doc, int(docs[-1]))
             if max_doc < 0:
                 continue
@@ -523,6 +562,16 @@ class IncrementalIndexReader:
             for docs, contrib in per_term:
                 score[docs] += contrib
                 hit[docs] = True
+            if min_match > 1:
+                nmatch = np.zeros(max_doc + 1, np.int16)
+                for g in (groups or [[t] for t in terms]):
+                    gm = np.zeros(max_doc + 1, bool)
+                    for t in g:
+                        d = decoded_docs.get(t)
+                        if d is not None:
+                            gm[d] = True
+                    nmatch += gm
+                hit &= nmatch >= min_match
             if masked:
                 mk = np.fromiter(masked, np.int64)
                 mk = mk[mk <= max_doc]
@@ -552,14 +601,19 @@ class IncrementalIndexReader:
             for s, d, sc in hits
         ]
 
-    def search_df(self, query: str, k: int = 10) -> DataFrame:
+    def search_df(
+        self, query: str, k: int = 10, min_should_match: int = 1
+    ) -> DataFrame:
         """Distributed top-k over base + deltas (see search_terms_df). On a
         fields-indexed corpus, routes through the multi_match expansion with
         equal boosts — mirror of `search`."""
         if self.fields:
-            return self.search_fields_df(query, k=k)
+            return self.search_fields_df(
+                query, k=k, min_should_match=min_should_match
+            )
         return self.search_terms_df(
-            self.readers[self.segments[0]].query_terms(query), k
+            self.readers[self.segments[0]].query_terms(query), k,
+            min_match=min_should_match,
         )
 
     def search_fields_df(
@@ -567,9 +621,11 @@ class IncrementalIndexReader:
         query: str,
         boosts: dict[str, float] | None = None,
         k: int = 10,
+        min_should_match: int = 1,
     ) -> DataFrame:
         """Distributed multi-field top-k across base + deltas — the
-        continuous-ingest multi_match scale path."""
+        continuous-ingest multi_match scale path; min_should_match counts
+        token groups."""
         if not self.fields:
             raise ValueError(
                 "index was not built with fields=[...]; multi-field search "
@@ -577,16 +633,26 @@ class IncrementalIndexReader:
             )
         boosts = self._field_boosts(boosts)
         r0 = self.readers[self.segments[0]]
-        terms, weights = [], {}
+        terms, weights, groups = [], {}, []
         for tok in r0.query_terms(query):
+            g = []
             for f, w in boosts.items():
                 t = f + "\x1f" + tok
                 terms.append(t)
                 weights[t] = float(w)
-        return self.search_terms_df(terms, k, weights)
+                g.append(t)
+            groups.append(g)
+        return self.search_terms_df(
+            terms, k, weights, min_match=min_should_match, groups=groups
+        )
 
     def search_terms_df(
-        self, terms: list[str], k: int = 10, weights: dict[str, float] | None = None
+        self,
+        terms: list[str],
+        k: int = 10,
+        weights: dict[str, float] | None = None,
+        min_match: int = 1,
+        groups: list[list[str]] | None = None,
     ) -> DataFrame:
         """Distributed top-k over explicit (optionally boosted) terms,
         base + deltas: postings stay on executors end-to-end (the
@@ -606,18 +672,27 @@ class IncrementalIndexReader:
         terms = [t for t in terms if t in idfs]
         if weights:
             idfs = {t: i * weights.get(t, 1.0) for t, i in idfs.items()}
-        out_schema = T.StructType(
-            [
-                T.StructField("segment", T.StringType(), False),
-                T.StructField("doc_id", T.LongType(), False),
-                T.StructField("partial", T.DoubleType(), False),
-            ]
-        )
-        empty = self.spark.createDataFrame([], out_schema).select(
-            "segment", "doc_id", F.col("partial").alias("score")
-        )
+        grouped = min_match > 1
+        out_fields = [
+            T.StructField("segment", T.StringType(), False),
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("partial", T.DoubleType(), False),
+        ]
+        if grouped:
+            out_fields.append(T.StructField("group_id", T.IntegerType(), False))
+        out_schema = T.StructType(out_fields)
+        empty = self.spark.createDataFrame(
+            [], "segment string, doc_id long, partial double"
+        ).select("segment", "doc_id", F.col("partial").alias("score"))
         if not terms:
             return empty
+        if grouped:
+            if groups:
+                group_of = {t: gi for gi, g in enumerate(groups) for t in g}
+            else:
+                group_of = {t: gi for gi, t in enumerate(terms)}
+        else:
+            group_of = None
         scans = None
         for s in self.segments:
             p = self.readers[s]._postings_df(terms).withColumn("segment", F.lit(s))
@@ -630,7 +705,7 @@ class IncrementalIndexReader:
 
             idf_map = dict(idf_items)
             for pdf in batches:
-                segs_out, docs_all, contrib_all = [], [], []
+                segs_out, docs_all, contrib_all, grp_all = [], [], [], []
                 for seg, term, n, first, gaps, tfs, dls in zip(
                     pdf["segment"], pdf["term"], pdf["n"], pdf["first_doc"],
                     pdf["doc_gaps"], pdf["tfs"], pdf["dls"],
@@ -640,19 +715,31 @@ class IncrementalIndexReader:
                     segs_out.append(np.full(len(docs), seg, dtype=object))
                     docs_all.append(docs)
                     contrib_all.append(idf_map[term] * c * w)
+                    if group_of is not None:
+                        grp_all.append(np.full(len(docs), group_of[term], np.int32))
                 if docs_all:
-                    yield pd.DataFrame(
-                        {
-                            "segment": np.concatenate(segs_out),
-                            "doc_id": np.concatenate(docs_all),
-                            "partial": np.concatenate(contrib_all),
-                        }
-                    )
+                    out = {
+                        "segment": np.concatenate(segs_out),
+                        "doc_id": np.concatenate(docs_all),
+                        "partial": np.concatenate(contrib_all),
+                    }
+                    if group_of is not None:
+                        out["group_id"] = np.concatenate(grp_all)
+                    yield pd.DataFrame(out)
 
         partials = scans.mapInPandas(score_blocks, out_schema)
         tomb = self._tomb_df()
         if tomb is not None:
             partials = partials.join(tomb, ["segment", "doc_id"], "left_anti")
+        if grouped:
+            agg = partials.groupBy("segment", "doc_id").agg(
+                F.sum("partial").alias("score"),
+                F.count_distinct("group_id").alias("nmatch"),
+            ).filter(F.col("nmatch") >= min_match)
+        else:
+            agg = partials.groupBy("segment", "doc_id").agg(
+                F.sum("partial").alias("score")
+            )
         # newest-segment-wins tie-break via a literal recency-rank map
         # (a handful of segments — stays a scalar expression, no join)
         rank_map = F.create_map(
@@ -663,14 +750,13 @@ class IncrementalIndexReader:
             ]
         )
         return (
-            partials.groupBy("segment", "doc_id")
-            .agg(F.sum("partial").alias("score"))
-            .orderBy(
+            agg.orderBy(
                 F.desc("score"),
                 F.desc(rank_map[F.col("segment")]),
                 F.asc("doc_id"),
             )
             .limit(k)
+            .select("segment", "doc_id", "score")
         )
 
     def search_bool_df(

@@ -422,30 +422,39 @@ class IndexReader:
         limit: int = 16,
         fuzziness: int | str = "AUTO",
         boosts: dict[str, float] | None = None,
+        min_should_match: int = 1,
     ) -> list[tuple[int, float]]:
         """BM25 top-k where each query token also matches indexed terms
         within its edit-distance budget (ES fuzziness=AUTO by default: 0/1/2
         by token length; scoring_boolean rewrite — each expansion scores
         with its own idf). On a fields-indexed corpus, tokens expand to
         per-field namespaced terms weighted by `boosts` (ES multi_match +
-        fuzziness). Routes through the dense/WAND dispatcher, so it scales
-        past DENSE_LIMIT docs."""
+        fuzziness). min_should_match counts TOKENS: a token is satisfied by
+        ANY of its expansions, in any field. Routes through the dense/WAND
+        dispatcher, so it scales past DENSE_LIMIT docs."""
         fields = self.manifest.get("fields")
         if boosts and not fields:
             raise ValueError("boosts requires a fields-indexed corpus")
         field_w = (boosts or {f: 1.0 for f in fields}) if fields else {None: 1.0}
         expanded: list[str] = []
         weights: dict[str, float] = {}
+        groups: list[list[str]] = []
         for tok in self.query_terms(query):
             d = self._auto_fuzziness(tok) if fuzziness == "AUTO" else int(fuzziness)
+            g: list[str] = []
             for fld, w in field_w.items():
                 for t in self.expand_fuzzy(tok, limit, max_dist=d, field=fld):
                     if t not in weights:
                         weights[t] = float(w)
                         expanded.append(t)
+                    g.append(t)
+            if g:
+                groups.append(g)
         if not expanded:
             return []
-        return self._search_terms(expanded, k, weights)
+        return self._search_terms(
+            expanded, k, weights, min_match=min_should_match, groups=groups
+        )
 
     # ---------- boolean queries (ES bool: must / should / must_not) ----------
 
@@ -1140,13 +1149,16 @@ class IndexReader:
         k: int = 10,
         limit: int = 128,
         boosts: dict[str, float] | None = None,
+        min_should_match: int = 1,
     ) -> list[tuple[int, float]]:
         """BM25 top-k where each query token matches every indexed term it
         prefixes (Lucene MultiTermQuery with scoring_boolean rewrite: each
         expanded term scores with its own idf). Expansion is capped at
         `limit` terms per token, lexicographic — deterministic. On a
         fields-indexed corpus each token expands per field ("f\\x1ftok*"),
-        weighted by `boosts`. Routes through the dense/WAND dispatcher."""
+        weighted by `boosts`. min_should_match counts TOKENS (any expansion
+        in any field satisfies its token). Routes through the dense/WAND
+        dispatcher."""
         fields = self.manifest.get("fields")
         if boosts and not fields:
             raise ValueError("boosts requires a fields-indexed corpus")
@@ -1157,15 +1169,22 @@ class IndexReader:
         )
         expanded: list[str] = []
         weights: dict[str, float] = {}
+        groups: list[list[str]] = []
         for tok in self.query_terms(query):
+            g: list[str] = []
             for ns, w in prefixes:
                 for t in self.expand_prefix(ns + tok, limit):
                     if t not in weights:
                         weights[t] = float(w)
                         expanded.append(t)
+                    g.append(t)
+            if g:
+                groups.append(g)
         if not expanded:
             return []
-        return self._search_terms(expanded, k, weights)
+        return self._search_terms(
+            expanded, k, weights, min_match=min_should_match, groups=groups
+        )
 
     # ---------- vectorized dense scoring (the default driver path) ----------
 
@@ -1440,11 +1459,13 @@ class IndexReader:
         query: str,
         boosts: dict[str, float] | None = None,
         k: int = 10,
+        min_should_match: int = 1,
     ) -> DataFrame:
         """Distributed multi-field top-k (the 10^12-doc multi_match path):
         expand tokens to per-field namespaced terms with boosts, score via
-        the same executor-side kernel as search_df. Rank-identical to the
-        driver search_fields."""
+        the same executor-side kernel as search_df. min_should_match counts
+        TOKEN groups (a token matched in any field counts once).
+        Rank-identical to the driver search_fields."""
         fields = self.manifest.get("fields")
         if not fields:
             raise ValueError(
@@ -1455,44 +1476,79 @@ class IndexReader:
         unknown = set(boosts) - set(fields)
         if unknown:
             raise ValueError(f"unknown fields {sorted(unknown)}; indexed: {fields}")
-        terms, weights = [], {}
+        terms, weights, groups = [], {}, []
         for tok in self.query_terms(query):
+            g = []
             for f, w in boosts.items():
                 t = f + "\x1f" + tok
                 terms.append(t)
                 weights[t] = float(w)
-        return self.search_terms_df(terms, k, weights)
+                g.append(t)
+            groups.append(g)
+        return self.search_terms_df(
+            terms, k, weights, min_match=min_should_match, groups=groups
+        )
 
-    def search_df(self, query: str, k: int = 10) -> DataFrame:
-        """Distributed top-k: postings stay on executors end-to-end."""
-        return self.search_terms_df(self.query_terms(query), k)
+    def search_df(
+        self, query: str, k: int = 10, min_should_match: int = 1
+    ) -> DataFrame:
+        """Distributed top-k: postings stay on executors end-to-end. On a
+        fields-indexed corpus routes through the equal-boost multi_match
+        expansion, mirroring search()."""
+        if self.manifest.get("fields"):
+            return self.search_fields_df(
+                query, k=k, min_should_match=min_should_match
+            )
+        return self.search_terms_df(
+            self.query_terms(query), k, min_match=min_should_match
+        )
 
     def search_terms_df(
-        self, terms: list[str], k: int = 10, weights: dict[str, float] | None = None
+        self,
+        terms: list[str],
+        k: int = 10,
+        weights: dict[str, float] | None = None,
+        min_match: int = 1,
+        groups: list[list[str]] | None = None,
     ) -> DataFrame:
-        """Distributed top-k over explicit (optionally boosted) terms."""
+        """Distributed top-k over explicit (optionally boosted) terms.
+        min_match > 1 requires a doc to match at least that many distinct
+        terms — or, with `groups`, that many distinct term GROUPS (any
+        member matching counts the group once; the multi_match token rule).
+        The group count rides the same single aggregation as the score (a
+        count_distinct over an executor-emitted group id), so the
+        constraint adds no extra scan, join, or shuffle."""
         idfs = self._term_idfs(terms)
         terms = [t for t in terms if t in idfs]
         k1, b, avgdl, c = self.k1, self.b, self.avgdl, self.k1 + 1.0
-        out_schema = T.StructType(
-            [
-                T.StructField("doc_id", T.LongType(), False),
-                T.StructField("partial", T.DoubleType(), False),
-            ]
-        )
+        grouped = min_match > 1
+        out_fields = [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("partial", T.DoubleType(), False),
+        ]
+        if grouped:
+            out_fields.append(T.StructField("group_id", T.IntegerType(), False))
+        out_schema = T.StructType(out_fields)
         if not terms:
-            return self.spark.createDataFrame([], out_schema).groupBy("doc_id").agg(
-                F.sum("partial").alias("score")
-            )
+            return self.spark.createDataFrame(
+                [], "doc_id long, partial double"
+            ).groupBy("doc_id").agg(F.sum("partial").alias("score"))
         idf_items = [
             (t, i * (weights.get(t, 1.0) if weights else 1.0))
             for t, i in idfs.items()
         ]
+        if grouped:
+            if groups:
+                group_of = {t: gi for gi, g in enumerate(groups) for t in g}
+            else:
+                group_of = {t: gi for gi, t in enumerate(terms)}
+        else:
+            group_of = None
 
         def score_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             idf_map = dict(idf_items)
             for pdf in batches:
-                docs_all, contrib_all = [], []
+                docs_all, contrib_all, grp_all = [], [], []
                 for term, n, first, gaps, tfs, dls in zip(
                     pdf["term"], pdf["n"], pdf["first_doc"], pdf["doc_gaps"], pdf["tfs"], pdf["dls"]
                 ):
@@ -1500,19 +1556,29 @@ class IndexReader:
                     w = tf / (tf + k1 * (1.0 - b + b * dl / avgdl))
                     docs_all.append(docs)
                     contrib_all.append(idf_map[term] * c * w)
+                    if group_of is not None:
+                        grp_all.append(
+                            np.full(len(docs), group_of[term], np.int32)
+                        )
                 if docs_all:
-                    yield pd.DataFrame(
-                        {
-                            "doc_id": np.concatenate(docs_all),
-                            "partial": np.concatenate(contrib_all),
-                        }
-                    )
+                    out = {
+                        "doc_id": np.concatenate(docs_all),
+                        "partial": np.concatenate(contrib_all),
+                    }
+                    if group_of is not None:
+                        out["group_id"] = np.concatenate(grp_all)
+                    yield pd.DataFrame(out)
 
+        partials = self._postings_df(terms).mapInPandas(score_blocks, out_schema)
+        if grouped:
+            agg = partials.groupBy("doc_id").agg(
+                F.sum("partial").alias("score"),
+                F.count_distinct("group_id").alias("nmatch"),
+            ).filter(F.col("nmatch") >= min_match)
+        else:
+            agg = partials.groupBy("doc_id").agg(F.sum("partial").alias("score"))
         return (
-            self._postings_df(terms)
-            .mapInPandas(score_blocks, out_schema)
-            .groupBy("doc_id")
-            .agg(F.sum("partial").alias("score"))
-            .orderBy(F.desc("score"), F.asc("doc_id"))
+            agg.orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
+            .select("doc_id", "score")
         )

@@ -149,3 +149,29 @@ def test_fuzzy_depth_above_es_cap_raises(fz_idx):
         fz_idx.enable_fuzzy(3)
     with pytest.raises(ValueError, match="caps at depth 2"):
         fz_idx.expand_fuzzy("merge", max_dist=3)
+
+
+def test_prefix_fuzzy_min_should_match_token_groups(fz_idx, spark):
+    """mSM on expansion surfaces counts TOKENS (any expansion satisfies its
+    token), not raw expanded terms."""
+    # "merge stream" @ed1: docs 0/1 match both tokens, doc 2 only 'merge'
+    # (via 'merged'), doc 4 only 'stream'
+    loose = {d for d, _ in fz_idx.search_fuzzy("merge stream", k=10, fuzziness=1)}
+    strict = {d for d, _ in fz_idx.search_fuzzy("merge stream", k=10, fuzziness=1,
+                                                min_should_match=2)}
+    assert strict < loose
+    meta = fz_idx.lookup_docs(list(loose))
+    assert {meta[d]["path"] for d in loose} == {"0", "1", "2", "4"}
+    assert {meta[d]["path"] for d in strict} == {"0", "1"}
+    p_loose = {d for d, _ in fz_idx.search_prefix("mer str", k=10)}
+    p_strict = {d for d, _ in fz_idx.search_prefix("mer str", k=10,
+                                                   min_should_match=2)}
+    assert p_strict <= p_loose
+    pmeta = fz_idx.lookup_docs(list(p_strict))
+    # both prefixes must match: doc 0 (merge+stream) and 1 (merg+streem)
+    assert {pmeta[d]["path"] for d in p_strict} == {"0", "1"}
+    # scores are unchanged by the filter (mSM filters, never rescores)
+    loose_scores = dict(fz_idx.search_fuzzy("merge stream", k=10, fuzziness=1))
+    for d, s in fz_idx.search_fuzzy("merge stream", k=10, fuzziness=1,
+                                    min_should_match=2):
+        assert s == loose_scores[d]

@@ -225,3 +225,24 @@ def test_incremental_bool_df(spark, inc_idx, tmp_path):
         for r in inc2.search_bool_df(must="spark", k=10).collect()
     }
     assert "1" not in got2 and got2 == {"0", "3", "4"}
+
+
+def test_incremental_min_should_match(spark, inc_idx, tmp_path):
+    """mSM across segments: driver and distributed paths agree with a full
+    rebuild's results."""
+    inc = IncrementalIndexReader(spark, inc_idx)
+    full = _full_idx(spark, tmp_path)
+    for msm in (1, 2):
+        got = _paths(inc, spark, inc.search("spark engine", k=10, min_should_match=msm))
+        want = _full_paths(full, full.search("spark engine", k=10, min_should_match=msm))
+        assert got == want, msm
+        dist = [
+            (r["segment"], r["doc_id"], round(r["score"], 9))
+            for r in inc.search_df("spark engine", k=10, min_should_match=msm).collect()
+        ]
+        drv = [(s, d, round(sc, 9)) for s, d, sc in
+               inc.search("spark engine", k=10, min_should_match=msm)]
+        assert dist == drv, msm
+    # only doc 0 carries both tokens
+    strict = _paths(inc, spark, inc.search("spark engine", k=10, min_should_match=2))
+    assert [p for p, _ in strict] == ["0"]

@@ -194,3 +194,18 @@ def test_fuzzy_edit_budget_cannot_span_field_name(spark, tmp_path_factory):
     docs = {r["path"]: r["doc_id"] for r in
             spark.read.parquet(f"{idx}/docs").collect()}
     assert hits == {docs["0"]}
+
+
+def test_distributed_min_should_match(mf_idx):
+    """search_df/search_fields_df honor min_should_match via the in-
+    aggregation group count — rank-identical to the driver."""
+    reader, key2id = mf_idx
+    for msm in (1, 2):
+        drv = reader.search("spark engine", k=5, min_should_match=msm)
+        dist = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in reader.search_df("spark engine", k=5, min_should_match=msm).collect()
+        ]
+        assert dist == [(d, round(s, 9)) for d, s in drv], msm
+    strict = reader.search_df("spark engine", k=5, min_should_match=2).collect()
+    assert [r["doc_id"] for r in strict] == [key2id["0"]]
