@@ -183,11 +183,22 @@ class IndexReader:
             for term, df in zip(t.column("term").to_pylist(), t.column("df").to_pylist())
         }
 
-    def _postings_df(self, terms: list[str]) -> DataFrame:
-        """Distributed path (search_df): postings stay on executors."""
-        return self.spark.read.parquet(os.path.join(self.index_dir, "postings")).filter(
-            F.col("term").isin(terms)
-        )
+    # columns the scoring kernels actually decode; mapInPandas consumes
+    # whole input rows, so pruning must happen BEFORE it or the parquet
+    # scan reads every column — including the (large) positions binary on
+    # positional indexes (plan-audited: ReadSchema shrank accordingly)
+    _SCORE_COLS = ("term", "n", "first_doc", "doc_gaps", "tfs", "dls")
+
+    def _postings_df(
+        self, terms: list[str], columns: tuple | None = _SCORE_COLS
+    ) -> DataFrame:
+        """Distributed path (search_df): postings stay on executors.
+        `columns` prunes the scan to what the consumer decodes (None =
+        all columns)."""
+        df = self.spark.read.parquet(
+            os.path.join(self.index_dir, "postings")
+        ).filter(F.col("term").isin(terms))
+        return df.select(*columns) if columns else df
 
     def _collect_blocks(
         self, terms: list[str], positions: bool = False
@@ -1114,7 +1125,7 @@ class IndexReader:
 
         parallelism = max(1, self.spark.sparkContext.defaultParallelism)
         return (
-            self._postings_df(uniq)
+            self._postings_df(uniq, columns=(*self._SCORE_COLS, "positions"))
             .mapInArrow(decode_rows, decode_schema)
             .repartition(parallelism, "doc_id")
             .sortWithinPartitions("doc_id")
