@@ -1501,7 +1501,11 @@ class IndexReader:
         )
 
     def search_df(
-        self, query: str, k: int = 10, min_should_match: int = 1
+        self,
+        query: str,
+        k: int = 10,
+        min_should_match: int = 1,
+        search_after: tuple[float, int] | None = None,
     ) -> DataFrame:
         """Distributed top-k: postings stay on executors end-to-end. On a
         fields-indexed corpus routes through the equal-boost multi_match
@@ -1511,7 +1515,8 @@ class IndexReader:
                 query, k=k, min_should_match=min_should_match
             )
         return self.search_terms_df(
-            self.query_terms(query), k, min_match=min_should_match
+            self.query_terms(query), k, min_match=min_should_match,
+            search_after=search_after,
         )
 
     def search_terms_df(
@@ -1521,6 +1526,7 @@ class IndexReader:
         weights: dict[str, float] | None = None,
         min_match: int = 1,
         groups: list[list[str]] | None = None,
+        search_after: tuple[float, int] | None = None,
     ) -> DataFrame:
         """Distributed top-k over explicit (optionally boosted) terms.
         min_match > 1 requires a doc to match at least that many distinct
@@ -1528,7 +1534,14 @@ class IndexReader:
         member matching counts the group once; the multi_match token rule).
         The group count rides the same single aggregation as the score (a
         count_distinct over an executor-emitted group id), so the
-        constraint adds no extra scan, join, or shuffle."""
+        constraint adds no extra scan, join, or shuffle.
+
+        search_after = (score, doc_id) of the previous page's last hit (ES
+        search_after): the next page filters strictly past the cursor in
+        (score desc, doc_id asc) order BEFORE the top-k cut, so deep
+        pagination never materializes page*k rows — the 10^12-doc
+        alternative to from+size. Scoring is deterministic for a fixed
+        query, so the cursor is stable across jobs."""
         idfs = self._term_idfs(terms)
         terms = [t for t in terms if t in idfs]
         k1, b, avgdl, c = self.k1, self.b, self.avgdl, self.k1 + 1.0
@@ -1588,6 +1601,12 @@ class IndexReader:
             ).filter(F.col("nmatch") >= min_match)
         else:
             agg = partials.groupBy("doc_id").agg(F.sum("partial").alias("score"))
+        if search_after is not None:
+            s0, d0 = float(search_after[0]), int(search_after[1])
+            agg = agg.filter(
+                (F.col("score") < s0)
+                | ((F.col("score") == s0) & (F.col("doc_id") > d0))
+            )
         return (
             agg.orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)

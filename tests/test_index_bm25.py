@@ -197,3 +197,32 @@ def test_minimum_should_match(spark, tmp_path):
         finally:
             del reader.DENSE_LIMIT
     assert reader.search(q, k=10, min_should_match=4) == []
+
+
+def test_search_after_pagination(spark, sf_dir, tmp_path):
+    """ES search_after: paging via a (score, doc_id) cursor tiles the full
+    ranking without overlap — the deep-pagination path that never
+    materializes page*k rows."""
+    from elasticsearch_jdbc_spark.index import IndexBuilder, IndexReader
+    from elasticsearch_jdbc_spark.sources import corpus_from_documents
+
+    idx = str(tmp_path / "pg")
+    IndexBuilder(spark, idx, partitions=4).build(
+        corpus_from_documents(spark, sf_dir), resume=False
+    )
+    reader = IndexReader(spark, idx)
+    q = "fast key merge sort"
+    full = [(r["doc_id"], r["score"]) for r in reader.search_df(q, k=15).collect()]
+    pages, cursor = [], None
+    for _ in range(3):
+        page = [
+            (r["doc_id"], r["score"])
+            for r in reader.search_df(q, k=5, search_after=cursor).collect()
+        ]
+        assert len(page) <= 5
+        pages += page
+        if len(page) < 5:
+            break
+        last_doc, last_score = page[-1]
+        cursor = (last_score, last_doc)  # ES sort-values order (score, doc)
+    assert pages == full
