@@ -51,6 +51,87 @@ def stream_exact_dedup(
     return out.drop("_sha")
 
 
+def stream_latest_version(
+    df: DataFrame,
+    key_cols: tuple = ("repo", "path", "commit"),
+    ts_col: str = "updated_at",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """CUSTOM STATEFUL OPERATOR (applyInPandasWithState): per doc key, emit
+    a row only when a micro-batch advances the key's newest version — the
+    upsert-stream compactor that sits in front of apply_incremental, so a
+    chatty source that re-emits every version of a document ships exactly
+    one index op per actual advancement.
+
+    State per key is a single epoch-micros long (the newest version seen) —
+    fixed width, no document content. Event-time timeout evicts a key's
+    state once no new version arrives within `delay` past its newest
+    version (a later re-emit of the same old version would then slip
+    through — same contract as every watermark-bounded dedup, and harmless:
+    the downstream upsert is idempotent).
+
+    On a batch DataFrame this degrades to "latest version per key" (a
+    window row_number), which is the state-free projection of the same
+    semantics."""
+    import pandas as pd
+
+    keyed = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if not df.isStreaming:
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy(*key_cols).orderBy(F.desc(ts_col))
+        return (
+            keyed.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = keyed.schema
+    cols = [f.name for f in out_schema.fields]
+    delay_ms = _duration_ms(delay)
+
+    def latest(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        best_row: pd.DataFrame | None = None
+        best_us = state.get[0] if state.exists else None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            i = pdf[ts_col].idxmax()
+            ts_us = int(pd.Timestamp(pdf[ts_col][i]).value // 1_000)
+            if best_us is None or ts_us > best_us:
+                best_us = ts_us
+                best_row = pdf.loc[[i], cols]
+        if best_row is not None:
+            state.update((best_us,))
+            state.setTimeoutTimestamp(best_us // 1_000 + delay_ms)
+            yield best_row
+
+    return (
+        keyed.withWatermark(ts_col, delay)
+        .groupBy(*[F.col(k) for k in key_cols])
+        .applyInPandasWithState(
+            latest,
+            out_schema,
+            "ts_us long",
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def _duration_ms(s: str) -> int:
+    """'1 hour' / '10 minutes' / '30 seconds' -> milliseconds."""
+    n, unit = s.split()
+    mult = {"second": 1_000, "minute": 60_000, "hour": 3_600_000,
+            "day": 86_400_000}[unit.rstrip("s")]
+    return int(n) * mult
+
+
 def stream_key_dedup(
     df: DataFrame,
     key_cols: tuple = ("repo", "path", "commit"),

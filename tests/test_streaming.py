@@ -147,3 +147,63 @@ def test_stream_key_dedup(spark):
     out = stream_key_dedup(df, ("repo", "path", "commit"), "ts").collect()
     assert len(out) == 2
     assert {r["commit"] for r in out} == {"c1", "c2"}
+
+
+def test_stream_latest_version_stateful(spark, tmp_path):
+    """applyInPandasWithState upsert compactor: across two AvailableNow
+    runs sharing a checkpoint, a key emits only when its newest version
+    ADVANCES — re-emitted old versions are suppressed by the persisted
+    per-key state."""
+    import datetime as dt
+
+    from elasticsearch_jdbc_spark.streaming.dedup import stream_latest_version
+
+    SCHEMA = "repo string, path string, commit string, content string, updated_at timestamp"
+    t1, t2 = dt.datetime(2026, 1, 1), dt.datetime(2026, 1, 2)
+    src_dir, ck = str(tmp_path / "src"), str(tmp_path / "ck")
+    os.makedirs(src_dir, exist_ok=True)
+
+    out_dir = str(tmp_path / "out")
+
+    def run_batch(rows):
+        # parquet sink (memory sink cannot recover from a checkpoint, and
+        # cross-run state recovery is exactly what this test exercises)
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(src_dir)
+        stream = spark.readStream.schema(SCHEMA).parquet(src_dir)
+        out = stream_latest_version(stream, ("repo", "path", "commit"),
+                                    ts_col="updated_at")
+        q = (
+            out.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return [
+            (r["path"], r["content"])
+            for r in spark.read.parquet(out_dir).collect()
+        ]
+
+    # batch 1: A v1 twice (dup in-batch), B v1 -> one emit per key
+    got1 = run_batch([
+        ("r", "A", "c", "A-v1", t1),
+        ("r", "A", "c", "A-v1-dup", t1),
+        ("r", "B", "c", "B-v1", t1),
+    ])
+    assert sorted(p for p, _ in got1) == ["A", "B"]
+    # batch 2: A advances to v2 (emit), B re-emits v1 (suppressed by state)
+    got2 = run_batch([
+        ("r", "A", "c", "A-v2", t2),
+        ("r", "B", "c", "B-v1-again", t1),
+    ])
+    new = [x for x in got2 if x not in got1]
+    assert new == [("A", "A-v2")]
+    assert len(got2) == 3  # cumulative memory table: 2 from run 1 + 1 new
+    # batch semantics: latest per key, state-free projection
+    b = spark.createDataFrame(
+        [("r", "A", "c", "A-v1", t1), ("r", "A", "c", "A-v2", t2)], SCHEMA
+    )
+    rows = stream_latest_version(b, ("repo", "path", "commit"), "updated_at").collect()
+    assert [(r["path"], r["content"]) for r in rows] == [("A", "A-v2")]
