@@ -274,6 +274,131 @@ class IndexReader:
             {"doc_id": d, "score": s, **meta.get(d, {})} for d, s in hits
         ]
 
+    # ---------- explain / count (ES _explain and _count analogues) ----------
+
+    def _match_terms(
+        self, query: str, boosts: dict[str, float] | None = None
+    ) -> tuple[list[str], dict[str, float], list[list[str]]]:
+        """Match-query expansion shared by explain/count: raw tokens on a
+        plain corpus, per-field namespaced terms (with boosts) on a fields
+        corpus. Returns (terms, weights, token groups)."""
+        fields = self.manifest.get("fields")
+        if boosts and not fields:
+            raise ValueError("boosts requires a fields-indexed corpus")
+        terms, weights, groups = [], {}, []
+        if fields:
+            boosts = boosts or {f: 1.0 for f in fields}
+            unknown = set(boosts) - set(fields)
+            if unknown:
+                raise ValueError(f"unknown fields {sorted(unknown)}; indexed: {fields}")
+            for tok in self.query_terms(query):
+                g = []
+                for f, w in boosts.items():
+                    t = f + "\x1f" + tok
+                    terms.append(t)
+                    weights[t] = float(w)
+                    g.append(t)
+                groups.append(g)
+        else:
+            terms = self.query_terms(query)
+            weights = {t: 1.0 for t in terms}
+            groups = [[t] for t in terms]
+        return terms, weights, groups
+
+    def explain(
+        self, query: str, doc_id: int, boosts: dict[str, float] | None = None
+    ) -> dict:
+        """Per-term BM25 score breakdown for one document (the ES _explain
+        endpoint): for each matching (expanded) term, its tf, dl, df, idf,
+        boost and contribution; `score` sums them and equals search()'s
+        score for the doc exactly (same decode, same formula, same
+        accumulation order)."""
+        terms, weights, _ = self._match_terms(query, boosts)
+        idfs = self._term_idfs(terms)
+        terms = [t for t in terms if t in idfs]
+        detail: dict[str, dict] = {}
+        score = 0.0
+        if not terms:
+            return {"doc_id": int(doc_id), "score": 0.0, "matched": 0, "terms": {}}
+        blocks = self._collect_blocks(terms)
+        c = self.k1 + 1.0
+        for t in terms:
+            if not blocks.get(t):
+                continue
+            first_docs = np.array([blk[2] for blk in blocks[t]], np.int64)
+            ns = np.array([blk[1] for blk in blocks[t]], np.int64)
+            docs, tf, dl = decode_term_blocks(
+                first_docs, ns,
+                b"".join(blk[3] for blk in blocks[t]),
+                b"".join(blk[4] for blk in blocks[t]),
+                b"".join(blk[5] for blk in blocks[t]),
+            )
+            i = int(np.searchsorted(docs, doc_id))
+            if i >= len(docs) or int(docs[i]) != int(doc_id):
+                continue
+            tfv, dlv = float(tf[i]), float(dl[i])
+            w = tfv / (tfv + self.k1 * (1.0 - self.b + self.b * dlv / self.avgdl))
+            contrib = weights[t] * idfs[t] * c * w
+            score += contrib
+            detail[t] = {
+                "tf": tfv,
+                "dl": dlv,
+                "idf": idfs[t],
+                "boost": weights[t],
+                "weight": w,
+                "contribution": contrib,
+            }
+        return {"doc_id": int(doc_id), "score": score, "matched": len(detail),
+                "terms": detail}
+
+    def count(
+        self,
+        query: str,
+        min_should_match: int = 1,
+        boosts: dict[str, float] | None = None,
+    ) -> int:
+        """Matching-doc count without ranking (the ES _count endpoint):
+        docs matching at least min_should_match tokens (any field on a
+        fields corpus). Dense bitmap under DENSE_LIMIT; above it, one
+        distributed aggregation (no top-k, no collect of postings)."""
+        terms, weights, groups = self._match_terms(query, boosts)
+        idfs = self._term_idfs(terms)
+        terms = [t for t in terms if t in idfs]
+        if not terms:
+            return 0
+        if self.n_docs > self.DENSE_LIMIT:
+            df = self.search_terms_df(
+                terms, k=self.n_docs, weights=weights,
+                min_match=min_should_match, groups=groups,
+            )
+            return df.count()
+        blocks = self._collect_blocks(terms)
+        decoded = {}
+        max_doc = -1
+        for t in terms:
+            if blocks.get(t):
+                first_docs = np.array([blk[2] for blk in blocks[t]], np.int64)
+                ns = np.array([blk[1] for blk in blocks[t]], np.int64)
+                docs, _tf, _dl = decode_term_blocks(
+                    first_docs, ns,
+                    b"".join(blk[3] for blk in blocks[t]),
+                    b"".join(blk[4] for blk in blocks[t]),
+                    b"".join(blk[5] for blk in blocks[t]),
+                )
+                decoded[t] = docs
+                max_doc = max(max_doc, int(docs[-1]))
+        if max_doc < 0:
+            return 0
+        nmatch = np.zeros(max_doc + 1, np.int16)
+        for g in groups:
+            gm = np.zeros(max_doc + 1, bool)
+            for t in g:
+                d = decoded.get(t)
+                if d is not None:
+                    gm[d] = True
+            nmatch += gm
+        return int((nmatch >= max(1, min_should_match)).sum())
+
     # ---------- fuzzy queries (ES fuzzy, edit distance <= 2, AUTO) ----------
 
     def _fuzzy_meta_path(self) -> str:

@@ -226,3 +226,33 @@ def test_search_after_pagination(spark, sf_dir, tmp_path):
         last_doc, last_score = page[-1]
         cursor = (last_score, last_doc)  # ES sort-values order (score, doc)
     assert pages == full
+
+
+def test_explain_and_count(spark, sf_dir, tmp_path):
+    """ES _explain/_count analogues: per-term breakdown sums exactly to the
+    search() score; count equals the unranked match-set size, mSM-aware."""
+    from elasticsearch_jdbc_spark.index import IndexBuilder, IndexReader
+    from elasticsearch_jdbc_spark.sources import corpus_from_documents
+
+    idx = str(tmp_path / "ex")
+    IndexBuilder(spark, idx, partitions=4).build(
+        corpus_from_documents(spark, sf_dir), resume=False
+    )
+    reader = IndexReader(spark, idx)
+    q = "fast key merge sort"
+    hits = reader.search(q, k=5)
+    for doc, score in hits:
+        ex = reader.explain(q, doc)
+        assert ex["score"] == score  # same decode + accumulation order
+        assert ex["matched"] == len(ex["terms"]) >= 1
+        assert abs(sum(t["contribution"] for t in ex["terms"].values()) - score) < 1e-12
+        for t, d in ex["terms"].items():
+            assert d["tf"] >= 1 and d["idf"] > 0
+    # a doc that matches nothing explains to zero
+    no = reader.explain("zzznope", hits[0][0])
+    assert no["score"] == 0.0 and no["matched"] == 0
+    # count == size of the full match set, for each mSM level
+    for msm in (1, 2, 4):
+        want = len(reader.search(q, k=reader.n_docs, min_should_match=msm))
+        assert reader.count(q, min_should_match=msm) == want, msm
+    assert reader.count("zzznope") == 0

@@ -209,3 +209,16 @@ def test_distributed_min_should_match(mf_idx):
         assert dist == [(d, round(s, 9)) for d, s in drv], msm
     strict = reader.search_df("spark engine", k=5, min_should_match=2).collect()
     assert [r["doc_id"] for r in strict] == [key2id["0"]]
+
+
+def test_explain_count_fields(mf_idx):
+    """explain/count on a fields corpus: namespaced per-field breakdown with
+    boosts; count groups tokens across fields."""
+    reader, key2id = mf_idx
+    boosts = {"title": 10.0, "body": 1.0}
+    top_doc, top_score = reader.search_fields("spark", boosts=boosts, k=1)[0]
+    ex = reader.explain("spark", top_doc, boosts=boosts)
+    assert ex["score"] == top_score
+    assert all("\x1f" in t for t in ex["terms"])
+    assert reader.count("spark engine") == 3
+    assert reader.count("spark engine", min_should_match=2) == 1
