@@ -1084,6 +1084,141 @@ class IndexReader:
             out.append((d, pf, float(dl_of[d])))
         return out
 
+    def search_phrase_prefix(
+        self,
+        query: str,
+        k: int = 10,
+        limit: int = 16,
+        slop: int = 0,
+        field: str | None = None,
+        weight_mode: str = "count",
+    ) -> list[tuple[int, float]]:
+        """ES match_phrase_prefix: phrase matching where the FINAL token is
+        a prefix, expanded against the term dictionary (capped at `limit` —
+        the ES max_expansions knob, lexicographic so deterministic). The
+        last phrase slot accepts the positions of ANY expansion (the Lucene
+        MultiPhraseQuery shape); earlier slots and `slop`/`weight_mode`
+        behave exactly like search_phrase. idf follows MultiPhraseQuery:
+        the sum over the body terms plus every expansion actually indexed.
+        Requires positions; a fields corpus requires `field`."""
+        if weight_mode not in ("count", "lucene"):
+            raise ValueError(f"weight_mode {weight_mode!r}: use 'count' or 'lucene'")
+        if not self.manifest.get("with_positions"):
+            raise ValueError(
+                "index was built without positions; rebuild with "
+                "IndexBuilder(with_positions=True) for phrase queries"
+            )
+        terms = self._phrase_terms(query, field)
+        if not terms:
+            return []
+        body, last = terms[:-1], terms[-1]
+        alts = self.expand_prefix(last, limit)
+        if not alts:
+            return []
+        uniq_body = list(dict.fromkeys(body))
+        idfs = self._term_idfs(uniq_body + alts)
+        if any(t not in idfs for t in uniq_body):
+            return []
+        alts = [a for a in alts if a in idfs]
+        if not alts:
+            return []
+        idf_sum = sum(idfs[t] for t in body) + sum(idfs[a] for a in alts)
+        c = self.k1 + 1.0
+        scored: list[tuple[int, float]] = []
+        for d, pf, dl in self._phrase_prefix_freqs(
+            body, alts, slop=slop, lucene_weight=weight_mode == "lucene"
+        ):
+            w = pf / (pf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl))
+            scored.append((d, idf_sum * c * w))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        return scored[:k]
+
+    def _phrase_prefix_freqs(
+        self,
+        body: list[str],
+        alts: list[str],
+        slop: int = 0,
+        lucene_weight: bool = False,
+    ) -> list[tuple[int, float, float]]:
+        """(doc_id, phrase_freq, dl) where the final slot's positions are
+        the UNION over `alts` (MultiPhraseQuery). With an empty body this
+        degrades to counting every expansion occurrence (single-token
+        match_phrase_prefix = prefix match, phrase-scored)."""
+        uniq = list(dict.fromkeys(body + alts))
+        blocks = self._collect_blocks(uniq, positions=True)
+        per_term: dict[str, tuple] = {}
+        for t in uniq:
+            if not blocks[t]:
+                if t in body:
+                    return []  # a missing body term can never form the phrase
+                continue
+            first_docs = np.array([b[2] for b in blocks[t]], np.int64)
+            ns = np.array([b[1] for b in blocks[t]], np.int64)
+            docs, tf, dl = decode_term_blocks(
+                first_docs, ns,
+                b"".join(b[3] for b in blocks[t]),
+                b"".join(b[4] for b in blocks[t]),
+                b"".join(b[5] for b in blocks[t]),
+            )
+            pos = decode_positions(tf, b"".join(b[7] for b in blocks[t]))
+            per_term[t] = (docs, dl, pos, np.cumsum(tf))
+        alts = [a for a in alts if a in per_term]
+        if not alts:
+            return []
+        # candidates: docs containing every body term AND any expansion
+        alt_docs = per_term[alts[0]][0]
+        for a in alts[1:]:
+            alt_docs = np.union1d(alt_docs, per_term[a][0])
+        cand = alt_docs
+        for t in dict.fromkeys(body):
+            cand = np.intersect1d(cand, per_term[t][0], assume_unique=True)
+            if len(cand) == 0:
+                return []
+        # dl lookup from any term present in the doc
+        dl_of: dict[int, float] = {}
+        for t in (list(dict.fromkeys(body)) + alts):
+            docs, dl, _, _ = per_term[t]
+            for dd, dv in zip(docs.tolist(), dl.tolist()):
+                dl_of.setdefault(dd, float(dv))
+        n_body = len(body)
+        out: list[tuple[int, float, float]] = []
+        for d in cand.tolist():
+            last_pos = None
+            for a in alts:
+                docs_a = per_term[a][0]
+                i = int(np.searchsorted(docs_a, d))
+                if i >= len(docs_a) or int(docs_a[i]) != d:
+                    continue  # this expansion doesn't occur in the doc
+                p = self._doc_positions(per_term[a], d)
+                if len(p):
+                    last_pos = p if last_pos is None else np.union1d(last_pos, p)
+            if last_pos is None or len(last_pos) == 0:
+                continue
+            if not body:
+                pf = float(len(last_pos))
+            elif slop <= 0:
+                s = self._doc_positions(per_term[body[0]], d)
+                ok = True
+                for i, t in enumerate(body[1:], 1):
+                    s = s[np.isin(s + i, self._doc_positions(per_term[t], d))]
+                    if len(s) == 0:
+                        ok = False
+                        break
+                if not ok:
+                    continue
+                s = s[np.isin(s + n_body, last_pos)]
+                pf = float(len(s))
+            else:
+                shifted = [
+                    np.sort(self._doc_positions(per_term[t], d) - i)
+                    for i, t in enumerate(body)
+                ] + [np.sort(last_pos - n_body)]
+                pf = float(_sloppy_freq(shifted, slop, lucene_weight))
+            if pf == 0:
+                continue
+            out.append((d, pf, dl_of[d]))
+        return out
+
     @staticmethod
     def _doc_positions(entry: tuple, doc: int) -> np.ndarray:
         docs, _dl, pos, pos_ends = entry

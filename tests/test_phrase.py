@@ -292,3 +292,59 @@ def test_distributed_slop_phrase_equals_driver(slop_idx):
             assert [d for d, _ in got] == [d for d, _ in want], (slop, mode)
             for (_, gs), (_, ws) in zip(got, want):
                 assert abs(gs - ws) < 1e-9
+
+
+def test_match_phrase_prefix_vs_brute(spark, tmp_path):
+    """match_phrase_prefix: the last token is a prefix; match iff the body
+    phrase is followed by ANY token with that prefix — checked against a
+    naive token-scan model."""
+    DOCS3 = [
+        ("r", "0", "c", "t", "quick brown foxes jumped"),
+        ("r", "1", "c", "t", "quick brown fox"),
+        ("r", "2", "c", "t", "quick brown dog"),
+        ("r", "3", "c", "t", "brown quick foxtrot"),         # wrong order
+        ("r", "4", "c", "t", "quick red brown foxhole"),     # body not adjacent
+        ("r", "5", "c", "t", "foxglove quick brown force"),  # 'fo' prefix differs
+    ]
+    idx = str(tmp_path / "mpp")
+    IndexBuilder(spark, idx, partitions=2, with_positions=True).build(
+        spark.createDataFrame(
+            DOCS3,
+            "repo string, path string, commit string, lang string, content string",
+        ),
+        resume=False,
+    )
+    reader = IndexReader(spark, idx)
+    id_of = {r["path"]: r["doc_id"] for r in spark.read.parquet(f"{idx}/docs").collect()}
+    toks = {p: tokenize_py(c) for _, p, _, _, c in DOCS3}
+
+    def brute(body, prefix):
+        hits = set()
+        for p, ts in toks.items():
+            for i in range(len(ts) - len(body)):
+                if ts[i:i + len(body)] == body and ts[i + len(body)].startswith(prefix):
+                    hits.add(id_of[p])
+        return hits
+
+    got = {d for d, _ in reader.search_phrase_prefix("quick brown fox", k=10)}
+    assert got == brute(["quick", "brown"], "fox") == {id_of["0"], id_of["1"]}
+    # 'fo' also reaches 'force' (doc 5 'brown force' adjacent? body = quick
+    # brown then fo* -> doc 5 has 'quick brown force': yes) and 'foxhole'
+    # is non-adjacent in doc 4 -> excluded
+    got_fo = {d for d, _ in reader.search_phrase_prefix("quick brown fo", k=10)}
+    assert got_fo == brute(["quick", "brown"], "fo")
+    assert id_of["5"] in got_fo and id_of["4"] not in got_fo
+    # slop=2 lets doc 4's displaced body in ('quick red brown foxhole')
+    got_slop = {d for d, _ in reader.search_phrase_prefix("quick brown fo", k=10, slop=2)}
+    assert id_of["4"] in got_slop and got_fo <= got_slop
+    # single-token: degrades to prefix matching with phrase scoring —
+    # every doc containing any fox* token (foxes/fox/foxtrot/foxhole/
+    # foxglove)
+    one = {d for d, _ in reader.search_phrase_prefix("fox", k=10)}
+    assert one == {id_of[p] for p in ("0", "1", "3", "4", "5")}
+    # no expansions -> []
+    assert reader.search_phrase_prefix("quick brown zzz", k=10) == []
+    # max_expansions cap respected (limit=1 keeps only the first expansion
+    # lexicographically: 'force')
+    capped = {d for d, _ in reader.search_phrase_prefix("quick brown fo", k=10, limit=1)}
+    assert capped == {id_of["5"]}
