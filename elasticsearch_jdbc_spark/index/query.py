@@ -367,11 +367,10 @@ class IndexReader:
         if not terms:
             return 0
         if self.n_docs > self.DENSE_LIMIT:
-            df = self.search_terms_df(
-                terms, k=self.n_docs, weights=weights,
-                min_match=min_should_match, groups=groups,
-            )
-            return df.count()
+            # one aggregation over the unlimited match set — no top-k sort
+            return self._match_df(
+                terms, weights, min_should_match, groups
+            ).count()
         blocks = self._collect_blocks(terms)
         decoded = {}
         max_doc = -1
@@ -398,6 +397,40 @@ class IndexReader:
                     gm[d] = True
             nmatch += gm
         return int((nmatch >= max(1, min_should_match)).sum())
+
+    def facet_df(
+        self,
+        query: str,
+        by: str = "lang",
+        min_should_match: int = 1,
+        boosts: dict[str, float] | None = None,
+    ) -> DataFrame:
+        """ES terms-aggregation over the FULL match set (search + facet,
+        the canonical ES pairing): buckets of the doc-metadata column `by`
+        with doc counts and the bucket's best score, computed in ONE
+        distributed pass — the unlimited match set joins the docs table
+        (hits are the smaller side at any realistic selectivity; postings
+        never collect) and aggregates per bucket. Ordered by doc count
+        desc, bucket value asc (the ES default)."""
+        docs = self.spark.read.parquet(os.path.join(self.index_dir, "docs"))
+        if by not in docs.columns or by == "doc_id":
+            raise ValueError(
+                f"unknown facet column {by!r}; docs table has "
+                f"{[c for c in docs.columns if c != 'doc_id']}"
+            )
+        terms, weights, groups = self._match_terms(query, boosts)
+        idfs = self._term_idfs(terms)
+        terms = [t for t in terms if t in idfs]
+        matches = self._match_df(terms, weights, min_should_match, groups)
+        return (
+            matches.join(docs.select("doc_id", by), "doc_id")
+            .groupBy(by)
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.max("score").alias("max_score"),
+            )
+            .orderBy(F.desc("n_docs"), F.asc(by))
+        )
 
     # ---------- fuzzy queries (ES fuzzy, edit distance <= 2, AUTO) ----------
 
@@ -1552,15 +1585,9 @@ class IndexReader:
             return self._search_dense_terms(
                 terms, k, weights, min_match=min_match, groups=groups
             )
-        if groups and min_match > 1:
-            # group-level counting needs the per-doc group bitmap the dense
-            # accumulator provides; WAND cursors only see aligned terms.
-            # Explicit error beats silently dropping the constraint.
-            raise ValueError(
-                "min_should_match > 1 over a fields index is only supported "
-                f"up to DENSE_LIMIT={self.DENSE_LIMIT} docs"
-            )
-        return self.search_wand_terms(terms, k, weights, min_match=min_match)
+        return self.search_wand_terms(
+            terms, k, weights, min_match=min_match, groups=groups
+        )
 
     def _search_dense_terms(
         self,
@@ -1640,6 +1667,7 @@ class IndexReader:
         k: int = 10,
         weights: dict[str, float] | None = None,
         min_match: int = 1,
+        groups: list[list[str]] | None = None,
     ) -> list[tuple[int, float]]:
         """WAND with block-max refinement, rank-identical to search_brute
         (and, with `weights`, to _search_dense_terms with the same boosts —
@@ -1668,17 +1696,27 @@ class IndexReader:
             for t in terms
             if blocks[t]
         ]
-        return self._wand_loop(cursors, k, min_match=min_match)
+        group_of = (
+            {t: gi for gi, g in enumerate(groups) for t in g} if groups else None
+        )
+        return self._wand_loop(cursors, k, min_match=min_match, group_of=group_of)
 
     def _wand_loop(
-        self, cursors: list, k: int, excluded=None, min_match: int = 1
+        self,
+        cursors: list,
+        k: int,
+        excluded=None,
+        min_match: int = 1,
+        group_of: dict | None = None,
     ) -> list[tuple[int, float]]:
         """The block-max WAND driver loop over prepared cursors. `excluded`
         (optional doc -> bool) filters docs at scoring alignment — used by
         the bool must_not path; skipping an excluded doc never disturbs the
         threshold, so pruning stays safe. `min_match` requires that many
-        aligned cursors before a doc scores (ES minimum_should_match) —
-        again exclusion-only, so pruning bounds remain valid."""
+        aligned cursors before a doc scores (ES minimum_should_match); with
+        `group_of` the count is over distinct term GROUPS among the aligned
+        cursors (the multi_match token rule) — again exclusion-only, so
+        pruning bounds remain valid."""
         heap: list[tuple[float, int]] = []  # min-heap of (score, -doc), size k
         threshold = -np.inf
 
@@ -1700,9 +1738,14 @@ class IndexReader:
             if live[0].cur_doc() == pivot_doc:
                 aligned = [cu for cu in live if cu.cur_doc() == pivot_doc]
                 block_ub = sum(cu.block_ub() for cu in aligned)
+                n_aligned = (
+                    len({group_of.get(cu.term, cu.term) for cu in aligned})
+                    if group_of is not None
+                    else len(aligned)
+                )
                 if (
                     (len(heap) < k or block_ub >= threshold)
-                    and len(aligned) >= min_match
+                    and n_aligned >= min_match
                     and not (excluded is not None and excluded(pivot_doc))
                 ):
                     score = sum(
@@ -1802,6 +1845,29 @@ class IndexReader:
         pagination never materializes page*k rows — the 10^12-doc
         alternative to from+size. Scoring is deterministic for a fixed
         query, so the cursor is stable across jobs."""
+        agg = self._match_df(terms, weights, min_match, groups)
+        if search_after is not None:
+            s0, d0 = float(search_after[0]), int(search_after[1])
+            agg = agg.filter(
+                (F.col("score") < s0)
+                | ((F.col("score") == s0) & (F.col("doc_id") > d0))
+            )
+        return (
+            agg.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .select("doc_id", "score")
+        )
+
+    def _match_df(
+        self,
+        terms: list[str],
+        weights: dict[str, float] | None = None,
+        min_match: int = 1,
+        groups: list[list[str]] | None = None,
+    ) -> DataFrame:
+        """The UNLIMITED distributed match set (doc_id, score) — the shared
+        substrate of search_terms_df (top-k on top), count (plain count on
+        top) and facet_df (metadata join + bucket agg on top)."""
         idfs = self._term_idfs(terms)
         terms = [t for t in terms if t in idfs]
         k1, b, avgdl, c = self.k1, self.b, self.avgdl, self.k1 + 1.0
@@ -1855,20 +1921,8 @@ class IndexReader:
 
         partials = self._postings_df(terms).mapInPandas(score_blocks, out_schema)
         if grouped:
-            agg = partials.groupBy("doc_id").agg(
+            return partials.groupBy("doc_id").agg(
                 F.sum("partial").alias("score"),
                 F.count_distinct("group_id").alias("nmatch"),
-            ).filter(F.col("nmatch") >= min_match)
-        else:
-            agg = partials.groupBy("doc_id").agg(F.sum("partial").alias("score"))
-        if search_after is not None:
-            s0, d0 = float(search_after[0]), int(search_after[1])
-            agg = agg.filter(
-                (F.col("score") < s0)
-                | ((F.col("score") == s0) & (F.col("doc_id") > d0))
-            )
-        return (
-            agg.orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k)
-            .select("doc_id", "score")
-        )
+            ).filter(F.col("nmatch") >= min_match).select("doc_id", "score")
+        return partials.groupBy("doc_id").agg(F.sum("partial").alias("score"))

@@ -256,3 +256,46 @@ def test_explain_and_count(spark, sf_dir, tmp_path):
         want = len(reader.search(q, k=reader.n_docs, min_should_match=msm))
         assert reader.count(q, min_should_match=msm) == want, msm
     assert reader.count("zzznope") == 0
+
+
+def test_facet_df_matches_brute(spark, sf_dir, tmp_path):
+    """ES terms-agg over the match set: bucket counts equal a brute-force
+    scan, best scores equal the per-doc search scores."""
+    from elasticsearch_jdbc_spark.functions.tokenizer import tokenize_py
+    from elasticsearch_jdbc_spark.index import IndexBuilder, IndexReader
+    from elasticsearch_jdbc_spark.sources import corpus_from_documents
+
+    idx = str(tmp_path / "fc")
+    corpus = corpus_from_documents(spark, sf_dir)
+    IndexBuilder(spark, idx, partitions=4).build(corpus, resume=False)
+    reader = IndexReader(spark, idx)
+    q = "fast key merge sort"
+    buckets = {
+        r["lang"]: (r["n_docs"], r["max_score"])
+        for r in reader.facet_df(q, by="lang").collect()
+    }
+    # brute: tokenize every doc, bucket the matchers by lang
+    qterms = set(reader.query_terms(q))
+    rows = corpus.collect()
+    docs_meta = {
+        (r["repo"], r["path"], r["commit"]): r["lang"] for r in rows
+    }
+    matches = {}
+    for r in rows:
+        if qterms & set(tokenize_py(r["content"])):
+            matches[r["lang"]] = matches.get(r["lang"], 0) + 1
+    assert {b: n for b, (n, _) in buckets.items()} == matches
+    assert sum(n for n, _ in buckets.values()) == reader.count(q)
+    # best score per bucket belongs to a real hit with that score
+    all_hits = dict(reader.search(q, k=reader.n_docs))
+    id2lang = {
+        r["doc_id"]: r["lang"]
+        for r in spark.read.parquet(f"{idx}/docs").collect()
+    }
+    for lang, (_, mx) in buckets.items():
+        best = max(
+            s for d, s in all_hits.items() if id2lang[d] == lang
+        )
+        assert abs(mx - best) < 1e-9, lang
+    with pytest.raises(ValueError, match="facet column"):
+        reader.facet_df(q, by="nope")

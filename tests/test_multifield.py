@@ -160,12 +160,14 @@ def test_min_should_match_counts_token_groups(mf_idx):
     # rescores)
     loose_scores = dict(reader.search("spark engine", k=5))
     assert strict[0][1] == loose_scores[key2id["0"]]
-    # the WAND fallback cannot count token groups: explicit error, not a
-    # silently dropped constraint
+    # the WAND fallback counts token groups too (distinct groups among the
+    # aligned cursors) — rank-identical to dense
     reader.DENSE_LIMIT = 0
     try:
-        with pytest.raises(ValueError, match="min_should_match"):
-            reader.search("spark engine", k=5, min_should_match=2)
+        assert reader.search("spark engine", k=5, min_should_match=2) == strict
+        assert reader.search("spark engine", k=5) == sorted(
+            reader.search("spark engine", k=5), key=lambda x: (-x[1], x[0])
+        )
     finally:
         del reader.DENSE_LIMIT
 
