@@ -1488,6 +1488,101 @@ def bm25_phrase_index_q(spark, sf_dir):
 ORACLE_SQL["bm25_phrase_index"] = ORACLE_SQL["bm25_phrase_topk"]
 
 
+_FACET_QUERY = "fast key merge sort"
+
+
+def _facet_sql() -> str:
+    from ..functions.tokenizer import tokenize_py
+    from ..index.bm25_df import B, K1
+
+    values = ", ".join(f"('{t}')" for t in dict.fromkeys(tokenize_py(_FACET_QUERY)))
+    return f"""
+    WITH q(term) AS (VALUES {values}),
+    tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    flat AS (
+      SELECT doc_id, len(toks) AS dl, t.term
+      FROM tok, UNNEST(toks) AS t(term)
+    ),
+    tf AS (
+      SELECT term, doc_id, dl, COUNT(*) AS tf FROM flat GROUP BY 1, 2, 3
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n, SUM(dl) * 1.0 / COUNT(*) AS avgdl
+      FROM (SELECT doc_id, len(toks) AS dl FROM tok)
+    ),
+    dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM(
+               ln(1.0 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+               * {K1 + 1.0}
+               * (tf.tf / (tf.tf + {K1} * ({1.0 - B} + {B} * tf.dl / stats.avgdl)))
+             ) AS score
+      FROM tf JOIN q USING (term) JOIN dft USING (term), stats
+      GROUP BY 1
+    )
+    SELECT d.lang, COUNT(*) AS n_docs, ROUND(MAX(s.score), 4) AS max_score
+    FROM scored s JOIN documents d USING (doc_id)
+    GROUP BY 1
+    """
+
+
+@_reg("facet_index_search", _facet_sql())
+def facet_index_q(spark, sf_dir):
+    """The ES search+terms-aggregation pairing through the REAL index
+    (facet_df: unlimited match set -> docs join -> bucket agg, one
+    distributed pass), ORACLE-CHECKED against a DuckDB bool-of-match BM25
+    facet plan over the raw corpus — bucket counts AND best scores must
+    agree."""
+    from ..index import IndexReader
+
+    idx = _registry_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    return reader.facet_df(_FACET_QUERY, by="lang").select(
+        "lang", "n_docs", F.round("max_score", 4).alias("max_score")
+    )
+
+
+@_reg(
+    "count_index_search",
+    """
+    WITH q(term) AS (VALUES ('fast'), ('key'), ('merge'), ('sort')),
+    tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    m AS (
+      SELECT f.doc_id, COUNT(DISTINCT f.term) AS nmatch
+      FROM (SELECT doc_id, t.term FROM tok, UNNEST(toks) AS t(term)) f
+      JOIN q ON q.term = f.term
+      GROUP BY 1
+    )
+    SELECT n.msm, COUNT(*) AS n_docs
+    FROM (VALUES (1), (2), (3), (4)) n(msm)
+    JOIN m ON m.nmatch >= n.msm
+    GROUP BY 1
+    """,
+)
+def count_index_q(spark, sf_dir):
+    """The ES _count endpoint through the real index at every
+    minimum_should_match level, oracle-checked against a DuckDB distinct-
+    term-match count over the raw corpus."""
+    from ..index import IndexReader
+
+    idx = _registry_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    rows = [
+        (msm, reader.count("fast key merge sort", min_should_match=msm))
+        for msm in (1, 2, 3, 4)
+    ]
+    return spark.createDataFrame(rows, "msm int, n_docs long")
+
+
 # ES bool queries over the REAL index (distributed path), oracle-checked.
 # Every case carries at least one `must` clause so candidacy is pure
 # conjunction (the SQL's qualified-set join); scoring covers must+should,
