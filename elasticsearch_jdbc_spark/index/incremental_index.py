@@ -263,6 +263,30 @@ class IncrementalIndexReader:
         g = t.group_by(["segment", "doc_id"]).aggregate([("dl", "max")])
         return g.num_rows, int(pc.sum(g.column("dl_max")).as_py() or 0)
 
+    def _tomb_counts_by_segment(self) -> dict[str, int]:
+        """Distinct masked-doc count per live segment — one columnar
+        group_by, no driver-side per-row materialization."""
+        tdir = os.path.join(self.index_dir, "tombstones")
+        if not self.fs.isdir(tdir):
+            return {}
+        import pyarrow.dataset as ds
+
+        t = ds.dataset(tdir, format="parquet").to_table(
+            filter=ds.field("segment").isin(self.segments),
+            columns=["segment", "doc_id"],
+        )
+        if t.num_rows == 0:
+            return {}
+        g = (
+            t.group_by(["segment", "doc_id"])
+            .aggregate([])
+            .group_by(["segment"])
+            .aggregate([("doc_id", "count")])
+        )
+        return dict(
+            zip(g.column("segment").to_pylist(), g.column("doc_id_count").to_pylist())
+        )
+
     @property
     def _tombs(self) -> dict[str, set[int]]:
         """segment -> masked doc_id set, for the DRIVER search paths only
@@ -947,6 +971,75 @@ class IncrementalIndexReader:
         return sorted(
             results, key=lambda x: (-x[2], -self._seg_rank(x[0]), x[1])
         )[:k]
+
+    def search_phrase_df(
+        self,
+        query: str,
+        k: int = 10,
+        slop: int = 0,
+        field: str | None = None,
+        weight_mode: str = "count",
+    ) -> DataFrame:
+        """Distributed phrase top-k across base + deltas (continuous ingest
+        + phrase at scale): each segment runs the vectorized phrase kernel
+        (IndexReader.search_phrase_df) with GLOBAL stats injected — summed
+        idf over segments, tombstone-corrected avgdl — then per-segment
+        top-k rows union, tombstones anti-join, and the global cut applies
+        the newest-segment-wins tie-break. Rank-identical to the driver
+        search_phrase."""
+        from ..functions.tokenizer import tokenize_py
+
+        r0 = self.readers[self.segments[0]]
+        if not r0.manifest.get("with_positions"):
+            raise ValueError(
+                "index was built without positions; rebuild with "
+                "IndexBuilder(with_positions=True) for phrase queries"
+            )
+        # field validation + namespacing identical to the driver path
+        terms = r0._phrase_terms(query, field)
+        empty = self.spark.createDataFrame(
+            [], "segment string, doc_id long, score double"
+        )
+        if not terms:
+            return empty
+        uniq = list(dict.fromkeys(terms))
+        idfs = self._global_idfs(uniq)
+        if any(t not in idfs for t in uniq):
+            return empty
+        idf_sum = float(sum(idfs[t] for t in terms))
+        _ = tokenize_py  # (import kept close to the driver twin)
+        # a segment's top-k is cut BEFORE tombstone masking, so widen it by
+        # the segment's masked-doc count — a masked hit can displace at
+        # most that many live hits (counts from one columnar aggregate,
+        # never per-row driver sets)
+        masked = self._tomb_counts_by_segment()
+        out = None
+        for s in self.segments:
+            seg_hits = self.readers[s].search_phrase_df(
+                query, k=k + masked.get(s, 0), field=field, slop=slop,
+                weight_mode=weight_mode,
+                _stats_override=(idf_sum, self.avgdl),
+            ).withColumn("segment", F.lit(s))
+            out = seg_hits if out is None else out.unionByName(seg_hits)
+        tomb = self._tomb_df()
+        if tomb is not None:
+            out = out.join(tomb, ["segment", "doc_id"], "left_anti")
+        rank_map = F.create_map(
+            *[
+                x
+                for s in self.segments
+                for x in (F.lit(s), F.lit(self._seg_rank(s)))
+            ]
+        )
+        return (
+            out.orderBy(
+                F.desc("score"),
+                F.desc(rank_map[F.col("segment")]),
+                F.asc("doc_id"),
+            )
+            .limit(k)
+            .select("segment", "doc_id", "score")
+        )
 
     def live_tokenized(self, segments: list[str] | None = None) -> DataFrame:
         """Live (keys..., lang, sha256, dl, tokens) rows reassembled from

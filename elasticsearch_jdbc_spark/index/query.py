@@ -1266,6 +1266,7 @@ class IndexReader:
         field: str | None = None,
         slop: int = 0,
         weight_mode: str = "count",
+        _stats_override: tuple[float, float] | None = None,
     ) -> DataFrame:
         """Distributed phrase top-k: postings stay on executors (the
         10^12-doc path — a driver collect of a hot term's positions would
@@ -1273,7 +1274,13 @@ class IndexReader:
         positions) rows -> per-doc grouped adjacency (or, with slop>0, the
         span-criterion sloppy match — same contract and weight_mode options
         as search_phrase) -> score -> global top-k. Rank-identical to
-        search_phrase."""
+        search_phrase.
+
+        _stats_override = (idf_sum, avgdl): the incremental reader's hook —
+        it fans this kernel out per segment but scores every segment with
+        GLOBAL stats. Segment-local gating (every phrase term must exist in
+        the segment) still applies, which is correct: a doc's terms live in
+        its own segment's dictionary."""
         if weight_mode not in ("count", "lucene"):
             raise ValueError(f"weight_mode {weight_mode!r}: use 'count' or 'lucene'")
         if not self.manifest.get("with_positions"):
@@ -1287,6 +1294,8 @@ class IndexReader:
             return self.spark.createDataFrame([], "doc_id long, score double")
         idf_sum = float(sum(idfs[t] for t in terms))
         k1, b, avgdl, c = self.k1, self.b, self.avgdl, self.k1 + 1.0
+        if _stats_override is not None:
+            idf_sum, avgdl = float(_stats_override[0]), float(_stats_override[1])
         n_uniq = len(uniq)
         term_list = list(terms)
         uniq_list = list(uniq)

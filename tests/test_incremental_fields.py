@@ -246,3 +246,41 @@ def test_incremental_min_should_match(spark, inc_idx, tmp_path):
     # only doc 0 carries both tokens
     strict = _paths(inc, spark, inc.search("spark engine", k=10, min_should_match=2))
     assert [p for p, _ in strict] == ["0"]
+
+
+def test_incremental_phrase_df(spark, inc_idx, tmp_path):
+    """Cross-segment distributed phrase: rank/score-identical to the driver
+    cross-segment path (global stats), and a from-scratch rebuild's
+    search_phrase_df on the no-tombstone corpus; masked docs vanish."""
+    inc = IncrementalIndexReader(spark, inc_idx)
+    full = _full_idx(spark, tmp_path)
+    drv = inc.search_phrase("spark engine", field="title", k=10)
+    dist = [
+        (r["segment"], r["doc_id"], round(r["score"], 9))
+        for r in inc.search_phrase_df("spark engine", field="title", k=10).collect()
+    ]
+    assert dist == [(s, d, round(sc, 9)) for s, d, sc in drv]
+    got = _paths(inc, spark, [(s, d, sc) for s, d, sc in
+                              ((r[0], r[1], r[2]) for r in dist)])
+    want = _full_paths(
+        full,
+        [(r["doc_id"], r["score"])
+         for r in full.search_phrase_df("spark engine", field="title", k=10).collect()],
+    )
+    assert got == want
+    # slop + lucene mode parity across segments
+    for kw in ({"slop": 1}, {"slop": 2, "weight_mode": "lucene"}):
+        d1 = inc.search_phrase("spark delta", field="title", k=10, **kw)
+        d2 = [
+            (r["segment"], r["doc_id"], round(r["score"], 9))
+            for r in inc.search_phrase_df("spark delta", field="title", k=10, **kw).collect()
+        ]
+        assert d2 == [(s, d, round(sc, 9)) for s, d, sc in d1], kw
+    # delete the only 'spark engine' title doc: phrase results go empty
+    ops = spark.createDataFrame(
+        [("r", "0", "c", "t", "x", "x", "delete")], SCHEMA + ", _optype string"
+    )
+    apply_incremental(spark, inc_idx, ops)
+    inc2 = IncrementalIndexReader(spark, inc_idx)
+    assert inc2.search_phrase_df("spark engine", field="title", k=10).count() == 0
+    assert inc2.search_phrase("spark engine", field="title", k=10) == []
