@@ -1067,6 +1067,55 @@ class IncrementalIndexReader:
             out = out.join(tomb, ["segment", "doc_id"], "left_anti")
         return out.drop("segment", "doc_id")
 
+    def stats(self) -> dict:
+        """Index stats (the ES _stats/_segments analogue): per-segment doc
+        and term counts with the global tombstone-corrected totals — all
+        from manifests and one columnar tombstone aggregate, no Spark
+        job."""
+        masked = self._tomb_counts_by_segment()
+        segs = {
+            s or "<base>": {
+                "n_docs": self.readers[s].n_docs,
+                "n_terms": self.readers[s].manifest["n_terms"],
+                "masked_docs": masked.get(s, 0),
+            }
+            for s in self.segments
+        }
+        return {
+            "n_segments": len(self.segments),
+            "n_docs_live": self.n_docs,
+            "avgdl": self.avgdl,
+            "masked_docs": sum(masked.values()),
+            "fields": self.fields,
+            "with_positions": bool(
+                self.readers[self.segments[0]].manifest.get("with_positions")
+            ),
+            "segments": segs,
+        }
+
+    def delete_by_query(
+        self, query: str, min_should_match: int = 1
+    ) -> dict:
+        """ES _delete_by_query: tombstone every LIVE doc matching the query
+        (any field on a fields corpus, mSM-aware). The match set computes
+        distributed (never collects postings), joins live_docs for the doc
+        keys, and routes through apply_incremental as a delete batch —
+        crash-safe and visible atomically like any other batch. Returns the
+        apply_incremental result."""
+        hits = self.search_df(query, k=self.n_docs,
+                              min_should_match=min_should_match)
+        keys = list(self.readers[self.segments[0]].manifest["key_cols"])
+        ops = (
+            self.live_docs()
+            .join(hits.select("segment", "doc_id"), ["segment", "doc_id"], "left_semi")
+            .select(*keys)
+            .distinct()
+            .withColumn("_optype", F.lit("delete"))
+        )
+        return apply_incremental(
+            self.spark, self.index_dir, ops, key_cols=tuple(keys), fs=self.fs
+        )
+
     def should_compact(
         self, max_deltas: int = 8, max_tombstone_frac: float = 0.2
     ) -> bool:

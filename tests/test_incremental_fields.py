@@ -284,3 +284,26 @@ def test_incremental_phrase_df(spark, inc_idx, tmp_path):
     inc2 = IncrementalIndexReader(spark, inc_idx)
     assert inc2.search_phrase_df("spark engine", field="title", k=10).count() == 0
     assert inc2.search_phrase("spark engine", field="title", k=10) == []
+
+
+def test_stats_and_delete_by_query(spark, inc_idx):
+    """ES _stats/_delete_by_query analogues: stats reflect segments and
+    masking; delete_by_query tombstones exactly the match set."""
+    inc = IncrementalIndexReader(spark, inc_idx)
+    st = inc.stats()
+    assert st["n_segments"] == 2 and st["n_docs_live"] == 5
+    assert st["fields"] == ["title", "body"] and st["with_positions"]
+    assert set(st["segments"]) == {"<base>", "delta=0"}
+    assert st["segments"]["<base>"]["n_docs"] == 3
+    # delete every doc matching 'engine' (docs 0 and 2, any field)
+    res = inc.delete_by_query("engine")
+    assert res["tombstones"] == 2 and res["upserts"] == 0
+    inc2 = IncrementalIndexReader(spark, inc_idx)
+    live = {r["path"] for r in inc2.live_docs().collect()}
+    assert live == {"1", "3", "4"}
+    assert inc2.search("engine", k=10) == []
+    st2 = inc2.stats()
+    assert st2["n_docs_live"] == 3 and st2["masked_docs"] == 2
+    # idempotent: nothing left to delete
+    res2 = inc2.delete_by_query("engine")
+    assert res2["tombstones"] == 0
