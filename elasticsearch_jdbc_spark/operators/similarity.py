@@ -262,6 +262,8 @@ def multitable_lsh_buckets(
 
     def bucketize(batches):
         for pdf in batches:
+            if not len(pdf):
+                continue  # np.stack raises on an empty batch (ADVICE r03)
             x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             bits = (x @ planes) > 0  # (n, n_tables*n_planes)
             b = bits.reshape(len(pdf), n_tables, n_planes) @ weights
