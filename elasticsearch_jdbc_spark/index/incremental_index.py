@@ -653,25 +653,38 @@ class IncrementalIndexReader:
             for s, d, sc in hits
         ]
 
+    def _filter_docs(self, filter_sql: str) -> DataFrame:
+        """ES filter context over the LIVE docs metadata: (segment, doc_id)
+        pairs satisfying the predicate — consumers left-semi-join the match
+        set against it (non-scoring, prune-only; the predicate pushes into
+        the docs parquet scans)."""
+        return (
+            self.live_docs().filter(F.expr(filter_sql)).select("segment", "doc_id")
+        )
+
     def search_df(
         self,
         query: str,
         k: int | None = 10,
         min_should_match: int = 1,
         search_after: tuple[float, str, int] | None = None,
+        filter_sql: str | None = None,
     ) -> DataFrame:
         """Distributed top-k over base + deltas (see search_terms_df). On a
         fields-indexed corpus, routes through the multi_match expansion with
         equal boosts — mirror of `search`. k=None returns the unranked full
-        match set; search_after = (score, segment, doc_id) paginates."""
+        match set; search_after = (score, segment, doc_id) paginates;
+        filter_sql is the non-scoring ES filter context over live docs
+        metadata."""
         if self.fields:
             return self.search_fields_df(
                 query, k=k, min_should_match=min_should_match,
-                search_after=search_after,
+                search_after=search_after, filter_sql=filter_sql,
             )
         return self.search_terms_df(
             self.readers[self.segments[0]].query_terms(query), k,
             min_match=min_should_match, search_after=search_after,
+            filter_sql=filter_sql,
         )
 
     def match_df(
@@ -679,6 +692,7 @@ class IncrementalIndexReader:
         query: str,
         min_should_match: int = 1,
         boosts: dict[str, float] | None = None,
+        filter_sql: str | None = None,
     ) -> DataFrame:
         """The UNRANKED live match set (segment, doc_id, score) across
         base + deltas — no orderBy, no limit, tombstones already
@@ -692,7 +706,12 @@ class IncrementalIndexReader:
                 raise ValueError("boosts requires a fields-indexed corpus")
             terms = self.readers[self.segments[0]].query_terms(query)
             weights, groups = None, None
-        return self._match_terms_df(terms, weights, min_should_match, groups)
+        out = self._match_terms_df(terms, weights, min_should_match, groups)
+        if filter_sql:
+            out = out.join(
+                self._filter_docs(filter_sql), ["segment", "doc_id"], "left_semi"
+            )
+        return out
 
     def _fields_expansion(
         self, query: str, boosts: dict[str, float] | None
@@ -720,6 +739,7 @@ class IncrementalIndexReader:
         k: int | None = 10,
         min_should_match: int = 1,
         search_after: tuple[float, str, int] | None = None,
+        filter_sql: str | None = None,
     ) -> DataFrame:
         """Distributed multi-field top-k across base + deltas — the
         continuous-ingest multi_match scale path; min_should_match counts
@@ -732,7 +752,7 @@ class IncrementalIndexReader:
         terms, weights, groups = self._fields_expansion(query, boosts)
         return self.search_terms_df(
             terms, k, weights, min_match=min_should_match, groups=groups,
-            search_after=search_after,
+            search_after=search_after, filter_sql=filter_sql,
         )
 
     def _rank_map(self):
@@ -747,6 +767,33 @@ class IncrementalIndexReader:
             ]
         )
 
+    def _apply_cursor(
+        self, df: DataFrame, search_after: tuple[float, str, int], rank_map
+    ) -> DataFrame:
+        """Strict-past filter for a (score, segment, doc_id) cursor in
+        (score desc, seg-recency desc, doc_id asc) order. Scores are
+        groupBy-sums of double partials whose accumulation order Spark
+        does not pin, so the comparison uses a relative epsilon band with
+        the (segment, doc_id) tie-break rather than exact float
+        equality."""
+        s0, seg0, d0 = (
+            float(search_after[0]), str(search_after[1]), int(search_after[2]),
+        )
+        if seg0 not in self.segments:
+            raise ValueError(
+                f"search_after segment {seg0!r} is not live; cursors do "
+                "not survive compaction — restart pagination"
+            )
+        r0v = self._seg_rank(seg0)
+        eps = 1e-9 * max(1.0, abs(s0))
+        band = F.col("score") <= s0 + eps
+        seg_r = rank_map[F.col("segment")]
+        return df.filter(
+            (F.col("score") < s0 - eps)
+            | (band & (seg_r < r0v))
+            | (band & (seg_r == r0v) & (F.col("doc_id") > d0))
+        )
+
     def search_terms_df(
         self,
         terms: list[str],
@@ -755,6 +802,7 @@ class IncrementalIndexReader:
         min_match: int = 1,
         groups: list[list[str]] | None = None,
         search_after: tuple[float, str, int] | None = None,
+        filter_sql: str | None = None,
     ) -> DataFrame:
         """Distributed top-k over explicit (optionally boosted) terms,
         base + deltas: postings stay on executors end-to-end (the
@@ -775,27 +823,16 @@ class IncrementalIndexReader:
         live index never materializes page*k rows. Scores are groupBy-sums
         of double partials, so the cursor comparison uses a relative
         epsilon band with the (segment, doc_id) tie-break, not exact float
-        equality."""
+        equality. filter_sql is the non-scoring ES filter context over the
+        live docs metadata (left-semi prune, scores unchanged)."""
         agg = self._match_terms_df(terms, weights, min_match, groups)
+        if filter_sql:
+            agg = agg.join(
+                self._filter_docs(filter_sql), ["segment", "doc_id"], "left_semi"
+            )
         rank_map = self._rank_map()
         if search_after is not None:
-            s0, seg0, d0 = (
-                float(search_after[0]), str(search_after[1]), int(search_after[2]),
-            )
-            if seg0 not in self.segments:
-                raise ValueError(
-                    f"search_after segment {seg0!r} is not live; cursors do "
-                    "not survive compaction — restart pagination"
-                )
-            r0v = self._seg_rank(seg0)
-            eps = 1e-9 * max(1.0, abs(s0))
-            band = F.col("score") <= s0 + eps
-            seg_r = rank_map[F.col("segment")]
-            agg = agg.filter(
-                (F.col("score") < s0 - eps)
-                | (band & (seg_r < r0v))
-                | (band & (seg_r == r0v) & (F.col("doc_id") > d0))
-            )
+            agg = self._apply_cursor(agg, search_after, rank_map)
         if k is None:
             return agg.select("segment", "doc_id", "score")
         return (
@@ -903,6 +940,8 @@ class IncrementalIndexReader:
         must_not: str | list[str] = "",
         k: int | None = 10,
         boosts: dict[str, float] | None = None,
+        search_after: tuple[float, str, int] | None = None,
+        filter_sql: str | None = None,
     ) -> DataFrame:
         """Distributed ES bool query across base + deltas (continuous
         ingest + bool, the reference's core query pairing): same plan as
@@ -1006,12 +1045,19 @@ class IncrementalIndexReader:
                 & F.col("score").isNotNull()
             )
         )
+        if filter_sql:
+            qualified = qualified.join(
+                self._filter_docs(filter_sql), ["segment", "doc_id"], "left_semi"
+            )
+        rank_map = self._rank_map()
+        if search_after is not None:
+            qualified = self._apply_cursor(qualified, search_after, rank_map)
         if k is None:
             return qualified.select("segment", "doc_id", "score")
         return (
             qualified.orderBy(
                 F.desc("score"),
-                F.desc(self._rank_map()[F.col("segment")]),
+                F.desc(rank_map[F.col("segment")]),
                 F.asc("doc_id"),
             )
             .limit(k)
@@ -1085,10 +1131,12 @@ class IncrementalIndexReader:
     def search_phrase_df(
         self,
         query: str,
-        k: int = 10,
+        k: int | None = 10,
         slop: int = 0,
         field: str | None = None,
         weight_mode: str = "count",
+        search_after: tuple[float, str, int] | None = None,
+        filter_sql: str | None = None,
     ) -> DataFrame:
         """Distributed phrase top-k across base + deltas (continuous ingest
         + phrase at scale): each segment runs the vectorized phrase kernel
@@ -1121,26 +1169,32 @@ class IncrementalIndexReader:
         # a segment's top-k is cut BEFORE tombstone masking, so widen it by
         # the segment's masked-doc count — a masked hit can displace at
         # most that many live hits (counts from one columnar aggregate,
-        # never per-row driver sets)
+        # never per-row driver sets). With a cursor or a filter context the
+        # per-segment cut comes off entirely (k=None): a filtered-out or
+        # already-paginated-past hit could otherwise hide deeper valid
+        # ones — phrase match sets are small, the full set is cheap.
         masked = self._tomb_counts_by_segment()
+        no_seg_cut = k is None or search_after is not None or bool(filter_sql)
         out = None
         for s in self.segments:
             seg_hits = self.readers[s].search_phrase_df(
-                query, k=k + masked.get(s, 0), field=field, slop=slop,
-                weight_mode=weight_mode,
+                query, k=None if no_seg_cut else k + masked.get(s, 0),
+                field=field, slop=slop, weight_mode=weight_mode,
                 _stats_override=(idf_sum, self.avgdl),
             ).withColumn("segment", F.lit(s))
             out = seg_hits if out is None else out.unionByName(seg_hits)
         tomb = self._tomb_df()
         if tomb is not None:
             out = out.join(tomb, ["segment", "doc_id"], "left_anti")
-        rank_map = F.create_map(
-            *[
-                x
-                for s in self.segments
-                for x in (F.lit(s), F.lit(self._seg_rank(s)))
-            ]
-        )
+        if filter_sql:
+            out = out.join(
+                self._filter_docs(filter_sql), ["segment", "doc_id"], "left_semi"
+            )
+        rank_map = self._rank_map()
+        if search_after is not None:
+            out = self._apply_cursor(out, search_after, rank_map)
+        if k is None:
+            return out.select("segment", "doc_id", "score")
         return (
             out.orderBy(
                 F.desc("score"),
@@ -1156,13 +1210,15 @@ class IncrementalIndexReader:
         query: str,
         min_should_match: int = 1,
         boosts: dict[str, float] | None = None,
+        filter_sql: str | None = None,
     ) -> int:
         """ES _count across base + deltas: live docs matching at least
         min_should_match tokens (any field on a fields corpus) — one
         distributed aggregation over the unranked match set (tombstones
         anti-joined), never a top-k sort, never a postings collect."""
         return self.match_df(
-            query, min_should_match=min_should_match, boosts=boosts
+            query, min_should_match=min_should_match, boosts=boosts,
+            filter_sql=filter_sql,
         ).count()
 
     def facet_df(
@@ -1173,6 +1229,7 @@ class IncrementalIndexReader:
         boosts: dict[str, float] | None = None,
         ranges: list[tuple] | None = None,
         interval=None,
+        filter_sql: str | None = None,
     ) -> DataFrame:
         """ES search+aggregation over the LIVE match set across segments
         (the continuous-ingest facet the reference's users hit first,
@@ -1187,7 +1244,7 @@ class IncrementalIndexReader:
                 f"unknown facet column {by!r}; docs table has "
                 f"{[c for c in docs.columns if c not in ('doc_id', 'segment')]}"
             )
-        matches = self.match_df(query, min_should_match, boosts)
+        matches = self.match_df(query, min_should_match, boosts, filter_sql)
         joined = matches.join(
             docs.select("segment", "doc_id", by), ["segment", "doc_id"]
         )
@@ -1352,7 +1409,8 @@ class IncrementalIndexReader:
         }
 
     def delete_by_query(
-        self, query: str, min_should_match: int = 1
+        self, query: str, min_should_match: int = 1,
+        filter_sql: str | None = None,
     ) -> dict:
         """ES _delete_by_query: tombstone every LIVE doc matching the query
         (any field on a fields corpus, mSM-aware). The match set computes
@@ -1362,7 +1420,9 @@ class IncrementalIndexReader:
         through apply_incremental as a delete batch — crash-safe and
         visible atomically like any other batch. Returns the
         apply_incremental result."""
-        hits = self.match_df(query, min_should_match=min_should_match)
+        hits = self.match_df(
+            query, min_should_match=min_should_match, filter_sql=filter_sql
+        )
         keys = list(self.readers[self.segments[0]].manifest["key_cols"])
         ops = (
             self.live_docs()

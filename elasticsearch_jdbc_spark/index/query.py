@@ -222,6 +222,32 @@ class IndexReader:
 
     # ---------- shared helpers ----------
 
+    def stats(self) -> dict:
+        """Index stats (the ES _stats/_segments analogue for a
+        single-segment index): manifest-derived, no Spark job."""
+        m = self.manifest
+        return {
+            "n_segments": 1,
+            "n_docs": self.n_docs,
+            "n_terms": m.get("n_terms"),
+            "avgdl": self.avgdl,
+            "k1": self.k1,
+            "b": self.b,
+            "fields": m.get("fields"),
+            "with_positions": bool(m.get("with_positions")),
+            "block_size": m.get("block_size"),
+        }
+
+    def _filter_doc_ids(self, filter_sql: str) -> DataFrame:
+        """ES filter context: a non-scoring predicate over the docs-table
+        metadata columns (lang, repo, path, dl, ...), returning the
+        qualifying doc_ids. Consumers left-semi-join the match set against
+        it — candidacy prunes declaratively (the predicate pushes into the
+        docs parquet scan), scores never change, exactly the ES
+        bool-filter-clause contract."""
+        docs = self.spark.read.parquet(os.path.join(self.index_dir, "docs"))
+        return docs.filter(F.expr(filter_sql)).select("doc_id")
+
     def query_terms(self, query: str) -> list[str]:
         """Unique query terms, first-occurrence order (dedup like Values,
         reference Values.java:43-94 — repeated values collapse)."""
@@ -436,16 +462,24 @@ class IndexReader:
         query: str,
         min_should_match: int = 1,
         boosts: dict[str, float] | None = None,
+        filter_sql: str | None = None,
     ) -> int:
         """Matching-doc count without ranking (the ES _count endpoint):
         docs matching at least min_should_match tokens (any field on a
-        fields corpus). Dense bitmap under DENSE_LIMIT; above it, one
-        distributed aggregation (no top-k, no collect of postings)."""
+        fields corpus). Dense bitmap under DENSE_LIMIT; above it — or with
+        a filter_sql filter context — one distributed aggregation (no
+        top-k, no collect of postings)."""
         terms, weights, groups = self._match_terms(query, boosts)
         idfs = self._term_idfs(terms)
         terms = [t for t in terms if t in idfs]
         if not terms:
             return 0
+        if filter_sql:
+            return (
+                self._match_df(terms, weights, min_should_match, groups)
+                .join(self._filter_doc_ids(filter_sql), "doc_id", "left_semi")
+                .count()
+            )
         if self.n_docs > self.DENSE_LIMIT:
             # one aggregation over the unlimited match set — no top-k sort
             return self._match_df(
@@ -486,6 +520,7 @@ class IndexReader:
         boosts: dict[str, float] | None = None,
         ranges: list[tuple] | None = None,
         interval=None,
+        filter_sql: str | None = None,
     ) -> DataFrame:
         """ES search+aggregation over the FULL match set (the canonical ES
         pairing): buckets of the doc-metadata column `by` with doc counts
@@ -506,6 +541,10 @@ class IndexReader:
             )
         terms, weights, groups = self._match_terms(query, boosts)
         matches = self._match_df(terms, weights, min_should_match, groups)
+        if filter_sql:
+            matches = matches.join(
+                self._filter_doc_ids(filter_sql), "doc_id", "left_semi"
+            )
         joined = matches.join(docs.select("doc_id", by), "doc_id")
         return _bucket_agg(joined, by, ranges, interval)
 
@@ -762,11 +801,15 @@ class IndexReader:
         must_not: str | list[str] = "",
         k: int | None = 10,
         boosts: dict[str, float] | None = None,
+        search_after: tuple[float, int] | None = None,
+        filter_sql: str | None = None,
     ) -> DataFrame:
         """Distributed ES bool query (the 10^12-doc path — postings stay on
         executors, nothing collects to the driver). Same semantics as
         search_bool, rank-identical output. k=None returns the full
-        qualified match set unranked (no global sort).
+        qualified match set unranked (no global sort); search_after
+        paginates like search_terms_df (epsilon-band cursor); filter_sql
+        is the non-scoring ES filter context over docs metadata.
 
         Plan: ONE postings scan over scoring + must_not terms (term filter
         pushed to parquet) -> vectorized block decode emitting (doc_id,
@@ -856,6 +899,17 @@ class IndexReader:
                 & F.col("score").isNotNull()
             )
         )
+        if filter_sql:
+            qualified = qualified.join(
+                self._filter_doc_ids(filter_sql), "doc_id", "left_semi"
+            )
+        if search_after is not None:
+            s0, d0 = float(search_after[0]), int(search_after[1])
+            eps = 1e-9 * max(1.0, abs(s0))
+            qualified = qualified.filter(
+                (F.col("score") < s0 - eps)
+                | ((F.col("score") <= s0 + eps) & (F.col("doc_id") > d0))
+            )
         if k is None:
             return qualified.select("doc_id", "score")
         return (
@@ -1347,6 +1401,8 @@ class IndexReader:
         field: str | None = None,
         slop: int = 0,
         weight_mode: str = "count",
+        search_after: tuple[float, int] | None = None,
+        filter_sql: str | None = None,
         _stats_override: tuple[float, float] | None = None,
     ) -> DataFrame:
         """Distributed phrase top-k: postings stay on executors (the
@@ -1514,6 +1570,17 @@ class IndexReader:
             .sortWithinPartitions("doc_id")
             .mapInPandas(score_parts, score_schema)
         )
+        if filter_sql:
+            scored = scored.join(
+                self._filter_doc_ids(filter_sql), "doc_id", "left_semi"
+            )
+        if search_after is not None:
+            s0, d0 = float(search_after[0]), int(search_after[1])
+            eps = 1e-9 * max(1.0, abs(s0))
+            scored = scored.filter(
+                (F.col("score") < s0 - eps)
+                | ((F.col("score") <= s0 + eps) & (F.col("doc_id") > d0))
+            )
         if k is None:
             return scored
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
@@ -1866,6 +1933,7 @@ class IndexReader:
         k: int | None = 10,
         min_should_match: int = 1,
         search_after: tuple[float, int] | None = None,
+        filter_sql: str | None = None,
     ) -> DataFrame:
         """Distributed multi-field top-k (the 10^12-doc multi_match path):
         expand tokens to per-field namespaced terms with boosts, score via
@@ -1895,7 +1963,7 @@ class IndexReader:
             groups.append(g)
         return self.search_terms_df(
             terms, k, weights, min_match=min_should_match, groups=groups,
-            search_after=search_after,
+            search_after=search_after, filter_sql=filter_sql,
         )
 
     def search_df(
@@ -1904,19 +1972,22 @@ class IndexReader:
         k: int | None = 10,
         min_should_match: int = 1,
         search_after: tuple[float, int] | None = None,
+        filter_sql: str | None = None,
     ) -> DataFrame:
         """Distributed top-k: postings stay on executors end-to-end. On a
         fields-indexed corpus routes through the equal-boost multi_match
         expansion, mirroring search(). k=None returns the UNRANKED full
-        match set (no global sort — use for re-ranking or bulk consumers)."""
+        match set (no global sort — use for re-ranking or bulk consumers).
+        filter_sql: ES filter context — a non-scoring predicate over the
+        docs-table metadata (see _filter_doc_ids)."""
         if self.manifest.get("fields"):
             return self.search_fields_df(
                 query, k=k, min_should_match=min_should_match,
-                search_after=search_after,
+                search_after=search_after, filter_sql=filter_sql,
             )
         return self.search_terms_df(
             self.query_terms(query), k, min_match=min_should_match,
-            search_after=search_after,
+            search_after=search_after, filter_sql=filter_sql,
         )
 
     def match_df(
@@ -1924,14 +1995,19 @@ class IndexReader:
         query: str,
         min_should_match: int = 1,
         boosts: dict[str, float] | None = None,
+        filter_sql: str | None = None,
     ) -> DataFrame:
         """The UNRANKED distributed match set (doc_id, score) for a match
         query — no orderBy, no limit, nothing funnels through a global
         sort. This is the substrate consumers like delete-by-query, facets
         and bulk re-rankers should build on (VERDICT r03: the k=n_docs
-        ranked-cut idiom must never serve an unranked consumer)."""
+        ranked-cut idiom must never serve an unranked consumer).
+        filter_sql: ES filter context (see _filter_doc_ids)."""
         terms, weights, groups = self._match_terms(query, boosts)
-        return self._match_df(terms, weights, min_should_match, groups)
+        out = self._match_df(terms, weights, min_should_match, groups)
+        if filter_sql:
+            out = out.join(self._filter_doc_ids(filter_sql), "doc_id", "left_semi")
+        return out
 
     def search_terms_df(
         self,
@@ -1941,6 +2017,7 @@ class IndexReader:
         min_match: int = 1,
         groups: list[list[str]] | None = None,
         search_after: tuple[float, int] | None = None,
+        filter_sql: str | None = None,
     ) -> DataFrame:
         """Distributed top-k over explicit (optionally boosted) terms.
         min_match > 1 requires a doc to match at least that many distinct
@@ -1962,8 +2039,12 @@ class IndexReader:
         the tie it is (ADVICE r03).
 
         k=None skips the ordered cut entirely and returns every match,
-        scored but UNRANKED (no global sort in the plan)."""
+        scored but UNRANKED (no global sort in the plan). filter_sql is
+        the ES filter context — a non-scoring left-semi prune against the
+        docs metadata (see _filter_doc_ids)."""
         agg = self._match_df(terms, weights, min_match, groups)
+        if filter_sql:
+            agg = agg.join(self._filter_doc_ids(filter_sql), "doc_id", "left_semi")
         if search_after is not None:
             s0, d0 = float(search_after[0]), int(search_after[1])
             eps = 1e-9 * max(1.0, abs(s0))

@@ -1745,6 +1745,97 @@ def bool_index_q(spark, sf_dir):
     )
 
 
+_FILTER_PRED = "lang IN ('de', 'fr') AND dl >= 30"
+
+
+def _filtered_sql() -> str:
+    """BM25 over the FULL corpus (stats unchanged — filter context never
+    scores), ranked only over docs passing the metadata predicate. The
+    reference's ES consumers express this as a bool query with a `filter`
+    clause (non-scoring, cacheable); the oracle applies the same predicate
+    between scoring and ranking."""
+    from ..index.bm25_df import B, K1, TOP_K, _query_term_pairs
+
+    values = ", ".join(f"({qid}, '{t}')" for qid, t in _query_term_pairs())
+    return f"""
+    WITH q(query_id, term) AS (VALUES {values}),
+    tok AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    flat AS (
+      SELECT doc_id, len(toks) AS dl, t.term
+      FROM tok, UNNEST(toks) AS t(term)
+    ),
+    tf AS (
+      SELECT term, doc_id, dl, COUNT(*) AS tf FROM flat GROUP BY 1, 2, 3
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n, SUM(dl) * 1.0 / COUNT(*) AS avgdl
+      FROM (SELECT doc_id, len(toks) AS dl FROM tok)
+    ),
+    dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    keep AS (
+      SELECT doc_id FROM tok
+      WHERE lang IN ('de', 'fr') AND len(toks) >= 30
+    ),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             SUM(
+               ln(1.0 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+               * {K1 + 1.0}
+               * (tf.tf / (tf.tf + {K1} * ({1.0 - B} + {B} * tf.dl / stats.avgdl)))
+             ) AS score
+      FROM tf JOIN q USING (term) JOIN dft USING (term), stats
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT s.query_id, s.doc_id, s.score,
+             ROW_NUMBER() OVER (PARTITION BY s.query_id ORDER BY s.score DESC, s.doc_id) AS rank
+      FROM scored s JOIN keep USING (doc_id)
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, doc_id, ROUND(score, 4) AS score
+    FROM ranked WHERE rank <= {TOP_K}
+    """
+
+
+@_reg("filtered_index_search", _filtered_sql())
+def filtered_index_q(spark, sf_dir):
+    """ES filter context (the bool-query `filter` clause) through the REAL
+    distributed engine, ORACLE-CHECKED: search_df(filter_sql=...) prunes
+    the match set with a left-semi join against the docs-metadata
+    predicate — non-scoring (BM25 stats stay full-corpus), the predicate
+    pushes into the docs parquet scan. Reference bar: every filtered
+    search an ES consumer runs against StandardSink-fed indexes
+    (StandardSink.java feeds the index; the filter clause is how ES users
+    slice it). k=None unranked; top-10 cut after the id mapping, matching
+    the oracle tie-break."""
+    from ..index import IndexReader
+
+    idx = _registry_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    ids = _index_docid_map(spark, idx)
+    out = None
+    for qid, qtext in REFERENCE_QUERIES:
+        hits = reader.search_df(
+            qtext, k=None, filter_sql=_FILTER_PRED
+        ).withColumn("query_id", F.lit(qid))
+        out = hits if out is None else out.unionByName(hits)
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("documents_doc_id"))
+    return (
+        out.join(ids, "doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "rank",
+            F.col("documents_doc_id").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+    )
+
+
 # =====================================================================
 # Driver-row ordering
 # =====================================================================
