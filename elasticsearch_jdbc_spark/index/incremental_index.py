@@ -1250,6 +1250,46 @@ class IncrementalIndexReader:
         )
         return _bucket_agg(joined, by, ranges, interval)
 
+    def search_sorted_df(
+        self,
+        query: str,
+        sort: list = (("dl", "desc"),),
+        k: int | None = 10,
+        min_should_match: int = 1,
+        boosts: dict[str, float] | None = None,
+        filter_sql: str | None = None,
+    ) -> DataFrame:
+        """ES sort-by-field search over the LIVE index (base + deltas):
+        rank the match set by docs-metadata columns instead of relevance —
+        see IndexReader.search_sorted_df for the sort-spec contract. The
+        final tie-break after the sort keys is (segment recency desc,
+        doc_id asc), the incremental analogue of ES's _shard_doc, so
+        pagination order is stable across deltas. k=None returns the full
+        decorated match set unranked."""
+        docs = self.live_docs()
+        cols, order = [], []
+        for spec in sort:
+            c, direction = (
+                spec if isinstance(spec, (tuple, list)) else (spec, "asc")
+            )
+            if c not in docs.columns or c in ("doc_id", "segment"):
+                raise ValueError(
+                    f"unknown sort column {c!r}; docs table has "
+                    f"{[x for x in docs.columns if x not in ('doc_id', 'segment')]}"
+                )
+            cols.append(c)
+            order.append(F.desc(c) if direction == "desc" else F.asc(c))
+        rank_map = self._rank_map()
+        order += [F.desc(rank_map[F.col("segment")]), F.asc("doc_id")]
+        out = self.match_df(
+            query, min_should_match=min_should_match, boosts=boosts,
+            filter_sql=filter_sql,
+        ).join(docs.select("segment", "doc_id", *cols), ["segment", "doc_id"])
+        out = out.select("segment", "doc_id", "score", *cols)
+        if k is None:
+            return out
+        return out.orderBy(*order).limit(k)
+
     def _is_tombstoned(self, segment: str, doc_id: int) -> bool:
         """Point tombstone lookup via a pushed-down parquet filter — never
         materializes the tombstone table driver-side (the explain path must
@@ -1431,6 +1471,48 @@ class IncrementalIndexReader:
             .distinct()
             .withColumn("_optype", F.lit("delete"))
         )
+        return apply_incremental(
+            self.spark, self.index_dir, ops, key_cols=tuple(keys), fs=self.fs
+        )
+
+    def update_by_query(
+        self,
+        query: str,
+        source: DataFrame,
+        set_exprs: dict[str, str] | None = None,
+        min_should_match: int = 1,
+        filter_sql: str | None = None,
+    ) -> dict:
+        """ES _update_by_query, source-of-truth flavored: the reference's
+        model is that the database is authoritative and the index is
+        derived (JDBCImporter re-pulls rows; StandardSink re-feeds them),
+        so the update "script" runs over the SOURCE rows of the matched
+        keys, not over index-stored _source. `source` is the corpus-shaped
+        DataFrame of record (key_cols + content + metadata); `set_exprs`
+        maps column -> Spark SQL expression evaluated per matched row
+        (the painless-script analogue, e.g. {"content": "concat(content,
+        ' reviewed')", "lang": "'java'"}).
+
+        Plan: the UNRANKED live match set (no orderBy/limit — same
+        substrate as delete_by_query) selects the matched keys, the keys
+        left-semi-prune `source`, the expressions rewrite the surviving
+        rows, and the batch routes through apply_incremental as updates —
+        older live versions tombstone atomically, the rewritten rows index
+        as a new delta. Returns the apply_incremental result."""
+        hits = self.match_df(
+            query, min_should_match=min_should_match, filter_sql=filter_sql
+        )
+        keys = list(self.readers[self.segments[0]].manifest["key_cols"])
+        matched_keys = (
+            self.live_docs()
+            .join(hits.select("segment", "doc_id"), ["segment", "doc_id"], "left_semi")
+            .select(*keys)
+            .distinct()
+        )
+        rows = source.join(matched_keys, keys, "left_semi")
+        for col, expr in (set_exprs or {}).items():
+            rows = rows.withColumn(col, F.expr(expr))
+        ops = rows.withColumn("_optype", F.lit("update"))
         return apply_incremental(
             self.spark, self.index_dir, ops, key_cols=tuple(keys), fs=self.fs
         )

@@ -2009,6 +2009,51 @@ class IndexReader:
             out = out.join(self._filter_doc_ids(filter_sql), "doc_id", "left_semi")
         return out
 
+    def search_sorted_df(
+        self,
+        query: str,
+        sort: list = (("dl", "desc"),),
+        k: int | None = 10,
+        min_should_match: int = 1,
+        boosts: dict[str, float] | None = None,
+        filter_sql: str | None = None,
+    ) -> DataFrame:
+        """ES sort-by-field search (the `sort` clause): rank the match set
+        by docs-table metadata columns instead of relevance. `sort` is a
+        list of column names or (column, 'asc'|'desc') pairs; doc_id is
+        always the final ascending tie-break (ES's _shard_doc). The BM25
+        score still rides along (ES track_scores), because the match set's
+        candidacy aggregate computes it anyway — dropping it saves nothing.
+
+        Plan: the UNRANKED match set (no score sort) joins the docs
+        metadata (sort columns prune to exactly what the spec needs) and
+        takes ONE global ordered cut on the sort keys — at 10^12 docs the
+        ordered limit is the same TakeOrdered top-k every ranked search
+        pays, just keyed on metadata. k=None returns the full decorated
+        match set unranked."""
+        docs = self.spark.read.parquet(os.path.join(self.index_dir, "docs"))
+        cols, order = [], []
+        for spec in sort:
+            c, direction = (
+                spec if isinstance(spec, (tuple, list)) else (spec, "asc")
+            )
+            if c not in docs.columns:
+                raise ValueError(
+                    f"unknown sort column {c!r}; docs table has "
+                    f"{[x for x in docs.columns if x != 'doc_id']}"
+                )
+            cols.append(c)
+            order.append(F.desc(c) if direction == "desc" else F.asc(c))
+        order.append(F.asc("doc_id"))
+        out = self.match_df(
+            query, min_should_match=min_should_match, boosts=boosts,
+            filter_sql=filter_sql,
+        ).join(docs.select("doc_id", *cols), "doc_id")
+        out = out.select("doc_id", "score", *cols)
+        if k is None:
+            return out
+        return out.orderBy(*order).limit(k)
+
     def search_terms_df(
         self,
         terms: list[str],

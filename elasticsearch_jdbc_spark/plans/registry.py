@@ -1836,6 +1836,72 @@ def filtered_index_q(spark, sf_dir):
     )
 
 
+def _sorted_sql() -> str:
+    """Sort-by-field oracle: docs matching ANY query term (mSM=1), ranked
+    by doc length descending with the doc_id tie-break — no scoring in the
+    ranking at all (the ES `sort` clause contract)."""
+    from ..index.bm25_df import TOP_K, _query_term_pairs
+
+    values = ", ".join(f"({qid}, '{t}')" for qid, t in _query_term_pairs())
+    return f"""
+    WITH q(query_id, term) AS (VALUES {values}),
+    tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    flat AS (
+      SELECT doc_id, len(toks) AS dl, t.term
+      FROM tok, UNNEST(toks) AS t(term)
+    ),
+    matched AS (
+      SELECT DISTINCT q.query_id, f.doc_id, f.dl
+      FROM flat f JOIN q USING (term)
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, dl,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dl DESC, doc_id) AS rank
+      FROM matched
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, doc_id, CAST(dl AS BIGINT) AS dl
+    FROM ranked WHERE rank <= {TOP_K}
+    """
+
+
+@_reg("sorted_index_search", _sorted_sql())
+def sorted_index_q(spark, sf_dir):
+    """ES sort-by-field (the `sort` clause) through the REAL engine,
+    ORACLE-CHECKED: search_sorted_df ranks the match set by the docs-table
+    dl column instead of BM25 — the unranked match set joins only the sort
+    column and takes one metadata-keyed ordered cut. k=None; the top-10
+    cut happens after the id mapping (ranked on (dl desc,
+    documents_doc_id asc), matching the oracle tie-break — internal ids
+    sort by path string order)."""
+    from ..index import IndexReader
+
+    idx = _registry_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    ids = _index_docid_map(spark, idx)
+    out = None
+    for qid, qtext in REFERENCE_QUERIES:
+        hits = reader.search_sorted_df(
+            qtext, sort=[("dl", "desc")], k=None
+        ).withColumn("query_id", F.lit(qid))
+        out = hits if out is None else out.unionByName(hits)
+    w = W.partitionBy("query_id").orderBy(F.desc("dl"), F.asc("documents_doc_id"))
+    return (
+        out.join(ids, "doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "rank",
+            F.col("documents_doc_id").alias("doc_id"),
+            F.col("dl").cast("long").alias("dl"),
+        )
+    )
+
+
 # =====================================================================
 # Driver-row ordering
 # =====================================================================
