@@ -1290,6 +1290,64 @@ class IncrementalIndexReader:
             return out
         return out.orderBy(*order).limit(k)
 
+    def significant_terms_df(
+        self,
+        query: str,
+        size: int = 10,
+        min_should_match: int = 1,
+        boosts: dict[str, float] | None = None,
+        filter_sql: str | None = None,
+        min_doc_count: int = 3,
+    ) -> DataFrame:
+        """ES significant_terms over the LIVE index (base + deltas),
+        tombstone-EXACT: every segment's postings decode to (segment,
+        term, doc_id) pairs in one pass, tombstoned pairs anti-join away,
+        the live match set flags foreground docs, and one groupBy(term)
+        counts fg/bg doc frequencies together — so background frequencies
+        reflect exactly the live corpus (ES itself only approximates this
+        per shard after deletes). JLH scoring; see
+        IndexReader.significant_terms_df."""
+        pairs = None
+        for s in self.segments:
+            p = self.readers[s]._term_doc_pairs().withColumn("segment", F.lit(s))
+            pairs = p if pairs is None else pairs.unionByName(p)
+        tomb = self._tomb_df()
+        if tomb is not None:
+            pairs = pairs.join(tomb, ["segment", "doc_id"], "left_anti")
+        matches = (
+            self.match_df(
+                query, min_should_match=min_should_match, boosts=boosts,
+                filter_sql=filter_sql,
+            )
+            .select("segment", "doc_id")
+            .withColumn("is_fg", F.lit(1))
+        )
+        totals = matches.agg(F.count("*").cast("double").alias("fg_n"))
+        agg = (
+            pairs.join(matches, ["segment", "doc_id"], "left")
+            .groupBy("term")
+            .agg(
+                F.count("*").alias("bg_count"),
+                F.count("is_fg").alias("fg_count"),
+            )
+            .filter(F.col("fg_count") >= min_doc_count)
+        )
+        n = float(self.n_docs)
+        fg_rate = F.col("fg_count") / F.col("fg_n")
+        bg_rate = F.col("bg_count") / F.lit(n)
+        return (
+            agg.crossJoin(F.broadcast(totals))
+            .withColumn("score", (fg_rate - bg_rate) * (fg_rate / bg_rate))
+            .orderBy(F.desc("score"), F.asc("term"))
+            .limit(size)
+            .select(
+                "term",
+                F.col("fg_count").cast("long").alias("fg_count"),
+                F.col("bg_count").cast("long").alias("bg_count"),
+                F.round("score", 6).alias("score"),
+            )
+        )
+
     def _is_tombstoned(self, segment: str, doc_id: int) -> bool:
         """Point tombstone lookup via a pushed-down parquet filter — never
         materializes the tombstone table driver-side (the explain path must

@@ -295,6 +295,99 @@ class IndexReader:
         ).filter(F.col("term").isin(terms))
         return df.select(*columns) if columns else df
 
+    def _term_doc_pairs(self) -> DataFrame:
+        """(term, doc_id) for EVERY posting — one vectorized decode pass
+        over the whole postings table (no term filter; the consumers that
+        need this, e.g. significant_terms, are corpus-wide by nature, like
+        ES re-analyzing the shard). Stays on executors end-to-end."""
+        out_schema = T.StructType(
+            [
+                T.StructField("term", T.StringType(), False),
+                T.StructField("doc_id", T.LongType(), False),
+            ]
+        )
+
+        def decode_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                terms_all, docs_all = [], []
+                for term, n, first, gaps, tfs, dls in zip(
+                    pdf["term"], pdf["n"], pdf["first_doc"],
+                    pdf["doc_gaps"], pdf["tfs"], pdf["dls"],
+                ):
+                    docs, _tf, _dl = decode_block(
+                        int(first), int(n), bytes(gaps), bytes(tfs), bytes(dls)
+                    )
+                    docs_all.append(docs)
+                    terms_all.append(np.full(len(docs), term, dtype=object))
+                if docs_all:
+                    yield pd.DataFrame(
+                        {
+                            "term": np.concatenate(terms_all),
+                            "doc_id": np.concatenate(docs_all),
+                        }
+                    )
+
+        df = self.spark.read.parquet(
+            os.path.join(self.index_dir, "postings")
+        ).select(*self._SCORE_COLS)
+        return df.mapInPandas(decode_pairs, out_schema)
+
+    def significant_terms_df(
+        self,
+        query: str,
+        size: int = 10,
+        min_should_match: int = 1,
+        boosts: dict[str, float] | None = None,
+        filter_sql: str | None = None,
+        min_doc_count: int = 3,
+    ) -> DataFrame:
+        """ES significant_terms aggregation: terms overrepresented in the
+        match set's documents relative to the whole corpus, scored with
+        ES's JLH heuristic (fg_rate - bg_rate) * (fg_rate / bg_rate).
+
+        Plan: the unranked match set flags the foreground docs; ONE decode
+        pass over the full postings table yields (term, doc_id) pairs; a
+        left join against the (small, broadcastable) match set marks
+        foreground pairs; one map-side-combinable groupBy(term) counts
+        fg/bg doc frequencies together — corpus-wide work is one scan +
+        one aggregate, exactly what the agg inherently costs (ES pays the
+        same via doc_values). Returns (term, fg_count, bg_count, score)
+        ordered by score desc with the term tie-break."""
+        matches = (
+            self.match_df(
+                query, min_should_match=min_should_match, boosts=boosts,
+                filter_sql=filter_sql,
+            )
+            .select("doc_id")
+            .withColumn("is_fg", F.lit(1))
+        )
+        totals = matches.agg(F.count("*").cast("double").alias("fg_n"))
+        agg = (
+            self._term_doc_pairs()
+            .join(matches, "doc_id", "left")
+            .groupBy("term")
+            .agg(
+                F.count("*").alias("bg_count"),
+                F.count("is_fg").alias("fg_count"),
+            )
+            .filter(F.col("fg_count") >= min_doc_count)
+        )
+        n = float(self.n_docs)
+        fg_rate = F.col("fg_count") / F.col("fg_n")
+        bg_rate = F.col("bg_count") / F.lit(n)
+        return (
+            agg.crossJoin(F.broadcast(totals))
+            .withColumn("score", (fg_rate - bg_rate) * (fg_rate / bg_rate))
+            .orderBy(F.desc("score"), F.asc("term"))
+            .limit(size)
+            .select(
+                "term",
+                F.col("fg_count").cast("long").alias("fg_count"),
+                F.col("bg_count").cast("long").alias("bg_count"),
+                F.round("score", 6).alias("score"),
+            )
+        )
+
     def _collect_blocks(
         self, terms: list[str], positions: bool = False
     ) -> dict[str, list]:

@@ -1902,6 +1902,72 @@ def sorted_index_q(spark, sf_dir):
     )
 
 
+_SIGTERMS_QUERY = "fast key merge sort"
+
+
+def _sigterms_sql() -> str:
+    """significant_terms oracle: foreground = docs matching ANY query term
+    (mSM=1); per-term fg/bg doc frequencies from the distinct (doc, term)
+    relation; JLH score (fg_rate - bg_rate) * (fg_rate / bg_rate)."""
+    from ..functions.tokenizer import tokenize_py
+
+    values = ", ".join(
+        f"('{t}')" for t in dict.fromkeys(tokenize_py(_SIGTERMS_QUERY))
+    )
+    return f"""
+    WITH q(term) AS (VALUES {values}),
+    tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    doc_term AS (
+      SELECT DISTINCT doc_id, t.term
+      FROM tok, UNNEST(toks) AS t(term)
+    ),
+    fg_docs AS (
+      SELECT DISTINCT doc_id FROM doc_term JOIN q USING (term)
+    ),
+    tot AS (
+      SELECT (SELECT COUNT(*) FROM fg_docs) * 1.0 AS fg_n,
+             (SELECT COUNT(*) FROM tok) * 1.0 AS n
+    ),
+    agg AS (
+      SELECT dt.term,
+             COUNT(*) AS bg_count,
+             COUNT(fg.doc_id) AS fg_count
+      FROM doc_term dt LEFT JOIN fg_docs fg USING (doc_id)
+      GROUP BY 1
+    ),
+    scored AS (
+      SELECT term, fg_count, bg_count,
+             ((fg_count / tot.fg_n) - (bg_count / tot.n))
+               * ((fg_count / tot.fg_n) / (bg_count / tot.n)) AS score
+      FROM agg, tot
+      WHERE fg_count >= 3
+    )
+    SELECT term, CAST(fg_count AS BIGINT) AS fg_count,
+           CAST(bg_count AS BIGINT) AS bg_count, ROUND(score, 6) AS score
+    FROM scored
+    ORDER BY score DESC, term
+    LIMIT 15
+    """
+
+
+@_reg("sigterms_index_search", _sigterms_sql())
+def sigterms_index_q(spark, sf_dir):
+    """ES significant_terms aggregation through the REAL engine,
+    ORACLE-CHECKED: one decode pass over the full postings table,
+    foreground flagged by a left join against the match set, fg/bg doc
+    frequencies from one groupBy(term), JLH-scored — vs a DuckDB plan
+    over the raw corpus's distinct (doc, term) relation."""
+    from ..index import IndexReader
+
+    idx = _registry_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    return reader.significant_terms_df(_SIGTERMS_QUERY, size=15)
+
+
 # =====================================================================
 # Driver-row ordering
 # =====================================================================
