@@ -101,3 +101,30 @@ def tokenize_pandas(
 @F.pandas_udf(T.ArrayType(T.StringType()))
 def tokens_udf(s: pd.Series) -> pd.Series:
     return tokenize_pandas(s)
+
+
+def tokenize_spans_py(text: str) -> list[tuple[str, int, int]]:
+    """Span-aware tokenizer: [(token, start, end)] with start/end in
+    ORIGINAL text coordinates (token = lowercase(text[start:end]) after
+    camel splitting — a camel hump splits one source word into several
+    tokens whose spans tile it). The highlight path needs original-text
+    offsets to wrap matched tokens in tags without disturbing the
+    surrounding source.
+
+    Camel boundaries are zero-width in the source; `_CAMEL.sub(' ')`
+    inserts exactly one char per boundary, so transformed position t maps
+    back to t - (#inserted spaces at positions < t)."""
+    if not text:
+        return []
+    import bisect
+
+    # inserted-space positions in TRANSFORMED coordinates: the k-th
+    # boundary (original pos b_k) lands at b_k + k after k prior inserts
+    inserts = [m.start() + k for k, m in enumerate(_CAMEL.finditer(text))]
+    transformed = _CAMEL.sub(" ", text).lower()
+    out = []
+    for m in _TOKEN.finditer(transformed):
+        shift_s = bisect.bisect_left(inserts, m.start())
+        shift_e = bisect.bisect_left(inserts, m.end())
+        out.append((m.group(), m.start() - shift_s, m.end() - shift_e))
+    return out

@@ -1290,6 +1290,44 @@ class IncrementalIndexReader:
             return out
         return out.orderBy(*order).limit(k)
 
+    def highlight_df(
+        self,
+        query: str,
+        source: DataFrame,
+        k: int = 10,
+        window: int = 12,
+        pre_tag: str = "<em>",
+        post_tag: str = "</em>",
+        min_should_match: int = 1,
+        filter_sql: str | None = None,
+        text_col: str = "content",
+    ) -> DataFrame:
+        """ES highlight over the LIVE index (base + deltas): ranked top-k
+        live hits joined back to the source-of-truth rows by key, best
+        fragment built per hit — see IndexReader.highlight_df. Returns
+        (segment, doc_id, score, *keys, snippet, n_hits) ranked with the
+        segment-recency tie-break."""
+        from .query import _snippet_map
+
+        keys = list(self.readers[self.segments[0]].manifest["key_cols"])
+        hits = self.search_df(
+            query, k=k, min_should_match=min_should_match,
+            filter_sql=filter_sql,
+        )
+        docs = self.live_docs().select("segment", "doc_id", *keys)
+        rows = hits.join(docs, ["segment", "doc_id"]).join(
+            source.select(*keys, text_col), keys, "left"
+        )
+        out = _snippet_map(
+            rows, text_col,
+            set(self.readers[self.segments[0]].query_terms(query)),
+            window, pre_tag, post_tag,
+        )
+        rank_map = self._rank_map()
+        return out.orderBy(
+            F.desc("score"), F.desc(rank_map[F.col("segment")]), F.asc("doc_id")
+        )
+
     def significant_terms_df(
         self,
         query: str,

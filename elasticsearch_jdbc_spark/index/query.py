@@ -31,8 +31,88 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.tokenizer import tokenize_py
+from ..functions.tokenizer import tokenize_py, tokenize_spans_py
 from .codec import bm25_idf, decode_block, decode_positions, decode_term_blocks
+
+
+def build_snippet(
+    text: str,
+    qterms: set,
+    window: int = 12,
+    pre_tag: str = "<em>",
+    post_tag: str = "</em>",
+) -> tuple[str, int]:
+    """Best-fragment highlighter (the ES highlight contract, unified-
+    highlighter flavor): pick the `window`-token span with the most query-
+    term occurrences (earliest such span on ties — deterministic), wrap
+    every matched token inside it with the tags, and return (snippet,
+    n_hits_in_snippet). Token spans come from the span-aware analyzer, so
+    camel humps highlight the exact source substring ('getValue' with
+    query 'value' -> 'get<em>Value</em>'). Returns ("", 0) when no query
+    term occurs (e.g. a doc matched only via fuzzy/fields expansion)."""
+    if not text:
+        return "", 0
+    spans = tokenize_spans_py(text)
+    hits = [i for i, (t, _s, _e) in enumerate(spans) if t in qterms]
+    if not hits:
+        return "", 0
+    best_n, best_at = 0, 0
+    lo = 0
+    for hi in range(len(hits)):
+        while hits[hi] - hits[lo] >= window:
+            lo += 1
+        if hi - lo + 1 > best_n:
+            best_n, best_at = hi - lo + 1, lo
+    first_hit, last_hit = hits[best_at], hits[best_at + best_n - 1]
+    # center the hit cluster inside the window
+    pad = max(0, window - (last_hit - first_hit + 1)) // 2
+    w0 = max(0, first_hit - pad)
+    w1 = min(len(spans) - 1, w0 + window - 1)
+    in_win = [i for i in hits if w0 <= i <= w1]
+    pieces, cursor = [], spans[w0][1]
+    for i in in_win:
+        _t, s, e = spans[i]
+        pieces.append(text[cursor:s])
+        pieces.append(pre_tag + text[s:e] + post_tag)
+        cursor = e
+    pieces.append(text[cursor : spans[w1][2]])
+    return "".join(pieces), len(in_win)
+
+
+def _snippet_map(
+    rows: DataFrame,
+    text_col: str,
+    qterms: set,
+    window: int,
+    pre_tag: str,
+    post_tag: str,
+) -> DataFrame:
+    """mapInPandas wrapper for build_snippet: replaces `text_col` with
+    (snippet, n_hits) columns, preserving every other column. Runs only
+    over the already-top-k hit rows — the text never leaves executors."""
+    out_fields = [f for f in rows.schema.fields if f.name != text_col] + [
+        T.StructField("snippet", T.StringType(), True),
+        T.StructField("n_hits", T.IntegerType(), True),
+    ]
+    out_schema = T.StructType(out_fields)
+    qt = frozenset(qterms)
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            snips, nhits = [], []
+            for txt in pdf[text_col]:
+                sn, nh = build_snippet(
+                    txt if isinstance(txt, str) else "",
+                    qt, window, pre_tag, post_tag,
+                )
+                snips.append(sn)
+                nhits.append(nh)
+            pdf = pdf.drop(columns=[text_col])
+            pdf["snippet"] = snips
+            pdf["n_hits"] = pd.array(nhits, dtype="int32")
+            yield pdf
+
+    return rows.mapInPandas(kern, out_schema)
 
 
 def _bucket_agg(
@@ -2146,6 +2226,46 @@ class IndexReader:
         if k is None:
             return out
         return out.orderBy(*order).limit(k)
+
+    def highlight_df(
+        self,
+        query: str,
+        source: DataFrame,
+        k: int = 10,
+        window: int = 12,
+        pre_tag: str = "<em>",
+        post_tag: str = "</em>",
+        min_should_match: int = 1,
+        filter_sql: str | None = None,
+        text_col: str = "content",
+    ) -> DataFrame:
+        """ES highlight: ranked top-k hits with the best matching fragment
+        of each doc's text, query terms wrapped in tags. The index stores
+        no _source (the reference's model: the database is authoritative),
+        so `source` is the corpus-shaped source-of-truth DataFrame the
+        text comes from.
+
+        Plan: top-k hits -> broadcast-join the docs table for the keys ->
+        join `source` on the keys (k rows left-semi-prune the source scan)
+        -> one mapInPandas over the k surviving rows builds the snippet
+        (span-aware analyzer, best `window`-token fragment). Text never
+        collects to the driver. Returns (doc_id, score, *keys, snippet,
+        n_hits) ranked."""
+        keys = list(self.manifest["key_cols"])
+        hits = self.search_df(
+            query, k=k, min_should_match=min_should_match,
+            filter_sql=filter_sql,
+        )
+        docs = self.spark.read.parquet(
+            os.path.join(self.index_dir, "docs")
+        ).select("doc_id", *keys)
+        rows = hits.join(docs, "doc_id").join(
+            source.select(*keys, text_col), keys, "left"
+        )
+        out = _snippet_map(
+            rows, text_col, set(tokenize_py(query)), window, pre_tag, post_tag
+        )
+        return out.orderBy(F.desc("score"), F.asc("doc_id"))
 
     def search_terms_df(
         self,

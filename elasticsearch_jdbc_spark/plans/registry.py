@@ -1968,6 +1968,23 @@ def sigterms_index_q(spark, sf_dir):
     return reader.significant_terms_df(_SIGTERMS_QUERY, size=15)
 
 
+@_reg("highlight_index_search")
+def highlight_index_q(spark, sf_dir):
+    """ES highlight through the REAL engine — rows-only BY DESIGN: snippet
+    strings (fragment choice, tag placement) are engine-specific and not
+    SQL-expressible; build_snippet and both readers' highlight_df are
+    golden-tested in tests/test_highlight.py (span math, camel-hump
+    sub-token tagging, window selection, rank agreement with search_df).
+    Top-10 hits for the facet query with tagged best fragments."""
+    from ..index import IndexReader
+    from ..sources import corpus_from_documents
+
+    idx = _registry_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    corpus = corpus_from_documents(spark, sf_dir)
+    return reader.highlight_df(_SIGTERMS_QUERY, corpus, k=10)
+
+
 # =====================================================================
 # Driver-row ordering
 # =====================================================================
@@ -1985,6 +2002,7 @@ _ROWS_ONLY_TAIL = [
     "a6_wkt_geojson",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "highlight_index_search",
     "text_fingerprint",
 ]
 _order = [k for k in QUERIES if k not in _ROWS_ONLY_TAIL] + [
