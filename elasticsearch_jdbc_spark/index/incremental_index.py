@@ -481,6 +481,19 @@ class IncrementalIndexReader:
         expansion to a compacted index's search_prefix. On a fields-indexed
         corpus each token expands per field ("f\\x1ftok*"), weighted by
         `boosts`."""
+        expanded, weights, groups = self._prefix_expansion(query, limit, boosts)
+        return self.search_terms(
+            expanded, k, weights if self.fields else None,
+            min_match=min_should_match, groups=groups,
+        )
+
+    def _prefix_expansion(
+        self, query: str, limit: int, boosts: dict[str, float] | None
+    ) -> tuple[list[str], dict[str, float], list[list[str]]]:
+        """Shared cross-segment prefix expansion: each token expands
+        against EVERY segment's term dictionary (a delta-only term must
+        match too), unioned, lexicographically capped at `limit` per token
+        — identical expansion to a compacted index's."""
         boosts = self._field_boosts(boosts)
         nss = (
             [(f + "\x1f", w) for f, w in boosts.items()] if boosts else [("", 1.0)]
@@ -505,9 +518,32 @@ class IncrementalIndexReader:
                     g.append(t)
             if g:
                 groups.append(g)
-        return self.search_terms(
+        return expanded, weights, groups
+
+    def search_prefix_df(
+        self,
+        query: str,
+        k: int | None = 10,
+        limit: int = 128,
+        boosts: dict[str, float] | None = None,
+        min_should_match: int = 1,
+        search_after: tuple[float, str, int] | None = None,
+        filter_sql: str | None = None,
+    ) -> DataFrame:
+        """Distributed prefix query over the LIVE index: cross-segment
+        term-enum expansion (pruned dictionary range reads), scoring
+        fanned out through search_terms_df — postings stay on executors,
+        tombstones masked. Rank-identical to search_prefix. k=None
+        returns the unranked live match set."""
+        expanded, weights, groups = self._prefix_expansion(query, limit, boosts)
+        if not expanded:
+            return self.spark.createDataFrame(
+                [], "segment string, doc_id long, score double"
+            )
+        return self.search_terms_df(
             expanded, k, weights if self.fields else None,
             min_match=min_should_match, groups=groups,
+            search_after=search_after, filter_sql=filter_sql,
         )
 
     def search_fuzzy(

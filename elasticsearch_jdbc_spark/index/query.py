@@ -1794,6 +1794,20 @@ class IndexReader:
         weighted by `boosts`. min_should_match counts TOKENS (any expansion
         in any field satisfies its token). Routes through the dense/WAND
         dispatcher."""
+        expanded, weights, groups = self._prefix_expansion(query, limit, boosts)
+        if not expanded:
+            return []
+        return self._search_terms(
+            expanded, k, weights, min_match=min_should_match, groups=groups
+        )
+
+    def _prefix_expansion(
+        self, query: str, limit: int, boosts: dict[str, float] | None
+    ) -> tuple[list[str], dict[str, float], list[list[str]]]:
+        """Shared prefix-query expansion: each token -> every indexed term
+        it prefixes (per-field namespaced on a fields corpus), capped at
+        `limit` lexicographic per token — the Lucene term-enum rewrite.
+        Dictionary reads are row-group-pruned point-range scans."""
         fields = self.manifest.get("fields")
         if boosts and not fields:
             raise ValueError("boosts requires a fields-indexed corpus")
@@ -1815,10 +1829,31 @@ class IndexReader:
                     g.append(t)
             if g:
                 groups.append(g)
+        return expanded, weights, groups
+
+    def search_prefix_df(
+        self,
+        query: str,
+        k: int | None = 10,
+        limit: int = 128,
+        boosts: dict[str, float] | None = None,
+        min_should_match: int = 1,
+        search_after: tuple[float, int] | None = None,
+        filter_sql: str | None = None,
+    ) -> DataFrame:
+        """Distributed prefix query (the 10^12-doc path): same term-enum
+        expansion as search_prefix (a pruned point-range read of the
+        sorted dictionary — the per-shard term enum ES pays too), then the
+        scoring fans out through search_terms_df, so postings stay on
+        executors and the expanded-term filter pushes to the postings
+        parquet scan. Rank-identical to search_prefix. k=None returns the
+        unranked match set; cursors and filter context as everywhere."""
+        expanded, weights, groups = self._prefix_expansion(query, limit, boosts)
         if not expanded:
-            return []
-        return self._search_terms(
-            expanded, k, weights, min_match=min_should_match, groups=groups
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        return self.search_terms_df(
+            expanded, k, weights, min_match=min_should_match, groups=groups,
+            search_after=search_after, filter_sql=filter_sql,
         )
 
     # ---------- vectorized dense scoring (the default driver path) ----------

@@ -1968,6 +1968,98 @@ def sigterms_index_q(spark, sf_dir):
     return reader.significant_terms_df(_SIGTERMS_QUERY, size=15)
 
 
+_PREFIX_CASES = [(0, "fa"), (1, "mer"), (2, "qu")]
+
+
+def _prefix_sql() -> str:
+    """Prefix-query oracle (scoring_boolean rewrite): each prefix expands
+    to every corpus term it prefixes (lexicographic, capped at 128 — the
+    term-enum cap), each expanded term scores with its OWN idf, summed per
+    doc (Lucene MultiTermQuery scoring_boolean)."""
+    from ..index.bm25_df import B, K1, TOP_K
+
+    values = ", ".join(f"({qid}, '{p}')" for qid, p in _PREFIX_CASES)
+    return f"""
+    WITH p(query_id, pfx) AS (VALUES {values}),
+    tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    flat AS (
+      SELECT doc_id, len(toks) AS dl, t.term
+      FROM tok, UNNEST(toks) AS t(term)
+    ),
+    tf AS (
+      SELECT term, doc_id, dl, COUNT(*) AS tf FROM flat GROUP BY 1, 2, 3
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n, SUM(dl) * 1.0 / COUNT(*) AS avgdl
+      FROM (SELECT doc_id, len(toks) AS dl FROM tok)
+    ),
+    dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    exp AS (
+      SELECT query_id, term FROM (
+        SELECT p.query_id, d.term,
+               ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY d.term) AS rn
+        FROM (SELECT DISTINCT term FROM tf) d
+        JOIN p ON d.term LIKE p.pfx || '%'
+      ) WHERE rn <= 128
+    ),
+    scored AS (
+      SELECT e.query_id, tf.doc_id,
+             SUM(
+               ln(1.0 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+               * {K1 + 1.0}
+               * (tf.tf / (tf.tf + {K1} * ({1.0 - B} + {B} * tf.dl / stats.avgdl)))
+             ) AS score
+      FROM tf JOIN exp e USING (term) JOIN dft USING (term), stats
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, doc_id, ROUND(score, 4) AS score
+    FROM ranked WHERE rank <= {TOP_K}
+    """
+
+
+@_reg("prefix_index_search", _prefix_sql())
+def prefix_index_q(spark, sf_dir):
+    """ES prefix query through the REAL engine's DISTRIBUTED path,
+    ORACLE-CHECKED: search_prefix_df expands each prefix via the sorted
+    term dictionary (pruned point-range read — the per-shard term enum)
+    and fans the scoring out through search_terms_df (scoring_boolean:
+    per-expanded-term idf, postings filter pushed to parquet). k=None
+    unranked; top-10 cut after the id mapping, matching the oracle
+    tie-break."""
+    from ..index import IndexReader
+
+    idx = _registry_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    ids = _index_docid_map(spark, idx)
+    out = None
+    for qid, pfx in _PREFIX_CASES:
+        hits = reader.search_prefix_df(pfx, k=None).withColumn(
+            "query_id", F.lit(qid)
+        )
+        out = hits if out is None else out.unionByName(hits)
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("documents_doc_id"))
+    return (
+        out.join(ids, "doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "rank",
+            F.col("documents_doc_id").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+    )
+
+
 @_reg("highlight_index_search")
 def highlight_index_q(spark, sf_dir):
     """ES highlight through the REAL engine — rows-only BY DESIGN: snippet
