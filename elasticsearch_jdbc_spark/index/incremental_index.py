@@ -561,6 +561,25 @@ class IncrementalIndexReader:
         `limit` — matching a compacted index's expansion. On a
         fields-indexed corpus tokens expand per field with the edit budget
         confined to the token part."""
+        expanded, weights, groups = self._fuzzy_expansion(
+            query, limit, fuzziness, boosts
+        )
+        return self.search_terms(
+            expanded, k, weights if self.fields else None,
+            min_match=min_should_match, groups=groups,
+        )
+
+    def _fuzzy_expansion(
+        self,
+        query: str,
+        limit: int,
+        fuzziness: int | str,
+        boosts: dict[str, float] | None,
+    ) -> tuple[list[str], dict[str, float], list[list[str]]]:
+        """Shared cross-segment fuzzy expansion: per-token edit-distance
+        expansion against every segment's vocabulary (each segment owns a
+        SymSpell table), unioned with the exact token first, capped at
+        `limit` — matching a compacted index's expansion."""
         boosts = self._field_boosts(boosts)
         flds = list(boosts) if boosts else [None]
         r0 = self.readers[self.segments[0]]
@@ -590,9 +609,34 @@ class IncrementalIndexReader:
                     g.append(t)
             if g:
                 groups.append(g)
-        return self.search_terms(
+        return expanded, weights, groups
+
+    def search_fuzzy_df(
+        self,
+        query: str,
+        k: int | None = 10,
+        limit: int = 16,
+        fuzziness: int | str = "AUTO",
+        boosts: dict[str, float] | None = None,
+        min_should_match: int = 1,
+        search_after: tuple[float, str, int] | None = None,
+        filter_sql: str | None = None,
+    ) -> DataFrame:
+        """Distributed fuzzy query over the LIVE index: cross-segment
+        SymSpell expansion, scoring fanned out through search_terms_df
+        (postings stay on executors, tombstones masked). Rank-identical
+        to search_fuzzy. k=None returns the unranked live match set."""
+        expanded, weights, groups = self._fuzzy_expansion(
+            query, limit, fuzziness, boosts
+        )
+        if not expanded:
+            return self.spark.createDataFrame(
+                [], "segment string, doc_id long, score double"
+            )
+        return self.search_terms_df(
             expanded, k, weights if self.fields else None,
             min_match=min_should_match, groups=groups,
+            search_after=search_after, filter_sql=filter_sql,
         )
 
     def search_terms(

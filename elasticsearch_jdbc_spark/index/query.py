@@ -889,6 +889,25 @@ class IndexReader:
         fuzziness). min_should_match counts TOKENS: a token is satisfied by
         ANY of its expansions, in any field. Routes through the dense/WAND
         dispatcher, so it scales past DENSE_LIMIT docs."""
+        expanded, weights, groups = self._fuzzy_expansion(
+            query, limit, fuzziness, boosts
+        )
+        if not expanded:
+            return []
+        return self._search_terms(
+            expanded, k, weights, min_match=min_should_match, groups=groups
+        )
+
+    def _fuzzy_expansion(
+        self,
+        query: str,
+        limit: int,
+        fuzziness: int | str,
+        boosts: dict[str, float] | None,
+    ) -> tuple[list[str], dict[str, float], list[list[str]]]:
+        """Shared fuzzy-query expansion: each token -> indexed terms within
+        its edit budget (AUTO: 0/1/2 by length), per-field namespaced on a
+        fields corpus, capped at `limit` per token."""
         fields = self.manifest.get("fields")
         if boosts and not fields:
             raise ValueError("boosts requires a fields-indexed corpus")
@@ -907,10 +926,33 @@ class IndexReader:
                     g.append(t)
             if g:
                 groups.append(g)
+        return expanded, weights, groups
+
+    def search_fuzzy_df(
+        self,
+        query: str,
+        k: int | None = 10,
+        limit: int = 16,
+        fuzziness: int | str = "AUTO",
+        boosts: dict[str, float] | None = None,
+        min_should_match: int = 1,
+        search_after: tuple[float, int] | None = None,
+        filter_sql: str | None = None,
+    ) -> DataFrame:
+        """Distributed fuzzy query: the same SymSpell edit-distance
+        expansion as search_fuzzy (driver-side over the term dictionary —
+        the per-shard fuzzy term enum ES pays too), scoring fanned out
+        through search_terms_df (scoring_boolean: each expansion scores
+        with its own idf; postings stay on executors). Rank-identical to
+        search_fuzzy. k=None unranked; cursors + filter context wired."""
+        expanded, weights, groups = self._fuzzy_expansion(
+            query, limit, fuzziness, boosts
+        )
         if not expanded:
-            return []
-        return self._search_terms(
-            expanded, k, weights, min_match=min_should_match, groups=groups
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        return self.search_terms_df(
+            expanded, k, weights, min_match=min_should_match, groups=groups,
+            search_after=search_after, filter_sql=filter_sql,
         )
 
     # ---------- boolean queries (ES bool: must / should / must_not) ----------

@@ -49,6 +49,31 @@ def test_base_empty_and_filter(spark, idx):
     assert got and all(row["doc_id"] in keep for row in got)
 
 
+def test_base_fuzzy_rank_identity(spark, idx):
+    r = IndexReader(spark, idx)
+    driver = r.search_fuzzy("emrge bufer", k=8, fuzziness=2)
+    dist = [
+        (row["doc_id"], row["score"])
+        for row in r.search_fuzzy_df("emrge bufer", k=8, fuzziness=2).collect()
+    ]
+    assert [d for d, _s in dist] == [d for d, _s in driver] and dist
+    for (dd, ds), (gd, gs) in zip(driver, dist):
+        assert gs == pytest.approx(ds, rel=1e-9)
+    assert r.search_fuzzy_df("qqqqqqqqqq", k=5, fuzziness=1).count() == 0
+
+
+def test_incremental_fuzzy_rank_identity(spark, idx):
+    ri = IncrementalIndexReader(spark, idx)
+    driver = ri.search_fuzzy("emrge", k=9, fuzziness=2)
+    dist = [
+        (row["segment"], row["doc_id"], row["score"])
+        for row in ri.search_fuzzy_df("emrge", k=9, fuzziness=2).collect()
+    ]
+    assert [(s, d) for s, d, _ in dist] == [(s, d) for s, d, _ in driver] and dist
+    for (_, _, ds), (_, _, gs) in zip(driver, dist):
+        assert gs == pytest.approx(ds, rel=1e-9)
+
+
 def test_incremental_rank_identity(spark, idx):
     ri = IncrementalIndexReader(spark, idx)
     driver = ri.search_prefix("mer", k=9)
