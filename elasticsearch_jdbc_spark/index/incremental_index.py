@@ -400,6 +400,100 @@ class IncrementalIndexReader:
             t: float(bm25_idf(np.array([d]), self.n_docs)[0]) for t, d in dfs.items()
         }
 
+    def _global_dfs(self, terms: list[str]) -> dict[str, int]:
+        """Global df summed across segments (masked docs still counted,
+        the Lucene deleted-docs stats rule) — same union-dataset read as
+        _global_idfs but returning raw document frequencies."""
+        if not terms:
+            return {}
+        import pyarrow.dataset as ds
+
+        union = ds.dataset(
+            [
+                ds.dataset(
+                    os.path.join(self.readers[s].index_dir, "terms"),
+                    format="parquet",
+                )
+                for s in self.segments
+            ]
+        )
+        t = union.to_table(
+            filter=ds.field("term").isin(terms), columns=["term", "df"]
+        )
+        dfs: dict[str, int] = {}
+        for term, df in zip(t.column("term").to_pylist(), t.column("df").to_pylist()):
+            dfs[term] = dfs.get(term, 0) + df
+        return dfs
+
+    def more_like_this_df(
+        self,
+        like,
+        k: int | None = 10,
+        max_query_terms: int = 25,
+        min_term_freq: int = 2,
+        min_doc_freq: int = 2,
+        min_should_match="30%",
+        filter_sql: str | None = None,
+        exclude_self: bool = True,
+    ) -> DataFrame:
+        """ES more_like_this over the LIVE index: `like` is free text or a
+        {key_col: value} doc reference resolved across segments (newest
+        live version wins — pushed-down point reads per segment, no
+        scan). Term selection uses GLOBAL stats (df summed across
+        segments, live n_docs); scoring fans out through search_terms_df
+        with tombstones masked. See IndexReader.more_like_this_df."""
+        from collections import Counter
+
+        r0 = self.readers[self.segments[0]]
+        src = None
+        if isinstance(like, dict):
+            tokens = None
+            for s in reversed(self.segments):  # newest segment first
+                try:
+                    tokens, d = self.readers[s]._mlt_doc_tokens(like)
+                except KeyError:
+                    continue
+                if d is not None and self._is_tombstoned(s, d):
+                    tokens = None
+                    continue
+                src = (s, d)
+                break
+            if tokens is None:
+                raise KeyError(f"no live doc matches {like!r}")
+        else:
+            from ..functions.tokenizer import tokenize_py
+
+            tokens = tokenize_py(like)
+        tf = Counter(tokens)
+        cands = sorted(t for t, c in tf.items() if c >= min_term_freq)
+        dfs = self._global_dfs(cands)
+        cands = [t for t in cands if dfs.get(t, 0) >= min_doc_freq]
+        if not cands:
+            return self.spark.createDataFrame(
+                [], "segment string, doc_id long, score double"
+            )
+        idfs = {
+            t: float(bm25_idf(np.array([dfs[t]]), self.n_docs)[0]) for t in cands
+        }
+        sel = sorted(cands, key=lambda t: (-tf[t] * idfs[t], t))[:max_query_terms]
+        m = r0._mlt_min_match(min_should_match, len(sel))
+        out = self.search_terms_df(sel, k=None, min_match=m, filter_sql=filter_sql)
+        if exclude_self and src is not None:
+            out = out.filter(
+                ~((F.col("segment") == src[0]) & (F.col("doc_id") == src[1]))
+            )
+        if k is None:
+            return out
+        rank_map = self._rank_map()
+        return (
+            out.orderBy(
+                F.desc("score"),
+                F.desc(rank_map[F.col("segment")]),
+                F.asc("doc_id"),
+            )
+            .limit(k)
+        )
+
     def _seg_rank(self, segment: str) -> int:
         """Numeric recency rank (base=0, newest delta = len-1). Tie-breaks
         MUST use this, not the segment string: lexicographic comparison

@@ -358,6 +358,125 @@ class IndexReader:
             for term, df in zip(t.column("term").to_pylist(), t.column("df").to_pylist())
         }
 
+    def _term_dfs(self, terms: list[str]) -> dict[str, int]:
+        """Document frequencies for explicit terms — same pruned pyarrow
+        point-range read as _term_idfs (no Spark job)."""
+        if not terms:
+            return {}
+        import pyarrow.dataset as ds
+
+        t = (
+            ds.dataset(os.path.join(self.index_dir, "terms"), format="parquet")
+            .to_table(filter=ds.field("term").isin(terms), columns=["term", "df"])
+        )
+        return dict(
+            zip(t.column("term").to_pylist(), t.column("df").to_pylist())
+        )
+
+    def _mlt_doc_tokens(self, like: dict) -> tuple[list[str], int | None]:
+        """Resolve an MLT doc reference {key_col: value, ...} to its token
+        list + doc_id via pushed-down point reads of the tokenized
+        checkpoint and the docs table (pyarrow row-group pruning — no
+        Spark job, no full scan)."""
+        import pyarrow.dataset as ds
+
+        keys = [k for k in self.manifest["key_cols"] if k in like]
+        if not keys:
+            raise ValueError(
+                f"doc reference needs at least one of {self.manifest['key_cols']}"
+            )
+        flt = None
+        for c in keys:
+            f = ds.field(c) == like[c]
+            flt = f if flt is None else (flt & f)
+        tok = ds.dataset(
+            os.path.join(self.index_dir, "tokenized"), format="parquet"
+        ).to_table(filter=flt, columns=["tokens"])
+        if tok.num_rows == 0:
+            raise KeyError(f"no indexed doc matches {like!r}")
+        if tok.num_rows > 1:
+            raise ValueError(f"doc reference {like!r} is ambiguous ({tok.num_rows} docs)")
+        docs = ds.dataset(
+            os.path.join(self.index_dir, "docs"), format="parquet"
+        ).to_table(filter=flt, columns=["doc_id"])
+        doc_id = int(docs.column("doc_id")[0].as_py()) if docs.num_rows else None
+        return list(tok.column("tokens")[0].as_py()), doc_id
+
+    @staticmethod
+    def _mlt_min_match(min_should_match, n_terms: int) -> int:
+        """ES MLT minimum_should_match: '30%'-style percentages floor to a
+        term count (clamped to [1, n_terms]); ints pass through."""
+        if isinstance(min_should_match, str) and min_should_match.endswith("%"):
+            m = int(float(min_should_match[:-1]) / 100.0 * n_terms)
+        else:
+            m = int(min_should_match)
+        return max(1, min(m, n_terms))
+
+    def _mlt_select_terms(
+        self,
+        like,
+        max_query_terms: int,
+        min_term_freq: int,
+        min_doc_freq: int,
+    ) -> tuple[list[str], int | None]:
+        """Shared MLT term selection: the doc's (or free text's) terms with
+        tf >= min_term_freq and df >= min_doc_freq, ranked by tf*idf
+        (BM25 idf — documented divergence from ES's classic-similarity
+        selection; same monotone intent) with the term tie-break, capped
+        at max_query_terms. Returns (selected, source_doc_id|None)."""
+        from collections import Counter
+
+        if isinstance(like, dict):
+            tokens, src = self._mlt_doc_tokens(like)
+        else:
+            tokens, src = tokenize_py(like), None
+        tf = Counter(tokens)
+        cands = sorted(t for t, c in tf.items() if c >= min_term_freq)
+        dfs = self._term_dfs(cands)
+        cands = [t for t in cands if dfs.get(t, 0) >= min_doc_freq]
+        if not cands:
+            return [], src
+        idfs = {
+            t: float(bm25_idf(np.array([dfs[t]]), self.n_docs)[0]) for t in cands
+        }
+        sel = sorted(cands, key=lambda t: (-tf[t] * idfs[t], t))[:max_query_terms]
+        return sel, src
+
+    def more_like_this_df(
+        self,
+        like,
+        k: int | None = 10,
+        max_query_terms: int = 25,
+        min_term_freq: int = 2,
+        min_doc_freq: int = 2,
+        min_should_match="30%",
+        filter_sql: str | None = None,
+        exclude_self: bool = True,
+    ) -> DataFrame:
+        """ES more_like_this: find docs similar to `like` — free text, or
+        a {key_col: value} reference to an indexed doc (resolved via
+        pushed-down point reads; no scan). Representative terms are
+        selected by tf*idf (tf >= min_term_freq, df >= min_doc_freq, top
+        max_query_terms) and run as a disjunction requiring
+        min_should_match of them ('30%' ES-default percentage or an int),
+        scored BM25 through the distributed search_terms_df path — the
+        interesting-term selection is driver-side over ONE doc's tokens
+        (bounded), the scoring fans out over postings. The source doc
+        itself is excluded by default. k=None returns the unranked match
+        set."""
+        sel, src = self._mlt_select_terms(
+            like, max_query_terms, min_term_freq, min_doc_freq
+        )
+        if not sel:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        m = self._mlt_min_match(min_should_match, len(sel))
+        out = self.search_terms_df(sel, k=None, min_match=m, filter_sql=filter_sql)
+        if exclude_self and src is not None:
+            out = out.filter(F.col("doc_id") != src)
+        if k is None:
+            return out
+        return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
     # columns the scoring kernels actually decode; mapInPandas consumes
     # whole input rows, so pruning must happen BEFORE it or the parquet
     # scan reads every column — including the (large) positions binary on

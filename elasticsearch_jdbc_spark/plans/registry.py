@@ -2060,6 +2060,106 @@ def prefix_index_q(spark, sf_dir):
     )
 
 
+_MLT_SRC_DOC = 7  # documents.doc_id of the MLT source (path 'doc/7.txt')
+
+
+def _mlt_sql() -> str:
+    """more_like_this oracle: interesting-term selection from the source
+    doc (tf >= 2, df >= 2, top-25 by tf * BM25-idf with the term
+    tie-break), then BM25 over docs matching >= floor(30%) of the
+    selected terms, source doc excluded."""
+    from ..index.bm25_df import B, K1, TOP_K
+
+    return f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    flat AS (
+      SELECT doc_id, len(toks) AS dl, t.term
+      FROM tok, UNNEST(toks) AS t(term)
+    ),
+    tf AS (
+      SELECT term, doc_id, dl, COUNT(*) AS tf FROM flat GROUP BY 1, 2, 3
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n, SUM(dl) * 1.0 / COUNT(*) AS avgdl
+      FROM (SELECT doc_id, len(toks) AS dl FROM tok)
+    ),
+    dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    src AS (
+      SELECT term, tf FROM tf WHERE doc_id = {_MLT_SRC_DOC} AND tf >= 2
+    ),
+    sel AS (
+      SELECT term FROM (
+        SELECT s.term,
+               ROW_NUMBER() OVER (
+                 ORDER BY s.tf * ln(1.0 + (stats.n - d.df + 0.5) / (d.df + 0.5)) DESC,
+                          s.term
+               ) AS rn
+        FROM src s JOIN dft d USING (term), stats
+        WHERE d.df >= 2
+      ) WHERE rn <= 25
+    ),
+    m AS (
+      SELECT GREATEST(1, LEAST(
+        CAST(FLOOR(0.3 * (SELECT COUNT(*) FROM sel)) AS BIGINT),
+        (SELECT COUNT(*) FROM sel)
+      )) AS min_match
+    ),
+    matched AS (
+      SELECT tf.doc_id,
+             COUNT(DISTINCT tf.term) AS nmatch,
+             SUM(
+               ln(1.0 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+               * {K1 + 1.0}
+               * (tf.tf / (tf.tf + {K1} * ({1.0 - B} + {B} * tf.dl / stats.avgdl)))
+             ) AS score
+      FROM tf JOIN sel USING (term) JOIN dft USING (term), stats
+      WHERE tf.doc_id <> {_MLT_SRC_DOC}
+      GROUP BY 1
+    ),
+    ranked AS (
+      SELECT doc_id, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM matched, m WHERE nmatch >= m.min_match
+    )
+    SELECT CAST(rank AS INT) AS rank, doc_id, ROUND(score, 4) AS score
+    FROM ranked WHERE rank <= {TOP_K}
+    """
+
+
+@_reg("mlt_index_search", _mlt_sql())
+def mlt_index_q(spark, sf_dir):
+    """ES more_like_this through the REAL engine, ORACLE-CHECKED:
+    more_like_this_df resolves the source doc by key via pushed-down
+    point reads, selects interesting terms by tf*idf (tf>=2, df>=2,
+    top 25), and runs them as a 30%-minimum-should-match disjunction
+    through the distributed search_terms_df path, source doc excluded —
+    vs a DuckDB plan computing the identical selection + scoring over the
+    raw corpus. k=None unranked; top-10 cut after the id mapping."""
+    from ..index import IndexReader
+
+    idx = _registry_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    ids = _index_docid_map(spark, idx)
+    hits = reader.more_like_this_df(
+        {"path": f"doc/{_MLT_SRC_DOC}.txt"}, k=None
+    )
+    w = W.orderBy(F.desc("score"), F.asc("documents_doc_id"))
+    return (
+        hits.join(ids, "doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "rank",
+            F.col("documents_doc_id").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+    )
+
+
 @_reg("highlight_index_search")
 def highlight_index_q(spark, sf_dir):
     """ES highlight through the REAL engine — rows-only BY DESIGN: snippet

@@ -1,0 +1,111 @@
+"""ES more_like_this: tf*idf interesting-term selection + 30%-mSM
+disjunction. Oracle-checked in the registry (mlt_index_search); here the
+self-similarity property, doc resolution, and live-index behavior."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_jdbc_spark.index import (
+    IncrementalIndexReader,
+    IndexBuilder,
+    IndexReader,
+    apply_incremental,
+)
+from elasticsearch_jdbc_spark.sources import synthetic_corpus
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("mlt") / "idx")
+    corpus = synthetic_corpus(spark, n_files=200, seed=95).cache()
+    IndexBuilder(spark, d, partitions=4).build(corpus, resume=False)
+    return d, corpus
+
+
+def _a_key(spark, idx_dir):
+    row = (
+        spark.read.parquet(f"{idx_dir}/docs")
+        .orderBy("doc_id")
+        .select("repo", "path", "doc_id")
+        .first()
+    )
+    return {"repo": row["repo"], "path": row["path"]}, row["doc_id"]
+
+
+def test_base_mlt_doc_and_text(spark, idx):
+    d, _corpus = idx
+    r = IndexReader(spark, d)
+    like, src_id = _a_key(spark, d)
+    got = r.more_like_this_df(like, k=8).collect()
+    assert got and all(row["doc_id"] != src_id for row in got)
+    # a doc is most like itself: with exclusion off it ranks first
+    incl = r.more_like_this_df(like, k=3, exclude_self=False).collect()
+    assert incl[0]["doc_id"] == src_id
+    # free-text likeness
+    txt = r.more_like_this_df(
+        "merge merge segment segment buffer buffer stream stream", k=5
+    ).collect()
+    assert txt
+
+
+def test_base_mlt_errors(spark, idx):
+    d, _ = idx
+    r = IndexReader(spark, d)
+    with pytest.raises(KeyError):
+        r.more_like_this_df({"path": "no/such/doc.txt"}, k=3)
+    with pytest.raises(ValueError):
+        r.more_like_this_df({"bogus_col": "x"}, k=3)
+    # all-rare text -> no selectable terms -> empty frame, not an error
+    assert r.more_like_this_df("zzq yyx wwv", k=3).count() == 0
+
+
+def test_incremental_matches_base_without_deltas(spark, idx):
+    d, _ = idx
+    like, _src = _a_key(spark, d)
+    base = [
+        (row["doc_id"], round(row["score"], 9))
+        for row in IndexReader(spark, d).more_like_this_df(like, k=9).collect()
+    ]
+    live = [
+        (row["doc_id"], round(row["score"], 9))
+        for row in IncrementalIndexReader(spark, d)
+        .more_like_this_df(like, k=9)
+        .collect()
+    ]
+    assert [(d_, s) for d_, s in live] == base
+
+
+def test_incremental_resolves_newest_live(spark, idx, tmp_path):
+    import shutil
+
+    d0, corpus = idx
+    d = str(tmp_path / "mlt_live")
+    shutil.copytree(d0, d)
+    like, _src = _a_key(spark, d)
+    # upsert the source doc with rewritten content (marker tokens x3 so
+    # they pass min_term_freq)
+    newrow = (
+        corpus.filter(
+            (F.col("repo") == like["repo"]) & (F.col("path") == like["path"])
+        )
+        .withColumn(
+            "content",
+            F.concat(F.col("content"), F.lit(" zzmark zzmark zzmark")),
+        )
+        .withColumn("_optype", F.lit("update"))
+    )
+    apply_incremental(spark, d, newrow)
+    ri = IncrementalIndexReader(spark, d)
+    got = ri.more_like_this_df(like, k=6, exclude_self=False).collect()
+    assert got
+    # the NEWEST (delta) version is the self-hit at rank 1
+    top = got[0]
+    assert top["segment"] != "" and top["segment"].startswith("delta")
+    # with exclusion on, that live version disappears
+    excl = ri.more_like_this_df(like, k=6).collect()
+    assert all(
+        (row["segment"], row["doc_id"]) != (top["segment"], top["doc_id"])
+        for row in excl
+    )
