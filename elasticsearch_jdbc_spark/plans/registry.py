@@ -2190,6 +2190,10 @@ def highlight_index_q(spark, sf_dir):
 # (trivial capability, fully pytest-covered) is deliberately the very
 # last.
 _ROWS_ONLY_TAIL = [
+    # oracle entries whose SURVEY operator has ANOTHER green oracle entry
+    # (duplicate evidence — cheapest oracle rows to lose) go right before
+    # the rows-only tail: a4_fold_orders also covers A4.
+    "a4_fold_multivalue",
     "a5_doc_builder",
     "a6_wkt_geojson",
     "dedup_minhash_lsh",
