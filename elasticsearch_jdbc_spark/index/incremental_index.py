@@ -400,6 +400,56 @@ class IncrementalIndexReader:
             t: float(bm25_idf(np.array([d]), self.n_docs)[0]) for t, d in dfs.items()
         }
 
+    def mget(self, likes: list[dict]) -> list[dict]:
+        """ES _mget over the LIVE index: for each {key_col: value}
+        reference, the NEWEST non-tombstoned version across segments wins
+        (one pruned pyarrow read per segment over the still-unresolved
+        references, newest segment first; tombstones checked via the
+        pushed-down point lookup). Results in request order with `found`
+        flags; a deleted doc reports found=False."""
+        import pyarrow.dataset as ds
+
+        if not likes:
+            return []
+        r0 = self.readers[self.segments[0]]
+        resolved: dict[int, dict] = {}
+        for s in reversed(self.segments):  # newest first
+            pending = [i for i in range(len(likes)) if i not in resolved]
+            if not pending:
+                break
+            flt = None
+            for i in pending:
+                f = r0._key_filter(likes[i])
+                flt = f if flt is None else (flt | f)
+            t = ds.dataset(
+                os.path.join(self.readers[s].index_dir, "docs"),
+                format="parquet",
+            ).to_table(filter=flt)
+            rows = t.to_pylist()
+            for i in pending:
+                like = likes[i]
+                hit = next(
+                    (
+                        r
+                        for r in rows
+                        if all(r.get(c) == v for c, v in like.items())
+                    ),
+                    None,
+                )
+                if hit is None:
+                    continue
+                # an upsert in THIS segment tombstones older versions, so
+                # finding the key here settles the reference either way:
+                # live -> found, tombstoned -> deleted
+                if self._is_tombstoned(s, int(hit["doc_id"])):
+                    resolved[i] = {"found": False, **like}
+                else:
+                    resolved[i] = {"found": True, "segment": s, **hit}
+        return [
+            resolved.get(i, {"found": False, **likes[i]})
+            for i in range(len(likes))
+        ]
+
     def _global_dfs(self, terms: list[str]) -> dict[str, int]:
         """Global df summed across segments (masked docs still counted,
         the Lucene deleted-docs stats rule) — same union-dataset read as
@@ -1463,6 +1513,45 @@ class IncrementalIndexReader:
         if k is None:
             return out
         return out.orderBy(*order).limit(k)
+
+    def function_score_df(
+        self,
+        query: str,
+        score_expr: str,
+        k: int | None = 10,
+        min_should_match: int = 1,
+        boosts: dict[str, float] | None = None,
+        filter_sql: str | None = None,
+        boost_mode: str = "multiply",
+    ) -> DataFrame:
+        """ES function_score over the LIVE index: the unranked live match
+        set joins the live docs metadata, score_expr (Spark SQL over the
+        docs columns) combines with BM25 via boost_mode, one ordered cut
+        ranks with the segment-recency tie-break — see
+        IndexReader.function_score_df."""
+        if boost_mode not in ("multiply", "sum"):
+            raise ValueError(f"boost_mode must be multiply|sum, got {boost_mode!r}")
+        matches = self.match_df(
+            query, min_should_match=min_should_match, boosts=boosts,
+            filter_sql=filter_sql,
+        )
+        factor = F.expr(score_expr).cast("double")
+        combined = (
+            F.col("score") * factor
+            if boost_mode == "multiply"
+            else F.col("score") + factor
+        )
+        out = (
+            matches.join(self.live_docs(), ["segment", "doc_id"])
+            .withColumn("fscore", combined)
+            .select("segment", "doc_id", F.col("fscore").alias("score"))
+        )
+        if k is None:
+            return out
+        rank_map = self._rank_map()
+        return out.orderBy(
+            F.desc("score"), F.desc(rank_map[F.col("segment")]), F.asc("doc_id")
+        ).limit(k)
 
     def highlight_df(
         self,

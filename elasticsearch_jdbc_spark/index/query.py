@@ -328,6 +328,51 @@ class IndexReader:
         docs = self.spark.read.parquet(os.path.join(self.index_dir, "docs"))
         return docs.filter(F.expr(filter_sql)).select("doc_id")
 
+    def _key_filter(self, like: dict):
+        """pyarrow filter expression for a {key_col: value} doc reference
+        (any subset of the key columns)."""
+        import pyarrow.dataset as ds
+
+        keys = [k for k in self.manifest["key_cols"] if k in like]
+        if not keys:
+            raise ValueError(
+                f"doc reference needs at least one of {self.manifest['key_cols']}"
+            )
+        flt = None
+        for c in keys:
+            f = ds.field(c) == like[c]
+            flt = f if flt is None else (flt & f)
+        return flt
+
+    def mget(self, likes: list[dict]) -> list[dict]:
+        """ES _mget: fetch docs-table metadata for a batch of
+        {key_col: value} references in ONE pruned pyarrow read (an
+        OR-of-keys filter over the docs parquet — no Spark job). Results
+        come back in request order, each with a `found` flag; missing
+        docs don't error (the _mget contract)."""
+        import pyarrow.dataset as ds
+
+        if not likes:
+            return []
+        flt = None
+        for like in likes:
+            f = self._key_filter(like)
+            flt = f if flt is None else (flt | f)
+        t = ds.dataset(
+            os.path.join(self.index_dir, "docs"), format="parquet"
+        ).to_table(filter=flt)
+        rows = t.to_pylist()
+        out = []
+        for like in likes:
+            hit = next(
+                (r for r in rows if all(r.get(c) == v for c, v in like.items())),
+                None,
+            )
+            out.append(
+                {"found": True, **hit} if hit is not None else {"found": False, **like}
+            )
+        return out
+
     def query_terms(self, query: str) -> list[str]:
         """Unique query terms, first-occurrence order (dedup like Values,
         reference Values.java:43-94 — repeated values collapse)."""
@@ -2422,6 +2467,48 @@ class IndexReader:
         if k is None:
             return out
         return out.orderBy(*order).limit(k)
+
+    def function_score_df(
+        self,
+        query: str,
+        score_expr: str,
+        k: int | None = 10,
+        min_should_match: int = 1,
+        boosts: dict[str, float] | None = None,
+        filter_sql: str | None = None,
+        boost_mode: str = "multiply",
+    ) -> DataFrame:
+        """ES function_score: combine the BM25 relevance score with a
+        function of the doc's METADATA (recency boosts, length priors,
+        popularity fields — the rank_feature/field_value_factor use case).
+        `score_expr` is a Spark SQL expression over the docs-table columns
+        returning a double; boost_mode 'multiply' (ES default) or 'sum'.
+
+        Plan: the UNRANKED match set joins the docs metadata (Catalyst
+        prunes the scan to the columns score_expr references), the
+        combined score computes JVM-side, and ONE ordered cut ranks —
+        same shape as every ranked search, no extra shuffle."""
+        if boost_mode not in ("multiply", "sum"):
+            raise ValueError(f"boost_mode must be multiply|sum, got {boost_mode!r}")
+        docs = self.spark.read.parquet(os.path.join(self.index_dir, "docs"))
+        matches = self.match_df(
+            query, min_should_match=min_should_match, boosts=boosts,
+            filter_sql=filter_sql,
+        )
+        factor = F.expr(score_expr).cast("double")
+        combined = (
+            F.col("score") * factor
+            if boost_mode == "multiply"
+            else F.col("score") + factor
+        )
+        out = (
+            matches.join(docs, "doc_id")
+            .withColumn("fscore", combined)
+            .select("doc_id", F.col("fscore").alias("score"))
+        )
+        if k is None:
+            return out
+        return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def highlight_df(
         self,

@@ -2060,6 +2060,90 @@ def prefix_index_q(spark, sf_dir):
     )
 
 
+def _fscore_sql() -> str:
+    """function_score oracle: BM25 over the reference query set, each
+    doc's score multiplied by the length prior (1 + dl/1000) — the
+    field_value_factor shape."""
+    from ..index.bm25_df import B, K1, TOP_K, _query_term_pairs
+
+    values = ", ".join(f"({qid}, '{t}')" for qid, t in _query_term_pairs())
+    return f"""
+    WITH q(query_id, term) AS (VALUES {values}),
+    tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    flat AS (
+      SELECT doc_id, len(toks) AS dl, t.term
+      FROM tok, UNNEST(toks) AS t(term)
+    ),
+    tf AS (
+      SELECT term, doc_id, dl, COUNT(*) AS tf FROM flat GROUP BY 1, 2, 3
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n, SUM(dl) * 1.0 / COUNT(*) AS avgdl
+      FROM (SELECT doc_id, len(toks) AS dl FROM tok)
+    ),
+    dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    dls AS (SELECT doc_id, len(toks) AS dl FROM tok),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             SUM(
+               ln(1.0 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+               * {K1 + 1.0}
+               * (tf.tf / (tf.tf + {K1} * ({1.0 - B} + {B} * tf.dl / stats.avgdl)))
+             ) AS score
+      FROM tf JOIN q USING (term) JOIN dft USING (term), stats
+      GROUP BY 1, 2
+    ),
+    boosted AS (
+      SELECT s.query_id, s.doc_id, s.score * (1.0 + d.dl / 1000.0) AS score
+      FROM scored s JOIN dls d USING (doc_id)
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+      FROM boosted
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, doc_id, ROUND(score, 4) AS score
+    FROM ranked WHERE rank <= {TOP_K}
+    """
+
+
+@_reg("fscore_index_search", _fscore_sql())
+def fscore_index_q(spark, sf_dir):
+    """ES function_score through the REAL engine, ORACLE-CHECKED:
+    function_score_df multiplies BM25 by a docs-metadata expression
+    (1 + dl/1000 — the field_value_factor length prior), computed
+    JVM-side on the joined match set with one ordered cut. k=None; the
+    top-10 cut happens after the id mapping, matching the oracle
+    tie-break."""
+    from ..index import IndexReader
+
+    idx = _registry_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    ids = _index_docid_map(spark, idx)
+    out = None
+    for qid, qtext in REFERENCE_QUERIES:
+        hits = reader.function_score_df(
+            qtext, "1.0 + dl / 1000.0", k=None
+        ).withColumn("query_id", F.lit(qid))
+        out = hits if out is None else out.unionByName(hits)
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("documents_doc_id"))
+    return (
+        out.join(ids, "doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "rank",
+            F.col("documents_doc_id").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+    )
+
+
 _MLT_SRC_DOC = 7  # documents.doc_id of the MLT source (path 'doc/7.txt')
 
 
