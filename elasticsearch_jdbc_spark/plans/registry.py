@@ -2276,7 +2276,9 @@ def highlight_index_q(spark, sf_dir):
 _ROWS_ONLY_TAIL = [
     # oracle entries whose SURVEY operator has ANOTHER green oracle entry
     # (duplicate evidence — cheapest oracle rows to lose) go right before
-    # the rows-only tail: a4_fold_orders also covers A4.
+    # the rows-only tail: q3/q5 also cover B3 inner joins; a4_fold_orders
+    # also covers A4.
+    "b3_join_inner_part",
     "a4_fold_multivalue",
     "a5_doc_builder",
     "a6_wkt_geojson",
