@@ -755,6 +755,43 @@ class IncrementalIndexReader:
                 groups.append(g)
         return expanded, weights, groups
 
+    def search_wildcard_df(
+        self,
+        pattern: str,
+        k: int | None = 10,
+        limit: int = 128,
+        min_should_match: int = 1,
+        search_after: tuple[float, str, int] | None = None,
+        filter_sql: str | None = None,
+    ) -> DataFrame:
+        """Distributed wildcard query over the LIVE index: each pattern
+        expands against EVERY segment's dictionary (unioned,
+        lexicographically capped — identical expansion to a compacted
+        index), scoring through search_terms_df with tombstones masked."""
+        expanded: list[str] = []
+        groups: list[list[str]] = []
+        for pat in pattern.split():
+            g = sorted(
+                {
+                    t
+                    for s in self.segments
+                    for t in self.readers[s].expand_wildcard(pat.lower(), limit)
+                }
+            )[:limit]
+            for t in g:
+                if t not in expanded:
+                    expanded.append(t)
+            if g:
+                groups.append(g)
+        if not expanded:
+            return self.spark.createDataFrame(
+                [], "segment string, doc_id long, score double"
+            )
+        return self.search_terms_df(
+            expanded, k, min_match=min_should_match, groups=groups,
+            search_after=search_after, filter_sql=filter_sql,
+        )
+
     def search_fuzzy_df(
         self,
         query: str,

@@ -23,6 +23,7 @@ from __future__ import annotations
 import heapq
 import json
 import os
+import re
 from collections.abc import Iterator
 
 import numpy as np
@@ -1983,6 +1984,65 @@ class IndexReader:
             )
         )
         return sorted(t.column("term").to_pylist())[:limit]
+
+    def expand_wildcard(self, pattern: str, limit: int = 128) -> list[str]:
+        """Indexed terms matching an ES wildcard pattern (`*` any run, `?`
+        one char), lexicographic order, capped at `limit` — the
+        WildcardQuery term enum. The literal prefix before the first
+        wildcard prunes the dictionary read to a point range (same
+        row-group pruning as expand_prefix); a leading wildcard pays the
+        full dictionary scan, exactly as Lucene warns."""
+        import fnmatch
+        import pyarrow.dataset as ds
+
+        i = min(
+            (pattern.index(c) for c in "*?" if c in pattern),
+            default=len(pattern),
+        )
+        lit = pattern[:i]
+        flt = None
+        if lit:
+            hi = lit[:-1] + chr(ord(lit[-1]) + 1)
+            flt = (ds.field("term") >= lit) & (ds.field("term") < hi)
+        t = ds.dataset(
+            os.path.join(self.index_dir, "terms"), format="parquet"
+        ).to_table(filter=flt, columns=["term"])
+        rx = re.compile(fnmatch.translate(pattern))
+        return sorted(
+            x for x in t.column("term").to_pylist() if rx.match(x)
+        )[:limit]
+
+    def search_wildcard_df(
+        self,
+        pattern: str,
+        k: int | None = 10,
+        limit: int = 128,
+        min_should_match: int = 1,
+        search_after: tuple[float, int] | None = None,
+        filter_sql: str | None = None,
+    ) -> DataFrame:
+        """Distributed ES wildcard query (scoring_boolean rewrite like the
+        prefix/fuzzy twins): the pattern expands against the term
+        dictionary (prefix-pruned enum; leading wildcards scan the dict,
+        as in Lucene), then scoring fans out through search_terms_df —
+        each expanded term with its own idf, postings filter pushed to
+        parquet. Multiple whitespace-separated patterns form token groups
+        for min_should_match. k=None returns the unranked match set."""
+        expanded: list[str] = []
+        groups: list[list[str]] = []
+        for pat in pattern.split():
+            g = self.expand_wildcard(pat.lower(), limit)
+            for t in g:
+                if t not in expanded:
+                    expanded.append(t)
+            if g:
+                groups.append(g)
+        if not expanded:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        return self.search_terms_df(
+            expanded, k, min_match=min_should_match, groups=groups,
+            search_after=search_after, filter_sql=filter_sql,
+        )
 
     def search_prefix(
         self,

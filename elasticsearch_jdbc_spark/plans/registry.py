@@ -2060,6 +2060,96 @@ def prefix_index_q(spark, sf_dir):
     )
 
 
+_WILD_CASES = [(0, "fa*t", "fa%t"), (1, "*ery", "%ery"), (2, "s?ow", "s_ow")]
+
+
+def _wildcard_sql() -> str:
+    """Wildcard-query oracle (scoring_boolean rewrite): each pattern
+    expands to every corpus term it matches (ES `*`/`?` == SQL `%`/`_`,
+    lexicographic, capped at 128), each expanded term scores with its own
+    idf."""
+    from ..index.bm25_df import B, K1, TOP_K
+
+    values = ", ".join(f"({qid}, '{sql}')" for qid, _es, sql in _WILD_CASES)
+    return f"""
+    WITH w(query_id, pat) AS (VALUES {values}),
+    tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    flat AS (
+      SELECT doc_id, len(toks) AS dl, t.term
+      FROM tok, UNNEST(toks) AS t(term)
+    ),
+    tf AS (
+      SELECT term, doc_id, dl, COUNT(*) AS tf FROM flat GROUP BY 1, 2, 3
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n, SUM(dl) * 1.0 / COUNT(*) AS avgdl
+      FROM (SELECT doc_id, len(toks) AS dl FROM tok)
+    ),
+    dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    exp AS (
+      SELECT query_id, term FROM (
+        SELECT w.query_id, d.term,
+               ROW_NUMBER() OVER (PARTITION BY w.query_id ORDER BY d.term) AS rn
+        FROM (SELECT DISTINCT term FROM tf) d
+        JOIN w ON d.term LIKE w.pat
+      ) WHERE rn <= 128
+    ),
+    scored AS (
+      SELECT e.query_id, tf.doc_id,
+             SUM(
+               ln(1.0 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+               * {K1 + 1.0}
+               * (tf.tf / (tf.tf + {K1} * ({1.0 - B} + {B} * tf.dl / stats.avgdl)))
+             ) AS score
+      FROM tf JOIN exp e USING (term) JOIN dft USING (term), stats
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, doc_id, ROUND(score, 4) AS score
+    FROM ranked WHERE rank <= {TOP_K}
+    """
+
+
+@_reg("wildcard_index_search", _wildcard_sql())
+def wildcard_index_q(spark, sf_dir):
+    """ES wildcard query through the REAL engine's DISTRIBUTED path,
+    ORACLE-CHECKED: search_wildcard_df expands each pattern via the term
+    dictionary (prefix-pruned enum; the leading-wildcard case pays the
+    dict scan, as in Lucene) and fans scoring out through
+    search_terms_df. k=None unranked; top-10 cut after the id mapping."""
+    from ..index import IndexReader
+
+    idx = _registry_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    ids = _index_docid_map(spark, idx)
+    out = None
+    for qid, es_pat, _sql in _WILD_CASES:
+        hits = reader.search_wildcard_df(es_pat, k=None).withColumn(
+            "query_id", F.lit(qid)
+        )
+        out = hits if out is None else out.unionByName(hits)
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("documents_doc_id"))
+    return (
+        out.join(ids, "doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "rank",
+            F.col("documents_doc_id").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+    )
+
+
 def _fscore_sql() -> str:
     """function_score oracle: BM25 over the reference query set, each
     doc's score multiplied by the length prior (1 + dl/1000) — the
@@ -2276,8 +2366,9 @@ def highlight_index_q(spark, sf_dir):
 _ROWS_ONLY_TAIL = [
     # oracle entries whose SURVEY operator has ANOTHER green oracle entry
     # (duplicate evidence — cheapest oracle rows to lose) go right before
-    # the rows-only tail: q3/q5 also cover B3 inner joins; a4_fold_orders
-    # also covers A4.
+    # the rows-only tail: q3/q5 also cover B3 inner joins; q1/q4/q6 also
+    # cover B7 aggregates; a4_fold_orders also covers A4.
+    "b7_counts",
     "b3_join_inner_part",
     "a4_fold_multivalue",
     "a5_doc_builder",

@@ -49,6 +49,42 @@ def test_base_empty_and_filter(spark, idx):
     assert got and all(row["doc_id"] in keep for row in got)
 
 
+def test_expand_wildcard_matches_fnmatch(spark, idx):
+    import fnmatch
+    import os
+
+    import pyarrow.dataset as ds
+
+    r = IndexReader(spark, idx)
+    vocab = (
+        ds.dataset(os.path.join(idx, "terms"), format="parquet")
+        .to_table(columns=["term"])
+        .column("term")
+        .to_pylist()
+    )
+    for pat in ("mer*", "*ge", "s?g*", "zz*", "m?rge"):
+        got = r.expand_wildcard(pat, limit=1000)
+        want = sorted(t for t in vocab if fnmatch.fnmatch(t, pat))
+        assert got == want, pat
+
+
+def test_wildcard_df_both_readers(spark, idx):
+    r = IndexReader(spark, idx)
+    hits = r.search_wildcard_df("mer*", k=None).collect()
+    # every doc matching 'merge...' terms must be a hit of the terms union
+    exp = set(r.expand_wildcard("mer*", 1000))
+    manual = {row["doc_id"] for row in r.search_terms_df(sorted(exp), k=None).collect()}
+    assert {row["doc_id"] for row in hits} == manual and hits
+    assert r.search_wildcard_df("zzq*", k=5).count() == 0
+    ri = IncrementalIndexReader(spark, idx)
+    live = ri.search_wildcard_df("mer*", k=12).collect()
+    assert live and any(row["segment"] for row in live)
+    # two patterns + min_should_match=2: both groups must match
+    both = ri.search_wildcard_df("mer* seg*", k=None, min_should_match=2)
+    one = ri.search_wildcard_df("mer* seg*", k=None, min_should_match=1)
+    assert 0 < both.count() <= one.count()
+
+
 def test_base_fuzzy_rank_identity(spark, idx):
     r = IndexReader(spark, idx)
     driver = r.search_fuzzy("emrge bufer", k=8, fuzziness=2)
