@@ -792,6 +792,65 @@ class IncrementalIndexReader:
             search_after=search_after, filter_sql=filter_sql,
         )
 
+    def suggest_df(
+        self,
+        text: str,
+        size: int = 5,
+        max_edits: int = 2,
+        prefix_length: int = 1,
+        field: str | None = None,
+        min_df: int = 1,
+    ) -> DataFrame:
+        """Term suggester over the LIVE index (ES `_suggest` on a
+        continuously-fed index): one prefix-pruned scan over the UNION of
+        every live segment's term dictionary, df summed across segments
+        (the same cross-segment df convention as _global_dfs — like ES
+        shard-local statistics, upserted docs still counted in the base
+        segment make the frequency tie-break approximate until
+        compaction; the candidate SET is exact). Ranking and pruning are
+        identical to IndexReader.suggest_df, and on a fully-compacted or
+        delete-free index the output matches compact-then-suggest
+        row-for-row (pytest-verified)."""
+        r0 = self.readers[self.segments[0]]
+        ns = r0._suggest_namespace(field)
+        paths = [
+            os.path.join(self.readers[s].index_dir, "terms")
+            for s in self.segments
+        ]
+        out: DataFrame | None = None
+        for tok in r0.query_terms(text):
+            pref = ns + tok[:prefix_length] if prefix_length > 0 else ns
+            d = self.spark.read.parquet(*paths).select("term", "df")
+            if pref:
+                hi = pref[:-1] + chr(ord(pref[-1]) + 1)
+                d = d.filter((F.col("term") >= pref) & (F.col("term") < hi))
+            d = d.filter(
+                F.abs(F.length("term") - F.lit(len(ns) + len(tok))) <= max_edits
+            ).groupBy("term").agg(F.sum("df").cast("long").alias("df"))
+            bare = (
+                F.expr(f"substring(term, {len(ns) + 1})") if ns else F.col("term")
+            )
+            cand = d.select(
+                F.lit(tok).alias("input_term"),
+                bare.alias("suggestion"),
+                F.levenshtein(bare, F.lit(tok), max_edits).alias("distance"),
+                F.col("df"),
+            ).filter((F.col("distance") >= 1) & (F.col("df") >= min_df))
+            out = cand if out is None else out.unionByName(cand)
+        if out is None:
+            return self.spark.createDataFrame([], IndexReader.SUGGEST_SCHEMA)
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("input_term").orderBy(
+            F.asc("distance"), F.desc("df"), F.asc("suggestion")
+        )
+        return (
+            out.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= size)
+            .drop("rn")
+            .orderBy("input_term", "distance", F.desc("df"), "suggestion")
+        )
+
     def search_fuzzy_df(
         self,
         query: str,

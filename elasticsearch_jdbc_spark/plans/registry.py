@@ -2150,6 +2150,57 @@ def wildcard_index_q(spark, sf_dir):
     )
 
 
+_SUGGEST_TEXT = "scal rwo jion bat"
+
+
+def _suggest_sql() -> str:
+    """Term-suggester oracle: DuckDB levenshtein over the tokenized-corpus
+    df table, same candidate window (first-char prefix, +-2 length,
+    distance 1..2) and ranking (distance asc, df desc, term asc, top-5
+    per input token) as suggest_df."""
+    vals = ", ".join(f"('{t}')" for t in _SUGGEST_TEXT.split())
+    return f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, t.term
+      FROM documents,
+           UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t(term)
+    ),
+    dict AS (SELECT term, COUNT(*) AS df FROM tok GROUP BY term),
+    q(input_term) AS (VALUES {vals}),
+    cand AS (
+      SELECT q.input_term, d.term AS suggestion,
+             CAST(levenshtein(d.term, q.input_term) AS INT) AS distance, d.df
+      FROM dict d JOIN q ON substr(d.term, 1, 1) = substr(q.input_term, 1, 1)
+      WHERE abs(length(d.term) - length(q.input_term)) <= 2
+        AND levenshtein(d.term, q.input_term) BETWEEN 1 AND 2
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY input_term ORDER BY distance, df DESC, suggestion
+      ) AS rn FROM cand
+    )
+    SELECT input_term, suggestion, distance, df
+    FROM r WHERE rn <= 5
+    ORDER BY input_term, distance, df DESC, suggestion
+    """
+
+
+@_reg("suggest_index_search", _suggest_sql())
+def suggest_index_q(spark, sf_dir):
+    """ES term suggester (`_suggest`, "did you mean") through the REAL
+    engine's DISTRIBUTED path, ORACLE-CHECKED: suggest_df prunes each
+    input token's dictionary scan to its prefix point range on the
+    term-sorted parquet, computes threshold-capped JVM-side levenshtein,
+    and ranks (distance asc, df desc, term asc) — ES sort=score with
+    frequency tie-break. The oracle recomputes the dictionary df by
+    tokenizing the corpus in DuckDB and applies its levenshtein()."""
+    from ..index import IndexReader
+
+    idx = _registry_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    return reader.suggest_df(_SUGGEST_TEXT, size=5)
+
+
 def _fscore_sql() -> str:
     """function_score oracle: BM25 over the reference query set, each
     doc's score multiplied by the length prior (1 + dl/1000) — the
@@ -2367,8 +2418,10 @@ _ROWS_ONLY_TAIL = [
     # oracle entries whose SURVEY operator has ANOTHER green oracle entry
     # (duplicate evidence — cheapest oracle rows to lose) go right before
     # the rows-only tail: q3/q5 also cover B3 inner joins; q1/q4/q6 also
-    # cover B7 aggregates; a4_fold_orders also covers A4.
+    # cover B7 aggregates; a4_fold_orders also covers A4; b1_project_bill
+    # also covers B1 string/expression projection (p1_string_ops).
     "b7_counts",
+    "p1_string_ops",
     "b3_join_inner_part",
     "a4_fold_multivalue",
     "a5_doc_builder",
