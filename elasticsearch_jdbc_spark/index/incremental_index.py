@@ -851,6 +851,67 @@ class IncrementalIndexReader:
             .orderBy("input_term", "distance", F.desc("df"), "suggestion")
         )
 
+    def suggest(
+        self,
+        text: str,
+        size: int = 5,
+        max_edits: int = 2,
+        prefix_length: int = 1,
+        field: str | None = None,
+        min_df: int = 1,
+    ) -> dict[str, list[dict]]:
+        """Interactive-tier live-index suggester (rank-identical to
+        suggest_df, pytest-verified): one pyarrow union-dataset
+        point-range read over every segment's dictionary (the same
+        pattern as _global_dfs), df summed across segments, bounded-DP
+        distances on the driver."""
+        import pyarrow.dataset as ds
+
+        r0 = self.readers[self.segments[0]]
+        ns = r0._suggest_namespace(field)
+        union = ds.dataset(
+            [
+                ds.dataset(
+                    os.path.join(self.readers[s].index_dir, "terms"),
+                    format="parquet",
+                )
+                for s in self.segments
+            ]
+        )
+        out: dict[str, list[dict]] = {}
+        for tok in r0.query_terms(text):
+            pref = ns + tok[:prefix_length] if prefix_length > 0 else ns
+            flt = None
+            if pref:
+                hi = pref[:-1] + chr(ord(pref[-1]) + 1)
+                flt = (ds.field("term") >= pref) & (ds.field("term") < hi)
+            t = union.to_table(filter=flt, columns=["term", "df"])
+            dfs: dict[str, int] = {}
+            for term, df in zip(
+                t.column("term").to_pylist(), t.column("df").to_pylist()
+            ):
+                if ns and not term.startswith(ns):
+                    continue
+                bare = term[len(ns):]
+                if bare == tok or abs(len(bare) - len(tok)) > max_edits:
+                    continue
+                dfs[bare] = dfs.get(bare, 0) + df
+            cands: list[tuple[int, int, str]] = []
+            for bare, df in dfs.items():
+                if df < min_df or not r0._lev_within(bare, tok, max_edits):
+                    continue
+                dist = next(
+                    d for d in range(1, max_edits + 1)
+                    if r0._lev_within(bare, tok, d)
+                )
+                cands.append((dist, -df, bare))
+            cands.sort()
+            out[tok] = [
+                {"text": b, "distance": d, "df": -negdf}
+                for d, negdf, b in cands[:size]
+            ]
+        return out
+
     def search_fuzzy_df(
         self,
         query: str,
@@ -1550,25 +1611,29 @@ class IncrementalIndexReader:
         ranges: list[tuple] | None = None,
         interval=None,
         filter_sql: str | None = None,
+        metrics: dict | None = None,
     ) -> DataFrame:
         """ES search+aggregation over the LIVE match set across segments
         (the continuous-ingest facet the reference's users hit first,
         ColumnSource.java:116-190 x the ES aggs surface): match_df (no
         ranked cut) joins the live docs metadata on (segment, doc_id) and
         buckets by `by` — terms buckets by default, range buckets with
-        `ranges`, histogram/date-histogram buckets with `interval` (see
-        IndexReader.facet_df for the bucket contracts)."""
+        `ranges`, histogram/date-histogram buckets with `interval`,
+        ES metric sub-aggregations with `metrics` (see
+        IndexReader.facet_df for the contracts)."""
         docs = self.live_docs()
-        if by not in docs.columns or by in ("doc_id", "segment"):
-            raise ValueError(
-                f"unknown facet column {by!r}; docs table has "
-                f"{[c for c in docs.columns if c not in ('doc_id', 'segment')]}"
-            )
+        need = dict.fromkeys([by] + [c for _, c in (metrics or {}).values()])
+        for c in need:
+            if c not in docs.columns or c in ("doc_id", "segment"):
+                raise ValueError(
+                    f"unknown facet column {c!r}; docs table has "
+                    f"{[x for x in docs.columns if x not in ('doc_id', 'segment')]}"
+                )
         matches = self.match_df(query, min_should_match, boosts, filter_sql)
         joined = matches.join(
-            docs.select("segment", "doc_id", by), ["segment", "doc_id"]
+            docs.select("segment", "doc_id", *need), ["segment", "doc_id"]
         )
-        return _bucket_agg(joined, by, ranges, interval)
+        return _bucket_agg(joined, by, ranges, interval, metrics)
 
     def search_sorted_df(
         self,

@@ -116,8 +116,30 @@ def _snippet_map(
     return rows.mapInPandas(kern, out_schema)
 
 
+_METRIC_OPS = {"avg": F.avg, "min": F.min, "max": F.max, "sum": F.sum}
+
+
+def _metric_aggs(metrics: dict | None) -> list:
+    """ES metric sub-aggregation bodies -> Spark agg expressions.
+    `metrics` maps output alias -> (op, column) with op in
+    avg/min/max/sum — the ES single-value metric aggregations nested
+    under a bucket agg (`aggs: {avg_dl: {avg: {field: dl}}}`)."""
+    out = []
+    for alias, (op, col) in (metrics or {}).items():
+        if op not in _METRIC_OPS:
+            raise ValueError(
+                f"unknown metric op {op!r} (supported: {sorted(_METRIC_OPS)})"
+            )
+        out.append(_METRIC_OPS[op](col).alias(alias))
+    return out
+
+
 def _bucket_agg(
-    matches: DataFrame, by: str, ranges: list[tuple] | None = None, interval=None
+    matches: DataFrame,
+    by: str,
+    ranges: list[tuple] | None = None,
+    interval=None,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """Shared facet bucketing over a match set carrying (`by`, score).
 
@@ -133,12 +155,21 @@ def _bucket_agg(
         'week', 'day', 'hour' — the ES date_histogram calendar_interval),
         ordered by bucket.
 
-    Output: (bucket-or-`by`, n_docs, max_score) — empty buckets are not
-    emitted (ES min_doc_count=1)."""
+    Each shape also takes `metrics` — ES single-value metric
+    sub-aggregations (avg/min/max/sum over a doc column, computed per
+    bucket in the SAME groupBy pass; a doc in overlapping range buckets
+    contributes to each, as in ES).
+
+    Output: (bucket-or-`by`, n_docs, max_score, *metric aliases) — empty
+    buckets are not emitted (ES min_doc_count=1)."""
     if ranges is not None and interval is not None:
         raise ValueError("pass ranges= or interval=, not both")
     col = F.col(by)
-    agg = [F.count("*").alias("n_docs"), F.max("score").alias("max_score")]
+    agg = [
+        F.count("*").alias("n_docs"),
+        F.max("score").alias("max_score"),
+        *_metric_aggs(metrics),
+    ]
     if ranges is not None:
         if not ranges:
             raise ValueError("ranges= must name at least one (lo, hi) bucket")
@@ -859,6 +890,7 @@ class IndexReader:
         ranges: list[tuple] | None = None,
         interval=None,
         filter_sql: str | None = None,
+        metrics: dict | None = None,
     ) -> DataFrame:
         """ES search+aggregation over the FULL match set (the canonical ES
         pairing): buckets of the doc-metadata column `by` with doc counts
@@ -869,22 +901,27 @@ class IndexReader:
         range/date_range buckets (from-inclusive, to-exclusive, overlap
         allowed) and `interval` gives histogram/date_histogram buckets —
         the aggregation shapes the reference's date-pattern index users
-        slice by (README.md:1042-1251). See _bucket_agg for the exact
-        bucket contracts."""
+        slice by (README.md:1042-1251). `metrics` nests ES single-value
+        metric sub-aggregations under the buckets
+        ({alias: (op, doc_column)}, op in avg/min/max/sum) — same groupBy
+        pass, no extra scan or shuffle. See _bucket_agg for the exact
+        contracts."""
         docs = self.spark.read.parquet(os.path.join(self.index_dir, "docs"))
-        if by not in docs.columns or by == "doc_id":
-            raise ValueError(
-                f"unknown facet column {by!r}; docs table has "
-                f"{[c for c in docs.columns if c != 'doc_id']}"
-            )
+        need = dict.fromkeys([by] + [c for _, c in (metrics or {}).values()])
+        for c in need:
+            if c not in docs.columns or c == "doc_id":
+                raise ValueError(
+                    f"unknown facet column {c!r}; docs table has "
+                    f"{[x for x in docs.columns if x != 'doc_id']}"
+                )
         terms, weights, groups = self._match_terms(query, boosts)
         matches = self._match_df(terms, weights, min_should_match, groups)
         if filter_sql:
             matches = matches.join(
                 self._filter_doc_ids(filter_sql), "doc_id", "left_semi"
             )
-        joined = matches.join(docs.select("doc_id", by), "doc_id")
-        return _bucket_agg(joined, by, ranges, interval)
+        joined = matches.join(docs.select("doc_id", *need), "doc_id")
+        return _bucket_agg(joined, by, ranges, interval, metrics)
 
     # ---------- fuzzy queries (ES fuzzy, edit distance <= 2, AUTO) ----------
 

@@ -1535,10 +1535,12 @@ def _facet_sql() -> str:
       JOIN tok t USING (doc_id)
     )
     SELECT 'lang' AS facet, lang AS bucket,
-           COUNT(*) AS n_docs, ROUND(MAX(score), 4) AS max_score
+           COUNT(*) AS n_docs, ROUND(MAX(score), 4) AS max_score,
+           ROUND(AVG(dl), 4) AS avg_dl
     FROM enriched GROUP BY 2
     UNION ALL
-    SELECT 'dl_range', r.key, COUNT(*), ROUND(MAX(score), 4)
+    SELECT 'dl_range', r.key, COUNT(*), ROUND(MAX(score), 4),
+           ROUND(AVG(e.dl), 4)
     FROM enriched e
     JOIN (VALUES ('*-40', NULL, 40), ('40-80', 40, 80), ('80-*', 80, NULL))
          r(key, lo, hi)
@@ -1546,7 +1548,7 @@ def _facet_sql() -> str:
     GROUP BY 2
     UNION ALL
     SELECT 'dl_hist', CAST(CAST(FLOOR(e.dl / 25.0) * 25.0 AS BIGINT) AS VARCHAR),
-           COUNT(*), ROUND(MAX(score), 4)
+           COUNT(*), ROUND(MAX(score), 4), ROUND(AVG(e.dl), 4)
     FROM enriched e GROUP BY 2
     """
 
@@ -1556,33 +1558,42 @@ def facet_index_q(spark, sf_dir):
     """The ES search+aggregations pairing through the REAL index
     (facet_df: unlimited match set -> docs join -> bucket agg, one
     distributed pass per shape), ORACLE-CHECKED against a DuckDB
-    bool-of-match BM25 facet plan over the raw corpus — bucket counts AND
-    best scores must agree for all three ES aggregation shapes: terms
-    (by lang), range (from-inclusive/to-exclusive dl buckets with open
-    ends), and histogram (interval=25 over dl). Range + histogram cover
-    the reference's date-pattern index slicing use case
+    bool-of-match BM25 facet plan over the raw corpus — bucket counts,
+    best scores AND the avg_dl metric sub-aggregation must agree for all
+    three ES aggregation shapes: terms (by lang), range
+    (from-inclusive/to-exclusive dl buckets with open ends), and
+    histogram (interval=25 over dl), each carrying an ES `aggs` metric
+    body (avg over dl) computed in the same groupBy pass. Range +
+    histogram cover the reference's date-pattern index slicing use case
     (README.md:1042-1251) on the numeric axis the synthetic docs table
     has (dl)."""
     from ..index import IndexReader
 
     idx = _registry_index(spark, sf_dir)
     reader = IndexReader(spark, idx)
-    rounded = F.round("max_score", 4).alias("max_score")
-    terms = reader.facet_df(_FACET_QUERY, by="lang").select(
+    METRICS = {"avg_dl": ("avg", "dl")}
+    rounded = [
+        F.round("max_score", 4).alias("max_score"),
+        F.round("avg_dl", 4).alias("avg_dl"),
+    ]
+    terms = reader.facet_df(_FACET_QUERY, by="lang", metrics=METRICS).select(
         F.lit("lang").alias("facet"), F.col("lang").alias("bucket"),
-        "n_docs", rounded,
+        "n_docs", *rounded,
     )
     rng = reader.facet_df(
-        _FACET_QUERY, by="dl", ranges=[(None, 40), (40, 80), (80, None)]
+        _FACET_QUERY, by="dl", ranges=[(None, 40), (40, 80), (80, None)],
+        metrics=METRICS,
     ).select(
         F.lit("dl_range").alias("facet"),
         F.col("bucket").cast("string").alias("bucket"),
-        "n_docs", rounded,
+        "n_docs", *rounded,
     )
-    hist = reader.facet_df(_FACET_QUERY, by="dl", interval=25).select(
+    hist = reader.facet_df(
+        _FACET_QUERY, by="dl", interval=25, metrics=METRICS
+    ).select(
         F.lit("dl_hist").alias("facet"),
         F.col("bucket").cast("long").cast("string").alias("bucket"),
-        "n_docs", rounded,
+        "n_docs", *rounded,
     )
     return terms.unionByName(rng).unionByName(hist)
 

@@ -197,3 +197,61 @@ def test_delete_by_query_unranked_and_effective(spark, mutable_idx):
     assert masked
     ex = r2.explain(Q, "", next(iter(masked)))
     assert ex["live"] is False and ex["score"] == 0.0
+
+
+def test_facet_metrics_match_compacted_and_brute(spark, adds_idx):
+    """ES metric sub-aggregations (avg/min/max/sum over dl) per bucket:
+    incremental == compacted, and every metric equals a brute-force
+    recomputation from the per-bucket dl values."""
+    inc, comp, base = adds_idx
+    METRICS = {
+        "avg_dl": ("avg", "dl"),
+        "min_dl": ("min", "dl"),
+        "max_dl": ("max", "dl"),
+        "sum_dl": ("sum", "dl"),
+    }
+    cols = ["n_docs", "avg_dl", "min_dl", "max_dl", "sum_dl"]
+
+    def snap(rdr):
+        return {
+            r["lang"]: tuple(
+                round(float(r[c]), 6) for c in cols
+            )
+            for r in rdr.facet_df(Q, by="lang", metrics=METRICS).collect()
+        }
+
+    got, want = snap(inc), snap(base)
+    assert got == want and got
+    # brute: recompute from the live match set joined to docs
+    docs = {
+        (r["segment"], r["doc_id"]): (r["lang"], r["dl"])
+        for r in inc.live_docs().collect()
+    }
+    per_lang: dict = {}
+    for r in inc.match_df(Q).collect():
+        lang, dl = docs[(r["segment"], r["doc_id"])]
+        per_lang.setdefault(lang, []).append(dl)
+    for lang, dls in per_lang.items():
+        n, a, lo, hi, s = got[lang]
+        assert n == len(dls)
+        assert a == round(sum(dls) / len(dls), 6)
+        assert (lo, hi, s) == (min(dls), max(dls), sum(dls))
+    # unknown metric column / op fail loudly
+    with pytest.raises(ValueError, match="facet column"):
+        inc.facet_df(Q, by="lang", metrics={"x": ("avg", "nope")})
+    with pytest.raises(ValueError, match="metric op"):
+        inc.facet_df(Q, by="lang", metrics={"x": ("median", "dl")})
+    # metrics compose with range buckets on the base reader too
+    rng = base.facet_df(
+        Q, by="dl", ranges=[(None, 40), (40, None)],
+        metrics={"avg_dl": ("avg", "dl")},
+    ).collect()
+    for r in rng:
+        lo = None if r["bucket"].startswith("*") else int(r["bucket"].split("-")[0])
+        hi = None if r["bucket"].endswith("*") else int(r["bucket"].split("-")[1])
+        sel = [
+            dl for dls in per_lang.values() for dl in dls
+            if (lo is None or dl >= lo) and (hi is None or dl < hi)
+        ]
+        assert r["n_docs"] == len(sel)
+        assert abs(r["avg_dl"] - sum(sel) / len(sel)) < 1e-9

@@ -163,3 +163,13 @@ def test_suggest_incremental_sums_df(spark, tmp_path_factory):
     # multi-token driver text routes each token independently
     both = live.suggest_df("merge streem").collect()
     assert {r["input_term"] for r in both} == {"merge", "streem"}
+    # interactive tier is rank-identical to the distributed tier
+    drv = live.suggest("merge streem")
+    df_rows: dict = {}
+    for r in both:
+        df_rows.setdefault(r["input_term"], []).append(
+            (r["suggestion"], r["distance"], r["df"])
+        )
+    for tok, opts in drv.items():
+        assert [(o["text"], o["distance"], o["df"]) for o in opts] == \
+            df_rows.get(tok, []), tok
