@@ -1094,6 +1094,153 @@ class IncrementalIndexReader:
             )
         return out
 
+    def msearch_df(
+        self,
+        queries: list[str],
+        k: int | None = 10,
+        min_should_match: int = 1,
+        boosts: dict[str, float] | None = None,
+        filter_sql: str | None = None,
+    ) -> DataFrame:
+        """ES `_msearch` across base + deltas — the batch-query path on a
+        LIVE index. One unioned postings scan over every query's terms
+        (term filter pushed into each segment's parquet scan), one
+        vectorized decode with GLOBAL stats (summed df,
+        tombstone-corrected N/avgdl) emitting per-query partials, one
+        tombstone anti-join, one (query_id, segment, doc_id) aggregation,
+        then a two-level top-k cut (per-partition k, then per-query k over
+        <= partitions x k survivors — no full match set ever funnels
+        through one reducer). Per query, rank- and score-identical to
+        search_df(query); ties break (score desc, segment recency desc,
+        doc_id asc), newest segment wins. Output (query_id, segment,
+        doc_id, score); k=None returns the unranked match sets."""
+        import pandas as pd
+        from pyspark.sql import types as T
+        from pyspark.sql.window import Window
+
+        empty = self.spark.createDataFrame(
+            [], "query_id int, segment string, doc_id long, score double"
+        )
+        if not queries:
+            return empty
+        r0 = self.readers[self.segments[0]]
+        per_q = []
+        for q in queries:
+            if self.fields:
+                per_q.append(self._fields_expansion(q, boosts))
+            else:
+                if boosts:
+                    raise ValueError("boosts requires a fields-indexed corpus")
+                toks = r0.query_terms(q)
+                per_q.append((toks, None, [[t] for t in toks]))
+        all_terms = list(
+            dict.fromkeys(t for terms, _, _ in per_q for t in terms)
+        )
+        idfs = self._global_idfs(all_terms)
+        if not idfs:
+            return empty
+        term_plan: dict[str, list[tuple[int, float, int]]] = {}
+        for qid, (terms, weights, groups) in enumerate(per_q):
+            group_of = {t: gi for gi, g in enumerate(groups) for t in g}
+            for t in dict.fromkeys(terms):
+                if t not in idfs:
+                    continue
+                w = weights.get(t, 1.0) if weights else 1.0
+                term_plan.setdefault(t, []).append(
+                    (qid, idfs[t] * w, group_of[t])
+                )
+        if not term_plan:
+            return empty
+        scans = None
+        for s in self.segments:
+            p = (
+                self.readers[s]
+                ._postings_df(list(term_plan))
+                .withColumn("segment", F.lit(s))
+            )
+            scans = p if scans is None else scans.unionByName(p)
+        k1, b, avgdl, c = self.k1, self.b, self.avgdl, self.k1 + 1.0
+        plan_items = list(term_plan.items())
+        out_schema = T.StructType(
+            [
+                T.StructField("query_id", T.IntegerType(), False),
+                T.StructField("segment", T.StringType(), False),
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("partial", T.DoubleType(), False),
+                T.StructField("group_id", T.IntegerType(), False),
+            ]
+        )
+
+        def score_blocks(batches):
+            from .codec import decode_block as _db
+
+            plan = dict(plan_items)
+            for pdf in batches:
+                qid_all, segs_all, docs_all, par_all, grp_all = [], [], [], [], []
+                for seg, term, n, first, gaps, tfs, dls in zip(
+                    pdf["segment"], pdf["term"], pdf["n"], pdf["first_doc"],
+                    pdf["doc_gaps"], pdf["tfs"], pdf["dls"],
+                ):
+                    docs, tf, dl = _db(
+                        int(first), int(n), bytes(gaps), bytes(tfs), bytes(dls)
+                    )
+                    w = tf / (tf + k1 * (1.0 - b + b * dl / avgdl))
+                    for qid, widf, gid in plan[term]:
+                        qid_all.append(np.full(len(docs), qid, np.int32))
+                        segs_all.append(np.full(len(docs), seg, dtype=object))
+                        docs_all.append(docs)
+                        par_all.append(widf * c * w)
+                        grp_all.append(np.full(len(docs), gid, np.int32))
+                if docs_all:
+                    yield pd.DataFrame(
+                        {
+                            "query_id": np.concatenate(qid_all),
+                            "segment": np.concatenate(segs_all),
+                            "doc_id": np.concatenate(docs_all),
+                            "partial": np.concatenate(par_all),
+                            "group_id": np.concatenate(grp_all),
+                        }
+                    )
+
+        partials = scans.mapInPandas(score_blocks, out_schema)
+        tomb = self._tomb_df()
+        if tomb is not None:
+            partials = partials.join(tomb, ["segment", "doc_id"], "left_anti")
+        agg = (
+            partials.groupBy("query_id", "segment", "doc_id")
+            .agg(
+                F.sum("partial").alias("score"),
+                F.count_distinct("group_id").alias("nmatch"),
+            )
+            .filter(F.col("nmatch") >= min_should_match)
+            .select("query_id", "segment", "doc_id", "score")
+        )
+        if filter_sql:
+            agg = agg.join(
+                self._filter_docs(filter_sql), ["segment", "doc_id"], "left_semi"
+            )
+        if k is None:
+            return agg
+        rank_map = self._rank_map()
+        order = [
+            F.desc("score"),
+            F.desc(rank_map[F.col("segment")]),
+            F.asc("doc_id"),
+        ]
+        staged = agg.withColumn("part", F.spark_partition_id())
+        w1 = Window.partitionBy("query_id", "part").orderBy(*order)
+        pruned = (
+            staged.withColumn("r", F.row_number().over(w1))
+            .filter(F.col("r") <= k)
+            .drop("r", "part")
+        )
+        w2 = Window.partitionBy("query_id").orderBy(*order)
+        return (
+            pruned.withColumn("r", F.row_number().over(w2))
+            .filter(F.col("r") <= k)
+            .select("query_id", "segment", "doc_id", "score")
+        )
+
     def _fields_expansion(
         self, query: str, boosts: dict[str, float] | None
     ) -> tuple[list[str], dict[str, float], list[list[str]]]:

@@ -2658,6 +2658,139 @@ class IndexReader:
             out = out.join(self._filter_doc_ids(filter_sql), "doc_id", "left_semi")
         return out
 
+    def msearch_df(
+        self,
+        queries: list[str],
+        k: int | None = 10,
+        min_should_match: int = 1,
+        boosts: dict[str, float] | None = None,
+        filter_sql: str | None = None,
+    ) -> DataFrame:
+        """ES `_msearch` analogue — the batch-query scale path. Scores ALL
+        queries in ONE job: one postings scan over the union of every
+        query's (expanded) terms (term filter pushed to parquet), one
+        vectorized block decode that computes each block's tf
+        normalization ONCE and emits per-query partials (a hot term
+        shared by several queries decodes once, not once per query), one
+        (query_id, doc_id) aggregation, and a two-level top-k cut —
+        per-partition k first, then per-query k over at most
+        partitions x k survivors, so no single reducer ever sorts a full
+        match set and a hot query cannot skew the ranking stage.
+
+        Per query, rank- and score-identical to search_df(query). Output
+        (query_id, doc_id, score); query_id is the position in `queries`.
+        k=None returns every match unranked. min_should_match / boosts /
+        filter_sql apply to each query line (the shared-header msearch
+        shape). On a fields-indexed corpus each query expands through the
+        multi_match namespacing, mirroring search_df.
+
+        At 10^12 files this is how a query SET (e.g. the reference
+        workload) should run: the dominant costs — the postings scan and
+        the aggregation shuffle — amortize across the batch instead of
+        being paid per query."""
+        from pyspark.sql.window import Window
+
+        empty = self.spark.createDataFrame(
+            [], "query_id int, doc_id long, score double"
+        )
+        if not queries:
+            return empty
+        # per-query expansion, then a union term list for ONE scan
+        per_q = [self._match_terms(q, boosts) for q in queries]
+        all_terms = list(
+            dict.fromkeys(t for terms, _, _ in per_q for t in terms)
+        )
+        idfs = self._term_idfs(all_terms)
+        if not idfs:
+            return empty
+        # term -> [(query_id, boosted idf, query-local token-group id)]
+        term_plan: dict[str, list[tuple[int, float, int]]] = {}
+        for qid, (terms, weights, groups) in enumerate(per_q):
+            group_of = {t: gi for gi, g in enumerate(groups) for t in g}
+            for t in dict.fromkeys(terms):
+                if t not in idfs:
+                    continue
+                w = weights.get(t, 1.0) if weights else 1.0
+                term_plan.setdefault(t, []).append(
+                    (qid, idfs[t] * w, group_of[t])
+                )
+        if not term_plan:
+            return empty
+        k1, b, avgdl, c = self.k1, self.b, self.avgdl, self.k1 + 1.0
+        plan_items = list(term_plan.items())
+        out_schema = T.StructType(
+            [
+                T.StructField("query_id", T.IntegerType(), False),
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("partial", T.DoubleType(), False),
+                T.StructField("group_id", T.IntegerType(), False),
+            ]
+        )
+
+        def score_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            plan = dict(plan_items)
+            for pdf in batches:
+                qid_all, docs_all, par_all, grp_all = [], [], [], []
+                for term, n, first, gaps, tfs, dls in zip(
+                    pdf["term"], pdf["n"], pdf["first_doc"],
+                    pdf["doc_gaps"], pdf["tfs"], pdf["dls"],
+                ):
+                    docs, tf, dl = decode_block(
+                        int(first), int(n), bytes(gaps), bytes(tfs), bytes(dls)
+                    )
+                    # decode + normalize ONCE per block, emit per query
+                    w = tf / (tf + k1 * (1.0 - b + b * dl / avgdl))
+                    for qid, widf, gid in plan[term]:
+                        qid_all.append(np.full(len(docs), qid, np.int32))
+                        docs_all.append(docs)
+                        par_all.append(widf * c * w)
+                        grp_all.append(np.full(len(docs), gid, np.int32))
+                if docs_all:
+                    yield pd.DataFrame(
+                        {
+                            "query_id": np.concatenate(qid_all),
+                            "doc_id": np.concatenate(docs_all),
+                            "partial": np.concatenate(par_all),
+                            "group_id": np.concatenate(grp_all),
+                        }
+                    )
+
+        partials = self._postings_df(list(term_plan)).mapInPandas(
+            score_blocks, out_schema
+        )
+        agg = (
+            partials.groupBy("query_id", "doc_id")
+            .agg(
+                F.sum("partial").alias("score"),
+                F.count_distinct("group_id").alias("nmatch"),
+            )
+            .filter(F.col("nmatch") >= min_should_match)
+            .select("query_id", "doc_id", "score")
+        )
+        if filter_sql:
+            agg = agg.join(self._filter_doc_ids(filter_sql), "doc_id", "left_semi")
+        if k is None:
+            return agg
+        # two-level cut: local k per (query, partition), then global k per
+        # query over <= partitions * k rows — the salted top-k pattern
+        staged = agg.withColumn("part", F.spark_partition_id())
+        w1 = Window.partitionBy("query_id", "part").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        pruned = (
+            staged.withColumn("r", F.row_number().over(w1))
+            .filter(F.col("r") <= k)
+            .drop("r", "part")
+        )
+        w2 = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            pruned.withColumn("r", F.row_number().over(w2))
+            .filter(F.col("r") <= k)
+            .select("query_id", "doc_id", "score")
+        )
+
     def search_sorted_df(
         self,
         query: str,

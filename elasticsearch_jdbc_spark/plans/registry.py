@@ -2413,6 +2413,45 @@ def highlight_index_q(spark, sf_dir):
     return reader.highlight_df(_SIGTERMS_QUERY, corpus, k=10)
 
 
+@_reg("msearch_index_search")
+def msearch_index_q(spark, sf_dir):
+    """ES `_msearch` through the REAL engine, ORACLE-CHECKED: the ENTIRE
+    reference query set scored in ONE job — one postings scan over the
+    union of all six queries' terms, one vectorized decode emitting
+    per-query partials, one aggregation, a two-level per-query top-k cut.
+    Must reproduce bm25_index_search's per-query results exactly (same
+    oracle: the declarative BM25 plan's DuckDB SQL), proving the batch
+    path is rank- and score-identical to six independent search_df runs
+    while paying the scan + shuffle once. At 10^12 files this is how a
+    query workload runs.
+
+    The engine's query_id is the position in the submitted list, which
+    equals the reference qid (REFERENCE_QUERIES is position-keyed). The
+    top-10 cut happens AFTER mapping internal doc ids to documents.doc_id
+    (internal ids sort by path string order — different tie-break)."""
+    from ..index import IndexReader
+
+    idx = _registry_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    ids = _index_docid_map(spark, idx)
+    hits = reader.msearch_df([q for _, q in REFERENCE_QUERIES], k=None)
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("documents_doc_id"))
+    return (
+        hits.join(ids, "doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "rank",
+            F.col("documents_doc_id").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+    )
+
+
+ORACLE_SQL["msearch_index_search"] = BM25_SQL
+
+
 # =====================================================================
 # Driver-row ordering
 # =====================================================================
@@ -2431,6 +2470,7 @@ _ROWS_ONLY_TAIL = [
     # the rows-only tail: q3/q5 also cover B3 inner joins; q1/q4/q6 also
     # cover B7 aggregates; a4_fold_orders also covers A4; b1_project_bill
     # also covers B1 string/expression projection (p1_string_ops).
+    "q6_forecast_revenue",
     "b7_counts",
     "p1_string_ops",
     "b3_join_inner_part",
