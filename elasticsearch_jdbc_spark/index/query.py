@@ -116,21 +116,53 @@ def _snippet_map(
     return rows.mapInPandas(kern, out_schema)
 
 
-_METRIC_OPS = {"avg": F.avg, "min": F.min, "max": F.max, "sum": F.sum}
+_METRIC_OPS = {
+    "avg": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "sum": F.sum,
+    "value_count": F.count,
+    # ES `cardinality` is HLL-approximate; the default here is EXACT
+    # (count_distinct — stricter than ES). `approx_cardinality` is the
+    # 10^12-doc path: Spark's HyperLogLog++ (the same sketch family ES
+    # uses), constant memory per bucket, ~rsd 5% default.
+    "cardinality": F.count_distinct,
+    "approx_cardinality": F.approx_count_distinct,
+    # extended_stats components (population moments, as in ES)
+    "sum_of_squares": lambda c: F.sum(F.col(c) * F.col(c)),
+    "variance": F.var_pop,
+    "std_deviation": F.stddev_pop,
+}
+
+# ES percentiles agg: op "p<q>" (p50, p95, p99.9). Exact interpolated
+# percentile (Spark `percentile`, same linear-interpolation contract as
+# DuckDB quantile_cont) — ES uses approximate t-digest; exact is the
+# stricter contract and stays a single aggregation pass.
+_PCT_OP = re.compile(r"^p(\d{1,2}(?:\.\d+)?)$")
 
 
 def _metric_aggs(metrics: dict | None) -> list:
     """ES metric sub-aggregation bodies -> Spark agg expressions.
-    `metrics` maps output alias -> (op, column) with op in
-    avg/min/max/sum — the ES single-value metric aggregations nested
-    under a bucket agg (`aggs: {avg_dl: {avg: {field: dl}}}`)."""
+    `metrics` maps output alias -> (op, column): the ES metric
+    aggregations nested under a bucket agg
+    (`aggs: {avg_dl: {avg: {field: dl}}}`). Ops: avg/min/max/sum,
+    value_count, cardinality (exact) / approx_cardinality (HLL++),
+    sum_of_squares/variance/std_deviation (extended_stats, population
+    moments), and p<q> percentiles (p50, p99.9 — exact interpolated).
+    Every op is one JVM aggregate in the SAME groupBy pass."""
     out = []
     for alias, (op, col) in (metrics or {}).items():
-        if op not in _METRIC_OPS:
+        m = _PCT_OP.match(op)
+        if m is not None:
+            q = float(m.group(1)) / 100.0
+            out.append(F.expr(f"percentile(`{col}`, {q!r})").alias(alias))
+        elif op in _METRIC_OPS:
+            out.append(_METRIC_OPS[op](col).alias(alias))
+        else:
             raise ValueError(
-                f"unknown metric op {op!r} (supported: {sorted(_METRIC_OPS)})"
+                f"unknown metric op {op!r} (supported: "
+                f"{sorted(_METRIC_OPS)} + 'p<q>' percentiles)"
             )
-        out.append(_METRIC_OPS[op](col).alias(alias))
     return out
 
 

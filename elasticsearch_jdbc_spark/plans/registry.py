@@ -1536,11 +1536,15 @@ def _facet_sql() -> str:
     )
     SELECT 'lang' AS facet, lang AS bucket,
            COUNT(*) AS n_docs, ROUND(MAX(score), 4) AS max_score,
-           ROUND(AVG(dl), 4) AS avg_dl
+           ROUND(AVG(dl), 4) AS avg_dl,
+           ROUND(quantile_cont(dl, 0.5), 4) AS p50_dl,
+           ROUND(stddev_pop(dl), 4) AS sd_dl,
+           COUNT(DISTINCT dl) AS card_dl
     FROM enriched GROUP BY 2
     UNION ALL
     SELECT 'dl_range', r.key, COUNT(*), ROUND(MAX(score), 4),
-           ROUND(AVG(e.dl), 4)
+           ROUND(AVG(e.dl), 4), ROUND(quantile_cont(e.dl, 0.5), 4),
+           ROUND(stddev_pop(e.dl), 4), COUNT(DISTINCT e.dl)
     FROM enriched e
     JOIN (VALUES ('*-40', NULL, 40), ('40-80', 40, 80), ('80-*', 80, NULL))
          r(key, lo, hi)
@@ -1548,7 +1552,9 @@ def _facet_sql() -> str:
     GROUP BY 2
     UNION ALL
     SELECT 'dl_hist', CAST(CAST(FLOOR(e.dl / 25.0) * 25.0 AS BIGINT) AS VARCHAR),
-           COUNT(*), ROUND(MAX(score), 4), ROUND(AVG(e.dl), 4)
+           COUNT(*), ROUND(MAX(score), 4), ROUND(AVG(e.dl), 4),
+           ROUND(quantile_cont(e.dl, 0.5), 4), ROUND(stddev_pop(e.dl), 4),
+           COUNT(DISTINCT e.dl)
     FROM enriched e GROUP BY 2
     """
 
@@ -1559,7 +1565,9 @@ def facet_index_q(spark, sf_dir):
     (facet_df: unlimited match set -> docs join -> bucket agg, one
     distributed pass per shape), ORACLE-CHECKED against a DuckDB
     bool-of-match BM25 facet plan over the raw corpus — bucket counts,
-    best scores AND the avg_dl metric sub-aggregation must agree for all
+    best scores AND four metric sub-aggregations (avg, p50 exact
+    percentile, std_deviation population moment, cardinality exact
+    distinct) must agree for all
     three ES aggregation shapes: terms (by lang), range
     (from-inclusive/to-exclusive dl buckets with open ends), and
     histogram (interval=25 over dl), each carrying an ES `aggs` metric
@@ -1571,10 +1579,18 @@ def facet_index_q(spark, sf_dir):
 
     idx = _registry_index(spark, sf_dir)
     reader = IndexReader(spark, idx)
-    METRICS = {"avg_dl": ("avg", "dl")}
+    METRICS = {
+        "avg_dl": ("avg", "dl"),
+        "p50_dl": ("p50", "dl"),          # exact interpolated percentile
+        "sd_dl": ("std_deviation", "dl"),  # extended_stats population moment
+        "card_dl": ("cardinality", "dl"),  # exact distinct (stricter than ES HLL)
+    }
     rounded = [
         F.round("max_score", 4).alias("max_score"),
         F.round("avg_dl", 4).alias("avg_dl"),
+        F.round("p50_dl", 4).alias("p50_dl"),
+        F.round("sd_dl", 4).alias("sd_dl"),
+        F.col("card_dl"),
     ]
     terms = reader.facet_df(_FACET_QUERY, by="lang", metrics=METRICS).select(
         F.lit("lang").alias("facet"), F.col("lang").alias("bucket"),

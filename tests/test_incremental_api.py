@@ -255,3 +255,66 @@ def test_facet_metrics_match_compacted_and_brute(spark, adds_idx):
         ]
         assert r["n_docs"] == len(sel)
         assert abs(r["avg_dl"] - sum(sel) / len(sel)) < 1e-9
+
+
+def test_facet_extended_metrics_match_brute(spark, adds_idx):
+    """Round-4b metric ops: exact percentiles (p50/p99), extended_stats
+    moments (variance/std_deviation/sum_of_squares), value_count and
+    cardinality (exact) against a numpy brute force per bucket;
+    approx_cardinality lands within HLL++ tolerance of the exact count."""
+    import numpy as np
+
+    inc, comp, base = adds_idx
+    METRICS = {
+        "p50_dl": ("p50", "dl"),
+        "p99_dl": ("p99", "dl"),
+        "var_dl": ("variance", "dl"),
+        "sd_dl": ("std_deviation", "dl"),
+        "ss_dl": ("sum_of_squares", "dl"),
+        "cnt_dl": ("value_count", "dl"),
+        "card_dl": ("cardinality", "dl"),
+        "acard_dl": ("approx_cardinality", "dl"),
+    }
+    rows = {
+        r["lang"]: r
+        for r in inc.facet_df(Q, by="lang", metrics=METRICS).collect()
+    }
+    docs = {
+        (r["segment"], r["doc_id"]): (r["lang"], r["dl"])
+        for r in inc.live_docs().collect()
+    }
+    per_lang: dict = {}
+    for r in inc.match_df(Q).collect():
+        lang, dl = docs[(r["segment"], r["doc_id"])]
+        per_lang.setdefault(lang, []).append(dl)
+    assert set(rows) == set(per_lang) and rows
+    for lang, dls in per_lang.items():
+        a = np.array(dls, dtype=float)
+        r = rows[lang]
+        assert r["p50_dl"] == pytest.approx(
+            np.percentile(a, 50, method="linear"), rel=1e-9
+        )
+        assert r["p99_dl"] == pytest.approx(
+            np.percentile(a, 99, method="linear"), rel=1e-9
+        )
+        assert r["var_dl"] == pytest.approx(a.var(), rel=1e-9)
+        assert r["sd_dl"] == pytest.approx(a.std(), rel=1e-9)
+        assert r["ss_dl"] == pytest.approx((a * a).sum(), rel=1e-9)
+        assert r["cnt_dl"] == len(a)
+        assert r["card_dl"] == len(set(dls))
+        # HLL++ default rsd is 5%; allow a generous band
+        assert abs(r["acard_dl"] - len(set(dls))) <= max(2, 0.2 * len(set(dls)))
+    # incremental == base-on-compacted for the deterministic ops
+    det = {k: v for k, v in METRICS.items() if k != "acard_dl"}
+    want = {
+        r["lang"]: tuple(round(float(r[k]), 6) for k in det)
+        for r in base.facet_df(Q, by="lang", metrics=det).collect()
+    }
+    got = {
+        r["lang"]: tuple(round(float(r[k]), 6) for k in det)
+        for r in inc.facet_df(Q, by="lang", metrics=det).collect()
+    }
+    assert got == want
+    # malformed percentile op still fails loudly
+    with pytest.raises(ValueError, match="metric op"):
+        inc.facet_df(Q, by="lang", metrics={"x": ("p200", "dl")})
