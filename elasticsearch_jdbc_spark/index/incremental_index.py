@@ -544,6 +544,151 @@ class IncrementalIndexReader:
             .limit(k)
         )
 
+    # ---------- term vectors (ES _termvectors / _mtermvectors) ----------
+
+    def _global_term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+        """Global (df, cf) summed across segments (masked docs still
+        counted — the Lucene deleted-docs stats rule, same as
+        _global_dfs) via one pruned union-dataset read."""
+        if not terms:
+            return {}
+        import pyarrow.dataset as ds
+
+        union = ds.dataset(
+            [
+                ds.dataset(
+                    os.path.join(self.readers[s].index_dir, "terms"),
+                    format="parquet",
+                )
+                for s in self.segments
+            ]
+        )
+        t = union.to_table(
+            filter=ds.field("term").isin(terms), columns=["term", "df", "cf"]
+        )
+        out: dict[str, tuple[int, int]] = {}
+        for term, df, cf in zip(
+            t.column("term").to_pylist(),
+            t.column("df").to_pylist(),
+            t.column("cf").to_pylist(),
+        ):
+            d0, c0 = out.get(term, (0, 0))
+            out[term] = (d0 + int(df), c0 + int(cf))
+        return out
+
+    def termvectors(
+        self,
+        like: dict,
+        field: str | None = None,
+        term_statistics: bool = True,
+        positions: bool = True,
+    ) -> dict:
+        """ES _termvectors over the LIVE index: the doc reference resolves
+        across segments newest-first (pushed-down point reads; a
+        tombstoned version is skipped, so an upserted doc reports its
+        NEWEST tokens), term_freq/positions come from that segment's
+        tokenized checkpoint, doc_freq/ttf are GLOBAL (summed across
+        segments, Lucene deleted-docs stats rule). A deleted doc returns
+        found=False, mirroring mget. See IndexReader.termvectors."""
+        from collections import Counter
+
+        r0 = self.readers[self.segments[0]]
+        pre = r0._field_namespace(field)
+        tokens, hit = None, None
+        for s in reversed(self.segments):  # newest segment first
+            try:
+                tokens, d = self.readers[s]._mlt_doc_tokens(like)
+            except KeyError:
+                continue
+            if d is not None and self._is_tombstoned(s, d):
+                tokens = None
+                continue
+            hit = (s, d)
+            break
+        if tokens is None:
+            return {"found": False, **like}
+        if pre:
+            tokens = [t[len(pre):] for t in tokens if t.startswith(pre)]
+        tf = Counter(tokens)
+        pos: dict[str, list[int]] = {}
+        if positions:
+            for i, t in enumerate(tokens):
+                pos.setdefault(t, []).append(i)
+        stats = (
+            self._global_term_stats([pre + t for t in tf])
+            if term_statistics
+            else {}
+        )
+        terms_out: dict[str, dict] = {}
+        for t in sorted(tf):
+            e: dict = {"term_freq": int(tf[t])}
+            if positions:
+                e["positions"] = pos[t]
+            if term_statistics:
+                df, cf = stats.get(pre + t, (0, 0))
+                e["doc_freq"] = df
+                e["ttf"] = cf
+            terms_out[t] = e
+        out = {
+            "found": True,
+            "segment": hit[0],
+            "doc_id": hit[1],
+            "terms": terms_out,
+        }
+        if term_statistics:
+            out["field_statistics"] = {
+                "doc_count": sum(self.readers[s].n_docs for s in self.segments),
+                "sum_ttf": sum(
+                    int(round(self.readers[s].avgdl * self.readers[s].n_docs))
+                    for s in self.segments
+                ),
+            }
+        return out
+
+    def mtermvectors_df(
+        self,
+        likes: list[dict] | None = None,
+        filter_sql: str | None = None,
+        field: str | None = None,
+        term_statistics: bool = True,
+        positions: bool = True,
+    ) -> DataFrame:
+        """ES _mtermvectors over the LIVE index, distributed: per-segment
+        pruned tokenized scans union (tombstones anti-joined BEFORE the
+        groupBy, so upserted docs contribute only their newest version),
+        then the same posexplode -> map-side-combinable groupBy as the
+        base reader; doc_freq/ttf join against the union of the segments'
+        term dictionaries summed by term (global stats). Output keys on
+        (segment, doc_id) — internal ids are per-segment. See
+        IndexReader.mtermvectors_df."""
+        e = None
+        for s in self.segments:
+            d = self.readers[s]._tokens_exploded(likes, filter_sql, field)
+            d = d.withColumn("segment", F.lit(s))
+            e = d if e is None else e.unionByName(d)
+        tomb = self._tomb_df()
+        if tomb is not None:
+            e = e.join(tomb, ["segment", "doc_id"], "left_anti")
+        grp = ["segment", "doc_id"] + (
+            ["field"] if "field" in e.columns else []
+        ) + ["term"]
+        aggs = [F.count("*").alias("term_freq")]
+        if positions:
+            aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
+        out = e.groupBy(*grp, "term_key").agg(*aggs)
+        if term_statistics:
+            stats = None
+            for s in self.segments:
+                t = self.spark.read.parquet(
+                    os.path.join(self.readers[s].index_dir, "terms")
+                ).select("term", "df", "cf")
+                stats = t if stats is None else stats.unionByName(t)
+            stats = stats.groupBy("term").agg(
+                F.sum("df").alias("doc_freq"), F.sum("cf").alias("ttf")
+            ).withColumnRenamed("term", "term_key")
+            out = out.join(stats, "term_key", "left")
+        return out.drop("term_key")
+
     def _seg_rank(self, segment: str) -> int:
         """Numeric recency rank (base=0, newest delta = len-1). Tie-breaks
         MUST use this, not the segment string: lexicographic comparison

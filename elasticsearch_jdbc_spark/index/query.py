@@ -586,6 +586,198 @@ class IndexReader:
             return out
         return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    # ---------- term vectors (ES _termvectors / _mtermvectors) ----------
+
+    def _term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+        """(df, cf) per term — the same pruned pyarrow point-range read as
+        _term_idfs (terms table is term-sorted; row-group stats prune to a
+        handful of pages; no Spark job)."""
+        if not terms:
+            return {}
+        import pyarrow.dataset as ds
+
+        t = ds.dataset(
+            os.path.join(self.index_dir, "terms"), format="parquet"
+        ).to_table(filter=ds.field("term").isin(terms), columns=["term", "df", "cf"])
+        return {
+            term: (int(df), int(cf))
+            for term, df, cf in zip(
+                t.column("term").to_pylist(),
+                t.column("df").to_pylist(),
+                t.column("cf").to_pylist(),
+            )
+        }
+
+    def _field_namespace(self, field: str | None, allow_all: bool = False) -> str:
+        """Validate `field` against the manifest and return the token
+        namespace prefix ('' on a plain index, or on a fields index when
+        the caller supports the every-field surface: allow_all=True)."""
+        fields = self.manifest.get("fields")
+        if fields:
+            if field is None:
+                if allow_all:
+                    return ""
+                raise ValueError(f"fields index: pass field= (one of {fields})")
+            if field not in fields:
+                raise ValueError(f"unknown field {field!r} (indexed: {fields})")
+            return field + "\x1f"
+        if field is not None:
+            raise ValueError("not a fields index; field= is not applicable")
+        return ""
+
+    def termvectors(
+        self,
+        like: dict,
+        field: str | None = None,
+        term_statistics: bool = True,
+        positions: bool = True,
+    ) -> dict:
+        """ES _termvectors analogue: per-term statistics for ONE indexed
+        document — term_freq and in-doc positions from the tokenized
+        checkpoint (a pushed-down point read; the content is never re-read
+        or re-tokenized), doc_freq/ttf from the term dictionary (ttf = the
+        terms table's cf, Lucene's totalTermFreq). On a fields index pass
+        field=; positions are then field-local (the index within that
+        field's own token sequence), matching ES per-field positions.
+
+        Interactive tier: two pruned pyarrow point reads, no Spark job.
+        Spec: the ES Term Vectors API the reference's indexes serve
+        (reference README.md documents the ES 2.x surface)."""
+        from collections import Counter
+
+        pre = self._field_namespace(field)
+        tokens, doc_id = self._mlt_doc_tokens(like)
+        if pre:
+            tokens = [t[len(pre):] for t in tokens if t.startswith(pre)]
+        tf = Counter(tokens)
+        pos: dict[str, list[int]] = {}
+        if positions:
+            for i, t in enumerate(tokens):
+                pos.setdefault(t, []).append(i)
+        stats = (
+            self._term_stats([pre + t for t in tf]) if term_statistics else {}
+        )
+        terms_out: dict[str, dict] = {}
+        for t in sorted(tf):
+            e: dict = {"term_freq": int(tf[t])}
+            if positions:
+                e["positions"] = pos[t]
+            if term_statistics:
+                df, cf = stats.get(pre + t, (0, 0))
+                e["doc_freq"] = df
+                e["ttf"] = cf
+            terms_out[t] = e
+        out = {"found": True, "doc_id": doc_id, "terms": terms_out}
+        if term_statistics:
+            # sum_ttf = total tokens = n_docs * avgdl (exact by definition
+            # of avgdl; rounded back to the integer token count)
+            out["field_statistics"] = {
+                "doc_count": self.n_docs,
+                "sum_ttf": int(round(self.avgdl * self.n_docs)),
+            }
+        return out
+
+    def _tokens_exploded(
+        self,
+        likes: list[dict] | None = None,
+        filter_sql: str | None = None,
+        field: str | None = None,
+    ) -> DataFrame:
+        """(doc_id[, field], pos, term, term_key) for every live token of
+        the selected docs — the distributed substrate under
+        mtermvectors_df. term_key keeps the namespaced dictionary key for
+        the stats join; `pos` is field-local when field= is given (the
+        namespace filter runs as a JVM array filter BEFORE posexplode, so
+        ordinals index the field's own subsequence — no window, no extra
+        shuffle). Key/metadata predicates push into the tokenized parquet
+        scan; doc_id reconstructs from the broadcast ingest offsets
+        exactly like live_tokenized."""
+        pre = self._field_namespace(field, allow_all=True)
+        ing = json.loads(
+            self.fs.read_text(os.path.join(self.index_dir, "_phase_ingest.json"))
+        )
+        off_df = self.spark.createDataFrame(
+            [(int(p), int(o)) for p, o in ing["offsets"].items()],
+            "pid int, offset long",
+        )
+        tok = self.spark.read.parquet(os.path.join(self.index_dir, "tokenized"))
+        if likes:
+            conds = []
+            for like in likes:
+                keys = [k for k in self.manifest["key_cols"] if k in like]
+                if not keys:
+                    raise ValueError(
+                        f"doc reference needs at least one of {self.manifest['key_cols']}"
+                    )
+                c = F.lit(True)
+                for k in keys:
+                    c = c & (F.col(k) == F.lit(like[k]))
+                conds.append(c)
+            sel = conds[0]
+            for c in conds[1:]:
+                sel = sel | c
+            tok = tok.filter(sel)
+        if filter_sql:
+            tok = tok.filter(F.expr(filter_sql))
+        tok = (
+            tok.join(F.broadcast(off_df), "pid")
+            .withColumn("doc_id", F.col("offset") + F.col("local_seq"))
+        )
+        if pre:
+            tok = tok.withColumn(
+                "tokens", F.filter("tokens", lambda c: c.startswith(pre))
+            )
+        e = tok.select("doc_id", F.posexplode("tokens").alias("pos", "term_key"))
+        if pre:
+            return e.withColumn(
+                "term", F.expr(f"substring(term_key, {len(pre) + 1})")
+            )
+        if self.manifest.get("fields"):
+            # fields index, no field= -> surface every field with GLOBAL
+            # positions (the concatenated-sequence ordinal; per-field
+            # positions need field=)
+            return e.withColumn(
+                "field", F.substring_index("term_key", "\x1f", 1)
+            ).withColumn("term", F.substring_index("term_key", "\x1f", -1))
+        return e.withColumn("term", F.col("term_key"))
+
+    def mtermvectors_df(
+        self,
+        likes: list[dict] | None = None,
+        filter_sql: str | None = None,
+        field: str | None = None,
+        term_statistics: bool = True,
+        positions: bool = True,
+    ) -> DataFrame:
+        """ES _mtermvectors, distributed: term vectors for every doc named
+        in `likes` and/or matching `filter_sql` (None/None = the whole
+        corpus — the "term vectors for everything" analysis scan).
+        Returns (doc_id[, field], term, term_freq[, positions][, doc_freq,
+        ttf]).
+
+        Plan: pruned tokenized scan (predicates push into parquet; content
+        never re-read) -> posexplode -> ONE map-side-combinable
+        groupBy(doc_id, term) for term_freq + sorted positions ->
+        optional equi-join with the terms table for (doc_freq, ttf = cf).
+        No collect, no driver loop — corpus-scale safe; AQE handles the
+        stats join when the matched-term set is small."""
+        e = self._tokens_exploded(likes, filter_sql, field)
+        grp = ["doc_id"] + (["field"] if "field" in e.columns else []) + ["term"]
+        aggs = [F.count("*").alias("term_freq")]
+        if positions:
+            aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
+        out = e.groupBy(*grp, "term_key").agg(*aggs)
+        if term_statistics:
+            stats = self.spark.read.parquet(
+                os.path.join(self.index_dir, "terms")
+            ).select(
+                F.col("term").alias("term_key"),
+                F.col("df").alias("doc_freq"),
+                F.col("cf").alias("ttf"),
+            )
+            out = out.join(stats, "term_key", "left")
+        return out.drop("term_key")
+
     # columns the scoring kernels actually decode; mapInPandas consumes
     # whole input rows, so pruning must happen BEFORE it or the parquet
     # scan reads every column — including the (large) positions binary on

@@ -2468,6 +2468,66 @@ def msearch_index_q(spark, sf_dir):
 ORACLE_SQL["msearch_index_search"] = BM25_SQL
 
 
+@_reg(
+    "termvectors_index_search",
+    """
+    WITH tok AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    stats AS (
+      SELECT t.term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+             CAST(COUNT(*) AS BIGINT) AS ttf
+      FROM tok, UNNEST(toks) AS t(term)
+      GROUP BY t.term
+    ),
+    tv AS (
+      SELECT tok.doc_id, t.term,
+             CAST(len(list_filter(toks, x -> x = t.term)) AS BIGINT) AS term_freq,
+             array_to_string(
+               list_transform(
+                 list_filter(range(1, len(toks) + 1), i -> toks[i] = t.term),
+                 i -> CAST(i - 1 AS VARCHAR)),
+               ',') AS positions_csv
+      FROM tok, UNNEST(list_distinct(toks)) AS t(term)
+      WHERE tok.lang = 'de'
+    )
+    SELECT tv.doc_id, tv.term, tv.term_freq, tv.positions_csv,
+           stats.doc_freq, stats.ttf
+    FROM tv JOIN stats ON stats.term = tv.term
+    """,
+)
+def termvectors_index_q(spark, sf_dir):
+    """ES _mtermvectors through the REAL index, ORACLE-CHECKED: term
+    vectors (term_freq, in-doc positions, global doc_freq/ttf) for every
+    live doc matching a metadata filter (lang='de'), computed by the
+    distributed mtermvectors_df scan over the tokenized checkpoint — the
+    oracle re-derives the same statistics from the raw documents table in
+    DuckDB (same tokenizer: lowercase [^a-z0-9]+ split; ttf = the terms
+    table's cf, Lucene totalTermFreq). Positions serialize to a CSV
+    string so the value-hash compares arrays deterministically."""
+    from ..index import IndexReader
+
+    idx = _registry_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    ids = _index_docid_map(spark, idx)
+    out = reader.mtermvectors_df(filter_sql="lang = 'de'")
+    return (
+        out.join(ids, "doc_id")
+        .select(
+            F.col("documents_doc_id").alias("doc_id"),
+            "term",
+            F.col("term_freq").cast("long").alias("term_freq"),
+            F.concat_ws(",", F.col("positions").cast("array<string>")).alias(
+                "positions_csv"
+            ),
+            F.col("doc_freq").cast("long").alias("doc_freq"),
+            F.col("ttf").cast("long").alias("ttf"),
+        )
+    )
+
+
 # =====================================================================
 # Driver-row ordering
 # =====================================================================
@@ -2487,6 +2547,7 @@ _ROWS_ONLY_TAIL = [
     # cover B7 aggregates; a4_fold_orders also covers A4; b1_project_bill
     # also covers B1 string/expression projection (p1_string_ops).
     "q6_forecast_revenue",
+    "q4_order_priority",
     "b7_counts",
     "p1_string_ops",
     "b3_join_inner_part",
