@@ -2102,6 +2102,91 @@ class IncrementalIndexReader:
             )
         )
 
+    def percolate_df(
+        self,
+        queries,
+        min_should_match=1,
+        filter_sql: str | None = None,
+        field: str | None = None,
+    ) -> DataFrame:
+        """ES percolator over the LIVE index: one pruned postings decode
+        per segment unions to (segment, term, doc_id), tombstoned pairs
+        anti-join away BEFORE the match count (an upserted doc percolates
+        only as its newest version), then the same broadcast query-map
+        join + groupBy as the base reader. Returns (query_id, segment,
+        doc_id, matched). See IndexReader.percolate_df."""
+        r0 = self.readers[self.segments[0]]
+        rows = r0._percolate_qmap(queries, min_should_match, field)
+        if not rows:
+            return self.spark.createDataFrame(
+                [], "query_id int, segment string, doc_id long, matched long"
+            )
+        qdf = self.spark.createDataFrame(
+            rows, "query_id int, term_key string, qterm string, msm int"
+        )
+        keys = sorted({r[1] for r in rows})
+        pairs = None
+        for s in self.segments:
+            p = self.readers[s]._term_doc_pairs(terms=keys).withColumn(
+                "segment", F.lit(s)
+            )
+            pairs = p if pairs is None else pairs.unionByName(p)
+        tomb = self._tomb_df()
+        if tomb is not None:
+            pairs = pairs.join(tomb, ["segment", "doc_id"], "left_anti")
+        out = (
+            pairs.join(F.broadcast(qdf), pairs["term"] == qdf["term_key"])
+            .groupBy("query_id", "segment", "doc_id")
+            .agg(
+                F.countDistinct("qterm").alias("matched"),
+                F.first("msm").alias("msm"),
+            )
+            .filter(F.col("matched") >= F.col("msm"))
+            .select("query_id", "segment", "doc_id", "matched")
+        )
+        if filter_sql:
+            out = out.join(
+                self._filter_docs(filter_sql).select("segment", "doc_id"),
+                ["segment", "doc_id"],
+                "left_semi",
+            )
+        return out
+
+    def percolate(
+        self,
+        doc,
+        queries,
+        min_should_match=1,
+        field: str | None = None,
+    ) -> list[dict]:
+        """ES _percolate for ONE doc against the LIVE index: raw text
+        percolates directly (tokenize + set-intersect, no index read); a
+        {key_col: value} reference resolves to its newest live version
+        across segments (tombstoned -> KeyError, like a missing doc)."""
+        if isinstance(doc, dict):
+            tokens = None
+            for s in reversed(self.segments):  # newest first
+                try:
+                    tokens, d = self.readers[s]._mlt_doc_tokens(doc)
+                except KeyError:
+                    continue
+                if d is not None and self._is_tombstoned(s, d):
+                    tokens = None
+                    continue
+                break
+            if tokens is None:
+                raise KeyError(f"no live doc matches {doc!r}")
+            r0 = self.readers[self.segments[0]]
+            pre = r0._field_namespace(field, allow_all=True)
+            if pre:
+                tokens = [t[len(pre):] for t in tokens if t.startswith(pre)]
+            elif self.fields:
+                tokens = [t.split("\x1f", 1)[1] for t in tokens]
+            return r0.percolate(" ".join(tokens), queries, min_should_match)
+        return self.readers[self.segments[0]].percolate(
+            doc, queries, min_should_match, field=field
+        )
+
     def _is_tombstoned(self, segment: str, doc_id: int) -> bool:
         """Point tombstone lookup via a pushed-down parquet filter — never
         materializes the tombstone table driver-side (the explain path must

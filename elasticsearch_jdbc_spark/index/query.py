@@ -795,11 +795,13 @@ class IndexReader:
         ).filter(F.col("term").isin(terms))
         return df.select(*columns) if columns else df
 
-    def _term_doc_pairs(self) -> DataFrame:
-        """(term, doc_id) for EVERY posting — one vectorized decode pass
-        over the whole postings table (no term filter; the consumers that
-        need this, e.g. significant_terms, are corpus-wide by nature, like
-        ES re-analyzing the shard). Stays on executors end-to-end."""
+    def _term_doc_pairs(self, terms: list[str] | None = None) -> DataFrame:
+        """(term, doc_id) decoded from postings — one vectorized decode
+        pass. terms=None scans EVERY posting (consumers like
+        significant_terms are corpus-wide by nature, like ES re-analyzing
+        the shard); with terms, the filter pushes into the postings
+        parquet scan (term-sorted row groups prune). Stays on executors
+        end-to-end."""
         out_schema = T.StructType(
             [
                 T.StructField("term", T.StringType(), False),
@@ -829,8 +831,127 @@ class IndexReader:
 
         df = self.spark.read.parquet(
             os.path.join(self.index_dir, "postings")
-        ).select(*self._SCORE_COLS)
+        )
+        if terms is not None:
+            df = df.filter(F.col("term").isin(terms))
+        df = df.select(*self._SCORE_COLS)
         return df.mapInPandas(decode_pairs, out_schema)
+
+    # ---------- percolator (reverse search) ----------
+
+    def _percolate_qmap(
+        self, queries, min_should_match, field: str | None
+    ) -> list[tuple[int, str, str, int]]:
+        """(query_id, term_key, term, msm) rows for the registered-query
+        map — term_key is the dictionary join key (field-namespaced on a
+        fields index; field=None matches across ALL fields, the ES
+        _all-ish percolation default), term is the base token msm counts
+        over. Accepts list[(id, text)] / dict / per-query msm via
+        (id, text, msm) triples."""
+        fields = self.manifest.get("fields")
+        if field is not None:
+            self._field_namespace(field)  # validates
+        if isinstance(queries, dict):
+            queries = list(queries.items())
+        rows: list[tuple[int, str, str, int]] = []
+        for q in queries:
+            qid, text, msm = (*q, min_should_match)[:3]
+            terms = self.query_terms(text)
+            if not terms:
+                continue
+            m = self._mlt_min_match(msm, len(terms))
+            for t in terms:
+                if fields:
+                    for f in [field] if field else fields:
+                        rows.append((int(qid), f + "\x1f" + t, t, m))
+                else:
+                    rows.append((int(qid), t, t, m))
+        return rows
+
+    def percolate_df(
+        self,
+        queries,
+        min_should_match=1,
+        filter_sql: str | None = None,
+        field: str | None = None,
+    ) -> DataFrame:
+        """ES percolator, distributed: for every live doc, which of the
+        registered queries match it — the reverse-search primitive behind
+        alerting/routing on reference-fed indexes (ES 2.x .percolator
+        type; reference README.md documents the ES 2.x surface).
+        `queries` is [(query_id, text)] (or dict, or (id, text, msm)
+        triples); a query matches a doc when >= msm of its DISTINCT terms
+        occur in the doc (the term-disjunction + minimum_should_match
+        model every search surface here uses). Returns (query_id, doc_id,
+        matched).
+
+        Plan: ONE postings scan pruned to the union of all queries' terms
+        (isin pushes into the term-sorted parquet) -> vectorized decode to
+        (term, doc_id) pairs -> broadcast-join the (small) query map ->
+        ONE map-side-combinable groupBy(query_id, doc_id) counting
+        distinct matched base terms >= per-query msm. No collect, no
+        per-query scan — q queries cost one scan, like msearch_df."""
+        rows = self._percolate_qmap(queries, min_should_match, field)
+        if not rows:
+            return self.spark.createDataFrame(
+                [], "query_id int, doc_id long, matched long"
+            )
+        qdf = self.spark.createDataFrame(
+            rows, "query_id int, term_key string, qterm string, msm int"
+        )
+        pairs = self._term_doc_pairs(terms=sorted({r[1] for r in rows}))
+        out = (
+            pairs.join(
+                F.broadcast(qdf), pairs["term"] == qdf["term_key"]
+            )
+            .groupBy("query_id", "doc_id")
+            .agg(
+                F.countDistinct("qterm").alias("matched"),
+                F.first("msm").alias("msm"),
+            )
+            .filter(F.col("matched") >= F.col("msm"))
+            .select("query_id", "doc_id", "matched")
+        )
+        if filter_sql:
+            out = out.join(self._filter_doc_ids(filter_sql), "doc_id", "left_semi")
+        return out
+
+    def percolate(
+        self,
+        doc,
+        queries,
+        min_should_match=1,
+        field: str | None = None,
+    ) -> list[dict]:
+        """ES _percolate for ONE document — `doc` is raw text (the ES
+        percolate-a-new-doc shape: the doc need not be indexed) or a
+        {key_col: value} reference to an indexed doc (pushed-down point
+        read). Driver tier: tokenize once, set-intersect each query's
+        terms — no Spark job. Returns [{query_id, matched}] sorted by
+        query_id, only matching queries (like ES's matches array)."""
+        if isinstance(doc, dict):
+            tokens, _ = self._mlt_doc_tokens(doc)
+            pre = self._field_namespace(field, allow_all=True)
+            if pre:
+                tokens = [t[len(pre):] for t in tokens if t.startswith(pre)]
+            elif self.manifest.get("fields"):
+                tokens = [t.split("\x1f", 1)[1] for t in tokens]
+            have = set(tokens)
+        else:
+            have = set(tokenize_py(doc))
+        if isinstance(queries, dict):
+            queries = list(queries.items())
+        out = []
+        for q in queries:
+            qid, text, msm = (*q, min_should_match)[:3]
+            terms = self.query_terms(text)
+            if not terms:
+                continue
+            m = self._mlt_min_match(msm, len(terms))
+            matched = sum(1 for t in terms if t in have)
+            if matched >= m:
+                out.append({"query_id": int(qid), "matched": matched})
+        return sorted(out, key=lambda r: r["query_id"])
 
     def significant_terms_df(
         self,

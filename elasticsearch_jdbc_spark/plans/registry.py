@@ -2469,6 +2469,57 @@ ORACLE_SQL["msearch_index_search"] = BM25_SQL
 
 
 @_reg(
+    "percolate_index_search",
+    """
+    WITH q(query_id, terms, msm) AS (VALUES
+      (0, ['fast', 'key'], 1),
+      (1, ['hash', 'value', 'slow'], 2),
+      (2, ['query', 'cache', 'merge'], 3),
+      (3, ['zzzz', 'never'], 2)),
+    tok AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS toks
+      FROM documents
+    ),
+    m AS (
+      SELECT q.query_id, tok.doc_id, q.msm,
+             len(list_filter(q.terms, t -> list_contains(tok.toks, t))) AS matched
+      FROM q, tok
+    )
+    SELECT query_id, doc_id, CAST(matched AS BIGINT) AS matched
+    FROM m WHERE matched >= msm
+    """,
+)
+def percolate_index_q(spark, sf_dir):
+    """ES percolator (reverse search) through the REAL index,
+    ORACLE-CHECKED: a registered-query set percolates against every live
+    doc in ONE pruned postings scan + broadcast query-map join; the
+    oracle re-derives the distinct-matched-terms >= msm relation from the
+    raw documents table in DuckDB. Covers multi-term msm, an
+    all-or-nothing pair, and a no-hit query."""
+    from ..index import IndexReader
+
+    QUERIES = [
+        (0, "fast key", 1),
+        (1, "hash value slow", 2),
+        (2, "query cache merge", 3),
+        (3, "zzzz never", 2),
+    ]
+    idx = _registry_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    ids = _index_docid_map(spark, idx)
+    out = reader.percolate_df(QUERIES)
+    return (
+        out.join(ids, "doc_id")
+        .select(
+            "query_id",
+            F.col("documents_doc_id").alias("doc_id"),
+            F.col("matched").cast("long").alias("matched"),
+        )
+    )
+
+
+@_reg(
     "termvectors_index_search",
     """
     WITH tok AS (
@@ -2545,7 +2596,11 @@ _ROWS_ONLY_TAIL = [
     # (duplicate evidence — cheapest oracle rows to lose) go right before
     # the rows-only tail: q3/q5 also cover B3 inner joins; q1/q4/q6 also
     # cover B7 aggregates; a4_fold_orders also covers A4; b1_project_bill
-    # also covers B1 string/expression projection (p1_string_ops).
+    # also covers B1 string/expression projection (p1_string_ops);
+    # msearch_index_search's oracle is literally BM25_SQL — the same rows
+    # bm25_index_search already proves (the batching path it uniquely
+    # exercises stays pytest-verified in test_msearch).
+    "msearch_index_search",
     "q6_forecast_revenue",
     "q4_order_priority",
     "b7_counts",
