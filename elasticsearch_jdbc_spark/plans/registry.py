@@ -2469,6 +2469,88 @@ ORACLE_SQL["msearch_index_search"] = BM25_SQL
 
 
 @_reg(
+    "rescore_index_search",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n, SUM(len(toks)) * 1.0 / COUNT(*) AS avgdl FROM tok
+    ),
+    dft AS (
+      SELECT t.term, COUNT(DISTINCT doc_id) AS df
+      FROM tok, UNNEST(list_distinct(toks)) AS t(term)
+      WHERE t.term IN ('fast', 'key') GROUP BY t.term
+    ),
+    idf AS (
+      SELECT MAX(CASE WHEN term = 'fast' THEN ln(1.0 + (stats.n - df + 0.5) / (df + 0.5)) END) AS i_fast,
+             MAX(CASE WHEN term = 'key'  THEN ln(1.0 + (stats.n - df + 0.5) / (df + 0.5)) END) AS i_key
+      FROM dft, stats
+    ),
+    per_doc AS (
+      SELECT doc_id, len(toks) AS dl,
+             len(list_filter(toks, x -> x = 'fast')) AS tf_fast,
+             len(list_filter(toks, x -> x = 'key'))  AS tf_key,
+             len(list_filter(range(1, len(toks)),
+                             i -> toks[i] = 'fast' AND toks[i+1] = 'key')) AS pf
+      FROM tok
+    ),
+    scored AS (
+      SELECT d.doc_id,
+             (CASE WHEN d.tf_fast > 0 THEN idf.i_fast * 2.2 * (d.tf_fast / (d.tf_fast + 1.2 * (0.25 + 0.75 * d.dl / stats.avgdl))) ELSE 0 END
+            + CASE WHEN d.tf_key  > 0 THEN idf.i_key  * 2.2 * (d.tf_key  / (d.tf_key  + 1.2 * (0.25 + 0.75 * d.dl / stats.avgdl))) ELSE 0 END) AS query_score,
+             CASE WHEN d.pf > 0 THEN (idf.i_fast + idf.i_key) * 2.2 * (d.pf / (d.pf + 1.2 * (0.25 + 0.75 * d.dl / stats.avgdl))) ELSE 0 END AS rescore_score
+      FROM per_doc d, idf, stats
+      WHERE d.tf_fast + d.tf_key > 0
+    ),
+    ranked AS (
+      SELECT doc_id, query_score, rescore_score,
+             query_score + 2.0 * rescore_score AS score,
+             ROW_NUMBER() OVER (ORDER BY query_score + 2.0 * rescore_score DESC, doc_id) AS rank
+      FROM scored
+    )
+    SELECT CAST(rank AS INT) AS rank, doc_id, ROUND(score, 4) AS score,
+           ROUND(query_score, 4) AS query_score, ROUND(rescore_score, 4) AS rescore_score
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def rescore_index_q(spark, sf_dir):
+    """ES rescore through the REAL positional index, ORACLE-CHECKED: first
+    pass = BM25 disjunction 'fast key', second pass = the match_phrase
+    'fast key' kernel over the window, combined total-mode with
+    rescore_weight=2 — the oracle re-derives both scores and the combine
+    in DuckDB. window_size=None rescores every first-pass match with an
+    UNRANKED first pass — no global ordered cut (window mechanics
+    and boundary tie-breaks are pytest-deterministic on internal ids);
+    the top-10 cut happens after mapping to documents ids, keeping the
+    oracle tie-break exact — same discipline as bm25_index_search."""
+    from ..index import IndexReader
+
+    idx = _registry_index(spark, sf_dir, with_positions=True)
+    reader = IndexReader(spark, idx)
+    ids = _index_docid_map(spark, idx)
+    out = reader.rescore_df(
+        "fast key", "fast key", window_size=None, k=None,
+        rescore_weight=2.0,
+    )
+    w = W.orderBy(F.desc("score"), F.asc("documents_doc_id"))
+    return (
+        out.join(ids, "doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "rank",
+            F.col("documents_doc_id").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+            F.round("query_score", 4).alias("query_score"),
+            F.round("rescore_score", 4).alias("rescore_score"),
+        )
+    )
+
+
+@_reg(
     "percolate_index_search",
     """
     WITH q(query_id, terms, msm) AS (VALUES
@@ -2601,6 +2683,7 @@ _ROWS_ONLY_TAIL = [
     # bm25_index_search already proves (the batching path it uniquely
     # exercises stays pytest-verified in test_msearch).
     "msearch_index_search",
+    "q3_top_orders",
     "q6_forecast_revenue",
     "q4_order_priority",
     "b7_counts",
