@@ -1,3 +1,3 @@
-from .tokenizer import tokenize_pandas, tokenize_py, tokens_udf
+from .tokenizer import analyze_py, tokenize_pandas, tokenize_py, tokens_udf
 
-__all__ = ["tokenize_py", "tokenize_pandas", "tokens_udf"]
+__all__ = ["analyze_py", "tokenize_py", "tokenize_pandas", "tokens_udf"]

@@ -128,3 +128,27 @@ def tokenize_spans_py(text: str) -> list[tuple[str, int, int]]:
         shift_e = bisect.bisect_left(inserts, m.end())
         out.append((m.group(), m.start() - shift_s, m.end() - shift_e))
     return out
+
+
+def analyze_py(
+    text: str, lang: str | None = None, lang_filter: bool = False
+) -> list[dict]:
+    """ES _analyze analogue: run the full analyzer chain (camel/snake
+    split -> lowercase -> [a-z0-9]+ tokenize -> optional per-language
+    keyword filter) and return [{token, start_offset, end_offset,
+    position}] — offsets in ORIGINAL text coordinates (tokenize_spans_py),
+    position = the ordinal the positional index records (the
+    post-filter sequence, matching dl and phrase positions exactly)."""
+    stop = (
+        LANG_STOPTOKENS.get(lang or "", frozenset()) if lang_filter else frozenset()
+    )
+    out: list[dict] = []
+    pos = 0
+    for tok, s, e in tokenize_spans_py(text):
+        if tok in stop:
+            continue
+        out.append(
+            {"token": tok, "start_offset": s, "end_offset": e, "position": pos}
+        )
+        pos += 1
+    return out

@@ -339,6 +339,11 @@ class IncrementalIndexReader:
             self._tombs_cache = tombs
         return self._tombs_cache
 
+    def analyze(self, text: str, lang: str | None = None) -> list[dict]:
+        """ES _analyze with the live index's analyzer chain (the base
+        segment's contract — deltas inherit it, _builder_kwargs_from_manifest)."""
+        return self.readers[self.segments[0]].analyze(text, lang=lang)
+
     def live_docs(self) -> DataFrame:
         """(segment, doc_id, *keys, dl) for every non-tombstoned doc."""
         out = None

@@ -382,6 +382,18 @@ class IndexReader:
             "block_size": m.get("block_size"),
         }
 
+    def analyze(self, text: str, lang: str | None = None) -> list[dict]:
+        """ES _analyze against THIS index's analyzer chain: tokens with
+        original-text offsets and as-indexed positions, honoring the
+        index's lang_filter setting (manifest contract — the same chain
+        the builder ran, so what _analyze shows is exactly what the
+        postings contain). Driver-side, no Spark job."""
+        from ..functions.tokenizer import analyze_py
+
+        return analyze_py(
+            text, lang=lang, lang_filter=bool(self.manifest.get("lang_filter"))
+        )
+
     def _filter_doc_ids(self, filter_sql: str) -> DataFrame:
         """ES filter context: a non-scoring predicate over the docs-table
         metadata columns (lang, repo, path, dl, ...), returning the

@@ -73,3 +73,22 @@ def test_builder_lang_filter_end_to_end(spark, tmp_path):
     )
     assert "alpha" in terms and "beta" in terms
     assert "def" not in terms and "func" not in terms and "return" not in terms
+
+
+def test_analyze_py_offsets_positions():
+    """ES _analyze analogue: tokens == tokenize_py, offsets slice the
+    original text (modulo lowercase), positions are as-indexed ordinals."""
+    from elasticsearch_jdbc_spark.functions import analyze_py, tokenize_py
+
+    text = "getFileBuffer while x += readFile(path_name)"
+    out = analyze_py(text)
+    assert [e["token"] for e in out] == tokenize_py(text)
+    for e in out:
+        assert text[e["start_offset"]:e["end_offset"]].lower() == e["token"]
+    assert [e["position"] for e in out] == list(range(len(out)))
+    # lang_filter drops keywords AND compacts positions (as indexed)
+    f = analyze_py(text, lang="rs", lang_filter=True)
+    assert "while" not in [e["token"] for e in f]
+    assert [e["position"] for e in f] == list(range(len(f)))
+    assert analyze_py("") == []
+    assert analyze_py("§§ ---") == []
