@@ -2469,6 +2469,46 @@ ORACLE_SQL["msearch_index_search"] = BM25_SQL
 
 
 @_reg(
+    "sample_split_docs",
+    """
+    WITH s AS (
+      SELECT doc_id, lang,
+             substr(sha256(concat_ws(chr(31), 'samp1', CAST(doc_id AS VARCHAR))), 1, 12) AS sb,
+             substr(sha256(concat_ws(chr(31), 'split1', CAST(doc_id AS VARCHAR))), 1, 12) AS pb
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN pb < 'cccccccccccc' THEN 'train'
+                WHEN pb < 'e66666666666' THEN 'val'
+                ELSE 'test' END AS split
+    FROM s
+    WHERE (lang = 'en' AND sb < '800000000000')
+       OR (lang = 'de' AND sb < 'g')
+       OR (lang = 'fr' AND sb < '400000000000')
+    """,
+)
+def sample_split_q(spark, sf_dir):
+    """Deterministic training-pipeline sampling, ORACLE-CHECKED row-exact:
+    per-language stratified downsampling (en 50%, de 100%, fr 25%;
+    unlisted langs dropped) composed with a sha256-bucketed 80/10/10
+    train/val/test split — both pure JVM string-compare projections whose
+    membership the DuckDB oracle reproduces BIT-FOR-BIT (same sha256, same
+    hex thresholds), which df.sample/sampleBy can never do (their seeds
+    are partition-order-dependent). See operators/sampling.py."""
+    from ..operators import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    samp = sampling.stratified_sample(
+        d, ["doc_id"], {"en": 0.5, "de": 1.0, "fr": 0.25},
+        strata_col="lang", salt="samp1",
+    )
+    out = sampling.hash_split(
+        samp, ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1}, salt="split1"
+    )
+    return out.select("doc_id", "lang", "split")
+
+
+@_reg(
     "rescore_index_search",
     """
     WITH tok AS (
@@ -2681,7 +2721,10 @@ _ROWS_ONLY_TAIL = [
     # also covers B1 string/expression projection (p1_string_ops);
     # msearch_index_search's oracle is literally BM25_SQL — the same rows
     # bm25_index_search already proves (the batching path it uniquely
-    # exercises stays pytest-verified in test_msearch).
+    # exercises stays pytest-verified in test_msearch); lang_id_counts is
+    # a projection of text_stats_by_lang's groupBy (same lang_id output,
+    # same oracle shape — duplicate evidence).
+    "lang_id_counts",
     "msearch_index_search",
     "q3_top_orders",
     "q6_forecast_revenue",
