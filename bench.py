@@ -59,7 +59,11 @@ HEADLINE = [
 def bench_queries(spark) -> dict[str, float]:
     from elasticsearch_jdbc_spark.plans.registry import QUERIES
 
+    from bench_scale_run import _steal_pct, _steal_ticks
+
     out = {}
+    s0 = _steal_ticks()
+    t_sec = time.time()
     for name in HEADLINE:
         fn = QUERIES[name]
         fn(spark, SF_DIR).collect()  # warm (plans, workers, page cache)
@@ -71,6 +75,9 @@ def bench_queries(spark) -> dict[str, float]:
         # min of two timed runs: shared-VM steal bursts inflate single
         # samples by 2-4x; the min is the reproducible figure
         out[name] = round(min(times), 3)
+    out["_steal_pct"] = round(
+        _steal_pct(_steal_ticks() - s0, time.time() - t_sec), 1
+    )
     return out
 
 
@@ -78,14 +85,18 @@ def bench_index(spark) -> dict:
     from elasticsearch_jdbc_spark.index import IndexBuilder, IndexReader
     from elasticsearch_jdbc_spark.sources import corpus_from_documents
 
+    from bench_scale_run import _steal_pct, _steal_ticks
+
     corpus = corpus_from_documents(spark, SF_DIR)
     n_docs = corpus.count()
     idx_dir = "/dev/shm/bench_idx_docs"
     b = IndexBuilder(spark, idx_dir, partitions=CPUS)
     b.reset()
+    s0 = _steal_ticks()
     t0 = time.time()
     b.build(corpus, resume=False)
     build_s = time.time() - t0
+    steal = _steal_pct(_steal_ticks() - s0, build_s)
     reader = IndexReader(spark, idx_dir)
     t0 = time.time()
     hits = reader.search("fast key merge sort window", k=10)
@@ -97,6 +108,7 @@ def bench_index(spark) -> dict:
         "files_per_sec": round(n_docs / build_s, 1),
         "search_s": round(search_s, 3),
         "top1": hits[0][0] if hits else None,
+        "steal_pct": round(steal, 1),
     }
 
 
@@ -141,18 +153,25 @@ def bench_scaling() -> dict:
             key = str(cores)
             if key in levels:
                 levels[key]["all_times"] += res["all_times"]
+                levels[key]["steal_pcts"] += res.get(
+                    "steal_pcts", [0.0] * len(res["all_times"])
+                )
             else:
+                res.setdefault("steal_pcts", [0.0] * len(res["all_times"]))
                 levels[key] = res
         return None
 
     def summarize() -> dict:
         for key, lv in levels.items():
-            lv["all_times"].sort()
-            lv["build_wall_s"] = lv["all_times"][0]
+            pairs = sorted(zip(lv["all_times"], lv["steal_pcts"]))
+            lv["all_times"] = [t for t, _ in pairs]
+            lv["steal_pcts"] = [s for _, s in pairs]
+            lv["build_wall_s"] = pairs[0][0]
+            lv["steal_pct_at_min"] = pairs[0][1]
             lv["files_per_sec"] = round(SCALE_FILES / lv["build_wall_s"], 1)
         lo, hi = levels[str(SCALE_N)], levels[str(SCALE_N * 4)]
         eff = hi["files_per_sec"] / (4.0 * lo["files_per_sec"])
-        return {
+        out = {
             "n_cores": SCALE_N,
             "4n_cores": SCALE_N * 4,
             "files": SCALE_FILES,
@@ -162,18 +181,46 @@ def bench_scaling() -> dict:
             "rounds": rounds,
             "detail": levels,
         }
+        if max(lo["steal_pct_at_min"], hi["steal_pct_at_min"]) > 5.0:
+            # hypervisor co-tenants stole >5% of the VM's CPU during even
+            # the FASTEST sample of a level: the ratio is contaminated by
+            # work that is not ours — flag it machine-readably
+            out["steal_contaminated"] = True
+        return out
+
+    def _min_steals_high() -> bool:
+        return any(
+            min(lv["steal_pcts"] or [0.0]) > 5.0 for lv in levels.values()
+        )
 
     # FIXED round count (ADVICE r02: the old loop resampled only while the
     # ratio was below the bar — a one-sided stopping rule that could only
     # bias the reported efficiency upward). Three interleaved rounds
     # always run; the ratio comes from ALL samples' per-level minima, and
-    # every raw time is reported in `detail`.
+    # every raw time is reported in `detail`. Up to two EXTRA rounds run
+    # only when every sample of a level measured >5% hypervisor steal —
+    # a retry keyed on an EXTERNAL signal (stolen CPU), not on the
+    # measured ratio, so it cannot bias the efficiency in either
+    # direction; all samples (including the stolen ones) stay reported.
     rounds = 0
     for _ in range(3):
         err = one_round()
         if err:
             return err
         rounds += 1
+    extra = 0
+    while _min_steals_high() and extra < 2:
+        print(
+            "bench: every sample of a level saw >5% hypervisor steal; "
+            "running an extra interleaved round",
+            file=sys.stderr,
+            flush=True,
+        )
+        err = one_round()
+        if err:
+            return err
+        rounds += 1
+        extra += 1
     return summarize()
 
 
@@ -254,7 +301,11 @@ def main() -> None:
     total = round(time.time() - t_total, 2)
     result = {
         "metric": "headline wall seconds (sum) + index files/sec + N->4N scaling efficiency",
-        "value": round(sum(queries.values()) + index["build_s"], 3),
+        "value": round(
+            sum(v for k, v in queries.items() if not k.startswith("_"))
+            + index["build_s"],
+            3,
+        ),
         "unit": "sec",
         "queries": queries,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
