@@ -88,3 +88,33 @@ def fingerprint64(col: str | Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, h: acc.bitwiseXOR(h),
     )
+
+
+def word_ngrams(col: str | Column, n: int) -> Column:
+    """All word n-grams (space-joined, with duplicates — repetition
+    signals need the multiset). JVM-only: split -> sequence -> slice."""
+    toks = word_tokens(col)
+    if n == 1:
+        return toks
+    k = F.size(toks) - (n - 1)
+    return F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def dup_ngram_fraction(col: str | Column, n: int) -> Column:
+    """Fraction of n-gram occurrences that are repeats of an earlier
+    n-gram in the same doc: 1 - distinct/total (0 when the doc has no
+    n-grams). The Gopher-style repetition quality signal — boilerplate,
+    keyword stuffing, and generator loops all push it toward 1. Whole
+    expression stays in the JVM (no UDF)."""
+    grams = word_ngrams(col, n)
+    total = F.size(grams)
+    return F.when(
+        total > 0,
+        1.0 - F.size(F.array_distinct(grams)) / total,
+    ).otherwise(F.lit(0.0))

@@ -650,3 +650,40 @@ def simhash_near_pairs(
         F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
     )
     return pairs.filter(F.col("hamming") <= max_hamming).distinct()
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing >= min_overlap
+    distinct word n-grams with any benchmark/eval doc — the standard
+    train-set contamination check before pretraining (eval questions
+    leaking into the corpus). Returns (doc_id, bench_doc_id, overlap).
+
+    Plan: both sides shingle with the SAME JVM kernel as the dedup family
+    (_shingles: split -> transform -> explode, distinct per doc); the
+    benchmark side is small by nature (eval sets are ~10^3-10^5 docs) so
+    its shingles broadcast, the corpus side streams through ONE scan,
+    and the match counts come from one map-side-combinable groupBy.
+    At 100 TB: corpus-side work is a single pass + broadcast probe — no
+    shuffle of corpus shingles, no cross join."""
+    c = _shingles(docs, id_col, text_col, n).withColumnRenamed("id", "doc_id")
+    b = (
+        _shingles(benchmark, bench_id_col, bench_text_col, n)
+        .withColumnRenamed("id", "bench_doc_id")
+    )
+    out = (
+        c.join(F.broadcast(b), "sh")
+        .groupBy("doc_id", "bench_doc_id")
+        .agg(F.count("*").alias("overlap"))
+    )
+    if min_overlap > 1:
+        out = out.filter(F.col("overlap") >= min_overlap)
+    return out

@@ -2701,6 +2701,81 @@ def termvectors_index_q(spark, sf_dir):
     )
 
 
+@_reg(
+    "pipeline_repetition",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' ')) AS g2,
+             list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) AS g3
+      FROM t
+    )
+    SELECT doc_id,
+           ROUND(CASE WHEN len(g2) > 0 THEN 1.0 - len(list_distinct(g2)) * 1.0 / len(g2) ELSE 0 END, 6) AS dup2,
+           ROUND(CASE WHEN len(g3) > 0 THEN 1.0 - len(list_distinct(g3)) * 1.0 / len(g3) ELSE 0 END, 6) AS dup3
+    FROM g
+    """,
+)
+def pipeline_repetition_q(spark, sf_dir):
+    """Gopher-style repetition quality signals, ORACLE-CHECKED per doc:
+    fraction of bigram/trigram occurrences that repeat an earlier n-gram
+    in the same doc (boilerplate / keyword stuffing / generator loops
+    push it toward 1). One whole-stage-codegen projection — split ->
+    sequence -> slice array ops, no UDF, no shuffle; the filter a 100 TB
+    pretraining pipeline runs per-document."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(X.dup_ngram_fraction("text", 2), 6).alias("dup2"),
+        F.round(X.dup_ngram_fraction("text", 3), 6).alias("dup3"),
+    )
+
+
+@_reg(
+    "pipeline_contamination",
+    """
+    WITH w AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, lang,
+             UNNEST(list_distinct(list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' ')))) AS sh
+      FROM w WHERE len(ws) >= 3
+    )
+    SELECT c.doc_id, b.doc_id AS bench_doc_id, CAST(COUNT(*) AS BIGINT) AS overlap
+    FROM g c JOIN g b ON c.sh = b.sh AND b.lang = 'fr' AND c.lang <> 'fr'
+    GROUP BY 1, 2
+    """,
+)
+def pipeline_contamination_q(spark, sf_dir):
+    """Benchmark decontamination, ORACLE-CHECKED: which corpus docs share
+    a word trigram with any doc of a held-out eval set (here: the 'fr'
+    slice plays the benchmark; the rest is the corpus). Eval-set shingles
+    broadcast, corpus shingles stream through one scan, overlap counts
+    from one map-side-combinable groupBy — the pre-training leak check at
+    corpus scale. See operators/dedup.py ngram_contamination."""
+    from ..operators.dedup import ngram_contamination
+
+    d = _t(spark, sf_dir, "documents")
+    out = ngram_contamination(
+        d.filter(F.col("lang") != "fr"),
+        d.filter(F.col("lang") == "fr"),
+        n=3,
+    )
+    return out.select(
+        "doc_id",
+        "bench_doc_id",
+        F.col("overlap").cast("long").alias("overlap"),
+    )
+
+
 # =====================================================================
 # Driver-row ordering
 # =====================================================================

@@ -1,0 +1,87 @@
+"""Pretraining-pipeline quality/decontamination operators: Gopher-style
+duplicate-n-gram fractions (pure JVM array ops) and benchmark n-gram
+contamination (broadcast shingle join). Oracle-checked in the registry
+(pipeline_repetition / pipeline_contamination); here brute-force parity
+and edge cases.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_jdbc_spark.functions import text as X
+from elasticsearch_jdbc_spark.operators.dedup import ngram_contamination
+
+DOCS = [
+    (0, "the cat sat on the mat the cat sat again"),
+    (1, "one two three four five six"),
+    (2, "repeat repeat repeat repeat repeat"),
+    (3, "short"),
+    (4, ""),
+    (5, "alpha beta gamma alpha beta gamma alpha beta"),
+]
+
+
+def _toks(s):
+    return [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
+
+
+def _dup_frac(s, n):
+    toks = _toks(s)
+    grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    if not grams:
+        return 0.0
+    return 1.0 - len(set(grams)) / len(grams)
+
+
+def test_dup_ngram_fraction_bruteforce(spark):
+    df = spark.createDataFrame(DOCS, "id long, text string")
+    rows = df.select(
+        "id",
+        X.dup_ngram_fraction("text", 2).alias("d2"),
+        X.dup_ngram_fraction("text", 3).alias("d3"),
+    ).collect()
+    for row in rows:
+        s = DOCS[row["id"]][1]
+        assert abs(row["d2"] - _dup_frac(s, 2)) < 1e-12, (row["id"], 2)
+        assert abs(row["d3"] - _dup_frac(s, 3)) < 1e-12, (row["id"], 3)
+    # doc 2 is maximally repetitive at n=1..2; doc 1 has no repeats
+    by = {row["id"]: row for row in rows}
+    assert by[2]["d2"] == 0.75  # 4 bigrams, 1 distinct
+    assert by[1]["d2"] == 0.0 and by[1]["d3"] == 0.0
+    assert by[3]["d2"] == 0.0 and by[4]["d2"] == 0.0  # too short / empty
+
+
+def test_ngram_contamination_bruteforce(spark):
+    corpus = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta unique words here"),
+            (11, "nothing in common with anything at all"),
+            (12, "alpha beta gamma appears twice alpha beta gamma yes"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(0, "the eval question mentions alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    got = {
+        (row["doc_id"], row["bench_doc_id"]): row["overlap"]
+        for row in ngram_contamination(corpus, bench, n=3).collect()
+    }
+    # doc 10 shares 'alpha beta gamma' and 'beta gamma delta'; doc 12
+    # shares 'alpha beta gamma' (distinct shingles per doc -> counts once)
+    assert got == {(10, 0): 2, (12, 0): 1}
+    # min_overlap filters
+    got2 = ngram_contamination(corpus, bench, n=3, min_overlap=2).collect()
+    assert [(row["doc_id"], row["overlap"]) for row in got2] == [(10, 2)]
+    # empty benchmark -> empty result, not an error
+    assert (
+        ngram_contamination(
+            corpus, bench.filter("doc_id < 0"), n=3
+        ).count()
+        == 0
+    )
