@@ -56,7 +56,7 @@ HEADLINE = [
 ]
 
 
-def bench_queries(spark) -> dict[str, float]:
+def bench_queries(spark) -> tuple[dict[str, float], float]:
     from elasticsearch_jdbc_spark.plans.registry import QUERIES
 
     from bench_scale_run import _steal_pct, _steal_ticks
@@ -75,10 +75,11 @@ def bench_queries(spark) -> dict[str, float]:
         # min of two timed runs: shared-VM steal bursts inflate single
         # samples by 2-4x; the min is the reproducible figure
         out[name] = round(min(times), 3)
-    out["_steal_pct"] = round(
-        _steal_pct(_steal_ticks() - s0, time.time() - t_sec), 1
-    )
-    return out
+    # steal% over the whole query window, returned as a sibling value so
+    # the per-query map stays homogeneous (no magic keys for consumers
+    # iterating result["queries"])
+    steal = round(_steal_pct(_steal_ticks() - s0, time.time() - t_sec), 1)
+    return out, steal
 
 
 def bench_index(spark) -> dict:
@@ -294,20 +295,17 @@ def main() -> None:
     contended = _clean_window_guard()
     t_total = time.time()
     spark = get_spark("bench", cores=CPUS)
-    queries = bench_queries(spark)
+    queries, queries_steal = bench_queries(spark)
     index = bench_index(spark)
     spark.stop()
     scaling = {} if os.environ.get("SPARK_GRAFT_BENCH_SKIP_SCALING") else bench_scaling()
     total = round(time.time() - t_total, 2)
     result = {
         "metric": "headline wall seconds (sum) + index files/sec + N->4N scaling efficiency",
-        "value": round(
-            sum(v for k, v in queries.items() if not k.startswith("_"))
-            + index["build_s"],
-            3,
-        ),
+        "value": round(sum(queries.values()) + index["build_s"], 3),
         "unit": "sec",
         "queries": queries,
+        "queries_steal_pct": queries_steal,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "index_build": index,
         "scaling": scaling,

@@ -14,25 +14,52 @@ import sys
 import time
 
 
-def _steal_ticks() -> int:
-    """Aggregate steal ticks from /proc/stat (field 8 after 'cpu'): CPU
-    time a co-tenant hypervisor guest took from this VM. Steal during a
-    timed build inflates wall time with work that is NOT ours — annotating
-    it makes polluted samples machine-readable (VERDICT r03's judge had to
-    re-time two blown-up entries by hand)."""
+def _steal_ticks(cpus=None) -> int:
+    """Steal ticks from /proc/stat (field 8): CPU time a co-tenant
+    hypervisor guest took from this VM. Steal during a timed build
+    inflates wall time with work that is NOT ours — annotating it makes
+    polluted samples machine-readable (VERDICT r03's judge had to re-time
+    two blown-up entries by hand).
+
+    `cpus` (an iterable of CPU ids) sums the per-CPU lines for exactly
+    those CPUs; None reads the aggregate line. A taskset-pinned build must
+    pass its affinity set — aggregate steal normalized by cpu_count()
+    dilutes steal on the 2 pinned CPUs ~16x (missing real pollution) and
+    counts steal on the 30 CPUs the build can't even use (flagging clean
+    samples)."""
     try:
         with open("/proc/stat") as f:
-            parts = f.readline().split()
-        return int(parts[8])
+            lines = f.read().splitlines()
+        if cpus is None:
+            return int(lines[0].split()[8])
+        want = {f"cpu{i}" for i in cpus}
+        total = 0
+        for ln in lines[1:]:
+            parts = ln.split()
+            if not parts or not parts[0].startswith("cpu"):
+                break  # per-CPU lines are a contiguous prefix
+            if parts[0] in want:
+                total += int(parts[8])
+        return total
     except (OSError, IndexError, ValueError):
         return 0
 
 
-def _steal_pct(dsteal: int, wall: float) -> float:
-    """Steal ticks as % of this VM's total CPU capacity over the window."""
+def _steal_pct(dsteal: int, wall: float, ncpu: int | None = None) -> float:
+    """Steal ticks as % of the measured CPUs' capacity over the window.
+    `ncpu` must match the CPU set _steal_ticks counted (len(affinity) for
+    a pinned run; default cpu_count() for a whole-VM read)."""
     hz = os.sysconf("SC_CLK_TCK")
-    ncpu = os.cpu_count() or 1
-    return 100.0 * dsteal / max(1e-9, ncpu * hz * wall)
+    n = ncpu or os.cpu_count() or 1
+    return 100.0 * dsteal / max(1e-9, n * hz * wall)
+
+
+def _affinity() -> list[int]:
+    """This process's CPU affinity set (reflects taskset pinning)."""
+    try:
+        return sorted(os.sched_getaffinity(0))
+    except (AttributeError, OSError):
+        return list(range(os.cpu_count() or 1))
 
 
 def main() -> None:
@@ -56,14 +83,16 @@ def main() -> None:
     corpus = spark.read.parquet(corpus_dir)
     idx_dir = f"/dev/shm/bench_idx_{cores}"
 
+    aff = _affinity()  # taskset pinning (bench.py) shows up here
+
     def one_build() -> tuple[float, float]:
         b = IndexBuilder(spark, idx_dir, partitions=64)
         b.reset()
-        s0 = _steal_ticks()
+        s0 = _steal_ticks(aff)
         t0 = time.time()
         b.build(corpus, resume=False)
         wall = time.time() - t0
-        return wall, _steal_pct(_steal_ticks() - s0, wall)
+        return wall, _steal_pct(_steal_ticks(aff) - s0, wall, len(aff))
 
     one_build()  # warmup: python workers, JIT, page cache
     samples = sorted(one_build() for _ in range(timed_builds))

@@ -90,10 +90,12 @@ def fingerprint64(col: str | Column) -> Column:
     )
 
 
-def word_ngrams(col: str | Column, n: int) -> Column:
-    """All word n-grams (space-joined, with duplicates — repetition
-    signals need the multiset). JVM-only: split -> sequence -> slice."""
-    toks = word_tokens(col)
+def token_ngrams(toks: Column, n: int) -> Column:
+    """All n-grams (space-joined, with duplicates) over a token-array
+    Column. JVM-only: sequence -> slice -> concat_ws. The single shared
+    gram kernel — word_ngrams (regex tokens) and the dedup/contamination
+    shingle family (whitespace tokens) both build on it, so gram
+    construction can never silently diverge between the two surfaces."""
     if n == 1:
         return toks
     k = F.size(toks) - (n - 1)
@@ -104,6 +106,12 @@ def word_ngrams(col: str | Column, n: int) -> Column:
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def word_ngrams(col: str | Column, n: int) -> Column:
+    """All word n-grams (space-joined, with duplicates — repetition
+    signals need the multiset). JVM-only: split -> sequence -> slice."""
+    return token_ngrams(word_tokens(col), n)
 
 
 def dup_ngram_fraction(col: str | Column, n: int) -> Column:

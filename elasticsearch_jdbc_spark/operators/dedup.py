@@ -57,18 +57,10 @@ def _shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     lowercase). Built with JVM functions only: split -> transform -> explode.
     n=1 short-circuits to the words themselves (the slice/concat machinery
     measured ~18x slower than array_distinct for unigrams)."""
+    from ..functions.text import token_ngrams
+
     words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
-    if n == 1:
-        grams = words
-    else:
-        k = F.size(words) - (n - 1)
-        grams = F.when(
-            k > 0,
-            F.transform(
-                F.sequence(F.lit(1), k),
-                lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+    grams = token_ngrams(words, n)
     return (
         df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("sh"))
     )
@@ -674,7 +666,7 @@ def ngram_contamination(
     and the match counts come from one map-side-combinable groupBy.
     At 100 TB: corpus-side work is a single pass + broadcast probe — no
     shuffle of corpus shingles, no cross join."""
-    c = _shingles(docs, id_col, text_col, n).withColumnRenamed("id", "doc_id")
+    c = _shingles(_spread(docs), id_col, text_col, n).withColumnRenamed("id", "doc_id")
     b = (
         _shingles(benchmark, bench_id_col, bench_text_col, n)
         .withColumnRenamed("id", "bench_doc_id")

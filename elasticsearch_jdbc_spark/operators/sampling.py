@@ -32,10 +32,21 @@ _HEX_WIDTH = 12  # 48 bits: plenty below sha256, cheap to compare
 
 
 def _bucket_hex(key_cols: list[str], salt: str) -> Column:
-    """First 12 hex chars of sha256(salt \\x1f key1 \\x1f key2 ...) — the
-    row's deterministic position in [0, 1) encoded as a hex string."""
+    """First 12 hex chars of sha256(salt \\x1f enc(key1) \\x1f enc(key2) ...)
+    — the row's deterministic position in [0, 1) encoded as a hex string.
+
+    Each key is null-marked before hashing: enc(x) = 'v'||x for values,
+    'n' for NULL. Raw concat_ws would silently DROP null positions, which
+    (a) collapses every null-keyed row into one bucket — the whole null
+    cohort lands in a single split — and (b) aliases distinct multi-column
+    keys like ('a', NULL) and (NULL, 'a'). The oracle SQL mirrors the same
+    coalesce('v'||CAST(...), 'n') encoding."""
+    enc = [
+        F.coalesce(F.concat(F.lit("v"), F.col(c).cast("string")), F.lit("n"))
+        for c in key_cols
+    ]
     return F.substring(
-        F.sha2(F.concat_ws("\x1f", F.lit(salt), *[F.col(c).cast("string") for c in key_cols]), 256),
+        F.sha2(F.concat_ws("\x1f", F.lit(salt), *enc), 256),
         1,
         _HEX_WIDTH,
     )

@@ -2473,8 +2473,8 @@ ORACLE_SQL["msearch_index_search"] = BM25_SQL
     """
     WITH s AS (
       SELECT doc_id, lang,
-             substr(sha256(concat_ws(chr(31), 'samp1', CAST(doc_id AS VARCHAR))), 1, 12) AS sb,
-             substr(sha256(concat_ws(chr(31), 'split1', CAST(doc_id AS VARCHAR))), 1, 12) AS pb
+             substr(sha256(concat_ws(chr(31), 'samp1', coalesce('v' || CAST(doc_id AS VARCHAR), 'n'))), 1, 12) AS sb,
+             substr(sha256(concat_ws(chr(31), 'split1', coalesce('v' || CAST(doc_id AS VARCHAR), 'n'))), 1, 12) AS pb
       FROM documents
     )
     SELECT doc_id, lang,

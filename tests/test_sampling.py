@@ -16,8 +16,11 @@ from pyspark.sql import functions as F
 from elasticsearch_jdbc_spark.operators import sampling
 
 
-def _brute_bucket(salt: str, key: str) -> str:
-    return hashlib.sha256(f"{salt}\x1f{key}".encode()).hexdigest()[:12]
+def _brute_bucket(salt: str, *keys: str | None) -> str:
+    # mirrors _bucket_hex's null-marking: 'v'+value, 'n' for NULL
+    enc = ["n" if k is None else f"v{k}" for k in keys]
+    payload = "\x1f".join([salt, *enc])
+    return hashlib.sha256(payload.encode()).hexdigest()[:12]
 
 
 @pytest.fixture(scope="module")
@@ -93,3 +96,32 @@ def test_edges_and_errors(spark, ids):
         sampling.stratified_sample(ids, ["id"], {"0": 0.5})  # no strata_col
     with pytest.raises(ValueError):
         sampling._threshold(1.5)
+
+
+def test_null_keys_spread_not_collapsed(spark):
+    """NULL keys must spread across splits like any other value domain
+    (code-review r04: raw concat_ws drops null positions, so every
+    null-keyed row shared ONE bucket and the whole null cohort landed in
+    a single split) — and ('a', NULL) must hash differently from
+    (NULL, 'a')."""
+    df = spark.range(0, 3_000).select(
+        F.when(F.col("id") % 3 == 0, None).otherwise(F.col("id").cast("string")).alias("k"),
+        F.col("id"),
+    )
+    out = sampling.hash_split(df, ["k", "id"], {"train": 0.8, "val": 0.1, "test": 0.1})
+    from collections import Counter
+
+    null_splits = Counter(
+        r["split"] for r in out.filter(F.col("k").isNull()).collect()
+    )
+    # 1000 null-keyed rows: all three splits populated, ~80/10/10
+    assert set(null_splits) == {"train", "val", "test"}
+    assert abs(null_splits["train"] / 1000 - 0.8) < 0.08
+    # brute-force parity including the null marker
+    row = out.filter(F.col("k").isNull()).limit(1).collect()[0]
+    b = _brute_bucket("", None, str(row["id"]))
+    thr_train, thr_val = sampling._threshold(0.8), sampling._threshold(0.9)
+    exp = "train" if b < thr_train else ("val" if b < thr_val else "test")
+    assert row["split"] == exp
+    # order sensitivity: ('a', NULL) != (NULL, 'a')
+    assert _brute_bucket("s", "a", None) != _brute_bucket("s", None, "a")
