@@ -2011,6 +2011,83 @@ class IncrementalIndexReader:
             F.desc("score"), F.desc(rank_map[F.col("segment")]), F.asc("doc_id")
         ).limit(k)
 
+    def dis_max_df(
+        self,
+        queries: list[str],
+        k: int | None = 10,
+        tie_breaker: float = 0.0,
+        min_should_match: int = 1,
+        boosts: dict[str, float] | None = None,
+        filter_sql: str | None = None,
+    ) -> DataFrame:
+        """ES dis_max over the LIVE index: one unioned postings scan via
+        the msearch kernel (k=None unranked, tombstones already
+        anti-joined), one (segment, doc_id) aggregation computing
+        max + tie_breaker*(sum-max), ranked with the segment-recency
+        tie-break — see IndexReader.dis_max_df."""
+        tb = float(tie_breaker)
+        if not 0.0 <= tb <= 1.0:
+            raise ValueError(f"tie_breaker {tb} outside [0, 1]")
+        per = self.msearch_df(
+            queries, k=None, min_should_match=min_should_match,
+            boosts=boosts, filter_sql=filter_sql,
+        )
+        out = (
+            per.groupBy("segment", "doc_id")
+            .agg(F.max("score").alias("_best"), F.sum("score").alias("_sum"))
+            .select(
+                "segment",
+                "doc_id",
+                (
+                    F.col("_best") + F.lit(tb) * (F.col("_sum") - F.col("_best"))
+                ).alias("score"),
+            )
+        )
+        if k is None:
+            return out
+        rank_map = self._rank_map()
+        return out.orderBy(
+            F.desc("score"), F.desc(rank_map[F.col("segment")]), F.asc("doc_id")
+        ).limit(k)
+
+    def boosting_df(
+        self,
+        positive: str,
+        negative: str,
+        negative_boost: float = 0.5,
+        k: int | None = 10,
+        min_should_match: int = 1,
+        filter_sql: str | None = None,
+    ) -> DataFrame:
+        """ES boosting query over the LIVE index: unranked live positive
+        match set, left join the negative match set's (segment, doc_id)
+        identities, conditional demotion multiply, one ordered cut with
+        the segment-recency tie-break — see IndexReader.boosting_df."""
+        nb = float(negative_boost)
+        if not 0.0 <= nb <= 1.0:
+            raise ValueError(f"negative_boost {nb} outside [0, 1]")
+        pos = self.match_df(
+            positive, min_should_match=min_should_match, filter_sql=filter_sql
+        )
+        neg = (
+            self.match_df(negative)
+            .select("segment", "doc_id")
+            .withColumn("_neg", F.lit(True))
+        )
+        out = pos.join(neg, ["segment", "doc_id"], "left").select(
+            "segment",
+            "doc_id",
+            F.when(F.col("_neg"), F.col("score") * nb)
+            .otherwise(F.col("score"))
+            .alias("score"),
+        )
+        if k is None:
+            return out
+        rank_map = self._rank_map()
+        return out.orderBy(
+            F.desc("score"), F.desc(rank_map[F.col("segment")]), F.asc("doc_id")
+        ).limit(k)
+
     def highlight_df(
         self,
         query: str,

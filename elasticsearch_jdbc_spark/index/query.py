@@ -3297,6 +3297,87 @@ class IndexReader:
             return out
         return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def dis_max_df(
+        self,
+        queries: list[str],
+        k: int | None = 10,
+        tie_breaker: float = 0.0,
+        min_should_match: int = 1,
+        boosts: dict[str, float] | None = None,
+        filter_sql: str | None = None,
+    ) -> DataFrame:
+        """ES dis_max query: score(doc) = best subquery score
+        + tie_breaker * (sum of the OTHER matching subqueries' scores) —
+        the disjunction that doesn't reward a doc for matching many
+        mediocre clauses (Lucene DisjunctionMaxQuery; tie_breaker=1.0
+        degenerates to bool-should sum, 0.0 to pure max).
+
+        Plan: the msearch kernel scores every subquery in ONE postings
+        scan (shared terms decode once), k=None keeps the per-query match
+        sets unranked, then one (doc_id) aggregation computes
+        max + tie_breaker*(sum-max) and ONE ordered cut ranks. No per-
+        subquery scans, nothing funnels through a global sort before the
+        final cut."""
+        per = self.msearch_df(
+            queries, k=None, min_should_match=min_should_match,
+            boosts=boosts, filter_sql=filter_sql,
+        )
+        tb = float(tie_breaker)
+        if not 0.0 <= tb <= 1.0:
+            raise ValueError(f"tie_breaker {tb} outside [0, 1]")
+        out = (
+            per.groupBy("doc_id")
+            .agg(F.max("score").alias("_best"), F.sum("score").alias("_sum"))
+            .select(
+                "doc_id",
+                (
+                    F.col("_best") + F.lit(tb) * (F.col("_sum") - F.col("_best"))
+                ).alias("score"),
+            )
+        )
+        if k is None:
+            return out
+        return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def boosting_df(
+        self,
+        positive: str,
+        negative: str,
+        negative_boost: float = 0.5,
+        k: int | None = 10,
+        min_should_match: int = 1,
+        filter_sql: str | None = None,
+    ) -> DataFrame:
+        """ES boosting query: docs matching `positive` rank by BM25, but a
+        doc ALSO matching `negative` has its score multiplied by
+        negative_boost — demotion without exclusion (must_not would drop
+        the doc entirely).
+
+        Plan: unranked positive match set, left join the negative match
+        set's doc_ids (scores discarded — ES only tests membership), a
+        conditional multiply, one ordered cut. Two match-set scans, no
+        ranked intermediate."""
+        nb = float(negative_boost)
+        if not 0.0 <= nb <= 1.0:
+            raise ValueError(f"negative_boost {nb} outside [0, 1]")
+        pos = self.match_df(
+            positive, min_should_match=min_should_match, filter_sql=filter_sql
+        )
+        neg = (
+            self.match_df(negative)
+            .select("doc_id")
+            .withColumn("_neg", F.lit(True))
+        )
+        out = pos.join(neg, "doc_id", "left").select(
+            "doc_id",
+            F.when(F.col("_neg"), F.col("score") * nb)
+            .otherwise(F.col("score"))
+            .alias("score"),
+        )
+        if k is None:
+            return out
+        return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
     def highlight_df(
         self,
         query: str,

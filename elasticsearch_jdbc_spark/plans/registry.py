@@ -2776,6 +2776,142 @@ def pipeline_contamination_q(spark, sf_dir):
     )
 
 
+def _bm25_per_query_ctes() -> str:
+    """The shared BM25 re-derivation CTE chain (reference query set,
+    per-(query_id, doc_id) scores) the dis_max / boosting oracles build
+    on — the same math as _fscore_sql's `scored`."""
+    from ..index.bm25_df import B, K1, _query_term_pairs
+
+    values = ", ".join(f"({qid}, '{t}')" for qid, t in _query_term_pairs())
+    return f"""
+    WITH q(query_id, term) AS (VALUES {values}),
+    tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    flat AS (
+      SELECT doc_id, len(toks) AS dl, t.term
+      FROM tok, UNNEST(toks) AS t(term)
+    ),
+    tf AS (
+      SELECT term, doc_id, dl, COUNT(*) AS tf FROM flat GROUP BY 1, 2, 3
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n, SUM(dl) * 1.0 / COUNT(*) AS avgdl
+      FROM (SELECT doc_id, len(toks) AS dl FROM tok)
+    ),
+    dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             SUM(
+               ln(1.0 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+               * {K1 + 1.0}
+               * (tf.tf / (tf.tf + {K1} * ({1.0 - B} + {B} * tf.dl / stats.avgdl)))
+             ) AS score
+      FROM tf JOIN q USING (term) JOIN dft USING (term), stats
+      GROUP BY 1, 2
+    )"""
+
+
+def _dismax_sql() -> str:
+    """dis_max oracle: the reference query set as subqueries, combined
+    per doc as max + 0.3 * (sum - max), one global top-10."""
+    return f"""{_bm25_per_query_ctes()},
+    combined AS (
+      SELECT doc_id,
+             MAX(score) + 0.3 * (SUM(score) - MAX(score)) AS score
+      FROM scored GROUP BY doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM combined
+    )
+    SELECT rank, doc_id, round(score, 4) AS score
+    FROM ranked WHERE rank <= 10 ORDER BY rank
+    """
+
+
+@_reg("dismax_index_search", _dismax_sql())
+def dismax_index_q(spark, sf_dir):
+    """ES dis_max through the REAL engine, ORACLE-CHECKED: the reference
+    query set as subqueries, scored in ONE postings scan via the msearch
+    kernel, combined per doc as best + 0.3*(sum - best). The top-10 cut
+    happens after the internal-id -> documents.doc_id mapping, matching
+    the oracle tie-break (internal ids sort by path string order)."""
+    from ..index import IndexReader
+
+    idx = _registry_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    ids = _index_docid_map(spark, idx)
+    hits = reader.dis_max_df(
+        [q for _, q in REFERENCE_QUERIES], k=None, tie_breaker=0.3
+    )
+    w = W.orderBy(F.desc("score"), F.asc("documents_doc_id"))
+    return (
+        hits.join(ids, "doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "rank",
+            F.col("documents_doc_id").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+    )
+
+
+def _boosting_sql() -> str:
+    """boosting oracle: BM25 of query 0 ('fast key merge sort'), scores
+    multiplied by 0.25 for docs also matching query 5 ('slow query
+    scan'), one top-10."""
+    return f"""{_bm25_per_query_ctes()},
+    demoted AS (
+      SELECT p.doc_id,
+             p.score * CASE WHEN n.doc_id IS NULL THEN 1.0 ELSE 0.25 END AS score
+      FROM (SELECT doc_id, score FROM scored WHERE query_id = 0) p
+      LEFT JOIN (SELECT DISTINCT doc_id FROM scored WHERE query_id = 5) n
+        USING (doc_id)
+    ),
+    ranked AS (
+      SELECT doc_id, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM demoted
+    )
+    SELECT rank, doc_id, round(score, 4) AS score
+    FROM ranked WHERE rank <= 10 ORDER BY rank
+    """
+
+
+@_reg("boosting_index_search", _boosting_sql())
+def boosting_index_q(spark, sf_dir):
+    """ES boosting query through the REAL engine, ORACLE-CHECKED:
+    positive = reference query 0, negative = reference query 5,
+    negative_boost 0.25 — demotion without exclusion (docs matching both
+    stay in the result at a quarter score). Top-10 cut after the id
+    mapping, matching the oracle tie-break."""
+    from ..index import IndexReader
+
+    idx = _registry_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    ids = _index_docid_map(spark, idx)
+    hits = reader.boosting_df(
+        REFERENCE_QUERIES[0][1], REFERENCE_QUERIES[5][1],
+        negative_boost=0.25, k=None,
+    )
+    w = W.orderBy(F.desc("score"), F.asc("documents_doc_id"))
+    return (
+        hits.join(ids, "doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "rank",
+            F.col("documents_doc_id").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+    )
+
+
 # =====================================================================
 # Driver-row ordering
 # =====================================================================
