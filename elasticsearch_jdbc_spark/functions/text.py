@@ -126,3 +126,39 @@ def dup_ngram_fraction(col: str | Column, n: int) -> Column:
         total > 0,
         1.0 - F.size(F.array_distinct(grams)) / total,
     ).otherwise(F.lit(0.0))
+
+
+# PII redaction patterns, applied in this order (emails first — their
+# local parts contain digits a later phone pass would otherwise nibble;
+# IPs before phones — dotted quads never overlap dash/space digit runs).
+# Deliberately Java-regex/RE2-compatible (no lookaround, no backrefs) so
+# the DuckDB oracle runs the IDENTICAL patterns.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d -]{7,}\d", "<PHONE>"),
+]
+
+
+def scrub_pii(col: str | Column) -> Column:
+    """Redact emails / IPv4s / phone-like digit runs with typed tokens —
+    the standard pre-training privacy pass. A chain of JVM
+    regexp_replace expressions (whole-stage codegen, no UDF); idempotent
+    (the replacement tokens match none of the patterns)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, tok in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, tok)
+    return c
+
+
+def pii_counts(col: str | Column) -> list[Column]:
+    """Per-kind PII match counts (aliased email/ip/phone), counted on the
+    same progressively-scrubbed text scrub_pii sees — so a digit run
+    inside an email is an email, never ALSO a phone, and the counts sum
+    to exactly the redactions scrub_pii makes."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = []
+    for name, pat, tok in PII_PATTERNS:
+        out.append(F.regexp_count(c, F.lit(pat)).alias(name))
+        c = F.regexp_replace(c, pat, tok)
+    return out

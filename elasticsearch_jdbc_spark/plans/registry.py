@@ -2776,6 +2776,88 @@ def pipeline_contamination_q(spark, sf_dir):
     )
 
 
+def _pii_sql() -> str:
+    """PII scrub oracle: the identical Java/RE2-compatible patterns run
+    in DuckDB over the same deterministically-planted corpus, with the
+    same progressive-scrub counting (an email's digits never double-count
+    as a phone)."""
+    from ..functions.text import PII_PATTERNS
+
+    ctes, prev = [], "planted"
+    sel = "t"
+    for i, (name, pat, tok) in enumerate(PII_PATTERNS):
+        ctes.append(
+            f"s{i} AS (SELECT doc_id, "
+            + (", ".join(p[0] for p in PII_PATTERNS[:i]) + ", " if i else "")
+            + f"len(regexp_extract_all({sel}, '{pat}')) AS {name}, "
+            f"regexp_replace({sel}, '{pat}', '{tok}', 'g') AS t "
+            f"FROM {prev})"
+        )
+        prev, sel = f"s{i}", "t"
+    return f"""
+    WITH planted AS (
+      SELECT doc_id,
+        coalesce(text, '')
+        || CASE WHEN doc_id % 7 = 0
+                THEN ' u' || CAST(doc_id AS VARCHAR) || '@ex.io' ELSE '' END
+        || CASE WHEN doc_id % 5 = 0
+                THEN ' 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) ELSE '' END
+        || CASE WHEN doc_id % 11 = 0
+                THEN ' +44 7700 900' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                ELSE '' END AS t
+      FROM documents
+    ),
+    {", ".join(ctes)}
+    SELECT doc_id, t AS scrubbed,
+           CAST(email AS BIGINT) AS email, CAST(ip AS BIGINT) AS ip,
+           CAST(phone AS BIGINT) AS phone
+    FROM {prev}
+    WHERE email + ip + phone > 0
+    """
+
+
+@_reg("pii_scrub", _pii_sql())
+def pii_scrub_q(spark, sf_dir):
+    """PII redaction, ORACLE-CHECKED byte-exact: emails / IPv4s /
+    phone-like digit runs planted deterministically over the corpus
+    (doc_id mod 7/5/11), then scrubbed with typed tokens and counted per
+    kind — pure regexp_replace/regexp_count chains (whole-stage codegen,
+    no UDF, no shuffle; the pre-training privacy pass at 100 TB is a
+    projection). The DuckDB oracle runs the IDENTICAL patterns — see
+    functions/text.py PII_PATTERNS."""
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(" u"), F.col("doc_id").cast("string"), F.lit("@ex.io")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit(" 10.0.0."), (F.col("doc_id") % 256).cast("string")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" +44 7700 900"),
+                    F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    out = planted.select(
+        "doc_id",
+        X.scrub_pii("t").alias("scrubbed"),
+        *[
+            c.cast("long").alias(name)
+            for c, (name, _, _) in zip(X.pii_counts("t"), X.PII_PATTERNS)
+        ],
+    )
+    return out.filter(F.col("email") + F.col("ip") + F.col("phone") > 0)
+
+
 def _bm25_per_query_ctes() -> str:
     """The shared BM25 re-derivation CTE chain (reference query set,
     per-(query_id, doc_id) scores) the dis_max / boosting oracles build

@@ -85,3 +85,39 @@ def test_ngram_contamination_bruteforce(spark):
         ).count()
         == 0
     )
+
+
+def test_pii_scrub_and_counts(spark):
+    from elasticsearch_jdbc_spark.functions.text import pii_counts, scrub_pii
+
+    samples = [
+        (0, "contact jane.doe+x@ex-ample.co.uk or 10.0.255.3 now"),
+        (1, "call +1 415 555 0199 or 415-555-0101, server 192.168.1.1"),
+        (2, "no pii here"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(samples, "id long, t string")
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id", scrub_pii("t").alias("s"), *pii_counts("t")
+        ).collect()
+    }
+    assert rows[0]["s"] == "contact <EMAIL> or <IP> now"
+    assert (rows[0]["email"], rows[0]["ip"], rows[0]["phone"]) == (1, 1, 0)
+    assert rows[1]["s"] == "call <PHONE> or <PHONE>, server <IP>"
+    assert (rows[1]["email"], rows[1]["ip"], rows[1]["phone"]) == (0, 1, 2)
+    assert rows[2]["s"] == "no pii here"
+    assert rows[3]["s"] is None
+    # idempotent: scrubbing scrubbed text changes nothing, counts drop to 0
+    twice = df.select(
+        "id",
+        scrub_pii(scrub_pii("t")).alias("s2"),
+        *[
+            c.alias(f"c_{i}")
+            for i, c in enumerate(pii_counts(scrub_pii("t")))
+        ],
+    ).collect()
+    for r in twice:
+        assert r["s2"] == rows[r["id"]]["s"]
+        assert (r["c_0"] or 0) + (r["c_1"] or 0) + (r["c_2"] or 0) == 0
