@@ -3017,6 +3017,18 @@ _ROWS_ONLY_TAIL = [
     # exercises stays pytest-verified in test_msearch); lang_id_counts is
     # a projection of text_stats_by_lang's groupBy (same lang_id output,
     # same oracle shape — duplicate evidence).
+    # bm25_topk / bm25_phrase_topk are the DECLARATIVE twins of
+    # bm25_index_search / bm25_phrase_index (same BM25 relation, same
+    # oracle SQL — the real-engine entries are the strictly stronger
+    # claim, and bm25_topk stays bench-measured + entry()-smoke-checked);
+    # count_index_search's counts are the marginals of
+    # facet_index_search's bucket relation. Demoting these three keeps
+    # the round-4 training-pipeline oracles (pipeline_repetition,
+    # pipeline_contamination, pii_scrub) inside the driver's ~50-row
+    # evidence window.
+    "bm25_topk",
+    "bm25_phrase_topk",
+    "count_index_search",
     "lang_id_counts",
     "msearch_index_search",
     "q3_top_orders",
