@@ -59,10 +59,11 @@ HEADLINE = [
 def bench_queries(spark) -> tuple[dict[str, float], float]:
     from elasticsearch_jdbc_spark.plans.registry import QUERIES
 
-    from bench_scale_run import _steal_pct, _steal_ticks
+    from bench_scale_run import _affinity, _steal_pct, _steal_ticks
 
+    aff = _affinity()  # no-op when unpinned; correct under taskset/cpuset
     out = {}
-    s0 = _steal_ticks()
+    s0 = _steal_ticks(aff)
     t_sec = time.time()
     for name in HEADLINE:
         fn = QUERIES[name]
@@ -78,7 +79,9 @@ def bench_queries(spark) -> tuple[dict[str, float], float]:
     # steal% over the whole query window, returned as a sibling value so
     # the per-query map stays homogeneous (no magic keys for consumers
     # iterating result["queries"])
-    steal = round(_steal_pct(_steal_ticks() - s0, time.time() - t_sec), 1)
+    steal = round(
+        _steal_pct(_steal_ticks(aff) - s0, time.time() - t_sec, len(aff)), 1
+    )
     return out, steal
 
 
@@ -86,18 +89,19 @@ def bench_index(spark) -> dict:
     from elasticsearch_jdbc_spark.index import IndexBuilder, IndexReader
     from elasticsearch_jdbc_spark.sources import corpus_from_documents
 
-    from bench_scale_run import _steal_pct, _steal_ticks
+    from bench_scale_run import _affinity, _steal_pct, _steal_ticks
 
+    aff = _affinity()
     corpus = corpus_from_documents(spark, SF_DIR)
     n_docs = corpus.count()
     idx_dir = "/dev/shm/bench_idx_docs"
     b = IndexBuilder(spark, idx_dir, partitions=CPUS)
     b.reset()
-    s0 = _steal_ticks()
+    s0 = _steal_ticks(aff)
     t0 = time.time()
     b.build(corpus, resume=False)
     build_s = time.time() - t0
-    steal = _steal_pct(_steal_ticks() - s0, build_s)
+    steal = _steal_pct(_steal_ticks(aff) - s0, build_s, len(aff))
     reader = IndexReader(spark, idx_dir)
     t0 = time.time()
     hits = reader.search("fast key merge sort window", k=10)

@@ -136,7 +136,10 @@ def dup_ngram_fraction(col: str | Column, n: int) -> Column:
 PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
-    ("phone", r"\+?\d[\d -]{7,}\d", "<PHONE>"),
+    # bounded run: E.164 caps phones at 15 digits; an unbounded {7,}
+    # would swallow entire numeric tables ("100 200 300 ...") as one
+    # <PHONE>
+    ("phone", r"\+?\d[\d -]{7,18}\d", "<PHONE>"),
 ]
 
 

@@ -3318,13 +3318,13 @@ class IndexReader:
         max + tie_breaker*(sum-max) and ONE ordered cut ranks. No per-
         subquery scans, nothing funnels through a global sort before the
         final cut."""
+        tb = float(tie_breaker)
+        if not 0.0 <= tb <= 1.0:
+            raise ValueError(f"tie_breaker {tb} outside [0, 1]")
         per = self.msearch_df(
             queries, k=None, min_should_match=min_should_match,
             boosts=boosts, filter_sql=filter_sql,
         )
-        tb = float(tie_breaker)
-        if not 0.0 <= tb <= 1.0:
-            raise ValueError(f"tie_breaker {tb} outside [0, 1]")
         out = (
             per.groupBy("doc_id")
             .agg(F.max("score").alias("_best"), F.sum("score").alias("_sum"))

@@ -2784,16 +2784,15 @@ def _pii_sql() -> str:
     from ..functions.text import PII_PATTERNS
 
     ctes, prev = [], "planted"
-    sel = "t"
     for i, (name, pat, tok) in enumerate(PII_PATTERNS):
         ctes.append(
             f"s{i} AS (SELECT doc_id, "
             + (", ".join(p[0] for p in PII_PATTERNS[:i]) + ", " if i else "")
-            + f"len(regexp_extract_all({sel}, '{pat}')) AS {name}, "
-            f"regexp_replace({sel}, '{pat}', '{tok}', 'g') AS t "
+            + f"len(regexp_extract_all(t, '{pat}')) AS {name}, "
+            f"regexp_replace(t, '{pat}', '{tok}', 'g') AS t "
             f"FROM {prev})"
         )
-        prev, sel = f"s{i}", "t"
+        prev = f"s{i}"
     return f"""
     WITH planted AS (
       SELECT doc_id,

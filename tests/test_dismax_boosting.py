@@ -109,6 +109,28 @@ def test_live_readers_upsert_delete(spark, idx, tmp_path):
         .withColumn("_optype", F.lit("update"))
     )
     apply_incremental(spark, d, upd)
+    # delete a doc that matches QS[0] so tombstone masking is exercised
+    # (picked from the base segment, distinct from the upserted key)
+    ri0 = IncrementalIndexReader(spark, d)
+    base_hit_ids = sorted(
+        row["doc_id"]
+        for row in ri0.search_df(QS[0], k=None).collect()
+        if row["segment"] == ""
+    )
+    vrow = (
+        spark.read.parquet(f"{d}/docs")
+        .filter(F.col("doc_id").isin(base_hit_ids))
+        .filter(
+            (F.col("repo") != first["repo"]) | (F.col("path") != first["path"])
+        )
+        .orderBy("doc_id")
+        .select("repo", "path", "doc_id")
+        .first()
+    )
+    dele = corpus.filter(
+        (F.col("repo") == vrow["repo"]) & (F.col("path") == vrow["path"])
+    ).withColumn("_optype", F.lit("delete"))
+    apply_incremental(spark, d, dele)
     ri = IncrementalIndexReader(spark, d)
     per = [
         {
@@ -128,6 +150,12 @@ def test_live_readers_upsert_delete(spark, idx, tmp_path):
     # the upserted doc contributes only its newest (delta) version
     segs = {seg for seg, _ in got}
     assert any(s.startswith("delta") for s in segs)
+    # the tombstoned doc is gone from every surface (it matched QS[0])
+    assert ("", vrow["doc_id"]) not in got
+    assert ("", vrow["doc_id"]) not in {
+        (row["segment"], row["doc_id"])
+        for row in ri.boosting_df(QS[0], QS[1], k=None).collect()
+    }
     # boosting on the live index
     pos = {
         (row["segment"], row["doc_id"]): row["score"]
