@@ -95,12 +95,18 @@ def _read_one(spark: SparkSession, src: dict) -> DataFrame:
     them via spark-submit --jars / --packages exactly as any Spark job):
       * jdbc:    the database's JDBC driver jar (e.g. org.postgresql:
                  postgresql); options url/dbtable/user/password/fetchsize/
-                 partitionColumn per Spark's JDBC source docs.
+                 partitionColumn per Spark's JDBC source docs. Tested END
+                 TO END against embedded Apache Derby (Spark ships its
+                 jars): tests/test_jdbc_e2e.py builds an index from a
+                 real JDBC relation rank-identical to the parquet twin,
+                 exercises partitionColumn parallel strides and the
+                 `query` option (user SQL pushed into the DB — the
+                 reference's StandardSource.java:460-517 statement list).
       * iceberg: org.apache.iceberg:iceberg-spark-runtime matching the
                  Spark version, plus catalog conf; `path` is the table
-                 identifier or metadata location.
-    Both branches are plain `spark.read.format(...)` passthroughs, so the
-    dispatch itself is unit-testable without the jars (test_jobspec_sources).
+                 identifier or metadata location (dispatch unit-tested
+                 with a recorded fake reader; no runtime jar here).
+    Both branches are plain `spark.read.format(...)` passthroughs.
     """
     fmt = src.get("format", "parquet")
     reader = spark.read
