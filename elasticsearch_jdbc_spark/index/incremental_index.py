@@ -35,7 +35,7 @@ import os
 import re
 
 import numpy as np
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .build import IndexBuilder
@@ -2087,6 +2087,80 @@ class IncrementalIndexReader:
         return out.orderBy(
             F.desc("score"), F.desc(rank_map[F.col("segment")]), F.asc("doc_id")
         ).limit(k)
+
+    def collapse_df(
+        self,
+        query: str,
+        field: str,
+        k: int = 10,
+        inner_hits: int = 1,
+        min_should_match: int = 1,
+        boosts: dict[str, float] | None = None,
+        filter_sql: str | None = None,
+    ) -> DataFrame:
+        """ES field collapsing over the LIVE index (base + deltas): one
+        hit per distinct `field` value, best score wins, upserts collapse
+        as their NEWEST version (tombstones are anti-joined inside
+        match_df before the group heads compute). Same scale shape as
+        IndexReader.collapse_df — per-group heads via a map-side-
+        combinable max_by aggregation (tie-breaks score desc, segment
+        recency desc, doc_id asc), one TakeOrdered cut for the k winning
+        groups, inner hits windowed only inside those k groups."""
+        if inner_hits < 1:
+            raise ValueError(f"inner_hits must be >= 1, got {inner_hits}")
+        docs = self.live_docs()
+        if field not in docs.columns or field in ("doc_id", "segment"):
+            raise ValueError(
+                f"unknown collapse field {field!r}; docs table has "
+                f"{[c for c in docs.columns if c not in ('doc_id', 'segment')]}"
+            )
+        rank_map = self._rank_map()
+        j = self.match_df(
+            query, min_should_match=min_should_match, boosts=boosts,
+            filter_sql=filter_sql,
+        ).join(docs.select("segment", "doc_id", field), ["segment", "doc_id"])
+        seg_rank = rank_map[F.col("segment")]
+        heads = (
+            j.groupBy(field)
+            .agg(
+                F.max_by(
+                    F.struct("segment", "doc_id", "score"),
+                    F.struct(
+                        F.col("score"),
+                        seg_rank.alias("r"),
+                        (-F.col("doc_id")).alias("d"),
+                    ),
+                ).alias("_h")
+            )
+            .select(
+                field,
+                F.col("_h.segment").alias("segment"),
+                F.col("_h.doc_id").alias("doc_id"),
+                F.col("_h.score").alias("score"),
+            )
+        )
+        top = heads.orderBy(
+            F.desc("score"), F.desc(seg_rank), F.asc("doc_id")
+        ).limit(k)
+        if inner_hits == 1:
+            return top.select(
+                field, "segment", "doc_id", "score", F.lit(1).alias("hit_rank")
+            )
+        winners = top.select(
+            F.col(field).alias("_g"), F.col("score").alias("_head_score")
+        )
+        inner = j.join(
+            F.broadcast(winners), j[field].eqNullSafe(winners["_g"])
+        ).drop("_g")
+        w = Window.partitionBy(field).orderBy(
+            F.desc("score"), F.desc(seg_rank), F.asc("doc_id")
+        )
+        return (
+            inner.withColumn("hit_rank", F.row_number().over(w))
+            .filter(F.col("hit_rank") <= inner_hits)
+            .orderBy(F.desc("_head_score"), F.asc(field), F.asc("hit_rank"))
+            .select(field, "segment", "doc_id", "score", "hit_rank")
+        )
 
     def highlight_df(
         self,

@@ -28,7 +28,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -3377,6 +3377,80 @@ class IndexReader:
         if k is None:
             return out
         return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def collapse_df(
+        self,
+        query: str,
+        field: str,
+        k: int = 10,
+        inner_hits: int = 1,
+        min_should_match: int = 1,
+        boosts: dict[str, float] | None = None,
+        filter_sql: str | None = None,
+    ) -> DataFrame:
+        """ES field collapsing (the `collapse` clause): top-k hits keeping
+        only the best-scoring doc per distinct value of a docs-metadata
+        field (dedupe-by-field at query time — one hit per repo, per
+        domain, per author). inner_hits > 1 additionally returns the top
+        inner_hits docs WITHIN each of the k winning groups (the ES
+        `inner_hits` sub-body), flat rows ranked (group head order,
+        hit_rank) with `hit_rank` 1 = the collapsed head.
+
+        Plan (scale-first): the UNRANKED match set joins the docs metadata
+        pruned to `field`; per-group heads compute via a map-side-
+        combinable max_by aggregation — NOT a window over the full match
+        set (a window would shuffle-sort every matching doc; the agg
+        combines partials). One TakeOrdered cut picks the k winning
+        groups. Inner hits re-rank ONLY inside those k groups: the k group
+        values broadcast back against the decorated match set, so the
+        row_number window runs over <= k groups' rows, never the corpus.
+        NULL field values are their own group (ES collapses missing into
+        one bucket)."""
+        if inner_hits < 1:
+            raise ValueError(f"inner_hits must be >= 1, got {inner_hits}")
+        docs = self.spark.read.parquet(os.path.join(self.index_dir, "docs"))
+        if field not in docs.columns or field == "doc_id":
+            raise ValueError(
+                f"unknown collapse field {field!r}; docs table has "
+                f"{[c for c in docs.columns if c != 'doc_id']}"
+            )
+        j = self.match_df(
+            query, min_should_match=min_should_match, boosts=boosts,
+            filter_sql=filter_sql,
+        ).join(docs.select("doc_id", field), "doc_id")
+        # per-group head: max score, doc_id asc tie-break — an aggregate,
+        # map-side combinable, no global window
+        heads = (
+            j.groupBy(field)
+            .agg(
+                F.max_by(
+                    F.struct("doc_id", "score"),
+                    F.struct(F.col("score"), (-F.col("doc_id")).alias("d")),
+                ).alias("_h")
+            )
+            .select(
+                field,
+                F.col("_h.doc_id").alias("doc_id"),
+                F.col("_h.score").alias("score"),
+            )
+        )
+        top = heads.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        if inner_hits == 1:
+            return top.select(field, "doc_id", "score", F.lit(1).alias("hit_rank"))
+        winners = top.select(
+            F.col(field).alias("_g"), F.col("score").alias("_head_score")
+        )
+        inner = j.join(
+            F.broadcast(winners),
+            j[field].eqNullSafe(winners["_g"]),
+        ).drop("_g")
+        w = Window.partitionBy(field).orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            inner.withColumn("hit_rank", F.row_number().over(w))
+            .filter(F.col("hit_rank") <= inner_hits)
+            .orderBy(F.desc("_head_score"), F.asc(field), F.asc("hit_rank"))
+            .select(field, "doc_id", "score", "hit_rank")
+        )
 
     def highlight_df(
         self,

@@ -1929,6 +1929,106 @@ def sorted_index_q(spark, sf_dir):
     )
 
 
+def _collapse_sql() -> str:
+    """Field-collapse oracle: BM25-score every (query, doc), join the
+    doc's lang, keep the best-scoring doc per (query, lang) — tie-breaks
+    mirror the engine's internal doc order, which is (source, path-string)
+    ascending — then rank the group heads per query by head score."""
+    from ..index.bm25_df import K1, B, _query_term_pairs
+
+    values = ", ".join(f"({qid}, '{t}')" for qid, t in _query_term_pairs())
+    return f"""
+    WITH q(query_id, term) AS (VALUES {values}),
+    tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    flat AS (
+      SELECT doc_id, len(toks) AS dl, t.term
+      FROM tok, UNNEST(toks) AS t(term)
+    ),
+    tf AS (
+      SELECT term, doc_id, dl, COUNT(*) AS tf FROM flat GROUP BY 1, 2, 3
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n, SUM(dl) * 1.0 / COUNT(*) AS avgdl
+      FROM (SELECT doc_id, len(toks) AS dl FROM tok)
+    ),
+    dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             SUM(
+               ln(1.0 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+               * {K1 + 1.0}
+               * (tf.tf / (tf.tf + {K1} * ({1.0 - B} + {B} * tf.dl / stats.avgdl)))
+             ) AS score
+      FROM tf JOIN q USING (term) JOIN dft USING (term), stats
+      GROUP BY 1, 2
+    ),
+    dec AS (
+      SELECT s.query_id, s.doc_id, s.score, d.lang, d.source,
+             concat('doc/', CAST(s.doc_id AS VARCHAR), '.txt') AS pathstr
+      FROM scored s JOIN documents d USING (doc_id)
+    ),
+    heads AS (
+      SELECT query_id, lang, doc_id, score, source, pathstr,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id, lang
+               ORDER BY score DESC, source, pathstr
+             ) AS rn
+      FROM dec
+    ),
+    ranked AS (
+      SELECT query_id, lang, doc_id, score,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY score DESC, source, pathstr
+             ) AS grank
+      FROM heads WHERE rn = 1
+    )
+    SELECT query_id, CAST(grank AS INT) AS grank, lang, doc_id,
+           ROUND(score, 4) AS score
+    FROM ranked WHERE grank <= 5
+    """
+
+
+@_reg("collapse_index_search", _collapse_sql())
+def collapse_index_q(spark, sf_dir):
+    """ES field collapsing through the REAL engine, ORACLE-CHECKED:
+    collapse_df keeps the best-scoring live doc per lang value — per-group
+    heads via a map-side-combinable max_by aggregation over the unranked
+    match set (never a window over the corpus), one TakeOrdered cut for
+    the winning groups. The oracle re-derives BM25 in DuckDB and collapses
+    with windows; tie-breaks coincide because internal doc ids are
+    assigned in (source, path-string) order. The top-5-group cut re-ranks
+    after the id mapping on the same keys the engine used (score desc,
+    internal doc_id asc)."""
+    from ..index import IndexReader
+
+    idx = _registry_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    ids = _index_docid_map(spark, idx)
+    out = None
+    for qid, qtext in REFERENCE_QUERIES:
+        hits = reader.collapse_df(qtext, "lang", k=5).withColumn(
+            "query_id", F.lit(qid)
+        )
+        out = hits if out is None else out.unionByName(hits)
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        out.withColumn("grank", F.row_number().over(w))
+        .join(ids, "doc_id")
+        .select(
+            "query_id",
+            "grank",
+            "lang",
+            F.col("documents_doc_id").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+    )
+
+
 _SIGTERMS_QUERY = "fast key merge sort"
 
 
@@ -3006,6 +3106,13 @@ def boosting_index_q(spark, sf_dir):
 # (trivial capability, fully pytest-covered) is deliberately the very
 # last.
 _ROWS_ONLY_TAIL = [
+    # collapse_index_search is a round-4 late addition (ES `collapse` +
+    # inner_hits): a distinct-operator oracle, but the 50-row window is
+    # already saturated with 50 distinct-operator oracles — it overflows
+    # past the line exactly like dismax/boosting (oracle SQL registered,
+    # so the harness CAN check it if the window grows; independently
+    # pytest-verified vs brute force in test_collapse on both readers).
+    "collapse_index_search",
     # oracle entries whose SURVEY operator has ANOTHER green oracle entry
     # (duplicate evidence — cheapest oracle rows to lose) go right before
     # the rows-only tail: q3/q5 also cover B3 inner joins; q1/q4/q6 also
