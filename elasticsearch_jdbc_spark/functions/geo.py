@@ -115,3 +115,74 @@ def detect_json(col: str | Column) -> Column:
     # try_variant round-trips only valid JSON; invalid -> null
     parsed = F.try_parse_json(c)
     return F.when(looks & parsed.isNotNull(), F.to_json(parsed))
+
+
+# =====================================================================
+# Geo queries (ES geo_distance / geo_bounding_box / _geo_distance sort)
+# =====================================================================
+# The reference indexes WKT cells as ES geo_shape/geo_point fields
+# (GeoJSONShapeSerializer.java:38-202) precisely so its consumers can run
+# ES geo queries over them. The engine's analogue: lat/lon doc-metadata
+# columns + predicate generators that compose with the filter-context
+# plumbing (IndexReader.search_df(filter_sql=...)) — pure JVM trig, the
+# predicate pushes into the docs parquet scan like any other filter. The
+# SQL fragments use only ANSI math functions (radians/sin/cos/asin/sqrt)
+# so the SAME string runs in Spark SQL and in the DuckDB oracle.
+
+EARTH_RADIUS_KM = 6371.0088  # IUGG mean Earth radius
+
+
+def haversine_km(lat1, lon1, lat2, lon2) -> Column:
+    """Great-circle distance in km between two (lat, lon) pairs — Column
+    expression (whole-stage codegen, no UDF). Args are Columns or column
+    names; literals via F.lit."""
+    a1, o1, a2, o2 = (
+        F.radians(F.col(c) if isinstance(c, str) else c)
+        for c in (lat1, lon1, lat2, lon2)
+    )
+    h = (
+        F.sin((a2 - a1) / 2) ** 2
+        + F.cos(a1) * F.cos(a2) * F.sin((o2 - o1) / 2) ** 2
+    )
+    return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(h))
+
+
+def haversine_km_sql(lat_col: str, lon_col: str, lat: float, lon: float) -> str:
+    """The same great-circle distance as a SQL fragment over metadata
+    columns — valid in Spark SQL AND DuckDB (oracle parity by
+    construction). lat/lon are the fixed query point."""
+    return (
+        f"2.0 * {EARTH_RADIUS_KM} * asin(sqrt("
+        f"power(sin((radians({lat_col}) - radians({lat})) / 2), 2) + "
+        f"cos(radians({lat})) * cos(radians({lat_col})) * "
+        f"power(sin((radians({lon_col}) - radians({lon})) / 2), 2)))"
+    )
+
+
+def geo_distance_sql(
+    lat_col: str, lon_col: str, lat: float, lon: float, km: float
+) -> str:
+    """ES geo_distance query as a filter-context predicate: docs within
+    `km` of the query point. Pass to any search surface's filter_sql."""
+    return f"({haversine_km_sql(lat_col, lon_col, lat, lon)}) <= {float(km)}"
+
+
+def geo_bbox_sql(
+    lat_col: str,
+    lon_col: str,
+    top: float,
+    left: float,
+    bottom: float,
+    right: float,
+) -> str:
+    """ES geo_bounding_box query as a filter-context predicate. Handles
+    the antimeridian: left > right means the box crosses the dateline
+    (ES's convention), so the longitude test becomes a disjunction."""
+    if bottom > top:
+        raise ValueError(f"bbox bottom {bottom} above top {top}")
+    lat_ok = f"{lat_col} BETWEEN {float(bottom)} AND {float(top)}"
+    if left <= right:
+        lon_ok = f"{lon_col} BETWEEN {float(left)} AND {float(right)}"
+    else:
+        lon_ok = f"({lon_col} >= {float(left)} OR {lon_col} <= {float(right)})"
+    return f"({lat_ok} AND {lon_ok})"

@@ -56,9 +56,16 @@ from ..functions.tokenizer import tokenize_pandas
 from .codec import bm25_weight, varint_encode
 from .storage import LocalFS
 
-def tokenized_schema(key_fields: list[T.StructField]) -> T.StructType:
+def tokenized_schema(
+    key_fields: list[T.StructField],
+    meta_fields: list[T.StructField] = (),
+) -> T.StructType:
     """Checkpoint schema for the tokenized table — key columns keep their
-    source types (key_cols is configurable, jobspec `key_cols`)."""
+    source types (key_cols is configurable, jobspec `key_cols`).
+    meta_fields: non-key, non-text source columns carried through to the
+    docs table (ES stores arbitrary doc fields; filter context / sort /
+    function_score / collapse program against them). Appended LAST so the
+    zero-metadata layout is byte-identical to prior indexes."""
     return T.StructType(
         [
             T.StructField("pid", T.IntegerType(), False),
@@ -68,6 +75,7 @@ def tokenized_schema(key_fields: list[T.StructField]) -> T.StructType:
             T.StructField("sha256", T.StringType(), False),
             T.StructField("dl", T.IntegerType(), False),
             T.StructField("tokens", T.ArrayType(T.StringType()), False),
+            *[T.StructField(f.name, f.dataType, f.nullable) for f in meta_fields],
         ]
     )
 
@@ -266,6 +274,19 @@ class IndexBuilder:
         text_col = self.text_col
         other_cols = [c for c in keyed.columns if c not in (*keys, text_col, "sha256")]
         lang_col = "lang" if "lang" in other_cols else None
+        # metadata passthrough: every non-key, non-text, non-reserved
+        # source column rides through the tokenized checkpoint into the
+        # docs table (ES doc fields — the filter-context / sort /
+        # function_score / collapse / geo substrate)
+        text_like = set(fields or ()) | {text_col}
+        meta_cols = [
+            c
+            for c in keyed.columns
+            if c not in keys
+            and c not in text_like
+            and c not in ("pid", "local_seq", "doc_id", "dl", "tokens",
+                          "sha256", "lang")
+        ]
         stats_dir = os.path.join(self.index_dir, "partstats")
         if self.fs.isdir(stats_dir):  # stale sidecars from an aborted run
             self.fs.rmtree(stats_dir)
@@ -327,6 +348,8 @@ class IndexBuilder:
                 )
                 out["dl"] = dls
                 out["tokens"] = toks.to_numpy()
+                for m in meta_cols:
+                    out[m] = pdf[m].to_numpy()
                 seq += len(pdf)
                 sum_dl += int(dls.sum())
                 crc += int(
@@ -346,7 +369,10 @@ class IndexBuilder:
             )
 
         tokenized_dir = os.path.join(self.index_dir, "tokenized")
-        out_schema = tokenized_schema([keyed.schema[k] for k in keys])
+        out_schema = tokenized_schema(
+            [keyed.schema[k] for k in keys],
+            [keyed.schema[m] for m in meta_cols],
+        )
         keyed.mapInPandas(ingest_part, out_schema).write.mode("overwrite").parquet(tokenized_dir)
 
         tok = self.spark.read.parquet(tokenized_dir)
@@ -372,12 +398,20 @@ class IndexBuilder:
         off_df = self.spark.createDataFrame(
             [(int(p), int(o)) for p, o in offsets.items()], "pid int, offset long"
         )
+        meta_cols = [
+            c
+            for c in tok.columns
+            if c
+            not in ("pid", "local_seq", *self.key_cols, "lang", "sha256",
+                    "dl", "tokens")
+        ]
         docs = tok.join(F.broadcast(off_df), "pid").select(
             (F.col("offset") + F.col("local_seq")).alias("doc_id"),
             *self.key_cols,
             "lang",
             "sha256",
             "dl",
+            *meta_cols,
         )
         docs_dir = os.path.join(self.index_dir, "docs")
         docs.write.mode("overwrite").parquet(docs_dir)

@@ -1948,25 +1948,39 @@ class IncrementalIndexReader:
         doc_id asc), the incremental analogue of ES's _shard_doc, so
         pagination order is stable across deltas. k=None returns the full
         decorated match set unranked."""
+        from .query import _IDENT_RE
+
         docs = self.live_docs()
-        cols, order = [], []
-        for spec in sort:
+        cols, order, computed = [], [], []
+        for i, spec in enumerate(sort):
             c, direction = (
                 spec if isinstance(spec, (tuple, list)) else (spec, "asc")
             )
-            if c not in docs.columns or c in ("doc_id", "segment"):
+            if c in docs.columns and c not in ("doc_id", "segment"):
+                cols.append(c)
+            elif _IDENT_RE.match(c):
                 raise ValueError(
                     f"unknown sort column {c!r}; docs table has "
                     f"{[x for x in docs.columns if x not in ('doc_id', 'segment')]}"
                 )
-            cols.append(c)
-            order.append(F.desc(c) if direction == "desc" else F.asc(c))
+            else:
+                # computed sort key (ES _geo_distance / script sort): a
+                # Spark SQL expression over the live docs metadata
+                name = f"sort_{i}"
+                computed.append((name, F.expr(c)))
+                cols.append(name)
+            order.append(
+                F.desc(cols[-1]) if direction == "desc" else F.asc(cols[-1])
+            )
         rank_map = self._rank_map()
         order += [F.desc(rank_map[F.col("segment")]), F.asc("doc_id")]
+        meta = docs
+        for name, expr in computed:
+            meta = meta.withColumn(name, expr)
         out = self.match_df(
             query, min_should_match=min_should_match, boosts=boosts,
             filter_sql=filter_sql,
-        ).join(docs.select("segment", "doc_id", *cols), ["segment", "doc_id"])
+        ).join(meta.select("segment", "doc_id", *cols), ["segment", "doc_id"])
         out = out.select("segment", "doc_id", "score", *cols)
         if k is None:
             return out

@@ -140,6 +140,10 @@ _METRIC_OPS = {
 # stricter contract and stays a single aggregation pass.
 _PCT_OP = re.compile(r"^p(\d{1,2}(?:\.\d+)?)$")
 
+# bare identifier (a would-be column name): gets the unknown-column error;
+# anything else is treated as a computed-sort SQL expression
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
 
 def _metric_aggs(metrics: dict | None) -> list:
     """ES metric sub-aggregation bodies -> Spark agg expressions.
@@ -3222,34 +3226,48 @@ class IndexReader:
         """ES sort-by-field search (the `sort` clause): rank the match set
         by docs-table metadata columns instead of relevance. `sort` is a
         list of column names or (column, 'asc'|'desc') pairs; doc_id is
-        always the final ascending tie-break (ES's _shard_doc). The BM25
-        score still rides along (ES track_scores), because the match set's
+        always the final ascending tie-break (ES's _shard_doc). A sort key
+        that is NOT a bare column name is treated as a Spark SQL
+        expression over the docs metadata — the ES computed-sort surface
+        (`_geo_distance` via functions.geo.haversine_km_sql, script
+        sorts); the computed value comes back as sort_<i>. The BM25 score
+        still rides along (ES track_scores), because the match set's
         candidacy aggregate computes it anyway — dropping it saves nothing.
 
         Plan: the UNRANKED match set (no score sort) joins the docs
-        metadata (sort columns prune to exactly what the spec needs) and
-        takes ONE global ordered cut on the sort keys — at 10^12 docs the
-        ordered limit is the same TakeOrdered top-k every ranked search
-        pays, just keyed on metadata. k=None returns the full decorated
-        match set unranked."""
+        metadata (Catalyst prunes the scan to the columns the spec —
+        or its expressions — reference) and takes ONE global ordered cut
+        on the sort keys — at 10^12 docs the ordered limit is the same
+        TakeOrdered top-k every ranked search pays, just keyed on
+        metadata. k=None returns the full decorated match set unranked."""
         docs = self.spark.read.parquet(os.path.join(self.index_dir, "docs"))
-        cols, order = [], []
-        for spec in sort:
+        cols, order, computed = [], [], []
+        for i, spec in enumerate(sort):
             c, direction = (
                 spec if isinstance(spec, (tuple, list)) else (spec, "asc")
             )
-            if c not in docs.columns:
+            if c in docs.columns:
+                cols.append(c)
+            elif _IDENT_RE.match(c):
                 raise ValueError(
                     f"unknown sort column {c!r}; docs table has "
                     f"{[x for x in docs.columns if x != 'doc_id']}"
                 )
-            cols.append(c)
-            order.append(F.desc(c) if direction == "desc" else F.asc(c))
+            else:
+                name = f"sort_{i}"
+                computed.append((name, F.expr(c)))
+                cols.append(name)
+            order.append(
+                F.desc(cols[-1]) if direction == "desc" else F.asc(cols[-1])
+            )
         order.append(F.asc("doc_id"))
+        meta = docs
+        for name, expr in computed:
+            meta = meta.withColumn(name, expr)
         out = self.match_df(
             query, min_should_match=min_should_match, boosts=boosts,
             filter_sql=filter_sql,
-        ).join(docs.select("doc_id", *cols), "doc_id")
+        ).join(meta.select("doc_id", *cols), "doc_id")
         out = out.select("doc_id", "score", *cols)
         if k is None:
             return out

