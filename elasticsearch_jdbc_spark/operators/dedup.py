@@ -679,3 +679,70 @@ def ngram_contamination(
     if min_overlap > 1:
         out = out.filter(F.col("overlap") >= min_overlap)
     return out
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_docs: int = 1,
+    sep: str = "\n",
+) -> DataFrame:
+    """Paragraph/line-level exact dedup (the CCNet / RefinedWeb
+    boilerplate-removal pass): drop every line whose normalized form
+    (trim + lowercase) occurs in MORE THAN `max_docs` distinct documents
+    corpus-wide, reassemble the survivors in original order. Catches
+    nav bars, cookie banners, license headers and footer chrome that
+    document-level dedup never sees. Returns
+    (id, text, n_lines, n_kept, n_removed); a doc whose every line is
+    boilerplate comes back with text='' and n_kept=0.
+
+    Plan (all JVM, no UDF): posexplode(split) -> the hot-line set from
+    one distinct + one map-side-combinable count over sha256(line) keys
+    (32-byte shuffle keys, not paragraph text; boilerplate by nature is
+    a tiny relation) -> left-anti join -> one groupBy(doc) reassembly via
+    array_sort(collect_list(struct(pos, line))). Whitespace-only lines
+    are never dedup candidates and always survive (structure preserved).
+    At 100 TB: two narrow shuffles on hashed keys + one on doc id; the
+    hot-set join is broadcast-sized in practice (AQE picks it up)."""
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    norm = F.lower(F.trim(F.col("line")))
+    keyed = lines.withColumn("k", F.sha2(norm, 256)).withColumn(
+        "cand", F.trim(F.col("line")) != ""
+    )
+    hot = (
+        keyed.filter("cand")
+        .select("k", "id")
+        .distinct()
+        .groupBy("k")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > max_docs)
+        .select("k")
+    )
+    kept = keyed.join(hot, "k", "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+            sep,
+        ).alias("_text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = lines.groupBy("id").agg(F.count("*").alias("n_lines"))
+    return (
+        totals.join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("_text", F.lit("")).alias(text_col),
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0))).alias(
+                "n_removed"
+            ),
+        )
+    )

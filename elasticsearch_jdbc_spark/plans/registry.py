@@ -3060,6 +3060,81 @@ def pii_scrub_q(spark, sf_dir):
     return out.filter(F.col("email") + F.col("ip") + F.col("phone") > 0)
 
 
+def _para_dedup_sql() -> str:
+    """Paragraph-dedup oracle: the same planted boilerplate (doc_id mod
+    7 -> hot nav line in ~14% of docs, mod 83 -> rare footer), the same
+    normalization (trim+lower), the same >max_docs distinct-doc rule and
+    in-order reassembly, in DuckDB list/window SQL."""
+    return """
+    WITH base AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 7 = 0
+                     THEN chr(10) || 'Subscribe To Our Newsletter Today'
+                     ELSE '' END
+             || CASE WHEN doc_id % 83 = 0
+                     THEN chr(10) || 'rare promotional footer'
+                     ELSE '' END AS text
+      FROM documents
+    ),
+    ls AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM base),
+    lines AS (
+      SELECT doc_id, unnest(l) AS line, generate_subscripts(l, 1) AS pos
+      FROM ls
+    ),
+    hot AS (
+      SELECT lower(trim(line)) AS k
+      FROM lines WHERE trim(line) <> ''
+      GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 10
+    ),
+    kept AS (
+      SELECT * FROM lines
+      WHERE lower(trim(line)) NOT IN (SELECT k FROM hot)
+    ),
+    agg AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY doc_id)
+    SELECT t.doc_id, COALESCE(a.text, '') AS text,
+           CAST(t.n_lines AS BIGINT) AS n_lines,
+           CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(t.n_lines - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
+    FROM tot t LEFT JOIN agg a USING (doc_id)
+    """
+
+
+@_reg("pipeline_paragraph_dedup", _para_dedup_sql())
+def pipeline_paragraph_dedup_q(spark, sf_dir):
+    """Paragraph/line-level boilerplate removal (the CCNet / RefinedWeb
+    pass), ORACLE-CHECKED byte-exact: boilerplate planted over the corpus
+    (doc_id mod 7 -> a hot nav line in ~14% of docs, far over the
+    max_docs=10 cut; mod 83 -> a rare footer under it), then
+    operators.dedup.paragraph_dedup drops every line whose normalized
+    form spans >10 distinct docs and reassembles in order — all JVM
+    (posexplode/sha256 count/left-anti/array_sort rebuild), no UDF.
+    The DuckDB oracle replants and re-derives the identical relation."""
+    from ..operators.dedup import paragraph_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit("\nSubscribe To Our Newsletter Today"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 83 == 0,
+                F.lit("\nrare promotional footer"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return paragraph_dedup(planted, max_docs=10)
+
+
 def _bm25_per_query_ctes() -> str:
     """The shared BM25 re-derivation CTE chain (reference query set,
     per-(query_id, doc_id) scores) the dis_max / boosting oracles build
@@ -3221,6 +3296,11 @@ _ROWS_ONLY_TAIL = [
     # saturated window (oracle SQL registered; pytest-verified vs brute
     # haversine in test_geo_query on both readers).
     "geo_index_search",
+    # pipeline_paragraph_dedup: round-4 late addition (CCNet/RefinedWeb
+    # boilerplate-removal pass) — overflows the saturated window like the
+    # two above (oracle SQL registered; brute-force pytest in
+    # test_pipeline_ops).
+    "pipeline_paragraph_dedup",
     # oracle entries whose SURVEY operator has ANOTHER green oracle entry
     # (duplicate evidence — cheapest oracle rows to lose) go right before
     # the rows-only tail: q3/q5 also cover B3 inner joins; q1/q4/q6 also

@@ -121,3 +121,81 @@ def test_pii_scrub_and_counts(spark):
     for r in twice:
         assert r["s2"] == rows[r["id"]]["s"]
         assert (r["c_0"] or 0) + (r["c_1"] or 0) + (r["c_2"] or 0) == 0
+
+
+# ---------------------------------------------------------------------
+# paragraph_dedup (CCNet/RefinedWeb boilerplate-removal pass)
+# ---------------------------------------------------------------------
+
+def _para_brute(docs: dict, max_docs: int) -> dict:
+    """Brute-force model: line -> set of docs containing its normalized
+    form; rebuild each doc dropping hot lines."""
+    from collections import defaultdict
+
+    seen = defaultdict(set)
+    for did, text in docs.items():
+        for ln in text.split("\n"):
+            k = ln.strip().lower()
+            if k:
+                seen[k].add(did)
+    hot = {k for k, s in seen.items() if len(s) > max_docs}
+    out = {}
+    for did, text in docs.items():
+        lines = text.split("\n")
+        kept = [
+            ln
+            for ln in lines
+            if not ln.strip() or ln.strip().lower() not in hot
+        ]
+        out[did] = ("\n".join(kept), len(lines), len(kept))
+    return out
+
+
+def test_paragraph_dedup_bruteforce(spark):
+    from elasticsearch_jdbc_spark.operators.dedup import paragraph_dedup
+
+    boiler = "Subscribe to our newsletter"
+    docs = {
+        0: f"alpha unique one\n{boiler}\nbeta unique two",
+        1: f"{boiler.upper()}\ngamma text",          # case variant collapses
+        2: f"  {boiler}  \ndelta text\n\nepsilon",    # trim variant + empty line
+        3: "zeta only here\n\n  \ntail line",         # whitespace lines survive
+        4: boiler,                                     # doc entirely boilerplate
+        5: "shared rare\nzz last",
+        6: "shared rare\nyy other",                    # rare pair: <= max_docs
+    }
+    sdf = spark.createDataFrame(
+        [(k, v) for k, v in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["n_lines"], r["n_kept"], r["n_removed"])
+        for r in paragraph_dedup(sdf, max_docs=2).collect()
+    }
+    want = _para_brute(docs, max_docs=2)
+    assert set(got) == set(want)
+    for did, (text, n_lines, n_kept) in want.items():
+        assert got[did][0] == text, did
+        assert got[did][1] == n_lines
+        assert got[did][2] == n_kept
+        assert got[did][3] == n_lines - n_kept
+    # the boilerplate (4 docs > 2) is gone everywhere, incl. variants
+    assert "newsletter" not in " ".join(g[0].lower() for g in got.values())
+    # the rare pair (2 docs <= 2) survives
+    assert "shared rare" in got[5][0] and "shared rare" in got[6][0]
+    # doc 4 fully scrubbed
+    assert got[4] == ("", 1, 0, 1)
+
+
+def test_paragraph_dedup_threshold_one(spark):
+    from elasticsearch_jdbc_spark.operators.dedup import paragraph_dedup
+
+    docs = {0: "a\nb", 1: "b\nc", 2: "c\na"}
+    sdf = spark.createDataFrame(
+        [(k, v) for k, v in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["text"]
+        for r in paragraph_dedup(sdf, max_docs=1).collect()
+    }
+    # every line appears in exactly 2 docs > 1 -> everything removed
+    assert got == {0: "", 1: "", 2: ""}
