@@ -1932,6 +1932,31 @@ class IncrementalIndexReader:
         )
         return _bucket_agg(joined, by, ranges, interval, metrics)
 
+    def composite_df(
+        self,
+        query: str,
+        sources,
+        size: int = 10,
+        after: tuple | None = None,
+        min_should_match: int = 1,
+        boosts: dict[str, float] | None = None,
+        filter_sql: str | None = None,
+        metrics: dict | None = None,
+    ) -> DataFrame:
+        """ES composite aggregation over the LIVE match set: multi-source
+        buckets in composite-key order with after-cursor pagination —
+        see IndexReader.composite_df. Tombstones are anti-joined inside
+        match_df/live_docs, so upserts bucket as their newest version;
+        bucket identity carries no segment (a doc's bucket is a pure
+        metadata fact), so pages are stable across delta ingest exactly
+        as long as the underlying values are."""
+        from .query import _composite_agg
+
+        docs = self.live_docs()
+        matches = self.match_df(query, min_should_match, boosts, filter_sql)
+        joined = matches.join(docs, ["segment", "doc_id"])
+        return _composite_agg(joined, sources, size, after, metrics)
+
     def search_sorted_df(
         self,
         query: str,

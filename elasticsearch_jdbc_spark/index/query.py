@@ -170,6 +170,80 @@ def _metric_aggs(metrics: dict | None) -> list:
     return out
 
 
+def _composite_sources(sources) -> list[tuple[str, "F.Column"]]:
+    """Normalize ES composite `sources` specs to (name, bucket expr):
+      * "col"                  -> terms source on a docs column
+      * (name, "col")          -> named terms source
+      * (name, ("col", step))  -> histogram (numeric width) or
+                                  date_histogram (date_trunc unit str)."""
+    out = []
+    for spec in sources:
+        if isinstance(spec, str):
+            name, body = spec, spec
+        else:
+            name, body = spec
+        if isinstance(body, str):
+            out.append((name, F.col(body)))
+            continue
+        col, step = body
+        if isinstance(step, bool) or step is None:
+            raise ValueError(f"source {name!r}: step must be a number or date unit")
+        if isinstance(step, (int, float)):
+            if float(step) <= 0:
+                raise ValueError(f"source {name!r}: numeric step must be positive")
+            out.append((name, F.floor(F.col(col) / F.lit(float(step))) * F.lit(float(step))))
+        else:
+            out.append((name, F.date_trunc(str(step), F.col(col))))
+    if not out:
+        raise ValueError("composite needs at least one source")
+    if len({n for n, _ in out}) != len(out):
+        raise ValueError("composite source names must be distinct")
+    return out
+
+
+def _composite_agg(
+    joined: DataFrame,
+    sources,
+    size: int = 10,
+    after: tuple | None = None,
+    metrics: dict | None = None,
+) -> DataFrame:
+    """ES composite aggregation: the SCALABLE way to page over a huge
+    bucket space (terms x histogram x ...) — buckets stream in composite-
+    key order, each page filtered strictly past the `after` cursor, so no
+    page ever materializes the full bucket set on one node. Stateless
+    across pages exactly like ES (each page re-runs with the new after).
+
+    Plan: bucket exprs project JVM-side, one map-side-combinable groupBy
+    over the composite key, the after cursor is a lexicographic
+    strict-greater predicate (prunes BEFORE the ordered cut), then ONE
+    TakeOrdered(size) — per page the driver sees `size` rows, never the
+    bucket universe. Docs with a NULL source value are omitted (ES
+    missing_bucket=false default)."""
+    srcs = _composite_sources(sources)
+    names = [n for n, _ in srcs]
+    out = joined
+    for n, e in srcs:
+        out = out.withColumn(n, e)
+    for n in names:
+        out = out.filter(F.col(n).isNotNull())
+    out = out.groupBy(*names).agg(
+        F.count("*").alias("n_docs"), *_metric_aggs(metrics)
+    )
+    if after is not None:
+        if len(after) != len(names):
+            raise ValueError(
+                f"after cursor has {len(after)} values for {len(names)} sources"
+            )
+        cond = F.lit(False)
+        eq = F.lit(True)
+        for n, v in zip(names, after):
+            cond = cond | (eq & (F.col(n) > F.lit(v)))
+            eq = eq & (F.col(n) == F.lit(v))
+        out = out.filter(cond)
+    return out.orderBy(*[F.asc(n) for n in names]).limit(size)
+
+
 def _bucket_agg(
     matches: DataFrame,
     by: str,
@@ -1345,6 +1419,46 @@ class IndexReader:
             )
         joined = matches.join(docs.select("doc_id", *need), "doc_id")
         return _bucket_agg(joined, by, ranges, interval, metrics)
+
+    def composite_df(
+        self,
+        query: str,
+        sources,
+        size: int = 10,
+        after: tuple | None = None,
+        min_should_match: int = 1,
+        boosts: dict[str, float] | None = None,
+        filter_sql: str | None = None,
+        metrics: dict | None = None,
+    ) -> DataFrame:
+        """ES composite aggregation over the match set: multi-source
+        buckets (terms x histogram x date_histogram) streamed in
+        composite-key order with `after`-cursor pagination — the ES
+        surface built for paging a bucket space too large for one
+        response, and the one shape that stays O(size) per page at
+        10^12 docs. `sources` per _composite_sources; `after` is the
+        previous page's last bucket key tuple. Returns
+        (*source names, n_docs, *metric aliases), `size` rows max."""
+        docs = self.spark.read.parquet(os.path.join(self.index_dir, "docs"))
+        srcs = _composite_sources(sources)
+        refs = dict.fromkeys(
+            [c for _, c in (metrics or {}).values()]
+        )
+        joined_cols = [c for c in docs.columns if c != "doc_id"]
+        for c in refs:
+            if c not in joined_cols:
+                raise ValueError(
+                    f"unknown metric column {c!r}; docs table has {joined_cols}"
+                )
+        del srcs  # validated; bucket exprs re-derive inside _composite_agg
+        terms, weights, groups = self._match_terms(query, boosts)
+        matches = self._match_df(terms, weights, min_should_match, groups)
+        if filter_sql:
+            matches = matches.join(
+                self._filter_doc_ids(filter_sql), "doc_id", "left_semi"
+            )
+        joined = matches.join(docs, "doc_id")
+        return _composite_agg(joined, sources, size, after, metrics)
 
     # ---------- fuzzy queries (ES fuzzy, edit distance <= 2, AUTO) ----------
 

@@ -2132,6 +2132,80 @@ def geo_index_q(spark, sf_dir):
     )
 
 
+_COMPOSITE_AFTER = ("en", 40.0)
+
+
+def _composite_sql() -> str:
+    """Composite-agg oracle: reference query 0's match set bucketed by
+    (lang, floor(dl/20)*20), avg-dl metric, paged strictly past the fixed
+    after cursor in composite-key order — the ES composite contract."""
+    from ..index.bm25_df import _query_term_pairs
+
+    values = ", ".join(
+        f"('{t}')" for qid, t in _query_term_pairs() if qid == 0
+    )
+    lang0, b0 = _COMPOSITE_AFTER
+    return f"""
+    WITH q(term) AS (VALUES {values}),
+    tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    flat AS (
+      SELECT doc_id, len(toks) AS dl, t.term
+      FROM tok, UNNEST(toks) AS t(term)
+    ),
+    matched AS (
+      SELECT DISTINCT f.doc_id, f.dl
+      FROM flat f JOIN q USING (term)
+    ),
+    bucketed AS (
+      SELECT d.lang, CAST(floor(m.dl / 20.0) * 20.0 AS DOUBLE) AS dl_bucket,
+             m.dl
+      FROM matched m JOIN documents d USING (doc_id)
+    ),
+    agg AS (
+      SELECT lang, dl_bucket, COUNT(*) AS n_docs,
+             ROUND(AVG(dl), 4) AS avg_dl
+      FROM bucketed GROUP BY 1, 2
+    )
+    SELECT lang, dl_bucket, CAST(n_docs AS BIGINT) AS n_docs, avg_dl
+    FROM agg
+    WHERE lang > '{lang0}' OR (lang = '{lang0}' AND dl_bucket > {b0})
+    ORDER BY lang, dl_bucket
+    LIMIT 8
+    """
+
+
+@_reg("composite_index_search", _composite_sql())
+def composite_index_q(spark, sf_dir):
+    """ES composite aggregation through the REAL engine, ORACLE-CHECKED:
+    composite_df pages (lang x dl-histogram) buckets of query 0's match
+    set strictly past a fixed after cursor — one map-side-combinable
+    groupBy over the composite key, cursor prunes before the single
+    TakeOrdered(size) cut (O(size) driver rows per page at any corpus
+    size). The oracle re-derives the bucket relation and the same
+    lexicographic cursor predicate in DuckDB."""
+    from ..index import IndexReader
+
+    idx = _registry_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    out = reader.composite_df(
+        REFERENCE_QUERIES[0][1],
+        [("lang", "lang"), ("dl_bucket", ("dl", 20))],
+        size=8,
+        after=_COMPOSITE_AFTER,
+        metrics={"avg_dl": ("avg", "dl")},
+    )
+    return out.select(
+        "lang",
+        "dl_bucket",
+        "n_docs",
+        F.round("avg_dl", 4).alias("avg_dl"),
+    )
+
+
 _SIGTERMS_QUERY = "fast key merge sort"
 
 
@@ -3301,6 +3375,10 @@ _ROWS_ONLY_TAIL = [
     # two above (oracle SQL registered; brute-force pytest in
     # test_pipeline_ops).
     "pipeline_paragraph_dedup",
+    # composite_index_search: round-4 late addition (ES composite agg,
+    # after-key bucket pagination) — same overflow posture (oracle SQL
+    # registered; page-walk pytest in test_composite).
+    "composite_index_search",
     # oracle entries whose SURVEY operator has ANOTHER green oracle entry
     # (duplicate evidence — cheapest oracle rows to lose) go right before
     # the rows-only tail: q3/q5 also cover B3 inner joins; q1/q4/q6 also
