@@ -3209,6 +3209,60 @@ def pipeline_paragraph_dedup_q(spark, sf_dir):
     return paragraph_dedup(planted, max_docs=10)
 
 
+_URL_DEDUP_SQL = """
+    -- Ground truth derived INDEPENDENTLY of the canonicalization code:
+    -- the planted URL's identity is pure doc_id arithmetic, so the
+    -- oracle groups on the arithmetic canonical form directly — a
+    -- stronger check than re-running the engine's normalization steps.
+    WITH canon AS (
+      SELECT doc_id,
+             'https://site' || CAST(doc_id % 50 AS VARCHAR) || '.com/p'
+               || CAST(doc_id % 20 AS VARCHAR) || '?a=1&b='
+               || CAST(doc_id % 4 AS VARCHAR) AS canon_url
+      FROM documents
+    )
+    SELECT canon_url, MIN(doc_id) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM canon GROUP BY canon_url
+    """
+
+
+@_reg("pipeline_url_dedup", _URL_DEDUP_SQL)
+def pipeline_url_dedup_q(spark, sf_dir):
+    """URL canonicalization + URL-level dedup, ORACLE-CHECKED: messy URLs
+    planted over the corpus (scheme/host case noise, www., default :443
+    ports, trailing slashes, unsorted params, utm tracking, fragments —
+    all keyed on doc_id arithmetic), canonicalized by the pure-JVM
+    expression chain in functions/url.py and grouped to (canon_url,
+    keep_id, n_copies). The oracle derives each URL's canonical identity
+    INDEPENDENTLY from the same arithmetic — the engine's normalization
+    must land on it byte-exact, never just self-consistently."""
+    from ..functions.url import url_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    messy = d.select(
+        "doc_id",
+        F.concat(
+            F.when(did % 2 == 0, F.lit("HTTPS://")).otherwise(F.lit("https://")),
+            F.when(did % 7 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+            F.lit("Site"), (did % 50).cast("string"), F.lit(".COM"),
+            F.when(did % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+            F.lit("/p"), (did % 20).cast("string"),
+            F.when(did % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.when(
+                did % 2 == 0,
+                F.concat(F.lit("?b="), (did % 4).cast("string"),
+                         F.lit("&a=1&utm_source=x")),
+            ).otherwise(
+                F.concat(F.lit("?a=1&utm_medium=y&b="), (did % 4).cast("string"))
+            ),
+            F.when(did % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    return url_dedup(messy)
+
+
 def _bm25_per_query_ctes() -> str:
     """The shared BM25 re-derivation CTE chain (reference query set,
     per-(query_id, doc_id) scores) the dis_max / boosting oracles build
@@ -3379,6 +3433,10 @@ _ROWS_ONLY_TAIL = [
     # after-key bucket pagination) — same overflow posture (oracle SQL
     # registered; page-walk pytest in test_composite).
     "composite_index_search",
+    # pipeline_url_dedup: round-4 late addition (crawl-identity pass) —
+    # same overflow posture (independent-arithmetic oracle registered;
+    # golden canonicalization pytest in test_pipeline_ops).
+    "pipeline_url_dedup",
     # oracle entries whose SURVEY operator has ANOTHER green oracle entry
     # (duplicate evidence — cheapest oracle rows to lose) go right before
     # the rows-only tail: q3/q5 also cover B3 inner joins; q1/q4/q6 also

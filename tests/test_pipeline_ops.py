@@ -199,3 +199,74 @@ def test_paragraph_dedup_threshold_one(spark):
     }
     # every line appears in exactly 2 docs > 1 -> everything removed
     assert got == {0: "", 1: "", 2: ""}
+
+
+# ---------------------------------------------------------------------
+# URL canonicalization + URL-level dedup
+# ---------------------------------------------------------------------
+
+def test_canonicalize_url_goldens(spark):
+    from elasticsearch_jdbc_spark.functions.url import canonicalize_url
+
+    cases = [
+        # scheme/host case, www, default port, trailing slash, utm, fragment
+        ("http://WWW.Example.com:80/a/?utm_source=x&b=1#top",
+         "http://example.com/a?b=1"),
+        ("HTTPS://Example.COM:443/a/b/", "https://example.com/a/b"),
+        # tracking params dropped, survivors sorted, bare host -> "/"
+        ("https://example.com/?z=2&a=1&gclid=xyz&fbclid=1&ref=tw",
+         "https://example.com/?a=1&z=2"),
+        ("https://example.com?a=1&z=2", "https://example.com/?a=1&z=2"),
+        ("  https://example.com  ", "https://example.com/"),
+        # non-default port kept; non-http schemes keep their port
+        ("ftp://Host.Com:21/file", "ftp://host.com:21/file"),
+        ("https://example.com:8443/x", "https://example.com:8443/x"),
+        # no scheme -> trimmed passthrough
+        (" not a url ", "not a url"),
+        # percent-encoding preserved verbatim (no decode pass)
+        ("https://example.com/search?q=a%20b&utm_campaign=c",
+         "https://example.com/search?q=a%20b"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "id long, url string"
+    )
+    got = {
+        r["id"]: r["c"]
+        for r in df.select("id", canonicalize_url("url").alias("c")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, cases[i][0])
+    # idempotent: canonical form is its own fixed point
+    df2 = spark.createDataFrame(
+        [(i, c) for i, c in got.items()], "id long, url string"
+    )
+    got2 = {
+        r["id"]: r["c"]
+        for r in df2.select("id", canonicalize_url("url").alias("c")).collect()
+    }
+    assert got2 == got
+
+
+def test_url_dedup_groups(spark):
+    from elasticsearch_jdbc_spark.functions.url import url_dedup
+
+    df = spark.createDataFrame(
+        [
+            (3, "http://WWW.a.com:80/x/?utm_source=s"),
+            (1, "http://a.com/x"),
+            (2, "http://a.com/x#frag"),
+            (9, "https://b.com/y?p=1&q=2"),
+            (8, "https://b.com/y?q=2&p=1"),
+            (7, "https://c.com/z"),
+        ],
+        "doc_id long, url string",
+    )
+    got = {
+        r["canon_url"]: (r["keep_id"], r["n_copies"])
+        for r in url_dedup(df).collect()
+    }
+    assert got == {
+        "http://a.com/x": (1, 3),
+        "https://b.com/y?p=1&q=2": (8, 2),
+        "https://c.com/z": (7, 1),
+    }
