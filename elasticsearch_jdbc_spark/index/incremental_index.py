@@ -2201,6 +2201,93 @@ class IncrementalIndexReader:
             .select(field, "segment", "doc_id", "score", "hit_rank")
         )
 
+    def query_terms(self, query: str) -> list[str]:
+        """Analyzer-chain tokens for a query string (delegates to the base
+        segment — the analyzer is an index-wide contract)."""
+        return self.readers[self.segments[0]].query_terms(query)
+
+    def _qs_expand_wildcard(self, pattern: str, limit: int) -> list[str]:
+        """Cross-segment wildcard expansion for the query_string compiler:
+        the union of every live segment's dictionary enum, capped
+        lexicographically — identical to a compacted index's expansion."""
+        return sorted(
+            {
+                t
+                for s in self.segments
+                for t in self.readers[s]._qs_expand_wildcard(pattern, limit)
+            }
+        )[:limit]
+
+    def query_string_df(
+        self,
+        q: str,
+        k: int | None = 10,
+        default_operator: str = "or",
+        limit: int = 128,
+        fuzzy_limit: int = 16,
+        filter_sql: str | None = None,
+    ) -> DataFrame:
+        """ES query_string over the LIVE index: same grammar and compile
+        as IndexReader.query_string_df, with the live bool kernel (global
+        idfs, tombstone masking) carrying the non-phrase clauses and the
+        cross-segment phrase kernel folding in by (segment, doc_id) —
+        upserts match as their newest version on every clause type."""
+        from .query import (
+            _combine_query_string,
+            _compile_query_string,
+            parse_query_string,
+        )
+
+        clauses = parse_query_string(q, default_operator)
+        must, should, must_not, phrases = _compile_query_string(
+            clauses,
+            query_terms=self.query_terms,
+            fuzzy_expansion=self._fuzzy_expansion,
+            expand_wc=self._qs_expand_wildcard,
+            fields=self.fields,
+            limit=limit,
+            fuzzy_limit=fuzzy_limit,
+        )
+        if not must and not should and not any(
+            occ != "must_not" for occ, _, _ in phrases
+        ):
+            raise ValueError(
+                "query_string needs at least one positive clause "
+                "(pure negation matches the entire corpus)"
+            )
+        components, exclusions = [], []
+        if must or should:
+            components.append(
+                (
+                    "must" if must else "should",
+                    self.search_bool_df(
+                        must, should, "", k=None, filter_sql=filter_sql
+                    ),
+                )
+            )
+        for occ, text, slop in phrases:
+            p = self.search_phrase_df(
+                text, k=None, slop=slop, filter_sql=filter_sql
+            )
+            (exclusions if occ == "must_not" else components).append(
+                p if occ == "must_not" else (occ, p)
+            )
+        if must_not:
+            exclusions.append(self.search_bool_df([], must_not, "", k=None))
+        core = _combine_query_string(
+            components, exclusions, ["segment", "doc_id"]
+        )
+        if core is None:
+            return self.spark.createDataFrame(
+                [], "segment string, doc_id long, score double"
+            )
+        if k is None:
+            return core
+        rank_map = self._rank_map()
+        return core.orderBy(
+            F.desc("score"), F.desc(rank_map[F.col("segment")]), F.asc("doc_id")
+        ).limit(k)
+
     def highlight_df(
         self,
         query: str,

@@ -170,6 +170,153 @@ def _metric_aggs(metrics: dict | None) -> list:
     return out
 
 
+# query_string clause: optional +/- sign, then a quoted phrase (optional
+# ~slop) or a bare word
+_QS_TOKEN = re.compile(r'([+-]?)(?:"([^"]*)"(?:~(\d+))?|(\S+))')
+
+
+def parse_query_string(q: str, default_operator: str = "or") -> list[tuple]:
+    """Parse the Lucene/ES query_string mini-language (the practical
+    subset users type into search boxes; reference README examples are
+    query_string queries) into (occur, kind, value) clauses:
+
+      +word          must            -word        must_not
+      word           should ('or' default operator) / must ('and')
+      "a b"~2        phrase, slop 2
+      wor*  w?rd     wildcard term (expands against the dictionary)
+      word~  word~1  fuzzy (AUTO / explicit edit distance)
+      field:word     fielded term (multi-field indexes)
+
+    No parens/ranges/regex — those callers use the typed surfaces
+    (search_bool_df / facet_df / filter_sql) directly. occur is one of
+    must/should/must_not; kind one of term/phrase/wildcard/fuzzy/fielded.
+    """
+    if default_operator not in ("or", "and"):
+        raise ValueError(f"default_operator must be or|and, got {default_operator!r}")
+    bare = "must" if default_operator == "and" else "should"
+    out: list[tuple] = []
+    for m in _QS_TOKEN.finditer(q):
+        sign, phrase, slop, word = m.groups()
+        occur = {"+": "must", "-": "must_not"}.get(sign, bare)
+        if phrase is not None:
+            if phrase.strip():
+                out.append((occur, "phrase", (phrase, int(slop or 0))))
+            continue
+        if ":" in word:
+            f, t = word.split(":", 1)
+            if f and t:
+                out.append((occur, "fielded", (f, t)))
+                continue
+        fm = re.fullmatch(r"(.+?)~(\d?)", word)
+        if fm:
+            out.append((occur, "fuzzy", (fm.group(1), fm.group(2))))
+            continue
+        if "*" in word or "?" in word:
+            out.append((occur, "wildcard", word))
+            continue
+        out.append((occur, "term", word))
+    return out
+
+
+# sentinel term for an unsatisfiable must clause (a must wildcard whose
+# dictionary expansion is empty): never indexed, so _bool_spec returns
+# None and the query correctly matches nothing
+_QS_NOMATCH = "\x00__query_string_no_match__"
+
+
+def _compile_query_string(
+    clauses: list[tuple],
+    *,
+    query_terms,
+    fuzzy_expansion,
+    expand_wc,
+    fields,
+    limit: int,
+    fuzzy_limit: int,
+) -> tuple[list, list, list, list]:
+    """Compile parsed query_string clauses onto the bool machinery:
+    returns (must, should, must_not, phrases) where the first three are
+    _bool_spec clause lists (plain tokens + nested raw or-groups from
+    wildcard/fuzzy/fielded expansion) and phrases is
+    [(occur, text, slop)] for the phrase kernel."""
+    must: list = []
+    should: list = []
+    must_not: list = []
+    phrases: list = []
+    bucket = {"must": must, "should": should, "must_not": must_not}
+    for occur, kind, val in clauses:
+        tgt = bucket[occur]
+        if kind == "term":
+            tgt.extend(query_terms(val))
+        elif kind == "phrase":
+            phrases.append((occur, val[0], val[1]))
+        elif kind == "fuzzy":
+            term, d = val
+            fz = "AUTO" if d == "" else int(d)
+            _, _, groups = fuzzy_expansion(term, fuzzy_limit, fz, None)
+            if groups:
+                tgt.extend(groups)
+            elif occur == "must":
+                tgt.append([_QS_NOMATCH])
+        elif kind == "wildcard":
+            g = expand_wc(val.lower(), limit)
+            if g:
+                tgt.append(list(g))
+            elif occur == "must":
+                tgt.append([_QS_NOMATCH])
+        elif kind == "fielded":
+            f, t = val
+            if not fields or f not in fields:
+                raise ValueError(
+                    f"field {f!r}: not a field of this index "
+                    f"(indexed fields: {fields or 'none — single-field corpus'})"
+                )
+            for tok in query_terms(t):
+                tgt.append([f + "\x1f" + tok])
+    return must, should, must_not, phrases
+
+
+def _combine_query_string(
+    components: list[tuple[str, DataFrame]],
+    exclusions: list[DataFrame],
+    ident: list[str],
+) -> DataFrame | None:
+    """Combine query_string components under Lucene bool semantics.
+    `components` are ("must"|"should", unranked (ident..., score)) match
+    sets; `exclusions` are match sets to anti-join. Musts intersect
+    (scores add); shoulds add score — LEFT-joined when any must gates
+    candidacy, FULL-OUTER-unioned (scores add, ident coalesced by the
+    USING join) on a pure-should query; exclusions anti-join last so
+    they bind the WHOLE query. Returns None when no positive component
+    exists (the caller validates and raises before that)."""
+    def add(a: DataFrame, b: DataFrame, how: str) -> DataFrame:
+        b = b.withColumnRenamed("score", "_p")
+        return (
+            a.join(b, ident, how)
+            .withColumn(
+                "score",
+                F.coalesce("score", F.lit(0.0)) + F.coalesce("_p", F.lit(0.0)),
+            )
+            .drop("_p")
+        )
+
+    musts = [df for occ, df in components if occ == "must"]
+    shoulds = [df for occ, df in components if occ == "should"]
+    core = None
+    for m in musts:
+        core = m if core is None else add(core, m, "inner")
+    for s in shoulds:
+        if core is None:
+            core = s
+        else:
+            core = add(core, s, "left" if musts else "full")
+    if core is None:
+        return None
+    for e in exclusions:
+        core = core.join(e.select(*ident), ident, "left_anti")
+    return core
+
+
 def _composite_sources(sources) -> list[tuple[str, "F.Column"]]:
     """Normalize ES composite `sources` specs to (name, bucket expr):
       * "col"                  -> terms source on a docs column
@@ -1710,35 +1857,58 @@ class IndexReader:
         nothing to score, or a must token none of whose group terms is
         indexed. Otherwise (must_groups, scoring_terms, not_terms, idfs,
         weights). `idf_fn` overrides the idf resolver — the incremental
-        reader passes its global cross-segment stats."""
-        def toks(q):
-            if isinstance(q, str):
-                return self.query_terms(q)
-            return list(dict.fromkeys(q))
+        reader passes its global cross-segment stats.
 
+        Clause forms: a string tokenizes; a list mixes raw tokens (each
+        fields-expanded into its own group, like string tokens) and
+        NESTED lists — a nested list is a FINAL or-group of already-
+        expanded/namespaced terms (the query_string compiler's prefix/
+        fuzzy/wildcard/fielded expansions), taken verbatim."""
         fields = self.manifest.get("fields")
         if boosts and not fields:
             raise ValueError("boosts requires a fields-indexed corpus")
         field_w = (boosts or {f: 1.0 for f in fields}) if fields else None
 
-        def groups(tokens):
-            # token -> group of (namespaced) terms that satisfy it
-            if not fields:
-                return [[t] for t in tokens]
-            return [[f + "\x1f" + t for f in field_w] for t in tokens]
+        def clause_groups(q):
+            """-> (groups, plain_tokens); deduped (duplicate groups would
+            make the distinct-group conjunction count unsatisfiable)."""
+            if isinstance(q, str):
+                entries: list = self.query_terms(q)
+            else:
+                entries = list(q)
+            gs, plain, seen = [], [], set()
+            for e in entries:
+                if isinstance(e, (list, tuple)):
+                    g = list(dict.fromkeys(e))
+                elif fields:
+                    plain.append(e)
+                    g = [f + "\x1f" + e for f in field_w]
+                else:
+                    plain.append(e)
+                    g = [e]
+                tg = tuple(g)
+                if g and tg not in seen:
+                    seen.add(tg)
+                    gs.append(g)
+            return gs, plain
 
-        must_t, should_t, not_t = toks(must), toks(should), toks(must_not)
-        if not must_t and not should_t:
+        must_g, must_plain = clause_groups(must)
+        should_g, should_plain = clause_groups(should)
+        not_g, _ = clause_groups(must_not)
+        if not must_g and not should_g:
             return None
         weights = (
-            {f + "\x1f" + t: float(w) for t in must_t + should_t for f, w in field_w.items()}
+            {
+                f + "\x1f" + t: float(w)
+                for t in must_plain + should_plain
+                for f, w in field_w.items()
+            }
             if fields
             else None
         )
-        must_g = groups(must_t)
         flat = lambda gs: [t for g in gs for t in g]  # noqa: E731
-        scoring = list(dict.fromkeys(flat(must_g) + flat(groups(should_t))))
-        not_terms = list(dict.fromkeys(flat(groups(not_t))))
+        scoring = list(dict.fromkeys(flat(must_g) + flat(should_g)))
+        not_terms = list(dict.fromkeys(flat(not_g)))
         idfs = (idf_fn or self._term_idfs)(scoring + not_terms)
         # a must token matches nothing when NO term of its group is indexed
         if any(all(t not in idfs for t in g) for g in must_g):
@@ -3583,6 +3753,92 @@ class IndexReader:
             .orderBy(F.desc("_head_score"), F.asc(field), F.asc("hit_rank"))
             .select(field, "doc_id", "score", "hit_rank")
         )
+
+    def _qs_expand_wildcard(self, pattern: str, limit: int) -> list[str]:
+        """Wildcard expansion for the query_string compiler — namespaced
+        per field on a multi-field corpus so the group matches in any
+        field (the query_string default when no field is named)."""
+        fields = self.manifest.get("fields")
+        if not fields:
+            return self.expand_wildcard(pattern, limit)
+        out: list[str] = []
+        for f in fields:
+            out.extend(self.expand_wildcard(f + "\x1f" + pattern, limit))
+        return sorted(out)[:limit]
+
+    def query_string_df(
+        self,
+        q: str,
+        k: int | None = 10,
+        default_operator: str = "or",
+        limit: int = 128,
+        fuzzy_limit: int = 16,
+        filter_sql: str | None = None,
+    ) -> DataFrame:
+        """ES query_string query: the search-box mini-language compiled
+        onto the engine's typed surfaces — +must / -must_not / bare terms
+        (default_operator or|and), "phrases"~slop, wild*card / w?rd,
+        fuzzy~N, field:term. See parse_query_string for the grammar.
+
+        Plan: ONE search_bool_df call carries every non-phrase clause
+        (wildcard/fuzzy/fielded expansions ride as raw or-groups through
+        _bool_spec — conjunction stays an aggregation predicate on a
+        single postings scan); each phrase clause runs the distributed
+        phrase kernel once; components combine under Lucene bool
+        semantics (musts intersect with scores adding, shoulds add score
+        without gating, exclusions anti-join the WHOLE query last — see
+        _combine_query_string). k=None returns the combined match set
+        unranked. Raises if the query has no positive clause (pure
+        negation matches the universe; ES rejects it too). Caveat: two
+        must expansions sharing a term (overlapping wildcards) may
+        over-require — use explicit search_bool_df groups for that."""
+        clauses = parse_query_string(q, default_operator)
+        must, should, must_not, phrases = _compile_query_string(
+            clauses,
+            query_terms=self.query_terms,
+            fuzzy_expansion=self._fuzzy_expansion,
+            expand_wc=self._qs_expand_wildcard,
+            fields=self.manifest.get("fields"),
+            limit=limit,
+            fuzzy_limit=fuzzy_limit,
+        )
+        if not must and not should and not any(
+            occ != "must_not" for occ, _, _ in phrases
+        ):
+            raise ValueError(
+                "query_string needs at least one positive clause "
+                "(pure negation matches the entire corpus)"
+            )
+        components, exclusions = [], []
+        if must or should:
+            # must_not is NOT pushed into this call: it must also exclude
+            # docs that qualify through phrase components
+            components.append(
+                (
+                    "must" if must else "should",
+                    self.search_bool_df(
+                        must, should, "", k=None, filter_sql=filter_sql
+                    ),
+                )
+            )
+        for occ, text, slop in phrases:
+            p = self.search_phrase_df(
+                text, k=None, slop=slop, filter_sql=filter_sql
+            )
+            (exclusions if occ == "must_not" else components).append(
+                p if occ == "must_not" else (occ, p)
+            )
+        if must_not:
+            # any excluded token/expansion matching -> the doc is out
+            exclusions.append(
+                self.search_bool_df([], must_not, "", k=None)
+            )
+        core = _combine_query_string(components, exclusions, ["doc_id"])
+        if core is None:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        if k is None:
+            return core
+        return core.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def highlight_df(
         self,

@@ -2030,6 +2030,103 @@ def collapse_index_q(spark, sf_dir):
     )
 
 
+_QS_QUERY = '+"fast key" merge -scan'
+
+
+def _query_string_sql() -> str:
+    """query_string oracle for '+"fast key" merge -scan': must-phrase
+    candidacy (adjacent bigram freq > 0, the bm25_phrase_topk scoring),
+    optional 'merge' BM25 adds score without gating, docs containing
+    'scan' excluded from the WHOLE query — the Lucene combine the
+    compiler implements."""
+    return """
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n, SUM(len(toks)) * 1.0 / COUNT(*) AS avgdl FROM tok
+    ),
+    dft AS (
+      SELECT t.term, COUNT(DISTINCT doc_id) AS df
+      FROM tok, UNNEST(list_distinct(toks)) AS t(term)
+      GROUP BY t.term
+    ),
+    pf AS (
+      SELECT doc_id, len(toks) AS dl,
+             len(list_filter(range(1, len(toks)),
+                             i -> toks[i] = 'fast' AND toks[i+1] = 'key')) AS freq
+      FROM tok
+    ),
+    phrase_scored AS (
+      SELECT pf.doc_id,
+             (ln(1.0 + (stats.n - d1.df + 0.5) / (d1.df + 0.5))
+              + ln(1.0 + (stats.n - d2.df + 0.5) / (d2.df + 0.5)))
+             * 2.2 * (pf.freq / (pf.freq + 1.2 * (0.25 + 0.75 * pf.dl / stats.avgdl))) AS score
+      FROM pf
+      JOIN dft d1 ON d1.term = 'fast'
+      JOIN dft d2 ON d2.term = 'key', stats
+      WHERE pf.freq > 0
+    ),
+    tf AS (
+      SELECT doc_id, len(toks) AS dl,
+             len(list_filter(toks, x -> x = 'merge')) AS tf
+      FROM tok
+    ),
+    term_scored AS (
+      SELECT tf.doc_id,
+             ln(1.0 + (stats.n - d.df + 0.5) / (d.df + 0.5))
+             * 2.2 * (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))) AS score
+      FROM tf JOIN dft d ON d.term = 'merge', stats
+      WHERE tf.tf > 0
+    ),
+    excl AS (
+      SELECT DISTINCT doc_id
+      FROM tok, UNNEST(toks) AS t(term) WHERE t.term = 'scan'
+    ),
+    combined AS (
+      SELECT p.doc_id, p.score + COALESCE(t.score, 0) AS score
+      FROM phrase_scored p LEFT JOIN term_scored t USING (doc_id)
+      WHERE p.doc_id NOT IN (SELECT doc_id FROM excl)
+    ),
+    ranked AS (
+      SELECT doc_id, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM combined
+    )
+    SELECT CAST(rank AS INT) AS rank, doc_id, ROUND(score, 4) AS score
+    FROM ranked WHERE rank <= 10
+    """
+
+
+@_reg("query_string_index_search", _query_string_sql())
+def query_string_index_q(spark, sf_dir):
+    """ES query_string through the REAL engine, ORACLE-CHECKED: the
+    mini-language compiles onto the typed surfaces — must-phrase via the
+    distributed positional kernel, optional term via the bool kernel
+    (one postings scan), exclusion anti-joined after the combine so it
+    binds phrase-qualified docs too. k=None (unranked combine); top-10
+    re-ranks after the id mapping, matching the oracle tie-break."""
+    from ..index import IndexReader
+
+    idx = _registry_index(spark, sf_dir, with_positions=True)
+    reader = IndexReader(spark, idx)
+    ids = _index_docid_map(spark, idx)
+    hits = reader.query_string_df(_QS_QUERY, k=None)
+    w = W.orderBy(F.desc("score"), F.asc("documents_doc_id"))
+    return (
+        hits.join(ids, "doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "rank",
+            F.col("documents_doc_id").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+    )
+
+
 _GEO_POINT = (37.77, -122.42)
 _GEO_KM = 6000.0
 
@@ -3437,6 +3534,11 @@ _ROWS_ONLY_TAIL = [
     # same overflow posture (independent-arithmetic oracle registered;
     # golden canonicalization pytest in test_pipeline_ops).
     "pipeline_url_dedup",
+    # query_string_index_search: round-4 late addition (the search-box
+    # mini-language) — same overflow posture (oracle SQL registered;
+    # equivalence pytest vs the oracle-checked typed surfaces in
+    # test_query_string).
+    "query_string_index_search",
     # oracle entries whose SURVEY operator has ANOTHER green oracle entry
     # (duplicate evidence — cheapest oracle rows to lose) go right before
     # the rows-only tail: q3/q5 also cover B3 inner joins; q1/q4/q6 also
