@@ -333,3 +333,67 @@ def knn_lsh(
         .filter(F.col("rank") <= k)
         .select(qid_col, "rank", "neighbor_id", "cos_sim")
     )
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    id_cols: list[str],
+    k: int = 10,
+    rank_k: int = 60,
+    rank_col: str = "rank",
+    weights: list[float] | None = None,
+    per: list[str] | None = None,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack/Clarke/Buettcher 2009; the ES 8.x
+    `rrf` retriever): fuse N rankers' top-k lists without score
+    calibration — rrf(d) = sum_i w_i / (rank_k + rank_i(d)). The standard
+    hybrid-retrieval combine (BM25 lexical x kNN dense), and the one that
+    needs no per-ranker score normalization because only RANKS enter.
+
+    Each input carries (*id_cols, rank_col) — any extra columns are
+    ignored. Plan: per-ranker reciprocal contributions project JVM-side,
+    union, ONE map-side-combinable groupBy on the identity, one
+    TakeOrdered cut per... the whole fusion is two narrow stages over
+    N x k rows per query — nothing scales with corpus size, exactly why
+    RRF is the production hybrid combine at 10^12 docs. Also returns
+    n_rankers (how many lists the doc appeared in).
+
+    `per` names id_cols that partition the fusion (e.g. query_id for a
+    batch of hybrid queries): the top-k cut is taken per partition via
+    one window over the tiny fused relation. Without `per` the cut is
+    global. Output adds fused_rank.
+
+    Ties (symmetric rank patterns across rankers) break on the non-
+    partition id_cols ascending — deterministic because reciprocal sums
+    over identical rank integers are bitwise-identical doubles."""
+    if not ranked:
+        raise ValueError("rrf_fuse needs at least one ranked input")
+    if weights is not None and len(weights) != len(ranked):
+        raise ValueError(f"{len(weights)} weights for {len(ranked)} rankers")
+    if rank_k < 1:
+        raise ValueError(f"rank_k must be >= 1, got {rank_k}")
+    per = list(per or ())
+    if any(c not in id_cols for c in per):
+        raise ValueError(f"per={per} must be a subset of id_cols={id_cols}")
+    parts = []
+    for i, df in enumerate(ranked):
+        w = float(weights[i]) if weights else 1.0
+        parts.append(
+            df.select(
+                *id_cols,
+                (F.lit(w) / (F.lit(float(rank_k)) + F.col(rank_col)))
+                .alias("_rrf"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    agg = out.groupBy(*id_cols).agg(
+        F.sum("_rrf").alias("rrf_score"), F.count("*").alias("n_rankers")
+    )
+    tie = [F.asc(c) for c in id_cols if c not in per]
+    w_ = W.partitionBy(*per).orderBy(F.desc("rrf_score"), *tie)
+    return (
+        agg.withColumn("fused_rank", F.row_number().over(w_))
+        .filter(F.col("fused_rank") <= k)
+    )

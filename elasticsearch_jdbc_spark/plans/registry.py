@@ -2127,6 +2127,123 @@ def query_string_index_q(spark, sf_dir):
     )
 
 
+def _hybrid_rrf_sql() -> str:
+    """Hybrid-retrieval oracle: re-derive BOTH rankers in DuckDB — the
+    BM25 top-10 relation (queries 0-2) and the exact cosine top-10 —
+    then the reciprocal-rank-fusion combine 1/(60+rank) summed per
+    (query, doc), ranked with the doc_id tie-break."""
+    from ..index.bm25_df import K1, B, _query_term_pairs
+
+    values = ", ".join(
+        f"({qid}, '{t}')" for qid, t in _query_term_pairs() if qid < 3
+    )
+    return f"""
+    WITH q(query_id, term) AS (VALUES {values}),
+    tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    flat AS (
+      SELECT doc_id, len(toks) AS dl, t.term
+      FROM tok, UNNEST(toks) AS t(term)
+    ),
+    tf AS (SELECT term, doc_id, dl, COUNT(*) AS tf FROM flat GROUP BY 1, 2, 3),
+    stats AS (
+      SELECT COUNT(*) AS n, SUM(dl) * 1.0 / COUNT(*) AS avgdl
+      FROM (SELECT doc_id, len(toks) AS dl FROM tok)
+    ),
+    dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             SUM(
+               ln(1.0 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+               * {K1 + 1.0}
+               * (tf.tf / (tf.tf + {K1} * ({1.0 - B} + {B} * tf.dl / stats.avgdl)))
+             ) AS score
+      FROM tf JOIN q USING (term) JOIN dft USING (term), stats
+      GROUP BY 1, 2
+    ),
+    ranked_lex AS (
+      SELECT query_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+      FROM scored
+    ),
+    qv AS (
+      SELECT vec_id AS query_id, embedding AS v FROM embeddings WHERE vec_id < 3
+    ),
+    pairs AS (
+      SELECT qv.query_id, e.vec_id AS doc_id,
+             list_dot_product(e.embedding::DOUBLE[], qv.v::DOUBLE[])
+             / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(qv.v::DOUBLE[], qv.v::DOUBLE[]))) AS cs
+      FROM embeddings e, qv WHERE e.vec_id != qv.query_id
+    ),
+    ranked_knn AS (
+      SELECT query_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cs DESC, doc_id) AS rank
+      FROM pairs
+    ),
+    contrib AS (
+      SELECT query_id, doc_id, 1.0 / (60 + rank) AS c
+      FROM ranked_lex WHERE rank <= 10
+      UNION ALL
+      SELECT query_id, doc_id, 1.0 / (60 + rank)
+      FROM ranked_knn WHERE rank <= 10
+    ),
+    fused AS (
+      SELECT query_id, doc_id, SUM(c) AS rrf_score,
+             COUNT(*) AS n_rankers
+      FROM contrib GROUP BY 1, 2
+    ),
+    final AS (
+      SELECT query_id, doc_id, rrf_score, n_rankers,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY rrf_score DESC, doc_id
+             ) AS fused_rank
+      FROM fused
+    )
+    SELECT query_id, CAST(fused_rank AS INT) AS fused_rank, doc_id,
+           ROUND(rrf_score, 6) AS rrf_score,
+           CAST(n_rankers AS BIGINT) AS n_rankers
+    FROM final WHERE fused_rank <= 10
+    """
+
+
+@_reg("hybrid_rrf_search", _hybrid_rrf_sql())
+def hybrid_rrf_q(spark, sf_dir):
+    """Hybrid retrieval (BM25 lexical x exact-cosine dense) fused by
+    Reciprocal Rank Fusion — the ES 8.x `rrf` retriever and the standard
+    production hybrid combine, ORACLE-CHECKED: both rankers' top-10
+    lists re-derive independently in DuckDB, the fusion is pure rank
+    arithmetic (1/(60+rank) summed), so scores match bitwise. Fusion
+    cost scales with rankers x k per query — never with corpus size."""
+    from ..index.bm25_df import bm25_topk_df
+
+    lex = (
+        bm25_topk_df(spark, sf_dir)
+        .filter(F.col("query_id") < 3)
+        .select("query_id", "doc_id", "rank")
+    )
+    e = _t(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    dense = similarity.knn_bruteforce(e, qv, k=10).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    fused = similarity.rrf_fuse(
+        [lex, dense], ["query_id", "doc_id"], k=10, per=["query_id"]
+    )
+    return fused.select(
+        "query_id",
+        F.col("fused_rank").cast("int").alias("fused_rank"),
+        "doc_id",
+        F.round("rrf_score", 6).alias("rrf_score"),
+        "n_rankers",
+    )
+
+
 _GEO_POINT = (37.77, -122.42)
 _GEO_KM = 6000.0
 
@@ -3539,6 +3656,11 @@ _ROWS_ONLY_TAIL = [
     # equivalence pytest vs the oracle-checked typed surfaces in
     # test_query_string).
     "query_string_index_search",
+    # hybrid_rrf_search: round-4 late addition (BM25 x kNN fused by
+    # reciprocal rank fusion, the ES 8.x rrf retriever) — same overflow
+    # posture (bitwise rank-arithmetic oracle registered; pytest in
+    # test_hybrid).
+    "hybrid_rrf_search",
     # oracle entries whose SURVEY operator has ANOTHER green oracle entry
     # (duplicate evidence — cheapest oracle rows to lose) go right before
     # the rows-only tail: q3/q5 also cover B3 inner joins; q1/q4/q6 also
