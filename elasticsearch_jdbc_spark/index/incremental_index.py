@@ -2206,6 +2206,54 @@ class IncrementalIndexReader:
         segment — the analyzer is an index-wide contract)."""
         return self.readers[self.segments[0]].query_terms(query)
 
+    def top_hits_df(
+        self,
+        query: str,
+        by: str,
+        n_buckets: int = 10,
+        size: int = 3,
+        min_should_match: int = 1,
+        boosts: dict[str, float] | None = None,
+        filter_sql: str | None = None,
+    ) -> DataFrame:
+        """ES top_hits sub-aggregation over the LIVE index: the largest
+        live terms buckets, each with its top hits — bucket counts and
+        hit candidacy both computed after the tombstone anti-join, so
+        upserts count and rank as their newest version. Same scale shape
+        as IndexReader.top_hits_df; per-hit tie-breaks add segment
+        recency before doc_id. Returns (by, bucket_count, hit_rank,
+        segment, doc_id, score)."""
+        docs = self.live_docs()
+        if by not in docs.columns or by in ("doc_id", "segment"):
+            raise ValueError(
+                f"unknown bucket column {by!r}; docs table has "
+                f"{[c for c in docs.columns if c not in ('doc_id', 'segment')]}"
+            )
+        j = self.match_df(
+            query, min_should_match=min_should_match, boosts=boosts,
+            filter_sql=filter_sql,
+        ).join(docs.select("segment", "doc_id", by), ["segment", "doc_id"])
+        winners = (
+            j.groupBy(by)
+            .agg(F.count("*").alias("bucket_count"))
+            .orderBy(F.desc("bucket_count"), F.asc(by))
+            .limit(n_buckets)
+            .select(F.col(by).alias("_g"), "bucket_count")
+        )
+        inner = j.join(F.broadcast(winners), j[by].eqNullSafe(winners["_g"])).drop(
+            "_g"
+        )
+        seg_rank = self._rank_map()[F.col("segment")]
+        w = Window.partitionBy(by).orderBy(
+            F.desc("score"), F.desc(seg_rank), F.asc("doc_id")
+        )
+        return (
+            inner.withColumn("hit_rank", F.row_number().over(w))
+            .filter(F.col("hit_rank") <= size)
+            .orderBy(F.desc("bucket_count"), F.asc(by), F.asc("hit_rank"))
+            .select(by, "bucket_count", "hit_rank", "segment", "doc_id", "score")
+        )
+
     def _qs_expand_wildcard(self, pattern: str, limit: int) -> list[str]:
         """Cross-segment wildcard expansion for the query_string compiler:
         the union of every live segment's dictionary enum, capped

@@ -3754,6 +3754,57 @@ class IndexReader:
             .select(field, "doc_id", "score", "hit_rank")
         )
 
+    def top_hits_df(
+        self,
+        query: str,
+        by: str,
+        n_buckets: int = 10,
+        size: int = 3,
+        min_should_match: int = 1,
+        boosts: dict[str, float] | None = None,
+        filter_sql: str | None = None,
+    ) -> DataFrame:
+        """ES top_hits sub-aggregation: the `n_buckets` largest terms
+        buckets of `by` (doc count desc, value asc — the ES terms-agg
+        order), each carrying its top `size` hits by relevance. The
+        drill-down shape ("top 3 docs per language") a terms facet alone
+        can't answer.
+
+        Plan: bucket sizes from one map-side-combinable groupBy over the
+        unranked match set (never a window over the corpus), ONE
+        TakeOrdered(n_buckets) picks the winners, winners broadcast back
+        against the decorated match set, and the per-hit row_number
+        window runs over <= n_buckets buckets' rows. Returns
+        (by, bucket_count, hit_rank, doc_id, score) ordered (bucket
+        count desc, value asc, hit_rank)."""
+        docs = self.spark.read.parquet(os.path.join(self.index_dir, "docs"))
+        if by not in docs.columns or by == "doc_id":
+            raise ValueError(
+                f"unknown bucket column {by!r}; docs table has "
+                f"{[c for c in docs.columns if c != 'doc_id']}"
+            )
+        j = self.match_df(
+            query, min_should_match=min_should_match, boosts=boosts,
+            filter_sql=filter_sql,
+        ).join(docs.select("doc_id", by), "doc_id")
+        winners = (
+            j.groupBy(by)
+            .agg(F.count("*").alias("bucket_count"))
+            .orderBy(F.desc("bucket_count"), F.asc(by))
+            .limit(n_buckets)
+            .select(F.col(by).alias("_g"), "bucket_count")
+        )
+        inner = j.join(F.broadcast(winners), j[by].eqNullSafe(winners["_g"])).drop(
+            "_g"
+        )
+        w = Window.partitionBy(by).orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            inner.withColumn("hit_rank", F.row_number().over(w))
+            .filter(F.col("hit_rank") <= size)
+            .orderBy(F.desc("bucket_count"), F.asc(by), F.asc("hit_rank"))
+            .select(by, "bucket_count", "hit_rank", "doc_id", "score")
+        )
+
     def _qs_expand_wildcard(self, pattern: str, limit: int) -> list[str]:
         """Wildcard expansion for the query_string compiler — namespaced
         per field on a multi-field corpus so the group matches in any

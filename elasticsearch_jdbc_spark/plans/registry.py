@@ -2127,6 +2127,95 @@ def query_string_index_q(spark, sf_dir):
     )
 
 
+def _top_hits_sql() -> str:
+    """top_hits oracle: query 0's match set bucketed by lang, the 3
+    largest buckets (count desc, value asc — ES terms order) each with
+    its top-3 hits; in-bucket tie-breaks mirror the engine's internal
+    (source, path-string) id order."""
+    from ..index.bm25_df import K1, B, _query_term_pairs
+
+    values = ", ".join(
+        f"('{t}')" for qid, t in _query_term_pairs() if qid == 0
+    )
+    return f"""
+    WITH q(term) AS (VALUES {values}),
+    tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    flat AS (
+      SELECT doc_id, len(toks) AS dl, t.term
+      FROM tok, UNNEST(toks) AS t(term)
+    ),
+    tf AS (SELECT term, doc_id, dl, COUNT(*) AS tf FROM flat GROUP BY 1, 2, 3),
+    stats AS (
+      SELECT COUNT(*) AS n, SUM(dl) * 1.0 / COUNT(*) AS avgdl
+      FROM (SELECT doc_id, len(toks) AS dl FROM tok)
+    ),
+    dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM(
+               ln(1.0 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+               * {K1 + 1.0}
+               * (tf.tf / (tf.tf + {K1} * ({1.0 - B} + {B} * tf.dl / stats.avgdl)))
+             ) AS score
+      FROM tf JOIN q USING (term) JOIN dft USING (term), stats
+      GROUP BY 1
+    ),
+    dec AS (
+      SELECT s.doc_id, s.score, d.lang, d.source,
+             concat('doc/', CAST(s.doc_id AS VARCHAR), '.txt') AS pathstr
+      FROM scored s JOIN documents d USING (doc_id)
+    ),
+    counts AS (
+      SELECT lang, COUNT(*) AS bucket_count FROM dec GROUP BY lang
+    ),
+    winners AS (
+      SELECT lang, bucket_count,
+             ROW_NUMBER() OVER (ORDER BY bucket_count DESC, lang) AS brank
+      FROM counts
+    ),
+    hits AS (
+      SELECT d.lang, w.bucket_count, d.doc_id, d.score,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.lang ORDER BY d.score DESC, d.source, d.pathstr
+             ) AS hit_rank
+      FROM dec d JOIN winners w USING (lang) WHERE w.brank <= 3
+    )
+    SELECT lang, CAST(bucket_count AS BIGINT) AS bucket_count,
+           CAST(hit_rank AS INT) AS hit_rank, doc_id, ROUND(score, 4) AS score
+    FROM hits WHERE hit_rank <= 3
+    """
+
+
+@_reg("top_hits_index_search", _top_hits_sql())
+def top_hits_index_q(spark, sf_dir):
+    """ES top_hits sub-aggregation through the REAL engine,
+    ORACLE-CHECKED: the largest lang buckets of query 0's match set, each
+    with its top-3 hits — bucket sizes from one map-side-combinable
+    groupBy (no corpus-wide window), winners broadcast back, hit windows
+    over <= n_buckets buckets' rows. Tie-breaks coincide with the oracle
+    through the internal (source, path-string) id order."""
+    from ..index import IndexReader
+
+    idx = _registry_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    ids = _index_docid_map(spark, idx)
+    out = reader.top_hits_df(REFERENCE_QUERIES[0][1], "lang", n_buckets=3, size=3)
+    return (
+        out.join(ids, "doc_id")
+        .select(
+            "lang",
+            "bucket_count",
+            "hit_rank",
+            F.col("documents_doc_id").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+    )
+
+
 def _hybrid_rrf_sql() -> str:
     """Hybrid-retrieval oracle: re-derive BOTH rankers in DuckDB — the
     BM25 top-10 relation (queries 0-2) and the exact cosine top-10 —
@@ -3661,6 +3750,10 @@ _ROWS_ONLY_TAIL = [
     # posture (bitwise rank-arithmetic oracle registered; pytest in
     # test_hybrid).
     "hybrid_rrf_search",
+    # top_hits_index_search: round-4 late addition (per-bucket top hits
+    # drill-down) — same overflow posture (oracle SQL registered; brute
+    # pytest in test_top_hits).
+    "top_hits_index_search",
     # oracle entries whose SURVEY operator has ANOTHER green oracle entry
     # (duplicate evidence — cheapest oracle rows to lose) go right before
     # the rows-only tail: q3/q5 also cover B3 inner joins; q1/q4/q6 also
