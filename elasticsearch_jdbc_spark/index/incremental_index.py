@@ -942,6 +942,34 @@ class IncrementalIndexReader:
             search_after=search_after, filter_sql=filter_sql,
         )
 
+    def search_regexp_df(
+        self,
+        pattern: str,
+        k: int | None = 10,
+        limit: int = 128,
+        search_after: tuple[float, str, int] | None = None,
+        filter_sql: str | None = None,
+    ) -> DataFrame:
+        """Distributed ES regexp query over the LIVE index (anchored
+        whole-term match): the pattern expands against EVERY segment's
+        dictionary (unioned, lexicographically capped — identical
+        expansion to a compacted index), scoring through search_terms_df
+        with tombstones masked."""
+        expanded = sorted(
+            {
+                t
+                for s in self.segments
+                for t in self.readers[s].expand_regexp(pattern, limit)
+            }
+        )[:limit]
+        if not expanded:
+            return self.spark.createDataFrame(
+                [], "segment string, doc_id long, score double"
+            )
+        return self.search_terms_df(
+            expanded, k, search_after=search_after, filter_sql=filter_sql,
+        )
+
     def suggest_df(
         self,
         text: str,

@@ -2756,6 +2756,64 @@ class IndexReader:
             x for x in t.column("term").to_pylist() if rx.match(x)
         )[:limit]
 
+    _REGEXP_META = set(".?*+()[]{}|\\^$")
+
+    def expand_regexp(self, pattern: str, limit: int = 128) -> list[str]:
+        """Indexed terms whose ENTIRE text matches `pattern` (anchored, the
+        Lucene RegexpQuery contract), lexicographic order, capped at
+        `limit`. Like Lucene's automaton prefix extraction, the literal
+        run before the first regex metacharacter prunes the dictionary
+        read to a point range — with the last literal char dropped when
+        the stopping metachar is a quantifier (`colou?r` -> prefix
+        `colo`, since the `?` makes `u` optional). A pattern with no
+        literal prefix pays the full dictionary scan, as Lucene warns for
+        leading-wildcard automata. Terms are stored lowercase; patterns
+        should target lowercase text."""
+        import pyarrow.dataset as ds
+
+        i = next(
+            (j for j, c in enumerate(pattern) if c in self._REGEXP_META),
+            len(pattern),
+        )
+        if i < len(pattern) and pattern[i] in "?*+{":
+            i = max(0, i - 1)  # the quantifier binds the previous literal
+        lit = pattern[:i]
+        flt = None
+        if lit:
+            hi = lit[:-1] + chr(ord(lit[-1]) + 1)
+            flt = (ds.field("term") >= lit) & (ds.field("term") < hi)
+        t = ds.dataset(
+            os.path.join(self.index_dir, "terms"), format="parquet"
+        ).to_table(filter=flt, columns=["term"])
+        rx = re.compile(pattern)
+        return sorted(
+            x for x in t.column("term").to_pylist() if rx.fullmatch(x)
+        )[:limit]
+
+    def search_regexp_df(
+        self,
+        pattern: str,
+        k: int | None = 10,
+        limit: int = 128,
+        search_after: tuple[float, int] | None = None,
+        filter_sql: str | None = None,
+    ) -> DataFrame:
+        """Distributed ES regexp query (anchored whole-term match,
+        scoring_boolean rewrite like the wildcard/prefix/fuzzy twins): the
+        pattern expands against the term dictionary via expand_regexp
+        (literal-prefix-pruned enum) and scoring fans out through
+        search_terms_df — each expanded term with its own idf, postings
+        filter pushed to parquet. The reference delegates this to ES's
+        regexp query (its indexes are served by stock ES query APIs); this
+        is the engine-native equivalent. k=None returns the unranked
+        match set."""
+        expanded = self.expand_regexp(pattern, limit)
+        if not expanded:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        return self.search_terms_df(
+            expanded, k, search_after=search_after, filter_sql=filter_sql,
+        )
+
     def search_wildcard_df(
         self,
         pattern: str,

@@ -2757,6 +2757,98 @@ def wildcard_index_q(spark, sf_dir):
     )
 
 
+_REGEXP_CASES = [(0, "fa.*t"), (1, "qu(ery|ick)"), (2, "s[lh]ow"), (3, "dataset?s?")]
+
+
+def _regexp_sql() -> str:
+    """Regexp-query oracle (scoring_boolean rewrite): each pattern expands
+    to every corpus term whose WHOLE text matches (DuckDB
+    regexp_full_match == the engine's re.fullmatch == Lucene's anchored
+    RegexpQuery), lexicographic, capped at 128; each expanded term scores
+    with its own idf."""
+    from ..index.bm25_df import B, K1, TOP_K
+
+    values = ", ".join(f"({qid}, '{pat}')" for qid, pat in _REGEXP_CASES)
+    return f"""
+    WITH w(query_id, pat) AS (VALUES {values}),
+    tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    flat AS (
+      SELECT doc_id, len(toks) AS dl, t.term
+      FROM tok, UNNEST(toks) AS t(term)
+    ),
+    tf AS (
+      SELECT term, doc_id, dl, COUNT(*) AS tf FROM flat GROUP BY 1, 2, 3
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n, SUM(dl) * 1.0 / COUNT(*) AS avgdl
+      FROM (SELECT doc_id, len(toks) AS dl FROM tok)
+    ),
+    dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    exp AS (
+      SELECT query_id, term FROM (
+        SELECT w.query_id, d.term,
+               ROW_NUMBER() OVER (PARTITION BY w.query_id ORDER BY d.term) AS rn
+        FROM (SELECT DISTINCT term FROM tf) d
+        JOIN w ON regexp_full_match(d.term, w.pat)
+      ) WHERE rn <= 128
+    ),
+    scored AS (
+      SELECT e.query_id, tf.doc_id,
+             SUM(
+               ln(1.0 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+               * {K1 + 1.0}
+               * (tf.tf / (tf.tf + {K1} * ({1.0 - B} + {B} * tf.dl / stats.avgdl)))
+             ) AS score
+      FROM tf JOIN exp e USING (term) JOIN dft USING (term), stats
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, doc_id, ROUND(score, 4) AS score
+    FROM ranked WHERE rank <= {TOP_K}
+    """
+
+
+@_reg("regexp_index_search", _regexp_sql())
+def regexp_index_q(spark, sf_dir):
+    """ES regexp query through the REAL engine's DISTRIBUTED path,
+    ORACLE-CHECKED: search_regexp_df expands each anchored pattern via the
+    term dictionary (literal-prefix-pruned enum, automaton-style) and fans
+    scoring out through search_terms_df. Case 3 (`dataset?s?`) exercises
+    the quantifier-aware prefix cut. k=None unranked; top-10 cut after
+    the id mapping, matching the oracle tie-break."""
+    from ..index import IndexReader
+
+    idx = _registry_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    ids = _index_docid_map(spark, idx)
+    out = None
+    for qid, pat in _REGEXP_CASES:
+        hits = reader.search_regexp_df(pat, k=None).withColumn(
+            "query_id", F.lit(qid)
+        )
+        out = hits if out is None else out.unionByName(hits)
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("documents_doc_id"))
+    return (
+        out.join(ids, "doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "rank",
+            F.col("documents_doc_id").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+    )
+
+
 _SUGGEST_TEXT = "scal rwo jion bat"
 
 

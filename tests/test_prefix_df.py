@@ -121,3 +121,38 @@ def test_incremental_rank_identity(spark, idx):
     for (_, _, ds), (_, _, gs) in zip(driver, dist):
         assert gs == pytest.approx(ds, rel=1e-9)
     assert any(s for s, _d, _s in dist)  # delta docs reachable
+
+def test_expand_regexp_matches_fullmatch(spark, idx):
+    import os
+    import re
+
+    import pyarrow.dataset as ds
+
+    r = IndexReader(spark, idx)
+    vocab = (
+        ds.dataset(os.path.join(idx, "terms"), format="parquet")
+        .to_table(columns=["term"])
+        .column("term")
+        .to_pylist()
+    )
+    # quantifier cases exercise the prefix cut dropping the bound literal
+    for pat in ("mer.*", ".*ge", "s[ei]g.*", "m[ae]rge", "merges?", "zzq.*"):
+        got = r.expand_regexp(pat, limit=100000)
+        want = sorted(t for t in vocab if re.fullmatch(pat, t))
+        assert got == want, pat
+
+
+def test_regexp_df_both_readers(spark, idx):
+    r = IndexReader(spark, idx)
+    hits = r.search_regexp_df("mer.*", k=None).collect()
+    exp = set(r.expand_regexp("mer.*", 1000))
+    manual = {row["doc_id"] for row in r.search_terms_df(sorted(exp), k=None).collect()}
+    assert {row["doc_id"] for row in hits} == manual and hits
+    # anchored: "erg" alone must NOT match "merge"
+    assert r.expand_regexp("erg", limit=100) == []
+    assert r.search_regexp_df("zzq.*", k=5).count() == 0
+    ri = IncrementalIndexReader(spark, idx)
+    live = ri.search_regexp_df("mer.*", k=12).collect()
+    assert live and any(row["segment"] for row in live)
+    # regexp expansion must agree with the wildcard twin on the same shape
+    assert set(r.expand_regexp("mer.*", 1000)) == set(r.expand_wildcard("mer*", 1000))
