@@ -746,3 +746,141 @@ def paragraph_dedup(
             ),
         )
     )
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring dedup spans (the Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better" pass, re-expressed for
+    Spark): find every maximal token region covered by word `min_len`-grams
+    that occur >= `min_count` times corpus-wide (across OR within
+    documents), i.e. the regions a suffix-array dedup would cut. Returns
+    (id, span_start, span_end, span_tokens, span_text) with token-index
+    half-open spans in the whitespace-lowercase token stream (the shingle
+    family's convention, so gram construction can never diverge from the
+    MinHash/Jaccard surfaces).
+
+    Semantics: a position is duplicated iff some duplicated min_len-gram
+    covers it; maximal spans are the union of the [pos, pos+min_len)
+    intervals — the standard marking used when scrubbing duplicated text
+    (every duplicated substring of length >= min_len is fully covered;
+    the merged span itself is the union, as in the reference
+    implementation's byte-range merging).
+
+    Plan (all JVM, no UDF): tokens -> token_ngrams -> posexplode; gram
+    occurrences counted on sha256(gram) keys (32-byte shuffle keys with
+    map-side combine, never the gram text); duplicated positions come
+    back via a left-semi join against the hot-gram set (tiny relation —
+    AQE broadcasts it); interval union is one lag + running-sum window
+    partitioned by doc. At 100 TB: two narrow shuffles on hashed keys +
+    one doc-partitioned window — no driver materialization anywhere."""
+    from ..functions.text import token_ngrams
+    from pyspark.sql.window import Window
+
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    base = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    grams = base.select(
+        "id",
+        F.posexplode(token_ngrams(F.col("toks"), min_len)).alias("pos", "gram"),
+    ).select("id", "pos", F.sha2("gram", 256).alias("k"))
+    hot = (
+        grams.groupBy("k")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+        .select("k")
+    )
+    dup = grams.join(hot, "k", "left_semi").select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    spans = (
+        dup.withColumn(
+            "brk",
+            F.when(
+                F.col("pos") > F.lag("pos").over(w) + min_len, F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "span_id",
+            F.sum("brk").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("id", "span_id")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + min_len).alias("span_end"),
+        )
+    )
+    return (
+        spans.join(base, "id")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("span_start").cast("int").alias("span_start"),
+            F.col("span_end").cast("int").alias("span_end"),
+            (F.col("span_end") - F.col("span_start"))
+            .cast("int")
+            .alias("span_tokens"),
+            F.array_join(
+                F.slice(
+                    F.col("toks"),
+                    F.col("span_start") + 1,
+                    F.col("span_end") - F.col("span_start"),
+                ),
+                " ",
+            ).alias("span_text"),
+        )
+        .orderBy(id_col, "span_start")
+    )
+
+
+def exact_substring_scrub(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """Remove the exact_substring_spans regions from each document (the
+    cut step of the Lee et al. pass): every token covered by a duplicated
+    span is dropped, survivors rejoin with single spaces. Returns
+    (id, text, n_tokens, n_removed). Docs with no duplicated span pass
+    through with n_removed=0 (text re-normalized to the token stream,
+    the same canonical form the spans index into).
+
+    Plan: spans -> explode to covered token positions (duplicated-span
+    mass only — tiny next to the corpus) -> left-anti against the
+    posexploded token stream -> order-preserving reassembly, mirroring
+    paragraph_dedup's rebuild."""
+    spans = exact_substring_spans(df, id_col, text_col, min_len, min_count)
+    covered = spans.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.sequence(F.col("span_start"), F.col("span_end") - 1)
+        ).alias("pos"),
+    ).distinct()
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    stream = df.select(F.col(id_col).alias("id"), toks.alias("toks")).select(
+        "id", F.posexplode("toks").alias("pos", "tok")
+    )
+    kept = stream.join(covered, ["id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("_text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = stream.groupBy("id").agg(F.count("*").alias("n_tokens"))
+    return totals.join(rebuilt, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("_text", F.lit("")).alias(text_col),
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+    )

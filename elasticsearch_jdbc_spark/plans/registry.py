@@ -3794,6 +3794,63 @@ def boosting_index_q(spark, sf_dir):
     )
 
 
+def _substr_dedup_sql() -> str:
+    """Exact-substring-dedup oracle: the identical k-gram/interval-union
+    derivation in DuckDB — whitespace-lowercase tokens, 10-gram positions,
+    grams occurring >=2 times corpus-wide, LAG/SUM-window island merge of
+    the [pos, pos+10) covers, span text sliced from the token stream."""
+    return """
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, CAST(u.i AS INT) AS pos,
+             array_to_string(toks[u.i + 1 : u.i + 10], ' ') AS gram
+      FROM tok, UNNEST(range(0, len(toks) - 10 + 1)) AS u(i)
+    ),
+    hot AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2),
+    dup AS (SELECT doc_id, pos FROM grams JOIN hot USING (gram)),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > LAG(pos) OVER w + 10 THEN 1 ELSE 0 END AS brk
+      FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    sp AS (
+      SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+      FROM isl
+    ),
+    agg AS (
+      SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 10 AS span_end
+      FROM sp GROUP BY doc_id, span_id
+    )
+    SELECT a.doc_id,
+           CAST(a.span_start AS INT) AS span_start,
+           CAST(a.span_end AS INT) AS span_end,
+           CAST(a.span_end - a.span_start AS INT) AS span_tokens,
+           array_to_string(t.toks[a.span_start + 1 : a.span_end], ' ') AS span_text
+    FROM agg a JOIN tok t USING (doc_id)
+    ORDER BY a.doc_id, a.span_start
+    """
+
+
+@_reg("pipeline_substring_dedup", _substr_dedup_sql())
+def pipeline_substring_dedup_q(spark, sf_dir):
+    """Exact-substring dedup (the Lee et al. 2022 suffix-array pass,
+    re-expressed as k-gram interval union), ORACLE-CHECKED byte-exact
+    including the recovered span text: every maximal token region covered
+    by word 10-grams occurring >=2 times corpus-wide — the regions a
+    suffix-array dedup would cut. All JVM (token_ngrams/posexplode/sha256
+    count/left-semi/lag+sum window), no UDF; the DuckDB oracle re-derives
+    the identical relation from the raw text."""
+    from ..operators.dedup import exact_substring_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return exact_substring_spans(d, min_len=10, min_count=2)
+
+
 # =====================================================================
 # Driver-row ordering
 # =====================================================================

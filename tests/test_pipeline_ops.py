@@ -270,3 +270,88 @@ def test_url_dedup_groups(spark):
         "https://b.com/y?p=1&q=2": (8, 2),
         "https://c.com/z": (7, 1),
     }
+
+
+def _brute_spans(texts: dict[int, str], k: int, min_count: int = 2):
+    """Reference implementation: mark every position covered by a k-gram
+    occurring >= min_count times corpus-wide, union intervals per doc."""
+    toks = {i: [t for t in re.split(r"\s+", s.lower()) if t] for i, s in texts.items()}
+    from collections import Counter
+
+    counts = Counter(
+        " ".join(ts[p : p + k])
+        for ts in toks.values()
+        for p in range(len(ts) - k + 1)
+    )
+    spans = {}
+    for i, ts in toks.items():
+        ivs = [
+            (p, p + k)
+            for p in range(len(ts) - k + 1)
+            if counts[" ".join(ts[p : p + k])] >= min_count
+        ]
+        merged = []
+        for lo, hi in ivs:
+            if merged and lo <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], hi))
+            else:
+                merged.append((lo, hi))
+        for lo, hi in merged:
+            spans[(i, lo)] = (hi, " ".join(toks[i][lo:hi]))
+    return spans
+
+
+def test_exact_substring_spans_bruteforce(spark):
+    from elasticsearch_jdbc_spark.operators.dedup import exact_substring_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    texts = {
+        0: f"intro words here {shared} tail zero unique",
+        1: f"other opening {shared} closing one follows now",
+        # within-doc repetition also counts as duplication
+        2: "x1 x2 x3 x4 x5 pad x1 x2 x3 x4 x5 end",
+        3: "totally unrelated content with no duplicated grams at all kept",
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["span_start"]): (r["span_end"], r["span_text"])
+        for r in exact_substring_spans(df, min_len=5, min_count=2).collect()
+    }
+    assert got == _brute_spans(texts, k=5)
+    # doc 3 has no duplicated 5-gram
+    assert not any(i == 3 for i, _ in got)
+    # doc 2's self-repeat is caught
+    assert any(i == 2 for i, _ in got)
+
+
+def test_exact_substring_scrub(spark):
+    from elasticsearch_jdbc_spark.operators.dedup import (
+        exact_substring_scrub,
+        exact_substring_spans,
+    )
+
+    shared = "one two three four five six"
+    texts = {
+        0: f"head {shared} tail0",
+        1: f"start0 {shared} end0 extra",
+        2: "clean document nothing shared here at all",
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["text"], r["n_tokens"], r["n_removed"])
+        for r in exact_substring_scrub(df, min_len=6, min_count=2).collect()
+    }
+    assert out[0] == ("head tail0", 8, 6)
+    assert out[1] == ("start0 end0 extra", 9, 6)
+    assert out[2] == ("clean document nothing shared here at all", 7, 0)
+    # scrub removes exactly the span mass reported by spans
+    spans = exact_substring_spans(df, min_len=6, min_count=2).collect()
+    per_doc = {}
+    for r in spans:
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + r["span_tokens"]
+    for i, (_t, _n, removed) in out.items():
+        assert removed == per_doc.get(i, 0)
