@@ -9,13 +9,18 @@ from .alias import (
     resolve_index_name,
 )
 from .build import IndexBuilder
-from .incremental_index import IncrementalIndexReader, apply_incremental
+from .incremental_index import (
+    IncrementalIndexReader,
+    PointInTimeReader,
+    apply_incremental,
+)
 from .query import IndexReader
 
 __all__ = [
     "IndexBuilder",
     "IndexReader",
     "IncrementalIndexReader",
+    "PointInTimeReader",
     "apply_incremental",
     "alias_target",
     "compact_to_generation",

@@ -198,6 +198,10 @@ class IncrementalIndexReader:
     global stats. Each segment keeps its own dense doc_ids; results are
     (segment, doc_id, *keys, score)."""
 
+    # PointInTimeReader flips this: the first tombstone-dir listing is
+    # cached, freezing the visible delete set at open (ES PIT semantics)
+    _pin_tombstones = False
+
     def __init__(self, spark: SparkSession, index_dir: str, fs=None):
         self.spark = spark
         self.index_dir = index_dir
@@ -219,11 +223,43 @@ class IncrementalIndexReader:
         # driver-side sets load lazily via the _tombs property only for the
         # driver search paths
         self._tombs_cache: dict[str, set[int]] | None = None
+        self._tomb_dirs_cache: list[str] | None = None
         tomb_n, tomb_dl = self._tomb_stats()
         raw_n = sum(r.n_docs for r in self.readers.values())
         raw_dl = sum(r.n_docs * r.avgdl for r in self.readers.values())
         self.n_docs = raw_n - tomb_n
         self.avgdl = (raw_dl - tomb_dl) / self.n_docs if self.n_docs else 0.0
+
+    def _tomb_sources(self) -> list[str]:
+        """Tombstone batch dirs this reader masks with. The base reader
+        re-lists the directory at every call — ES default visibility,
+        where a delete is visible to the NEXT search; PointInTimeReader
+        caches the first listing, freezing the delete set at open so
+        deep pagination never sees a page shift mid-scroll."""
+        if self._pin_tombstones and self._tomb_dirs_cache is not None:
+            return self._tomb_dirs_cache
+        tdir = os.path.join(self.index_dir, "tombstones")
+        dirs: list[str] = []
+        if self.fs.isdir(tdir):
+            dirs = sorted(
+                os.path.join(tdir, d)
+                for d in self.fs.listdir(tdir)
+                if self.fs.isdir(os.path.join(tdir, d))
+            )
+        if self._pin_tombstones:
+            self._tomb_dirs_cache = dirs
+        return dirs
+
+    def _tomb_files(self) -> list[str]:
+        """Parquet files under the visible tombstone batch dirs (pyarrow
+        dataset sources — a list of files, so the PIT snapshot and the
+        live listing route through the same scan code)."""
+        return [
+            os.path.join(d, f)
+            for d in self._tomb_sources()
+            for f in self.fs.listdir(d)
+            if f.endswith(".parquet")
+        ]
 
     def _tomb_stats(self) -> tuple[int, int]:
         """(masked docs, masked token mass) across live segments.
@@ -240,20 +276,20 @@ class IncrementalIndexReader:
         (continuous-ingest tombstone volume outgrows a driver table long
         before compaction kicks in only if compaction is misconfigured, but
         the reader must not be the thing that falls over)."""
-        tdir = os.path.join(self.index_dir, "tombstones")
-        if not self.fs.isdir(tdir):
+        files = self._tomb_files()
+        if not files:
             return 0, 0
         import pyarrow.compute as pc
         import pyarrow.dataset as ds
 
-        dset = ds.dataset(tdir, format="parquet")
+        dset = ds.dataset(files, format="parquet")
         flt = ds.field("segment").isin(self.segments)
         n_rows = dset.count_rows(filter=flt)
         if n_rows == 0:
             return 0, 0
         if n_rows > 20_000_000:
             row = (
-                self.spark.read.parquet(tdir)
+                self.spark.read.parquet(*self._tomb_sources())
                 .filter(F.col("segment").isin(self.segments))
                 .groupBy("segment", "doc_id")
                 .agg(F.max("dl").alias("dl"))
@@ -275,19 +311,19 @@ class IncrementalIndexReader:
         group_by, no driver-side per-row materialization; above
         TOMB_DRIVER_LIMIT rows the dedup+count runs as a Spark job (the
         result dict stays one small row per segment either way)."""
-        tdir = os.path.join(self.index_dir, "tombstones")
-        if not self.fs.isdir(tdir):
+        files = self._tomb_files()
+        if not files:
             return {}
         import pyarrow.dataset as ds
 
-        dset = ds.dataset(tdir, format="parquet")
+        dset = ds.dataset(files, format="parquet")
         flt = ds.field("segment").isin(self.segments)
         n_rows = dset.count_rows(filter=flt)
         if n_rows == 0:
             return {}
         if n_rows > self.TOMB_DRIVER_LIMIT:
             rows = (
-                self.spark.read.parquet(tdir)
+                self.spark.read.parquet(*self._tomb_sources())
                 .filter(F.col("segment").isin(self.segments))
                 .groupBy("segment")
                 .agg(F.count_distinct("doc_id").alias("n"))
@@ -317,11 +353,11 @@ class IncrementalIndexReader:
         distributed *_df twins are the only safe surface — ADVICE r03)."""
         if self._tombs_cache is None:
             tombs: dict[str, set[int]] = {}
-            tdir = os.path.join(self.index_dir, "tombstones")
-            if self.fs.isdir(tdir):
+            files = self._tomb_files()
+            if files:
                 import pyarrow.dataset as ds
 
-                dset = ds.dataset(tdir, format="parquet")
+                dset = ds.dataset(files, format="parquet")
                 flt = ds.field("segment").isin(self.segments)
                 n_rows = dset.count_rows(filter=flt)
                 if n_rows > self.TOMB_DRIVER_LIMIT:
@@ -359,18 +395,11 @@ class IncrementalIndexReader:
         return out
 
     def _tomb_df(self) -> DataFrame | None:
-        tdir = os.path.join(self.index_dir, "tombstones")
-        if not self.fs.isdir(tdir):
-            return None
-        files = [
-            os.path.join(tdir, d)
-            for d in self.fs.listdir(tdir)
-            if self.fs.isdir(os.path.join(tdir, d))
-        ]
-        if not files:
+        dirs = self._tomb_sources()
+        if not dirs:
             return None
         return (
-            self.spark.read.parquet(*files)
+            self.spark.read.parquet(*dirs)
             # stale batches targeting merged-away segments are inert
             .filter(F.col("segment").isin(self.segments))
             .select("segment", "doc_id")
@@ -2605,12 +2634,12 @@ class IncrementalIndexReader:
         """Point tombstone lookup via a pushed-down parquet filter — never
         materializes the tombstone table driver-side (the explain path must
         stay cheap at any tombstone volume)."""
-        tdir = os.path.join(self.index_dir, "tombstones")
-        if not self.fs.isdir(tdir):
+        files = self._tomb_files()
+        if not files:
             return False
         import pyarrow.dataset as ds
 
-        dset = ds.dataset(tdir, format="parquet")
+        dset = ds.dataset(files, format="parquet")
         return (
             dset.count_rows(
                 filter=(ds.field("segment") == segment)
@@ -2927,3 +2956,49 @@ class IncrementalIndexReader:
             if os.path.abspath(d) != os.path.abspath(new_tomb_dir):
                 self.fs.rmtree(d, ignore_errors=True)
         return manifest
+
+    def scroll(self, query: str, page_size: int = 10, **kwargs):
+        """ES scroll / PIT+search_after pagination over the live index: a
+        generator of result-row pages, each page one search_df call with
+        the previous page's (score, segment, doc_id) cursor — deep
+        pagination never materializes page*k rows (the cursor filter cuts
+        BEFORE the top-k, see search_terms_df). kwargs forward to
+        search_df (min_should_match, filter_sql, fields boosts, ...).
+
+        On this reader a delete landing mid-scroll is visible to the next
+        page (ES default visibility); open the index through
+        PointInTimeReader for the frozen-view scroll ES PITs provide."""
+        after = None
+        while True:
+            rows = self.search_df(
+                query, k=page_size, search_after=after, **kwargs
+            ).collect()
+            if not rows:
+                return
+            yield rows
+            if len(rows) < page_size:
+                return
+            last = rows[-1]
+            after = (last["score"], last["segment"], last["doc_id"])
+
+
+class PointInTimeReader(IncrementalIndexReader):
+    """ES point-in-time (PIT) view of a live index: the segment list AND
+    the tombstone batch set are both frozen at open, so every query this
+    reader ever runs — including a scroll() that spans many jobs — sees
+    exactly the documents that were live at open time. Writers are never
+    blocked: apply_incremental / delete_by_query keep landing new deltas
+    and tombstone batches beside the pinned ones, invisible here, exactly
+    like ES where a PIT holds its segment readers while indexing
+    continues. The base IncrementalIndexReader is the `_search`-default
+    view (fresh tombstone listing per query); this is the `?pit=` one.
+
+    Nothing is copied or locked — the pin is just a cached directory
+    listing (segments were already pinned at open by the base
+    constructor), so a PIT costs one metadata read. Dropping it is
+    garbage collection of the Python object, like letting an ES PIT
+    expire. The reference ships rows to ES and relies on its scroll API
+    (JDBCImporter feeds indexes that clients scroll); this is the
+    engine-native equivalent."""
+
+    _pin_tombstones = True

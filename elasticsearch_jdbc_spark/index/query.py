@@ -3404,6 +3404,27 @@ class IndexReader:
             search_after=search_after, filter_sql=filter_sql,
         )
 
+    def scroll(self, query: str, page_size: int = 10, **kwargs):
+        """ES scroll pagination: a generator of result-row pages, each page
+        one search_df call with the previous page's (score, doc_id) cursor
+        — deep pagination never materializes page*k rows (the cursor
+        filter cuts BEFORE the top-k). A built index is immutable, so the
+        view is naturally consistent across pages; on a live index use
+        IncrementalIndexReader.scroll (or PointInTimeReader for the frozen
+        ES-PIT view). kwargs forward to search_df."""
+        after = None
+        while True:
+            rows = self.search_df(
+                query, k=page_size, search_after=after, **kwargs
+            ).collect()
+            if not rows:
+                return
+            yield rows
+            if len(rows) < page_size:
+                return
+            last = rows[-1]
+            after = (last["score"], last["doc_id"])
+
     def match_df(
         self,
         query: str,
