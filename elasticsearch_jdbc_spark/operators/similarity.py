@@ -39,6 +39,7 @@ def knn_bruteforce(
     qvec_col: str = "qvec",
     k: int = 5,
     include_self: bool = False,
+    filter_sql: str | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
@@ -46,7 +47,15 @@ def knn_bruteforce(
     is a broadcast nested loop, embarrassingly parallel over corpus
     partitions; per-query top-k via window row_number. Ties broken by
     ascending corpus id.
+
+    filter_sql is the ES `knn.filter` clause with PRE-filter semantics:
+    the predicate restricts the corpus BEFORE the top-k cut, so the
+    result is the k nearest among matching vectors (never fewer than k
+    because near ones were filtered away). A plain Spark SQL expression
+    over the corpus columns — Catalyst pushes it into the scan.
     """
+    if filter_sql:
+        corpus = corpus.filter(filter_sql)
     q = F.broadcast(queries.select(qid_col, qvec_col))
     joined = corpus.select(id_col, vec_col).crossJoin(q)
     if not include_self:
@@ -163,12 +172,20 @@ def knn_ivf(
     n_centroids: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    filter_sql: str | None = None,
 ) -> DataFrame:
     """IVF approximate nearest neighbors: score only the corpus vectors in
     each query's `n_probe` nearest centroid lists (the FAISS IVF-flat
     shape). Recall rises with n_probe; n_probe = n_centroids degenerates to
     exact search. The probe join is an equi-join on centroid id — at scale
-    this prunes partitions instead of scanning the corpus."""
+    this prunes partitions instead of scanning the corpus.
+
+    filter_sql = ES `knn.filter` PRE-filter: restricts the corpus before
+    centroid training AND assignment, so probing spends its n_probe
+    budget inside the filtered sub-space (filtering after assignment
+    would silently lower recall when the filter is selective)."""
+    if filter_sql:
+        corpus = corpus.filter(filter_sql)
     cents = kmeans_centroids(corpus, vec_col, k=n_centroids, seed=seed, id_col=id_col)
     assigned = ivf_assign(corpus, cents, id_col, vec_col)
 
@@ -288,6 +305,7 @@ def knn_lsh(
     n_tables: int = 1,
     probe_hamming: int = 0,
     seed: int = 42,
+    filter_sql: str | None = None,
 ) -> DataFrame:
     """ANN: score only corpus vectors sharing an LSH bucket with the query
     in ANY of `n_tables` hyperplane tables; with probe_hamming=1 the query
@@ -297,7 +315,13 @@ def knn_lsh(
     bucket) equi-join + pair dedup; the corpus is scanned ONCE and never
     cross-joined — the 100TB path. Recall rises with n_tables/probing;
     on the benchmark fixture (near-orthogonal vectors, worst case for LSH)
-    6 planes x 24 tables x hamming-1 probing reproduces exact top-5."""
+    6 planes x 24 tables x hamming-1 probing reproduces exact top-5.
+
+    filter_sql = ES `knn.filter` PRE-filter: the corpus restricts before
+    bucketing, so candidate generation never pays for vectors the filter
+    would discard and the bucket join returns k matching neighbors."""
+    if filter_sql:
+        corpus = corpus.filter(filter_sql)
     cb = multitable_lsh_buckets(
         corpus.select(id_col, vec_col), vec_col, dim, n_planes, n_tables, seed
     )

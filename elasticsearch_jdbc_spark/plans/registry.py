@@ -763,6 +763,49 @@ def knn_lsh_q(spark, sf_dir):
 
 
 @_reg(
+    "knn_filtered",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3
+    ),
+    pairs AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[])
+             / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))) AS cs
+      FROM embeddings e, q
+      WHERE e.vec_id != q.query_id AND e.label = 1
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cs,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rank
+      FROM pairs
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+           ROUND(cs, 6) AS cos_sim
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def knn_filtered_q(spark, sf_dir):
+    """Filtered kNN — the ES `knn` clause's `filter` with PRE-filter
+    semantics (the k nearest AMONG matching vectors, never fewer than k
+    because near ones were filtered away; knn-search.html#knn-filtered-
+    search). The predicate restricts the corpus before the top-k cut and
+    Catalyst pushes it into the parquet scan; the oracle applies the
+    identical `label = 1` restriction inside its pair CTE, so a
+    post-filter implementation (filter after cut -> short result lists)
+    hash-mismatches."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    out = similarity.knn_bruteforce(e, q, k=5, filter_sql="label = 1")
+    return out.select(
+        "query_id", "rank", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim")
+    )
+
+
+@_reg(
     "text_stats_by_lang",
     """
     SELECT lang,

@@ -91,6 +91,38 @@ def test_knn_lsh_recall_vs_brute(spark, sf_dir):
     assert all(r["rank"] >= 1 for r in approx)
 
 
+def test_knn_filtered_prefilter_semantics(spark, sf_dir):
+    """ES knn.filter = PRE-filter: k nearest AMONG matching vectors —
+    ranks re-pack within the filtered sub-space, not a post-cut filter
+    that leaves holes; every neighbor satisfies the predicate."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    got = similarity.knn_bruteforce(e, q, k=5, filter_sql="label = 1").collect()
+    labels = {r["vec_id"]: r["label"] for r in e.select("vec_id", "label").collect()}
+    assert got and all(labels[r["neighbor_id"]] == 1 for r in got)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    # equivalent to brute force over the pre-filtered corpus
+    want = similarity.knn_bruteforce(e.filter("label = 1"), q, k=5).collect()
+    assert [(r["query_id"], r["rank"], r["neighbor_id"]) for r in got] == [
+        (r["query_id"], r["rank"], r["neighbor_id"]) for r in want
+    ]
+    # and the ANN paths accept the same clause
+    lsh = similarity.knn_lsh(
+        e, q, k=3, n_planes=4, n_tables=8, probe_hamming=1, filter_sql="label = 1"
+    ).collect()
+    assert all(labels[r["neighbor_id"]] == 1 for r in lsh)
+    ivf = similarity.knn_ivf(
+        e, q, k=3, n_centroids=4, n_probe=4, filter_sql="label = 1"
+    ).collect()
+    assert all(labels[r["neighbor_id"]] == 1 for r in ivf)
+
+
 def test_classify_ops(spark):
     t0 = dt.datetime(2024, 6, 1)
     rows = [
