@@ -2736,11 +2736,17 @@ class IncrementalIndexReader:
             results, key=lambda x: (-x[2], -self._seg_rank(x[0]), x[1])
         )[:k]
 
-    def live_tokenized(self, segments: list[str] | None = None) -> DataFrame:
+    def live_tokenized(
+        self,
+        segments: list[str] | None = None,
+        match: DataFrame | None = None,
+    ) -> DataFrame:
         """Live (keys..., lang, sha256, dl, tokens) rows reassembled from
         the given segments' (default: all) tokenized checkpoints + ingest
         offsets — no re-tokenization, the content never has to be
-        re-read."""
+        re-read. `match` (a (segment, doc_id) DataFrame, e.g. match_df's
+        identity columns) restricts the rows via a left-semi join before
+        the identity columns drop — the reindex-by-query substrate."""
         out = None
         for s in (self.segments if segments is None else segments):
             base = os.path.join(self.index_dir, s) if s else self.index_dir
@@ -2760,6 +2766,10 @@ class IncrementalIndexReader:
         tomb = self._tomb_df()
         if tomb is not None:
             out = out.join(tomb, ["segment", "doc_id"], "left_anti")
+        if match is not None:
+            out = out.join(
+                match.select("segment", "doc_id"), ["segment", "doc_id"], "left_semi"
+            )
         return out.drop("segment", "doc_id")
 
     def stats(self) -> dict:
@@ -2885,6 +2895,61 @@ class IncrementalIndexReader:
         )
         b.reset()
         return b.build(self.live_tokenized(), resume=False)
+
+    def reindex_to(
+        self,
+        new_dir: str,
+        query: str | None = None,
+        min_should_match: int = 1,
+        filter_sql: str | None = None,
+        set_exprs: dict[str, str] | None = None,
+        partitions: int | None = None,
+    ) -> dict:
+        """ES `_reindex`: copy the live documents matching `query` (and/or
+        the non-scoring `filter_sql` clause over docs metadata) into a
+        FRESH single-segment index at `new_dir` — splitting a slice of a
+        corpus into its own index (per-language, per-source, per-tenant)
+        without touching the source index, which keeps serving. With no
+        query/filter it degenerates to compact_to (ES reindex-everything).
+
+        `set_exprs` maps metadata column -> Spark SQL expression applied
+        to the copied rows (the reindex `script` analogue); the token
+        stream is checkpointed, so content/tokens cannot be rewritten here
+        — use update_by_query with the source-of-truth DataFrame for that.
+
+        Plan: the UNRANKED match set (match_df — no orderBy/limit, same
+        substrate as delete_by_query) left-semi-restricts the tokenized
+        checkpoints BEFORE the pretokenized rebuild, so the copy is one
+        scan + one index build; nothing re-tokenizes and no global sort
+        appears at any size. The dest inherits the source's index contract
+        (k1/b/block_size/positions/lang_filter/fields). Compose with
+        flip_alias for the blue-green reindex flow
+        (StandardSink.java:351-398)."""
+        match = None
+        if query is not None:
+            match = self.match_df(
+                query, min_should_match=min_should_match, filter_sql=filter_sql
+            )
+        elif filter_sql is not None:
+            match = self.live_docs().filter(filter_sql)
+        rows = self.live_tokenized(match=match)
+        for col, expr in (set_exprs or {}).items():
+            if col in ("tokens", "dl", "sha256"):
+                raise ValueError(
+                    f"reindex_to cannot rewrite {col!r}: the token stream is "
+                    "checkpointed; use update_by_query with the "
+                    "source-of-truth DataFrame to change content"
+                )
+            rows = rows.withColumn(col, F.expr(expr))
+        kwargs = _builder_kwargs_from_manifest(
+            self.readers[self.segments[0]].manifest
+        )
+        b = IndexBuilder(
+            self.spark, new_dir, partitions=partitions,
+            pretokenized=True, fs=self.fs, **kwargs,
+        )
+        b.reset()
+        return b.build(rows, resume=False)
 
     def compact_deltas(
         self, partitions: int | None = None, max_ratio: float = 0.5
