@@ -15,6 +15,7 @@ from .incremental_index import (
     apply_incremental,
 )
 from .query import IndexReader
+from .rank_eval import rank_eval_df, rank_eval_metrics
 
 __all__ = [
     "IndexBuilder",
@@ -29,5 +30,7 @@ __all__ = [
     "generation_dir",
     "list_generations",
     "open_alias",
+    "rank_eval_df",
+    "rank_eval_metrics",
     "resolve_index_name",
 ]

@@ -3184,6 +3184,101 @@ ORACLE_SQL["msearch_index_search"] = BM25_SQL
 
 
 @_reg(
+    "rank_eval_search",
+    f"""
+    WITH run AS ({BM25_SQL}),
+    qids AS (SELECT DISTINCT query_id FROM run),
+    ratings AS (
+      SELECT qids.query_id, d.doc_id,
+             CASE WHEN d.doc_id % 5 = qids.query_id THEN 2
+                  WHEN d.doc_id % 7 = qids.query_id THEN 1
+                  ELSE 0 END AS rating
+      FROM qids, documents d
+      WHERE d.doc_id % 5 = qids.query_id OR d.doc_id % 7 = qids.query_id
+    ),
+    hits AS (
+      SELECT r.query_id, r.rank, COALESCE(rt.rating, 0) AS rating
+      FROM run r LEFT JOIN ratings rt USING (query_id, doc_id)
+    ),
+    per AS (
+      SELECT query_id,
+             COUNT(*) AS retrieved,
+             SUM(CASE WHEN rating >= 1 THEN 1 ELSE 0 END) AS rel,
+             MIN(CASE WHEN rating >= 1 THEN rank END) AS first_rel,
+             SUM((POW(2.0, rating) - 1) / (LN(rank + 1.0) / LN(2.0))) AS dcg
+      FROM hits GROUP BY 1
+    ),
+    ideal AS (
+      SELECT query_id,
+             SUM((POW(2.0, rating) - 1) / (LN(irank + 1.0) / LN(2.0))) AS idcg
+      FROM (
+        SELECT query_id, rating,
+               ROW_NUMBER() OVER (
+                 PARTITION BY query_id ORDER BY rating DESC, doc_id
+               ) AS irank
+        FROM ratings
+      ) WHERE irank <= 10 GROUP BY 1
+    ),
+    tot AS (
+      SELECT query_id, COUNT(*) AS total_relevant
+      FROM ratings WHERE rating >= 1 GROUP BY 1
+    )
+    SELECT per.query_id,
+           ROUND(per.rel * 1.0 / per.retrieved, 6) AS precision,
+           ROUND(per.rel * 1.0 / tot.total_relevant, 6) AS recall,
+           ROUND(COALESCE(1.0 / per.first_rel, 0.0), 6) AS mrr,
+           ROUND(per.dcg, 6) AS dcg,
+           ROUND(per.dcg / ideal.idcg, 6) AS ndcg
+    FROM per JOIN ideal USING (query_id) JOIN tot USING (query_id)
+    """,
+)
+def rank_eval_q(spark, sf_dir):
+    """ES `_rank_eval` through the REAL engine, ORACLE-CHECKED: the
+    reference query set runs as ONE msearch job, internal doc ids map to
+    documents.doc_id, and the metric layer (precision/recall/MRR/DCG/
+    NDCG @10) computes over the queries x k relation. Judgments are
+    derived arithmetically from doc_id (rating 2 on doc_id%5=qid, 1 on
+    doc_id%7=qid) so BOTH engines construct the identical ratings table
+    independently; the DuckDB side re-derives the ranked run from raw
+    text via BM25_SQL, so a rank, tie-break, or metric-formula deviation
+    anywhere in the chain hash-mismatches (rank-eval.html)."""
+    from ..index import IndexReader
+    from ..index.rank_eval import rank_eval_metrics
+
+    idx = _registry_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    ids = _index_docid_map(spark, idx)
+    run = (
+        reader.msearch_df([q for _, q in REFERENCE_QUERIES], k=None)
+        .join(ids, "doc_id")
+        .select("query_id", F.col("documents_doc_id").alias("doc_id"), "score")
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    qids = spark.createDataFrame(
+        [(qid,) for qid, _ in REFERENCE_QUERIES], "query_id int"
+    )
+    ratings = (
+        docs.crossJoin(F.broadcast(qids))
+        .withColumn(
+            "rating",
+            F.when(F.col("doc_id") % 5 == F.col("query_id"), 2)
+            .when(F.col("doc_id") % 7 == F.col("query_id"), 1)
+            .otherwise(0),
+        )
+        .filter(F.col("rating") > 0)
+    )
+    out = rank_eval_metrics(run, ratings, k=10)
+    return out.select(
+        "query_id",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("mrr", 6).alias("mrr"),
+        F.round("dcg", 6).alias("dcg"),
+        F.round("ndcg", 6).alias("ndcg"),
+    )
+
+
+@_reg(
     "sample_split_docs",
     """
     WITH s AS (
