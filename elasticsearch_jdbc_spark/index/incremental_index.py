@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 from .build import IndexBuilder
 from .codec import bm25_idf
-from .query import IndexReader, _bucket_agg
+from .query import IndexReader, _bucket_agg, _normalize_synonyms
 from .storage import LocalFS
 
 
@@ -1137,6 +1137,52 @@ class IncrementalIndexReader:
         expanded, weights, groups = self._fuzzy_expansion(
             query, limit, fuzziness, boosts
         )
+        if not expanded:
+            return self.spark.createDataFrame(
+                [], "segment string, doc_id long, score double"
+            )
+        return self.search_terms_df(
+            expanded, k, weights if self.fields else None,
+            min_match=min_should_match, groups=groups,
+            search_after=search_after, filter_sql=filter_sql,
+        )
+
+    def search_synonyms_df(
+        self,
+        query: str,
+        synonyms: dict[str, list[str]],
+        k: int | None = 10,
+        boosts: dict[str, float] | None = None,
+        min_should_match: int = 1,
+        search_after: tuple[float, str, int] | None = None,
+        filter_sql: str | None = None,
+    ) -> DataFrame:
+        """Query-time synonym expansion over the LIVE index — the
+        IndexReader.search_synonyms_df twin: each token's OR-group (itself
+        + analyzer-normalized synonyms, per-field namespaced on a fields
+        corpus) scores through search_terms_df with global cross-segment
+        stats, tombstones masked. Rank-identical to compact-then-query."""
+        boosts = self._field_boosts(boosts)
+        field_w = boosts if boosts else {None: 1.0}
+        syn = _normalize_synonyms(synonyms)
+        r0 = self.readers[self.segments[0]]
+        expanded: list[str] = []
+        weights: dict[str, float] = {}
+        groups: list[list[str]] = []
+        for tok in r0.query_terms(query):
+            variants = [tok]
+            for v in syn.get(tok, ()):
+                if v not in variants:
+                    variants.append(v)
+            g: list[str] = []
+            for fld, w in field_w.items():
+                for v in variants:
+                    t = (fld + "\x1f" + v) if fld else v
+                    if t not in weights:
+                        weights[t] = float(w)
+                        expanded.append(t)
+                    g.append(t)
+            groups.append(g)
         if not expanded:
             return self.spark.createDataFrame(
                 [], "segment string, doc_id long, score double"

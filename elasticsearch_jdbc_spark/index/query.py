@@ -145,6 +145,36 @@ _PCT_OP = re.compile(r"^p(\d{1,2}(?:\.\d+)?)$")
 _IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
 
+def _normalize_synonyms(synonyms: dict[str, list[str]]) -> dict[str, list[str]]:
+    """Run a synonym table through the analyzer chain so lookups happen in
+    token space (keys AND values normalize like query text). Multi-token
+    entries are rejected: an OR-group member must be a single indexed
+    term — "new york" as a synonym of "ny" needs phrase semantics a
+    boolean group cannot honor (ES routes those through synonym_graph),
+    and silently matching either word alone would be wrong."""
+    out: dict[str, list[str]] = {}
+    for key, vals in synonyms.items():
+        kt = tokenize_py(key)
+        if len(kt) != 1:
+            raise ValueError(
+                f"synonym key {key!r} analyzes to {len(kt)} tokens; "
+                "keys must be single terms"
+            )
+        seen: list[str] = []
+        for v in vals:
+            vt = tokenize_py(v)
+            if len(vt) != 1:
+                raise ValueError(
+                    f"synonym {v!r} for {key!r} analyzes to {len(vt)} tokens; "
+                    "multi-token synonyms need phrase semantics and are not "
+                    "supported in the boolean expansion"
+                )
+            if vt[0] not in seen:
+                seen.append(vt[0])
+        out[kt[0]] = seen
+    return out
+
+
 def _metric_aggs(metrics: dict | None) -> list:
     """ES metric sub-aggregation bodies -> Spark agg expressions.
     `metrics` maps output alias -> (op, column): the ES metric
@@ -1833,6 +1863,71 @@ class IndexReader:
         search_fuzzy. k=None unranked; cursors + filter context wired."""
         expanded, weights, groups = self._fuzzy_expansion(
             query, limit, fuzziness, boosts
+        )
+        if not expanded:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        return self.search_terms_df(
+            expanded, k, weights, min_match=min_should_match, groups=groups,
+            search_after=search_after, filter_sql=filter_sql,
+        )
+
+    # ---------- synonyms (ES synonym token filter, query-time) ----------
+
+    def _synonym_expansion(
+        self,
+        query: str,
+        synonyms: dict[str, list[str]],
+        boosts: dict[str, float] | None,
+    ) -> tuple[list[str], dict[str, float], list[list[str]]]:
+        """Query-time synonym expansion: each analyzed query token becomes
+        an OR-group of itself plus its registered synonyms (per-field
+        namespaced on a fields corpus). Groups preserve min_should_match
+        arithmetic — a group is satisfied by ANY variant, exactly the ES
+        boolean synonym expansion where each variant scores with its own
+        idf (expand=true, lenient scoring_boolean)."""
+        fields = self.manifest.get("fields")
+        if boosts and not fields:
+            raise ValueError("boosts requires a fields-indexed corpus")
+        field_w = (boosts or {f: 1.0 for f in fields}) if fields else {None: 1.0}
+        syn = _normalize_synonyms(synonyms)
+        expanded: list[str] = []
+        weights: dict[str, float] = {}
+        groups: list[list[str]] = []
+        for tok in self.query_terms(query):
+            variants = [tok]
+            for v in syn.get(tok, ()):
+                if v not in variants:
+                    variants.append(v)
+            g: list[str] = []
+            for fld, w in field_w.items():
+                for v in variants:
+                    t = (fld + "\x1f" + v) if fld else v
+                    if t not in weights:
+                        weights[t] = float(w)
+                        expanded.append(t)
+                    g.append(t)
+            groups.append(g)
+        return expanded, weights, groups
+
+    def search_synonyms_df(
+        self,
+        query: str,
+        synonyms: dict[str, list[str]],
+        k: int | None = 10,
+        boosts: dict[str, float] | None = None,
+        min_should_match: int = 1,
+        search_after: tuple[float, int] | None = None,
+        filter_sql: str | None = None,
+    ) -> DataFrame:
+        """ES match query through a query-time synonym filter
+        (analysis-synonym-tokenfilter; `synonyms` = {term: [synonyms...]},
+        analyzer-normalized on entry): expansion groups ride through
+        search_terms_df, so postings stay on executors, conjunction stays
+        an aggregation predicate, and min_should_match counts original
+        tokens (a synonym match satisfies its token's group). Unindexed
+        variants simply contribute nothing, like any OOV query term."""
+        expanded, weights, groups = self._synonym_expansion(
+            query, synonyms, boosts
         )
         if not expanded:
             return self.spark.createDataFrame([], "doc_id long, score double")

@@ -1705,6 +1705,116 @@ BOOL_CASES = [
     (3, "customer order", "line", "batch"),
 ]
 
+# (query_id, query, synonyms, min_should_match) — the synonym filter
+# cases: the same expansion table drives the engine's OR-groups and the
+# oracle's grouped-msm SQL. Case 1's msm=2 pins the GROUP semantics (a
+# synonym match satisfies its token's group — flattened-term counting
+# would demand 2 distinct terms and lose docs matching only via "slow").
+SYN_CASES = [
+    (0, "fast merge", {"fast": ["slow", "quick"]}, 1),
+    (1, "fast merge", {"fast": ["slow", "quick"]}, 2),
+]
+
+
+def _synonym_sql() -> str:
+    from ..functions.tokenizer import tokenize_py
+    from ..index.bm25_df import B, K1, TOP_K
+
+    rows, need = [], []
+    for qid, query, syn, msm in SYN_CASES:
+        need.append(f"({qid}, {msm})")
+        for gi, tok in enumerate(dict.fromkeys(tokenize_py(query))):
+            for t in dict.fromkeys([tok, *syn.get(tok, [])]):
+                rows.append(f"({qid}, '{t}', {gi})")
+    values = ", ".join(rows)
+    needs = ", ".join(need)
+    return f"""
+    WITH syn(query_id, term, grp) AS (VALUES {values}),
+    need(query_id, msm) AS (VALUES {needs}),
+    tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    flat AS (
+      SELECT doc_id, len(toks) AS dl, t.term
+      FROM tok, UNNEST(toks) AS t(term)
+    ),
+    tf AS (
+      SELECT term, doc_id, dl, COUNT(*) AS tf FROM flat GROUP BY 1, 2, 3
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n, SUM(dl) * 1.0 / COUNT(*) AS avgdl
+      FROM (SELECT doc_id, len(toks) AS dl FROM tok)
+    ),
+    dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    matched AS (
+      SELECT s.query_id, tf.doc_id, COUNT(DISTINCT s.grp) AS got
+      FROM tf JOIN syn s USING (term) GROUP BY 1, 2
+    ),
+    qualified AS (
+      SELECT m.query_id, m.doc_id
+      FROM matched m JOIN need n USING (query_id) WHERE m.got >= n.msm
+    ),
+    terms AS (SELECT DISTINCT query_id, term FROM syn),
+    scored AS (
+      SELECT s.query_id, tf.doc_id,
+             SUM(
+               ln(1.0 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+               * {K1 + 1.0}
+               * (tf.tf / (tf.tf + {K1} * ({1.0 - B} + {B} * tf.dl / stats.avgdl)))
+             ) AS score
+      FROM tf
+      JOIN terms s USING (term)
+      JOIN dft USING (term), stats
+      JOIN qualified q ON q.query_id = s.query_id AND q.doc_id = tf.doc_id
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, doc_id, ROUND(score, 4) AS score
+    FROM ranked WHERE rank <= {TOP_K}
+    """
+
+
+@_reg("synonym_index_search", _synonym_sql())
+def synonym_index_q(spark, sf_dir):
+    """ES query-time synonym filter through the REAL index
+    (search_synonyms_df: each token's OR-group of itself + registered
+    synonyms rides the one-scan grouped search path), ORACLE-CHECKED
+    against a DuckDB grouped-msm BM25 plan over the raw corpus. Case
+    msm=2 pins group semantics: a doc matching via a synonym alone
+    qualifies for its token's group. k=None unranked; top-10 re-ranked
+    on the mapped documents.doc_id like the other *_index_search
+    entries. Unindexed synonyms ('quick' may be OOV at some SFs)
+    contribute nothing on both sides identically."""
+    from ..index import IndexReader
+
+    idx = _registry_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    ids = _index_docid_map(spark, idx)
+    out = None
+    for qid, query, syn, msm in SYN_CASES:
+        hits = reader.search_synonyms_df(
+            query, syn, k=None, min_should_match=msm
+        ).withColumn("query_id", F.lit(qid))
+        out = hits if out is None else out.unionByName(hits)
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("documents_doc_id"))
+    return (
+        out.join(ids, "doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "rank",
+            F.col("documents_doc_id").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+    )
+
 
 def _bool_sql() -> str:
     from ..functions.tokenizer import tokenize_py
