@@ -14,6 +14,7 @@ from .incremental_index import (
     PointInTimeReader,
     apply_incremental,
 )
+from .multi import MultiIndexReader
 from .query import IndexReader
 from .rank_eval import rank_eval_df, rank_eval_metrics
 
@@ -21,6 +22,7 @@ __all__ = [
     "IndexBuilder",
     "IndexReader",
     "IncrementalIndexReader",
+    "MultiIndexReader",
     "PointInTimeReader",
     "apply_incremental",
     "alias_target",

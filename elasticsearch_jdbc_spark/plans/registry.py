@@ -1780,6 +1780,78 @@ def _synonym_sql() -> str:
     """
 
 
+def _registry_multi_index(spark, sf_dir) -> str:
+    """Two sealed member indexes over disjoint halves of the documents
+    corpus under one root (resume-cached) — the date-pattern multi-index
+    fixture. Returns the root."""
+    import hashlib as _h
+    import os as _os
+    import tempfile as _tmp
+
+    from ..index import IndexBuilder
+    from ..index.build import POSTINGS_SCHEMA
+    from ..sources import corpus_from_documents
+
+    corpus = corpus_from_documents(spark, sf_dir)
+    layout = ",".join(POSTINGS_SCHEMA.names) + "|multi1"
+    tag = _h.sha1(f"{sf_dir}|{layout}".encode()).hexdigest()[:10]
+    root = _os.path.join(_tmp.gettempdir(), f"registry_midx_{tag}")
+    halves = {
+        "gen=even": corpus.filter(
+            F.regexp_extract("path", r"doc/(\d+)\.txt", 1).cast("long") % 2 == 0
+        ),
+        "gen=odd": corpus.filter(
+            F.regexp_extract("path", r"doc/(\d+)\.txt", 1).cast("long") % 2 == 1
+        ),
+    }
+    for name, half in halves.items():
+        IndexBuilder(spark, _os.path.join(root, name), partitions=8).build(half)
+    return root
+
+
+@_reg("multi_index_search", ORACLE_SQL["bm25_index_search"])
+def multi_index_q(spark, sf_dir):
+    """ES multi-index search (`GET /logs-*/_search`, the date-pattern
+    consumption StandardSink.java:95-123 builds for) through
+    MultiIndexReader: two sealed member indexes over DISJOINT HALVES of
+    the corpus, the whole reference query set in one msearch job, scores
+    from summed global stats. ORACLE = the single-merged-index BM25 SQL
+    over the FULL documents table — so the hash only matches if
+    cross-index df/N/avgdl are EXACT (ES itself needs
+    dfs_query_then_fetch for this), and any doc lost or double-counted
+    at the member boundary mismatches."""
+    from ..index import MultiIndexReader
+
+    root = _registry_multi_index(spark, sf_dir)
+    reader = MultiIndexReader(spark, root)
+    maps = None
+    for seg in reader.segments:
+        m = (
+            spark.read.parquet(f"{root}/{seg}/docs")
+            .select(
+                F.lit(seg).alias("segment"),
+                "doc_id",
+                F.regexp_extract("path", r"doc/(\d+)\.txt", 1)
+                .cast("long")
+                .alias("documents_doc_id"),
+            )
+        )
+        maps = m if maps is None else maps.unionByName(m)
+    hits = reader.msearch_df([q for _, q in REFERENCE_QUERIES], k=None)
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("documents_doc_id"))
+    return (
+        hits.join(maps, ["segment", "doc_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "rank",
+            F.col("documents_doc_id").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+    )
+
+
 @_reg("synonym_index_search", _synonym_sql())
 def synonym_index_q(spark, sf_dir):
     """ES query-time synonym filter through the REAL index
