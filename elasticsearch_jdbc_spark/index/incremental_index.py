@@ -1986,6 +1986,70 @@ class IncrementalIndexReader:
             .select("segment", "doc_id", "score")
         )
 
+    def search_intervals_df(
+        self,
+        query: str,
+        max_gaps: int = 0,
+        ordered: bool = True,
+        k: int | None = 10,
+        field: str | None = None,
+        search_after: tuple[float, str, int] | None = None,
+        filter_sql: str | None = None,
+    ) -> DataFrame:
+        """ES intervals query over the LIVE index — the
+        IndexReader.search_intervals_df twin: each segment runs the
+        positional interval kernel with GLOBAL stats injected (per-term
+        idf summed across segments, tombstone-corrected avgdl), segment
+        hits union, tombstones anti-join, newest-segment-wins tie-break.
+        Rank-identical to compact-then-query."""
+        r0 = self.readers[self.segments[0]]
+        if not r0.manifest.get("with_positions"):
+            raise ValueError(
+                "index was built without positions; rebuild with "
+                "IndexBuilder(with_positions=True) for intervals queries"
+            )
+        terms = r0._phrase_terms(query, field)
+        empty = self.spark.createDataFrame(
+            [], "segment string, doc_id long, score double"
+        )
+        if not terms:
+            return empty
+        uniq = list(dict.fromkeys(terms))
+        idfs = self._global_idfs(uniq)
+        if any(t not in idfs for t in uniq):
+            return empty
+        masked = self._tomb_counts_by_segment()
+        no_seg_cut = k is None or search_after is not None or bool(filter_sql)
+        out = None
+        for s in self.segments:
+            seg_hits = self.readers[s].search_intervals_df(
+                query, max_gaps=max_gaps, ordered=ordered,
+                k=None if no_seg_cut else k + masked.get(s, 0),
+                field=field, _stats_override=(idfs, self.avgdl),
+            ).withColumn("segment", F.lit(s))
+            out = seg_hits if out is None else out.unionByName(seg_hits)
+        tomb = self._tomb_df()
+        if tomb is not None:
+            out = out.join(tomb, ["segment", "doc_id"], "left_anti")
+        if filter_sql:
+            out = out.join(
+                self._filter_docs(filter_sql), ["segment", "doc_id"], "left_semi"
+            )
+        rank_map = self._rank_map()
+        if search_after is not None:
+            out = self._apply_cursor(out, search_after, rank_map)
+        if k is None:
+            return out.select("segment", "doc_id", "score")
+        return (
+            out.orderBy(
+                F.desc("score"),
+                F.desc(rank_map[F.col("segment")]),
+                F.asc("doc_id"),
+            )
+            .limit(k)
+            .select("segment", "doc_id", "score")
+        )
+
     def count(
         self,
         query: str,

@@ -602,6 +602,166 @@ def _sloppy_freq(
     return pf
 
 
+def _ordered_chain_match(lists: list[np.ndarray], limit: int) -> bool:
+    """True iff positions p_1 < p_2 < ... < p_n exist (p_j from lists[j])
+    with p_n - p_1 <= limit — the ES intervals `ordered` rule with
+    limit = max_gaps + n - 1. Greedy smallest-successor chaining
+    minimizes p_n for every start, so checking the greedy chain per
+    start is exact. O(sum |lists| * n) with vectorized searchsorted."""
+    cur = lists[0]
+    ends = cur
+    for pos in lists[1:]:
+        idx = np.searchsorted(pos, ends, side="right")
+        ok = idx < len(pos)
+        if not ok.any():
+            return False
+        cur, ends = cur[ok], pos[idx[ok]]
+    return bool(np.any(ends - cur <= limit))
+
+
+def _unordered_window_match(lists: list[np.ndarray], limit: int) -> bool:
+    """True iff some window of width <= limit (max position minus min
+    position) contains at least one occurrence of every term — the ES
+    intervals `unordered` rule. Classic minimal-covering-window
+    two-pointer over the merged position stream."""
+    n = len(lists)
+    all_pos = np.concatenate(lists)
+    labels = np.concatenate(
+        [np.full(len(p), i, dtype=np.int64) for i, p in enumerate(lists)]
+    )
+    order = np.argsort(all_pos, kind="stable")
+    p, lab = all_pos[order], labels[order]
+    counts = np.zeros(n, dtype=np.int64)
+    have = 0
+    i = 0
+    for j in range(len(p)):
+        c = lab[j]
+        counts[c] += 1
+        if counts[c] == 1:
+            have += 1
+        while have == n:
+            if p[j] - p[i] <= limit:
+                return True
+            ci = lab[i]
+            counts[ci] -= 1
+            if counts[ci] == 0:
+                have -= 1
+            i += 1
+    return False
+
+
+# (doc, term, dl, positions) rows decoded from position-carrying postings
+# blocks — shared by the phrase and intervals kernels. Closure-free by
+# design so both paths ship the same vectorized decode.
+_POS_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("term", T.StringType(), False),
+        T.StructField("dl", T.IntegerType(), False),
+        T.StructField("pos", T.ArrayType(T.IntegerType()), False),
+    ]
+)
+
+
+def _decode_position_rows(batches):
+    """mapInArrow kernel: one vectorized decode per BLOCK row; the posting
+    position lists materialize as a zero-copy Arrow ListArray sliced from
+    the flat position stream by tf offsets — no per-posting Python
+    (VERDICT r01 flagged the tolist() loop)."""
+    import pyarrow as pa
+
+    from .codec import decode_block as _db
+    from .codec import decode_positions as _dp
+
+    for batch in batches:
+        cols = {n: batch.column(n) for n in
+                ("term", "n", "first_doc", "doc_gaps", "tfs", "dls", "positions")}
+        docs_all, terms_all, dl_all, pos_vals, tf_all = [], [], [], [], []
+        for term, n, first, gaps, tfs, dls, posb in zip(
+            cols["term"].to_pylist(), cols["n"].to_pylist(),
+            cols["first_doc"].to_pylist(), cols["doc_gaps"].to_pylist(),
+            cols["tfs"].to_pylist(), cols["dls"].to_pylist(),
+            cols["positions"].to_pylist(),
+        ):
+            docs, tf, dl = _db(int(first), int(n), bytes(gaps), bytes(tfs), bytes(dls))
+            pos = _dp(tf, bytes(posb))
+            docs_all.append(docs)
+            terms_all.append(np.full(len(docs), term, dtype=object))
+            dl_all.append(dl.astype(np.int32))
+            tf_all.append(tf.astype(np.int64))
+            pos_vals.append(pos.astype(np.int32))
+        if not docs_all:
+            continue
+        tf_cat = np.concatenate(tf_all)
+        offsets = np.zeros(len(tf_cat) + 1, np.int32)
+        np.cumsum(tf_cat, out=offsets[1:])
+        pos_col = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()),
+            pa.array(np.concatenate(pos_vals), pa.int32()),
+        )
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(np.concatenate(docs_all), pa.int64()),
+                pa.array(np.concatenate(terms_all), pa.string()),
+                pa.array(np.concatenate(dl_all), pa.int32()),
+                pos_col,
+            ],
+            names=["doc_id", "term", "dl", "pos"],
+        )
+
+
+_DOC_SCORE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("score", T.DoubleType(), False),
+    ]
+)
+
+
+def _doc_grouped_scorer(score_doc):
+    """mapInPandas factory over a doc-sorted (doc_id, term, dl, pos)
+    partition stream: ONE Python invocation per Arrow batch (not per doc);
+    rows of the batch-boundary doc are held back and prepended to the next
+    batch so a doc's group never splits. score_doc(doc_id, terms,
+    pos_lists, dl) returns a float score or None (no match)."""
+
+    def score_parts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pending: pd.DataFrame | None = None
+
+        def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+            ids = pdf["doc_id"].to_numpy()
+            starts = np.flatnonzero(np.concatenate(([True], ids[1:] != ids[:-1])))
+            ends = np.concatenate((starts[1:], [len(ids)]))
+            terms_np = pdf["term"].to_numpy()
+            pos_np = pdf["pos"].to_numpy()
+            dl_np = pdf["dl"].to_numpy()
+            out_d, out_s = [], []
+            for s0, e0 in zip(starts.tolist(), ends.tolist()):
+                sc = score_doc(ids[s0], terms_np[s0:e0], pos_np[s0:e0], dl_np[s0])
+                if sc is not None:
+                    out_d.append(ids[s0])
+                    out_s.append(sc)
+            return pd.DataFrame({"doc_id": np.array(out_d, np.int64),
+                                 "score": np.array(out_s, np.float64)})
+
+        for pdf in batches:
+            if pending is not None:
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+                pending = None
+            if len(pdf) == 0:
+                continue
+            last = pdf["doc_id"].iloc[-1]
+            mask = pdf["doc_id"].to_numpy() == last
+            pending = pdf[mask]
+            done = pdf[~mask]
+            if len(done):
+                yield emit(done)
+        if pending is not None and len(pending):
+            yield emit(pending)
+
+    return score_parts
+
+
 class IndexReader:
     def __init__(self, spark: SparkSession, index_dir: str, fs=None):
         from .storage import LocalFS
@@ -2657,68 +2817,6 @@ class IndexReader:
         uniq_list = list(uniq)
         slop_val, lucene = int(slop), weight_mode == "lucene"
 
-        decode_schema = T.StructType(
-            [
-                T.StructField("doc_id", T.LongType(), False),
-                T.StructField("term", T.StringType(), False),
-                T.StructField("dl", T.IntegerType(), False),
-                T.StructField("pos", T.ArrayType(T.IntegerType()), False),
-            ]
-        )
-
-        def decode_rows(batches):
-            # mapInArrow: one vectorized decode per BLOCK row; the posting
-            # position lists materialize as a zero-copy Arrow ListArray
-            # sliced from the flat position stream by tf offsets — no
-            # per-posting Python (VERDICT r01 flagged the tolist() loop)
-            import pyarrow as pa
-
-            from .codec import decode_block as _db
-            from .codec import decode_positions as _dp
-
-            for batch in batches:
-                cols = {n: batch.column(n) for n in
-                        ("term", "n", "first_doc", "doc_gaps", "tfs", "dls", "positions")}
-                docs_all, terms_all, dl_all, pos_vals, tf_all = [], [], [], [], []
-                for term, n, first, gaps, tfs, dls, posb in zip(
-                    cols["term"].to_pylist(), cols["n"].to_pylist(),
-                    cols["first_doc"].to_pylist(), cols["doc_gaps"].to_pylist(),
-                    cols["tfs"].to_pylist(), cols["dls"].to_pylist(),
-                    cols["positions"].to_pylist(),
-                ):
-                    docs, tf, dl = _db(int(first), int(n), bytes(gaps), bytes(tfs), bytes(dls))
-                    pos = _dp(tf, bytes(posb))
-                    docs_all.append(docs)
-                    terms_all.append(np.full(len(docs), term, dtype=object))
-                    dl_all.append(dl.astype(np.int32))
-                    tf_all.append(tf.astype(np.int64))
-                    pos_vals.append(pos.astype(np.int32))
-                if not docs_all:
-                    continue
-                tf_cat = np.concatenate(tf_all)
-                offsets = np.zeros(len(tf_cat) + 1, np.int32)
-                np.cumsum(tf_cat, out=offsets[1:])
-                pos_col = pa.ListArray.from_arrays(
-                    pa.array(offsets, pa.int32()),
-                    pa.array(np.concatenate(pos_vals), pa.int32()),
-                )
-                yield pa.RecordBatch.from_arrays(
-                    [
-                        pa.array(np.concatenate(docs_all), pa.int64()),
-                        pa.array(np.concatenate(terms_all), pa.string()),
-                        pa.array(np.concatenate(dl_all), pa.int32()),
-                        pos_col,
-                    ],
-                    names=["doc_id", "term", "dl", "pos"],
-                )
-
-        score_schema = T.StructType(
-            [
-                T.StructField("doc_id", T.LongType(), False),
-                T.StructField("score", T.DoubleType(), False),
-            ]
-        )
-
         def score_doc(doc_id, terms, pos_lists, dl0) -> float | None:
             by_term = dict(zip(terms, pos_lists))
             if len(by_term) < n_uniq:
@@ -2743,51 +2841,110 @@ class IndexReader:
             w = pf / (pf + k1 * (1.0 - b + b * float(dl0) / avgdl))
             return idf_sum * c * w
 
-        def score_parts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            # doc-sorted partition stream; ONE Python invocation per Arrow
-            # batch (not per doc — the applyInPandas-per-candidate this
-            # replaces). Rows of the batch-boundary doc are held back and
-            # prepended to the next batch so a doc's group never splits.
-            pending: pd.DataFrame | None = None
+        parallelism = max(1, self.spark.sparkContext.defaultParallelism)
+        scored = (
+            self._postings_df(uniq, columns=(*self._SCORE_COLS, "positions"))
+            .mapInArrow(_decode_position_rows, _POS_DECODE_SCHEMA)
+            .repartition(parallelism, "doc_id")
+            .sortWithinPartitions("doc_id")
+            .mapInPandas(_doc_grouped_scorer(score_doc), _DOC_SCORE_SCHEMA)
+        )
+        if filter_sql:
+            scored = scored.join(
+                self._filter_doc_ids(filter_sql), "doc_id", "left_semi"
+            )
+        if search_after is not None:
+            s0, d0 = float(search_after[0]), int(search_after[1])
+            eps = 1e-9 * max(1.0, abs(s0))
+            scored = scored.filter(
+                (F.col("score") < s0 - eps)
+                | ((F.col("score") <= s0 + eps) & (F.col("doc_id") > d0))
+            )
+        if k is None:
+            return scored
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
-            def emit(pdf: pd.DataFrame) -> pd.DataFrame:
-                ids = pdf["doc_id"].to_numpy()
-                starts = np.flatnonzero(np.concatenate(([True], ids[1:] != ids[:-1])))
-                ends = np.concatenate((starts[1:], [len(ids)]))
-                terms_np = pdf["term"].to_numpy()
-                pos_np = pdf["pos"].to_numpy()
-                dl_np = pdf["dl"].to_numpy()
-                out_d, out_s = [], []
-                for s0, e0 in zip(starts.tolist(), ends.tolist()):
-                    sc = score_doc(ids[s0], terms_np[s0:e0], pos_np[s0:e0], dl_np[s0])
-                    if sc is not None:
-                        out_d.append(ids[s0])
-                        out_s.append(sc)
-                return pd.DataFrame({"doc_id": np.array(out_d, np.int64),
-                                     "score": np.array(out_s, np.float64)})
+    # ---------- intervals queries (ES intervals: ordered/unordered) ----------
 
-            for pdf in batches:
-                if pending is not None:
-                    pdf = pd.concat([pending, pdf], ignore_index=True)
-                    pending = None
-                if len(pdf) == 0:
-                    continue
-                last = pdf["doc_id"].iloc[-1]
-                mask = pdf["doc_id"].to_numpy() == last
-                pending = pdf[mask]
-                done = pdf[~mask]
-                if len(done):
-                    yield emit(done)
-            if pending is not None and len(pending):
-                yield emit(pending)
+    def search_intervals_df(
+        self,
+        query: str,
+        max_gaps: int = 0,
+        ordered: bool = True,
+        k: int | None = 10,
+        field: str | None = None,
+        search_after: tuple[float, int] | None = None,
+        filter_sql: str | None = None,
+        _stats_override: tuple[dict, float] | None = None,
+    ) -> DataFrame:
+        """ES `intervals` query, `match` rule (intervals-query.html): docs
+        where all query terms co-occur within a span of total gaps <=
+        `max_gaps` — in query order when `ordered` (span_near in_order),
+        any order otherwise. The proximity condition is exact minimal-
+        interval logic (greedy chain / minimal covering window, both
+        O(positions)); qualifying docs score as the disjunctive BM25 sum
+        of the query terms — the filter-context reading of intervals,
+        where proximity GATES and relevance ranks. (Lucene's interval
+        scoring folds proximity width into the weight; the gate+BM25
+        contract is deliberately simpler and SQL-oracle-checkable.)
+
+        Same executor-side shape as the phrase kernel: postings of the
+        query terms decode positions block-vectorized, doc-grouped
+        scoring runs once per Arrow batch, nothing collects.
+
+        _stats_override = ({term: idf}, avgdl): the incremental reader's
+        hook — per-segment fan-out scored with GLOBAL stats."""
+        if not self.manifest.get("with_positions"):
+            raise ValueError("index was built without positions")
+        if max_gaps < 0:
+            raise ValueError("max_gaps must be >= 0")
+        terms = self._phrase_terms(query, field)
+        if not terms:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        uniq = list(dict.fromkeys(terms))
+        idfs = self._term_idfs(uniq)
+        if any(t not in idfs for t in uniq):
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        if _stats_override is not None:
+            idfs = dict(_stats_override[0])
+            avgdl = float(_stats_override[1])
+        else:
+            avgdl = self.avgdl
+        k1, b, c = self.k1, self.b, self.k1 + 1.0
+        n_uniq = len(uniq)
+        uniq_list = list(uniq)
+        limit = int(max_gaps) + n_uniq - 1
+        is_ordered = bool(ordered)
+
+        def score_doc(doc_id, terms_a, pos_lists, dl0) -> float | None:
+            by_term = dict(zip(terms_a, pos_lists))
+            if len(by_term) < n_uniq:
+                return None
+            lists = [
+                np.asarray(by_term[t], dtype=np.int64) for t in uniq_list
+            ]
+            matched = (
+                _ordered_chain_match(lists, limit)
+                if is_ordered
+                else _unordered_window_match(lists, limit)
+            )
+            if not matched:
+                return None
+            norm = k1 * (1.0 - b + b * float(dl0) / avgdl)
+            return float(
+                sum(
+                    idfs[t] * c * (len(p) / (len(p) + norm))
+                    for t, p in zip(uniq_list, lists)
+                )
+            )
 
         parallelism = max(1, self.spark.sparkContext.defaultParallelism)
         scored = (
             self._postings_df(uniq, columns=(*self._SCORE_COLS, "positions"))
-            .mapInArrow(decode_rows, decode_schema)
+            .mapInArrow(_decode_position_rows, _POS_DECODE_SCHEMA)
             .repartition(parallelism, "doc_id")
             .sortWithinPartitions("doc_id")
-            .mapInPandas(score_parts, score_schema)
+            .mapInPandas(_doc_grouped_scorer(score_doc), _DOC_SCORE_SCHEMA)
         )
         if filter_sql:
             scored = scored.join(

@@ -1780,6 +1780,126 @@ def _synonym_sql() -> str:
     """
 
 
+# (query_id, query, max_gaps, ordered) — the intervals cases: an ordered
+# pair, an unordered pair, and an ordered triple (the n=3 chain the
+# greedy kernel must get right).
+IVL_CASES = [
+    (0, "fast merge", 2, True),
+    (1, "fast merge", 5, False),
+    (2, "slow query scan", 4, True),
+]
+
+
+def _intervals_sql() -> str:
+    from ..index.bm25_df import B, K1, TOP_K
+
+    return f"""
+    WITH terms(query_id, term) AS (VALUES
+      (0, 'fast'), (0, 'merge'),
+      (1, 'fast'), (1, 'merge'),
+      (2, 'slow'), (2, 'query'), (2, 'scan')),
+    tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS p
+      FROM tok
+    ),
+    flat AS (
+      SELECT doc_id, len(toks) AS dl, t.term
+      FROM tok, UNNEST(toks) AS t(term)
+    ),
+    tf AS (
+      SELECT term, doc_id, dl, COUNT(*) AS tf FROM flat GROUP BY 1, 2, 3
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n, SUM(dl) * 1.0 / COUNT(*) AS avgdl
+      FROM (SELECT doc_id, len(toks) AS dl FROM tok)
+    ),
+    dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    -- per-case interval existence; limit = max_gaps + n_terms - 1
+    q0 AS (
+      SELECT DISTINCT 0 AS query_id, a.doc_id
+      FROM pos a JOIN pos b USING (doc_id)
+      WHERE a.term = 'fast' AND b.term = 'merge'
+        AND b.p > a.p AND b.p - a.p <= 3
+    ),
+    q1 AS (
+      SELECT DISTINCT 1 AS query_id, a.doc_id
+      FROM pos a JOIN pos b USING (doc_id)
+      WHERE a.term = 'fast' AND b.term = 'merge'
+        AND abs(b.p - a.p) <= 6
+    ),
+    q2 AS (
+      SELECT DISTINCT 2 AS query_id, a.doc_id
+      FROM pos a JOIN pos b USING (doc_id) JOIN pos c USING (doc_id)
+      WHERE a.term = 'slow' AND b.term = 'query' AND c.term = 'scan'
+        AND b.p > a.p AND c.p > b.p AND c.p - a.p <= 6
+    ),
+    qualified AS (
+      SELECT * FROM q0 UNION ALL SELECT * FROM q1 UNION ALL SELECT * FROM q2
+    ),
+    scored AS (
+      SELECT s.query_id, tf.doc_id,
+             SUM(
+               ln(1.0 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+               * {K1 + 1.0}
+               * (tf.tf / (tf.tf + {K1} * ({1.0 - B} + {B} * tf.dl / stats.avgdl)))
+             ) AS score
+      FROM tf
+      JOIN terms s USING (term)
+      JOIN dft USING (term), stats
+      JOIN qualified q ON q.query_id = s.query_id AND q.doc_id = tf.doc_id
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, doc_id, ROUND(score, 4) AS score
+    FROM ranked WHERE rank <= {TOP_K}
+    """
+
+
+@_reg("intervals_index_search", _intervals_sql())
+def intervals_index_q(spark, sf_dir):
+    """ES `intervals` query (ordered/unordered proximity, max_gaps)
+    through the REAL positional index (search_intervals_df: block-
+    vectorized position decode, exact minimal-interval gating, BM25-sum
+    scoring on the qualified set), ORACLE-CHECKED against a DuckDB
+    position-join existence plan over the raw corpus — the ordered pair,
+    the unordered pair, and an ordered 3-term chain each qualify a
+    different doc set, so chain logic, window logic, and the gaps
+    arithmetic are all pinned. k=None unranked; top-10 re-ranked on the
+    mapped documents.doc_id like the other *_index_search entries."""
+    from ..index import IndexReader
+
+    idx = _registry_index(spark, sf_dir, with_positions=True)
+    reader = IndexReader(spark, idx)
+    ids = _index_docid_map(spark, idx)
+    out = None
+    for qid, query, gaps, ordered in IVL_CASES:
+        hits = reader.search_intervals_df(
+            query, max_gaps=gaps, ordered=ordered, k=None
+        ).withColumn("query_id", F.lit(qid))
+        out = hits if out is None else out.unionByName(hits)
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("documents_doc_id"))
+    return (
+        out.join(ids, "doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "rank",
+            F.col("documents_doc_id").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+    )
+
+
 def _registry_multi_index(spark, sf_dir) -> str:
     """Two sealed member indexes over disjoint halves of the documents
     corpus under one root (resume-cached) — the date-pattern multi-index
