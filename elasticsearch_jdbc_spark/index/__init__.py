@@ -17,6 +17,12 @@ from .incremental_index import (
 from .multi import MultiIndexReader
 from .query import IndexReader
 from .rank_eval import rank_eval_df, rank_eval_metrics
+from .snapshot import (
+    create_snapshot,
+    delete_snapshot,
+    list_snapshots,
+    restore_snapshot,
+)
 
 __all__ = [
     "IndexBuilder",
@@ -27,7 +33,11 @@ __all__ = [
     "apply_incremental",
     "alias_target",
     "compact_to_generation",
+    "create_snapshot",
+    "delete_snapshot",
     "drop_generation",
+    "list_snapshots",
+    "restore_snapshot",
     "flip_alias",
     "generation_dir",
     "list_generations",

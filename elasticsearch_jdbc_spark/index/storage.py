@@ -59,6 +59,15 @@ class LocalFS:
             f.write(data)
         os.replace(tmp, path)
 
+    def copy_file(self, src: str, dst: str) -> None:
+        """Byte copy with atomic visibility (temp + rename — the snapshot
+        repository primitive; an object-store implementation maps this to
+        a server-side copy, which is atomic per key)."""
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        tmp = dst + ".tmp"
+        shutil.copyfile(src, tmp)
+        os.replace(tmp, dst)
+
 
 class MemoryFS:
     """In-memory fake with LocalFS's surface (driver-side tests only)."""
@@ -116,3 +125,8 @@ class MemoryFS:
         p = self._norm(path)
         self.makedirs(posixpath.dirname(p))
         self.files[p] = data
+
+    def copy_file(self, src: str, dst: str) -> None:
+        s, d = self._norm(src), self._norm(dst)
+        self.makedirs(posixpath.dirname(d))
+        self.files[d] = self.files[s]
