@@ -9,6 +9,7 @@ from .alias import (
     resolve_index_name,
 )
 from .build import IndexBuilder
+from .completion import build_completions, complete, complete_df
 from .incremental_index import (
     IncrementalIndexReader,
     PointInTimeReader,
@@ -45,4 +46,7 @@ __all__ = [
     "rank_eval_df",
     "rank_eval_metrics",
     "resolve_index_name",
+    "build_completions",
+    "complete",
+    "complete_df",
 ]

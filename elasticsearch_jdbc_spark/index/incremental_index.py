@@ -999,6 +999,29 @@ class IncrementalIndexReader:
             expanded, k, search_after=search_after, filter_sql=filter_sql,
         )
 
+    def complete_df(
+        self,
+        prefix: str,
+        input_col: str,
+        weight_col: str | None = None,
+        size: int = 5,
+        fuzziness: int = 0,
+        prefix_length: int = 1,
+    ) -> DataFrame:
+        """ES completion suggester over the LIVE view (near-real-time):
+        the dictionary derives on the fly from live_docs() — upserts
+        suggest as their newest version, deletes vanish immediately, like
+        ES in-memory segment FSTs pre-merge. The prefix predicate applies
+        before the groupBy so each segment's docs scan prunes to matching
+        rows. After compaction, IndexReader.build_completions on the
+        compacted dir restores the sorted-dictionary fast path."""
+        from .completion import live_complete_df
+
+        return live_complete_df(
+            self, prefix, input_col, weight_col=weight_col, size=size,
+            fuzziness=fuzziness, prefix_length=prefix_length,
+        )
+
     def suggest_df(
         self,
         text: str,

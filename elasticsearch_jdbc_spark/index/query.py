@@ -3098,6 +3098,50 @@ class IndexReader:
             search_after=search_after, filter_sql=filter_sql,
         )
 
+    # ---------- completion suggester (ES completion field) ----------
+
+    def build_completions(
+        self, input_col: str, weight_col: str | None = None,
+        partitions: int | None = None, name: str | None = None,
+    ) -> dict:
+        """Materialize a named completion dictionary (see
+        index/completion.py) from this index's docs-table metadata."""
+        from .completion import build_completions
+
+        return build_completions(
+            self.spark, self.index_dir, input_col, weight_col=weight_col,
+            partitions=partitions, name=name, fs=self.fs,
+        )
+
+    def complete_df(
+        self, prefix: str, size: int = 5, fuzziness: int = 0,
+        prefix_length: int = 1, name: str | None = None,
+    ) -> DataFrame:
+        """ES completion-suggest query: weighted prefix autocomplete over
+        the materialized completion dictionary (point-range-pruned sorted
+        parquet — the columnar FST stand-in). Requires
+        build_completions() first."""
+        from .completion import complete_df
+
+        return complete_df(
+            self.spark, self.index_dir, prefix, size=size,
+            fuzziness=fuzziness, prefix_length=prefix_length, name=name,
+            fs=self.fs,
+        )
+
+    def complete(
+        self, prefix: str, size: int = 5, fuzziness: int = 0,
+        prefix_length: int = 1, name: str | None = None,
+    ) -> list[dict]:
+        """Interactive-tier twin of complete_df (pyarrow point-range read,
+        no Spark job; rank-identical — pytest-verified)."""
+        from .completion import complete
+
+        return complete(
+            self.index_dir, prefix, size=size, fuzziness=fuzziness,
+            prefix_length=prefix_length, name=name, fs=self.fs,
+        )
+
     # ---------- term suggester (ES _suggest, "did you mean") ----------
 
     SUGGEST_SCHEMA = "input_term string, suggestion string, distance int, df bigint"

@@ -3245,6 +3245,85 @@ def suggest_index_q(spark, sf_dir):
     return reader.suggest_df(_SUGGEST_TEXT, size=5)
 
 
+def _completion_sql() -> str:
+    """Completion-suggester oracle: the three dictionary/prefix cases
+    re-derived in DuckDB — repo dictionary (weight = doc count), path
+    dictionary (weight = dl re-tokenized with the same split the BM25
+    oracle uses), and the fuzzy typo'd prefix (levenshtein over the first
+    len(prefix) chars, anchor char exact) — ranked (weight desc,
+    suggestion asc) top-5 per case like complete_df."""
+    return """
+    WITH dls AS (
+      SELECT 'doc/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+             len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '')) AS dl
+      FROM documents
+    ),
+    repo_c AS (
+      SELECT 'repo' AS case_id, source AS suggestion,
+             CAST(COUNT(*) AS BIGINT) AS weight
+      FROM documents WHERE source LIKE 'src1%' GROUP BY source
+    ),
+    path_c AS (
+      SELECT 'path' AS case_id, path AS suggestion, CAST(dl AS BIGINT) AS weight
+      FROM dls WHERE path LIKE 'doc/10%'
+    ),
+    fuzzy_c AS (
+      SELECT 'fuzzy' AS case_id, path AS suggestion, CAST(dl AS BIGINT) AS weight
+      FROM dls
+      WHERE path LIKE 'd%' AND length(path) >= 5
+        AND levenshtein(substr(path, 1, 6), 'dpc/10') <= 1
+    ),
+    unioned AS (
+      SELECT * FROM repo_c UNION ALL SELECT * FROM path_c
+      UNION ALL SELECT * FROM fuzzy_c
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY case_id ORDER BY weight DESC, suggestion
+      ) AS rn FROM unioned
+    )
+    SELECT case_id, CAST(rn AS INT) AS rank, suggestion, weight
+    FROM r WHERE rn <= 5
+    """
+
+
+@_reg("completion_index_search", _completion_sql())
+def completion_index_q(spark, sf_dir):
+    """ES completion suggester through the REAL engine, ORACLE-CHECKED:
+    two named dictionaries materialized from the index's docs table as
+    globally-sorted parquet (the columnar FST stand-in — prefix queries
+    prune to the point range via row-group min/max), queried exact
+    ('repo' by doc-count weight, 'path' by dl weight) and fuzzy (typo'd
+    prefix, threshold-capped JVM levenshtein behind the anchor-char
+    range prune). Ranking = (weight desc, suggestion asc) top-5, the ES
+    weight contract."""
+    from ..index import IndexReader
+
+    idx = _registry_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    reader.build_completions("repo", name="repo")
+    reader.build_completions("path", weight_col="dl", name="path")
+    cases = [
+        ("repo", dict(prefix="src1", name="repo")),
+        ("path", dict(prefix="doc/10", name="path")),
+        ("fuzzy", dict(prefix="dpc/10", fuzziness=1, name="path")),
+    ]
+    parts = []
+    for cid, kw in cases:
+        rows = reader.complete_df(size=5, **kw).collect()
+        parts.extend(
+            (cid, i, r["suggestion"], int(r["weight"]))
+            for i, r in enumerate(rows, 1)
+        )
+    # each complete_df is its own ordered-limit job (the API's contract);
+    # ranks are positional in that order, re-emitted as one small local
+    # relation (3 cases x <=5 rows) for the driver compare
+    return spark.createDataFrame(
+        parts, "case_id string, rank int, suggestion string, weight long"
+    )
+
+
 def _fscore_sql() -> str:
     """function_score oracle: BM25 over the reference query set, each
     doc's score multiplied by the length prior (1 + dl/1000) — the
