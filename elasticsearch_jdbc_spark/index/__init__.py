@@ -3,10 +3,14 @@ from .alias import (
     compact_to_generation,
     drop_generation,
     flip_alias,
+    generation_created_at,
     generation_dir,
+    init_generation,
     list_generations,
     open_alias,
+    record_generation,
     resolve_index_name,
+    rollover,
 )
 from .build import IndexBuilder
 from .completion import build_completions, complete, complete_df
@@ -49,4 +53,8 @@ __all__ = [
     "build_completions",
     "complete",
     "complete_df",
+    "generation_created_at",
+    "init_generation",
+    "record_generation",
+    "rollover",
 ]

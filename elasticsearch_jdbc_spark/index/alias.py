@@ -133,6 +133,169 @@ def open_alias(
     return IndexReader(spark, gdir, fs=fs)
 
 
+# ---------- rollover (ES _rollover) ----------
+
+GENERATIONS_META = "generations.json"
+
+
+def record_generation(root: str, name: str, created_at: float, fs=None) -> None:
+    """Record a generation's creation time (the ES index
+    `creation_date` setting — the max_age rollover condition's clock).
+    Read-modify-write of one small control-plane file; single-writer like
+    every alias mutation."""
+    fs = fs or LocalFS()
+    p = os.path.join(root, GENERATIONS_META)
+    meta = json.loads(fs.read_text(p)) if fs.exists(p) else {}
+    meta[name] = {"created_at": created_at}
+    fs.makedirs(root)
+    fs.write_text(p, json.dumps(meta))
+
+
+def generation_created_at(root: str, name: str, fs=None) -> float | None:
+    fs = fs or LocalFS()
+    p = os.path.join(root, GENERATIONS_META)
+    if not fs.exists(p):
+        return None
+    return json.loads(fs.read_text(p)).get(name, {}).get("created_at")
+
+
+def _tree_size(fs, path: str) -> int:
+    """Total bytes under a directory via the storage abstraction (the
+    max_size rollover condition; ES uses the shard store size)."""
+    if not fs.isdir(path):
+        return fs.getsize(path) if fs.exists(path) else 0
+    total = 0
+    for entry in fs.listdir(path):
+        total += _tree_size(fs, os.path.join(path, entry))
+    return total
+
+
+def init_generation(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    like: str | None = None,
+    partitions: int = 2,
+    created_at: float | None = None,
+    fs=None,
+) -> str:
+    """Create a new EMPTY generation inheriting the index contract
+    (k1/b/block_size/positions/lang_filter/fields/key_cols) from `like`
+    (default: the current alias target) — the ES rollover move of
+    creating the next write index with the same mappings. Does NOT flip
+    the alias. Returns the new generation's dir."""
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    from .build import IndexBuilder
+    from .incremental_index import (
+        _builder_kwargs_from_manifest,
+        _segment_manifest,
+    )
+
+    fs = fs or LocalFS()
+    if name in list_generations(root, fs):
+        raise ValueError(f"generation {name!r} already exists under {root}")
+    kwargs: dict = {}
+    src = like or alias_target(root, fs)
+    if src is not None:
+        kwargs = _builder_kwargs_from_manifest(
+            _segment_manifest(generation_dir(root, src), "", fs)
+        )
+    keys = list(kwargs.get("key_cols", ("repo", "path", "commit")))
+    text_cols = list(kwargs.get("fields") or ()) or ["content"]
+    schema = T.StructType(
+        [T.StructField(c, T.StringType()) for c in (*keys, "lang", *text_cols)]
+    )
+    gdir = generation_dir(root, name)
+    IndexBuilder(spark, gdir, partitions=partitions, **kwargs).build(
+        spark.createDataFrame([], schema), resume=False
+    )
+    record_generation(root, name, created_at or _time.time(), fs)
+    return gdir
+
+
+def _next_rollover_name(current: str) -> str:
+    """ES auto-naming: increment a trailing -NNNNNN counter (added at
+    -000001 if absent)."""
+    m = re.fullmatch(r"(.*)-(\d{6})", current)
+    if m:
+        return f"{m.group(1)}-{int(m.group(2)) + 1:06d}"
+    return f"{current}-000001"
+
+
+def rollover(
+    spark: SparkSession,
+    root: str,
+    max_docs: int | None = None,
+    max_size_bytes: int | None = None,
+    max_age_s: float | None = None,
+    new_name: str | None = None,
+    now: float | None = None,
+    dry_run: bool = False,
+    fs=None,
+) -> dict:
+    """ES `_rollover`: evaluate conditions against the alias's live
+    generation; when ANY is met, create the next (empty, contract-
+    inherited) generation and flip the alias to it, so subsequent
+    apply_incremental batches land in the fresh index while readers of
+    the old generation keep working — the date-pattern index lifecycle
+    (StandardSink.java:95-123 resolves such rolling names) driven by
+    size/count/age instead of the calendar.
+
+    Conditions (pass at least one):
+      max_docs        live docs (tombstone-corrected, the ES docs.count)
+      max_size_bytes  bytes under the generation tree (ES store.size)
+      max_age_s       seconds since the generation's recorded
+                      creation_date (record_generation /
+                      init_generation write it; unrecorded -> unmet)
+
+    Returns {"rolled_over", "old", "new", "conditions": {...}} — the ES
+    response shape. dry_run evaluates without acting."""
+    import time as _time
+
+    from .incremental_index import IncrementalIndexReader
+
+    fs = fs or LocalFS()
+    if max_docs is None and max_size_bytes is None and max_age_s is None:
+        raise ValueError("rollover needs at least one condition")
+    target = alias_target(root, fs)
+    if target is None:
+        raise FileNotFoundError(f"no alias at {root}; flip_alias one first")
+    gdir = generation_dir(root, target)
+    conditions: dict[str, bool] = {}
+    if max_docs is not None:
+        n_live = IncrementalIndexReader(spark, gdir, fs=fs).n_docs
+        conditions[f"max_docs={max_docs}"] = n_live >= max_docs
+    if max_size_bytes is not None:
+        conditions[f"max_size_bytes={max_size_bytes}"] = (
+            _tree_size(fs, gdir) >= max_size_bytes
+        )
+    if max_age_s is not None:
+        created = generation_created_at(root, target, fs)
+        conditions[f"max_age_s={max_age_s}"] = (
+            created is not None
+            and ((now or _time.time()) - created) >= max_age_s
+        )
+    out = {
+        "rolled_over": False,
+        "old": target,
+        "new": None,
+        "conditions": conditions,
+        "dry_run": dry_run,
+    }
+    if not any(conditions.values()) or dry_run:
+        return out
+    name = new_name or _next_rollover_name(target)
+    init_generation(
+        spark, root, name, like=target, created_at=now, fs=fs
+    )
+    flip_alias(root, name, fs)
+    out.update(rolled_over=True, new=name)
+    return out
+
+
 def compact_to_generation(
     reader: IncrementalIndexReader,
     root: str,
