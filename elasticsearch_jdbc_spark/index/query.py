@@ -3142,6 +3142,32 @@ class IndexReader:
             prefix_length=prefix_length, name=name, fs=self.fs,
         )
 
+    # ---------- phrase suggester (ES _suggest, phrase block) ----------
+
+    def build_ngram_stats(self, partitions: int | None = None) -> dict:
+        """Materialize the bigram language-model sidecar (see
+        index/phrase_suggest.py) from the tokenized checkpoint."""
+        from .phrase_suggest import build_ngram_stats
+
+        return build_ngram_stats(
+            self.spark, self.index_dir, partitions=partitions, fs=self.fs
+        )
+
+    def phrase_suggest(self, text: str, **kw) -> list[dict]:
+        """Driver-tier ES phrase suggester ("did you mean" over the whole
+        query, StupidBackoff bigram LM + Laplace unigram floor + edit
+        error model). Requires build_ngram_stats() first."""
+        from .phrase_suggest import phrase_suggest
+
+        return phrase_suggest(self, text, **kw)
+
+    def phrase_suggest_df(self, text: str, **kw) -> DataFrame:
+        """Distributed twin of phrase_suggest (rank-identical,
+        pytest-verified; the oracle-checked surface)."""
+        from .phrase_suggest import phrase_suggest_df
+
+        return phrase_suggest_df(self, text, **kw)
+
     # ---------- term suggester (ES _suggest, "did you mean") ----------
 
     SUGGEST_SCHEMA = "input_term string, suggestion string, distance int, df bigint"

@@ -3245,6 +3245,110 @@ def suggest_index_q(spark, sf_dir):
     return reader.suggest_df(_SUGGEST_TEXT, size=5)
 
 
+_PS_CASES = [
+    ("c0", "dat tble scan"),
+    ("c1", "bat jion grou"),
+    ("c2", "slow quary"),
+]
+
+
+def _phrase_suggest_sql() -> str:
+    """Phrase-suggester oracle: per-case candidate shortlists (prefix
+    char, +-2 length, levenshtein <= 2, ranked (d, cf desc, term) top-5),
+    beams scored with the engine's pinned LM contract — StupidBackoff
+    bigrams over corpus adjacency, Laplace unigram floor, 0.5-per-edit
+    error discount — ranked (score desc, suggestion asc) top-5 per case,
+    identity phrase excluded."""
+    uni_p = "(c{i}.cf + 0.5) / (ns.n + 0.5 * ns.v)"
+    case_sqls, cand_sqls = [], []
+    for cid, text in _PS_CASES:
+        toks = text.split()
+        for i, t in enumerate(toks):
+            cand_sqls.append(f"""
+    cand_{cid}_{i} AS (
+      SELECT term, cf, CAST(levenshtein(term, '{t}') AS INT) AS d FROM uni
+      WHERE substr(term, 1, 1) = '{t[0]}'
+        AND abs(length(term) - {len(t)}) <= 2
+        AND levenshtein(term, '{t}') <= 2
+      ORDER BY d, cf DESC, term LIMIT 5
+    )""")
+        froms = [f"cand_{cid}_0 c0"]
+        score = ["ln(" + uni_p.format(i=0) + ")"]
+        for i in range(1, len(toks)):
+            froms.append(f"CROSS JOIN cand_{cid}_{i} c{i}")
+            score.append(
+                f"COALESCE(ln(b{i}.c2 * 1.0 / c{i-1}.cf), "
+                f"ln(0.4 * " + uni_p.format(i=i) + "))"
+            )
+        joins = "".join(
+            f"\n      LEFT JOIN big b{i} ON b{i}.w1 = c{i-1}.term"
+            f" AND b{i}.w2 = c{i}.term"
+            for i in range(1, len(toks))
+        )
+        edits = " + ".join(f"c{i}.d" for i in range(len(toks)))
+        phrase = " || ' ' || ".join(f"c{i}.term" for i in range(len(toks)))
+        case_sqls.append(f"""
+      SELECT '{cid}' AS case_id, {phrase} AS suggestion,
+             {' + '.join(score)} + ({edits}) * ln(0.5) AS score
+      FROM {' '.join(froms)} CROSS JOIN ns{joins}
+      """)
+    cands = ",".join(cand_sqls)
+    union = " UNION ALL ".join(case_sqls)
+    idents = ", ".join(f"('{c}', '{t}')" for c, t in _PS_CASES)
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    uni AS (SELECT t.term, COUNT(*) AS cf FROM tok, UNNEST(toks) AS t(term) GROUP BY 1),
+    ns AS (SELECT SUM(cf) * 1.0 AS n, COUNT(*) * 1.0 AS v FROM uni),
+    big AS (
+      SELECT toks[r.i] AS w1, toks[r.i + 1] AS w2, COUNT(*) AS c2
+      FROM tok, UNNEST(range(1, len(toks))) AS r(i)
+      GROUP BY 1, 2
+    ),
+    {cands},
+    ident(case_id, phrase) AS (VALUES {idents}),
+    scored AS ({union}),
+    r AS (
+      SELECT s.case_id, s.suggestion, ROUND(s.score, 4) AS score,
+             ROW_NUMBER() OVER (
+               PARTITION BY s.case_id ORDER BY s.score DESC, s.suggestion
+             ) AS rn
+      FROM scored s JOIN ident i ON i.case_id = s.case_id
+      WHERE s.suggestion <> i.phrase
+    )
+    SELECT case_id, CAST(rn AS INT) AS rank, suggestion, score
+    FROM r WHERE rn <= 5
+    """
+
+
+@_reg("phrase_suggest_search", _phrase_suggest_sql())
+def phrase_suggest_q(spark, sf_dir):
+    """ES PHRASE suggester ("did you mean" over the whole query) through
+    the REAL engine, ORACLE-CHECKED: candidate shortlists from
+    prefix-pruned term-dictionary scans, whole-phrase beams scored by the
+    StupidBackoff bigram LM materialized from the tokenized checkpoint
+    (build_ngram_stats — content never re-tokenized), Laplace unigram
+    floor, per-edit error discount. The DuckDB oracle replays the exact
+    LM contract from the raw corpus."""
+    from ..index import IndexReader
+
+    idx = _registry_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    reader.build_ngram_stats()
+    parts = []
+    for cid, text in _PS_CASES:
+        rows = reader.phrase_suggest_df(text, size=5).collect()
+        parts.extend(
+            (cid, i, r["suggestion"], float(r["score"]))
+            for i, r in enumerate(rows, 1)
+        )
+    return spark.createDataFrame(
+        parts, "case_id string, rank int, suggestion string, score double"
+    )
+
+
 def _completion_sql() -> str:
     """Completion-suggester oracle: the three dictionary/prefix cases
     re-derived in DuckDB — repo dictionary (weight = doc count), path
