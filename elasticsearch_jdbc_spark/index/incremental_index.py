@@ -2931,6 +2931,41 @@ class IncrementalIndexReader:
             "segments": segs,
         }
 
+    def field_caps(self) -> dict:
+        """ES `_field_caps` over the live index: per-segment caps merged
+        (one parquet footer each, no Spark job). A field whose type
+        drifted across segments reports the sorted type list — the ES
+        cross-index conflict shape."""
+        merged: dict[str, dict] = {}
+        for s in self.segments:
+            for name, c in self.readers[s].field_caps().items():
+                if name not in merged:
+                    merged[name] = dict(c)
+                    continue
+                have = merged[name]["type"]
+                tl = have if isinstance(have, list) else [have]
+                if c["type"] not in tl:
+                    merged[name]["type"] = sorted([*tl, c["type"]])
+        return merged
+
+    def mapping(self) -> dict:
+        """ES `_mapping` over the live index (properties from the merged
+        field_caps; settings from the base segment's pinned contract)."""
+        props = {
+            name: {"type": c["type"]} for name, c in self.field_caps().items()
+        }
+        m = self.readers[self.segments[0]].manifest
+        return {
+            "mappings": {"properties": props},
+            "settings": {
+                "k1": m["k1"], "b": m["b"],
+                "with_positions": bool(m.get("with_positions")),
+                "lang_filter": bool(m.get("lang_filter")),
+                "key_cols": list(m["key_cols"]),
+                "block_size": m.get("block_size"),
+            },
+        }
+
     def delete_by_query(
         self, query: str, min_should_match: int = 1,
         filter_sql: str | None = None,

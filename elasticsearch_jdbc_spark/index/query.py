@@ -797,6 +797,67 @@ class IndexReader:
             "block_size": m.get("block_size"),
         }
 
+    _ARROW_ES_TYPES = {
+        "int64": "long", "int32": "integer", "int16": "short", "int8": "byte",
+        "double": "double", "float": "float", "bool": "boolean",
+        "date32[day]": "date", "binary": "binary",
+    }
+
+    def field_caps(self) -> dict:
+        """ES `_field_caps`: per-field type / searchable / aggregatable.
+
+        Indexed text fields (manifest `fields`, else the content column)
+        are `text`: searchable (they ARE the postings), not aggregatable
+        (ES text fields have no doc_values). Docs-table metadata columns
+        are the filter/sort/facet substrate: aggregatable, not
+        full-text-searchable; strings map to `keyword`, arrow numerics to
+        their ES names. Completion dictionaries surface as `completion`.
+        Reads ONE parquet footer — no Spark job."""
+        import pyarrow.dataset as ds
+
+        caps: dict[str, dict] = {}
+        for f in (self.manifest.get("fields") or ["content"]):
+            caps[f] = {"type": "text", "searchable": True, "aggregatable": False}
+        schema = ds.dataset(
+            os.path.join(self.index_dir, "docs"), format="parquet"
+        ).schema
+        internal = {"doc_id", "sha256"}
+        for name, typ in zip(schema.names, schema.types):
+            if name in caps or name in internal:
+                continue
+            ts = str(typ)
+            es = self._ARROW_ES_TYPES.get(ts, "keyword" if ts in ("string", "large_string") else ts)
+            caps[name] = {"type": es, "searchable": False, "aggregatable": True}
+        from .completion import COMPLETIONS_MANIFEST
+
+        cpath = os.path.join(self.index_dir, COMPLETIONS_MANIFEST)
+        if self.fs.exists(cpath):
+            for name in json.loads(self.fs.read_text(cpath)):
+                caps[f"{name}.completion"] = {
+                    "type": "completion", "searchable": True,
+                    "aggregatable": False,
+                }
+        return caps
+
+    def mapping(self) -> dict:
+        """ES `GET /index/_mapping` analogue: the field_caps relation
+        rendered as a properties tree, plus the index-level settings the
+        manifest pins (analyzer contract, BM25 params, positions)."""
+        props = {
+            name: {"type": c["type"]} for name, c in self.field_caps().items()
+        }
+        m = self.manifest
+        return {
+            "mappings": {"properties": props},
+            "settings": {
+                "k1": m["k1"], "b": m["b"],
+                "with_positions": bool(m.get("with_positions")),
+                "lang_filter": bool(m.get("lang_filter")),
+                "key_cols": list(m["key_cols"]),
+                "block_size": m.get("block_size"),
+            },
+        }
+
     def analyze(self, text: str, lang: str | None = None) -> list[dict]:
         """ES _analyze against THIS index's analyzer chain: tokens with
         original-text offsets and as-indexed positions, honoring the
