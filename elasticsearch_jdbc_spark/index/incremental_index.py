@@ -2456,6 +2456,14 @@ class IncrementalIndexReader:
             }
         )[:limit]
 
+    def validate_query(self, q: str, default_operator: str = "or", **kw) -> dict:
+        """ES `_validate/query?explain=true` over the LIVE index: same
+        parse/compile as the base reader, expansions resolved against
+        every live segment's dictionary (query.validate_query)."""
+        from .query import validate_query
+
+        return validate_query(self, q, default_operator, **kw)
+
     def query_string_df(
         self,
         q: str,

@@ -248,6 +248,83 @@ def parse_query_string(q: str, default_operator: str = "or") -> list[tuple]:
     return out
 
 
+def validate_query(
+    reader,
+    q: str,
+    default_operator: str = "or",
+    limit: int = 128,
+    fuzzy_limit: int = 16,
+) -> dict:
+    """ES `_validate/query?explain=true` analogue: parse + compile a
+    query_string WITHOUT executing it, reporting per-clause rewrites
+    (dictionary expansion counts for wildcard/fuzzy — the part of query
+    planning that touches the index, via the same prefix-pruned point
+    reads the real search uses) and the reasons a query would be
+    rejected (grammar error, unknown field, pure negation). Returns
+    {"valid", "error", "explanation", "clauses"}; works on both reader
+    tiers (they share the expansion helpers)."""
+    try:
+        clauses = parse_query_string(q, default_operator)
+    except ValueError as e:
+        return {"valid": False, "error": str(e), "explanation": None, "clauses": []}
+    fields = getattr(reader, "fields", None)
+    if fields is None and hasattr(reader, "manifest"):
+        fields = reader.manifest.get("fields")
+    sig = {"must": "+", "must_not": "-", "should": ""}
+    rendered: list[str] = []
+    infos: list[dict] = []
+    positive = False
+    for occur, kind, val in clauses:
+        info = {"occur": occur, "kind": kind}
+        if occur != "must_not":
+            positive = True
+        if kind == "term":
+            toks = reader.query_terms(val)
+            info["tokens"] = toks
+            rendered.append(sig[occur] + " ".join(toks))
+        elif kind == "phrase":
+            text, slop = val
+            info["phrase"], info["slop"] = text, slop
+            rendered.append(f'{sig[occur]}"{text}"~{slop}')
+        elif kind == "fuzzy":
+            term, d = val
+            fz = "AUTO" if d == "" else int(d)
+            groups = reader._fuzzy_expansion(term, fuzzy_limit, fz, None)[2]
+            n = sum(len(g) for g in groups)
+            info["term"], info["fuzziness"], info["expansions"] = term, fz, n
+            rendered.append(f"{sig[occur]}{term}~{d or 'AUTO'}({n} terms)")
+        elif kind == "wildcard":
+            g = reader._qs_expand_wildcard(val.lower(), limit)
+            info["pattern"], info["expansions"] = val, len(g)
+            rendered.append(f"{sig[occur]}{val}({len(g)} terms)")
+        elif kind == "fielded":
+            f, t = val
+            info["field"], info["term"] = f, t
+            if not fields or f not in fields:
+                return {
+                    "valid": False,
+                    "error": f"unknown field {f!r} (indexed: {fields})",
+                    "explanation": None,
+                    "clauses": infos + [info],
+                }
+            rendered.append(f"{sig[occur]}{f}:{t}")
+        infos.append(info)
+    if not positive:
+        return {
+            "valid": False,
+            "error": "query_string needs at least one positive clause "
+                     "(pure negation matches the entire corpus)",
+            "explanation": None,
+            "clauses": infos,
+        }
+    return {
+        "valid": True,
+        "error": None,
+        "explanation": " ".join(rendered),
+        "clauses": infos,
+    }
+
+
 # sentinel term for an unsatisfiable must clause (a must wildcard whose
 # dictionary expansion is empty): never indexed, so _bool_spec returns
 # None and the query correctly matches nothing
@@ -822,9 +899,15 @@ class IndexReader:
             os.path.join(self.index_dir, "docs"), format="parquet"
         ).schema
         internal = {"doc_id", "sha256"}
+        import pyarrow as pa
+
         for name, typ in zip(schema.names, schema.types):
             if name in caps or name in internal:
                 continue
+            # ES has no array type: a multi-valued field reports its
+            # ELEMENT type (any field may hold one value or many)
+            if pa.types.is_list(typ) or pa.types.is_large_list(typ):
+                typ = typ.value_type
             ts = str(typ)
             es = self._ARROW_ES_TYPES.get(ts, "keyword" if ts in ("string", "large_string") else ts)
             caps[name] = {"type": es, "searchable": False, "aggregatable": True}
@@ -4278,6 +4361,11 @@ class IndexReader:
         for f in fields:
             out.extend(self.expand_wildcard(f + "\x1f" + pattern, limit))
         return sorted(out)[:limit]
+
+    def validate_query(self, q: str, default_operator: str = "or", **kw) -> dict:
+        """ES `_validate/query?explain=true`: parse + compile without
+        executing (module-level validate_query)."""
+        return validate_query(self, q, default_operator, **kw)
 
     def query_string_df(
         self,

@@ -1434,7 +1434,8 @@ def _registry_index(spark, sf_dir, with_positions: bool = False) -> str:
     # cache key includes the postings layout so a stale cross-version
     # cache can never be resumed into the wrong format
     # geo1: docs table gained planted lat/lon metadata (corpus_from_documents)
-    layout = ",".join(POSTINGS_SCHEMA.names) + f"|pos={with_positions}|geo1"
+    # tags1: planted array<string> tags metadata (ES array/nested fields)
+    layout = ",".join(POSTINGS_SCHEMA.names) + f"|pos={with_positions}|geo1|tags1"
     tag = _h.sha1(f"{sf_dir}|{layout}".encode()).hexdigest()[:10]
     idx = _os.path.join(_tmp.gettempdir(), f"registry_idx_{tag}")
     IndexBuilder(spark, idx, partitions=8, with_positions=with_positions).build(
@@ -2193,6 +2194,99 @@ def filtered_index_q(spark, sf_dir):
     for qid, qtext in REFERENCE_QUERIES:
         hits = reader.search_df(
             qtext, k=None, filter_sql=_FILTER_PRED
+        ).withColumn("query_id", F.lit(qid))
+        out = hits if out is None else out.unionByName(hits)
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("documents_doc_id"))
+    return (
+        out.join(ids, "doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "rank",
+            F.col("documents_doc_id").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+    )
+
+
+_NESTED_PRED = "exists(tags, x -> x = 't3') OR array_contains(tags, 't4')"
+
+
+def _nested_sql() -> str:
+    """Array/nested-field filter oracle: the same BM25 full-corpus plan,
+    ranked only over docs whose multi-valued `tags` array (re-derived
+    from the planted doc_id arithmetic) matches the terms predicate —
+    DuckDB list lambdas mirror the Spark higher-order functions."""
+    from ..index.bm25_df import B, K1, TOP_K, _query_term_pairs
+
+    values = ", ".join(f"({qid}, '{t}')" for qid, t in _query_term_pairs())
+    return f"""
+    WITH q(query_id, term) AS (VALUES {values}),
+    tok AS (
+      SELECT doc_id,
+             ['t' || CAST(doc_id % 5 AS VARCHAR),
+              't' || CAST(doc_id % 7 AS VARCHAR)] AS tags,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    flat AS (
+      SELECT doc_id, len(toks) AS dl, t.term
+      FROM tok, UNNEST(toks) AS t(term)
+    ),
+    tf AS (
+      SELECT term, doc_id, dl, COUNT(*) AS tf FROM flat GROUP BY 1, 2, 3
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n, SUM(dl) * 1.0 / COUNT(*) AS avgdl
+      FROM (SELECT doc_id, len(toks) AS dl FROM tok)
+    ),
+    dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    keep AS (
+      SELECT doc_id FROM tok
+      WHERE len(list_filter(tags, x -> x = 't3')) > 0
+         OR list_contains(tags, 't4')
+    ),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             SUM(
+               ln(1.0 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+               * {K1 + 1.0}
+               * (tf.tf / (tf.tf + {K1} * ({1.0 - B} + {B} * tf.dl / stats.avgdl)))
+             ) AS score
+      FROM tf JOIN q USING (term) JOIN dft USING (term), stats
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT s.query_id, s.doc_id, s.score,
+             ROW_NUMBER() OVER (PARTITION BY s.query_id ORDER BY s.score DESC, s.doc_id) AS rank
+      FROM scored s JOIN keep USING (doc_id)
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, doc_id, ROUND(score, 4) AS score
+    FROM ranked WHERE rank <= {TOP_K}
+    """
+
+
+@_reg("nested_terms_index_search", _nested_sql())
+def nested_terms_index_q(spark, sf_dir):
+    """ES terms/exists queries over a MULTI-VALUED (array) doc field
+    through the REAL engine, ORACLE-CHECKED: the builder's metadata
+    passthrough carries `tags: array<string>` (the multi-value fold-cell
+    shape the reference's row->document mapping produces from repeated
+    column labels, ValueListener multi-value semantics) through the
+    Arrow ingest into the docs table; filter context evaluates Spark
+    higher-order functions (`exists`, `array_contains`) over it — the ES
+    terms query on an array field, non-scoring, predicate pushed to the
+    docs scan. k=None unranked; top-10 cut after id mapping."""
+    from ..index import IndexReader
+
+    idx = _registry_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    ids = _index_docid_map(spark, idx)
+    out = None
+    for qid, qtext in REFERENCE_QUERIES:
+        hits = reader.search_df(
+            qtext, k=None, filter_sql=_NESTED_PRED
         ).withColumn("query_id", F.lit(qid))
         out = hits if out is None else out.unionByName(hits)
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("documents_doc_id"))

@@ -172,6 +172,12 @@ def corpus_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible in any SQL engine) — the geo-query substrate (ES
     geo_distance/geo_bounding_box over indexed geo_point fields; the
     reference indexes WKT cells as geo fields for exactly these queries).
+
+    tags: deterministic planted array<string> metadata (doc_id modular
+    arithmetic) — the ES array/nested-field substrate: multi-valued doc
+    fields the reference's row->document fold produces from repeated
+    column labels (multi-value fold cells), queried with terms/exists
+    filter context over the array.
     """
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return d.select(
@@ -182,4 +188,8 @@ def corpus_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").alias("content"),
         ((F.col("doc_id") * 7919) % 160 - 80 + F.lit(0.25)).cast("double").alias("lat"),
         ((F.col("doc_id") * 104729) % 360 - 180 + F.lit(0.25)).cast("double").alias("lon"),
+        F.array(
+            F.concat(F.lit("t"), (F.col("doc_id") % 5).cast("string")),
+            F.concat(F.lit("t"), (F.col("doc_id") % 7).cast("string")),
+        ).alias("tags"),
     )
