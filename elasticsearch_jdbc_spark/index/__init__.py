@@ -14,6 +14,14 @@ from .alias import (
 )
 from .build import IndexBuilder
 from .completion import build_completions, complete, complete_df
+from .templates import (
+    delete_template,
+    get_template,
+    list_templates,
+    put_template,
+    render_template,
+    search_template,
+)
 from .incremental_index import (
     IncrementalIndexReader,
     PointInTimeReader,
@@ -57,4 +65,10 @@ __all__ = [
     "init_generation",
     "record_generation",
     "rollover",
+    "delete_template",
+    "get_template",
+    "list_templates",
+    "put_template",
+    "render_template",
+    "search_template",
 ]
