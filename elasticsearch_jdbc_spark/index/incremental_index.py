@@ -186,6 +186,16 @@ def apply_incremental(
             **builder_kwargs,
         )
         b.build(up.drop("_optype"), resume=False)
+        # ngram-LM maintenance: when the base segment carries a bigram
+        # sidecar (build_ngram_stats), every delta builds its own too, so
+        # the live phrase suggester stays available without re-reading
+        # content — the same inherit-the-contract rule as positions/fields
+        from .phrase_suggest import NGRAMS_MANIFEST, build_ngram_stats
+
+        if fs.exists(os.path.join(index_dir, NGRAMS_MANIFEST)):
+            build_ngram_stats(
+                spark, os.path.join(index_dir, f"delta={delta_id}"), fs=fs
+            )
         # keep the commit point current when one exists (tiered compaction
         # introduces it; without this the new delta would stay invisible)
         if fs.exists(os.path.join(index_dir, "segments.json")):
@@ -998,6 +1008,31 @@ class IncrementalIndexReader:
         return self.search_terms_df(
             expanded, k, search_after=search_after, filter_sql=filter_sql,
         )
+
+    # shared helper delegates (the phrase-suggest substrate calls these
+    # uniformly on either tier; semantics are segment-independent)
+    def _suggest_namespace(self, field: str | None) -> str:
+        return self.readers[self.segments[0]]._suggest_namespace(field)
+
+    def _lev_within(self, a: str, b: str, d: int) -> bool:
+        return self.readers[self.segments[0]]._lev_within(a, b, d)
+
+    def phrase_suggest(self, text: str, **kw) -> list[dict]:
+        """Driver-tier ES phrase suggester over the LIVE index: the
+        bigram LM unions every segment's ngram sidecar (cf/c2 summed;
+        masked docs still count — the Lucene deleted-docs stats rule).
+        Requires build_ngram_stats on the base; deltas build theirs
+        automatically (apply_incremental)."""
+        from .phrase_suggest import phrase_suggest
+
+        return phrase_suggest(self, text, **kw)
+
+    def phrase_suggest_df(self, text: str, **kw) -> DataFrame:
+        """Distributed live twin of phrase_suggest (rank-identical,
+        pytest-verified)."""
+        from .phrase_suggest import phrase_suggest_df
+
+        return phrase_suggest_df(self, text, **kw)
 
     def complete_df(
         self,

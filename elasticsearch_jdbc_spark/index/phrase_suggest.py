@@ -102,8 +102,54 @@ def build_ngram_stats(
     return manifest
 
 
+def _substrate(reader) -> dict:
+    """Resolve the statistics substrate for either reader tier.
+
+    Base IndexReader: its terms/ngrams dirs, manifest stats. Incremental:
+    every live segment's dirs, cf/c2 SUMMED across segments; N and V are
+    the segment-summed totals (masked docs still count — the Lucene
+    deleted-docs stats rule the df/cf surfaces already follow; V sums
+    per-segment vocabularies, the O(1)-manifest-read approximation of the
+    distinct union). Every segment must carry the ngram sidecar —
+    apply_incremental builds it for deltas automatically when the base
+    has one."""
+    fs = reader.fs
+    if hasattr(reader, "segments"):  # IncrementalIndexReader
+        dirs = [
+            os.path.join(reader.index_dir, s) if s else reader.index_dir
+            for s in reader.segments
+        ]
+        missing = [
+            d for d in dirs if not fs.exists(os.path.join(d, NGRAMS_MANIFEST))
+        ]
+        if missing:
+            raise ValueError(
+                f"no ngram stats on segment(s) {missing} — call "
+                "build_ngram_stats on the base before applying deltas "
+                "(deltas then build theirs automatically)"
+            )
+        rs = [reader.readers[s] for s in reader.segments]
+        return {
+            "terms_dirs": [os.path.join(d, "terms") for d in dirs],
+            "ngrams_dirs": [os.path.join(d, "ngrams") for d in dirs],
+            "n_tokens": float(sum(r.n_docs * r.avgdl for r in rs)),
+            "v": float(sum(r.manifest["n_terms"] for r in rs)),
+        }
+    if not fs.exists(os.path.join(reader.index_dir, NGRAMS_MANIFEST)):
+        raise ValueError(
+            "no ngram stats — call build_ngram_stats(spark, index_dir) first"
+        )
+    return {
+        "terms_dirs": [os.path.join(reader.index_dir, "terms")],
+        "ngrams_dirs": [os.path.join(reader.index_dir, "ngrams")],
+        "n_tokens": float(reader.n_docs) * float(reader.avgdl),
+        "v": float(reader.manifest["n_terms"]),
+    }
+
+
 def _candidates(
     reader,
+    sub: dict,
     tokens: list[str],
     ns: str,
     max_edits: int,
@@ -113,11 +159,12 @@ def _candidates(
     """Per-position shortlists [(term, cf, distance), ...] ranked
     (distance asc, cf desc, term asc) — one pyarrow point-range
     dictionary read per position (prefix-pruned on the term-sorted
-    parquet), bounded-DP distances on the shortlisted window."""
+    parquet; a union dataset over live segments, cf summed), bounded-DP
+    distances on the shortlisted window."""
     import pyarrow.dataset as ds
 
     dset = ds.dataset(
-        os.path.join(reader.index_dir, "terms"), format="parquet"
+        [ds.dataset(d, format="parquet") for d in sub["terms_dirs"]]
     )
     out: list[list[tuple[str, int, int]]] = []
     for tok in tokens:
@@ -127,7 +174,7 @@ def _candidates(
             hi = pref[:-1] + chr(ord(pref[-1]) + 1)
             flt = (ds.field("term") >= pref) & (ds.field("term") < hi)
         t = dset.to_table(filter=flt, columns=["term", "cf"])
-        cands: list[tuple[int, int, str]] = []
+        cfs: dict[str, int] = {}
         for term, cf in zip(
             t.column("term").to_pylist(), t.column("cf").to_pylist()
         ):
@@ -136,24 +183,28 @@ def _candidates(
             bare = term[len(ns):]
             if abs(len(bare) - len(tok)) > max_edits:
                 continue
+            cfs[bare] = cfs.get(bare, 0) + int(cf)
+        cands: list[tuple[int, int, str]] = []
+        for bare, cf in cfs.items():
             if not reader._lev_within(bare, tok, max_edits):
                 continue
             dist = 0 if bare == tok else next(
                 d for d in range(1, max_edits + 1)
                 if reader._lev_within(bare, tok, d)
             )
-            cands.append((dist, -int(cf), bare))
+            cands.append((dist, -cf, bare))
         cands.sort()
         out.append([(b, -negcf, d) for d, negcf, b in cands[:per_token]])
     return out
 
 
 def _bigram_counts(
-    index_dir: str, ns: str, shortlists: list[list[tuple[str, int, int]]]
+    sub: dict, ns: str, shortlists: list[list[tuple[str, int, int]]]
 ) -> dict[tuple[str, str], int]:
     """c2 for every candidate pair that can appear adjacent in a beam —
-    ONE pyarrow read filtered to the w1 candidate set (the ngrams parquet
-    is (w1, w2)-sorted, so the isin prunes row-groups)."""
+    ONE pyarrow read filtered to the w1 candidate set (each ngrams
+    parquet is (w1, w2)-sorted, so the isin prunes row-groups; a union
+    dataset over live segments, c2 summed)."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.dataset as ds
@@ -164,17 +215,20 @@ def _bigram_counts(
     w2s = {ns + t for pos in shortlists[1:] for t, _, _ in pos}
     if not w1s or not w2s:
         return {}
-    dset = ds.dataset(os.path.join(index_dir, "ngrams"), format="parquet")
+    dset = ds.dataset(
+        [ds.dataset(d, format="parquet") for d in sub["ngrams_dirs"]]
+    )
     t = dset.to_table(filter=ds.field("w1").isin(w1s))
     t = t.filter(pc.is_in(t.column("w2"), value_set=pa.array(sorted(w2s))))
-    return {
-        (a[len(ns):], b[len(ns):]): int(c)
-        for a, b, c in zip(
-            t.column("w1").to_pylist(),
-            t.column("w2").to_pylist(),
-            t.column("c2").to_pylist(),
-        )
-    }
+    out: dict[tuple[str, str], int] = {}
+    for a, b, c in zip(
+        t.column("w1").to_pylist(),
+        t.column("w2").to_pylist(),
+        t.column("c2").to_pylist(),
+    ):
+        key = (a[len(ns):], b[len(ns):])
+        out[key] = out.get(key, 0) + int(c)
+    return out
 
 
 def phrase_suggest(
@@ -189,14 +243,11 @@ def phrase_suggest(
     error_discount: float = 0.5,
     field: str | None = None,
 ) -> list[dict]:
-    """Driver-tier phrase suggestion over an IndexReader: returns
+    """Driver-tier phrase suggestion over either reader tier: returns
     [{"text", "score"}, ...] ranked (score desc, text asc), the input
-    phrase excluded. Requires build_ngram_stats() on the index."""
-    fs = reader.fs
-    if not fs.exists(os.path.join(reader.index_dir, NGRAMS_MANIFEST)):
-        raise ValueError(
-            "no ngram stats — call build_ngram_stats(spark, index_dir) first"
-        )
+    phrase excluded. Requires build_ngram_stats() on the index (live
+    tier: on the base — deltas inherit automatically)."""
+    sub = _substrate(reader)
     ns = reader._suggest_namespace(field)
     tokens = reader.query_terms(text)
     if not tokens:
@@ -206,13 +257,13 @@ def phrase_suggest(
             f"phrase_suggest caps input at {MAX_TOKENS} tokens (got {len(tokens)})"
         )
     shortlists = _candidates(
-        reader, tokens, ns, max_edits, prefix_length, candidates_per_token
+        reader, sub, tokens, ns, max_edits, prefix_length, candidates_per_token
     )
     if any(not pos for pos in shortlists):
         return []
-    c2 = _bigram_counts(reader.index_dir, ns, shortlists)
-    n_tokens = float(reader.n_docs) * float(reader.avgdl)
-    v = float(reader.manifest["n_terms"])
+    c2 = _bigram_counts(sub, ns, shortlists)
+    n_tokens = sub["n_tokens"]
+    v = sub["v"]
 
     def p_uni(cf: int) -> float:
         return (cf + alpha) / (n_tokens + alpha * v)
@@ -259,11 +310,7 @@ def phrase_suggest_df(
     each adjacent pair left-joins the (w1, w2)-sorted ngrams parquet; one
     scoring expression, ordered-limit cut. Returns (suggestion, score)."""
     spark = reader.spark
-    fs = reader.fs
-    if not fs.exists(os.path.join(reader.index_dir, NGRAMS_MANIFEST)):
-        raise ValueError(
-            "no ngram stats — call build_ngram_stats(spark, index_dir) first"
-        )
+    sub = _substrate(reader)
     ns = reader._suggest_namespace(field)
     tokens = reader.query_terms(text)
     empty = spark.createDataFrame([], "suggestion string, score double")
@@ -273,16 +320,23 @@ def phrase_suggest_df(
         raise ValueError(
             f"phrase_suggest caps input at {MAX_TOKENS} tokens (got {len(tokens)})"
         )
-    terms_dir = os.path.join(reader.index_dir, "terms")
-    n_tokens = float(reader.n_docs) * float(reader.avgdl)
-    v = float(reader.manifest["n_terms"])
+    n_tokens = sub["n_tokens"]
+    v = sub["v"]
 
     def p_uni(cf_col):
         return (cf_col + F.lit(alpha)) / F.lit(n_tokens + alpha * v)
 
+    # multi-segment (live) substrate: union the dictionaries and sum cf
+    # per term before candidate ranking; single-segment reads stay as-is
+    def terms_df():
+        d = spark.read.parquet(*sub["terms_dirs"]).select("term", "cf")
+        if len(sub["terms_dirs"]) > 1:
+            d = d.groupBy("term").agg(F.sum("cf").alias("cf"))
+        return d
+
     cands = []
     for i, tok in enumerate(tokens):
-        d = spark.read.parquet(terms_dir).select("term", "cf")
+        d = terms_df()
         pref = ns + tok[:prefix_length] if prefix_length > 0 else ns
         if pref:
             hi = pref[:-1] + chr(ord(pref[-1]) + 1)
@@ -312,8 +366,11 @@ def phrase_suggest_df(
     for c in cands[1:]:
         beam = beam.crossJoin(F.broadcast(c))
     # adjacent-pair bigram counts: the tiny beam-side key set broadcasts
-    # against each (w1, w2)-sorted ngrams scan
-    ngrams = reader.spark.read.parquet(os.path.join(reader.index_dir, "ngrams"))
+    # against each (w1, w2)-sorted ngrams scan (live: segments unioned,
+    # c2 summed)
+    ngrams = spark.read.parquet(*sub["ngrams_dirs"])
+    if len(sub["ngrams_dirs"]) > 1:
+        ngrams = ngrams.groupBy("w1", "w2").agg(F.sum("c2").alias("c2"))
     score = F.log(p_uni(F.col("cf0")))
     edits = F.col("d0")
     for i in range(1, len(tokens)):

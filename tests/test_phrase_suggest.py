@@ -47,9 +47,11 @@ def _stats(docs=DOCS):
 
 
 def _brute(text, size=3, max_edits=2, prefix_length=1, per_token=5,
-           backoff=0.4, alpha=0.5, error_discount=0.5, docs=DOCS):
+           backoff=0.4, alpha=0.5, error_discount=0.5, docs=DOCS,
+           v_override=None):
     cf, c2, n = _stats(docs)
-    v = len(cf)
+    # live tier sums per-segment vocabularies (documented approximation)
+    v = v_override if v_override is not None else len(cf)
     toks = tokenize_py(text)
     # dedup first-occurrence like query_terms
     seen, tokens = set(), []
@@ -154,6 +156,54 @@ def test_guards(spark, ps_idx, tmp_path):
     )
     with pytest.raises(ValueError, match="no ngram stats"):
         IndexReader(spark, idx2).phrase_suggest("merge segment")
+
+
+def test_incremental_live_lm(spark, tmp_path):
+    """Live tier: deltas extend the LM (cf/c2 summed across segments —
+    masked docs still counted, the deleted-docs stats rule), tier parity
+    holds, and a base without ngram stats refuses clearly."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_jdbc_spark.index import (
+        IncrementalIndexReader,
+        apply_incremental,
+    )
+
+    idx = str(tmp_path / "live")
+    IndexBuilder(spark, idx, partitions=2).build(
+        spark.createDataFrame(DOCS, SCHEMA), resume=False
+    )
+    base = IndexReader(spark, idx)
+    base.build_ngram_stats()
+    # delta introduces a new bigram (merge gamma) x3 — strong enough that
+    # 'merge gamma' outranks alternatives for the typo "mrge gamma"
+    ops = spark.createDataFrame(
+        [
+            ("r", "9", "c", "t", "merge gamma merge gamma merge gamma"),
+        ],
+        SCHEMA,
+    ).withColumn("_optype", F.lit("index"))
+    apply_incremental(spark, idx, ops)
+    r = IncrementalIndexReader(spark, idx)
+    live_docs = DOCS + [("r", "9", "c", "t", "merge gamma merge gamma merge gamma")]
+    # engine V = sum of per-segment vocabularies: base 8 terms + delta 2
+    v_sum = len(_stats(DOCS)[0]) + len(_stats([live_docs[-1]])[0])
+    got = [(o["text"], o["score"]) for o in r.phrase_suggest("mrge gamma")]
+    assert got == _brute("mrge gamma", docs=live_docs, v_override=v_sum)
+    assert got[0][0] == "merge gamma"
+    dfg = [(x["suggestion"], x["score"])
+           for x in r.phrase_suggest_df("mrge gamma").collect()]
+    assert dfg == got
+    # base segment without the sidecar -> clear refusal
+    idx2 = str(tmp_path / "nongrams")
+    IndexBuilder(spark, idx2, partitions=1).build(
+        spark.createDataFrame(DOCS[:2], SCHEMA), resume=False
+    )
+    apply_incremental(spark, idx2, ops)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no ngram stats on segment"):
+        IncrementalIndexReader(spark, idx2).phrase_suggest("mrge gamma")
 
 
 def test_fields_namespaced_lm(spark, tmp_path):
