@@ -1,5 +1,6 @@
 from .alias import (
     alias_target,
+    cat_indices,
     compact_to_generation,
     drop_generation,
     flip_alias,
@@ -65,6 +66,7 @@ __all__ = [
     "init_generation",
     "record_generation",
     "rollover",
+    "cat_indices",
     "delete_template",
     "get_template",
     "list_templates",

@@ -296,6 +296,32 @@ def rollover(
     return out
 
 
+def cat_indices(root: str, fs=None) -> list[dict]:
+    """ES `_cat/indices` analogue over a generation root: one row per
+    generation — docs/terms from its manifest, store size from a
+    storage-abstraction tree walk, recorded creation time, and whether
+    the alias points at it. Driver-side metadata reads only, no Spark
+    job."""
+    fs = fs or LocalFS()
+    live = alias_target(root, fs)
+    out = []
+    for name in list_generations(root, fs):
+        gdir = generation_dir(root, name)
+        mpath = os.path.join(gdir, "manifest.json")
+        m = json.loads(fs.read_text(mpath)) if fs.exists(mpath) else {}
+        out.append(
+            {
+                "index": name,
+                "docs_count": m.get("n_docs"),
+                "terms_count": m.get("n_terms"),
+                "store_bytes": _tree_size(fs, gdir),
+                "created_at": generation_created_at(root, name, fs),
+                "is_alias_target": name == live,
+            }
+        )
+    return out
+
+
 def compact_to_generation(
     reader: IncrementalIndexReader,
     root: str,

@@ -104,6 +104,44 @@ class MultiIndexReader(IncrementalIndexReader):
         # member-relative segment ids this reader must not interpret
         return []
 
+    def search_df_boosted(
+        self,
+        query: str,
+        indices_boost: dict[str, float],
+        k: int | None = 10,
+        **kw,
+    ):
+        """ES `indices_boost`: multiply each hit's score by its member
+        index's boost before the final cut (hits from a boosted index
+        rank higher without touching BM25 stats — the ES contract; e.g.
+        recency-weighting date-pattern members). Unknown members keep
+        boost 1.0; every named member must exist. The boost map rides as
+        one broadcast join over the UNRANKED union match set, then one
+        TakeOrdered cut — no extra scan."""
+        from pyspark.sql import functions as F
+
+        unknown = sorted(set(indices_boost) - set(self.segments))
+        if unknown:
+            raise ValueError(
+                f"indices_boost names unknown member(s) {unknown} "
+                f"(have {self.segments})"
+            )
+        hits = self.search_df(query, k=None, **kw)
+        bmap = self.spark.createDataFrame(
+            [(s, float(indices_boost.get(s, 1.0))) for s in self.segments],
+            "segment string, _boost double",
+        )
+        boosted = (
+            hits.join(F.broadcast(bmap), "segment")
+            .withColumn("score", F.col("score") * F.col("_boost"))
+            .drop("_boost")
+        )
+        if k is None:
+            return boosted
+        return boosted.orderBy(
+            F.desc("score"), F.asc("segment"), F.asc("doc_id")
+        ).limit(k)
+
     # Mutations route through a member index's own IncrementalIndexReader:
     # writing union-level tombstones would use segment ids no member
     # reader resolves, silently un-deleting on the next member-level open.

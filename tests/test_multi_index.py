@@ -76,6 +76,28 @@ def test_msearch_and_synonyms_over_members(spark, setup):
     ).count()
 
 
+def test_indices_boost(spark, setup):
+    merged, root = setup
+    mr = MultiIndexReader(spark, root)
+    base = {(r["segment"], r["doc_id"]): r["score"]
+            for r in mr.search_df(Q, k=None).collect()}
+    boosted = mr.search_df_boosted(Q, {"gen=a": 2.0}, k=None).collect()
+    # every gen=a score exactly doubled, gen=b untouched
+    for r in boosted:
+        key = (r["segment"], r["doc_id"])
+        mult = 2.0 if r["segment"] == "gen=a" else 1.0
+        assert r["score"] == pytest.approx(base[key] * mult, rel=1e-12)
+    # ranked cut reflects the boost: top-k recomputed from boosted scores
+    topk = mr.search_df_boosted(Q, {"gen=a": 2.0}, k=5).collect()
+    want = sorted(
+        ((s, d, sc * (2.0 if s == "gen=a" else 1.0)) for (s, d), sc in base.items()),
+        key=lambda t: (-t[2], t[0], t[1]),
+    )[:5]
+    assert [(r["segment"], r["doc_id"]) for r in topk] == [(s, d) for s, d, _ in want]
+    with pytest.raises(ValueError, match="unknown member"):
+        mr.search_df_boosted(Q, {"gen=zzz": 2.0})
+
+
 def test_guards(spark, setup, tmp_path):
     merged, root = setup
     mr = MultiIndexReader(spark, root)

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from elasticsearch_jdbc_spark.index import (
     IncrementalIndexReader,
+    cat_indices,
     IndexBuilder,
     alias_target,
     apply_incremental,
@@ -100,3 +101,14 @@ def test_rollover_flow(spark, tmp_path):
     # explicit-name collision refused
     with pytest.raises(ValueError, match="already exists"):
         rollover(spark, root, max_size_bytes=1, new_name="big")
+
+    # _cat/indices analogue: one row per generation, alias flagged
+    cat = cat_indices(root)
+    assert [c["index"] for c in cat] == sorted(
+        ["logs-000001", "logs-000002", "logs-000003", "big"]
+    )
+    by = {c["index"]: c for c in cat}
+    assert by["logs-000001"]["docs_count"] == 60
+    assert by["big"]["is_alias_target"] is True
+    assert all(c["store_bytes"] > 0 for c in cat)
+    assert by["logs-000002"]["created_at"] == 5000.0
