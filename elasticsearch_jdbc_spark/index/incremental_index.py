@@ -3233,17 +3233,28 @@ class IncrementalIndexReader:
                 self.fs.rmtree(d, ignore_errors=True)
         return manifest
 
-    def scroll(self, query: str, page_size: int = 10, **kwargs):
+    def scroll(
+        self,
+        query: str,
+        page_size: int = 10,
+        slice_spec: tuple[int, int] | None = None,
+        **kwargs,
+    ):
         """ES scroll / PIT+search_after pagination over the live index: a
         generator of result-row pages, each page one search_df call with
         the previous page's (score, segment, doc_id) cursor — deep
         pagination never materializes page*k rows (the cursor filter cuts
         BEFORE the top-k, see search_terms_df). kwargs forward to
         search_df (min_should_match, filter_sql, fields boosts, ...).
+        slice_spec=(i, max) = ES sliced scroll (see IndexReader.scroll) —
+        the hash(doc_id) predicate composes into the live filter context.
 
         On this reader a delete landing mid-scroll is visible to the next
         page (ES default visibility); open the index through
         PointInTimeReader for the frozen-view scroll ES PITs provide."""
+        from .query import _compose_slice
+
+        kwargs = _compose_slice(slice_spec, kwargs)
         after = None
         while True:
             rows = self.search_df(

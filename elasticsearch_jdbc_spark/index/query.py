@@ -248,6 +248,24 @@ def parse_query_string(q: str, default_operator: str = "or") -> list[tuple]:
     return out
 
 
+def _compose_slice(slice_spec, kwargs: dict) -> dict:
+    """Compose an ES sliced-scroll predicate (`slice_spec=(i, max)`) into
+    the filter context: hash(doc_id) buckets are disjoint, complete, and
+    deterministic across sessions (Spark murmur3). Works identically on
+    the base and live tiers — live segments share doc_id spaces, but a
+    (segment, doc_id) pair lands in exactly one slice either way."""
+    if slice_spec is None:
+        return kwargs
+    i, n = int(slice_spec[0]), int(slice_spec[1])
+    if n < 1 or not (0 <= i < n):
+        raise ValueError(f"slice_spec must satisfy 0 <= id < max, got {slice_spec}")
+    frag = f"pmod(hash(doc_id), {n}) = {i}"
+    fs = kwargs.get("filter_sql")
+    out = dict(kwargs)
+    out["filter_sql"] = f"({fs}) AND {frag}" if fs else frag
+    return out
+
+
 def validate_query(
     reader,
     q: str,
@@ -3870,14 +3888,28 @@ class IndexReader:
             search_after=search_after, filter_sql=filter_sql,
         )
 
-    def scroll(self, query: str, page_size: int = 10, **kwargs):
+    def scroll(
+        self,
+        query: str,
+        page_size: int = 10,
+        slice_spec: tuple[int, int] | None = None,
+        **kwargs,
+    ):
         """ES scroll pagination: a generator of result-row pages, each page
         one search_df call with the previous page's (score, doc_id) cursor
         — deep pagination never materializes page*k rows (the cursor
         filter cuts BEFORE the top-k). A built index is immutable, so the
         view is naturally consistent across pages; on a live index use
         IncrementalIndexReader.scroll (or PointInTimeReader for the frozen
-        ES-PIT view). kwargs forward to search_df."""
+        ES-PIT view). kwargs forward to search_df.
+
+        slice_spec=(i, max): ES sliced scroll — N workers each drain a
+        disjoint 1/max of the match set in parallel (the export pattern:
+        slice on _id). The slice is a deterministic hash predicate on
+        doc_id composed into the filter context, so it prunes BEFORE
+        scoring and composes with a caller filter_sql; the union of all
+        slices is exactly the unsliced result set."""
+        kwargs = _compose_slice(slice_spec, kwargs)
         after = None
         while True:
             rows = self.search_df(

@@ -69,6 +69,44 @@ def test_scroll_no_hits_and_tiny_page(spark, idx):
     assert [x["doc_id"] for x in one] == [x["doc_id"] for x in topk]
 
 
+def test_sliced_scroll_partitions_match_set(spark, idx):
+    """ES sliced scroll: slices are disjoint, their union is exactly the
+    unsliced walk, ordering inside each slice is the global order
+    restricted to it; composes with filter_sql; both reader tiers."""
+    r = IndexReader(spark, idx)
+    _p, full = _page_walk(r, "merge segment", page_size=11)
+    full_ids = [x["doc_id"] for x in full]
+    seen = []
+    for i in range(3):
+        _p, part = _page_walk(
+            r, "merge segment", page_size=11, slice_spec=(i, 3)
+        )
+        ids = [x["doc_id"] for x in part]
+        # slice order = global order restricted to the slice
+        assert ids == [d for d in full_ids if d in set(ids)]
+        seen.extend(ids)
+    assert sorted(seen) == sorted(full_ids)  # disjoint + complete
+    # composes with a caller filter
+    _p, filt = _page_walk(
+        r, "merge segment", page_size=11, slice_spec=(0, 3),
+        filter_sql="lang = 'java'",
+    )
+    assert all(x["doc_id"] in set(full_ids) for x in filt)
+    with pytest.raises(ValueError, match="slice_spec"):
+        list(r.scroll("merge", slice_spec=(3, 3)))
+    # live tier: same partition contract on (segment, doc_id) identity
+    ri = IncrementalIndexReader(spark, idx)
+    _p, lfull = _page_walk(ri, "merge segment", page_size=13)
+    lkeys = [(x["segment"], x["doc_id"]) for x in lfull]
+    lseen = []
+    for i in range(2):
+        _p, part = _page_walk(
+            ri, "merge segment", page_size=13, slice_spec=(i, 2)
+        )
+        lseen.extend((x["segment"], x["doc_id"]) for x in part)
+    assert sorted(lseen) == sorted(lkeys)
+
+
 def test_pit_frozen_while_deletes_land(spark, idx):
     pit = PointInTimeReader(spark, idx)
     before_stats = (pit.n_docs, pit.avgdl)
