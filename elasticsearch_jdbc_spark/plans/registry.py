@@ -2210,6 +2210,73 @@ def filtered_index_q(spark, sf_dir):
     )
 
 
+def _pipeline_agg_sql() -> str:
+    """Pipeline-aggs oracle: the histogram facet (dl buckets of width 20
+    over the msm=1 match set for the query tokens) re-derived in DuckDB,
+    then the SAME window algebra — LAG derivative, unbounded-preceding
+    cumulative sum, 2-bucket trailing moving average, bucket_script
+    ratio."""
+    return """
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    match AS (
+      SELECT doc_id, len(toks) AS dl FROM tok
+      WHERE list_has_any(toks, ['slow', 'query', 'scan'])
+    ),
+    buckets AS (
+      SELECT floor(dl / 20.0) * 20.0 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM match GROUP BY 1
+    ),
+    piped AS (
+      SELECT bucket, n_docs,
+             n_docs * 1.0 - LAG(n_docs * 1.0) OVER w AS deriv,
+             SUM(n_docs * 1.0) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             AVG(n_docs * 1.0) OVER (w ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS ma2
+      FROM buckets
+      WINDOW w AS (ORDER BY bucket)
+    )
+    SELECT bucket, n_docs, deriv, cum, ma2,
+           ROUND(n_docs / cum, 4) AS ratio
+    FROM piped
+    """
+
+
+@_reg("pipeline_agg_search", _pipeline_agg_sql())
+def pipeline_agg_q(spark, sf_dir):
+    """ES PIPELINE aggregations (derivative / cumulative_sum / moving_avg
+    / bucket_script) nested under a histogram facet, through the REAL
+    engine, ORACLE-CHECKED: facet_df buckets the unranked match set in
+    one distributed pass, pipeline_aggs appends the second-pass window
+    algebra over the (small, aggregation-output) bucket list — the ES
+    parent-pipeline-agg structure."""
+    from ..index import IndexReader
+    from ..index.aggs import pipeline_aggs
+
+    idx = _registry_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    buckets = reader.facet_df("slow query scan", by="dl", interval=20).select(
+        "bucket", "n_docs"
+    )
+    piped = pipeline_aggs(
+        buckets,
+        order_col="bucket",
+        specs={
+            "deriv": ("derivative", "n_docs"),
+            "cum": ("cumulative_sum", "n_docs"),
+            "ma2": ("moving_avg", "n_docs", 2),
+            "ratio": ("bucket_script", "round(n_docs / cum, 4)"),
+        },
+    )
+    return piped.select(
+        F.col("bucket").cast("double").alias("bucket"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "deriv", "cum", "ma2", "ratio",
+    )
+
+
 _NESTED_PRED = "exists(tags, x -> x = 't3') OR array_contains(tags, 't4')"
 
 
