@@ -4193,6 +4193,57 @@ def pipeline_repetition_q(spark, sf_dir):
 
 
 @_reg(
+    "pipeline_lm_quality",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    ne AS (SELECT doc_id, toks FROM tok WHERE len(toks) >= 1),
+    flat AS (
+      SELECT doc_id, len(toks) AS n_tokens, toks[r.i] AS w,
+             CASE WHEN r.i = 1 THEN NULL ELSE toks[r.i - 1] END AS pw
+      FROM ne, UNNEST(range(1, len(toks) + 1)) AS r(i)
+    ),
+    uni AS (SELECT w, COUNT(*) AS cf FROM flat GROUP BY 1),
+    ns AS (SELECT SUM(cf) * 1.0 AS n, COUNT(*) * 1.0 AS v FROM uni),
+    big AS (
+      SELECT pw, w, COUNT(*) AS c2 FROM flat WHERE pw IS NOT NULL GROUP BY 1, 2
+    ),
+    term_p AS (
+      SELECT f.doc_id, f.n_tokens,
+             CASE WHEN f.pw IS NULL
+                    THEN ln((u.cf + 0.5) / (ns.n + 0.5 * ns.v))
+                  WHEN b.c2 IS NOT NULL
+                    THEN ln(b.c2 * 1.0 / up.cf)
+                  ELSE ln(0.4 * (u.cf + 0.5) / (ns.n + 0.5 * ns.v)) END AS lp
+      FROM flat f
+      JOIN uni u ON u.w = f.w
+      LEFT JOIN uni up ON up.w = f.pw
+      LEFT JOIN big b ON b.pw = f.pw AND b.w = f.w, ns
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(-SUM(lp) / n_tokens, 4) AS avg_nll
+    FROM term_p GROUP BY doc_id, n_tokens
+    """,
+)
+def pipeline_lm_quality_q(spark, sf_dir):
+    """CCNet-style LM-quality signal, ORACLE-CHECKED per doc: average
+    negative log-likelihood under the corpus's OWN StupidBackoff bigram
+    LM with a Laplace unigram floor (the same pinned LM contract as the
+    phrase suggester) — the perplexity-bucket filter a pretraining
+    pipeline runs, without an external model. Token pairing happens
+    inside the token array (no window, no per-doc shuffle); two
+    map-side-combinable aggregations build the LM; scoring is two
+    equi-joins + one groupBy."""
+    from ..operators.lm_quality import lm_scores
+
+    d = _t(spark, sf_dir, "documents")
+    return lm_scores(d, text_col="text", id_col="doc_id")
+
+
+@_reg(
     "pipeline_contamination",
     """
     WITH w AS (
