@@ -4244,6 +4244,41 @@ def pipeline_lm_quality_q(spark, sf_dir):
 
 
 @_reg(
+    "pipeline_chunking",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    ne AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 1),
+    w AS (
+      SELECT doc_id,
+             CAST(s.i AS BIGINT) AS chunk_id,
+             CAST(LEAST(len(toks) - s.i * 48, 64) AS BIGINT) AS n_tokens,
+             array_to_string(toks[s.i * 48 + 1 : s.i * 48 + 64], ' ') AS chunk
+      FROM ne, UNNEST(range(0, CAST(ceil(len(toks) / 48.0) AS BIGINT))) AS s(i)
+      WHERE s.i * 48 < len(toks)
+    )
+    SELECT doc_id, chunk_id, n_tokens, chunk FROM w
+    """,
+)
+def pipeline_chunking_q(spark, sf_dir):
+    """Context-window chunking (max_tokens=64, overlap=16 -> stride 48),
+    ORACLE-CHECKED per chunk including the reconstructed text: the
+    training-data prep step that slices long documents into overlapping
+    token windows. One whole-stage-codegen projection (split ->
+    sequence -> slice -> posexplode) — no shuffle, no UDF; chunks at
+    scan speed at any corpus size."""
+    from ..operators.chunking import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(
+        d, text_col="text", id_col="doc_id", max_tokens=64, overlap=16
+    )
+
+
+@_reg(
     "pipeline_contamination",
     """
     WITH w AS (
