@@ -130,3 +130,59 @@ def stratified_sample(
             raise ValueError("empty fraction dict")
         return df.filter(expr)
     return df.filter(bucket < F.lit(_threshold(float(fraction))))
+
+
+def temperature_resample(
+    df: DataFrame,
+    domain_col: str,
+    key_cols: list[str],
+    alpha: float = 0.7,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-based domain rebalancing — the multinomial mixing step
+    skew-heavy pretraining corpora get before training (alpha-sampling in
+    multilingual LM recipes: expected kept count of domain d ∝
+    count_d^alpha, so alpha=1 keeps the corpus as-is and alpha->0 pushes
+    toward uniform domain shares).
+
+    Downsample-only (never duplicates): acceptance rate_d =
+    count_d^(alpha-1) / max_e count_e^(alpha-1), which is 1.0 for the
+    smallest domain and < 1 for larger ones. Each row accepts
+    deterministically iff its sha256 position (see _bucket_hex) falls
+    below rate_d's 48-bit hex threshold — same row, same outcome, on any
+    cluster, reproducible in any engine with sha256/pow (the DuckDB
+    oracle runs the identical algebra).
+
+    Scale shape: ONE map-side-combinable groupBy builds the per-domain
+    counts (output = #domains rows), rates ride back as a broadcast join,
+    and acceptance is one string comparison — no shuffle of the data
+    itself, no sample(), no driver-side row materialization."""
+    if alpha <= 0 or alpha > 1:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("_cnt"))
+    factor = F.pow(F.col("_cnt").cast("double"), F.lit(alpha - 1.0))
+    mx = counts.agg(F.max(factor).alias("_mx"))
+    scale = 16 ** _HEX_WIDTH
+    rates = (
+        counts.crossJoin(F.broadcast(mx))
+        .withColumn("_rate", factor / F.col("_mx"))
+        .withColumn(
+            "_thr",
+            F.when(
+                F.floor(F.col("_rate") * F.lit(float(scale))) >= F.lit(scale),
+                F.lit("g"),
+            ).otherwise(
+                F.format_string(
+                    f"%0{_HEX_WIDTH}x",
+                    F.floor(F.col("_rate") * F.lit(float(scale))).cast("long"),
+                )
+            ),
+        )
+        .select(domain_col, "_thr")
+    )
+    bucket = _bucket_hex(key_cols, salt)
+    return (
+        df.join(F.broadcast(rates), domain_col)
+        .filter(bucket < F.col("_thr"))
+        .drop("_thr")
+    )

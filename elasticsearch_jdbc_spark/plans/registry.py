@@ -3965,6 +3965,51 @@ def sample_split_q(spark, sf_dir):
 
 
 @_reg(
+    "sample_temperature_docs",
+    """
+    WITH c AS (
+      SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY 1
+    ),
+    r AS (
+      SELECT lang,
+             pow(cnt, -0.3) / (SELECT MAX(pow(cnt, -0.3)) FROM c) AS rate
+      FROM c
+    ),
+    t AS (
+      SELECT lang,
+             CASE WHEN CAST(floor(rate * 281474976710656) AS BIGINT)
+                       >= 281474976710656
+                  THEN 'g'
+                  ELSE printf('%012x', CAST(floor(rate * 281474976710656) AS BIGINT))
+             END AS thr
+      FROM r
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN t USING (lang)
+    WHERE substr(sha256(concat_ws(chr(31), 'temp1',
+                 coalesce('v' || CAST(d.doc_id AS VARCHAR), 'n'))), 1, 12)
+          < t.thr
+    """,
+)
+def sample_temperature_q(spark, sf_dir):
+    """Temperature-based domain rebalancing (alpha=0.7 over the skewed
+    `lang` domains), ORACLE-CHECKED row-exact: expected kept counts ∝
+    count^alpha, acceptance = deterministic sha256 position under the
+    per-domain 48-bit hex threshold — the multilingual-LM alpha-sampling
+    mix step, reproduced BIT-FOR-BIT by the DuckDB oracle (same pow
+    algebra, same sha256, same hex format). Downsample-only: the
+    smallest domain keeps rate 1.0. See
+    operators/sampling.py::temperature_resample."""
+    from ..operators import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    kept = sampling.temperature_resample(
+        d, "lang", ["doc_id"], alpha=0.7, salt="temp1"
+    )
+    return kept.select("doc_id", "lang")
+
+
+@_reg(
     "rescore_index_search",
     """
     WITH tok AS (

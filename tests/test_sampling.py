@@ -125,3 +125,41 @@ def test_null_keys_spread_not_collapsed(spark):
     assert row["split"] == exp
     # order sensitivity: ('a', NULL) != (NULL, 'a')
     assert _brute_bucket("s", "a", None) != _brute_bucket("s", None, "a")
+
+
+def test_temperature_resample(spark):
+    from elasticsearch_jdbc_spark.operators.sampling import (
+        temperature_resample,
+    )
+
+    rows = [(i, "big") for i in range(400)] + \
+           [(i + 1000, "mid") for i in range(100)] + \
+           [(i + 2000, "small") for i in range(25)]
+    df = spark.createDataFrame(rows, "doc_id long, dom string")
+
+    # alpha=1: rates all 1.0 -> identity
+    kept1 = temperature_resample(df, "dom", ["doc_id"], alpha=1.0)
+    assert kept1.count() == len(rows)
+
+    kept = temperature_resample(df, "dom", ["doc_id"], alpha=0.5, salt="t")
+    by = {r["dom"]: r["cnt"] for r in
+          kept.groupBy("dom").agg(F.count("*").alias("cnt")).collect()}
+    # smallest domain fully kept (rate 1.0 by construction)
+    assert by["small"] == 25
+    # expected rates: (n_d/25)^(alpha-1) -> big 0.25, mid 0.5
+    assert abs(by["big"] - 400 * 0.25) <= 3 * (400 * 0.25 * 0.75) ** 0.5
+    assert abs(by["mid"] - 100 * 0.5) <= 3 * (100 * 0.25) ** 0.5
+    # deterministic: same call, same membership
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in temperature_resample(
+            df, "dom", ["doc_id"], alpha=0.5, salt="t"
+        ).collect()
+    )
+    assert ids == ids2
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="alpha"):
+        temperature_resample(df, "dom", ["doc_id"], alpha=0.0)
