@@ -2974,6 +2974,39 @@ class IncrementalIndexReader:
             "segments": segs,
         }
 
+    def hits_df(
+        self,
+        query: str,
+        k: int | None = 10,
+        fields: list[str] | None = None,
+        script_fields: dict[str, str] | None = None,
+        **kw,
+    ) -> DataFrame:
+        """ES response shaping over the LIVE index (see
+        IndexReader.hits_df): hits carry (segment, doc_id) identity and
+        enrich from live_docs(), so upserts surface their newest
+        metadata. Ordering re-established as (score desc, segment,
+        doc_id)."""
+        hits = self.search_df(query, k=k, **kw)
+        docs = self.live_docs()
+        if fields is not None:
+            unknown = [c for c in fields if c not in docs.columns]
+            if unknown:
+                raise ValueError(
+                    f"unknown fields {unknown}; live docs table has {docs.columns}"
+                )
+            docs = docs.select("segment", "doc_id", *fields)
+        joined = (
+            F.broadcast(hits).join(docs, ["segment", "doc_id"])
+            if k is not None
+            else hits.join(docs, ["segment", "doc_id"])
+        )
+        for alias, expr in (script_fields or {}).items():
+            joined = joined.withColumn(alias, F.expr(expr))
+        return joined.orderBy(
+            F.desc("score"), F.asc("segment"), F.asc("doc_id")
+        )
+
     def field_caps(self) -> dict:
         """ES `_field_caps` over the live index: per-segment caps merged
         (one parquet footer each, no Spark job). A field whose type

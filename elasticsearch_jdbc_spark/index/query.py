@@ -1726,6 +1726,39 @@ class IndexReader:
         rows = t.to_pylist()
         return {r["doc_id"]: {k: v for k, v in r.items() if k != "doc_id"} for r in rows}
 
+    def hits_df(
+        self,
+        query: str,
+        k: int | None = 10,
+        fields: list[str] | None = None,
+        script_fields: dict[str, str] | None = None,
+        **kw,
+    ) -> DataFrame:
+        """ES response shaping in one call: top-k hits enriched with doc
+        metadata columns (`fields` — the `_source`/`fields` filter; None
+        = all docs-table columns) and computed `script_fields`
+        ({alias: SQL expression over the enriched row} — the ES
+        runtime-field/script_fields surface, evaluated by Catalyst, never
+        Python). kwargs forward to search_df (filter context, msm, ...).
+
+        Plan: the ranked top-k (tiny) broadcast-joins the docs table —
+        the join pushes the doc_id set into the docs scan; script fields
+        are one projection on top. Ordering is re-established after the
+        join ((score desc, doc_id), the search_df contract)."""
+        hits = self.search_df(query, k=k, **kw)
+        docs = self.spark.read.parquet(os.path.join(self.index_dir, "docs"))
+        if fields is not None:
+            unknown = [c for c in fields if c not in docs.columns]
+            if unknown:
+                raise ValueError(
+                    f"unknown fields {unknown}; docs table has {docs.columns}"
+                )
+            docs = docs.select("doc_id", *fields)
+        out = F.broadcast(hits).join(docs, "doc_id") if k is not None else hits.join(docs, "doc_id")
+        for alias, expr in (script_fields or {}).items():
+            out = out.withColumn(alias, F.expr(expr))
+        return out.orderBy(F.desc("score"), F.asc("doc_id"))
+
     def search_with_keys(self, query: str, k: int = 10) -> list[dict]:
         """search() + doc-key enrichment: one list of hit dicts, ES-style."""
         hits = self.search(query, k)

@@ -2370,6 +2370,95 @@ def nested_terms_index_q(spark, sf_dir):
     )
 
 
+def _script_fields_sql() -> str:
+    """Response-shaping oracle: the BM25 top-10 per reference query
+    enriched with doc metadata (`lang`) and a computed runtime field
+    (dl_per_100) — same scoring plan as bm25_index_search plus the
+    enrichment join and expression."""
+    from ..index.bm25_df import B, K1, TOP_K, _query_term_pairs
+
+    values = ", ".join(f"({qid}, '{t}')" for qid, t in _query_term_pairs())
+    return f"""
+    WITH q(query_id, term) AS (VALUES {values}),
+    tok AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    flat AS (
+      SELECT doc_id, len(toks) AS dl, t.term
+      FROM tok, UNNEST(toks) AS t(term)
+    ),
+    tf AS (
+      SELECT term, doc_id, dl, COUNT(*) AS tf FROM flat GROUP BY 1, 2, 3
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n, SUM(dl) * 1.0 / COUNT(*) AS avgdl
+      FROM (SELECT doc_id, len(toks) AS dl FROM tok)
+    ),
+    dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    meta AS (SELECT doc_id, lang, len(toks) AS dl FROM tok),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             SUM(
+               ln(1.0 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+               * {K1 + 1.0}
+               * (tf.tf / (tf.tf + {K1} * ({1.0 - B} + {B} * tf.dl / stats.avgdl)))
+             ) AS score
+      FROM tf JOIN q USING (term) JOIN dft USING (term), stats
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT s.query_id, s.doc_id, s.score,
+             ROW_NUMBER() OVER (PARTITION BY s.query_id ORDER BY s.score DESC, s.doc_id) AS rank
+      FROM scored s
+    )
+    SELECT r.query_id, CAST(r.rank AS INT) AS rank, r.doc_id,
+           ROUND(r.score, 4) AS score, m.lang,
+           ROUND(m.dl / 100.0, 4) AS dl_per_100
+    FROM ranked r JOIN meta m USING (doc_id)
+    WHERE r.rank <= {TOP_K}
+    """
+
+
+@_reg("script_fields_search", _script_fields_sql())
+def script_fields_q(spark, sf_dir):
+    """ES response shaping (`fields` + `script_fields`/runtime fields)
+    through the REAL engine, ORACLE-CHECKED: hits_df enriches the match
+    set with docs-table metadata via a broadcast join (the doc_id set
+    pushes into the docs scan) and evaluates computed expressions in
+    Catalyst — never Python. k=None unranked; top-10 cut after id
+    mapping (oracle tie-break)."""
+    from ..index import IndexReader
+
+    idx = _registry_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    ids = _index_docid_map(spark, idx)
+    out = None
+    for qid, qtext in REFERENCE_QUERIES:
+        hits = reader.hits_df(
+            qtext,
+            k=None,
+            fields=["lang", "dl"],
+            script_fields={"dl_per_100": "round(dl / cast(100.0 as double), 4)"},
+        ).withColumn("query_id", F.lit(qid))
+        out = hits if out is None else out.unionByName(hits)
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("documents_doc_id"))
+    return (
+        out.join(ids, "doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "rank",
+            F.col("documents_doc_id").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+            "lang",
+            "dl_per_100",
+        )
+    )
+
+
 def _sorted_sql() -> str:
     """Sort-by-field oracle: docs matching ANY query term (mSM=1), ranked
     by doc length descending with the doc_id tie-break — no scoring in the
