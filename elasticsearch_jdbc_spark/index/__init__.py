@@ -29,7 +29,7 @@ from .incremental_index import (
     apply_incremental,
 )
 from .multi import MultiIndexReader
-from .query import IndexReader
+from .query import IndexReader, terms_lookup_sql, validate_query
 from .rank_eval import rank_eval_df, rank_eval_metrics
 from .snapshot import (
     create_snapshot,
@@ -73,4 +73,6 @@ __all__ = [
     "put_template",
     "render_template",
     "search_template",
+    "terms_lookup_sql",
+    "validate_query",
 ]

@@ -2974,6 +2974,19 @@ class IncrementalIndexReader:
             "segments": segs,
         }
 
+    def terms_lookup(
+        self, like: dict, source_field: str, target_field: str,
+        array_target: bool = False,
+    ) -> str:
+        """ES terms-lookup over the LIVE index: the lookup doc resolves
+        to its NEWEST version (query.terms_lookup_sql via this reader's
+        mget)."""
+        from .query import terms_lookup_sql
+
+        return terms_lookup_sql(
+            self, like, source_field, target_field, array_target
+        )
+
     def hits_df(
         self,
         query: str,

@@ -248,6 +248,47 @@ def parse_query_string(q: str, default_operator: str = "or") -> list[tuple]:
     return out
 
 
+def _sql_literal(v) -> str:
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def terms_lookup_sql(
+    reader,
+    like: dict,
+    source_field: str,
+    target_field: str,
+    array_target: bool = False,
+) -> str:
+    """ES terms-lookup query (`terms: {field, index/id/path}`): resolve
+    document `like`'s `source_field` values into a filter-context
+    predicate over `target_field`, to pass as filter_sql to any search
+    surface on either reader tier.
+
+    The lookup is ONE mget point read (pruned pyarrow, no Spark job; the
+    live tier resolves the doc's NEWEST version). An array-valued source
+    contributes each element — the ES contract that the lookup doc's
+    field values BECOME the terms set. A missing doc or empty/NULL
+    source yields a match-nothing predicate (ES: empty terms set).
+    array_target=True emits arrays_overlap for a multi-valued target
+    field instead of IN."""
+    hit = reader.mget([like])[0]
+    if not hit["found"] or source_field not in hit:
+        return "1 = 0"
+    raw = hit[source_field]
+    vals = list(raw) if isinstance(raw, (list, tuple)) else [raw]
+    vals = [v for v in vals if v is not None]
+    if not vals:
+        return "1 = 0"
+    lits = ", ".join(_sql_literal(v) for v in vals)
+    if array_target:
+        return f"arrays_overlap({target_field}, array({lits}))"
+    return f"{target_field} IN ({lits})"
+
+
 def _compose_slice(slice_spec, kwargs: dict) -> dict:
     """Compose an ES sliced-scroll predicate (`slice_spec=(i, max)`) into
     the filter context: hash(doc_id) buckets are disjoint, complete, and
@@ -1758,6 +1799,16 @@ class IndexReader:
         for alias, expr in (script_fields or {}).items():
             out = out.withColumn(alias, F.expr(expr))
         return out.orderBy(F.desc("score"), F.asc("doc_id"))
+
+    def terms_lookup(
+        self, like: dict, source_field: str, target_field: str,
+        array_target: bool = False,
+    ) -> str:
+        """ES terms-lookup query -> a filter_sql fragment (module-level
+        terms_lookup_sql)."""
+        return terms_lookup_sql(
+            self, like, source_field, target_field, array_target
+        )
 
     def search_with_keys(self, query: str, k: int = 10) -> list[dict]:
         """search() + doc-key enrichment: one list of hit dicts, ES-style."""
