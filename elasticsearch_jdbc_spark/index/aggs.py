@@ -26,6 +26,8 @@ single WindowExec partition holds only the bucket list itself.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
@@ -81,3 +83,156 @@ def pipeline_aggs(
                 "cumulative_sum, moving_avg, bucket_script)"
             )
     return out
+
+
+def adjacency_matrix(
+    df: DataFrame, filters: dict[str, str], separator: str = "&"
+) -> DataFrame:
+    """ES `adjacency_matrix` aggregation: doc counts for every named
+    filter and every pairwise intersection.
+
+    Each named filter is a SQL predicate; output rows are
+    (key, doc_count) where key is a filter name or "a&b" (names joined
+    by `separator`, pair keys in sorted-name order — the ES response
+    shape). Zero-count buckets are omitted (ES behavior).
+
+    Scale shape: ONE pass — every filter becomes a boolean column and
+    all k + k(k-1)/2 counts compute in a single partial-aggregable
+    agg(); no shuffle of the data, no per-filter scan. ES caps filter
+    count for the same quadratic reason; callers should keep k modest."""
+    if not filters:
+        raise ValueError("adjacency_matrix needs at least one named filter")
+    names = sorted(filters)
+    flagged = df.select(
+        *[F.expr(filters[n]).cast("boolean").alias(f"_f_{i}")
+          for i, n in enumerate(names)]
+    )
+    aggs = []
+    keys = []
+    for i, n in enumerate(names):
+        aggs.append(
+            F.sum(F.when(F.col(f"_f_{i}"), 1).otherwise(0)).alias(f"_c_{len(keys)}")
+        )
+        keys.append(n)
+    for (i, a), (j, b) in itertools.combinations(enumerate(names), 2):
+        aggs.append(
+            F.sum(
+                F.when(F.col(f"_f_{i}") & F.col(f"_f_{j}"), 1).otherwise(0)
+            ).alias(f"_c_{len(keys)}")
+        )
+        keys.append(f"{a}{separator}{b}")
+    row = flagged.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("key"),
+                F.col(f"_c_{i}").cast("long").alias("doc_count"),
+            )
+            for i, k in enumerate(keys)
+        ]
+    )
+    return (
+        row.select(F.explode(pairs).alias("b"))
+        .select("b.key", "b.doc_count")
+        .filter(F.col("doc_count") > 0)
+        .orderBy("key")
+    )
+
+
+def geotile_grid(
+    df: DataFrame,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    precision: int = 7,
+) -> DataFrame:
+    """ES `geotile_grid` aggregation: bucket points into web-mercator
+    map tiles at `precision` (zoom 0..29), key "z/x/y" — the ES tile-key
+    format. Pure closed-form math (no geohash bit interleave), so the
+    whole bucketing is one whole-stage-codegen projection + one groupBy,
+    and the identical formula runs in any SQL engine:
+
+      x = floor((lon + 180) / 360 * 2^z)
+      y = floor((1 - ln(tan(lat') + 1/cos(lat')) / pi) / 2 * 2^z)
+
+    with latitude clamped to the web-mercator domain (|lat| <= 85.0511…,
+    the ES/OSM convention). Returns (key, doc_count) ordered by count
+    desc then key (the ES bucket order)."""
+    if not 0 <= precision <= 29:
+        raise ValueError(f"precision must be 0..29, got {precision}")
+    n = float(2 ** precision)
+    lat = F.greatest(
+        F.lit(-85.05112878), F.least(F.lit(85.05112878), F.col(lat_col))
+    )
+    rad = F.radians(lat)
+    x = F.floor((F.col(lon_col) + F.lit(180.0)) / F.lit(360.0) * F.lit(n))
+    y = F.floor(
+        (
+            F.lit(1.0)
+            - F.log(F.tan(rad) + F.lit(1.0) / F.cos(rad)) / F.lit(3.141592653589793)
+        )
+        / F.lit(2.0)
+        * F.lit(n)
+    )
+    # the x floor lands exactly at 2^z for lon = +180; clamp into range
+    x = F.least(x, F.lit(int(n) - 1)).cast("long")
+    y = F.least(F.greatest(y, F.lit(0)), F.lit(int(n) - 1)).cast("long")
+    key = F.concat_ws("/", F.lit(precision), x, y)
+    return (
+        df.filter(F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull())
+        .groupBy(key.alias("key"))
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy(F.desc("doc_count"), F.asc("key"))
+    )
+
+
+def matrix_stats(df: DataFrame, cols: list[str]) -> DataFrame:
+    """ES `matrix_stats` aggregation: per-field-pair covariance and
+    Pearson correlation plus per-field count/mean/variance — one
+    partial-aggregable agg() pass (Spark's covar_pop/corr/var_pop
+    built-ins), no shuffle of the data. Returns one row per (field_a,
+    field_b) ordered pair with a <= b; the diagonal carries the field's
+    own stats (correlation 1.0)."""
+    if len(cols) < 2:
+        raise ValueError("matrix_stats needs at least two columns")
+    names = sorted(cols)
+    aggs = []
+    for c in names:
+        aggs += [
+            F.count(F.col(c)).alias(f"n_{c}"),
+            F.avg(F.col(c)).alias(f"mean_{c}"),
+            F.var_pop(F.col(c)).alias(f"var_{c}"),
+        ]
+    for a, b in itertools.combinations(names, 2):
+        aggs += [
+            F.covar_pop(F.col(a), F.col(b)).alias(f"cov_{a}_{b}"),
+            F.corr(F.col(a), F.col(b)).alias(f"corr_{a}_{b}"),
+        ]
+    row = df.agg(*aggs)
+    cells = []
+    for a in names:
+        cells.append(
+            F.struct(
+                F.lit(a).alias("field_a"), F.lit(a).alias("field_b"),
+                F.col(f"n_{a}").cast("long").alias("count"),
+                F.round(F.col(f"mean_{a}"), 6).alias("mean_a"),
+                F.round(F.col(f"var_{a}"), 6).alias("variance_a"),
+                F.round(F.col(f"var_{a}"), 6).alias("covariance"),
+                F.lit(1.0).alias("correlation"),
+            )
+        )
+    for a, b in itertools.combinations(names, 2):
+        cells.append(
+            F.struct(
+                F.lit(a).alias("field_a"), F.lit(b).alias("field_b"),
+                F.least(F.col(f"n_{a}"), F.col(f"n_{b}")).cast("long").alias("count"),
+                F.round(F.col(f"mean_{a}"), 6).alias("mean_a"),
+                F.round(F.col(f"var_{a}"), 6).alias("variance_a"),
+                F.round(F.col(f"cov_{a}_{b}"), 6).alias("covariance"),
+                F.round(F.col(f"corr_{a}_{b}"), 6).alias("correlation"),
+            )
+        )
+    return (
+        row.select(F.explode(F.array(*cells)).alias("c"))
+        .select("c.*")
+        .orderBy("field_a", "field_b")
+    )

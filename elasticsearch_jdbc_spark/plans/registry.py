@@ -2277,6 +2277,133 @@ def pipeline_agg_q(spark, sf_dir):
     )
 
 
+@_reg(
+    "adjacency_matrix_agg",
+    """
+    WITH f AS (
+      SELECT (lang = 'en') AS fa,
+             (n_chars >= 500) AS fb,
+             (source IN ('src1', 'src2', 'src3')) AS fc
+      FROM documents
+    ),
+    m AS (
+      SELECT 'en' AS key, COUNT(*) FILTER (WHERE fa) AS doc_count FROM f
+      UNION ALL
+      SELECT 'en&long', COUNT(*) FILTER (WHERE fa AND fb) FROM f
+      UNION ALL
+      SELECT 'en&web', COUNT(*) FILTER (WHERE fa AND fc) FROM f
+      UNION ALL
+      SELECT 'long', COUNT(*) FILTER (WHERE fb) FROM f
+      UNION ALL
+      SELECT 'long&web', COUNT(*) FILTER (WHERE fb AND fc) FROM f
+      UNION ALL
+      SELECT 'web', COUNT(*) FILTER (WHERE fc) FROM f
+    )
+    SELECT key, CAST(doc_count AS BIGINT) AS doc_count
+    FROM m WHERE doc_count > 0
+    """,
+)
+def adjacency_matrix_q(spark, sf_dir):
+    """ES adjacency_matrix aggregation, ORACLE-CHECKED: named filters +
+    every pairwise intersection counted in ONE partial-aggregable pass
+    (booleans projected once, k + k(k-1)/2 sums in a single agg — no
+    per-filter scan, no shuffle of the data)."""
+    from ..index.aggs import adjacency_matrix
+
+    d = _t(spark, sf_dir, "documents")
+    return adjacency_matrix(
+        d,
+        {
+            "en": "lang = 'en'",
+            "long": "n_chars >= 500",
+            "web": "source IN ('src1', 'src2', 'src3')",
+        },
+    )
+
+
+@_reg(
+    "geotile_grid_agg",
+    """
+    WITH pts AS (
+      SELECT ((doc_id * 7919) % 160 - 80 + 0.25) AS lat,
+             ((doc_id * 104729) % 360 - 180 + 0.25) AS lon
+      FROM documents
+    ),
+    clamped AS (
+      SELECT greatest(-85.05112878, least(85.05112878, lat)) AS lat, lon
+      FROM pts
+    ),
+    tiles AS (
+      SELECT CONCAT('5/',
+        CAST(CAST(least(floor((lon + 180.0) / 360.0 * 32.0), 31) AS BIGINT) AS VARCHAR),
+        '/',
+        CAST(CAST(least(greatest(floor(
+          (1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / 3.141592653589793)
+          / 2.0 * 32.0), 0), 31) AS BIGINT) AS VARCHAR)) AS key
+      FROM clamped
+    )
+    SELECT key, CAST(COUNT(*) AS BIGINT) AS doc_count
+    FROM tiles GROUP BY key
+    """,
+)
+def geotile_grid_q(spark, sf_dir):
+    """ES geotile_grid aggregation, ORACLE-CHECKED: web-mercator "z/x/y"
+    tile buckets at zoom 5 over the planted document coordinates —
+    closed-form slippy-map math (no geohash bit interleave), ONE
+    whole-stage-codegen projection + ONE groupBy, the identical formula
+    in DuckDB."""
+    from ..index.aggs import geotile_grid
+    from ..sources import corpus_from_documents
+
+    pts = corpus_from_documents(spark, sf_dir).select("lat", "lon")
+    return geotile_grid(pts, precision=5)
+
+
+@_reg(
+    "matrix_stats_agg",
+    """
+    WITH v AS (
+      SELECT (user_id % 100) * 1.0 AS u_bucket, value FROM events
+    )
+    SELECT 'u_bucket' AS field_a, 'u_bucket' AS field_b,
+           CAST(COUNT(u_bucket) AS BIGINT) AS count,
+           ROUND(AVG(u_bucket), 6) AS mean_a,
+           ROUND(var_pop(u_bucket), 6) AS variance_a,
+           ROUND(var_pop(u_bucket), 6) AS covariance,
+           1.0 AS correlation
+    FROM v
+    UNION ALL
+    SELECT 'u_bucket', 'value',
+           CAST(LEAST(COUNT(u_bucket), COUNT(value)) AS BIGINT),
+           ROUND(AVG(u_bucket), 6),
+           ROUND(var_pop(u_bucket), 6),
+           ROUND(covar_pop(u_bucket, value), 6),
+           ROUND(corr(u_bucket, value), 6)
+    FROM v
+    UNION ALL
+    SELECT 'value', 'value',
+           CAST(COUNT(value) AS BIGINT),
+           ROUND(AVG(value), 6),
+           ROUND(var_pop(value), 6),
+           ROUND(var_pop(value), 6),
+           1.0
+    FROM v
+    """,
+)
+def matrix_stats_q(spark, sf_dir):
+    """ES matrix_stats aggregation, ORACLE-CHECKED: per-field-pair
+    population covariance + Pearson correlation (and per-field
+    count/mean/variance) in ONE partial-aggregable agg pass over the
+    events stream — Spark's covar_pop/corr built-ins vs DuckDB's."""
+    from ..index.aggs import matrix_stats
+
+    e = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 100).cast("double").alias("u_bucket"),
+        "value",
+    )
+    return matrix_stats(e, ["u_bucket", "value"])
+
+
 _NESTED_PRED = "exists(tags, x -> x = 't3') OR array_contains(tags, 't4')"
 
 
