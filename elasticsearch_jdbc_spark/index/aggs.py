@@ -45,6 +45,7 @@ def pipeline_aggs(
       ("derivative", metric_col)
       ("cumulative_sum", metric_col)
       ("moving_avg", metric_col, window_buckets)
+      ("serial_diff", metric_col[, lag=1])
       ("bucket_script", sql_expression)
     """
     parts = [F.col(c) for c in (partition_cols or [])]
@@ -75,12 +76,21 @@ def pipeline_aggs(
                     w.rowsBetween(-(n - 1), 0)
                 ),
             )
+        elif kind == "serial_diff":
+            lag = int(spec[2]) if len(spec) > 2 else 1
+            if lag < 1:
+                raise ValueError(f"serial_diff lag must be >= 1, got {lag}")
+            out = out.withColumn(
+                name,
+                F.col(spec[1]).cast("double")
+                - F.lag(F.col(spec[1]).cast("double"), lag).over(w),
+            )
         elif kind == "bucket_script":
             out = out.withColumn(name, F.expr(spec[1]))
         else:
             raise ValueError(
                 f"unknown pipeline agg {kind!r} (supported: derivative, "
-                "cumulative_sum, moving_avg, bucket_script)"
+                "cumulative_sum, moving_avg, serial_diff, bucket_script)"
             )
     return out
 
@@ -236,3 +246,69 @@ def matrix_stats(df: DataFrame, cols: list[str]) -> DataFrame:
         .select("c.*")
         .orderBy("field_a", "field_b")
     )
+
+
+def bucket_metrics(
+    buckets: DataFrame, metric_col: str, partition_cols: list[str] | None = None
+) -> DataFrame:
+    """ES sibling pipeline aggregations (`avg_bucket` / `sum_bucket` /
+    `min_bucket` / `max_bucket` / `stats_bucket`) in one pass: aggregate
+    a metric ACROSS a parent aggregation's buckets, one output row per
+    partition group (or one row total). Bucket lists are aggregation
+    output, so this is an agg over already-tiny data."""
+    m = F.col(metric_col).cast("double")
+    aggs = [
+        F.count(m).alias("n_buckets"),
+        F.avg(m).alias("avg"),
+        F.sum(m).alias("sum"),
+        F.min(m).alias("min"),
+        F.max(m).alias("max"),
+    ]
+    if partition_cols:
+        return buckets.groupBy(*partition_cols).agg(*aggs).orderBy(*partition_cols)
+    return buckets.agg(*aggs)
+
+
+def percentile_ranks(
+    df: DataFrame, col: str, values: list[float]
+) -> DataFrame:
+    """ES `percentile_ranks` aggregation: for each probe value, the
+    percentage of observations <= value — the inverse of the percentiles
+    agg. One partial-aggregable agg pass (a conditional mean per probe),
+    exact (no sketch), deterministic."""
+    if not values:
+        raise ValueError("percentile_ranks needs at least one probe value")
+    c = F.col(col).cast("double")
+    aggs = [
+        F.round(
+            F.avg(F.when(c <= F.lit(float(v)), 1.0).otherwise(0.0)) * 100.0, 6
+        ).alias(f"_r{i}")
+        for i, v in enumerate(values)
+    ]
+    row = df.filter(c.isNotNull()).agg(*aggs)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(float(v)).alias("value"),
+                F.col(f"_r{i}").alias("rank_pct"),
+            )
+            for i, v in enumerate(values)
+        ]
+    )
+    return (
+        row.select(F.explode(cells).alias("c"))
+        .select("c.value", "c.rank_pct")
+        .orderBy("value")
+    )
+
+
+def weighted_avg(value_col: str, weight_col: str):
+    """ES `weighted_avg` aggregation as a reusable Column expression:
+    sum(value*weight)/sum(weight) over non-null pairs (the ES contract —
+    a row missing either side contributes nothing). Use inside any agg."""
+    v = F.col(value_col).cast("double")
+    w = F.col(weight_col).cast("double")
+    both = v.isNotNull() & w.isNotNull()
+    num = F.sum(F.when(both, v * w).otherwise(0.0))
+    den = F.sum(F.when(both, w).otherwise(0.0))
+    return num / den

@@ -2404,6 +2404,60 @@ def matrix_stats_q(spark, sf_dir):
     return matrix_stats(e, ["u_bucket", "value"])
 
 
+@_reg(
+    "percentile_ranks_agg",
+    """
+    WITH v AS (SELECT value FROM events WHERE value IS NOT NULL)
+    SELECT 10.0 AS value,
+           ROUND(AVG(CASE WHEN value <= 10.0 THEN 1.0 ELSE 0.0 END) * 100.0, 6) AS rank_pct
+    FROM v
+    UNION ALL
+    SELECT 50.0, ROUND(AVG(CASE WHEN value <= 50.0 THEN 1.0 ELSE 0.0 END) * 100.0, 6) FROM v
+    UNION ALL
+    SELECT 100.0, ROUND(AVG(CASE WHEN value <= 100.0 THEN 1.0 ELSE 0.0 END) * 100.0, 6) FROM v
+    """,
+)
+def percentile_ranks_q(spark, sf_dir):
+    """ES percentile_ranks aggregation (inverse percentiles),
+    ORACLE-CHECKED: percentage of observations <= each probe value,
+    exact, in ONE partial-aggregable agg pass (a conditional mean per
+    probe — no sketch, no sort)."""
+    from ..index.aggs import percentile_ranks
+
+    e = _t(spark, sf_dir, "events")
+    return percentile_ranks(e, "value", [10.0, 50.0, 100.0])
+
+
+@_reg(
+    "sibling_bucket_agg",
+    """
+    WITH b AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           ROUND(AVG(n_docs * 1.0), 6) AS avg,
+           ROUND(SUM(n_docs * 1.0), 6) AS sum,
+           ROUND(MIN(n_docs * 1.0), 6) AS min,
+           ROUND(MAX(n_docs * 1.0), 6) AS max
+    FROM b
+    """,
+)
+def sibling_bucket_q(spark, sf_dir):
+    """ES sibling pipeline aggregations (avg/sum/min/max/stats_bucket),
+    ORACLE-CHECKED: aggregate a metric ACROSS a parent terms-agg's
+    buckets — one agg over the (tiny) bucket list."""
+    from ..index.aggs import bucket_metrics
+
+    d = _t(spark, sf_dir, "documents")
+    buckets = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    m = bucket_metrics(buckets, "n_docs")
+    return m.select(
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        F.round("avg", 6).alias("avg"),
+        F.round("sum", 6).alias("sum"),
+        F.round("min", 6).alias("min"),
+        F.round("max", 6).alias("max"),
+    )
+
+
 _NESTED_PRED = "exists(tags, x -> x = 't3') OR array_contains(tags, 't4')"
 
 

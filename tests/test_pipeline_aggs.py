@@ -59,3 +59,51 @@ def test_guards(spark):
         pipeline_aggs(df, "bucket", {"x": ("median", "v")}).collect()
     with pytest.raises(ValueError, match="window must be >= 1"):
         pipeline_aggs(df, "bucket", {"x": ("moving_avg", "v", 0)}).collect()
+
+
+def test_serial_diff(spark):
+    df = _rows(spark).filter("g = 'a'").drop("g")
+    out = {
+        r["bucket"]: r["sd2"]
+        for r in pipeline_aggs(
+            df, "bucket", {"sd2": ("serial_diff", "v", 2)}
+        ).collect()
+    }
+    assert out[0] is None and out[1] is None
+    assert out[2] == -1.0 and out[3] == -4.0
+    with pytest.raises(ValueError, match="lag must be"):
+        pipeline_aggs(df, "bucket", {"x": ("serial_diff", "v", 0)}).collect()
+
+
+def test_bucket_metrics_and_weighted_avg(spark):
+    from elasticsearch_jdbc_spark.index.aggs import (
+        bucket_metrics,
+        weighted_avg,
+    )
+
+    df = _rows(spark)
+    row = bucket_metrics(df, "v").collect()[0]
+    assert row["n_buckets"] == 6 and row["sum"] == 47.0
+    assert row["min"] == 2.0 and row["max"] == 13.0
+    per = {r["g"]: r for r in bucket_metrics(df, "v", ["g"]).collect()}
+    assert per["b"]["sum"] == 6.0 and per["a"]["n_buckets"] == 4
+    # weighted_avg: null on either side contributes nothing
+    wdf = spark.createDataFrame(
+        [(10.0, 1.0), (20.0, 3.0), (None, 5.0), (7.0, None)],
+        "x double, w double",
+    )
+    got = wdf.agg(weighted_avg(wdf.columns[0], "w").alias("wa")).collect()[0]["wa"]
+    assert got == (10 * 1 + 20 * 3) / 4.0
+
+
+def test_percentile_ranks(spark):
+    from elasticsearch_jdbc_spark.index.aggs import percentile_ranks
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in [1, 2, 3, 4, 5, 6, 7, 8, 9, 10]], "x double"
+    )
+    got = {r["value"]: r["rank_pct"]
+           for r in percentile_ranks(df, "x", [5.0, 10.0, 0.5]).collect()}
+    assert got == {5.0: 50.0, 10.0: 100.0, 0.5: 0.0}
+    with pytest.raises(ValueError, match="probe"):
+        percentile_ranks(df, "x", [])
