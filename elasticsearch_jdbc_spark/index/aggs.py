@@ -312,3 +312,217 @@ def weighted_avg(value_col: str, weight_col: str):
     num = F.sum(F.when(both, v * w).otherwise(0.0))
     den = F.sum(F.when(both, w).otherwise(0.0))
     return num / den
+
+
+def bucket_sort(
+    buckets: DataFrame,
+    sort: list[tuple[str, str]],
+    size: int | None = None,
+    from_: int = 0,
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """ES `bucket_sort` pipeline aggregation: re-order the parent's
+    buckets by metric columns and truncate with from/size — ES's
+    "top N buckets by metric" idiom (the reference feeds ES dashboards
+    that lean on it for every "top sources" panel).
+
+    sort: [(column, "asc"|"desc"), ...]. With `partition_cols` the
+    from/size window applies per group (the nested-agg shape); buckets
+    are aggregation output, so the row_number window only ever sees the
+    bucket list, never raw rows."""
+    if not sort:
+        raise ValueError("bucket_sort needs at least one (col, dir) sort spec")
+    cols = []
+    for c, d in sort:
+        if d not in ("asc", "desc"):
+            raise ValueError(f"sort direction must be asc|desc, got {d!r}")
+        cols.append(F.col(c).asc() if d == "asc" else F.col(c).desc())
+    parts = [F.col(c) for c in (partition_cols or [])]
+    w = Window.partitionBy(*parts).orderBy(*cols)
+    out = buckets.withColumn("_rn", F.row_number().over(w))
+    if from_:
+        out = out.filter(F.col("_rn") > from_)
+    if size is not None:
+        out = out.filter(F.col("_rn") <= from_ + size)
+    return out.drop("_rn").orderBy(*parts, *cols)
+
+
+def bucket_selector(buckets: DataFrame, predicate_sql: str) -> DataFrame:
+    """ES `bucket_selector` pipeline aggregation: keep only buckets whose
+    metrics satisfy a predicate (ES params.* script → a SQL expression
+    over the bucket row's columns, evaluated by Catalyst)."""
+    return buckets.filter(F.expr(predicate_sql))
+
+
+def multi_terms(
+    df: DataFrame,
+    cols: list[str],
+    size: int = 10,
+    separator: str = "|",
+) -> DataFrame:
+    """ES `multi_terms` aggregation: buckets on the COMBINATION of
+    several fields — one groupBy on the composite key (a single shuffle
+    keyed on all fields, not a nested per-field cascade), doc_count
+    ordered desc with the joined key string as the deterministic
+    tie-break (the ES key_as_string shape). Null in any key drops the
+    row (ES missing-bucket-off default)."""
+    if len(cols) < 2:
+        raise ValueError("multi_terms needs at least two key fields")
+    alive = df
+    for c in cols:
+        alive = alive.filter(F.col(c).isNotNull())
+    key = F.concat_ws(separator, *[F.col(c).cast("string") for c in cols])
+    return (
+        alive.groupBy(*cols)
+        .agg(F.count("*").alias("doc_count"))
+        .withColumn("key_as_string", key)
+        .orderBy(F.desc("doc_count"), F.asc("key_as_string"))
+        .limit(size)
+        .select(*cols, "key_as_string", "doc_count")
+    )
+
+
+def diversified_sampler(
+    df: DataFrame,
+    dedup_col: str,
+    order: list[tuple[str, str]],
+    max_docs_per_value: int = 1,
+    shard_size: int | None = None,
+) -> DataFrame:
+    """ES `diversified_sampler` aggregation: cap how many rows any one
+    value of `dedup_col` contributes before downstream aggs run —
+    de-biasing dominated samples (ES's guard against one author/source
+    swamping significant-terms). `order` ([(col, asc|desc), ...]) must
+    be a deterministic total order (include a unique id as the last
+    key) — ES samples by score; a caller without scores passes any
+    priority.
+
+    Scale shape: one row_number window partitioned by the dedup value —
+    a single shuffle on dedup_col, no global sort; the optional
+    shard_size global cut is a second small ordered limit over the
+    already-capped survivors."""
+    if max_docs_per_value < 1:
+        raise ValueError("max_docs_per_value must be >= 1")
+    if not order:
+        raise ValueError("diversified_sampler needs a deterministic order spec")
+    cols = [
+        F.col(c).asc() if d == "asc" else F.col(c).desc() for c, d in order
+    ]
+    w = Window.partitionBy(F.col(dedup_col)).orderBy(*cols)
+    out = (
+        df.filter(F.col(dedup_col).isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_docs_per_value)
+        .drop("_rn")
+    )
+    if shard_size is not None:
+        out = out.orderBy(*cols).limit(shard_size)
+    return out
+
+
+def top_metrics(
+    df: DataFrame,
+    group_cols: list[str],
+    sort: tuple[str, str],
+    metric_cols: list[str],
+    size: int = 1,
+) -> DataFrame:
+    """ES `top_metrics` aggregation: per bucket, the metric values from
+    the row(s) ranked first by the sort field (e.g. "value at latest
+    timestamp per user"). One row_number window partitioned on the
+    bucket key — a single shuffle, no global sort; ties beyond the sort
+    key break on the first metric column for determinism (ES leaves
+    ties unspecified; a deterministic engine must not)."""
+    if size < 1:
+        raise ValueError("size must be >= 1")
+    c, d = sort
+    lead = F.col(c).asc() if d == "asc" else F.col(c).desc()
+    tiebreak = [F.col(m).asc() for m in metric_cols]
+    w = Window.partitionBy(*[F.col(g) for g in group_cols]).orderBy(lead, *tiebreak)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= size)
+        .select(*group_cols, F.col("_rn").alias("rank"), F.col(c).alias("sort_value"), *metric_cols)
+        .orderBy(*group_cols, "rank")
+    )
+
+
+def median_absolute_deviation(df: DataFrame, col: str) -> DataFrame:
+    """ES `median_absolute_deviation` aggregation, EXACT (ES uses a
+    TDigest approximation; at oracle scale the exact linear-interpolated
+    median is the checkable contract): median(|x - median(x)|). Two agg
+    passes with the scalar median broadcast between them — no shuffle of
+    the data beyond the two partial-aggregable percentile passes."""
+    c = F.col(col).cast("double")
+    med = df.filter(c.isNotNull()).agg(
+        F.expr(f"percentile({col}, 0.5)").alias("_med")
+    )
+    return (
+        df.filter(c.isNotNull())
+        .crossJoin(F.broadcast(med))
+        .agg(
+            F.round(F.max("_med"), 6).alias("median"),
+            F.round(F.expr(f"percentile(abs({col} - _med), 0.5)"), 6).alias("mad"),
+        )
+    )
+
+
+def boxplot(df: DataFrame, col: str) -> DataFrame:
+    """ES `boxplot` aggregation: min / q1 / median (q2) / q3 / max, one
+    partial-aggregable agg pass (Spark's exact linear-interpolation
+    percentile; ES approximates with TDigest — exact is the small-scale
+    oracle contract, and the percentile_approx twin is a one-word swap
+    at cluster scale)."""
+    c = F.col(col).cast("double")
+    return df.filter(c.isNotNull()).agg(
+        F.round(F.min(c), 6).alias("min"),
+        F.round(F.expr(f"percentile({col}, 0.25)"), 6).alias("q1"),
+        F.round(F.expr(f"percentile({col}, 0.5)"), 6).alias("q2"),
+        F.round(F.expr(f"percentile({col}, 0.75)"), 6).alias("q3"),
+        F.round(F.max(c), 6).alias("max"),
+    )
+
+
+def t_test(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """ES `t_test` aggregation (heteroscedastic / Welch flavor, the ES
+    default): the t statistic and Welch–Satterthwaite degrees of freedom
+    for value_col between two populations selected by group_col. Closed
+    form over per-group (n, mean, sample variance) — ONE conditional agg
+    pass, no shuffle of the data. ES reports the p-value; the CDF lookup
+    is a client-side scipy one-liner on this row — the distributed part
+    (the moments and the statistic) is what belongs in the engine."""
+    v = F.col(value_col).cast("double")
+    in_a = F.col(group_col) == F.lit(group_a)
+    in_b = F.col(group_col) == F.lit(group_b)
+    row = df.filter(v.isNotNull() & (in_a | in_b)).agg(
+        F.count(F.when(in_a, 1)).alias("n_a"),
+        F.avg(F.when(in_a, v)).alias("mean_a"),
+        F.var_samp(F.when(in_a, v)).alias("var_a"),
+        F.count(F.when(in_b, 1)).alias("n_b"),
+        F.avg(F.when(in_b, v)).alias("mean_b"),
+        F.var_samp(F.when(in_b, v)).alias("var_b"),
+    )
+    sa = F.col("var_a") / F.col("n_a")
+    sb = F.col("var_b") / F.col("n_b")
+    se = F.sqrt(sa + sb)
+    dof = (
+        (sa + sb) * (sa + sb)
+        / (
+            sa * sa / (F.col("n_a") - 1)
+            + sb * sb / (F.col("n_b") - 1)
+        )
+    )
+    return row.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round((F.col("mean_a") - F.col("mean_b")) / se, 6).alias("t_stat"),
+        F.round(dof, 4).alias("welch_df"),
+    )

@@ -5048,6 +5048,214 @@ def pipeline_substring_dedup_q(spark, sf_dir):
 # cap/budget drops, it is the cheapest evidence to lose. text_fingerprint
 # (trivial capability, fully pytest-covered) is deliberately the very
 # last.
+# =====================================================================
+# Round-4 late batch: remaining ES aggregation conveniences —
+# multi_terms, bucket_sort/bucket_selector, diversified_sampler,
+# top_metrics, boxplot + median_absolute_deviation, t_test.
+# (StandardSink-fed ES indexes serve these agg shapes constantly;
+# reference README.md:1042+ builds indexes precisely to dashboard over
+# them.) All oracle-checked vs DuckDB; placed before the rows-only tail
+# so the driver window keeps the stronger engine-path entries first.
+# =====================================================================
+
+
+@_reg(
+    "multi_terms_agg",
+    """
+    SELECT lang, source,
+           lang || '|' || source AS key_as_string,
+           COUNT(*) AS doc_count
+    FROM documents
+    WHERE lang IS NOT NULL AND source IS NOT NULL
+    GROUP BY lang, source
+    ORDER BY doc_count DESC, key_as_string ASC
+    LIMIT 8
+    """,
+)
+def multi_terms_q(spark, sf_dir):
+    """ES multi_terms aggregation, ORACLE-CHECKED: buckets on the
+    combination of (lang, source) — ONE shuffle keyed on the composite
+    key, doc_count-desc order with the joined key string as the
+    deterministic tie-break (ES key_as_string)."""
+    from ..index.aggs import multi_terms
+
+    d = _t(spark, sf_dir, "documents")
+    return multi_terms(d, ["lang", "source"], size=8)
+
+
+@_reg(
+    "bucket_sort_selector_agg",
+    """
+    WITH b AS (
+      SELECT lang, COUNT(*) AS doc_count FROM documents GROUP BY lang
+    )
+    SELECT lang, doc_count FROM b
+    WHERE doc_count >= 70
+    ORDER BY doc_count DESC, lang ASC
+    LIMIT 3
+    """,
+)
+def bucket_sort_selector_q(spark, sf_dir):
+    """ES bucket_selector + bucket_sort pipeline aggs, ORACLE-CHECKED:
+    a terms aggregation's buckets filtered by a metric predicate
+    (Catalyst expression, never Python) then re-ranked and truncated —
+    the ES "top buckets by metric, minimum volume" dashboard idiom.
+    Both pipeline stages operate on aggregation output only."""
+    from ..index.aggs import bucket_selector, bucket_sort
+
+    d = _t(spark, sf_dir, "documents")
+    buckets = d.groupBy("lang").agg(F.count("*").alias("doc_count"))
+    kept = bucket_selector(buckets, "doc_count >= 70")
+    return bucket_sort(kept, [("doc_count", "desc"), ("lang", "asc")], size=3)
+
+
+@_reg(
+    "diversified_sampler_agg",
+    """
+    SELECT doc_id, lang, n_chars FROM (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC
+             ) AS rn
+      FROM documents WHERE lang IS NOT NULL
+    ) t WHERE rn <= 2
+    ORDER BY lang, n_chars DESC, doc_id
+    """,
+)
+def diversified_sampler_q(spark, sf_dir):
+    """ES diversified_sampler aggregation, ORACLE-CHECKED: cap each
+    lang's contribution at 2 docs (priority = longest first, doc_id as
+    the deterministic tie-break) before downstream aggs — ES's guard
+    against one source swamping significant-terms. One row_number window
+    partitioned on the dedup value; single shuffle, no global sort."""
+    from ..index.aggs import diversified_sampler
+
+    d = _t(spark, sf_dir, "documents")
+    out = diversified_sampler(
+        d, "lang", [("n_chars", "desc"), ("doc_id", "asc")],
+        max_docs_per_value=2,
+    )
+    return out.select("doc_id", "lang", "n_chars").orderBy(
+        "lang", F.desc("n_chars"), "doc_id"
+    )
+
+
+@_reg(
+    "top_metrics_agg",
+    """
+    SELECT event_type, rank, sort_value, value FROM (
+      SELECT event_type,
+             strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS sort_value,
+             value,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY strftime(ts, '%Y-%m-%d %H:%M:%S.%f') DESC, value ASC
+             ) AS rank
+      FROM events
+    ) t WHERE rank <= 2
+    ORDER BY event_type, rank
+    """,
+)
+def top_metrics_q(spark, sf_dir):
+    """ES top_metrics aggregation, ORACLE-CHECKED: per event_type, the
+    metric value carried by the 2 most-recent events ("value at latest
+    timestamp" — the canonical top_metrics use). One row_number window
+    partitioned on the bucket key; value asc is the deterministic
+    tie-break within equal timestamps. The sort key is a microsecond
+    date string (timezone-free — unix_micros rejects TIMESTAMP_NTZ and
+    an NTZ→TZ cast would drag the session timezone into the oracle)."""
+    from ..index.aggs import top_metrics
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "ts_key", F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    )
+    out = top_metrics(
+        e, ["event_type"], ("ts_key", "desc"), ["value"], size=2
+    )
+    return out.select("event_type", "rank", "sort_value", "value")
+
+
+@_reg(
+    "boxplot_mad_agg",
+    """
+    WITH m AS (
+      SELECT quantile_cont(o_totalprice, 0.5) AS med FROM orders
+    )
+    SELECT ROUND(MIN(o_totalprice), 4) AS min,
+           ROUND(quantile_cont(o_totalprice, 0.25), 4) AS q1,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS q2,
+           ROUND(quantile_cont(o_totalprice, 0.75), 4) AS q3,
+           ROUND(MAX(o_totalprice), 4) AS max,
+           ROUND(MAX(m.med), 4) AS median,
+           ROUND(quantile_cont(ABS(o_totalprice - m.med), 0.5), 4) AS mad
+    FROM orders, m
+    """,
+)
+def boxplot_mad_q(spark, sf_dir):
+    """ES boxplot + median_absolute_deviation aggregations,
+    ORACLE-CHECKED, EXACT (ES approximates both with TDigest; exact
+    linear-interpolated percentiles are the small-scale contract, and
+    percentile_approx is the one-word swap at cluster scale): five-number
+    summary plus MAD over order totals. Boxplot is one agg pass; MAD is
+    two with the scalar median broadcast between them."""
+    from ..index.aggs import boxplot, median_absolute_deviation
+
+    o = _t(spark, sf_dir, "orders")
+    box = boxplot(o, "o_totalprice").select(
+        F.round("min", 4).alias("min"), F.round("q1", 4).alias("q1"),
+        F.round("q2", 4).alias("q2"), F.round("q3", 4).alias("q3"),
+        F.round("max", 4).alias("max"),
+    )
+    mad = median_absolute_deviation(o, "o_totalprice").select(
+        F.round("median", 4).alias("median"), F.round("mad", 4).alias("mad")
+    )
+    return box.crossJoin(F.broadcast(mad))
+
+
+@_reg(
+    "t_test_agg",
+    """
+    SELECT COUNT(*) FILTER (WHERE event_type = 'click') AS n_a,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_b,
+           ROUND(AVG(value) FILTER (WHERE event_type = 'click'), 6) AS mean_a,
+           ROUND(AVG(value) FILTER (WHERE event_type = 'purchase'), 6) AS mean_b,
+           ROUND(
+             (AVG(value) FILTER (WHERE event_type = 'click')
+              - AVG(value) FILTER (WHERE event_type = 'purchase'))
+             / SQRT(
+                 VAR_SAMP(value) FILTER (WHERE event_type = 'click')
+                 / COUNT(*) FILTER (WHERE event_type = 'click')
+                 + VAR_SAMP(value) FILTER (WHERE event_type = 'purchase')
+                 / COUNT(*) FILTER (WHERE event_type = 'purchase')
+               ), 6) AS t_stat,
+           ROUND(
+             POW(VAR_SAMP(value) FILTER (WHERE event_type = 'click')
+                 / COUNT(*) FILTER (WHERE event_type = 'click')
+                 + VAR_SAMP(value) FILTER (WHERE event_type = 'purchase')
+                 / COUNT(*) FILTER (WHERE event_type = 'purchase'), 2)
+             / (
+               POW(VAR_SAMP(value) FILTER (WHERE event_type = 'click')
+                   / COUNT(*) FILTER (WHERE event_type = 'click'), 2)
+               / (COUNT(*) FILTER (WHERE event_type = 'click') - 1)
+               + POW(VAR_SAMP(value) FILTER (WHERE event_type = 'purchase')
+                     / COUNT(*) FILTER (WHERE event_type = 'purchase'), 2)
+               / (COUNT(*) FILTER (WHERE event_type = 'purchase') - 1)
+             ), 4) AS welch_df
+    FROM events
+    WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+    """,
+)
+def t_test_q(spark, sf_dir):
+    """ES t_test aggregation (Welch, the ES default), ORACLE-CHECKED:
+    t statistic + Welch–Satterthwaite dof for event value between the
+    click and purchase populations, closed form over per-group moments —
+    ONE conditional agg pass, no shuffle of the data."""
+    from ..index.aggs import t_test
+
+    e = _t(spark, sf_dir, "events")
+    return t_test(e, "value", "event_type", "click", "purchase")
+
+
 _ROWS_ONLY_TAIL = [
     # collapse_index_search is a round-4 late addition (ES `collapse` +
     # inner_hits): a distinct-operator oracle, but the 50-row window is

@@ -1,0 +1,185 @@
+"""Late round-4 ES aggregation batch: bucket_sort / bucket_selector,
+multi_terms, diversified_sampler, top_metrics, boxplot +
+median_absolute_deviation (exact), t_test (Welch). Golden values are
+hand-computed or numpy-derived; the registry twins are oracle-checked
+vs DuckDB at sf0.01 by test_oracle_parity."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from elasticsearch_jdbc_spark.index.aggs import (
+    boxplot,
+    bucket_selector,
+    bucket_sort,
+    diversified_sampler,
+    median_absolute_deviation,
+    multi_terms,
+    t_test,
+    top_metrics,
+)
+
+
+def _buckets(spark):
+    # (group, key, doc_count)
+    data = [
+        ("g1", "a", 30), ("g1", "b", 10), ("g1", "c", 20),
+        ("g2", "a", 5), ("g2", "b", 50),
+    ]
+    return spark.createDataFrame(data, "g string, key string, doc_count long")
+
+
+class TestBucketSortSelector:
+    def test_sort_and_truncate(self, spark):
+        out = bucket_sort(
+            _buckets(spark), [("doc_count", "desc"), ("key", "asc")], size=2
+        ).select("g", "key").collect()
+        # global window (no partition): top-2 by count overall
+        assert [(r.g, r.key) for r in out] == [("g2", "b"), ("g1", "a")]
+
+    def test_partitioned_from_size(self, spark):
+        out = bucket_sort(
+            _buckets(spark),
+            [("doc_count", "desc"), ("key", "asc")],
+            size=1,
+            from_=1,
+            partition_cols=["g"],
+        ).select("g", "key").collect()
+        # per group, skip the top bucket, keep the next one
+        assert [(r.g, r.key) for r in out] == [("g1", "c"), ("g2", "a")]
+
+    def test_selector_predicate(self, spark):
+        out = bucket_selector(_buckets(spark), "doc_count >= 20 AND g = 'g1'")
+        assert sorted(r.key for r in out.collect()) == ["a", "c"]
+
+    def test_sort_spec_guards(self, spark):
+        with pytest.raises(ValueError):
+            bucket_sort(_buckets(spark), [])
+        with pytest.raises(ValueError):
+            bucket_sort(_buckets(spark), [("doc_count", "down")])
+
+
+class TestMultiTerms:
+    def test_composite_buckets(self, spark):
+        df = spark.createDataFrame(
+            [("en", "web"), ("en", "web"), ("en", "book"),
+             ("fr", "web"), (None, "web"), ("fr", None)],
+            "lang string, source string",
+        )
+        out = multi_terms(df, ["lang", "source"], size=10).collect()
+        assert [(r.lang, r.source, r.key_as_string, r.doc_count) for r in out] == [
+            ("en", "web", "en|web", 2),
+            ("en", "book", "en|book", 1),
+            ("fr", "web", "fr|web", 1),
+        ]
+
+    def test_needs_two_fields(self, spark):
+        df = spark.createDataFrame([("x",)], "a string")
+        with pytest.raises(ValueError):
+            multi_terms(df, ["a"])
+
+
+class TestDiversifiedSampler:
+    def test_caps_per_value(self, spark):
+        df = spark.createDataFrame(
+            [(1, "en", 9.0), (2, "en", 8.0), (3, "en", 7.0),
+             (4, "fr", 5.0), (5, None, 1.0)],
+            "id long, lang string, score double",
+        )
+        out = diversified_sampler(
+            df, "lang", [("score", "desc"), ("id", "asc")],
+            max_docs_per_value=2,
+        )
+        ids = sorted(r.id for r in out.collect())
+        assert ids == [1, 2, 4]  # en capped at 2 best, null lang dropped
+
+    def test_shard_size_cut(self, spark):
+        df = spark.createDataFrame(
+            [(1, "en", 9.0), (2, "fr", 8.0), (3, "de", 7.0)],
+            "id long, lang string, score double",
+        )
+        out = diversified_sampler(
+            df, "lang", [("score", "desc"), ("id", "asc")],
+            max_docs_per_value=1, shard_size=2,
+        )
+        assert sorted(r.id for r in out.collect()) == [1, 2]
+
+    def test_guards(self, spark):
+        df = spark.createDataFrame([(1, "en")], "id long, lang string")
+        with pytest.raises(ValueError):
+            diversified_sampler(df, "lang", [("id", "asc")], max_docs_per_value=0)
+        with pytest.raises(ValueError):
+            diversified_sampler(df, "lang", [], max_docs_per_value=1)
+
+
+class TestTopMetrics:
+    def test_latest_per_group(self, spark):
+        df = spark.createDataFrame(
+            [("u1", 3, 30.0), ("u1", 2, 20.0), ("u1", 1, 10.0),
+             ("u2", 5, 50.0)],
+            "user string, t long, v double",
+        )
+        out = top_metrics(df, ["user"], ("t", "desc"), ["v"], size=2).collect()
+        assert [(r.user, r.rank, r.sort_value, r.v) for r in out] == [
+            ("u1", 1, 3, 30.0), ("u1", 2, 2, 20.0), ("u2", 1, 5, 50.0),
+        ]
+
+    def test_tie_breaks_on_metric(self, spark):
+        df = spark.createDataFrame(
+            [("u", 1, 2.0), ("u", 1, 1.0)], "user string, t long, v double"
+        )
+        out = top_metrics(df, ["user"], ("t", "desc"), ["v"], size=1).collect()
+        assert out[0].v == 1.0  # metric asc is the deterministic tie-break
+
+    def test_size_guard(self, spark):
+        df = spark.createDataFrame([("u", 1, 1.0)], "user string, t long, v double")
+        with pytest.raises(ValueError):
+            top_metrics(df, ["user"], ("t", "desc"), ["v"], size=0)
+
+
+class TestBoxplotMad:
+    def test_exact_quartiles(self, spark):
+        vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 100.0]
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        row = boxplot(df, "x").collect()[0]
+        assert row.min == 1.0 and row.max == 100.0
+        assert row.q1 == pytest.approx(np.percentile(vals, 25), abs=1e-6)
+        assert row.q2 == pytest.approx(np.percentile(vals, 50), abs=1e-6)
+        assert row.q3 == pytest.approx(np.percentile(vals, 75), abs=1e-6)
+
+    def test_mad(self, spark):
+        vals = [1.0, 2.0, 3.0, 4.0, 100.0]
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        row = median_absolute_deviation(df, "x").collect()[0]
+        med = np.median(vals)
+        assert row.median == pytest.approx(med)
+        assert row.mad == pytest.approx(np.median(np.abs(np.array(vals) - med)))
+
+    def test_null_only_rows_ignored(self, spark):
+        df = spark.createDataFrame(
+            [(None,), (2.0,), (4.0,)], "x double"
+        )
+        row = boxplot(df, "x").collect()[0]
+        assert row.min == 2.0 and row.q2 == 3.0 and row.max == 4.0
+
+
+class TestTTest:
+    def test_welch_statistic(self, spark):
+        a = [5.0, 6.0, 7.0, 8.0]
+        b = [1.0, 2.0, 3.0]
+        rows = [("a", v) for v in a] + [("b", v) for v in b] + [("c", 99.0)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        row = t_test(df, "v", "g", "a", "b").collect()[0]
+        va, vb = np.var(a, ddof=1), np.var(b, ddof=1)
+        na, nb = len(a), len(b)
+        se = math.sqrt(va / na + vb / nb)
+        t_exp = (np.mean(a) - np.mean(b)) / se
+        df_exp = (va / na + vb / nb) ** 2 / (
+            (va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1)
+        )
+        assert row.n_a == na and row.n_b == nb
+        assert row.t_stat == pytest.approx(t_exp, abs=1e-6)
+        assert row.welch_df == pytest.approx(df_exp, abs=1e-4)
