@@ -526,3 +526,124 @@ def t_test(
         F.round((F.col("mean_a") - F.col("mean_b")) / se, 6).alias("t_stat"),
         F.round(dof, 4).alias("welch_df"),
     )
+
+
+_UNIT_STRIDE = {
+    "year": "INTERVAL '1' YEAR",
+    "month": "INTERVAL '1' MONTH",
+    "week": "INTERVAL '7' DAY",
+    "day": "INTERVAL '1' DAY",
+    "hour": "INTERVAL '1' HOUR",
+}
+
+
+def zero_fill_buckets(
+    buckets: DataFrame,
+    interval,
+    bucket_col: str = "bucket",
+    count_col: str = "n_docs",
+    bounds: tuple | None = None,
+) -> DataFrame:
+    """ES (date_)histogram `min_doc_count=0` + `extended_bounds`: emit
+    EMPTY buckets between the observed (or forced) min and max so chart
+    consumers see gaps as zeros — the part of the ES histogram contract
+    `facet_df(interval=...)` (min_doc_count=1 shape) leaves out.
+
+    `interval` must match the width the buckets were built with: a
+    number for numeric histograms, a date unit string ('year', 'month',
+    'week', 'day', 'hour') for date_histograms. `bounds=(lo, hi)` is ES
+    extended_bounds — the grid covers it even where no data lands (lo/hi
+    are truncated onto the grid by the caller's convention; pass bucket
+    values). Count columns fill with 0; metric columns stay NULL in
+    empty buckets (the ES response shape).
+
+    Scale shape: the grid derives from ONE scalar min/max agg over the
+    bucket list (aggregation output, tiny by construction) and explodes
+    a sequence on the driver-free path; the fill join is grid ⋈ buckets
+    on the bucket key — both sides bucket-sized, never raw rows."""
+    other = [c for c in buckets.columns if c != bucket_col]
+    lo, hi = F.min(F.col(bucket_col)), F.max(F.col(bucket_col))
+    if bounds is not None:
+        blo, bhi = bounds
+        lo = F.least(lo, F.lit(blo)) if blo is not None else lo
+        hi = F.greatest(hi, F.lit(bhi)) if bhi is not None else hi
+    if isinstance(interval, (int, float)) and not isinstance(interval, bool):
+        step = float(interval)
+        if step <= 0:
+            raise ValueError("numeric interval must be positive")
+        span = buckets.agg(
+            lo.cast("double").alias("_lo"), hi.cast("double").alias("_hi")
+        )
+        grid = span.filter(F.col("_lo").isNotNull()).select(
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    ((F.col("_hi") - F.col("_lo")) / F.lit(step)).cast("long"),
+                )
+            ).alias("_i"),
+            "_lo",
+        ).select(
+            (F.col("_lo") + F.col("_i") * F.lit(step)).alias(bucket_col)
+        )
+    else:
+        stride = _UNIT_STRIDE.get(str(interval))
+        if stride is None:
+            raise ValueError(
+                f"unknown date unit {interval!r} "
+                f"(supported: {sorted(_UNIT_STRIDE)})"
+            )
+        span = buckets.agg(lo.alias("_lo"), hi.alias("_hi"))
+        grid = span.filter(F.col("_lo").isNotNull()).select(
+            F.explode(
+                F.expr(f"sequence(_lo, _hi, {stride})")
+            ).alias(bucket_col)
+        )
+    out = grid.join(buckets, bucket_col, "left")
+    filled = out.select(
+        bucket_col,
+        *[
+            F.coalesce(F.col(c), F.lit(0)).alias(c) if c == count_col else c
+            for c in other
+        ],
+    )
+    return filled.orderBy(bucket_col)
+
+
+def auto_date_histogram(
+    df: DataFrame,
+    ts_col: str,
+    target_buckets: int = 10,
+) -> tuple[str, DataFrame]:
+    """ES `auto_date_histogram`: pick the coarsest-necessary calendar
+    interval so the bucket count stays <= target, then bucket. The
+    interval choice reads ONE min/max row of aggregation output (a
+    scalar collect — bounded, documented); the bucketing itself is the
+    usual one-pass date_trunc groupBy. Returns (chosen_unit, buckets
+    DataFrame ordered by bucket) — the ES response carries the interval
+    it settled on the same way."""
+    if target_buckets < 1:
+        raise ValueError("target_buckets must be >= 1")
+    row = df.agg(
+        F.min(F.col(ts_col)).alias("lo"), F.max(F.col(ts_col)).alias("hi")
+    ).collect()[0]
+    if row.lo is None:
+        unit = "year"
+    else:
+        span_s = (row.hi - row.lo).total_seconds()
+        unit = "year"
+        for u, width_s in (
+            ("hour", 3600.0),
+            ("day", 86400.0),
+            ("week", 604800.0),
+            ("month", 2629800.0),
+        ):
+            if span_s / width_s + 1 <= target_buckets:
+                unit = u
+                break
+    out = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.date_trunc(unit, F.col(ts_col)).alias("bucket"))
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("bucket")
+    )
+    return unit, out

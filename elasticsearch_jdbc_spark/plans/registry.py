@@ -5256,6 +5256,49 @@ def t_test_q(spark, sf_dir):
     return t_test(e, "value", "event_type", "click", "purchase")
 
 
+@_reg(
+    "date_histogram_zero_fill",
+    """
+    WITH b AS (
+      SELECT date_trunc('day', ts) AS bucket, COUNT(*) AS n_docs
+      FROM events
+      WHERE event_type = 'purchase' AND value >= 300
+      GROUP BY 1
+    ),
+    g AS (
+      SELECT unnest(generate_series(
+        (SELECT min(bucket) FROM b),
+        (SELECT max(bucket) FROM b),
+        INTERVAL 1 DAY)) AS bucket
+    )
+    SELECT strftime(g.bucket, '%Y-%m-%d') AS day,
+           COALESCE(b.n_docs, 0) AS n_docs
+    FROM g LEFT JOIN b USING (bucket)
+    ORDER BY day
+    """,
+)
+def date_histogram_zero_fill_q(spark, sf_dir):
+    """ES date_histogram with min_doc_count=0, ORACLE-CHECKED: day
+    buckets over a sparse event slice with the empty days EMITTED as
+    zero rows (the chart-facing ES contract facet_df's min_doc_count=1
+    shape leaves out). The grid derives from one scalar min/max agg
+    over the bucket list and a sequence explode — no driver collect,
+    no raw-row rescan; the fill join is bucket-sized on both sides."""
+    from ..index.aggs import zero_fill_buckets
+
+    e = _t(spark, sf_dir, "events")
+    b = (
+        e.filter((F.col("event_type") == "purchase") & (F.col("value") >= 300))
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("bucket"))
+        .agg(F.count("*").alias("n_docs"))
+    )
+    filled = zero_fill_buckets(b, "day")
+    return filled.select(
+        F.date_format("bucket", "yyyy-MM-dd").alias("day"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+    ).orderBy("day")
+
+
 _ROWS_ONLY_TAIL = [
     # collapse_index_search is a round-4 late addition (ES `collapse` +
     # inner_hits): a distinct-operator oracle, but the 50-row window is

@@ -183,3 +183,89 @@ class TestTTest:
         assert row.n_a == na and row.n_b == nb
         assert row.t_stat == pytest.approx(t_exp, abs=1e-6)
         assert row.welch_df == pytest.approx(df_exp, abs=1e-4)
+
+
+class TestZeroFill:
+    def test_numeric_grid(self, spark):
+        b = spark.createDataFrame(
+            [(0.0, 3), (40.0, 1)], "bucket double, n_docs long"
+        )
+        from elasticsearch_jdbc_spark.index.aggs import zero_fill_buckets
+
+        out = zero_fill_buckets(b, 20.0).collect()
+        assert [(r.bucket, r.n_docs) for r in out] == [
+            (0.0, 3), (20.0, 0), (40.0, 1),
+        ]
+
+    def test_date_grid_with_bounds(self, spark):
+        import datetime as dt
+        from elasticsearch_jdbc_spark.index.aggs import zero_fill_buckets
+
+        b = spark.createDataFrame(
+            [(dt.datetime(2024, 1, 3), 2)], "bucket timestamp, n_docs long"
+        )
+        out = zero_fill_buckets(
+            b, "day",
+            bounds=(dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 4)),
+        ).collect()
+        assert [r.n_docs for r in out] == [0, 0, 2, 0]
+        assert out[0].bucket == dt.datetime(2024, 1, 1)
+
+    def test_metric_cols_stay_null_in_gaps(self, spark):
+        from elasticsearch_jdbc_spark.index.aggs import zero_fill_buckets
+
+        b = spark.createDataFrame(
+            [(0.0, 1, 5.0), (20.0, 2, 7.0)],
+            "bucket double, n_docs long, avg_v double",
+        )
+        out = zero_fill_buckets(b, 10.0).collect()
+        gap = [r for r in out if r.bucket == 10.0][0]
+        assert gap.n_docs == 0 and gap.avg_v is None
+
+    def test_empty_input_empty_output(self, spark):
+        from elasticsearch_jdbc_spark.index.aggs import zero_fill_buckets
+
+        b = spark.createDataFrame([], "bucket double, n_docs long")
+        assert zero_fill_buckets(b, 10.0).count() == 0
+
+    def test_bad_interval(self, spark):
+        from elasticsearch_jdbc_spark.index.aggs import zero_fill_buckets
+
+        b = spark.createDataFrame([(0.0, 1)], "bucket double, n_docs long")
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            zero_fill_buckets(b, -5.0)
+        with _pt.raises(ValueError):
+            zero_fill_buckets(b, "fortnight")
+
+
+class TestAutoDateHistogram:
+    def test_picks_fitting_unit(self, spark):
+        import datetime as dt
+        from elasticsearch_jdbc_spark.index.aggs import auto_date_histogram
+
+        rows = [
+            (dt.datetime(2024, 1, 1) + dt.timedelta(days=d),)
+            for d in range(0, 30, 3)
+        ]
+        df = spark.createDataFrame(rows, "ts timestamp")
+        # 30-day span: hour -> 700+ buckets, day -> 30 > 10, week -> ~5 <= 10
+        unit, out = auto_date_histogram(df, "ts", target_buckets=10)
+        assert unit == "week"
+        assert out.count() <= 10
+        # tight span at the same target picks hours
+        tight = spark.createDataFrame(
+            [(dt.datetime(2024, 1, 1, h),) for h in range(5)], "ts timestamp"
+        )
+        unit2, out2 = auto_date_histogram(tight, "ts", target_buckets=10)
+        assert unit2 == "hour" and out2.count() == 5
+
+    def test_guards_and_empty(self, spark):
+        import pytest as _pt
+        from elasticsearch_jdbc_spark.index.aggs import auto_date_histogram
+
+        df = spark.createDataFrame([], "ts timestamp")
+        unit, out = auto_date_histogram(df, "ts")
+        assert out.count() == 0 and unit == "year"
+        with _pt.raises(ValueError):
+            auto_date_histogram(df, "ts", target_buckets=0)
