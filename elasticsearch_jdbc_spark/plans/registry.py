@@ -5299,6 +5299,59 @@ def date_histogram_zero_fill_q(spark, sf_dir):
     ).orderBy("day")
 
 
+@_reg(
+    "pipeline_packing",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    ne AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 1),
+    w AS (
+      SELECT doc_id,
+             CAST(s.i AS BIGINT) AS chunk_id,
+             CAST(LEAST(len(toks) - s.i * 64, 64) AS BIGINT) AS n_tokens
+      FROM ne, UNNEST(range(0, CAST(ceil(len(toks) / 64.0) AS BIGINT))) AS s(i)
+      WHERE s.i * 64 < len(toks)
+    ),
+    c AS (
+      SELECT doc_id, chunk_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               ORDER BY doc_id, chunk_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cum
+      FROM w
+    )
+    SELECT doc_id, chunk_id, n_tokens,
+           CAST(FLOOR(cum / 256.0) AS BIGINT) AS pack_id,
+           CAST(cum % 256 AS BIGINT) AS pack_offset,
+           (cum % 256) + n_tokens > 256 AS spills
+    FROM c
+    """,
+)
+def pipeline_packing_q(spark, sf_dir):
+    """GPT-style sequence packing, ORACLE-CHECKED per chunk: chunk the
+    corpus (max_tokens=64, no overlap), conceptually concatenate the
+    token streams in (doc_id, chunk_id) order, and cut every 256 tokens
+    — each chunk tagged with the pack its first token lands in, its
+    offset inside the pack, and whether it straddles a cut. buckets=1
+    here so the DuckDB window twin is exact; at cluster scale the
+    hash-bucketed default (64+) keeps the cumsum from becoming one
+    global serial chain — each bucket is an independent packed stream,
+    ONE shuffle total."""
+    from ..operators.chunking import chunk_documents, pack_chunks_concat
+
+    d = _t(spark, sf_dir, "documents")
+    chunks = chunk_documents(
+        d, text_col="text", id_col="doc_id", max_tokens=64, overlap=0
+    )
+    packed = pack_chunks_concat(chunks, context_len=256, buckets=1)
+    return packed.select(
+        "doc_id", "chunk_id", "n_tokens", "pack_id", "pack_offset", "spills"
+    )
+
+
 _ROWS_ONLY_TAIL = [
     # collapse_index_search is a round-4 late addition (ES `collapse` +
     # inner_hits): a distinct-operator oracle, but the 50-row window is
