@@ -647,3 +647,74 @@ def auto_date_histogram(
         .orderBy("bucket")
     )
     return unit, out
+
+
+def approx_terms(
+    df: DataFrame,
+    col: str,
+    size: int = 10,
+    shard_size: int | None = None,
+) -> DataFrame:
+    """ES `terms` aggregation the way ES ACTUALLY computes it at scale:
+    each shard returns only its local top `shard_size` terms, the
+    coordinator merges them, and every reported count carries
+    `doc_count_error_upper_bound` — the worst-case undercount from
+    shards that didn't report the term (bounded by the count of the
+    LAST term each non-reporting shard did return;
+    reference-fed ES dashboards read this field on every terms panel).
+
+    Spark partitions play the shards: a per-(partition, term) count
+    (map-side combinable), a per-partition top-`shard_size` window cut,
+    then one merge groupBy — fully declarative, and the full term
+    cardinality never converges on one node, which is the whole point
+    at 100 TB (an exact groupBy over a trillion-term column shuffles
+    everything; this shuffles at most partitions × shard_size rows
+    after the local cut). A partition that returned ALL its terms
+    contributes zero error (the ES rule). shard_size defaults to
+    ES's `size * 1.5 + 10`."""
+    if size < 1:
+        raise ValueError(f"size must be >= 1, got {size}")
+    if shard_size is None:
+        shard_size = int(size * 1.5) + 10
+    if shard_size < size:
+        raise ValueError("shard_size must be >= size")
+    per = (
+        df.filter(F.col(col).isNotNull())
+        .select(F.col(col).alias("term"), F.spark_partition_id().alias("_pid"))
+        .groupBy("_pid", "term")
+        .agg(F.count("*").alias("_cnt"))
+    )
+    w = Window.partitionBy("_pid").orderBy(F.desc("_cnt"), F.asc("term"))
+    ranked = per.withColumn("_rn", F.row_number().over(w))
+    tops = ranked.filter(F.col("_rn") <= shard_size)
+    # a shard's error floor is the count of the last term it returned —
+    # unless it returned everything it had, in which case it hides nothing
+    pstats = ranked.groupBy("_pid").agg(
+        F.count("*").alias("_n_terms"),
+        F.min(F.when(F.col("_rn") <= shard_size, F.col("_cnt"))).alias("_last"),
+    ).select(
+        "_pid",
+        F.when(F.col("_n_terms") > shard_size, F.col("_last"))
+        .otherwise(F.lit(0)).alias("_pmin"),
+    )
+    total = pstats.agg(F.sum("_pmin").alias("_total_min"))
+    merged = (
+        tops.join(pstats, "_pid")
+        .groupBy("term")
+        .agg(
+            F.sum("_cnt").alias("doc_count"),
+            F.sum("_pmin").alias("_rep_min"),
+        )
+    )
+    return (
+        merged.crossJoin(F.broadcast(total))
+        .select(
+            "term",
+            F.col("doc_count").cast("long").alias("doc_count"),
+            F.greatest(
+                F.lit(0), F.col("_total_min") - F.col("_rep_min")
+            ).cast("long").alias("doc_count_error_upper_bound"),
+        )
+        .orderBy(F.desc("doc_count"), F.asc("term"))
+        .limit(size)
+    )

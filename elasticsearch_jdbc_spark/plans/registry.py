@@ -5352,6 +5352,31 @@ def pipeline_packing_q(spark, sf_dir):
     )
 
 
+@_reg(
+    "approx_terms_agg",
+    """
+    SELECT lang AS term, COUNT(*) AS doc_count,
+           CAST(0 AS BIGINT) AS doc_count_error_upper_bound
+    FROM documents WHERE lang IS NOT NULL
+    GROUP BY lang
+    ORDER BY doc_count DESC, term ASC
+    LIMIT 5
+    """,
+)
+def approx_terms_q(spark, sf_dir):
+    """ES shard-wise terms aggregation with doc_count_error_upper_bound,
+    ORACLE-CHECKED in the exact regime (shard_size exceeds every
+    partition's term cardinality, so the merge is exact and every error
+    bound is provably 0 — the approximate regime's bound-correctness is
+    property-tested in test_more_aggs). The per-partition top cut means
+    the full term cardinality never converges on one node: at most
+    partitions x shard_size rows shuffle after the local cut."""
+    from ..index.aggs import approx_terms
+
+    d = _t(spark, sf_dir, "documents")
+    return approx_terms(d, "lang", size=5, shard_size=10_000)
+
+
 _ROWS_ONLY_TAIL = [
     # collapse_index_search is a round-4 late addition (ES `collapse` +
     # inner_hits): a distinct-operator oracle, but the 50-row window is

@@ -269,3 +269,45 @@ class TestAutoDateHistogram:
         assert out.count() == 0 and unit == "year"
         with _pt.raises(ValueError):
             auto_date_histogram(df, "ts", target_buckets=0)
+
+
+class TestApproxTerms:
+    def test_exact_regime_matches_groupby(self, spark):
+        from elasticsearch_jdbc_spark.index.aggs import approx_terms
+
+        rows = [(f"t{i % 7}",) for i in range(200)]
+        df = spark.createDataFrame(rows, "v string").repartition(8)
+        out = approx_terms(df, "v", size=7, shard_size=1000).collect()
+        exact = {
+            r.v: r["count"]
+            for r in df.groupBy("v").count().collect()
+        }
+        assert {r.term: r.doc_count for r in out} == exact
+        assert all(r.doc_count_error_upper_bound == 0 for r in out)
+
+    def test_error_bound_covers_true_count(self, spark):
+        from elasticsearch_jdbc_spark.index.aggs import approx_terms
+
+        # skewed: many distinct rare terms force the shard cut to bite
+        rows = (
+            [("hot",)] * 60
+            + [(f"warm{i}", ) for i in range(20) for _ in range(3)]
+            + [(f"rare{i}",) for i in range(120)]
+        )
+        df = spark.createDataFrame(rows, "v string").repartition(6)
+        out = approx_terms(df, "v", size=5, shard_size=5).collect()
+        exact = {r.v: r["count"] for r in df.groupBy("v").count().collect()}
+        assert out[0].term == "hot" and out[0].doc_count == 60
+        for r in out:
+            true = exact[r.term]
+            # reported count is a lower bound; the bound covers the gap
+            assert r.doc_count <= true <= r.doc_count + r.doc_count_error_upper_bound
+
+    def test_guards(self, spark):
+        from elasticsearch_jdbc_spark.index.aggs import approx_terms
+
+        df = spark.createDataFrame([("a",)], "v string")
+        with pytest.raises(ValueError):
+            approx_terms(df, "v", size=0)
+        with pytest.raises(ValueError):
+            approx_terms(df, "v", size=10, shard_size=3)
