@@ -14,6 +14,7 @@ from __future__ import annotations
 import json
 import re
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -186,3 +187,65 @@ def geo_bbox_sql(
     else:
         lon_ok = f"({lon_col} >= {float(left)} OR {lon_col} <= {float(right)})"
     return f"({lat_ok} AND {lon_ok})"
+
+
+_GEOHASH32 = np.frombuffer(b"0123456789bcdefghjkmnpqrstuvwxyz", dtype="S1")
+
+
+def geohash_np(lat: "np.ndarray", lon: "np.ndarray", precision: int) -> "np.ndarray":
+    """Vectorized geohash encode (the ES geohash_grid cell key): the
+    classic bit-interleave — even bits halve the longitude range, odd
+    bits the latitude — 5 bits per base32 character. The loop runs
+    5 * precision (<= 60) iterations over WHOLE numpy arrays, so the
+    per-row cost is pure C; no per-row Python anywhere."""
+    if not 1 <= precision <= 12:
+        raise ValueError(f"precision must be 1..12, got {precision}")
+    n = len(lat)
+    lat = np.asarray(lat, dtype=np.float64)
+    lon = np.asarray(lon, dtype=np.float64)
+    lat_lo = np.full(n, -90.0)
+    lat_hi = np.full(n, 90.0)
+    lon_lo = np.full(n, -180.0)
+    lon_hi = np.full(n, 180.0)
+    nbits = 5 * precision
+    bits = np.zeros((n, nbits), dtype=np.uint8)
+    for i in range(nbits):
+        if i % 2 == 0:  # even bit: longitude
+            mid = (lon_lo + lon_hi) / 2.0
+            hit = lon >= mid
+            bits[:, i] = hit
+            lon_lo = np.where(hit, mid, lon_lo)
+            lon_hi = np.where(hit, lon_hi, mid)
+        else:  # odd bit: latitude
+            mid = (lat_lo + lat_hi) / 2.0
+            hit = lat >= mid
+            bits[:, i] = hit
+            lat_lo = np.where(hit, mid, lat_lo)
+            lat_hi = np.where(hit, lat_hi, mid)
+    # 5 bits -> one base32 char
+    groups = bits.reshape(n, precision, 5)
+    idx = (
+        groups[:, :, 0].astype(np.int32) * 16
+        + groups[:, :, 1] * 8
+        + groups[:, :, 2] * 4
+        + groups[:, :, 3] * 2
+        + groups[:, :, 4]
+    )
+    chars = _GEOHASH32[idx]  # (n, precision) of S1
+    return chars.view(f"S{precision}").ravel().astype(str)
+
+
+def geohash_udf(precision: int):
+    """Arrow-batched geohash column: geohash_udf(7)(lat, lon)."""
+
+    @F.pandas_udf(T.StringType())
+    def gh(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        ok = lat.notna() & lon.notna()
+        out = pd.Series([None] * len(lat), index=lat.index, dtype=object)
+        if ok.any():
+            out[ok] = geohash_np(
+                lat[ok].to_numpy(), lon[ok].to_numpy(), precision
+            )
+        return out
+
+    return gh

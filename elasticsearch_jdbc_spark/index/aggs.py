@@ -718,3 +718,26 @@ def approx_terms(
         .orderBy(F.desc("doc_count"), F.asc("term"))
         .limit(size)
     )
+
+
+def geohash_grid(
+    df: DataFrame,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    precision: int = 5,
+) -> DataFrame:
+    """ES `geohash_grid` aggregation: bucket points into geohash cells
+    at `precision` (1..12 base32 chars), the companion of geotile_grid.
+    The encode is a vectorized Arrow-batched kernel (functions/geo.py
+    geohash_np — whole-array bit interleave, no per-row Python); the
+    bucketing is one groupBy keyed on the cell, ordered doc-count desc
+    then key asc (the ES bucket order)."""
+    from ..functions.geo import geohash_udf
+
+    gh = geohash_udf(precision)
+    return (
+        df.filter(F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull())
+        .groupBy(gh(F.col(lat_col), F.col(lon_col)).alias("key"))
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy(F.desc("doc_count"), F.asc("key"))
+    )

@@ -5377,6 +5377,46 @@ def approx_terms_q(spark, sf_dir):
     return approx_terms(d, "lang", size=5, shard_size=10_000)
 
 
+@_reg(
+    "geohash_grid_agg",
+    """
+    WITH pts AS (
+      SELECT ((doc_id * 7919) % 160 - 80 + 0.25) AS lat,
+             ((doc_id * 104729) % 360 - 180 + 0.25) AS lon
+      FROM documents
+    ),
+    b AS (
+      SELECT CAST(floor((lon + 180.0) / 45.0) AS BIGINT) AS li,
+             CAST(floor((lat + 90.0) / 45.0) AS BIGINT) AS ai
+      FROM pts
+    ),
+    k AS (
+      SELECT substr('0123456789bcdefghjkmnpqrstuvwxyz',
+        CAST(((li // 4) % 2) * 16 + ((ai // 2) % 2) * 8
+             + ((li // 2) % 2) * 4 + (ai % 2) * 2 + (li % 2)
+             AS INTEGER) + 1, 1) AS key
+      FROM b
+    )
+    SELECT key, CAST(COUNT(*) AS BIGINT) AS doc_count
+    FROM k GROUP BY key
+    ORDER BY doc_count DESC, key ASC
+    """,
+)
+def geohash_grid_q(spark, sf_dir):
+    """ES geohash_grid aggregation, ORACLE-CHECKED: geohash cell buckets
+    over the planted document coordinates. The engine encodes with the
+    real vectorized bit-interleave kernel (functions/geo.py geohash_np,
+    goldens u4pruydqqvj/ezs42 in pytest); the DuckDB twin derives the
+    precision-1 cell INDEPENDENTLY in closed form (3 longitude bits +
+    2 latitude bits -> one base32 char), so the interleave order and
+    base32 alphabet are cross-checked, not copied."""
+    from ..index.aggs import geohash_grid
+    from ..sources import corpus_from_documents
+
+    pts = corpus_from_documents(spark, sf_dir).select("lat", "lon")
+    return geohash_grid(pts, precision=1)
+
+
 _ROWS_ONLY_TAIL = [
     # collapse_index_search is a round-4 late addition (ES `collapse` +
     # inner_hits): a distinct-operator oracle, but the 50-row window is

@@ -311,3 +311,34 @@ class TestApproxTerms:
             approx_terms(df, "v", size=0)
         with pytest.raises(ValueError):
             approx_terms(df, "v", size=10, shard_size=3)
+
+
+class TestGeohashGrid:
+    def test_kernel_goldens(self):
+        import numpy as np
+        from elasticsearch_jdbc_spark.functions.geo import geohash_np
+
+        assert geohash_np(
+            np.array([57.64911]), np.array([10.40744]), 11
+        )[0] == "u4pruydqqvj"
+        assert geohash_np(np.array([42.6]), np.array([-5.6]), 5)[0] == "ezs42"
+        # corners and center of the planet
+        got = geohash_np(
+            np.array([0.0, -90.0, 90.0]), np.array([0.0, -180.0, 180.0]), 4
+        )
+        assert list(got) == ["s000", "0000", "zzzz"]
+        with pytest.raises(ValueError):
+            geohash_np(np.array([0.0]), np.array([0.0]), 13)
+
+    def test_grid_agg(self, spark):
+        from elasticsearch_jdbc_spark.index.aggs import geohash_grid
+
+        df = spark.createDataFrame(
+            [(57.64911, 10.40744), (57.64912, 10.40745),
+             (42.6, -5.6), (None, 1.0)],
+            "lat double, lon double",
+        )
+        out = geohash_grid(df, precision=5).collect()
+        assert [(r.key, r.doc_count) for r in out] == [
+            ("u4pru", 2), ("ezs42", 1),
+        ]
