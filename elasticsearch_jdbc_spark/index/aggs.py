@@ -26,6 +26,7 @@ single WindowExec partition holds only the bucket list itself.
 
 from __future__ import annotations
 
+import functools
 import itertools
 
 from pyspark.sql import DataFrame
@@ -740,4 +741,95 @@ def geohash_grid(
         .groupBy(gh(F.col(lat_col), F.col(lon_col)).alias("key"))
         .agg(F.count("*").alias("doc_count"))
         .orderBy(F.desc("doc_count"), F.asc("key"))
+    )
+
+
+def rare_terms(
+    df: DataFrame, col: str, max_doc_count: int = 1
+) -> DataFrame:
+    """ES `rare_terms` aggregation: the long-tail complement of `terms` —
+    buckets whose doc_count is AT MOST max_doc_count, ordered doc_count
+    asc then key asc (the ES rare-first contract; a terms agg sorted
+    ascending is explicitly discouraged by ES because its per-shard
+    top-N cut is unbounded-error in that direction — rare_terms is the
+    supported shape, and this implementation is EXACT where ES's
+    CuckooFilter pass is approximate).
+
+    Scale shape: one map-side-combinable groupBy on the term; the
+    max_doc_count filter is applied post-aggregation, so no correctness
+    cut happens shard-side. Null keys are excluded (ES `missing` is a
+    separate aggregation — see missing_agg)."""
+    if max_doc_count < 1:
+        raise ValueError("max_doc_count must be >= 1")
+    return (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("key"))
+        .agg(F.count("*").alias("doc_count"))
+        .filter(F.col("doc_count") <= max_doc_count)
+        .orderBy(F.asc("doc_count"), F.asc("key"))
+    )
+
+
+def filters_agg(
+    df: DataFrame,
+    filters: dict[str, str],
+    other_bucket: bool = False,
+    other_bucket_key: str = "_other_",
+) -> DataFrame:
+    """ES `filters` aggregation: one named bucket per SQL predicate,
+    counted in ONE partial-aggregable pass (every filter becomes a
+    boolean projection — no per-filter scan, no shuffle of the data;
+    adjacency_matrix without the pairwise intersections). Buckets that
+    match nothing still appear with doc_count 0 (the ES keyed-response
+    shape). other_bucket adds a bucket counting docs matching NO filter.
+    Output ordered by key; a doc can land in several buckets."""
+    if not filters:
+        raise ValueError("filters_agg needs at least one named filter")
+    if other_bucket_key in filters:
+        raise ValueError(f"filter name {other_bucket_key!r} collides with other_bucket_key")
+    names = sorted(filters)
+    flagged = df.select(
+        *[F.expr(filters[n]).cast("boolean").alias(f"_f_{i}")
+          for i, n in enumerate(names)]
+    )
+    aggs = [
+        F.sum(F.when(F.col(f"_f_{i}"), 1).otherwise(0)).alias(f"_c_{i}")
+        for i in range(len(names))
+    ]
+    keys = list(names)
+    if other_bucket:
+        none_of = ~functools.reduce(
+            lambda a, b: a | b,
+            [F.coalesce(F.col(f"_f_{i}"), F.lit(False)) for i in range(len(names))],
+        )
+        aggs.append(F.sum(F.when(none_of, 1).otherwise(0)).alias(f"_c_{len(names)}"))
+        keys.append(other_bucket_key)
+    row = flagged.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("key"),
+                F.coalesce(F.col(f"_c_{i}"), F.lit(0)).cast("long").alias("doc_count"),
+            )
+            for i, k in enumerate(keys)
+        ]
+    )
+    return (
+        row.select(F.explode(pairs).alias("b"))
+        .select("b.key", "b.doc_count")
+        .orderBy("key")
+    )
+
+
+def missing_agg(df: DataFrame, col: str) -> DataFrame:
+    """ES `missing` aggregation: how many docs lack a value for `col`
+    (NULL; for array columns, NULL or empty). One partial-aggregable
+    count — the bucket every mapping-migration checklist asks for."""
+    c = F.col(col)
+    dt = dict(df.dtypes).get(col, "")
+    miss = c.isNull()
+    if dt.startswith("array"):
+        miss = miss | (F.size(c) == 0)
+    return df.agg(
+        F.sum(F.when(miss, 1).otherwise(0)).cast("long").alias("doc_count")
     )

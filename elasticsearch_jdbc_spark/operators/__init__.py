@@ -1,3 +1,3 @@
-from . import dedup, fold, incremental, sampling, similarity
+from . import cc, dedup, fold, incremental, sampling, similarity
 
-__all__ = ["fold", "dedup", "similarity", "incremental", "sampling"]
+__all__ = ["fold", "dedup", "similarity", "incremental", "sampling", "cc"]

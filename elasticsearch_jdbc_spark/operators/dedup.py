@@ -884,3 +884,48 @@ def exact_substring_scrub(
         "n_tokens",
         (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
     )
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    verify_threshold: float | None = 0.5,
+) -> DataFrame:
+    """Fuzzy-dedup CLUSTER formation: the transitive closure of the
+    verified MinHash-LSH near-dup pairs — (id, cluster, is_canonical),
+    one row per input doc, cluster = smallest id in the doc's connected
+    component (singletons cluster with themselves).
+
+    This is the pass production dedup pipelines (RefinedWeb / SlimPajama
+    style) run AFTER pair generation: A~B and B~C must collapse to ONE
+    survivor even when jaccard(A, C) is below threshold, which no
+    per-pair keep rule (minhash_dedup's bucket-min propagation included)
+    can decide. Components come from operators/cc.py's alternating
+    large-star/small-star contraction — O(log^2 n) rounds regardless of
+    chain length, each round two narrow hashed shuffles — so a 100M-doc
+    duplicate chain costs the same round count as a 10-doc one. The
+    canonical-survivor filter is then `is_canonical` (keep) or
+    cluster != id (drop), both shuffle-free projections.
+    """
+    from .cc import connected_components
+
+    pairs = minhash_lsh_pairs(
+        df, id_col, text_col, n, num_perm, bands, seed, verify_threshold
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    ids = df.select(F.col(id_col).cast("long").alias("id")).distinct()
+    return (
+        ids.join(comp.withColumnRenamed("node", "id"), "id", "left")
+        .select(
+            F.col("id"),
+            F.coalesce("component", "id").alias("cluster"),
+            (F.coalesce("component", F.col("id")) == F.col("id")).alias(
+                "is_canonical"
+            ),
+        )
+    )

@@ -5417,6 +5417,114 @@ def geohash_grid_q(spark, sf_dir):
     return geohash_grid(pts, precision=1)
 
 
+@_reg(
+    "dedup_cc_clusters",
+    """
+    WITH RECURSIVE sh AS (
+      SELECT DISTINCT doc_id, t.sh
+      FROM documents,
+           UNNEST(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS t(sh)
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sz sa ON sa.doc_id = id_a
+      JOIN sz sb ON sb.doc_id = id_b
+      WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.8
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+    )
+    SELECT node AS id, MIN(lbl) AS cluster,
+           (MIN(lbl) = node) AS is_canonical
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_cc_q(spark, sf_dir):
+    """Fuzzy-dedup cluster formation, ORACLE-CHECKED: transitive closure
+    of the verified near-dup pairs via alternating large-star/small-star
+    connected components (operators/cc.py — O(log^2 n) join rounds, never
+    diameter-bound), one (id, cluster, is_canonical) row per document.
+    The DuckDB twin recomputes the SAME pair relation brute-force (the
+    dedup_minhash_pairs oracle — banding recall is part of the check) and
+    closes it with a recursive CTE, so the component labels are derived by
+    a completely different algorithm on both sides."""
+    from ..operators import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup.near_dup_clusters(
+        d, "doc_id", "text", n=1, num_perm=128, bands=32,
+        verify_threshold=0.8,
+    )
+
+
+@_reg(
+    "rare_terms_agg",
+    """
+    SELECT key, doc_count FROM (
+      SELECT doc_id % 997 AS key, CAST(COUNT(*) AS BIGINT) AS doc_count
+      FROM documents GROUP BY 1
+    ) WHERE doc_count <= 5
+    ORDER BY doc_count ASC, key ASC
+    """,
+)
+def rare_terms_q(spark, sf_dir):
+    """ES rare_terms aggregation, ORACLE-CHECKED: the long-tail buckets
+    (doc_count <= max_doc_count, rare-first order) — EXACT where ES's
+    CuckooFilter pass is approximate. Keyed on a deterministic modular
+    projection of doc_id so the fixture genuinely has a long tail."""
+    from ..index.aggs import rare_terms
+
+    d = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 997).alias("key")
+    )
+    return rare_terms(d, "key", max_doc_count=5)
+
+
+@_reg(
+    "filters_agg_search",
+    """
+    SELECT key, doc_count FROM (
+      SELECT '_other_' AS key,
+             CAST(SUM(CASE WHEN NOT (lang = 'en') AND NOT (length(text) > 900)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS doc_count
+      FROM documents
+      UNION ALL
+      SELECT 'english', CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+      FROM documents
+      UNION ALL
+      SELECT 'longdoc', CAST(SUM(CASE WHEN length(text) > 900 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM documents
+    ) ORDER BY key
+    """,
+)
+def filters_agg_q(spark, sf_dir):
+    """ES filters aggregation, ORACLE-CHECKED: named predicate buckets +
+    other_bucket counted in ONE partial-aggregable pass (no per-filter
+    scan). Docs may land in several buckets; _other_ counts docs matching
+    none."""
+    from ..index.aggs import filters_agg
+
+    d = _t(spark, sf_dir, "documents")
+    return filters_agg(
+        d,
+        {"english": "lang = 'en'", "longdoc": "length(text) > 900"},
+        other_bucket=True,
+    )
+
+
 _ROWS_ONLY_TAIL = [
     # collapse_index_search is a round-4 late addition (ES `collapse` +
     # inner_hits): a distinct-operator oracle, but the 50-row window is

@@ -342,3 +342,58 @@ class TestGeohashGrid:
         assert [(r.key, r.doc_count) for r in out] == [
             ("u4pru", 2), ("ezs42", 1),
         ]
+
+
+class TestRareTerms:
+    def test_rare_first_order_and_cut(self, spark):
+        from elasticsearch_jdbc_spark.index.aggs import rare_terms
+
+        rows = (
+            [("a",)] * 5 + [("b",)] * 2 + [("c",)] * 1 + [("d",)] * 1
+            + [(None,)]
+        )
+        df = spark.createDataFrame(rows, "v string")
+        out = [(r.key, r.doc_count) for r in rare_terms(df, "v", 2).collect()]
+        assert out == [("c", 1), ("d", 1), ("b", 2)]
+        with pytest.raises(ValueError):
+            rare_terms(df, "v", 0)
+
+
+class TestFiltersAgg:
+    def test_named_buckets_other_and_zero(self, spark):
+        from elasticsearch_jdbc_spark.index.aggs import filters_agg
+
+        df = spark.createDataFrame(
+            [(1, "x"), (2, "x"), (3, "y"), (9, None)], "n long, s string"
+        )
+        out = {r.key: r.doc_count for r in filters_agg(
+            df,
+            {"xs": "s = 'x'", "big": "n >= 3", "none": "n > 100"},
+            other_bucket=True,
+        ).collect()}
+        # doc (9, None): s='x' is NULL -> not xs; n>=3 true -> in big
+        assert out == {"xs": 2, "big": 2, "none": 0, "_other_": 0}
+        # a doc matching NO filter lands in _other_
+        df2 = spark.createDataFrame([(1, "z")], "n long, s string")
+        out2 = {r.key: r.doc_count for r in filters_agg(
+            df2, {"xs": "s = 'x'"}, other_bucket=True
+        ).collect()}
+        assert out2 == {"xs": 0, "_other_": 1}
+        with pytest.raises(ValueError):
+            filters_agg(df, {})
+        with pytest.raises(ValueError):
+            filters_agg(df, {"_other_": "n > 0"}, other_bucket=True)
+
+
+class TestMissingAgg:
+    def test_null_and_empty_array(self, spark):
+        from elasticsearch_jdbc_spark.index.aggs import missing_agg
+
+        df = spark.createDataFrame(
+            [("a",), (None,), (None,)], "v string"
+        )
+        assert missing_agg(df, "v").collect()[0].doc_count == 2
+        df2 = spark.createDataFrame(
+            [([],), (["t"],), (None,)], "v array<string>"
+        )
+        assert missing_agg(df2, "v").collect()[0].doc_count == 2
