@@ -1405,6 +1405,146 @@ class IncrementalIndexReader:
             )
         return out
 
+    def terms_set_df(
+        self,
+        field: str,
+        terms: list[str],
+        msm_field: str | None = None,
+        msm_sql: str | None = None,
+    ) -> DataFrame:
+        """ES terms_set on the LIVE tier: same contract as
+        IndexReader.terms_set_df but evaluated over live_docs(), so
+        upserted docs qualify by their NEWEST tags/required values and
+        deleted docs never match. Returns (segment, doc_id, matched,
+        required) unranked."""
+        if (msm_field is None) == (msm_sql is None):
+            raise ValueError("pass exactly one of msm_field / msm_sql")
+        if not terms:
+            raise ValueError("terms_set needs at least one term")
+        docs = self.live_docs()
+        for c in ([field, msm_field] if msm_field else [field]):
+            if c not in docs.columns:
+                raise ValueError(
+                    f"unknown docs column {c!r}; live docs have {docs.columns}"
+                )
+        dt = dict(docs.dtypes)[field]
+        arr = F.col(field) if dt.startswith("array") else F.array(F.col(field))
+        matched = F.coalesce(
+            F.size(F.array_intersect(arr, F.array(*[F.lit(t) for t in terms]))),
+            F.lit(0),
+        )
+        required = F.col(msm_field) if msm_field else F.expr(msm_sql)
+        return (
+            docs.select(
+                "segment",
+                "doc_id",
+                matched.cast("long").alias("matched"),
+                required.cast("long").alias("required"),
+            )
+            .filter(F.col("required").isNotNull())
+            .filter(F.col("matched") >= F.col("required"))
+        )
+
+    def has_child_df(
+        self,
+        query: str,
+        parent_field: str,
+        id_field: str,
+        score_mode: str = "none",
+        min_children: int = 1,
+        max_children: int | None = None,
+        min_should_match: int = 1,
+        filter_sql: str | None = None,
+    ) -> DataFrame:
+        """ES has_child on the LIVE tier: parent docs with enough live
+        matching children — the child match set is tombstone-masked and
+        upserts count only their newest version (match_df + live_docs
+        both enforce it). Returns (segment, doc_id, score, n_children)
+        unranked; score_mode folds child scores per the base-reader
+        contract."""
+        if score_mode not in ("none", "sum", "max", "min", "avg"):
+            raise ValueError(f"unknown score_mode {score_mode!r}")
+        if min_children < 1:
+            raise ValueError("min_children must be >= 1")
+        docs = self.live_docs()
+        for c in (parent_field, id_field):
+            if c not in docs.columns:
+                raise ValueError(
+                    f"unknown docs column {c!r}; live docs have {docs.columns}"
+                )
+        child = self.match_df(
+            query, min_should_match=min_should_match, filter_sql=filter_sql
+        )
+        linked = child.join(
+            docs.select("segment", "doc_id", parent_field).filter(
+                F.col(parent_field).isNotNull()
+            ),
+            ["segment", "doc_id"],
+        )
+        agg = {
+            "none": F.lit(0.0),
+            "sum": F.sum("score"),
+            "max": F.max("score"),
+            "min": F.min("score"),
+            "avg": F.avg("score"),
+        }[score_mode]
+        per_parent = (
+            linked.groupBy(F.col(parent_field).alias("_pref"))
+            .agg(
+                F.count("*").alias("n_children"),
+                agg.cast("double").alias("score"),
+            )
+            .filter(F.col("n_children") >= min_children)
+        )
+        if max_children is not None:
+            per_parent = per_parent.filter(
+                F.col("n_children") <= max_children
+            )
+        return (
+            docs.select("segment", "doc_id", F.col(id_field).alias("_pid"))
+            .join(per_parent, F.col("_pid") == F.col("_pref"))
+            .select("segment", "doc_id", "score", "n_children")
+        )
+
+    def has_parent_df(
+        self,
+        query: str,
+        parent_field: str,
+        id_field: str,
+        score: bool = False,
+        min_should_match: int = 1,
+        filter_sql: str | None = None,
+    ) -> DataFrame:
+        """ES has_parent on the LIVE tier: child docs whose live parent
+        matches; a deleted/superseded parent version never qualifies its
+        children. Returns (segment, doc_id, score) unranked."""
+        docs = self.live_docs()
+        for c in (parent_field, id_field):
+            if c not in docs.columns:
+                raise ValueError(
+                    f"unknown docs column {c!r}; live docs have {docs.columns}"
+                )
+        parents = self.match_df(
+            query, min_should_match=min_should_match, filter_sql=filter_sql
+        ).join(
+            docs.select("segment", "doc_id", F.col(id_field).alias("_pid")),
+            ["segment", "doc_id"],
+        )
+        psel = parents.select(
+            "_pid",
+            (F.col("score") if score else F.lit(0.0)).cast("double").alias(
+                "_pscore"
+            ),
+        )
+        return (
+            docs.select(
+                "segment", "doc_id", F.col(parent_field).alias("_pref")
+            )
+            .filter(F.col("_pref").isNotNull())
+            .join(psel, F.col("_pref") == F.col("_pid"))
+            .select("segment", "doc_id", F.col("_pscore").alias("score"))
+        )
+
     def msearch_df(
         self,
         queries: list[str],

@@ -4557,6 +4557,161 @@ class IndexReader:
             return core
         return core.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    # ---- terms_set / parent-child joins (ES specialized queries) ----
+
+    def terms_set_df(
+        self,
+        field: str,
+        terms: list[str],
+        msm_field: str | None = None,
+        msm_sql: str | None = None,
+    ) -> DataFrame:
+        """ES `terms_set` query: docs whose (multi-valued) metadata field
+        contains at least a PER-DOC number of the supplied terms —
+        `required` read from msm_field (minimum_should_match_field) or
+        computed by the Catalyst expression msm_sql over the docs columns
+        (the minimum_should_match_script analogue; expressions only, never
+        eval'd Python). matched counts DISTINCT supplied terms present
+        (set semantics, ES behavior on keyword arrays). Non-scoring filter
+        context; returns (doc_id, matched, required) UNRANKED — compose
+        with hits_df or use as a semi-join restriction.
+
+        Scale shape: one docs-table scan, one codegen'd array_intersect
+        projection and a filter — no shuffle, postings never touched."""
+        if (msm_field is None) == (msm_sql is None):
+            raise ValueError("pass exactly one of msm_field / msm_sql")
+        if not terms:
+            raise ValueError("terms_set needs at least one term")
+        docs = self.spark.read.parquet(os.path.join(self.index_dir, "docs"))
+        for c in ([field, msm_field] if msm_field else [field]):
+            if c not in docs.columns:
+                raise ValueError(
+                    f"unknown docs column {c!r}; docs table has {docs.columns}"
+                )
+        dt = dict(docs.dtypes)[field]
+        arr = F.col(field) if dt.startswith("array") else F.array(F.col(field))
+        matched = F.coalesce(
+            F.size(F.array_intersect(arr, F.array(*[F.lit(t) for t in terms]))),
+            F.lit(0),
+        )
+        required = F.col(msm_field) if msm_field else F.expr(msm_sql)
+        return (
+            docs.select(
+                "doc_id",
+                matched.cast("long").alias("matched"),
+                required.cast("long").alias("required"),
+            )
+            .filter(F.col("required").isNotNull())
+            .filter(F.col("matched") >= F.col("required"))
+        )
+
+    def has_child_df(
+        self,
+        query: str,
+        parent_field: str,
+        id_field: str,
+        score_mode: str = "none",
+        min_children: int = 1,
+        max_children: int | None = None,
+        min_should_match: int = 1,
+        filter_sql: str | None = None,
+    ) -> DataFrame:
+        """ES `has_child` (join-field) query: PARENT docs having >=
+        min_children (and <= max_children) children matching the inner
+        query. Children reference parents through the docs-table metadata
+        column `parent_field` whose values name the parent's `id_field`
+        (the ES join field keyed on _id; the reference's row->document
+        fold routinely lands such FK columns via metadata passthrough).
+        score_mode none|sum|max|min|avg folds child scores into the
+        parent's (ES contract; none -> 0.0).
+
+        Returns (doc_id, score, n_children) UNRANKED. Plan: the unranked
+        child match set (no global sort) equi-joins child metadata,
+        aggregates per parent ref, then joins the parents — two narrow
+        hashed shuffles on the parent key; the per-parent relation is
+        duplicate-collapsed BEFORE touching the (wide) docs rows."""
+        if score_mode not in ("none", "sum", "max", "min", "avg"):
+            raise ValueError(f"unknown score_mode {score_mode!r}")
+        if min_children < 1:
+            raise ValueError("min_children must be >= 1")
+        docs = self.spark.read.parquet(os.path.join(self.index_dir, "docs"))
+        for c in (parent_field, id_field):
+            if c not in docs.columns:
+                raise ValueError(
+                    f"unknown docs column {c!r}; docs table has {docs.columns}"
+                )
+        child = self.match_df(
+            query, min_should_match=min_should_match, filter_sql=filter_sql
+        )
+        linked = child.join(
+            docs.select("doc_id", parent_field).filter(
+                F.col(parent_field).isNotNull()
+            ),
+            "doc_id",
+        )
+        agg = {
+            "none": F.lit(0.0),
+            "sum": F.sum("score"),
+            "max": F.max("score"),
+            "min": F.min("score"),
+            "avg": F.avg("score"),
+        }[score_mode]
+        per_parent = (
+            linked.groupBy(F.col(parent_field).alias("_pref"))
+            .agg(
+                F.count("*").alias("n_children"),
+                agg.cast("double").alias("score"),
+            )
+            .filter(F.col("n_children") >= min_children)
+        )
+        if max_children is not None:
+            per_parent = per_parent.filter(
+                F.col("n_children") <= max_children
+            )
+        return (
+            docs.select("doc_id", F.col(id_field).alias("_pid"))
+            .join(per_parent, F.col("_pid") == F.col("_pref"))
+            .select("doc_id", "score", "n_children")
+        )
+
+    def has_parent_df(
+        self,
+        query: str,
+        parent_field: str,
+        id_field: str,
+        score: bool = False,
+        min_should_match: int = 1,
+        filter_sql: str | None = None,
+    ) -> DataFrame:
+        """ES `has_parent` query: CHILD docs whose parent matches the
+        inner query; score=True passes the parent's score through to each
+        child (the ES score:true mode), else 0.0. Returns (doc_id, score)
+        UNRANKED. Plan: unranked parent match set -> parent ids (one
+        narrow join) -> equi-join against the children's parent_field —
+        the matching-parent relation is the small side and broadcasts at
+        any realistic selectivity."""
+        docs = self.spark.read.parquet(os.path.join(self.index_dir, "docs"))
+        for c in (parent_field, id_field):
+            if c not in docs.columns:
+                raise ValueError(
+                    f"unknown docs column {c!r}; docs table has {docs.columns}"
+                )
+        parents = self.match_df(
+            query, min_should_match=min_should_match, filter_sql=filter_sql
+        ).join(docs.select("doc_id", F.col(id_field).alias("_pid")), "doc_id")
+        psel = parents.select(
+            "_pid",
+            (F.col("score") if score else F.lit(0.0)).cast("double").alias(
+                "_pscore"
+            ),
+        )
+        return (
+            docs.select("doc_id", F.col(parent_field).alias("_pref"))
+            .filter(F.col("_pref").isNotNull())
+            .join(psel, F.col("_pref") == F.col("_pid"))
+            .select("doc_id", F.col("_pscore").alias("score"))
+        )
+
     def highlight_df(
         self,
         query: str,

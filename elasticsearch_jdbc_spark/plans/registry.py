@@ -1435,7 +1435,8 @@ def _registry_index(spark, sf_dir, with_positions: bool = False) -> str:
     # cache can never be resumed into the wrong format
     # geo1: docs table gained planted lat/lon metadata (corpus_from_documents)
     # tags1: planted array<string> tags metadata (ES array/nested fields)
-    layout = ",".join(POSTINGS_SCHEMA.names) + f"|pos={with_positions}|geo1|tags1"
+    # pc1: planted parent ref metadata (ES join-field parent/child)
+    layout = ",".join(POSTINGS_SCHEMA.names) + f"|pos={with_positions}|geo1|tags1|pc1"
     tag = _h.sha1(f"{sf_dir}|{layout}".encode()).hexdigest()[:10]
     idx = _os.path.join(_tmp.gettempdir(), f"registry_idx_{tag}")
     IndexBuilder(spark, idx, partitions=8, with_positions=with_positions).build(
@@ -5522,6 +5523,127 @@ def filters_agg_q(spark, sf_dir):
         d,
         {"english": "lang = 'en'", "longdoc": "length(text) > 900"},
         other_bucket=True,
+    )
+
+
+@_reg(
+    "terms_set_index_search",
+    """
+    SELECT doc_id, matched, required FROM (
+      SELECT doc_id,
+             CAST(len(list_distinct(list_filter(
+               ['t' || CAST(doc_id % 5 AS VARCHAR),
+                't' || CAST(doc_id % 7 AS VARCHAR)],
+               x -> x IN ('t1', 't2', 't3')))) AS BIGINT) AS matched,
+             CAST(CASE WHEN ((doc_id * 7919) % 160 - 80 + 0.25) > 0
+                       THEN 2 ELSE 1 END AS BIGINT) AS required
+      FROM documents
+    ) WHERE matched >= required
+    """,
+)
+def terms_set_index_q(spark, sf_dir):
+    """ES `terms_set` query through the REAL engine, ORACLE-CHECKED: docs
+    whose multi-valued `tags` metadata contains a PER-DOC minimum of the
+    supplied terms, the minimum computed by a Catalyst expression over the
+    doc's own metadata (the minimum_should_match_script analogue — here
+    keyed on the planted `lat` column, so the oracle re-derives both sides
+    from pure doc_id arithmetic). matched counts DISTINCT supplied terms
+    (ES set semantics on keyword arrays). One docs-table scan, a codegen'd
+    array_intersect and a filter — no shuffle, postings untouched."""
+    from ..index import IndexReader
+
+    idx = _registry_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    ids = _index_docid_map(spark, idx)
+    out = reader.terms_set_df(
+        "tags",
+        ["t1", "t2", "t3"],
+        msm_sql="CASE WHEN lat > 0 THEN 2 ELSE 1 END",
+    )
+    return out.join(ids, "doc_id").select(
+        F.col("documents_doc_id").alias("doc_id"), "matched", "required"
+    )
+
+
+_PC_TOK_SQL = """
+    tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    )
+"""
+
+
+@_reg(
+    "has_child_index_search",
+    f"""
+    WITH {_PC_TOK_SQL},
+    m AS (
+      SELECT doc_id FROM tok
+      WHERE len(list_filter(toks, x -> x IN ('spark', 'batch', 'value'))) > 0
+    ),
+    c AS (
+      SELECT (doc_id - doc_id % 10) AS pref,
+             CAST(COUNT(*) AS BIGINT) AS n_children
+      FROM m WHERE doc_id % 10 <> 0 GROUP BY 1
+    )
+    SELECT d.doc_id, c.n_children
+    FROM documents d JOIN c ON d.doc_id = c.pref
+    """,
+)
+def has_child_index_q(spark, sf_dir):
+    """ES `has_child` (join-field) query through the REAL engine,
+    ORACLE-CHECKED: parents with >=1 live child matching the inner match
+    query, children linked through the planted `parent` metadata column
+    (the FK shape the reference's row->document fold lands via metadata
+    passthrough, ColumnSource.java row->doc mapping). The oracle
+    re-derives the parent topology from doc_id arithmetic (every 10th doc
+    is a parent) and the child match set from the same tokenizer relation
+    every BM25 oracle uses. Plan: unranked match set -> two narrow hashed
+    joins on the parent key; no global sort anywhere."""
+    from ..index import IndexReader
+
+    idx = _registry_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    ids = _index_docid_map(spark, idx)
+    out = reader.has_child_df(
+        "spark batch value", parent_field="parent", id_field="path"
+    )
+    return out.join(ids, "doc_id").select(
+        F.col("documents_doc_id").alias("doc_id"), "n_children"
+    )
+
+
+@_reg(
+    "has_parent_index_search",
+    f"""
+    WITH {_PC_TOK_SQL},
+    pm AS (
+      SELECT doc_id FROM tok
+      WHERE doc_id % 10 = 0
+        AND len(list_filter(toks, x -> x IN ('customer', 'order', 'line'))) > 0
+    )
+    SELECT d.doc_id
+    FROM documents d JOIN pm ON (d.doc_id - d.doc_id % 10) = pm.doc_id
+    WHERE d.doc_id % 10 <> 0
+    """,
+)
+def has_parent_index_q(spark, sf_dir):
+    """ES `has_parent` query through the REAL engine, ORACLE-CHECKED:
+    children whose parent matches the inner query (filter context,
+    score=False). The matching-parent relation is tiny and broadcasts;
+    the children side is one equi-join on the planted FK column."""
+    from ..index import IndexReader
+
+    idx = _registry_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    ids = _index_docid_map(spark, idx)
+    out = reader.has_parent_df(
+        "customer order line", parent_field="parent", id_field="path"
+    )
+    return out.join(ids, "doc_id").select(
+        F.col("documents_doc_id").alias("doc_id")
     )
 
 

@@ -192,4 +192,15 @@ def corpus_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("t"), (F.col("doc_id") % 5).cast("string")),
             F.concat(F.lit("t"), (F.col("doc_id") % 7).cast("string")),
         ).alias("tags"),
+        # parent ref (ES join-field substrate): every 10th doc is a parent
+        # (NULL ref), the rest point at their decade's parent by path —
+        # pure doc_id arithmetic, re-derivable in any SQL engine
+        F.when(
+            F.col("doc_id") % 10 != 0,
+            F.concat(
+                F.lit("doc/"),
+                (F.col("doc_id") - F.col("doc_id") % 10).cast("string"),
+                F.lit(".txt"),
+            ),
+        ).alias("parent"),
     )
