@@ -1824,6 +1824,151 @@ class IncrementalIndexReader:
             .select("segment", "doc_id", "score")
         )
 
+    def search_combined_df(
+        self,
+        query: str,
+        boosts: dict[str, float] | None = None,
+        k: int | None = 10,
+        min_should_match: int = 1,
+        search_after: tuple[float, str, int] | None = None,
+        filter_sql: str | None = None,
+    ) -> DataFrame:
+        """ES `combined_fields` on the LIVE tier (base + deltas): the
+        BM25F term-centric blend of IndexReader.search_combined_df with
+        live semantics — per-token df is the EXACT count of live
+        (segment, doc) pairs containing the token in any field (the
+        tombstone anti-join happens BEFORE the df aggregation, so a
+        delete corrects df immediately, ahead of any merge — stronger
+        than the summed-df Lucene deleted-doc rule the tf-idf surfaces
+        follow, and exact where Lucene approximates with max per-field
+        docFreq). N/avgdl are the tombstone-corrected globals. Returns
+        (segment, doc_id, score); ranked cuts tie-break newest segment
+        first like every live surface."""
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        fields = self.fields
+        if not fields:
+            raise ValueError(
+                "combined_fields needs a fields-indexed corpus "
+                "(IndexBuilder(fields=[...]))"
+            )
+        boosts = boosts or {f: 1.0 for f in fields}
+        unknown = set(boosts) - set(fields)
+        if unknown:
+            raise ValueError(f"unknown fields {sorted(unknown)}; indexed: {fields}")
+        toks = self.readers[self.segments[0]].query_terms(query)
+        empty = self.spark.createDataFrame(
+            [], "segment string, doc_id long, score double"
+        )
+        if not toks:
+            return empty
+        terms, tmeta = [], {}
+        for gi, tok in enumerate(toks):
+            for f, w in boosts.items():
+                t = f + "\x1f" + tok
+                terms.append(t)
+                tmeta[t] = (float(w), gi)
+        scans = None
+        for s in self.segments:
+            p = self.readers[s]._postings_df(terms).withColumn("segment", F.lit(s))
+            scans = p if scans is None else scans.unionByName(p)
+        k1, b, avgdl, c = self.k1, self.b, self.avgdl, self.k1 + 1.0
+        n = float(self.n_docs)
+        t_items = list(tmeta.items())
+        out_schema = T.StructType(
+            [
+                T.StructField("segment", T.StringType(), False),
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("group_id", T.IntegerType(), False),
+                T.StructField("wtf", T.DoubleType(), False),
+                T.StructField("dl", T.IntegerType(), False),
+            ]
+        )
+
+        def decode_blocks(batches):
+            from .codec import decode_block as _db
+
+            wmap = dict(t_items)
+            for pdf in batches:
+                segs, docs_all, grp_all, wtf_all, dl_all = [], [], [], [], []
+                for seg, term, nrow, first, gaps, tfs, dls in zip(
+                    pdf["segment"], pdf["term"], pdf["n"], pdf["first_doc"],
+                    pdf["doc_gaps"], pdf["tfs"], pdf["dls"],
+                ):
+                    docs, tf, dl = _db(
+                        int(first), int(nrow), bytes(gaps), bytes(tfs), bytes(dls)
+                    )
+                    w, g = wmap[term]
+                    segs.append(np.full(len(docs), seg, dtype=object))
+                    docs_all.append(docs)
+                    grp_all.append(np.full(len(docs), g, np.int32))
+                    wtf_all.append(w * tf.astype(np.float64))
+                    dl_all.append(dl.astype(np.int32))
+                if docs_all:
+                    yield pd.DataFrame(
+                        {
+                            "segment": np.concatenate(segs),
+                            "doc_id": np.concatenate(docs_all),
+                            "group_id": np.concatenate(grp_all),
+                            "wtf": np.concatenate(wtf_all),
+                            "dl": np.concatenate(dl_all),
+                        }
+                    )
+
+        partials = scans.mapInPandas(decode_blocks, out_schema)
+        tomb = self._tomb_df()
+        if tomb is not None:
+            partials = partials.join(tomb, ["segment", "doc_id"], "left_anti")
+        rel = partials.groupBy("segment", "doc_id", "group_id").agg(
+            F.sum("wtf").alias("tf_c"), F.first("dl").alias("dl")
+        )
+        dfs = rel.groupBy("group_id").agg(F.count("*").alias("df"))
+        idf = F.log(
+            F.lit(1.0)
+            + (F.lit(n) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        )
+        partial = (
+            idf
+            * F.lit(c)
+            * F.col("tf_c")
+            / (
+                F.col("tf_c")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+            )
+        )
+        agg = (
+            rel.join(F.broadcast(dfs), "group_id")
+            .withColumn("partial", partial)
+            .groupBy("segment", "doc_id")
+            .agg(
+                F.sum("partial").alias("score"),
+                F.count("*").alias("nmatch"),
+            )
+        )
+        if min_should_match > 1:
+            agg = agg.filter(F.col("nmatch") >= min_should_match)
+        agg = agg.select("segment", "doc_id", "score")
+        if filter_sql:
+            agg = agg.join(
+                self._filter_docs(filter_sql), ["segment", "doc_id"], "left_semi"
+            )
+        rank_map = self._rank_map()
+        if search_after is not None:
+            agg = self._apply_cursor(agg, search_after, rank_map)
+        if k is None:
+            return agg
+        return (
+            agg.orderBy(
+                F.desc("score"),
+                F.desc(rank_map[F.col("segment")]),
+                F.asc("doc_id"),
+            )
+            .limit(k)
+            .select("segment", "doc_id", "score")
+        )
+
     def _match_terms_df(
         self,
         terms: list[str],

@@ -3948,6 +3948,139 @@ class IndexReader:
             search_after=search_after, filter_sql=filter_sql,
         )
 
+    def search_combined_df(
+        self,
+        query: str,
+        boosts: dict[str, float] | None = None,
+        k: int | None = 10,
+        min_should_match: int = 1,
+        search_after: tuple[float, int] | None = None,
+        filter_sql: str | None = None,
+    ) -> DataFrame:
+        """ES `combined_fields` query (Lucene CombinedFieldQuery — the
+        BM25F term-centric blend): fields score as ONE synthetic field.
+        Per token, term frequencies SUM across fields (weighted by
+        boosts) BEFORE the BM25 saturation — where multi_match/
+        most_fields (search_fields_df) sums per-field scores AFTER it.
+        Length norm is the blended total-tokens dl the fields build
+        already stores, which makes the equal-boost case exactly BM25
+        over the field concatenation; with non-uniform boosts the tf
+        blend is weighted but the norm stays blended (ES also scales the
+        synthetic field length — documented divergence). Per-token df is
+        computed EXACTLY at query time (distinct docs containing the
+        token in ANY queried field) where Lucene approximates with the
+        max per-field docFreq.
+
+        Plan: ONE postings scan over every field-namespaced variant
+        (term filter pushed to parquet), one vectorized decode emitting
+        (doc_id, token group, weighted tf, dl), a (doc, group) partial
+        aggregation, a per-group df side-relation (n_tokens rows)
+        broadcast back, one per-doc score aggregation, then the usual
+        ordered cut. min_should_match counts matched token groups.
+        k=None returns the match set scored but UNRANKED."""
+        fields = self.manifest.get("fields")
+        if not fields:
+            raise ValueError(
+                "combined_fields needs a fields-indexed corpus "
+                "(IndexBuilder(fields=[...]))"
+            )
+        boosts = boosts or {f: 1.0 for f in fields}
+        unknown = set(boosts) - set(fields)
+        if unknown:
+            raise ValueError(f"unknown fields {sorted(unknown)}; indexed: {fields}")
+        toks = self.query_terms(query)
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        if not toks:
+            return empty
+        terms, weights, group_of = [], {}, {}
+        for gi, tok in enumerate(toks):
+            for f, w in boosts.items():
+                t = f + "\x1f" + tok
+                terms.append(t)
+                weights[t] = float(w)
+                group_of[t] = gi
+        k1, b, avgdl, c = self.k1, self.b, self.avgdl, self.k1 + 1.0
+        n = float(self.n_docs)
+        w_items = [(t, weights[t], group_of[t]) for t in terms]
+        out_schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("group_id", T.IntegerType(), False),
+                T.StructField("wtf", T.DoubleType(), False),
+                T.StructField("dl", T.IntegerType(), False),
+            ]
+        )
+
+        def decode_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            wmap = {t: (w, g) for t, w, g in w_items}
+            for pdf in batches:
+                docs_all, grp_all, wtf_all, dl_all = [], [], [], []
+                for term, nrow, first, gaps, tfs, dls in zip(
+                    pdf["term"], pdf["n"], pdf["first_doc"],
+                    pdf["doc_gaps"], pdf["tfs"], pdf["dls"],
+                ):
+                    docs, tf, dl = decode_block(
+                        int(first), int(nrow), bytes(gaps), bytes(tfs), bytes(dls)
+                    )
+                    w, g = wmap[term]
+                    docs_all.append(docs)
+                    grp_all.append(np.full(len(docs), g, np.int32))
+                    wtf_all.append(w * tf.astype(np.float64))
+                    dl_all.append(dl.astype(np.int32))
+                if docs_all:
+                    yield pd.DataFrame(
+                        {
+                            "doc_id": np.concatenate(docs_all),
+                            "group_id": np.concatenate(grp_all),
+                            "wtf": np.concatenate(wtf_all),
+                            "dl": np.concatenate(dl_all),
+                        }
+                    )
+
+        partials = self._postings_df(terms).mapInPandas(decode_blocks, out_schema)
+        rel = partials.groupBy("doc_id", "group_id").agg(
+            F.sum("wtf").alias("tf_c"), F.first("dl").alias("dl")
+        )
+        dfs = rel.groupBy("group_id").agg(F.count("*").alias("df"))
+        idf = F.log(
+            F.lit(1.0)
+            + (F.lit(n) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        )
+        partial = (
+            idf
+            * F.lit(c)
+            * F.col("tf_c")
+            / (
+                F.col("tf_c")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+            )
+        )
+        agg = (
+            rel.join(F.broadcast(dfs), "group_id")
+            .withColumn("partial", partial)
+            .groupBy("doc_id")
+            .agg(
+                F.sum("partial").alias("score"),
+                F.count("*").alias("nmatch"),
+            )
+        )
+        if min_should_match > 1:
+            agg = agg.filter(F.col("nmatch") >= min_should_match)
+        agg = agg.select("doc_id", "score")
+        if filter_sql:
+            agg = agg.join(self._filter_doc_ids(filter_sql), "doc_id", "left_semi")
+        if search_after is not None:
+            s0, d0 = float(search_after[0]), int(search_after[1])
+            eps = 1e-9 * max(1.0, abs(s0))
+            agg = agg.filter(
+                (F.col("score") < s0 - eps)
+                | ((F.col("score") <= s0 + eps) & (F.col("doc_id") > d0))
+            )
+        if k is None:
+            return agg
+        return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
     def search_df(
         self,
         query: str,

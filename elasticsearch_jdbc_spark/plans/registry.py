@@ -5526,6 +5526,119 @@ def filters_agg_q(spark, sf_dir):
     )
 
 
+def _registry_fields_index(spark, sf_dir) -> str:
+    """Resume-cached FIELDS index over the documents corpus: two indexed
+    fields — the text body and a derived tag-text field (planted doc_id
+    arithmetic, so oracles re-derive it) — the combined_fields / BM25F
+    substrate."""
+    import hashlib as _h
+    import os as _os
+    import tempfile as _tmp
+
+    from ..index import IndexBuilder
+    from ..index.build import POSTINGS_SCHEMA
+    from ..sources import corpus_from_documents
+
+    layout = ",".join(POSTINGS_SCHEMA.names) + "|fields=content,tagtext|cf1"
+    tag = _h.sha1(f"{sf_dir}|{layout}".encode()).hexdigest()[:10]
+    idx = _os.path.join(_tmp.gettempdir(), f"registry_fidx_{tag}")
+    corpus = corpus_from_documents(spark, sf_dir).withColumn(
+        "tagtext", F.concat_ws(" ", "tags")
+    )
+    IndexBuilder(
+        spark, idx, partitions=8, fields=["content", "tagtext"]
+    ).build(corpus)
+    return idx
+
+
+def _combined_fields_sql() -> str:
+    """combined_fields oracle: BM25 over the CONCATENATION of the text
+    field and the planted tag-text field — blended dl, query-time-exact
+    df — which is exactly the equal-boost term-centric blend."""
+    from ..index.bm25_df import B, K1, TOP_K, _query_term_pairs
+
+    pairs = _query_term_pairs() + [
+        (qid, "t3") for qid, _ in REFERENCE_QUERIES
+    ]
+    values = ", ".join(f"({qid}, '{t}')" for qid, t in pairs)
+    return f"""
+    WITH q(query_id, term) AS (VALUES {values}),
+    tok AS (
+      SELECT doc_id,
+             list_concat(
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> ''),
+               ['t' || CAST(doc_id % 5 AS VARCHAR),
+                't' || CAST(doc_id % 7 AS VARCHAR)]
+             ) AS toks
+      FROM documents
+    ),
+    flat AS (
+      SELECT doc_id, len(toks) AS dl, t.term
+      FROM tok, UNNEST(toks) AS t(term)
+    ),
+    tf AS (
+      SELECT term, doc_id, dl, COUNT(*) AS tf FROM flat GROUP BY 1, 2, 3
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n, SUM(len(toks)) * 1.0 / COUNT(*) AS avgdl FROM tok
+    ),
+    dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             SUM(
+               ln(1.0 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+               * {K1 + 1.0}
+               * (tf.tf / (tf.tf + {K1} * ({1.0 - B} + {B} * tf.dl / stats.avgdl)))
+             ) AS score
+      FROM tf JOIN q USING (term) JOIN dft USING (term), stats
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, doc_id, ROUND(score, 4) AS score
+    FROM ranked WHERE rank <= {TOP_K}
+    """
+
+
+@_reg("combined_fields_index_search", _combined_fields_sql())
+def combined_fields_index_q(spark, sf_dir):
+    """ES `combined_fields` (Lucene CombinedFieldQuery / BM25F) through
+    the REAL engine, ORACLE-CHECKED: a two-field index (text body +
+    planted tag-text), each reference query extended with a tag token so
+    the cross-field blend is live — per-token tf sums across fields
+    BEFORE saturation, dl is the blended total, df is query-time-exact
+    distinct docs. Equal boosts make this exactly BM25 over the field
+    concatenation, which is what the DuckDB twin computes. k=None
+    unranked; top-10 cut after id mapping (oracle tie-break)."""
+    from ..index import IndexReader
+
+    idx = _registry_fields_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    ids = _index_docid_map(spark, idx)
+    out = None
+    for qid, qtext in REFERENCE_QUERIES:
+        hits = reader.search_combined_df(qtext + " t3", k=None).withColumn(
+            "query_id", F.lit(qid)
+        )
+        out = hits if out is None else out.unionByName(hits)
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("documents_doc_id"))
+    return (
+        out.join(ids, "doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "rank",
+            F.col("documents_doc_id").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+    )
+
+
 @_reg(
     "terms_set_index_search",
     """
