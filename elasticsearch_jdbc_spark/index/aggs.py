@@ -833,3 +833,178 @@ def missing_agg(df: DataFrame, col: str) -> DataFrame:
     return df.agg(
         F.sum(F.when(miss, 1).otherwise(0)).cast("long").alias("doc_count")
     )
+
+
+def extended_stats(df: DataFrame, col: str, sigma: float = 2.0) -> DataFrame:
+    """ES `extended_stats` aggregation: the stats superset — count / min /
+    max / sum / avg plus sum_of_squares, population + sampling variance
+    and std deviation, and the sigma-scaled std_deviation_bounds. ONE
+    partial-aggregable pass (every moment is a sum shape), identical
+    response fields to ES."""
+    c = F.col(col).cast("double")
+    d = df.filter(c.isNotNull())
+    base = d.agg(
+        F.count(c).alias("count"),
+        F.round(F.min(c), 6).alias("min"),
+        F.round(F.max(c), 6).alias("max"),
+        F.round(F.sum(c), 6).alias("sum"),
+        F.round(F.avg(c), 6).alias("avg"),
+        F.round(F.sum(c * c), 6).alias("sum_of_squares"),
+        F.var_pop(c).alias("_vp"),
+        F.var_samp(c).alias("_vs"),
+        F.stddev_pop(c).alias("_sp"),
+        F.stddev_samp(c).alias("_ss"),
+        F.avg(c).alias("_avg"),
+    )
+    return base.select(
+        "count", "min", "max", "sum", "avg", "sum_of_squares",
+        F.round("_vp", 6).alias("variance"),
+        F.round("_vs", 6).alias("variance_sampling"),
+        F.round("_sp", 6).alias("std_deviation"),
+        F.round("_ss", 6).alias("std_deviation_sampling"),
+        F.round(F.col("_avg") + F.lit(float(sigma)) * F.col("_sp"), 6).alias(
+            "std_upper"
+        ),
+        F.round(F.col("_avg") - F.lit(float(sigma)) * F.col("_sp"), 6).alias(
+            "std_lower"
+        ),
+    )
+
+
+def string_stats(df: DataFrame, col: str) -> DataFrame:
+    """ES `string_stats` aggregation: count / min_length / max_length /
+    avg_length / Shannon entropy (base 2, over the CHARACTER distribution
+    of all values — the ES show_distribution substrate).
+
+    Scale shape: lengths are one JVM agg pass; the entropy side builds a
+    per-batch character histogram in an Arrow kernel (map-side combine to
+    <= alphabet-size rows per batch — the full character stream never
+    shuffles), sums it in one tiny groupBy, and folds -sum(p log2 p) in a
+    single-row agg. Both sides are broadcast-joined scalars."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    c = F.col(col)
+    lens = df.filter(c.isNotNull()).agg(
+        F.count(c).alias("count"),
+        F.min(F.length(c)).alias("min_length"),
+        F.max(F.length(c)).alias("max_length"),
+        F.round(F.avg(F.length(c)), 6).alias("avg_length"),
+    )
+
+    def char_hist(batches):
+        from collections import Counter
+
+        for pdf in batches:
+            cnt: Counter = Counter()
+            for s in pdf[col]:
+                if s is not None:
+                    cnt.update(s)
+            if cnt:
+                yield pd.DataFrame(
+                    {"ch": list(cnt.keys()), "n": list(cnt.values())}
+                )
+
+    hist = (
+        df.select(col)
+        .mapInPandas(
+            char_hist,
+            T.StructType(
+                [
+                    T.StructField("ch", T.StringType(), False),
+                    T.StructField("n", T.LongType(), False),
+                ]
+            ),
+        )
+        .groupBy("ch")
+        .agg(F.sum("n").alias("n"))
+    )
+    ent = hist.agg(
+        F.round(
+            (
+                F.log2(F.sum("n"))
+                - F.sum(F.col("n") * F.log2("n")) / F.sum("n")
+            ),
+            6,
+        ).alias("entropy")
+    )
+    return lens.crossJoin(F.broadcast(ent))
+
+
+def cardinality(
+    df: DataFrame,
+    col: str,
+    precision_threshold: int = 3000,
+    exact: bool = False,
+) -> DataFrame:
+    """ES `cardinality` aggregation. exact=False is the ES posture —
+    HyperLogLog++ (Spark's approx_count_distinct IS HLL++), with
+    precision_threshold mapped to the standard-error dial
+    (rsd ~= 1.04/sqrt(m), floored at Spark's 0.01 minimum — more
+    threshold, more registers, tighter estimate, exactly the ES memory
+    trade). exact=True is the count-distinct contract small-scale oracles
+    check (ES is near-exact below the threshold)."""
+    c = F.col(col)
+    d = df.filter(c.isNotNull())
+    if exact:
+        return d.agg(F.count_distinct(c).alias("value"))
+    rsd = max(0.01, min(0.05, 1.04 / (float(precision_threshold) ** 0.5)))
+    return d.agg(F.approx_count_distinct(c, rsd).alias("value"))
+
+
+def percentiles(
+    df: DataFrame,
+    col: str,
+    percents: tuple = (1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0),
+    exact: bool = True,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """ES `percentiles` aggregation: one (percent, value) row per
+    requested percent (the keyed response shape). exact=True uses Spark's
+    exact linear-interpolated percentile — the oracle contract (ES
+    approximates with TDigest); exact=False swaps in percentile_approx
+    for the cluster-scale single-pass sketch. Either way ONE
+    partial-aggregable agg computes every percent."""
+    ps = [float(p) for p in percents]
+    arr = "array(" + ", ".join(str(p / 100.0) for p in ps) + ")"
+    expr = (
+        f"percentile({col}, {arr})" if exact
+        else f"percentile_approx({col}, {arr}, {int(accuracy)})"
+    )
+    row = df.filter(F.col(col).isNotNull()).agg(F.expr(expr).alias("_vals"))
+    pairs = F.arrays_zip(
+        F.array(*[F.lit(p) for p in ps]).alias("percent"),
+        F.expr("transform(_vals, v -> round(cast(v as double), 6))").alias(
+            "value"
+        ),
+    )
+    return (
+        row.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.percent").alias("percent"), F.col("p.value").alias("value"))
+        .orderBy("percent")
+    )
+
+
+def geo_bounds(df: DataFrame, lat_col: str, lon_col: str) -> DataFrame:
+    """ES `geo_bounds` aggregation: the tightest bounding box — top_left
+    (max lat, min lon) / bottom_right (min lat, max lon). One
+    partial-aggregable pass; rows with either coordinate NULL are ignored
+    (the ES missing-value rule)."""
+    lat, lon = F.col(lat_col).cast("double"), F.col(lon_col).cast("double")
+    return df.filter(lat.isNotNull() & lon.isNotNull()).agg(
+        F.round(F.max(lat), 6).alias("top_left_lat"),
+        F.round(F.min(lon), 6).alias("top_left_lon"),
+        F.round(F.min(lat), 6).alias("bottom_right_lat"),
+        F.round(F.max(lon), 6).alias("bottom_right_lon"),
+    )
+
+
+def geo_centroid(df: DataFrame, lat_col: str, lon_col: str) -> DataFrame:
+    """ES `geo_centroid` aggregation: the arithmetic mean coordinate of
+    all points plus the point count. One partial-aggregable pass."""
+    lat, lon = F.col(lat_col).cast("double"), F.col(lon_col).cast("double")
+    return df.filter(lat.isNotNull() & lon.isNotNull()).agg(
+        F.round(F.avg(lat), 6).alias("lat"),
+        F.round(F.avg(lon), 6).alias("lon"),
+        F.count("*").cast("long").alias("count"),
+    )

@@ -5526,6 +5526,153 @@ def filters_agg_q(spark, sf_dir):
     )
 
 
+@_reg(
+    "extended_stats_agg",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS count,
+           ROUND(MIN(v), 6) AS min, ROUND(MAX(v), 6) AS max,
+           ROUND(SUM(v), 6) AS sum, ROUND(AVG(v), 6) AS avg,
+           ROUND(SUM(v * v), 6) AS sum_of_squares,
+           ROUND(var_pop(v), 6) AS variance,
+           ROUND(var_samp(v), 6) AS variance_sampling,
+           ROUND(stddev_pop(v), 6) AS std_deviation,
+           ROUND(stddev_samp(v), 6) AS std_deviation_sampling,
+           ROUND(AVG(v) + 2.0 * stddev_pop(v), 6) AS std_upper,
+           ROUND(AVG(v) - 2.0 * stddev_pop(v), 6) AS std_lower
+    FROM (SELECT length(text) * 1.0 AS v FROM documents)
+    """,
+)
+def extended_stats_q(spark, sf_dir):
+    """ES extended_stats aggregation, ORACLE-CHECKED: the stats superset
+    (moments, population + sampling variance/stddev, sigma bounds) in ONE
+    partial-aggregable pass over doc lengths."""
+    from ..index.aggs import extended_stats
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.length("text").cast("double").alias("v")
+    )
+    return extended_stats(d, "v")
+
+
+@_reg(
+    "string_stats_agg",
+    """
+    WITH lens AS (
+      SELECT COUNT(*) AS count, MIN(length(text)) AS min_length,
+             MAX(length(text)) AS max_length,
+             ROUND(AVG(length(text)), 6) AS avg_length
+      FROM documents WHERE text IS NOT NULL
+    ),
+    h AS (
+      SELECT c, COUNT(*) AS n
+      FROM (SELECT unnest(string_split(text, '')) AS c FROM documents)
+      GROUP BY c
+    ),
+    e AS (
+      SELECT ROUND(log2(SUM(n)) - SUM(n * log2(n)) / SUM(n), 6) AS entropy
+      FROM h
+    )
+    SELECT CAST(count AS BIGINT) AS count,
+           CAST(min_length AS INT) AS min_length,
+           CAST(max_length AS INT) AS max_length,
+           avg_length, entropy
+    FROM lens, e
+    """,
+)
+def string_stats_q(spark, sf_dir):
+    """ES string_stats aggregation, ORACLE-CHECKED: length stats + base-2
+    Shannon entropy over the corpus character distribution. Lengths are a
+    JVM agg; the entropy side map-combines a per-batch character histogram
+    in an Arrow kernel (the raw character stream never shuffles) and folds
+    the tiny alphabet relation."""
+    from ..index.aggs import string_stats
+
+    return string_stats(_t(spark, sf_dir, "documents"), "text")
+
+
+@_reg(
+    "cardinality_agg",
+    "SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS value FROM orders",
+)
+def cardinality_q(spark, sf_dir):
+    """ES cardinality aggregation, ORACLE-CHECKED on the exact contract
+    (ES is near-exact below precision_threshold); the HLL++
+    approx_count_distinct twin — with precision_threshold mapped onto the
+    rsd dial — is tolerance-tested in pytest."""
+    from ..index.aggs import cardinality
+
+    return cardinality(_t(spark, sf_dir, "orders"), "o_custkey", exact=True)
+
+
+@_reg(
+    "percentiles_agg",
+    """
+    SELECT percent, ROUND(value, 6) AS value FROM (
+      SELECT 1.0 AS percent, quantile_cont(l_extendedprice, 0.01) AS value FROM lineitem
+      UNION ALL SELECT 5.0, quantile_cont(l_extendedprice, 0.05) FROM lineitem
+      UNION ALL SELECT 25.0, quantile_cont(l_extendedprice, 0.25) FROM lineitem
+      UNION ALL SELECT 50.0, quantile_cont(l_extendedprice, 0.50) FROM lineitem
+      UNION ALL SELECT 75.0, quantile_cont(l_extendedprice, 0.75) FROM lineitem
+      UNION ALL SELECT 95.0, quantile_cont(l_extendedprice, 0.95) FROM lineitem
+      UNION ALL SELECT 99.0, quantile_cont(l_extendedprice, 0.99) FROM lineitem
+    ) ORDER BY percent
+    """,
+)
+def percentiles_q(spark, sf_dir):
+    """ES percentiles aggregation, ORACLE-CHECKED: the keyed
+    (percent, value) response, exact linear interpolation (the checkable
+    contract where ES TDigest approximates; percentile_approx is the
+    one-word cluster-scale swap, tolerance-tested in pytest)."""
+    from ..index.aggs import percentiles
+
+    return percentiles(_t(spark, sf_dir, "lineitem"), "l_extendedprice")
+
+
+_GEO_EV = (
+    "(event_id * 37 % 180) - 90 + 0.5",
+    "(event_id * 73 % 360) - 180 + 0.5",
+)
+
+
+@_reg(
+    "geo_bounds_agg",
+    f"""
+    SELECT ROUND(MAX(lat), 6) AS top_left_lat, ROUND(MIN(lon), 6) AS top_left_lon,
+           ROUND(MIN(lat), 6) AS bottom_right_lat, ROUND(MAX(lon), 6) AS bottom_right_lon
+    FROM (SELECT {_GEO_EV[0]} AS lat, {_GEO_EV[1]} AS lon FROM events)
+    """,
+)
+def geo_bounds_q(spark, sf_dir):
+    """ES geo_bounds aggregation, ORACLE-CHECKED: tightest bounding box
+    over planted deterministic coordinates (pure event_id arithmetic,
+    re-derived identically in DuckDB). One partial-aggregable pass."""
+    from ..index.aggs import geo_bounds
+
+    e = _t(spark, sf_dir, "events").select(
+        F.expr(_GEO_EV[0]).alias("lat"), F.expr(_GEO_EV[1]).alias("lon")
+    )
+    return geo_bounds(e, "lat", "lon")
+
+
+@_reg(
+    "geo_centroid_agg",
+    f"""
+    SELECT ROUND(AVG(lat), 6) AS lat, ROUND(AVG(lon), 6) AS lon,
+           CAST(COUNT(*) AS BIGINT) AS count
+    FROM (SELECT {_GEO_EV[0]} AS lat, {_GEO_EV[1]} AS lon FROM events)
+    """,
+)
+def geo_centroid_q(spark, sf_dir):
+    """ES geo_centroid aggregation, ORACLE-CHECKED: mean coordinate +
+    point count in one pass over the same planted coordinates."""
+    from ..index.aggs import geo_centroid
+
+    e = _t(spark, sf_dir, "events").select(
+        F.expr(_GEO_EV[0]).alias("lat"), F.expr(_GEO_EV[1]).alias("lon")
+    )
+    return geo_centroid(e, "lat", "lon")
+
+
 def _registry_fields_index(spark, sf_dir) -> str:
     """Resume-cached FIELDS index over the documents corpus: two indexed
     fields — the text body and a derived tag-text field (planted doc_id

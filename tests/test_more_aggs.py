@@ -397,3 +397,77 @@ class TestMissingAgg:
             [([],), (["t"],), (None,)], "v array<string>"
         )
         assert missing_agg(df2, "v").collect()[0].doc_count == 2
+
+
+class TestExtendedAndStringStats:
+    def test_extended_stats_numpy_parity(self, spark):
+        vals = [3.0, 7.0, 7.0, 19.0, 24.0, 1.5]
+        df = spark.createDataFrame([(v,) for v in vals] + [(None,)], "v double")
+        from elasticsearch_jdbc_spark.index.aggs import extended_stats
+
+        r = extended_stats(df, "v", sigma=3.0).collect()[0]
+        a = np.array(vals)
+        assert r["count"] == len(vals)
+        assert r["sum_of_squares"] == pytest.approx(float((a * a).sum()), abs=1e-6)
+        assert r["variance"] == pytest.approx(float(a.var()), abs=1e-6)
+        assert r["variance_sampling"] == pytest.approx(float(a.var(ddof=1)), abs=1e-6)
+        assert r["std_deviation"] == pytest.approx(float(a.std()), abs=1e-6)
+        assert r["std_upper"] == pytest.approx(float(a.mean() + 3 * a.std()), abs=1e-6)
+        assert r["std_lower"] == pytest.approx(float(a.mean() - 3 * a.std()), abs=1e-6)
+
+    def test_string_stats_entropy(self, spark):
+        # 'aab' + 'b' -> chars a:2 b:2 -> entropy exactly 1 bit
+        df = spark.createDataFrame([("aab",), ("b",), (None,)], "s string")
+        from elasticsearch_jdbc_spark.index.aggs import string_stats
+
+        r = string_stats(df, "s").collect()[0]
+        assert r["count"] == 2
+        assert (r["min_length"], r["max_length"]) == (1, 3)
+        assert r["avg_length"] == pytest.approx(2.0)
+        assert r["entropy"] == pytest.approx(1.0, abs=1e-9)
+
+    def test_string_stats_uniform_entropy(self, spark):
+        # 16 distinct equiprobable chars -> 4 bits
+        df = spark.createDataFrame([("abcdefghijklmnop",)], "s string")
+        from elasticsearch_jdbc_spark.index.aggs import string_stats
+
+        assert string_stats(df, "s").collect()[0]["entropy"] == pytest.approx(4.0)
+
+
+class TestCardinalityPercentiles:
+    def test_cardinality_exact_and_approx(self, spark):
+        df = spark.range(0, 20000).selectExpr("id % 1337 AS v")
+        from elasticsearch_jdbc_spark.index.aggs import cardinality
+
+        assert cardinality(df, "v", exact=True).collect()[0]["value"] == 1337
+        approx = cardinality(df, "v", precision_threshold=3000).collect()[0]["value"]
+        assert abs(approx - 1337) / 1337 < 0.05  # HLL++ rsd ~ 1.9%
+
+    def test_percentiles_shape_and_approx_twin(self, spark):
+        df = spark.range(1, 101).selectExpr("CAST(id AS DOUBLE) AS v")
+        from elasticsearch_jdbc_spark.index.aggs import percentiles
+
+        ex = {r["percent"]: r["value"] for r in percentiles(df, "v").collect()}
+        assert ex[50.0] == pytest.approx(50.5)  # linear interpolation
+        assert ex[99.0] == pytest.approx(np.percentile(np.arange(1, 101), 99))
+        ap = {
+            r["percent"]: r["value"]
+            for r in percentiles(df, "v", exact=False, accuracy=10000).collect()
+        }
+        for p, v in ex.items():
+            assert ap[p] == pytest.approx(v, rel=0.05, abs=1.0)
+
+
+class TestGeoAggs:
+    def test_bounds_and_centroid(self, spark):
+        pts = [(10.0, -20.0), (-5.0, 170.0), (42.5, 3.25), (None, 1.0), (1.0, None)]
+        df = spark.createDataFrame(pts, "lat double, lon double")
+        from elasticsearch_jdbc_spark.index.aggs import geo_bounds, geo_centroid
+
+        b = geo_bounds(df, "lat", "lon").collect()[0]
+        assert (b["top_left_lat"], b["top_left_lon"]) == (42.5, -20.0)
+        assert (b["bottom_right_lat"], b["bottom_right_lon"]) == (-5.0, 170.0)
+        c = geo_centroid(df, "lat", "lon").collect()[0]
+        assert c["count"] == 3
+        assert c["lat"] == pytest.approx(np.mean([10.0, -5.0, 42.5]), abs=1e-6)
+        assert c["lon"] == pytest.approx(np.mean([-20.0, 170.0, 3.25]), abs=1e-6)
