@@ -3944,6 +3944,190 @@ def fscore_index_q(spark, sf_dir):
     )
 
 
+def _decay_fscore_sql() -> str:
+    """Decay-function oracle: the same BM25 relation, each doc's score
+    multiplied by the ES gauss decay on doc length (origin 300, scale
+    200, decay 0.5) — constants inlined identically on both sides."""
+    import math as _m
+
+    from ..index.bm25_df import B, K1, TOP_K, _query_term_pairs
+
+    two_sigma2 = -(200.0**2) / _m.log(0.5)
+    values = ", ".join(f"({qid}, '{t}')" for qid, t in _query_term_pairs())
+    return f"""
+    WITH q(query_id, term) AS (VALUES {values}),
+    tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    flat AS (
+      SELECT doc_id, len(toks) AS dl, t.term
+      FROM tok, UNNEST(toks) AS t(term)
+    ),
+    tf AS (
+      SELECT term, doc_id, dl, COUNT(*) AS tf FROM flat GROUP BY 1, 2, 3
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n, SUM(dl) * 1.0 / COUNT(*) AS avgdl
+      FROM (SELECT doc_id, len(toks) AS dl FROM tok)
+    ),
+    dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    dls AS (SELECT doc_id, len(toks) AS dl FROM tok),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             SUM(
+               ln(1.0 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+               * {K1 + 1.0}
+               * (tf.tf / (tf.tf + {K1} * ({1.0 - B} + {B} * tf.dl / stats.avgdl)))
+             ) AS score
+      FROM tf JOIN q USING (term) JOIN dft USING (term), stats
+      GROUP BY 1, 2
+    ),
+    boosted AS (
+      SELECT s.query_id, s.doc_id,
+             s.score * exp(-pow(greatest(0.0, abs(d.dl - 300.0) - 0.0), 2) / {two_sigma2!r}) AS score
+      FROM scored s JOIN dls d USING (doc_id)
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+      FROM boosted
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, doc_id, ROUND(score, 4) AS score
+    FROM ranked WHERE rank <= {TOP_K}
+    """
+
+
+@_reg("decay_fscore_search", _decay_fscore_sql())
+def decay_fscore_q(spark, sf_dir):
+    """ES function_score DECAY function (gauss) through the REAL engine,
+    ORACLE-CHECKED: decay_expr builds the ES gauss curve (sigma derived
+    from scale/decay exactly as DecayFunctionBuilder) as a Catalyst
+    expression over doc length; function_score_df multiplies it into
+    BM25 on the joined match set. k=None; top-10 after id mapping."""
+    from ..functions.scoring import decay_expr
+    from ..index import IndexReader
+
+    idx = _registry_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    ids = _index_docid_map(spark, idx)
+    expr = decay_expr("gauss", "dl", origin=300.0, scale=200.0, decay=0.5)
+    out = None
+    for qid, qtext in REFERENCE_QUERIES:
+        hits = reader.function_score_df(qtext, expr, k=None).withColumn(
+            "query_id", F.lit(qid)
+        )
+        out = hits if out is None else out.unionByName(hits)
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("documents_doc_id"))
+    return (
+        out.join(ids, "doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "rank",
+            F.col("documents_doc_id").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+    )
+
+
+def _distance_feature_sql() -> str:
+    """distance_feature oracle: BM25 plus the proximity boost
+    2 * pivot / (pivot + great-circle-km) from the planted coordinates
+    (re-derived from doc_id arithmetic); haversine_km_sql emits the SAME
+    fragment both engines evaluate."""
+    from ..functions.geo import haversine_km_sql
+    from ..index.bm25_df import B, K1, TOP_K, _query_term_pairs
+
+    lat = "((doc_id * 7919) % 160 - 80 + 0.25)"
+    lon = "((doc_id * 104729) % 360 - 180 + 0.25)"
+    dist = haversine_km_sql(lat, lon, 0.25, 0.25)
+    values = ", ".join(f"({qid}, '{t}')" for qid, t in _query_term_pairs())
+    return f"""
+    WITH q(query_id, term) AS (VALUES {values}),
+    tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    flat AS (
+      SELECT doc_id, len(toks) AS dl, t.term
+      FROM tok, UNNEST(toks) AS t(term)
+    ),
+    tf AS (
+      SELECT term, doc_id, dl, COUNT(*) AS tf FROM flat GROUP BY 1, 2, 3
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n, SUM(dl) * 1.0 / COUNT(*) AS avgdl
+      FROM (SELECT doc_id, len(toks) AS dl FROM tok)
+    ),
+    dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    prox AS (
+      SELECT doc_id, 2.0 * 1000.0 / (1000.0 + ({dist})) AS pboost
+      FROM documents
+    ),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             SUM(
+               ln(1.0 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+               * {K1 + 1.0}
+               * (tf.tf / (tf.tf + {K1} * ({1.0 - B} + {B} * tf.dl / stats.avgdl)))
+             ) AS score
+      FROM tf JOIN q USING (term) JOIN dft USING (term), stats
+      GROUP BY 1, 2
+    ),
+    boosted AS (
+      SELECT s.query_id, s.doc_id, s.score + p.pboost AS score
+      FROM scored s JOIN prox p USING (doc_id)
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+      FROM boosted
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, doc_id, ROUND(score, 4) AS score
+    FROM ranked WHERE rank <= {TOP_K}
+    """
+
+
+@_reg("distance_feature_search", _distance_feature_sql())
+def distance_feature_q(spark, sf_dir):
+    """ES distance_feature query through the REAL engine, ORACLE-CHECKED:
+    the proximity boost boost*pivot/(pivot+great-circle-km) from the
+    planted geo point SUMS into BM25 (function_score boost_mode='sum' —
+    the distance_feature contract of adding a bounded rank feature).
+    k=None; top-10 after id mapping."""
+    from ..functions.scoring import distance_feature_geo_expr
+    from ..index import IndexReader
+
+    idx = _registry_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    ids = _index_docid_map(spark, idx)
+    expr = distance_feature_geo_expr(
+        "lat", "lon", 0.25, 0.25, pivot_km=1000.0, boost=2.0
+    )
+    out = None
+    for qid, qtext in REFERENCE_QUERIES:
+        hits = reader.function_score_df(
+            qtext, expr, k=None, boost_mode="sum"
+        ).withColumn("query_id", F.lit(qid))
+        out = hits if out is None else out.unionByName(hits)
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("documents_doc_id"))
+    return (
+        out.join(ids, "doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "rank",
+            F.col("documents_doc_id").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+    )
+
+
 _MLT_SRC_DOC = 7  # documents.doc_id of the MLT source (path 'doc/7.txt')
 
 
