@@ -165,3 +165,92 @@ def pii_counts(col: str | Column) -> list[Column]:
         out.append(F.regexp_count(c, F.lit(pat)).alias(name))
         c = F.regexp_replace(c, pat, tok)
     return out
+
+
+# Gopher document-quality rules (Rae et al. 2021, "Scaling Language
+# Models" §A1.1.1 — the canonical pretraining-corpus filter set). All
+# signals are Catalyst expressions (no Python in the hot path) over
+# whitespace words / raw lines, so the filter is one codegen'd
+# projection + filter at any corpus size.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_signals(col: str | Column) -> list[Column]:
+    """The Gopher rule signals as named columns:
+    n_words, mean_word_len (whitespace words, punctuation attached —
+    the Gopher definition), symbol_word_ratio ('#' and '...' per word),
+    bullet_line_ratio, ellipsis_line_ratio, alpha_word_ratio,
+    stop_word_hits (distinct Gopher stopwords present)."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.filter(F.split(c, r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    sum_len = F.aggregate(
+        words, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+    )
+    mean_wl = F.when(n_words > 0, sum_len / n_words)
+    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    n_ell = (
+        F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))
+    ) / 3
+    sym_ratio = F.when(n_words > 0, (n_hash + n_ell) / n_words)
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines)
+    bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: F.startswith(F.ltrim(l), F.lit("-"))
+            | F.startswith(F.ltrim(l), F.lit("*"))
+            | F.startswith(F.ltrim(l), F.lit("•")),
+        )
+    )
+    ell_lines = F.size(
+        F.filter(
+            lines,
+            lambda l: F.endswith(F.rtrim(l), F.lit("..."))
+            | F.endswith(F.rtrim(l), F.lit("…")),
+        )
+    )
+    alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    toks = word_tokens(c)
+    stops = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    return [
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(sym_ratio, 6).alias("symbol_word_ratio"),
+        F.round(bullet / n_lines, 6).alias("bullet_line_ratio"),
+        F.round(ell_lines / n_lines, 6).alias("ellipsis_line_ratio"),
+        F.round(F.when(n_words > 0, alpha / n_words), 6).alias(
+            "alpha_word_ratio"
+        ),
+        stops.cast("long").alias("stop_word_hits"),
+    ]
+
+
+def gopher_keep(
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_ratio: float = 0.8,
+    min_stop_words: int = 2,
+) -> Column:
+    """The Gopher pass/fail verdict over gopher_signals columns (apply
+    AFTER selecting them; thresholds default to the paper's). NULL
+    signals (empty doc) fail closed."""
+    return (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+        & (F.col("symbol_word_ratio") <= max_symbol_ratio)
+        & (F.col("bullet_line_ratio") <= max_bullet_ratio)
+        & (F.col("ellipsis_line_ratio") <= max_ellipsis_ratio)
+        & (F.col("alpha_word_ratio") >= min_alpha_ratio)
+        & (F.col("stop_word_hits") >= min_stop_words)
+    ).alias("keep")
