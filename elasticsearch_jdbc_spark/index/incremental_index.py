@@ -1969,6 +1969,59 @@ class IncrementalIndexReader:
             .select("segment", "doc_id", "score")
         )
 
+    def search_pinned_df(
+        self,
+        query: str,
+        pinned: list,
+        id_field: str = "path",
+        k: int | None = 10,
+        min_should_match: int = 1,
+        filter_sql: str | None = None,
+    ) -> DataFrame:
+        """ES `pinned` query on the LIVE tier: promoted ids resolve
+        against live_docs() (an upserted doc pins as its NEWEST version,
+        a deleted doc never pins), scored PINNED_BASE_SCORE - position;
+        organic live matches follow. Returns (segment, doc_id, score)."""
+        if not pinned:
+            raise ValueError("pinned needs at least one id")
+        if len(set(pinned)) != len(pinned):
+            raise ValueError("pinned ids must be unique")
+        docs = self.live_docs()
+        if id_field not in docs.columns:
+            raise ValueError(
+                f"unknown docs column {id_field!r}; live docs have {docs.columns}"
+            )
+        lits = F.array(*[F.lit(p) for p in pinned])
+        pin_rel = docs.filter(F.col(id_field).isin(list(pinned))).select(
+            "segment",
+            "doc_id",
+            (
+                F.lit(IndexReader.PINNED_BASE_SCORE)
+                - F.array_position(lits, F.col(id_field)).cast("double")
+            ).alias("score"),
+        )
+        organic = self.search_df(
+            query, k=None, min_should_match=min_should_match,
+            filter_sql=filter_sql,
+        ).join(
+            F.broadcast(pin_rel.select("segment", "doc_id")),
+            ["segment", "doc_id"],
+            "left_anti",
+        )
+        out = organic.unionByName(pin_rel)
+        if k is None:
+            return out
+        rank_map = self._rank_map()
+        return (
+            out.orderBy(
+                F.desc("score"),
+                F.desc(rank_map[F.col("segment")]),
+                F.asc("doc_id"),
+            )
+            .limit(k)
+            .select("segment", "doc_id", "score")
+        )
+
     def _match_terms_df(
         self,
         terms: list[str],

@@ -4081,6 +4081,64 @@ class IndexReader:
             return agg
         return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    # ES PinnedQueryBuilder promotes with MAX_ORGANIC_SCORE (1.7014124e38)
+    # minus the pin rank. That literal base cannot express per-rank steps
+    # in float64 (ulp ~2e22 absorbs the subtraction), so we keep the same
+    # contract — pinned always outranks organic, order preserved — from a
+    # base that is exactly representable alongside small-integer ranks
+    # while dwarfing any BM25/function_score value.
+    PINNED_BASE_SCORE = 1.0e12
+
+    def search_pinned_df(
+        self,
+        query: str,
+        pinned: list,
+        id_field: str = "path",
+        k: int | None = 10,
+        min_should_match: int = 1,
+        filter_sql: str | None = None,
+    ) -> DataFrame:
+        """ES `pinned` query: the docs whose `id_field` value appears in
+        `pinned` rank FIRST, in the order given (whether or not they match
+        the organic query — the ES ids-promotion contract, scored
+        PINNED_BASE_SCORE - position like PinnedQueryBuilder); organic
+        matches follow under their BM25 scores with pinned docs
+        de-duplicated out. Returns (doc_id, score).
+
+        Plan: the organic UNRANKED match set anti-joins the (tiny,
+        broadcast) pinned relation; pinned docs resolve via one pruned
+        docs-scan filter with their rank from array_position over the
+        literal list; one ordered cut ranks the union — no extra
+        shuffle beyond the organic aggregation."""
+        if not pinned:
+            raise ValueError("pinned needs at least one id")
+        if len(set(pinned)) != len(pinned):
+            raise ValueError("pinned ids must be unique")
+        docs = self.spark.read.parquet(os.path.join(self.index_dir, "docs"))
+        if id_field not in docs.columns:
+            raise ValueError(
+                f"unknown docs column {id_field!r}; docs table has {docs.columns}"
+            )
+        lits = F.array(*[F.lit(p) for p in pinned])
+        pin_rel = (
+            docs.filter(F.col(id_field).isin(list(pinned)))
+            .select(
+                "doc_id",
+                (
+                    F.lit(self.PINNED_BASE_SCORE)
+                    - F.array_position(lits, F.col(id_field)).cast("double")
+                ).alias("score"),
+            )
+        )
+        organic = self.search_df(
+            query, k=None, min_should_match=min_should_match,
+            filter_sql=filter_sql,
+        ).join(F.broadcast(pin_rel.select("doc_id")), "doc_id", "left_anti")
+        out = organic.unionByName(pin_rel)
+        if k is None:
+            return out
+        return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
     def search_df(
         self,
         query: str,
