@@ -1824,6 +1824,31 @@ class IncrementalIndexReader:
             .select("segment", "doc_id", "score")
         )
 
+    def _global_term_dfs(self, terms: list[str]) -> dict[str, int]:
+        """Raw global df per term, summed across segments (masked docs
+        still counted — the Lucene deleted-docs stats rule). Same pruned
+        pyarrow union read as _global_idfs; no Spark job."""
+        if not terms:
+            return {}
+        import pyarrow.dataset as ds
+
+        union = ds.dataset(
+            [
+                ds.dataset(
+                    os.path.join(self.readers[s].index_dir, "terms"),
+                    format="parquet",
+                )
+                for s in self.segments
+            ]
+        )
+        t = union.to_table(
+            filter=ds.field("term").isin(terms), columns=["term", "df"]
+        )
+        dfs: dict[str, int] = {}
+        for term, df in zip(t.column("term").to_pylist(), t.column("df").to_pylist()):
+            dfs[term] = dfs.get(term, 0) + int(df)
+        return dfs
+
     def search_combined_df(
         self,
         query: str,
@@ -1832,21 +1857,30 @@ class IncrementalIndexReader:
         min_should_match: int = 1,
         search_after: tuple[float, str, int] | None = None,
         filter_sql: str | None = None,
+        df_mode: str = "max_field",
     ) -> DataFrame:
         """ES `combined_fields` on the LIVE tier (base + deltas): the
         BM25F term-centric blend of IndexReader.search_combined_df with
-        live semantics — per-token df is the EXACT count of live
-        (segment, doc) pairs containing the token in any field (the
-        tombstone anti-join happens BEFORE the df aggregation, so a
-        delete corrects df immediately, ahead of any merge — stronger
-        than the summed-df Lucene deleted-doc rule the tf-idf surfaces
-        follow, and exact where Lucene approximates with max per-field
-        docFreq). N/avgdl are the tombstone-corrected globals. Returns
+        live semantics. df_mode:
+          'max_field' (default) — Lucene pseudo stats: per-token df =
+            MAX over queried fields of the SUMMED-across-segments df
+            (masked docs still counted, the Lucene deleted-docs stats
+            rule every tf-idf live surface follows); resolved driver-side
+            from the segment dictionaries, postings decode runs ONCE.
+          'exact' — df = EXACT count of live (segment, doc) pairs
+            containing the token in any field: the tombstone anti-join
+            happens BEFORE the df aggregation, so a delete corrects df
+            immediately, ahead of any merge (live scores == a
+            compacted rebuild's, pytest-proven) — at the documented
+            cost of a second postings decode.
+        N/avgdl are the tombstone-corrected globals either way. Returns
         (segment, doc_id, score); ranked cuts tie-break newest segment
         first like every live surface."""
         import pandas as pd
         from pyspark.sql import types as T
 
+        if df_mode not in ("max_field", "exact"):
+            raise ValueError(f"unknown df_mode {df_mode!r}")
         fields = self.fields
         if not fields:
             raise ValueError(
@@ -1923,29 +1957,45 @@ class IncrementalIndexReader:
         rel = partials.groupBy("segment", "doc_id", "group_id").agg(
             F.sum("wtf").alias("tf_c"), F.first("dl").alias("dl")
         )
-        dfs = rel.groupBy("group_id").agg(F.count("*").alias("df"))
-        idf = F.log(
-            F.lit(1.0)
-            + (F.lit(n) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        norm = F.col("tf_c") / (
+            F.col("tf_c")
+            + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
         )
-        partial = (
-            idf
-            * F.lit(c)
-            * F.col("tf_c")
-            / (
-                F.col("tf_c")
-                + F.lit(k1)
-                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+        if df_mode == "max_field":
+            import math as _math
+
+            raw = self._global_term_dfs(terms)
+            group_df: dict[int, int] = {}
+            for t, (_, gi) in tmeta.items():
+                if t in raw:
+                    group_df[gi] = max(group_df.get(gi, 0), raw[t])
+            if not group_df:
+                return empty
+            idf_map = F.create_map(
+                *[
+                    x
+                    for gi, d in group_df.items()
+                    for x in (
+                        F.lit(gi),
+                        F.lit(_math.log(1.0 + (n - d + 0.5) / (d + 0.5))),
+                    )
+                ]
             )
-        )
-        agg = (
-            rel.join(F.broadcast(dfs), "group_id")
-            .withColumn("partial", partial)
-            .groupBy("segment", "doc_id")
-            .agg(
-                F.sum("partial").alias("score"),
-                F.count("*").alias("nmatch"),
+            scored = rel.withColumn(
+                "partial", idf_map[F.col("group_id")] * F.lit(c) * norm
             )
+        else:
+            dfs = rel.groupBy("group_id").agg(F.count("*").alias("df"))
+            idf = F.log(
+                F.lit(1.0)
+                + (F.lit(n) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+            )
+            scored = rel.join(F.broadcast(dfs), "group_id").withColumn(
+                "partial", idf * F.lit(c) * norm
+            )
+        agg = scored.groupBy("segment", "doc_id").agg(
+            F.sum("partial").alias("score"),
+            F.count("*").alias("nmatch"),
         )
         if min_should_match > 1:
             agg = agg.filter(F.col("nmatch") >= min_should_match)

@@ -3956,6 +3956,7 @@ class IndexReader:
         min_should_match: int = 1,
         search_after: tuple[float, int] | None = None,
         filter_sql: str | None = None,
+        df_mode: str = "max_field",
     ) -> DataFrame:
         """ES `combined_fields` query (Lucene CombinedFieldQuery — the
         BM25F term-centric blend): fields score as ONE synthetic field.
@@ -3966,18 +3967,30 @@ class IndexReader:
         already stores, which makes the equal-boost case exactly BM25
         over the field concatenation; with non-uniform boosts the tf
         blend is weighted but the norm stays blended (ES also scales the
-        synthetic field length — documented divergence). Per-token df is
-        computed EXACTLY at query time (distinct docs containing the
-        token in ANY queried field) where Lucene approximates with the
-        max per-field docFreq.
+        synthetic field length — documented divergence).
 
-        Plan: ONE postings scan over every field-namespaced variant
-        (term filter pushed to parquet), one vectorized decode emitting
-        (doc_id, token group, weighted tf, dl), a (doc, group) partial
-        aggregation, a per-group df side-relation (n_tokens rows)
-        broadcast back, one per-doc score aggregation, then the usual
-        ordered cut. min_should_match counts matched token groups.
-        k=None returns the match set scored but UNRANKED."""
+        df_mode picks the per-token document frequency:
+          'max_field' (default) — Lucene's CombinedFieldQuery pseudo
+            collection statistics: df = MAX of the queried fields'
+            per-term dfs, resolved from the term dictionary on the
+            driver (pruned pyarrow read, no Spark job) and folded into
+            the score as a literal map — the postings decode runs ONCE.
+          'exact' — df = distinct docs containing the token in ANY
+            queried field, computed at query time from the match
+            relation. Stronger stats, but the df side-relation re-scans
+            and re-decodes the postings (Python kernels are opaque to
+            Catalyst's ReuseExchange), i.e. ~2x the dominant cost — the
+            small-index / oracle tier.
+
+        Plan (max_field): ONE postings scan over every field-namespaced
+        variant (term filter pushed to parquet), one vectorized decode
+        emitting (doc_id, token group, weighted tf, dl), one (doc,
+        group) partial aggregation, idf applied from a literal map, one
+        per-doc score aggregation, then the usual ordered cut.
+        min_should_match counts matched token groups. k=None returns the
+        match set scored but UNRANKED."""
+        if df_mode not in ("max_field", "exact"):
+            raise ValueError(f"unknown df_mode {df_mode!r}")
         fields = self.manifest.get("fields")
         if not fields:
             raise ValueError(
@@ -4041,29 +4054,46 @@ class IndexReader:
         rel = partials.groupBy("doc_id", "group_id").agg(
             F.sum("wtf").alias("tf_c"), F.first("dl").alias("dl")
         )
-        dfs = rel.groupBy("group_id").agg(F.count("*").alias("df"))
-        idf = F.log(
-            F.lit(1.0)
-            + (F.lit(n) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        norm = F.col("tf_c") / (
+            F.col("tf_c")
+            + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
         )
-        partial = (
-            idf
-            * F.lit(c)
-            * F.col("tf_c")
-            / (
-                F.col("tf_c")
-                + F.lit(k1)
-                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+        if df_mode == "max_field":
+            raw = self._term_dfs(terms)
+            group_df: dict[int, int] = {}
+            for t in terms:
+                if t in raw:
+                    gi = group_of[t]
+                    group_df[gi] = max(group_df.get(gi, 0), int(raw[t]))
+            if not group_df:
+                return empty
+            import math as _math
+
+            idf_map = F.create_map(
+                *[
+                    x
+                    for gi, d in group_df.items()
+                    for x in (
+                        F.lit(gi),
+                        F.lit(_math.log(1.0 + (n - d + 0.5) / (d + 0.5))),
+                    )
+                ]
             )
-        )
-        agg = (
-            rel.join(F.broadcast(dfs), "group_id")
-            .withColumn("partial", partial)
-            .groupBy("doc_id")
-            .agg(
-                F.sum("partial").alias("score"),
-                F.count("*").alias("nmatch"),
+            scored = rel.withColumn(
+                "partial", idf_map[F.col("group_id")] * F.lit(c) * norm
             )
+        else:
+            dfs = rel.groupBy("group_id").agg(F.count("*").alias("df"))
+            idf = F.log(
+                F.lit(1.0)
+                + (F.lit(n) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+            )
+            scored = rel.join(F.broadcast(dfs), "group_id").withColumn(
+                "partial", idf * F.lit(c) * norm
+            )
+        agg = scored.groupBy("doc_id").agg(
+            F.sum("partial").alias("score"),
+            F.count("*").alias("nmatch"),
         )
         if min_should_match > 1:
             agg = agg.filter(F.col("nmatch") >= min_should_match)

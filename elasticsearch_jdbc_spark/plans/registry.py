@@ -5956,9 +5956,10 @@ def _registry_fields_index(spark, sf_dir) -> str:
 
 
 def _combined_fields_sql() -> str:
-    """combined_fields oracle: BM25 over the CONCATENATION of the text
-    field and the planted tag-text field — blended dl, query-time-exact
-    df — which is exactly the equal-boost term-centric blend."""
+    """combined_fields oracle (df_mode='max_field', the Lucene
+    CombinedFieldQuery default): combined tf over the text field + the
+    planted tag-text field, blended dl, and df = MAX of the two fields'
+    per-term document frequencies (the pseudo collection statistics)."""
     from ..index.bm25_df import B, K1, TOP_K, _query_term_pairs
 
     pairs = _query_term_pairs() + [
@@ -5967,35 +5968,39 @@ def _combined_fields_sql() -> str:
     values = ", ".join(f"({qid}, '{t}')" for qid, t in pairs)
     return f"""
     WITH q(query_id, term) AS (VALUES {values}),
-    tok AS (
+    tokc AS (
       SELECT doc_id,
-             list_concat(
-               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                           x -> x <> ''),
-               ['t' || CAST(doc_id % 5 AS VARCHAR),
-                't' || CAST(doc_id % 7 AS VARCHAR)]
-             ) AS toks
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    tokt AS (
+      SELECT doc_id,
+             ['t' || CAST(doc_id % 5 AS VARCHAR),
+              't' || CAST(doc_id % 7 AS VARCHAR)] AS toks
       FROM documents
     ),
     flat AS (
-      SELECT doc_id, len(toks) AS dl, t.term
-      FROM tok, UNNEST(toks) AS t(term)
+      SELECT doc_id, t.term, 'c' AS fld FROM tokc, UNNEST(toks) AS t(term)
+      UNION ALL
+      SELECT doc_id, t.term, 't' AS fld FROM tokt, UNNEST(toks) AS t(term)
     ),
-    tf AS (
-      SELECT term, doc_id, dl, COUNT(*) AS tf FROM flat GROUP BY 1, 2, 3
-    ),
+    dls AS (SELECT doc_id, len(toks) + 2 AS dl FROM tokc),
+    tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM flat GROUP BY 1, 2),
+    dff AS (SELECT term, fld, COUNT(DISTINCT doc_id) AS df FROM flat GROUP BY 1, 2),
+    dft AS (SELECT term, MAX(df) AS df FROM dff GROUP BY term),
     stats AS (
-      SELECT COUNT(*) AS n, SUM(len(toks)) * 1.0 / COUNT(*) AS avgdl FROM tok
+      SELECT COUNT(*) AS n, SUM(len(toks) + 2) * 1.0 / COUNT(*) AS avgdl FROM tokc
     ),
-    dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
     scored AS (
       SELECT q.query_id, tf.doc_id,
              SUM(
                ln(1.0 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
                * {K1 + 1.0}
-               * (tf.tf / (tf.tf + {K1} * ({1.0 - B} + {B} * tf.dl / stats.avgdl)))
+               * (tf.tf / (tf.tf + {K1} * ({1.0 - B} + {B} * dls.dl / stats.avgdl)))
              ) AS score
-      FROM tf JOIN q USING (term) JOIN dft USING (term), stats
+      FROM tf JOIN q USING (term) JOIN dft USING (term)
+              JOIN dls ON dls.doc_id = tf.doc_id, stats
       GROUP BY 1, 2
     ),
     ranked AS (
@@ -6011,13 +6016,14 @@ def _combined_fields_sql() -> str:
 @_reg("combined_fields_index_search", _combined_fields_sql())
 def combined_fields_index_q(spark, sf_dir):
     """ES `combined_fields` (Lucene CombinedFieldQuery / BM25F) through
-    the REAL engine, ORACLE-CHECKED: a two-field index (text body +
-    planted tag-text), each reference query extended with a tag token so
-    the cross-field blend is live — per-token tf sums across fields
-    BEFORE saturation, dl is the blended total, df is query-time-exact
-    distinct docs. Equal boosts make this exactly BM25 over the field
-    concatenation, which is what the DuckDB twin computes. k=None
-    unranked; top-10 cut after id mapping (oracle tie-break)."""
+    the REAL engine, ORACLE-CHECKED at the Lucene-parity default
+    (df_mode='max_field' — pseudo collection stats, ONE postings
+    decode): a two-field index (text body + planted tag-text), each
+    reference query extended with a tag token so the cross-field blend
+    is live — per-token tf sums across fields BEFORE saturation, dl is
+    the blended total, df = max per-field document frequency resolved
+    from the term dictionary on the driver. k=None unranked; top-10 cut
+    after id mapping (oracle tie-break)."""
     from ..index import IndexReader
 
     idx = _registry_fields_index(spark, sf_dir)

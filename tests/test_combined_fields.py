@@ -1,9 +1,9 @@
 """ES `combined_fields` query (Lucene CombinedFieldQuery — the BM25F
 term-centric blend): per token, tfs SUM across fields (weighted) BEFORE
 the BM25 saturation; length norm is the blended total-tokens dl; df is
-computed EXACTLY at query time (distinct docs containing the token in any
-queried field). Both reader tiers, brute-force parity, and the live-tier
-exact-df-after-delete property."""
+either Lucene's max-per-field pseudo stat (default, one postings decode)
+or the exact any-field distinct-doc count. Both reader tiers, brute-force
+parity, and the live-tier exact-df-after-delete property."""
 
 from __future__ import annotations
 
@@ -32,10 +32,13 @@ DOCS = [
 K1, B = 1.2, 0.75
 
 
-def brute(query: str, boosts: dict[str, float]) -> dict[str, float]:
+def brute(
+    query: str, boosts: dict[str, float], df_mode: str = "max_field"
+) -> dict[str, float]:
     """The contract, computed independently: weighted-tf blend over the
-    boosted fields, blended dl over ALL indexed fields, query-time-exact
-    df over the boosted fields."""
+    boosted fields, blended dl over ALL indexed fields; df either the
+    MAX of the boosted fields' per-term dfs (Lucene pseudo stats, the
+    default) or the exact distinct docs matching in any boosted field."""
     fields = {"title": 4, "body": 5}  # name -> tuple index
     per_doc = []
     for row in DOCS:
@@ -55,9 +58,15 @@ def brute(query: str, boosts: dict[str, float]) -> dict[str, float]:
             v = sum(w * ftoks[f].count(tok) for f, w in boosts.items())
             if v > 0:
                 tfc[path] = (v, dl)
-        df = len(tfc)
-        if not df:
+        if not tfc:
             continue
+        if df_mode == "exact":
+            df = len(tfc)
+        else:
+            df = max(
+                sum(1 for _, ftoks, _ in per_doc if tok in ftoks[f])
+                for f in boosts
+            )
         idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
         for path, (v, dl) in tfc.items():
             w = v / (v + K1 * (1.0 - B + B * dl / avgdl))
@@ -82,13 +91,28 @@ def _by_path(spark, idx_dir, rows):
     return {m[r["doc_id"]]: r["score"] for r in rows}
 
 
-def test_brute_parity_equal_boosts(spark, idx):
+@pytest.mark.parametrize("df_mode", ["max_field", "exact"])
+def test_brute_parity_equal_boosts(spark, idx, df_mode):
     r = IndexReader(spark, idx)
-    got = _by_path(spark, idx, r.search_combined_df("quick merge key", k=None).collect())
-    want = brute("quick merge key", {"title": 1.0, "body": 1.0})
+    got = _by_path(
+        spark, idx,
+        r.search_combined_df("quick merge key", k=None, df_mode=df_mode).collect(),
+    )
+    want = brute("quick merge key", {"title": 1.0, "body": 1.0}, df_mode)
     assert set(got) == set(want)
     for p in want:
         assert got[p] == pytest.approx(want[p], rel=1e-9)
+
+
+def test_df_modes_genuinely_differ(spark, idx):
+    # 'quick' lives in title-only docs AND body-only docs: exact df (union)
+    # exceeds max per-field df, so the two modes must score differently
+    mf = _by_path(spark, idx, IndexReader(spark, idx).search_combined_df("quick", k=None).collect())
+    ex = _by_path(spark, idx, IndexReader(spark, idx).search_combined_df("quick", k=None, df_mode="exact").collect())
+    assert set(mf) == set(ex)
+    assert any(abs(mf[p] - ex[p]) > 1e-12 for p in mf)
+    with pytest.raises(ValueError):
+        IndexReader(spark, idx).search_combined_df("quick", df_mode="median")
 
 
 def test_brute_parity_weighted(spark, idx):
@@ -206,21 +230,32 @@ def _live_by_path(r, rows):
     return {m[(x["segment"], x["doc_id"])]: x["score"] for x in rows}
 
 
-def test_live_adds_match_compact(spark, live, tmp_path):
+@pytest.mark.parametrize("df_mode", ["max_field", "exact"])
+def test_live_adds_match_compact(spark, live, tmp_path, df_mode):
+    # adds-only: summed global dfs == rebuilt dfs, so BOTH modes match a
+    # compacted rebuild exactly
     inc = IncrementalIndexReader(spark, live)
     cdir = str(tmp_path / "compact")
     inc.compact_to(cdir)
     base = IndexReader(spark, cdir)
-    got = _live_by_path(inc, inc.search_combined_df("quick merge key", k=None).collect())
-    want = _by_path(spark, cdir, base.search_combined_df("quick merge key", k=None).collect())
+    got = _live_by_path(
+        inc, inc.search_combined_df("quick merge key", k=None, df_mode=df_mode).collect()
+    )
+    want = _by_path(
+        spark, cdir,
+        base.search_combined_df("quick merge key", k=None, df_mode=df_mode).collect(),
+    )
     assert set(got) == set(want)
     for p in want:
         assert got[p] == pytest.approx(want[p], rel=1e-9)
 
 
 def test_live_delete_corrects_df_exactly(spark, live, tmp_path):
-    # delete doc 2 -> live combined scores must equal a compacted rebuild
-    # WITHOUT it (query-time-exact df + tombstone-corrected N/avgdl)
+    # delete doc 2 -> with df_mode='exact' the live scores equal a
+    # compacted rebuild WITHOUT it (the tombstone anti-join runs BEFORE
+    # the df agg + tombstone-corrected N/avgdl); max_field keeps counting
+    # the masked doc in df until a merge (the Lucene deleted-docs stats
+    # rule), so it must diverge from the rebuild on affected terms
     dele = spark.createDataFrame(
         [("r", "2", "c", "t", "", "", "delete")], SCHEMA + ", _optype string"
     )
@@ -229,8 +264,21 @@ def test_live_delete_corrects_df_exactly(spark, live, tmp_path):
     cdir = str(tmp_path / "compact2")
     inc.compact_to(cdir)
     base = IndexReader(spark, cdir)
-    got = _live_by_path(inc, inc.search_combined_df("quick merge key", k=None).collect())
-    want = _by_path(spark, cdir, base.search_combined_df("quick merge key", k=None).collect())
+    mf_live = _live_by_path(
+        inc, inc.search_combined_df("quick", k=None).collect()
+    )
+    mf_compact = _by_path(
+        spark, cdir, base.search_combined_df("quick", k=None).collect()
+    )
+    assert set(mf_live) == set(mf_compact)
+    assert any(abs(mf_live[p] - mf_compact[p]) > 1e-12 for p in mf_live)
+    got = _live_by_path(
+        inc, inc.search_combined_df("quick merge key", k=None, df_mode="exact").collect()
+    )
+    want = _by_path(
+        spark, cdir,
+        base.search_combined_df("quick merge key", k=None, df_mode="exact").collect(),
+    )
     assert "2" not in got
     assert set(got) == set(want)
     for p in want:
