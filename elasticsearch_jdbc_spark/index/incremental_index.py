@@ -1824,6 +1824,48 @@ class IncrementalIndexReader:
             .select("segment", "doc_id", "score")
         )
 
+    def terms_enum(
+        self, prefix: str, size: int = 10, field: str | None = None
+    ) -> list[str]:
+        """ES `_terms_enum` on the LIVE tier: the prefix range read unions
+        every segment's (term-sorted) dictionary, dedupes, and cuts —
+        terms from delta segments appear as soon as the delta commits.
+        (Terms whose only docs are tombstoned still enumerate until a
+        merge — the Lucene deleted-docs rule, consistent with stats.)"""
+        if size < 1:
+            raise ValueError("size must be >= 1")
+        ns = ""
+        if self.fields:
+            if field is None:
+                raise ValueError(
+                    f"fields-indexed corpus: pass field= (one of {self.fields})"
+                )
+            if field not in self.fields:
+                raise ValueError(
+                    f"unknown field {field!r}; indexed: {self.fields}"
+                )
+            ns = field + "\x1f"
+        elif field is not None:
+            raise ValueError("field= requires a fields-indexed corpus")
+        import pyarrow.dataset as ds
+
+        lo, hi = ns + prefix, ns + prefix + "￿"
+        union = ds.dataset(
+            [
+                ds.dataset(
+                    os.path.join(self.readers[s].index_dir, "terms"),
+                    format="parquet",
+                )
+                for s in self.segments
+            ]
+        )
+        t = union.to_table(
+            filter=(ds.field("term") >= lo) & (ds.field("term") <= hi),
+            columns=["term"],
+        )
+        out = sorted(set(t.column("term").to_pylist()))[:size]
+        return [x[len(ns):] for x in out]
+
     def _global_term_dfs(self, terms: list[str]) -> dict[str, int]:
         """Raw global df per term, summed across segments (masked docs
         still counted — the Lucene deleted-docs stats rule). Same pruned

@@ -1097,6 +1097,46 @@ class IndexReader:
             for term, df in zip(t.column("term").to_pylist(), t.column("df").to_pylist())
         }
 
+    def terms_enum(
+        self, prefix: str, size: int = 10, field: str | None = None
+    ) -> list[str]:
+        """ES `_terms_enum` API: up to `size` index terms with the given
+        prefix, in sorted (binary) order — the index-wide autocomplete
+        primitive. On a fields corpus pass `field` to enumerate one
+        field's namespace (names return un-namespaced).
+
+        Interactive path by design: the terms dictionary is written
+        term-sorted, so the prefix range filter prunes to a handful of
+        parquet pages (row-group min/max stats) — no Spark job. The
+        result is <= size strings; there is nothing to distribute."""
+        if size < 1:
+            raise ValueError("size must be >= 1")
+        fields = self.manifest.get("fields")
+        ns = ""
+        if fields:
+            if field is None:
+                raise ValueError(
+                    f"fields-indexed corpus: pass field= (one of {fields})"
+                )
+            if field not in fields:
+                raise ValueError(f"unknown field {field!r}; indexed: {fields}")
+            ns = field + "\x1f"
+        elif field is not None:
+            raise ValueError("field= requires a fields-indexed corpus")
+        import pyarrow.dataset as ds
+
+        lo = ns + prefix
+        hi = ns + prefix + "￿"
+        t = (
+            ds.dataset(os.path.join(self.index_dir, "terms"), format="parquet")
+            .to_table(
+                filter=(ds.field("term") >= lo) & (ds.field("term") <= hi),
+                columns=["term"],
+            )
+        )
+        out = sorted(t.column("term").to_pylist())[:size]
+        return [x[len(ns):] for x in out]
+
     def _term_dfs(self, terms: list[str]) -> dict[str, int]:
         """Document frequencies for explicit terms — same pruned pyarrow
         point-range read as _term_idfs (no Spark job)."""

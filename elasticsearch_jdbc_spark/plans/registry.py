@@ -5930,6 +5930,34 @@ def gopher_rules_q(spark, sf_dir):
     )
 
 
+@_reg(
+    "terms_enum_search",
+    """
+    SELECT term FROM (
+      SELECT DISTINCT t.term
+      FROM (
+        SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS toks
+        FROM documents
+      ) d, UNNEST(d.toks) AS t(term)
+      WHERE t.term LIKE 's%'
+    ) ORDER BY term LIMIT 50
+    """,
+)
+def terms_enum_q(spark, sf_dir):
+    """ES `_terms_enum` API through the REAL engine, ORACLE-CHECKED:
+    sorted prefix enumeration of the index's term dictionary (the
+    index-wide autocomplete primitive) — a pruned range read of the
+    term-sorted parquet dictionary, no Spark job; the oracle re-derives
+    the same term universe from the tokenizer relation."""
+    from ..index import IndexReader
+
+    idx = _registry_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    terms = reader.terms_enum("s", size=50)
+    return spark.createDataFrame([(t,) for t in terms], "term string")
+
+
 def _registry_fields_index(spark, sf_dir) -> str:
     """Resume-cached FIELDS index over the documents corpus: two indexed
     fields — the text body and a derived tag-text field (planted doc_id
