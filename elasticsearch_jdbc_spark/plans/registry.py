@@ -5958,6 +5958,31 @@ def terms_enum_q(spark, sf_dir):
     return spark.createDataFrame([(t,) for t in terms], "term string")
 
 
+@_reg(
+    "date_math_range_search",
+    """
+    SELECT event_id, ts FROM events
+    WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+      AND ts <= TIMESTAMP '2024-01-05 23:59:59.999'
+    ORDER BY event_id
+    """,
+)
+def date_math_range_q(spark, sf_dir):
+    """ES date-math range bounds (`2024-01-05||-2d/d` ... `/d` with the
+    lte round-UP rule), ORACLE-CHECKED: the compiled filter_sql fragment
+    must select exactly the rows the literal-timestamp DuckDB twin does —
+    anchor-based (no wall clock) so the check is deterministic. The
+    grammar is the one ES range queries / date_histogram bounds /
+    `<logs-{now/d}>` index names share (functions/datemath.py)."""
+    from ..functions.datemath import date_math_range_sql
+
+    e = _t(spark, sf_dir, "events")
+    sql = date_math_range_sql(
+        "ts", gte="2024-01-05||-2d/d", lte="2024-01-05||/d"
+    )
+    return e.filter(sql).select("event_id", "ts").orderBy("event_id")
+
+
 def _registry_fields_index(spark, sf_dir) -> str:
     """Resume-cached FIELDS index over the documents corpus: two indexed
     fields — the text body and a derived tag-text field (planted doc_id
