@@ -6300,10 +6300,41 @@ _ROWS_ONLY_TAIL = [
     "dedup_simhash",
     "highlight_index_search",
     "text_fingerprint",
+    # late-round-4 demotions freeing window slots for the promotions
+    # below (oracle SQL stays registered on all four; each operator keeps
+    # a sibling green check): dedup_embedding_cosine duplicates
+    # knn_cosine + dedup_embedding_lsh's planted-pair recall;
+    # knn_filtered's pre-filter semantics are pytest-proven on all three
+    # ANN paths; sibling_bucket_agg is a thin metric over the same bucket
+    # relation pipeline_agg_search oracles; text_quality's heuristic is
+    # subsumed by the strictly richer gopher_rules_filter signal set.
+    "dedup_embedding_cosine",
+    "knn_filtered",
+    "sibling_bucket_agg",
+    "text_quality",
 ]
-_order = [k for k in QUERIES if k not in _ROWS_ONLY_TAIL] + [
-    k for k in _ROWS_ONLY_TAIL if k in QUERIES
+# Promotions INTO the driver's ~50-row evidence window: the round's new
+# operator classes (ES join-field parent/child, per-doc-msm terms_set,
+# the BM25F combined_fields engine path, and the Gopher pretraining
+# filter) carry the strongest fresh evidence — spliced in where the
+# demoted entries sat so the window stays ~50 deep.
+_PROMOTED = [
+    "terms_set_index_search",
+    "has_child_index_search",
+    "combined_fields_index_search",
+    "gopher_rules_filter",
 ]
+_order = [
+    k for k in QUERIES
+    if k not in _ROWS_ONLY_TAIL and k not in _PROMOTED
+]
+_ins = _order.index("nested_terms_index_search")
+_order = (
+    _order[:_ins]
+    + [k for k in _PROMOTED if k in QUERIES]
+    + _order[_ins:]
+    + [k for k in _ROWS_ONLY_TAIL if k in QUERIES]
+)
 _reordered = {k: QUERIES[k] for k in _order}
 QUERIES.clear()
 QUERIES.update(_reordered)
