@@ -254,3 +254,55 @@ def gopher_keep(
         & (F.col("alpha_word_ratio") >= min_alpha_ratio)
         & (F.col("stop_word_hits") >= min_stop_words)
     ).alias("keep")
+
+
+def c4_clean_cols(
+    col: str | Column,
+    min_words_per_line: int = 5,
+    min_lines: int = 3,
+    require_terminal_punct: bool = True,
+    drop_line_substrings: tuple = ("javascript",),
+    drop_doc_substrings: tuple = ("lorem ipsum", "{"),
+) -> list[Column]:
+    """The C4 cleaning pass (Raffel et al. 2020 §2.2) as named columns:
+    keep lines that end in terminal punctuation (. ! ? ") AND have >=
+    min_words_per_line whitespace words AND contain none of
+    drop_line_substrings (case-insensitive, the 'Javascript' rule);
+    drop the whole DOC when fewer than min_lines lines survive or the
+    raw text contains any drop_doc_substrings ('lorem ipsum', '{').
+
+    Returns [text (reassembled survivors), n_lines, n_kept, kept].
+    Every rule is a higher-order Catalyst expression over the split
+    array — ONE codegen'd projection, no explode, no shuffle, no
+    Python; at 100 TB this is a map-only pass."""
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.split(c, "\n")
+
+    def line_ok(l):  # noqa: E741
+        w = F.size(F.filter(F.split(l, r"\s+"), lambda x: x != ""))
+        ok = w >= int(min_words_per_line)
+        if require_terminal_punct:
+            r = F.rtrim(l)
+            ok = ok & (
+                F.endswith(r, F.lit("."))
+                | F.endswith(r, F.lit("!"))
+                | F.endswith(r, F.lit("?"))
+                | F.endswith(r, F.lit('"'))
+            )
+        low = F.lower(l)
+        for s in drop_line_substrings:
+            ok = ok & ~low.contains(s.lower())
+        return ok
+
+    kept_lines = F.filter(lines, line_ok)
+    n_kept = F.size(kept_lines)
+    doc_ok = n_kept >= int(min_lines)
+    low_doc = F.lower(c)
+    for s in drop_doc_substrings:
+        doc_ok = doc_ok & ~low_doc.contains(s.lower())
+    return [
+        F.when(doc_ok, F.array_join(kept_lines, "\n")).otherwise(F.lit("")).alias("text"),
+        F.size(lines).cast("long").alias("n_lines"),
+        n_kept.cast("long").alias("n_kept"),
+        F.coalesce(doc_ok, F.lit(False)).alias("kept"),
+    ]

@@ -5983,6 +5983,59 @@ def date_math_range_q(spark, sf_dir):
     return e.filter(sql).select("event_id", "ts").orderBy("event_id")
 
 
+@_reg(
+    "c4_clean_filter",
+    """
+    WITH prep AS (
+      SELECT doc_id, replace(text, 'table ', 'table.' || chr(10)) AS t
+      FROM documents
+    ),
+    s AS (SELECT doc_id, t, string_split(t, chr(10)) AS lines FROM prep),
+    k AS (
+      SELECT doc_id, t, len(lines) AS n_lines,
+             list_filter(lines, l ->
+               len(list_filter(string_split_regex(l, '\\s+'), x -> x <> '')) >= 5
+               AND (ends_with(rtrim(l), '.') OR ends_with(rtrim(l), '!')
+                    OR ends_with(rtrim(l), '?') OR ends_with(rtrim(l), '"'))
+               AND NOT contains(lower(l), 'javascript')
+             ) AS kept_lines
+      FROM s
+    ),
+    f AS (
+      SELECT doc_id, n_lines, kept_lines, len(kept_lines) AS n_kept,
+             (len(kept_lines) >= 2
+              AND NOT contains(lower(t), 'lorem ipsum')
+              AND NOT contains(lower(t), '{')) AS ok
+      FROM k
+    )
+    SELECT doc_id,
+           CASE WHEN ok THEN array_to_string(kept_lines, chr(10)) ELSE '' END AS text,
+           CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(n_kept AS BIGINT) AS n_kept,
+           COALESCE(ok, FALSE) AS kept
+    FROM f
+    """,
+)
+def c4_clean_q(spark, sf_dir):
+    """The C4 cleaning pass (Raffel et al. 2020 §2.2), ORACLE-CHECKED
+    byte-exact on the reassembled text: terminal-punctuation +
+    min-words-per-line line filter, the Javascript line rule, and the
+    lorem-ipsum / curly-brace / min-surviving-lines doc drops. Line
+    structure is derived deterministically from the single-line fixture
+    (the same replace() both engines evaluate) so the rules genuinely
+    split the corpus. One codegen'd projection — no explode, no shuffle,
+    no Python: a map-only pass at any corpus size."""
+    from ..functions.text import c4_clean_cols
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit("table "), F.lit("table.\n")).alias(
+            "text"
+        ),
+    )
+    return d.select("doc_id", *c4_clean_cols("text", min_lines=2))
+
+
 def _registry_fields_index(spark, sf_dir) -> str:
     """Resume-cached FIELDS index over the documents corpus: two indexed
     fields — the text body and a derived tag-text field (planted doc_id
