@@ -306,3 +306,86 @@ def c4_clean_cols(
         n_kept.cast("long").alias("n_kept"),
         F.coalesce(doc_ok, F.lit(False)).alias("kept"),
     ]
+
+
+def dedup_lines_cols(col: str | Column, normalize: bool = True) -> list[Column]:
+    """WITHIN-document exact line dedup (keep the FIRST occurrence,
+    preserve order) — the in-doc companion to operators.dedup.
+    paragraph_dedup's corpus-wide pass: collapses repeated nav blocks,
+    quoted-reply pyramids and template streaks inside one document.
+    normalize=True compares lines trim+lowercased (whitespace-only lines
+    always survive — structure is content); False compares raw.
+
+    Returns [text (reassembled), n_lines, n_kept]. One higher-order
+    aggregate over the split array — no explode, no shuffle, no Python:
+    map-only at any corpus size."""
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.split(c, "\n")
+    norm = (lambda l: F.lower(F.trim(l))) if normalize else (lambda l: l)
+    # fold: accumulate (seen keys, kept lines); blank lines always kept
+    kept = F.aggregate(
+        lines,
+        F.struct(
+            F.array().cast("array<string>").alias("seen"),
+            F.array().cast("array<string>").alias("keep"),
+        ),
+        lambda acc, l: F.when(
+            F.trim(l) == "",
+            F.struct(
+                acc["seen"].alias("seen"),
+                F.concat(acc["keep"], F.array(l)).alias("keep"),
+            ),
+        ).otherwise(
+            F.when(
+                F.array_contains(acc["seen"], norm(l)),
+                acc,
+            ).otherwise(
+                F.struct(
+                    F.concat(acc["seen"], F.array(norm(l))).alias("seen"),
+                    F.concat(acc["keep"], F.array(l)).alias("keep"),
+                )
+            )
+        ),
+        lambda acc: acc["keep"],
+    )
+    return [
+        F.array_join(kept, "\n").alias("text"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+    ]
+
+
+def compression_ratio_col(
+    col: str = "text", out: str = "compression_ratio"
+):
+    """zlib compression ratio (compressed/raw bytes) — the classic
+    repetition/boilerplate quality proxy (low ratio = highly repetitive
+    text; prose sits ~0.3-0.5). Needs a real compressor, so this is an
+    Arrow-batched kernel for mapInPandas over (any) columns + `col`:
+    returns (schema_fn, map_fn). NULL/empty text -> NULL ratio."""
+    import pandas as pd
+
+    def map_fn(batches):
+        import zlib
+
+        for pdf in batches:
+            vals = []
+            for s in pdf[col]:
+                if s:
+                    raw = s.encode("utf-8")
+                    vals.append(len(zlib.compress(raw, 6)) / len(raw))
+                else:
+                    vals.append(None)
+            pdf[out] = pd.Series(vals, index=pdf.index, dtype="float64")
+            yield pdf
+
+    def schema_of(df):
+        from pyspark.sql import types as T
+
+        # never .add() onto df.schema — it mutates the DataFrame's cached
+        # StructType and corrupts later column resolution
+        return T.StructType(
+            list(df.schema.fields) + [T.StructField(out, T.DoubleType())]
+        )
+
+    return map_fn, schema_of

@@ -6036,6 +6036,59 @@ def c4_clean_q(spark, sf_dir):
     return d.select("doc_id", *c4_clean_cols("text", min_lines=2))
 
 
+@_reg(
+    "dedup_lines_filter",
+    """
+    WITH prep AS (
+      SELECT doc_id,
+             replace(text, 'value ', 'value' || chr(10)) || chr(10)
+               || replace(text, 'value ', 'value' || chr(10)) AS t
+      FROM documents
+    ),
+    l AS (
+      SELECT doc_id,
+             unnest(string_split(t, chr(10))) AS line,
+             generate_subscripts(string_split(t, chr(10)), 1) AS pos
+      FROM prep
+    ),
+    r AS (
+      SELECT doc_id, line, pos, trim(line) = '' AS blank,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id, lower(trim(line)) ORDER BY pos
+             ) AS rn
+      FROM l
+    ),
+    k AS (SELECT doc_id, line, pos FROM r WHERE blank OR rn = 1),
+    agg AS (
+      SELECT k.doc_id,
+             string_agg(k.line, chr(10) ORDER BY k.pos) AS text,
+             CAST(COUNT(*) AS BIGINT) AS n_kept
+      FROM k GROUP BY k.doc_id
+    ),
+    tot AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines FROM l GROUP BY doc_id
+    )
+    SELECT agg.doc_id, COALESCE(agg.text, '') AS text, tot.n_lines, agg.n_kept
+    FROM agg JOIN tot USING (doc_id)
+    """,
+)
+def dedup_lines_q(spark, sf_dir):
+    """WITHIN-document line dedup (keep first, preserve order; blank
+    lines always survive), ORACLE-CHECKED byte-exact on the reassembled
+    text: the in-doc companion to the corpus-wide paragraph_dedup pass —
+    quoted-reply pyramids, repeated nav blocks, template streaks. The
+    fixture derives line structure deterministically and self-concats so
+    every doc genuinely contains duplicates. One higher-order aggregate
+    over the split array — no explode, no shuffle, no Python."""
+    from ..functions.text import dedup_lines_cols
+
+    r = F.replace(F.col("text"), F.lit("value "), F.lit("value\n"))
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(r, F.lit("\n"), r).alias("text")
+    )
+    return d.select("doc_id", *dedup_lines_cols("text"))
+
+
 def _registry_fields_index(spark, sf_dir) -> str:
     """Resume-cached FIELDS index over the documents corpus: two indexed
     fields — the text body and a derived tag-text field (planted doc_id
