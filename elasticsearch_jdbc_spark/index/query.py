@@ -4151,6 +4151,168 @@ class IndexReader:
             return agg
         return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def search_best_fields_df(
+        self,
+        query: str,
+        boosts: dict[str, float] | None = None,
+        k: int | None = 10,
+        min_should_match: int = 1,
+        tie_breaker: float = 0.0,
+        filter_sql: str | None = None,
+    ) -> DataFrame:
+        """ES multi_match type=best_fields (the DEFAULT multi_match): per
+        doc, score = the best single field's score + tie_breaker * the
+        other fields' scores (the dis_max-over-fields contract,
+        MultiMatchQueryBuilder). Each field scores as its own BM25 query
+        over the field-namespaced postings (per-field term dfs; length
+        norm is the build's blended dl — the documented fields-index
+        norm). min_should_match counts token groups matched in the
+        WINNING doc across any field (the ES token rule).
+
+        Plan: ONE postings scan over every field-namespaced variant, one
+        vectorized decode emitting idf-weighted per-term partials tagged
+        (field, token) — idfs resolved driver-side from the term
+        dictionary, no side job — one (doc, field) aggregation, one
+        per-doc fold computing max + tie_breaker * rest, then the
+        ordered cut. Two narrow hashed exchanges, no global sort before
+        the cut."""
+        if not (0.0 <= tie_breaker <= 1.0):
+            raise ValueError("tie_breaker must be in [0, 1]")
+        fields = self.manifest.get("fields")
+        if not fields:
+            raise ValueError(
+                "best_fields needs a fields-indexed corpus "
+                "(IndexBuilder(fields=[...]))"
+            )
+        boosts = boosts or {f: 1.0 for f in fields}
+        unknown = set(boosts) - set(fields)
+        if unknown:
+            raise ValueError(f"unknown fields {sorted(unknown)}; indexed: {fields}")
+        toks = self.query_terms(query)
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        if not toks:
+            return empty
+        field_ix = {f: i for i, f in enumerate(boosts)}
+        terms, tmeta = [], {}
+        for gi, tok in enumerate(toks):
+            for f, w in boosts.items():
+                t = f + "\x1f" + tok
+                terms.append(t)
+                tmeta[t] = (float(w), field_ix[f], gi)
+        idfs = self._term_idfs(terms)
+        k1, b, avgdl, c = self.k1, self.b, self.avgdl, self.k1 + 1.0
+        t_items = [
+            (t, (w * idfs[t], fi, gi))
+            for t, (w, fi, gi) in tmeta.items()
+            if t in idfs
+        ]
+        if not t_items:
+            return empty
+        out_schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("field_id", T.IntegerType(), False),
+                T.StructField("group_id", T.IntegerType(), False),
+                T.StructField("partial", T.DoubleType(), False),
+            ]
+        )
+
+        def decode_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            meta = dict(t_items)
+            for pdf in batches:
+                docs_all, fld_all, grp_all, par_all = [], [], [], []
+                for term, nrow, first, gaps, tfs, dls in zip(
+                    pdf["term"], pdf["n"], pdf["first_doc"],
+                    pdf["doc_gaps"], pdf["tfs"], pdf["dls"],
+                ):
+                    wi, fi, gi = meta[term]
+                    docs, tf, dl = decode_block(
+                        int(first), int(nrow), bytes(gaps), bytes(tfs), bytes(dls)
+                    )
+                    w = tf / (tf + k1 * (1.0 - b + b * dl / avgdl))
+                    docs_all.append(docs)
+                    fld_all.append(np.full(len(docs), fi, np.int32))
+                    grp_all.append(np.full(len(docs), gi, np.int32))
+                    par_all.append(wi * c * w)
+                if docs_all:
+                    yield pd.DataFrame(
+                        {
+                            "doc_id": np.concatenate(docs_all),
+                            "field_id": np.concatenate(fld_all),
+                            "group_id": np.concatenate(grp_all),
+                            "partial": np.concatenate(par_all),
+                        }
+                    )
+
+        partials = self._postings_df(terms).mapInPandas(decode_blocks, out_schema)
+        per_field = partials.groupBy("doc_id", "field_id").agg(
+            F.sum("partial").alias("fscore"),
+            F.collect_set("group_id").alias("groups"),
+        )
+        agg = per_field.groupBy("doc_id").agg(
+            F.max("fscore").alias("best"),
+            F.sum("fscore").alias("total"),
+            F.size(F.array_distinct(F.flatten(F.collect_list("groups")))).alias(
+                "nmatch"
+            ),
+        )
+        if min_should_match > 1:
+            agg = agg.filter(F.col("nmatch") >= min_should_match)
+        agg = agg.select(
+            "doc_id",
+            (
+                F.col("best")
+                + F.lit(float(tie_breaker)) * (F.col("total") - F.col("best"))
+            ).alias("score"),
+        )
+        if filter_sql:
+            agg = agg.join(self._filter_doc_ids(filter_sql), "doc_id", "left_semi")
+        if k is None:
+            return agg
+        return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def multi_match_df(
+        self,
+        query: str,
+        boosts: dict[str, float] | None = None,
+        match_type: str = "best_fields",
+        k: int | None = 10,
+        min_should_match: int = 1,
+        tie_breaker: float = 0.0,
+        filter_sql: str | None = None,
+    ) -> DataFrame:
+        """ES `multi_match` dispatcher — the four implemented types map
+        onto their engine surfaces:
+          best_fields (ES default)  -> search_best_fields_df (dis_max
+                                       over fields + tie_breaker)
+          most_fields               -> search_fields_df (per-field
+                                       scores SUM)
+          combined_fields           -> search_combined_df (BM25F
+                                       term-centric blend)
+          phrase                    -> search_phrase_df on the fields
+                                       corpus (positions required)
+        cross_fields is not implemented: use combined_fields, the
+        modern term-centric blend ES itself recommends over it."""
+        if match_type == "best_fields":
+            return self.search_best_fields_df(
+                query, boosts, k, min_should_match, tie_breaker, filter_sql
+            )
+        if match_type == "most_fields":
+            return self.search_fields_df(
+                query, boosts, k, min_should_match, filter_sql=filter_sql
+            )
+        if match_type == "combined_fields":
+            return self.search_combined_df(
+                query, boosts, k, min_should_match, filter_sql=filter_sql
+            )
+        if match_type == "phrase":
+            return self.search_phrase_df(query, k=k, filter_sql=filter_sql)
+        raise ValueError(
+            f"unknown multi_match type {match_type!r}; implemented: "
+            "best_fields, most_fields, combined_fields, phrase "
+            "(cross_fields -> use combined_fields)"
+        )
+
     # ES PinnedQueryBuilder promotes with MAX_ORGANIC_SCORE (1.7014124e38)
     # minus the pin rank. That literal base cannot express per-rank steps
     # in float64 (ulp ~2e22 absorbs the subtraction), so we keep the same

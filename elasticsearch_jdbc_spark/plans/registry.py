@@ -6114,6 +6114,99 @@ def _registry_fields_index(spark, sf_dir) -> str:
     return idx
 
 
+def _best_fields_sql() -> str:
+    """best_fields oracle: per-field BM25 scores (per-field dfs, blended
+    dl — the fields-index norm) folded max + 0.3 * rest, the dis_max
+    tie_breaker contract."""
+    from ..index.bm25_df import B, K1, TOP_K, _query_term_pairs
+
+    pairs = _query_term_pairs() + [
+        (qid, "t3") for qid, _ in REFERENCE_QUERIES
+    ]
+    values = ", ".join(f"({qid}, '{t}')" for qid, t in pairs)
+    return f"""
+    WITH q(query_id, term) AS (VALUES {values}),
+    tokc AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    tokt AS (
+      SELECT doc_id,
+             ['t' || CAST(doc_id % 5 AS VARCHAR),
+              't' || CAST(doc_id % 7 AS VARCHAR)] AS toks
+      FROM documents
+    ),
+    flat AS (
+      SELECT doc_id, t.term, 'c' AS fld FROM tokc, UNNEST(toks) AS t(term)
+      UNION ALL
+      SELECT doc_id, t.term, 't' AS fld FROM tokt, UNNEST(toks) AS t(term)
+    ),
+    dls AS (SELECT doc_id, len(toks) + 2 AS dl FROM tokc),
+    tf AS (SELECT fld, term, doc_id, COUNT(*) AS tf FROM flat GROUP BY 1, 2, 3),
+    dff AS (SELECT fld, term, COUNT(DISTINCT doc_id) AS df FROM flat GROUP BY 1, 2),
+    stats AS (
+      SELECT COUNT(*) AS n, SUM(len(toks) + 2) * 1.0 / COUNT(*) AS avgdl FROM tokc
+    ),
+    fscore AS (
+      SELECT q.query_id, tf.doc_id, tf.fld,
+             SUM(
+               ln(1.0 + (stats.n - dff.df + 0.5) / (dff.df + 0.5))
+               * {K1 + 1.0}
+               * (tf.tf / (tf.tf + {K1} * ({1.0 - B} + {B} * dls.dl / stats.avgdl)))
+             ) AS s
+      FROM tf JOIN q USING (term) JOIN dff USING (fld, term)
+              JOIN dls ON dls.doc_id = tf.doc_id, stats
+      GROUP BY 1, 2, 3
+    ),
+    agg AS (
+      SELECT query_id, doc_id, MAX(s) + 0.3 * (SUM(s) - MAX(s)) AS score
+      FROM fscore GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+      FROM agg
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, doc_id, ROUND(score, 4) AS score
+    FROM ranked WHERE rank <= {TOP_K}
+    """
+
+
+@_reg("best_fields_index_search", _best_fields_sql())
+def best_fields_index_q(spark, sf_dir):
+    """ES multi_match type=best_fields — the DEFAULT multi_match — through
+    the REAL engine, ORACLE-CHECKED: per-field BM25 scores folded
+    max + tie_breaker * rest (dis_max over fields), per-field dfs from
+    the namespaced term dictionary, ONE postings decode. Reference
+    queries extended with a tag token so the cross-field max is live.
+    k=None unranked; top-10 after id mapping (oracle tie-break)."""
+    from ..index import IndexReader
+
+    idx = _registry_fields_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    ids = _index_docid_map(spark, idx)
+    out = None
+    for qid, qtext in REFERENCE_QUERIES:
+        hits = reader.search_best_fields_df(
+            qtext + " t3", k=None, tie_breaker=0.3
+        ).withColumn("query_id", F.lit(qid))
+        out = hits if out is None else out.unionByName(hits)
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("documents_doc_id"))
+    return (
+        out.join(ids, "doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "rank",
+            F.col("documents_doc_id").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+    )
+
+
 def _combined_fields_sql() -> str:
     """combined_fields oracle (df_mode='max_field', the Lucene
     CombinedFieldQuery default): combined tf over the text field + the
