@@ -1866,6 +1866,181 @@ class IncrementalIndexReader:
         out = sorted(set(t.column("term").to_pylist()))[:size]
         return [x[len(ns):] for x in out]
 
+    def search_best_fields_df(
+        self,
+        query: str,
+        boosts: dict[str, float] | None = None,
+        k: int | None = 10,
+        min_should_match: int = 1,
+        tie_breaker: float = 0.0,
+        filter_sql: str | None = None,
+    ) -> DataFrame:
+        """ES multi_match type=best_fields on the LIVE tier: per-field
+        BM25 folded max + tie_breaker * rest, with GLOBAL per-field term
+        dfs (summed across segments — the Lucene deleted-docs stats rule)
+        and tombstone-masked docs. Returns (segment, doc_id, score);
+        ranked cuts tie-break newest segment first. Same single-decode
+        plan as the base reader, unioned across segment postings."""
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        if not (0.0 <= tie_breaker <= 1.0):
+            raise ValueError("tie_breaker must be in [0, 1]")
+        fields = self.fields
+        if not fields:
+            raise ValueError(
+                "best_fields needs a fields-indexed corpus "
+                "(IndexBuilder(fields=[...]))"
+            )
+        boosts = boosts or {f: 1.0 for f in fields}
+        unknown = set(boosts) - set(fields)
+        if unknown:
+            raise ValueError(f"unknown fields {sorted(unknown)}; indexed: {fields}")
+        toks = self.readers[self.segments[0]].query_terms(query)
+        empty = self.spark.createDataFrame(
+            [], "segment string, doc_id long, score double"
+        )
+        if not toks:
+            return empty
+        field_ix = {f: i for i, f in enumerate(boosts)}
+        terms, tmeta = [], {}
+        for gi, tok in enumerate(toks):
+            for f, w in boosts.items():
+                t = f + "\x1f" + tok
+                terms.append(t)
+                tmeta[t] = (float(w), field_ix[f], gi)
+        idfs = self._global_idfs(terms)
+        k1, b, avgdl, c = self.k1, self.b, self.avgdl, self.k1 + 1.0
+        t_items = [
+            (t, (w * idfs[t], fi, gi))
+            for t, (w, fi, gi) in tmeta.items()
+            if t in idfs
+        ]
+        if not t_items:
+            return empty
+        scans = None
+        for s in self.segments:
+            p = self.readers[s]._postings_df(terms).withColumn("segment", F.lit(s))
+            scans = p if scans is None else scans.unionByName(p)
+        out_schema = T.StructType(
+            [
+                T.StructField("segment", T.StringType(), False),
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("field_id", T.IntegerType(), False),
+                T.StructField("group_id", T.IntegerType(), False),
+                T.StructField("partial", T.DoubleType(), False),
+            ]
+        )
+
+        def decode_blocks(batches):
+            from .codec import decode_block as _db
+
+            meta = dict(t_items)
+            for pdf in batches:
+                segs, docs_all, fld_all, grp_all, par_all = [], [], [], [], []
+                for seg, term, nrow, first, gaps, tfs, dls in zip(
+                    pdf["segment"], pdf["term"], pdf["n"], pdf["first_doc"],
+                    pdf["doc_gaps"], pdf["tfs"], pdf["dls"],
+                ):
+                    wi, fi, gi = meta[term]
+                    docs, tf, dl = _db(
+                        int(first), int(nrow), bytes(gaps), bytes(tfs), bytes(dls)
+                    )
+                    w = tf / (tf + k1 * (1.0 - b + b * dl / avgdl))
+                    segs.append(np.full(len(docs), seg, dtype=object))
+                    docs_all.append(docs)
+                    fld_all.append(np.full(len(docs), fi, np.int32))
+                    grp_all.append(np.full(len(docs), gi, np.int32))
+                    par_all.append(wi * c * w)
+                if docs_all:
+                    import pandas as pd
+
+                    yield pd.DataFrame(
+                        {
+                            "segment": np.concatenate(segs),
+                            "doc_id": np.concatenate(docs_all),
+                            "field_id": np.concatenate(fld_all),
+                            "group_id": np.concatenate(grp_all),
+                            "partial": np.concatenate(par_all),
+                        }
+                    )
+
+        partials = scans.mapInPandas(decode_blocks, out_schema)
+        tomb = self._tomb_df()
+        if tomb is not None:
+            partials = partials.join(tomb, ["segment", "doc_id"], "left_anti")
+        per_field = partials.groupBy("segment", "doc_id", "field_id").agg(
+            F.sum("partial").alias("fscore"),
+            F.collect_set("group_id").alias("groups"),
+        )
+        agg = per_field.groupBy("segment", "doc_id").agg(
+            F.max("fscore").alias("best"),
+            F.sum("fscore").alias("total"),
+            F.size(F.array_distinct(F.flatten(F.collect_list("groups")))).alias(
+                "nmatch"
+            ),
+        )
+        if min_should_match > 1:
+            agg = agg.filter(F.col("nmatch") >= min_should_match)
+        agg = agg.select(
+            "segment",
+            "doc_id",
+            (
+                F.col("best")
+                + F.lit(float(tie_breaker)) * (F.col("total") - F.col("best"))
+            ).alias("score"),
+        )
+        if filter_sql:
+            agg = agg.join(
+                self._filter_docs(filter_sql), ["segment", "doc_id"], "left_semi"
+            )
+        if k is None:
+            return agg
+        rank_map = self._rank_map()
+        return (
+            agg.orderBy(
+                F.desc("score"),
+                F.desc(rank_map[F.col("segment")]),
+                F.asc("doc_id"),
+            )
+            .limit(k)
+            .select("segment", "doc_id", "score")
+        )
+
+    def multi_match_df(
+        self,
+        query: str,
+        boosts: dict[str, float] | None = None,
+        match_type: str = "best_fields",
+        k: int | None = 10,
+        min_should_match: int = 1,
+        tie_breaker: float = 0.0,
+        filter_sql: str | None = None,
+    ) -> DataFrame:
+        """ES `multi_match` dispatcher on the LIVE tier — same routing
+        contract as IndexReader.multi_match_df."""
+        if match_type == "best_fields":
+            return self.search_best_fields_df(
+                query, boosts, k, min_should_match, tie_breaker, filter_sql
+            )
+        if match_type == "most_fields":
+            terms, weights, groups = self._fields_expansion(query, boosts)
+            return self.search_terms_df(
+                terms, k=k, weights=weights, min_match=min_should_match,
+                groups=groups, filter_sql=filter_sql,
+            )
+        if match_type == "combined_fields":
+            return self.search_combined_df(
+                query, boosts, k, min_should_match, filter_sql=filter_sql
+            )
+        if match_type == "phrase":
+            return self.search_phrase_df(query, k=k, filter_sql=filter_sql)
+        raise ValueError(
+            f"unknown multi_match type {match_type!r}; implemented: "
+            "best_fields, most_fields, combined_fields, phrase "
+            "(cross_fields -> use combined_fields)"
+        )
+
     def _global_term_dfs(self, terms: list[str]) -> dict[str, int]:
         """Raw global df per term, summed across segments (masked docs
         still counted — the Lucene deleted-docs stats rule). Same pruned

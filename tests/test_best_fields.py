@@ -132,3 +132,55 @@ def test_dispatcher(spark, idx):
         r.multi_match_df("x", match_type="cross_fields")
     with pytest.raises(ValueError):
         r.search_best_fields_df("x", tie_breaker=1.5)
+
+
+# ---------------- live tier ----------------
+
+
+def test_live_best_fields(spark, tmp_path):
+    from elasticsearch_jdbc_spark.index import (
+        IncrementalIndexReader,
+        apply_incremental,
+    )
+
+    d = str(tmp_path / "live")
+    IndexBuilder(spark, d, partitions=2, fields=["title", "body"]).build(
+        spark.createDataFrame(DOCS[:3], SCHEMA), resume=False
+    )
+    adds = spark.createDataFrame(
+        [(*row, "create") for row in DOCS[3:]], SCHEMA + ", _optype string"
+    )
+    apply_incremental(spark, d, adds)
+    inc = IncrementalIndexReader(spark, d)
+    cdir = str(tmp_path / "compact")
+    inc.compact_to(cdir)
+    base = IndexReader(spark, cdir)
+    m = {
+        (x["segment"], x["doc_id"]): x["path"]
+        for x in inc.live_docs().select("segment", "doc_id", "path").collect()
+    }
+    got = {
+        m[(x["segment"], x["doc_id"])]: x["score"]
+        for x in inc.search_best_fields_df("quick merge", k=None, tie_breaker=0.3).collect()
+    }
+    want = _by_path(
+        spark, cdir,
+        base.search_best_fields_df("quick merge", k=None, tie_breaker=0.3).collect(),
+    )
+    assert set(got) == set(want)
+    for p in want:
+        assert got[p] == pytest.approx(want[p], rel=1e-9)
+    # live dispatcher parity
+    md = {
+        m[(x["segment"], x["doc_id"])]: x["score"]
+        for x in inc.multi_match_df("quick merge", tie_breaker=0.3, k=None).collect()
+    }
+    assert md == got
+    # most_fields routing on the live tier equals the base most_fields
+    lf = {
+        m[(x["segment"], x["doc_id"])]: x["score"]
+        for x in inc.multi_match_df("quick merge", match_type="most_fields", k=None).collect()
+    }
+    bf = _by_path(spark, cdir, base.search_fields_df("quick merge", k=None).collect())
+    for p in bf:
+        assert lf[p] == pytest.approx(bf[p], rel=1e-9)
