@@ -2041,6 +2041,35 @@ class IncrementalIndexReader:
             "(cross_fields -> use combined_fields)"
         )
 
+    def ids_df(self, ids: list, id_field: str = "path") -> DataFrame:
+        """ES `ids` query on the LIVE tier: matches the NEWEST live
+        version of each id; deleted docs never match. Non-scoring."""
+        if not ids:
+            raise ValueError("ids query needs at least one id")
+        docs = self.live_docs()
+        if id_field not in docs.columns:
+            raise ValueError(
+                f"unknown docs column {id_field!r}; live docs have {docs.columns}"
+            )
+        return docs.filter(F.col(id_field).isin(list(ids))).select(
+            "segment", "doc_id", F.lit(0.0).alias("score")
+        )
+
+    def parent_id_df(
+        self, parent: str, parent_field: str = "parent"
+    ) -> DataFrame:
+        """ES `parent_id` query on the LIVE tier: live children of one
+        parent id (tombstone-masked, newest version)."""
+        docs = self.live_docs()
+        if parent_field not in docs.columns:
+            raise ValueError(
+                f"unknown docs column {parent_field!r}; live docs have "
+                f"{docs.columns}"
+            )
+        return docs.filter(F.col(parent_field) == parent).select(
+            "segment", "doc_id", F.lit(0.0).alias("score")
+        )
+
     def _global_term_dfs(self, terms: list[str]) -> dict[str, int]:
         """Raw global df per term, summed across segments (masked docs
         still counted — the Lucene deleted-docs stats rule). Same pruned

@@ -4313,6 +4313,38 @@ class IndexReader:
             "(cross_fields -> use combined_fields)"
         )
 
+    def ids_df(self, ids: list, id_field: str = "path") -> DataFrame:
+        """ES `ids` query: docs whose `id_field` value is in the list —
+        non-scoring filter context (score 0.0 like ES in filter context).
+        One pruned docs scan (the IN filter pushes to parquet); compose
+        with hits_df or use as a semi-join restriction."""
+        if not ids:
+            raise ValueError("ids query needs at least one id")
+        docs = self.spark.read.parquet(os.path.join(self.index_dir, "docs"))
+        if id_field not in docs.columns:
+            raise ValueError(
+                f"unknown docs column {id_field!r}; docs table has {docs.columns}"
+            )
+        return docs.filter(F.col(id_field).isin(list(ids))).select(
+            "doc_id", F.lit(0.0).alias("score")
+        )
+
+    def parent_id_df(
+        self, parent: str, parent_field: str = "parent"
+    ) -> DataFrame:
+        """ES `parent_id` query: the children of ONE parent id — the
+        point-lookup special case of has_child (ParentIdQueryBuilder).
+        One pruned docs scan, non-scoring."""
+        docs = self.spark.read.parquet(os.path.join(self.index_dir, "docs"))
+        if parent_field not in docs.columns:
+            raise ValueError(
+                f"unknown docs column {parent_field!r}; docs table has "
+                f"{docs.columns}"
+            )
+        return docs.filter(F.col(parent_field) == parent).select(
+            "doc_id", F.lit(0.0).alias("score")
+        )
+
     # ES PinnedQueryBuilder promotes with MAX_ORGANIC_SCORE (1.7014124e38)
     # minus the pin rank. That literal base cannot express per-rank steps
     # in float64 (ulp ~2e22 absorbs the subtraction), so we keep the same

@@ -252,3 +252,36 @@ def test_live_has_child_and_parent(spark, live):
     hp = r.has_parent_df("corpus", "parent", "path").collect()
     # corpus matches p0 only now (p1 deleted); children of p0: k0 (k1 deleted)
     assert _live_paths(r, hp) == ["k0"]
+
+
+# ---------------- ids / parent_id (the point-lookup variants) ----------------
+
+
+def test_ids_query(spark, idx):
+    r = IndexReader(spark, idx)
+    out = r.ids_df(["p0", "k3", "missing"]).collect()
+    assert _paths(spark, idx, out) == ["k3", "p0"]
+    assert {x["score"] for x in out} == {0.0}
+    with pytest.raises(ValueError):
+        r.ids_df([])
+    with pytest.raises(ValueError):
+        r.ids_df(["p0"], id_field="nope")
+
+
+def test_parent_id_query(spark, idx):
+    r = IndexReader(spark, idx)
+    out = r.parent_id_df("p1")
+    assert _paths(spark, idx, out.collect()) == ["k2", "k3"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(parent), EqualTo(parent,p1)]" in plan
+
+
+def test_live_ids_and_parent_id(spark, live):
+    ops = spark.createDataFrame(
+        [("r", "k1", "c", "t", "", [], 0, None, "delete")],
+        SCHEMA + ", _optype string",
+    )
+    apply_incremental(spark, live, ops)
+    r = IncrementalIndexReader(spark, live)
+    assert _live_paths(r, r.ids_df(["k1", "k2"]).collect()) == ["k2"]
+    assert _live_paths(r, r.parent_id_df("p0").collect()) == ["k0"]
