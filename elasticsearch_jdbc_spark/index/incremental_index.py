@@ -1873,6 +1873,7 @@ class IncrementalIndexReader:
         k: int | None = 10,
         min_should_match: int = 1,
         tie_breaker: float = 0.0,
+        search_after: tuple[float, str, int] | None = None,
         filter_sql: str | None = None,
     ) -> DataFrame:
         """ES multi_match type=best_fields on the LIVE tier: per-field
@@ -1994,9 +1995,11 @@ class IncrementalIndexReader:
             agg = agg.join(
                 self._filter_docs(filter_sql), ["segment", "doc_id"], "left_semi"
             )
+        rank_map = self._rank_map()
+        if search_after is not None:
+            agg = self._apply_cursor(agg, search_after, rank_map)
         if k is None:
             return agg
-        rank_map = self._rank_map()
         return (
             agg.orderBy(
                 F.desc("score"),

@@ -4158,6 +4158,7 @@ class IndexReader:
         k: int | None = 10,
         min_should_match: int = 1,
         tie_breaker: float = 0.0,
+        search_after: tuple[float, int] | None = None,
         filter_sql: str | None = None,
     ) -> DataFrame:
         """ES multi_match type=best_fields (the DEFAULT multi_match): per
@@ -4267,6 +4268,13 @@ class IndexReader:
         )
         if filter_sql:
             agg = agg.join(self._filter_doc_ids(filter_sql), "doc_id", "left_semi")
+        if search_after is not None:
+            s0, d0 = float(search_after[0]), int(search_after[1])
+            eps = 1e-9 * max(1.0, abs(s0))
+            agg = agg.filter(
+                (F.col("score") < s0 - eps)
+                | ((F.col("score") <= s0 + eps) & (F.col("doc_id") > d0))
+            )
         if k is None:
             return agg
         return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -184,3 +184,20 @@ def test_live_best_fields(spark, tmp_path):
     bf = _by_path(spark, cdir, base.search_fields_df("quick merge", k=None).collect())
     for p in bf:
         assert lf[p] == pytest.approx(bf[p], rel=1e-9)
+
+
+def test_best_fields_pagination(spark, idx):
+    r = IndexReader(spark, idx)
+    full = r.search_best_fields_df("quick merge key", k=10, tie_breaker=0.3).collect()
+    pages, cursor = [], None
+    while True:
+        page = r.search_best_fields_df(
+            "quick merge key", k=2, tie_breaker=0.3, search_after=cursor
+        ).collect()
+        if not page:
+            break
+        pages.extend(page)
+        cursor = (page[-1]["score"], page[-1]["doc_id"])
+    assert [(x["doc_id"], round(x["score"], 9)) for x in pages] == [
+        (x["doc_id"], round(x["score"], 9)) for x in full
+    ]
