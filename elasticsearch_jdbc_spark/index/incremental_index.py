@@ -2073,6 +2073,32 @@ class IncrementalIndexReader:
             "segment", "doc_id", F.lit(0.0).alias("score")
         )
 
+    def disk_usage(self) -> dict:
+        """ES `_disk_usage` analogue: per-component byte accounting
+        (docs / postings / terms / positions / tombstones) for every
+        live segment plus totals — a storage-abstraction tree walk, no
+        Spark job. The numbers ops teams size merges and retention by."""
+        from .alias import _tree_size
+
+        comps = ("docs", "postings", "terms", "positions", "tokenized")
+        out: dict = {"segments": {}, "total_bytes": 0}
+        for s in self.segments:
+            base = os.path.join(self.index_dir, s) if s else self.index_dir
+            row = {}
+            for cmp in comps:
+                p = os.path.join(base, cmp)
+                if self.fs.isdir(p):
+                    row[cmp] = _tree_size(self.fs, p)
+            row["total"] = sum(row.values())
+            out["segments"][s or "<base>"] = row
+            out["total_bytes"] += row["total"]
+        tomb = os.path.join(self.index_dir, "tombstones")
+        out["tombstones_bytes"] = (
+            _tree_size(self.fs, tomb) if self.fs.isdir(tomb) else 0
+        )
+        out["total_bytes"] += out["tombstones_bytes"]
+        return out
+
     def _global_term_dfs(self, terms: list[str]) -> dict[str, int]:
         """Raw global df per term, summed across segments (masked docs
         still counted — the Lucene deleted-docs stats rule). Same pruned

@@ -318,3 +318,20 @@ def test_facet_extended_metrics_match_brute(spark, adds_idx):
     # malformed percentile op still fails loudly
     with pytest.raises(ValueError, match="metric op"):
         inc.facet_df(Q, by="lang", metrics={"x": ("p200", "dl")})
+
+
+def test_disk_usage(spark, adds_idx):
+    inc, _, _ = adds_idx
+    du = inc.disk_usage()
+    assert set(du["segments"]) == {"<base>"} | {
+        s for s in inc.segments if s
+    }
+    for seg, row in du["segments"].items():
+        assert row["docs"] > 0 and row["postings"] > 0 and row["terms"] > 0
+        assert row["total"] == sum(v for k, v in row.items() if k != "total")
+    assert du["total_bytes"] == (
+        sum(r["total"] for r in du["segments"].values())
+        + du["tombstones_bytes"]
+    )
+    # adds-only fixture still writes an (empty) tombstone batch file
+    assert du["tombstones_bytes"] >= 0
