@@ -86,14 +86,87 @@ def pipeline_aggs(
                 F.col(spec[1]).cast("double")
                 - F.lag(F.col(spec[1]).cast("double"), lag).over(w),
             )
+        elif kind == "moving_percentile":
+            n, pct = int(spec[2]), float(spec[3])
+            if n < 1:
+                raise ValueError(f"moving_percentile window must be >= 1, got {n}")
+            if not (0.0 <= pct <= 100.0):
+                raise ValueError("percent must be in [0, 100]")
+            out = out.withColumn(
+                name,
+                F.expr(
+                    f"percentile(cast({spec[1]} as double), {pct / 100.0})"
+                ).over(w.rowsBetween(-(n - 1), 0)),
+            )
+        elif kind == "rate":
+            # ES `rate` inside a date_histogram: the bucket metric
+            # re-expressed per `unit` — factor = unit_seconds /
+            # bucket_interval_seconds, computed by the caller
+            out = out.withColumn(
+                name, F.col(spec[1]).cast("double") * F.lit(float(spec[2]))
+            )
         elif kind == "bucket_script":
             out = out.withColumn(name, F.expr(spec[1]))
         else:
             raise ValueError(
                 f"unknown pipeline agg {kind!r} (supported: derivative, "
-                "cumulative_sum, moving_avg, serial_diff, bucket_script)"
+                "cumulative_sum, moving_avg, serial_diff, moving_percentile, "
+                "rate, bucket_script)"
             )
     return out
+
+
+_NORM_METHODS = (
+    "rescale_0_1", "rescale_0_100", "percent_of_sum", "mean", "z-score",
+    "softmax",
+)
+
+
+def normalize(
+    buckets: DataFrame,
+    col: str,
+    method: str = "percent_of_sum",
+    partition_cols: list[str] | None = None,
+    out: str = "normalized",
+) -> DataFrame:
+    """ES `normalize` pipeline aggregation: rescale a bucket metric
+    within its bucket list (per partition_cols group when the pipeline
+    nests inside a parent terms agg). Methods per
+    NormalizePipelineAggregationBuilder:
+      rescale_0_1 / rescale_0_100  (x-min)/(max-min) [*100]
+      percent_of_sum               x / sum
+      mean                         (x-mean)/(max-min)
+      z-score                      (x-mean)/stddev_pop
+      softmax                      exp(x)/sum(exp(x))
+    Bucket relations are aggregation output (small by construction), so
+    the whole-partition window frames never see raw rows; degenerate
+    windows (max==min, stddev 0, sum 0) yield NULL like ES skips."""
+    if method not in _NORM_METHODS:
+        raise ValueError(f"unknown method {method!r}; one of {_NORM_METHODS}")
+    parts = [F.col(c) for c in (partition_cols or [])]
+    w = (
+        Window.partitionBy(*parts)
+        .orderBy(F.lit(1))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    x = F.col(col).cast("double")
+    mn, mx = F.min(x).over(w), F.max(x).over(w)
+    mean, sd = F.avg(x).over(w), F.stddev_pop(x).over(w)
+    total = F.sum(x).over(w)
+    if method == "rescale_0_1":
+        expr = F.when(mx != mn, (x - mn) / (mx - mn))
+    elif method == "rescale_0_100":
+        expr = F.when(mx != mn, 100.0 * (x - mn) / (mx - mn))
+    elif method == "percent_of_sum":
+        expr = F.when(total != 0, x / total)
+    elif method == "mean":
+        expr = F.when(mx != mn, (x - mean) / (mx - mn))
+    elif method == "z-score":
+        expr = F.when(sd != 0, (x - mean) / sd)
+    else:  # softmax
+        sexp = F.sum(F.exp(x)).over(w)
+        expr = F.exp(x) / sexp
+    return buckets.withColumn(out, expr)
 
 
 def adjacency_matrix(

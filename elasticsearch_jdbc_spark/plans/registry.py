@@ -6089,6 +6089,52 @@ def dedup_lines_q(spark, sf_dir):
     return d.select("doc_id", *dedup_lines_cols("text"))
 
 
+@_reg(
+    "normalize_rate_agg",
+    """
+    WITH b AS (
+      SELECT date_trunc('day', ts) AS day, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day, n,
+           ROUND(quantile_cont(n * 1.0, 0.5) OVER (
+             ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS p50,
+           ROUND(n / 24.0, 6) AS per_hour,
+           ROUND(n * 1.0 / SUM(n) OVER (), 6) AS pct
+    FROM b ORDER BY day
+    """,
+)
+def normalize_rate_q(spark, sf_dir):
+    """ES normalize / rate / moving_percentiles pipeline aggregations,
+    ORACLE-CHECKED in one bucket relation: a daily date-histogram of
+    events carrying (a) the trailing-3 exact median (moving_percentiles;
+    ES TDigest approximates — exact is the checkable contract), (b) the
+    count re-expressed per hour (rate with unit/interval = 1/24), and
+    (c) percent_of_sum normalization. All window math over the (tiny)
+    bucket list — raw rows never enter a window frame."""
+    from ..index.aggs import normalize, pipeline_aggs
+
+    b = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    out = pipeline_aggs(
+        b, "day",
+        {
+            "p50": ("moving_percentile", "n", 3, 50.0),
+            "per_hour": ("rate", "n", 1.0 / 24.0),
+        },
+    )
+    out = normalize(out, "n", "percent_of_sum", out="pct")
+    return out.select(
+        "day", "n",
+        F.round("p50", 6).alias("p50"),
+        F.round("per_hour", 6).alias("per_hour"),
+        F.round("pct", 6).alias("pct"),
+    ).orderBy("day")
+
+
 def _registry_fields_index(spark, sf_dir) -> str:
     """Resume-cached FIELDS index over the documents corpus: two indexed
     fields — the text body and a derived tag-text field (planted doc_id

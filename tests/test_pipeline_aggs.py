@@ -107,3 +107,70 @@ def test_percentile_ranks(spark):
     assert got == {5.0: 50.0, 10.0: 100.0, 0.5: 0.0}
     with pytest.raises(ValueError, match="probe"):
         percentile_ranks(df, "x", [])
+
+
+class TestNormalizeRateMovingPercentiles:
+    def test_normalize_methods(self, spark):
+        import numpy as np
+
+        from elasticsearch_jdbc_spark.index.aggs import normalize
+
+        vals = [10.0, 20.0, 30.0, 40.0]
+        df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "k long, v double")
+        a = np.array(vals)
+        got = {
+            m: [
+                r["normalized"]
+                for r in normalize(df, "v", m).orderBy("k").collect()
+            ]
+            for m in ("rescale_0_1", "rescale_0_100", "percent_of_sum",
+                      "mean", "z-score", "softmax")
+        }
+        import pytest as _pt
+
+        assert got["rescale_0_1"] == _pt.approx(list((a - a.min()) / (a.max() - a.min())))
+        assert got["rescale_0_100"] == _pt.approx(list(100 * (a - a.min()) / (a.max() - a.min())))
+        assert got["percent_of_sum"] == _pt.approx(list(a / a.sum()))
+        assert got["mean"] == _pt.approx(list((a - a.mean()) / (a.max() - a.min())))
+        assert got["z-score"] == _pt.approx(list((a - a.mean()) / a.std()))
+        e = np.exp(a)
+        assert got["softmax"] == _pt.approx(list(e / e.sum()))
+
+    def test_normalize_degenerate_and_partitions(self, spark):
+        from elasticsearch_jdbc_spark.index.aggs import normalize
+
+        df = spark.createDataFrame(
+            [("a", 5.0), ("a", 5.0), ("b", 1.0), ("b", 3.0)], "g string, v double"
+        )
+        out = normalize(df, "v", "rescale_0_1", partition_cols=["g"]).collect()
+        by_g = {}
+        for r in out:
+            by_g.setdefault(r["g"], []).append(r["normalized"])
+        assert by_g["a"] == [None, None]  # max == min -> NULL like ES skip
+        assert sorted(by_g["b"]) == [0.0, 1.0]
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            normalize(df, "v", "sigmoid")
+
+    def test_moving_percentile_and_rate(self, spark):
+        from elasticsearch_jdbc_spark.index.aggs import pipeline_aggs
+
+        rows = [(i, float(v)) for i, v in enumerate([5, 1, 9, 3, 7])]
+        df = spark.createDataFrame(rows, "t long, n double")
+        out = pipeline_aggs(
+            df, "t",
+            {
+                "p50": ("moving_percentile", "n", 3, 50.0),
+                "per_min": ("rate", "n", 60.0 / 3600.0),
+            },
+        ).orderBy("t").collect()
+        # trailing-3 exact medians: [5], [5,1], [5,1,9], [1,9,3], [9,3,7]
+        assert [r["p50"] for r in out] == [5.0, 3.0, 5.0, 3.0, 7.0]
+        assert [r["per_min"] for r in out] == [v / 60.0 for _, v in rows]
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            pipeline_aggs(df, "t", {"x": ("moving_percentile", "n", 0, 50.0)})
+        with _pt.raises(ValueError):
+            pipeline_aggs(df, "t", {"x": ("moving_percentile", "n", 3, 101.0)})
