@@ -1081,3 +1081,34 @@ def geo_centroid(df: DataFrame, lat_col: str, lon_col: str) -> DataFrame:
         F.round(F.avg(lon), 6).alias("lon"),
         F.count("*").cast("long").alias("count"),
     )
+
+
+def cumulative_cardinality(
+    df: DataFrame,
+    bucket_col: str,
+    key_col: str,
+) -> DataFrame:
+    """ES `cumulative_cardinality` pipeline aggregation, EXACT: per
+    bucket, how many DISTINCT key_col values have appeared in any bucket
+    up to and including it (the "total unique users to date" curve; ES
+    accumulates HLL sketches — exact is the checkable contract at oracle
+    scale, and the derivation is sketch-free).
+
+    Plan: each key reduces to its FIRST bucket (one map-side-combinable
+    min), the firsts roll up per bucket (tiny relation), and a running
+    sum over the zero-filled bucket list yields the curve — the raw
+    relation shuffles ONCE on the key, buckets never hold key sets.
+    Returns (bucket_col, new_keys, value) ordered by bucket."""
+    firsts = df.groupBy(key_col).agg(F.min(bucket_col).alias("_fb"))
+    per_b = firsts.groupBy(F.col("_fb").alias(bucket_col)).agg(
+        F.count("*").alias("new_keys")
+    )
+    all_b = df.select(bucket_col).distinct()
+    w = Window.orderBy(bucket_col).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        all_b.join(per_b, bucket_col, "left")
+        .na.fill(0, ["new_keys"])
+        .withColumn("value", F.sum("new_keys").over(w).cast("long"))
+        .withColumn("new_keys", F.col("new_keys").cast("long"))
+        .orderBy(bucket_col)
+    )

@@ -6135,6 +6135,41 @@ def normalize_rate_q(spark, sf_dir):
     ).orderBy("day")
 
 
+@_reg(
+    "cumulative_cardinality_agg",
+    """
+    WITH firsts AS (
+      SELECT user_id, MIN(date_trunc('day', ts)) AS fb FROM events GROUP BY 1
+    ),
+    per_b AS (
+      SELECT fb AS day, CAST(COUNT(*) AS BIGINT) AS new_keys
+      FROM firsts GROUP BY 1
+    ),
+    all_b AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM events)
+    SELECT CAST(all_b.day AS TIMESTAMP) AS day,
+           CAST(COALESCE(per_b.new_keys, 0) AS BIGINT) AS new_keys,
+           CAST(SUM(COALESCE(per_b.new_keys, 0)) OVER (
+             ORDER BY all_b.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS value
+    FROM all_b LEFT JOIN per_b ON all_b.day = per_b.day
+    ORDER BY day
+    """,
+)
+def cumulative_cardinality_q(spark, sf_dir):
+    """ES cumulative_cardinality pipeline aggregation, ORACLE-CHECKED
+    exact: distinct users-to-date per day over events — each key reduces
+    to its first bucket (one shuffle on the key), the firsts roll up per
+    bucket, a running sum over the zero-filled bucket list yields the
+    curve. ES accumulates HLL sketches; exact is the checkable
+    contract."""
+    from ..index.aggs import cumulative_cardinality
+
+    e = _t(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    )
+    return cumulative_cardinality(e, "day", "user_id")
+
+
 def _registry_fields_index(spark, sf_dir) -> str:
     """Resume-cached FIELDS index over the documents corpus: two indexed
     fields — the text body and a derived tag-text field (planted doc_id

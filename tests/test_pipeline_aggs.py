@@ -174,3 +174,21 @@ class TestNormalizeRateMovingPercentiles:
             pipeline_aggs(df, "t", {"x": ("moving_percentile", "n", 0, 50.0)})
         with _pt.raises(ValueError):
             pipeline_aggs(df, "t", {"x": ("moving_percentile", "n", 3, 101.0)})
+
+
+def test_cumulative_cardinality_exact(spark):
+    from elasticsearch_jdbc_spark.index.aggs import cumulative_cardinality
+
+    rows = [
+        (1, "a"), (1, "b"), (2, "a"), (2, "c"), (3, "b"),
+        (4, "d"), (4, "a"), (5, "e"), (5, "e"),
+    ]
+    df = spark.createDataFrame(rows, "b long, u string")
+    out = cumulative_cardinality(df, "b", "u").collect()
+    assert [(r["b"], r["new_keys"], r["value"]) for r in out] == [
+        (1, 2, 2),  # a, b
+        (2, 1, 3),  # +c
+        (3, 0, 3),  # b repeats
+        (4, 1, 4),  # +d
+        (5, 1, 5),  # +e (dup within bucket counts once)
+    ]
