@@ -1112,3 +1112,62 @@ def cumulative_cardinality(
         .withColumn("new_keys", F.col("new_keys").cast("long"))
         .orderBy(bucket_col)
     )
+
+
+def variable_width_histogram(
+    df: DataFrame, col: str, buckets: int = 10
+) -> DataFrame:
+    """ES `variable_width_histogram` aggregation as a DETERMINISTIC
+    two-pass variant: ES clusters values with an order-dependent
+    streaming algorithm ("bucket bounds are approximate" per its docs);
+    here the bucket boundaries are the exact (i/k)-quantiles — same
+    adaptive-width behavior (dense regions get narrow buckets), but
+    reproducible and partitioning-invariant, which is what a pipeline
+    run at 100 TB must be. Response shape matches ES: per bucket
+    (key = value mean, min, max, doc_count), ordered by key.
+
+    Plan: one exact-percentile agg seeds the k-1 boundaries (scalar
+    list), assignment is a codegen'd O(k) fold per row (boundaries
+    inlined as a literal array), and one groupBy(bucket) computes the
+    stats — two passes over the column, no driver-side data."""
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
+    c = F.col(col).cast("double")
+    d = df.filter(c.isNotNull()).select(c.alias("_v"))
+    if buckets == 1:
+        bounds = []
+    else:
+        ps = [i / buckets for i in range(1, buckets)]
+        arr = "array(" + ", ".join(str(p) for p in ps) + ")"
+        row = d.agg(F.expr(f"percentile(_v, {arr})").alias("b")).collect()[0]
+        if row["b"] is None:
+            bounds = []
+        else:
+            # dedupe (heavy ties collapse adjacent quantiles)
+            seen: list[float] = []
+            for v in row["b"]:
+                if not seen or v > seen[-1]:
+                    seen.append(float(v))
+            bounds = seen
+    if bounds:
+        blit = F.array(*[F.lit(b) for b in bounds])
+        bucket = F.aggregate(
+            blit,
+            F.lit(0),
+            lambda acc, b: acc
+            + F.when(F.col("_v") > b, F.lit(1)).otherwise(F.lit(0)),
+        )
+    else:
+        bucket = F.lit(0)
+    return (
+        d.withColumn("_b", bucket)
+        .groupBy("_b")
+        .agg(
+            F.round(F.avg("_v"), 6).alias("key"),
+            F.round(F.min("_v"), 6).alias("min"),
+            F.round(F.max("_v"), 6).alias("max"),
+            F.count("*").cast("long").alias("doc_count"),
+        )
+        .drop("_b")
+        .orderBy("key")
+    )

@@ -6170,6 +6170,36 @@ def cumulative_cardinality_q(spark, sf_dir):
     return cumulative_cardinality(e, "day", "user_id")
 
 
+@_reg(
+    "variable_width_histogram_agg",
+    """
+    WITH v AS (SELECT length(text) * 1.0 AS val FROM documents),
+    b AS (
+      SELECT unnest(quantile_cont(val, [0.25, 0.5, 0.75])) AS bound FROM v
+    ),
+    a AS (
+      SELECT val, (SELECT COUNT(*) FROM b WHERE val > bound) AS bk FROM v
+    )
+    SELECT ROUND(AVG(val), 6) AS key, ROUND(MIN(val), 6) AS min,
+           ROUND(MAX(val), 6) AS max, CAST(COUNT(*) AS BIGINT) AS doc_count
+    FROM a GROUP BY bk ORDER BY key
+    """,
+)
+def variable_width_histogram_q(spark, sf_dir):
+    """ES variable_width_histogram, ORACLE-CHECKED as the deterministic
+    percentile-seeded two-pass variant (ES's streaming clusterer is
+    order-dependent and documented approximate — a 100 TB pipeline needs
+    the partitioning-invariant one): exact-quantile boundaries, codegen'd
+    O(k) assignment fold, one stats groupBy; same adaptive-width
+    behavior, ES response shape (key/min/max/doc_count)."""
+    from ..index.aggs import variable_width_histogram
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.length("text").cast("double").alias("v")
+    )
+    return variable_width_histogram(d, "v", buckets=4)
+
+
 def _registry_fields_index(spark, sf_dir) -> str:
     """Resume-cached FIELDS index over the documents corpus: two indexed
     fields — the text body and a derived tag-text field (planted doc_id

@@ -192,3 +192,42 @@ def test_cumulative_cardinality_exact(spark):
         (4, 1, 4),  # +d
         (5, 1, 5),  # +e (dup within bucket counts once)
     ]
+
+
+def test_variable_width_histogram(spark):
+    import numpy as np
+
+    from elasticsearch_jdbc_spark.index.aggs import variable_width_histogram
+
+    vals = [1.0, 2.0, 3.0, 4.0, 10.0, 11.0, 12.0, 100.0]
+    df = spark.createDataFrame([(v,) for v in vals] + [(None,)], "v double")
+    out = variable_width_histogram(df, "v", buckets=3).collect()
+    a = np.array(vals)
+    b1, b2 = np.percentile(a, 100 / 3), np.percentile(a, 200 / 3)
+    expect = {}
+    for v in vals:
+        k = int(v > b1) + int(v > b2)
+        expect.setdefault(k, []).append(v)
+    assert len(out) == len(expect)
+    for row, k in zip(out, sorted(expect)):
+        grp = expect[k]
+        assert row["doc_count"] == len(grp)
+        assert row["min"] == min(grp) and row["max"] == max(grp)
+        assert row["key"] == round(sum(grp) / len(grp), 6)
+    # adaptive width: the dense low region gets narrower buckets than
+    # the sparse tail
+    assert out[0]["max"] - out[0]["min"] < out[-1]["max"] - out[-1]["min"]
+
+
+def test_variable_width_histogram_ties_and_one_bucket(spark):
+    from elasticsearch_jdbc_spark.index.aggs import variable_width_histogram
+
+    ties = spark.createDataFrame([(5.0,)] * 10, "v double")
+    out = variable_width_histogram(ties, "v", buckets=4).collect()
+    assert len(out) == 1 and out[0]["doc_count"] == 10  # quantiles collapse
+    one = variable_width_histogram(ties, "v", buckets=1).collect()
+    assert len(one) == 1
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        variable_width_histogram(ties, "v", buckets=0)
