@@ -1171,3 +1171,76 @@ def variable_width_histogram(
         .drop("_b")
         .orderBy("key")
     )
+
+
+def geo_line(
+    df: DataFrame,
+    group_cols: list[str],
+    lat_col: str,
+    lon_col: str,
+    sort_col: str,
+    size: int = 10000,
+) -> DataFrame:
+    """ES `geo_line` aggregation: per group, the points stitched into an
+    ordered track (ES emits a GeoJSON LineString; here the line comes
+    back EXPLODED as (group..., seq, lon, lat) rows — trivially
+    re-assemblable, joinable, and value-checkable — with `geojson(df)`
+    below producing the ES shape). Points order by `sort_col` and
+    truncate at `size` (the ES cap, default 10k — ES keeps the FIRST
+    `size` by sort order).
+
+    Plan: one map-side-combinable collect_list per group, sorted and
+    sliced INSIDE the aggregation row (arrays bounded by `size`), then
+    posexplode — one shuffle on the group key, no window over raw rows."""
+    if size < 1:
+        raise ValueError("size must be >= 1")
+    lat, lon = F.col(lat_col).cast("double"), F.col(lon_col).cast("double")
+    pts = F.slice(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(sort_col).alias("s"),
+                    lon.alias("lon"),
+                    lat.alias("lat"),
+                )
+            )
+        ),
+        1,
+        int(size),
+    )
+    agg = (
+        df.filter(lat.isNotNull() & lon.isNotNull() & F.col(sort_col).isNotNull())
+        .groupBy(*group_cols)
+        .agg(pts.alias("_pts"))
+    )
+    return agg.select(
+        *group_cols,
+        F.posexplode("_pts").alias("seq", "_p"),
+    ).select(
+        *group_cols,
+        F.col("seq").cast("long").alias("seq"),
+        F.round(F.col("_p.lon"), 6).alias("lon"),
+        F.round(F.col("_p.lat"), 6).alias("lat"),
+    )
+
+
+def geo_line_geojson(line_df: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Fold geo_line's exploded rows back into the ES GeoJSON LineString
+    response: (group..., geometry) with geometry = the JSON string."""
+    pts = F.array_sort(
+        F.collect_list(F.struct(F.col("seq"), F.col("lon"), F.col("lat")))
+    )
+    coords = F.transform(pts, lambda p: F.array(p["lon"], p["lat"]))
+    return (
+        line_df.groupBy(*group_cols)
+        .agg(coords.alias("_c"))
+        .select(
+            *group_cols,
+            F.to_json(
+                F.struct(
+                    F.lit("LineString").alias("type"),
+                    F.col("_c").alias("coordinates"),
+                )
+            ).alias("geometry"),
+        )
+    )

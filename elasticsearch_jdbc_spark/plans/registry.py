@@ -6200,6 +6200,38 @@ def variable_width_histogram_q(spark, sf_dir):
     return variable_width_histogram(d, "v", buckets=4)
 
 
+@_reg(
+    "geo_line_agg",
+    f"""
+    WITH pts AS (
+      SELECT event_type AS g, event_id,
+             ROUND({_GEO_EV[1]} * 1.0, 6) AS lon,
+             ROUND({_GEO_EV[0]} * 1.0, 6) AS lat,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
+      FROM events
+    )
+    SELECT g, CAST(rn - 1 AS BIGINT) AS seq, lon, lat
+    FROM pts WHERE rn <= 50
+    """,
+)
+def geo_line_q(spark, sf_dir):
+    """ES geo_line aggregation, ORACLE-CHECKED: per event_type, the
+    planted coordinates stitched into an ordered track (sorted by
+    event_id, capped at 50 — the ES size rule keeps the FIRST points in
+    sort order), returned EXPLODED as (group, seq, lon, lat) so values
+    hash-compare; geo_line_geojson folds the same rows into the ES
+    LineString response (pytest)."""
+    from ..index.aggs import geo_line
+
+    e = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        "event_id",
+        F.expr(_GEO_EV[0]).alias("lat"),
+        F.expr(_GEO_EV[1]).alias("lon"),
+    )
+    return geo_line(e, ["g"], "lat", "lon", "event_id", size=50)
+
+
 def _registry_fields_index(spark, sf_dir) -> str:
     """Resume-cached FIELDS index over the documents corpus: two indexed
     fields — the text body and a derived tag-text field (planted doc_id

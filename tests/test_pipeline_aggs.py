@@ -231,3 +231,40 @@ def test_variable_width_histogram_ties_and_one_bucket(spark):
 
     with _pt.raises(ValueError):
         variable_width_histogram(ties, "v", buckets=0)
+
+
+def test_geo_line(spark):
+    import json
+
+    from elasticsearch_jdbc_spark.index.aggs import geo_line, geo_line_geojson
+
+    rows = [
+        ("a", 3, 10.0, 1.0), ("a", 1, 11.0, 2.0), ("a", 2, 12.0, 3.0),
+        ("b", 1, 20.0, 5.0), ("b", 2, None, 6.0),  # NULL lon dropped
+    ]
+    df = spark.createDataFrame(rows, "g string, t long, lon double, lat double")
+    out = geo_line(df, ["g"], "lat", "lon", "t").collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["g"], []).append((r["seq"], r["lon"], r["lat"]))
+    assert got["a"] == [(0, 11.0, 2.0), (1, 12.0, 3.0), (2, 10.0, 1.0)]
+    assert got["b"] == [(0, 20.0, 5.0)]
+    # size cap keeps the FIRST points in sort order
+    capped = geo_line(df, ["g"], "lat", "lon", "t", size=2).collect()
+    a = [(r["seq"], r["lon"]) for r in capped if r["g"] == "a"]
+    assert a == [(0, 11.0), (1, 12.0)]
+    # GeoJSON reassembly
+    gj = {
+        r["g"]: json.loads(r["geometry"])
+        for r in geo_line_geojson(
+            geo_line(df, ["g"], "lat", "lon", "t"), ["g"]
+        ).collect()
+    }
+    assert gj["a"] == {
+        "type": "LineString",
+        "coordinates": [[11.0, 2.0], [12.0, 3.0], [10.0, 1.0]],
+    }
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        geo_line(df, ["g"], "lat", "lon", "t", size=0)
