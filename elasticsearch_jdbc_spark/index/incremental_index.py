@@ -2771,6 +2771,70 @@ class IncrementalIndexReader:
             .select("segment", "doc_id", "score")
         )
 
+    def search_span_df(
+        self,
+        span: dict,
+        k: int | None = 10,
+        field: str | None = None,
+        search_after: tuple[float, str, int] | None = None,
+        filter_sql: str | None = None,
+    ) -> DataFrame:
+        """ES span query family over the LIVE index — the
+        IndexReader.search_span_df twin: each segment runs the positional
+        span kernel with GLOBAL stats injected (per-term idf across
+        segments, tombstone-corrected avgdl), segment hits union,
+        tombstones anti-join, newest-segment-wins tie-break.
+        Rank-identical to compact-then-query."""
+        from .spans import span_leaf_texts, validate_span
+
+        r0 = self.readers[self.segments[0]]
+        if not r0.manifest.get("with_positions"):
+            raise ValueError(
+                "index was built without positions; rebuild with "
+                "IndexBuilder(with_positions=True) for span queries"
+            )
+        validate_span(span)
+        spec = r0._analyze_span(span, field)
+        leafs = list(dict.fromkeys(span_leaf_texts(spec)))
+        empty = self.spark.createDataFrame(
+            [], "segment string, doc_id long, score double"
+        )
+        if not leafs:
+            return empty
+        idfs = self._global_idfs(leafs)
+        if not any(t in idfs for t in leafs):
+            return empty
+        masked = self._tomb_counts_by_segment()
+        no_seg_cut = k is None or search_after is not None or bool(filter_sql)
+        out = None
+        for s in self.segments:
+            seg_hits = self.readers[s].search_span_df(
+                span, k=None if no_seg_cut else k + masked.get(s, 0),
+                field=field, _stats_override=(idfs, self.avgdl),
+            ).withColumn("segment", F.lit(s))
+            out = seg_hits if out is None else out.unionByName(seg_hits)
+        tomb = self._tomb_df()
+        if tomb is not None:
+            out = out.join(tomb, ["segment", "doc_id"], "left_anti")
+        if filter_sql:
+            out = out.join(
+                self._filter_docs(filter_sql), ["segment", "doc_id"], "left_semi"
+            )
+        rank_map = self._rank_map()
+        if search_after is not None:
+            out = self._apply_cursor(out, search_after, rank_map)
+        if k is None:
+            return out.select("segment", "doc_id", "score")
+        return (
+            out.orderBy(
+                F.desc("score"),
+                F.desc(rank_map[F.col("segment")]),
+                F.asc("doc_id"),
+            )
+            .limit(k)
+            .select("segment", "doc_id", "score")
+        )
+
     def count(
         self,
         query: str,

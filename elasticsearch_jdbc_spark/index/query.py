@@ -3247,6 +3247,136 @@ class IndexReader:
             return scored
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def _analyze_span(self, spec: dict, field: str | None) -> dict:
+        """Desugar a user span spec: every span_term text runs through the
+        analyzer (+ field namespacing); a multi-token text desugars to an
+        ordered slop-0 span_near of its tokens."""
+        kind, body = next(iter(spec.items()))
+        if kind == "span_term":
+            toks = self._phrase_terms(body, field)
+            if not toks:
+                raise ValueError(f"span_term {body!r} analyzed to no tokens")
+            if len(toks) == 1:
+                return {"span_term": toks[0]}
+            return {
+                "span_near": {
+                    "clauses": [{"span_term": t} for t in toks],
+                    "slop": 0,
+                    "in_order": True,
+                }
+            }
+        if kind == "span_first":
+            return {
+                "span_first": {
+                    "match": self._analyze_span(body["match"], field),
+                    "end": int(body["end"]),
+                }
+            }
+        if kind == "span_not":
+            return {
+                "span_not": {
+                    "include": self._analyze_span(body["include"], field),
+                    "exclude": self._analyze_span(body["exclude"], field),
+                    "pre": int(body.get("pre", 0)),
+                    "post": int(body.get("post", 0)),
+                }
+            }
+        out = dict(body)
+        out["clauses"] = [self._analyze_span(c, field) for c in body["clauses"]]
+        return {kind: out}
+
+    def search_span_df(
+        self,
+        span: dict,
+        k: int | None = 10,
+        field: str | None = None,
+        search_after: tuple[float, int] | None = None,
+        filter_sql: str | None = None,
+        _stats_override: tuple[dict, float] | None = None,
+    ) -> DataFrame:
+        """ES span query family (span_term / span_near / span_first /
+        span_or / span_not — the pre-`intervals` proximity algebra the
+        reference's ES targets serve; README.md query examples hit the
+        same search API). `span` is a spec dict (see index/spans.py for
+        the grammar and the exact slop semantics); span_term texts are
+        analyzed, multi-token texts desugar to ordered slop-0 nears.
+
+        Contract mirrors search_intervals_df: the span algebra GATES
+        (a doc qualifies iff the spec yields >= 1 span) and BM25 ranks —
+        the qualifying doc scores as the disjunctive BM25 sum of the
+        spec's scoring leaf terms present in the doc (span_not exclude
+        leafs gate only, they never add score).
+
+        Same executor-side shape as the phrase kernel: postings of every
+        leaf term decode positions block-vectorized, doc-grouped span
+        evaluation runs once per Arrow batch, nothing collects.
+
+        _stats_override = ({term: idf}, avgdl): the incremental reader's
+        per-segment hook — fan-out scored with GLOBAL stats."""
+        from .spans import eval_span, span_leaf_texts, span_scoring_texts, validate_span
+
+        if not self.manifest.get("with_positions"):
+            raise ValueError("index was built without positions")
+        validate_span(span)
+        spec = self._analyze_span(span, field)
+        leafs = list(dict.fromkeys(span_leaf_texts(spec)))
+        scoring = list(dict.fromkeys(span_scoring_texts(spec)))
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        if not leafs:
+            return empty
+        idfs = self._term_idfs(leafs)
+        if _stats_override is not None:
+            idfs = dict(_stats_override[0])
+            avgdl = float(_stats_override[1])
+        else:
+            avgdl = self.avgdl
+        # every positive leaf absent from the index can still be bridged
+        # by span_or; but if NO leaf exists, nothing can match
+        present = [t for t in leafs if t in idfs]
+        if not present:
+            return empty
+        k1, b, c = self.k1, self.b, self.k1 + 1.0
+        spec_b = spec
+        scoring_set = [t for t in scoring if t in idfs]
+
+        def score_doc(doc_id, terms_a, pos_lists, dl0) -> float | None:
+            by_np = {
+                t: np.asarray(p, np.int64) for t, p in zip(terms_a, pos_lists)
+            }
+            starts, _ = eval_span(spec_b, by_np)
+            if len(starts) == 0:
+                return None
+            norm = k1 * (1.0 - b + b * float(dl0) / avgdl)
+            s = 0.0
+            for t in scoring_set:
+                p = by_np.get(t)
+                if p is not None and len(p):
+                    s += idfs[t] * c * (len(p) / (len(p) + norm))
+            return float(s)
+
+        parallelism = max(1, self.spark.sparkContext.defaultParallelism)
+        scored = (
+            self._postings_df(present, columns=(*self._SCORE_COLS, "positions"))
+            .mapInArrow(_decode_position_rows, _POS_DECODE_SCHEMA)
+            .repartition(parallelism, "doc_id")
+            .sortWithinPartitions("doc_id")
+            .mapInPandas(_doc_grouped_scorer(score_doc), _DOC_SCORE_SCHEMA)
+        )
+        if filter_sql:
+            scored = scored.join(
+                self._filter_doc_ids(filter_sql), "doc_id", "left_semi"
+            )
+        if search_after is not None:
+            s0, d0 = float(search_after[0]), int(search_after[1])
+            eps = 1e-9 * max(1.0, abs(s0))
+            scored = scored.filter(
+                (F.col("score") < s0 - eps)
+                | ((F.col("score") <= s0 + eps) & (F.col("doc_id") > d0))
+            )
+        if k is None:
+            return scored
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
     # ---------- prefix queries (ES prefix / scoring_boolean rewrite) ----------
 
     def expand_prefix(self, prefix: str, limit: int = 128) -> list[str]:
