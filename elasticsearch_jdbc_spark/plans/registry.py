@@ -6565,6 +6565,117 @@ def has_parent_index_q(spark, sf_dir):
     )
 
 
+def _span_sql() -> str:
+    """span query oracle: four span shapes over the documents corpus,
+    positions recomputed in SQL, BM25 sum of the scoring leaf terms.
+      qid 0  span_near ordered slop 1  (fast, key): key within the next
+             2 tokens after a fast
+      qid 1  span_near unordered slop 3 (fast, key): |pos diff| <= 4
+      qid 2  span_first (merge, end 15): first merge at 1-based idx <= 15
+      qid 3  span_not (include fast, exclude key, pre=1, post=1): some
+             fast with no key within 1 position
+    Flat leaf-term shapes only — the class where the engine's canonical
+    span algebra coincides with the all-combinations reading (see
+    index/spans.py), so the SQL gate is unambiguous."""
+    return """
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    stats AS (SELECT COUNT(*) AS n, SUM(len(toks)) * 1.0 / COUNT(*) AS avgdl FROM tok),
+    dft AS (
+      SELECT t.term, COUNT(DISTINCT doc_id) AS df
+      FROM tok, UNNEST(list_distinct(toks)) AS t(term)
+      GROUP BY t.term
+    ),
+    idf AS (
+      SELECT term, ln(1.0 + (stats.n - df + 0.5) / (df + 0.5)) AS idf
+      FROM dft, stats
+    ),
+    pos AS (
+      SELECT doc_id, len(toks) AS dl,
+             list_filter(range(1, len(toks)+1), i -> toks[i] = 'fast')  AS p1,
+             list_filter(range(1, len(toks)+1), i -> toks[i] = 'key')   AS p2,
+             list_filter(range(1, len(toks)+1), i -> toks[i] = 'merge') AS p3
+      FROM tok
+    ),
+    gated AS (
+      SELECT doc_id, dl, len(p1) AS tf1, len(p2) AS tf2, len(p3) AS tf3,
+        len(list_filter(p1, a -> len(list_filter(p2, b -> b > a AND b <= a + 2)) > 0)) > 0 AS g0,
+        len(list_filter(p1, a -> len(list_filter(p2, b -> abs(a - b) <= 4)) > 0)) > 0      AS g1,
+        len(p3) > 0 AND p3[1] <= 15                                                        AS g2,
+        len(list_filter(p1, a -> len(list_filter(p2, b -> abs(a - b) <= 1)) = 0)) > 0      AS g3
+      FROM pos
+    ),
+    bm AS (
+      SELECT g.doc_id, g.g0, g.g1, g.g2, g.g3,
+             i1.idf * 2.2 * (g.tf1 / (g.tf1 + 1.2 * (0.25 + 0.75 * g.dl / stats.avgdl))) AS s1,
+             i2.idf * 2.2 * (g.tf2 / (g.tf2 + 1.2 * (0.25 + 0.75 * g.dl / stats.avgdl))) AS s2,
+             i3.idf * 2.2 * (g.tf3 / (g.tf3 + 1.2 * (0.25 + 0.75 * g.dl / stats.avgdl))) AS s3
+      FROM gated g
+      JOIN idf i1 ON i1.term = 'fast'
+      JOIN idf i2 ON i2.term = 'key'
+      JOIN idf i3 ON i3.term = 'merge', stats
+    ),
+    hits AS (
+      SELECT 0 AS query_id, doc_id, s1 + s2 AS score FROM bm WHERE g0
+      UNION ALL
+      SELECT 1, doc_id, s1 + s2 FROM bm WHERE g1
+      UNION ALL
+      SELECT 2, doc_id, s3 FROM bm WHERE g2
+      UNION ALL
+      SELECT 3, doc_id, s1 FROM bm WHERE g3
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+      FROM hits
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, doc_id, ROUND(score, 4) AS score
+    FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+    """
+
+
+@_reg("span_index_search", _span_sql())
+def span_index_q(spark, sf_dir):
+    """ES span query family through the REAL positional engine,
+    ORACLE-CHECKED: four flat span shapes (ordered/unordered span_near,
+    span_first, span_not) run distributed over the positions-carrying
+    registry index; the gate+BM25 scoring contract is recomputed in SQL
+    (positions via list lambdas). Top-10 per shape after the internal-id
+    -> documents.doc_id mapping (oracle tie-break)."""
+    from ..index import IndexReader
+
+    SPECS = [
+        (0, {"span_near": {"clauses": [{"span_term": "fast"}, {"span_term": "key"}], "slop": 1, "in_order": True}}),
+        (1, {"span_near": {"clauses": [{"span_term": "fast"}, {"span_term": "key"}], "slop": 3, "in_order": False}}),
+        (2, {"span_first": {"match": {"span_term": "merge"}, "end": 15}}),
+        (3, {"span_not": {"include": {"span_term": "fast"}, "exclude": {"span_term": "key"}, "pre": 1, "post": 1}}),
+    ]
+    idx = _registry_index(spark, sf_dir, with_positions=True)
+    reader = IndexReader(spark, idx)
+    ids = _index_docid_map(spark, idx)
+    out = None
+    for qid, spec in SPECS:
+        hits = reader.search_span_df(spec, k=None).withColumn(
+            "query_id", F.lit(qid)
+        )
+        out = hits if out is None else out.unionByName(hits)
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("documents_doc_id"))
+    return (
+        out.join(ids, "doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "rank",
+            F.col("documents_doc_id").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+    )
+
+
 _ROWS_ONLY_TAIL = [
     # collapse_index_search is a round-4 late addition (ES `collapse` +
     # inner_hits): a distinct-operator oracle, but the 50-row window is
@@ -6665,6 +6776,7 @@ _PROMOTED = [
     "has_child_index_search",
     "combined_fields_index_search",
     "gopher_rules_filter",
+    "span_index_search",
 ]
 _order = [
     k for k in QUERIES
