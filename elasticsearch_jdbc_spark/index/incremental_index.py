@@ -3002,6 +3002,155 @@ class IncrementalIndexReader:
             F.desc("score"), F.desc(rank_map[F.col("segment")]), F.asc("doc_id")
         ).limit(k)
 
+    def constant_score_df(
+        self,
+        query: str,
+        boost: float = 1.0,
+        k: int | None = 10,
+        min_should_match: int = 1,
+        filter_sql: str | None = None,
+    ) -> DataFrame:
+        """ES constant_score over the LIVE index: every live matching doc
+        scores exactly `boost` — see IndexReader.constant_score_df. The
+        cut orders by (segment recency desc, doc_id) among equal scores."""
+        m = self.match_df(
+            query, min_should_match=min_should_match, filter_sql=filter_sql
+        )
+        out = m.select(
+            "segment", "doc_id", F.lit(float(boost)).cast("double").alias("score")
+        )
+        if k is None:
+            return out
+        rank_map = self._rank_map()
+        return out.orderBy(
+            F.desc(rank_map[F.col("segment")]), F.asc("doc_id")
+        ).limit(k)
+
+    def script_score_df(
+        self,
+        query: str,
+        script: str,
+        k: int | None = 10,
+        min_should_match: int = 1,
+        boosts: dict[str, float] | None = None,
+        filter_sql: str | None = None,
+        min_score: float | None = None,
+    ) -> DataFrame:
+        """ES script_score over the LIVE index: the live match set's BM25
+        relevance surfaces as `_score`, the Spark SQL `script` replaces it
+        using the live docs metadata — see IndexReader.script_score_df."""
+        m = self.match_df(
+            query, min_should_match=min_should_match, boosts=boosts,
+            filter_sql=filter_sql,
+        )
+        out = (
+            m.withColumnRenamed("score", "_score")
+            .join(self.live_docs(), ["segment", "doc_id"])
+            .withColumn("score", F.expr(script).cast("double"))
+            .select("segment", "doc_id", "score")
+        )
+        if min_score is not None:
+            out = out.filter(F.col("score") >= float(min_score))
+        if k is None:
+            return out
+        rank_map = self._rank_map()
+        return out.orderBy(
+            F.desc("score"), F.desc(rank_map[F.col("segment")]), F.asc("doc_id")
+        ).limit(k)
+
+    def rank_feature_df(
+        self,
+        field: str,
+        function: str = "saturation",
+        pivot: float | None = None,
+        scale: float | None = None,
+        exponent: float | None = None,
+        boost: float = 1.0,
+        query: str | None = None,
+        k: int | None = 10,
+        min_should_match: int = 1,
+        filter_sql: str | None = None,
+    ) -> DataFrame:
+        """ES rank_feature over the LIVE index: saturation/log/sigmoid of
+        a live docs metadata column, standalone or added to BM25 — see
+        IndexReader.rank_feature_df. Live semantics: an updated doc's
+        feature value comes from its newest live version only."""
+        from .query import IndexReader
+
+        expr = IndexReader._rank_feature_expr(
+            field, function, pivot, scale, exponent
+        )
+        docs = self.live_docs()
+        if field not in docs.columns:
+            raise ValueError(
+                f"unknown feature column {field!r}; docs table has "
+                f"{[c for c in docs.columns if c not in ('doc_id', 'segment')]}"
+            )
+        feat = docs.select(
+            "segment", "doc_id", (F.lit(float(boost)) * expr).alias("_feat")
+        )
+        if query is None:
+            out = feat
+            if filter_sql:
+                out = out.join(
+                    self._filter_docs(filter_sql),
+                    ["segment", "doc_id"],
+                    "left_semi",
+                )
+            out = out.select("segment", "doc_id", F.col("_feat").alias("score"))
+        else:
+            m = self.match_df(
+                query, min_should_match=min_should_match, filter_sql=filter_sql
+            )
+            out = m.join(feat, ["segment", "doc_id"]).select(
+                "segment",
+                "doc_id",
+                (F.col("score") + F.col("_feat")).alias("score"),
+            )
+        if k is None:
+            return out
+        rank_map = self._rank_map()
+        return out.orderBy(
+            F.desc("score"), F.desc(rank_map[F.col("segment")]), F.asc("doc_id")
+        ).limit(k)
+
+    def match_bool_prefix_df(
+        self,
+        query: str,
+        k: int | None = 10,
+        operator: str = "or",
+        limit: int = 128,
+        boosts: dict[str, float] | None = None,
+        filter_sql: str | None = None,
+    ) -> DataFrame:
+        """ES match_bool_prefix over the LIVE index: cross-segment
+        term-enum expansion of the last token, full tokens as term
+        clauses, ONE live bool query — see
+        IndexReader.match_bool_prefix_df."""
+        if operator not in ("or", "and"):
+            raise ValueError(f"operator must be or|and, got {operator!r}")
+        toks = self.readers[self.segments[0]].query_terms(query)
+        empty = self.spark.createDataFrame(
+            [], "segment string, doc_id long, score double"
+        )
+        if not toks:
+            return empty
+        exp, _, _ = self._prefix_expansion(toks[-1], limit, boosts)
+        clauses: list = list(toks[:-1])
+        if exp:
+            clauses.append(list(exp))
+        elif operator == "and":
+            return empty  # unexpandable prefix can never satisfy 'and'
+        if not clauses:
+            return empty
+        if operator == "and":
+            return self.search_bool_df(
+                must=clauses, k=k, boosts=boosts, filter_sql=filter_sql
+            )
+        return self.search_bool_df(
+            should=clauses, k=k, boosts=boosts, filter_sql=filter_sql
+        )
+
     def dis_max_df(
         self,
         queries: list[str],

@@ -4853,6 +4853,190 @@ class IndexReader:
             return out
         return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def constant_score_df(
+        self,
+        query: str,
+        boost: float = 1.0,
+        k: int | None = 10,
+        min_should_match: int = 1,
+        filter_sql: str | None = None,
+    ) -> DataFrame:
+        """ES constant_score query: every matching doc scores exactly
+        `boost` — the filter-context wrapper that skips relevance
+        (Lucene ConstantScoreQuery; the shape ES rewrites cached filters
+        into). Plan: the UNRANKED match set projects a literal; the cut
+        orders by doc_id (all scores equal) only when k is set."""
+        m = self.match_df(
+            query, min_should_match=min_should_match, filter_sql=filter_sql
+        )
+        out = m.select(
+            "doc_id", F.lit(float(boost)).cast("double").alias("score")
+        )
+        if k is None:
+            return out
+        return out.orderBy(F.asc("doc_id")).limit(k)
+
+    def script_score_df(
+        self,
+        query: str,
+        script: str,
+        k: int | None = 10,
+        min_should_match: int = 1,
+        boosts: dict[str, float] | None = None,
+        filter_sql: str | None = None,
+        min_score: float | None = None,
+    ) -> DataFrame:
+        """ES script_score query: REPLACE the relevance score with an
+        expression over `_score` (the BM25 relevance) and the docs-table
+        metadata columns — function_score's replace-mode sibling (the
+        painless `_score * saturation(doc['votes'],10)` idiom). `script`
+        is a Spark SQL expression returning a double; `min_score` drops
+        rewritten docs below the floor (the ES min_score knob).
+
+        Plan: the UNRANKED match set joins docs metadata (Catalyst prunes
+        the scan to referenced columns), the expression computes JVM-side,
+        ONE ordered cut ranks."""
+        docs = self.spark.read.parquet(os.path.join(self.index_dir, "docs"))
+        m = self.match_df(
+            query, min_should_match=min_should_match, boosts=boosts,
+            filter_sql=filter_sql,
+        )
+        out = (
+            m.withColumnRenamed("score", "_score")
+            .join(docs, "doc_id")
+            .withColumn("score", F.expr(script).cast("double"))
+            .select("doc_id", "score")
+        )
+        if min_score is not None:
+            out = out.filter(F.col("score") >= float(min_score))
+        if k is None:
+            return out
+        return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    @staticmethod
+    def _rank_feature_expr(
+        field: str,
+        function: str,
+        pivot: float | None,
+        scale: float | None,
+        exponent: float | None,
+    ):
+        """The three ES rank_feature functions as Catalyst expressions
+        over a non-negative numeric column (rank-feature-query.html):
+        saturation x/(x+pivot), log ln(scale*x+1), sigmoid
+        x^exp/(x^exp+pivot^exp). Pivot/scale are REQUIRED (ES's implicit
+        saturation pivot is an index-time field statistic; an explicit
+        pivot keeps the scoring reproducible anywhere)."""
+        x = F.col(field).cast("double")
+        if function == "saturation":
+            if pivot is None or pivot <= 0:
+                raise ValueError("saturation needs pivot > 0")
+            return x / (x + F.lit(float(pivot)))
+        if function == "log":
+            if scale is None or scale <= 0:
+                raise ValueError("log needs scale > 0")
+            return F.log(F.lit(float(scale)) * x + F.lit(1.0))
+        if function == "sigmoid":
+            if pivot is None or pivot <= 0 or exponent is None or exponent <= 0:
+                raise ValueError("sigmoid needs pivot > 0 and exponent > 0")
+            xp = F.pow(x, F.lit(float(exponent)))
+            return xp / (xp + F.lit(float(pivot) ** float(exponent)))
+        raise ValueError(
+            f"unknown rank_feature function {function!r} "
+            "(saturation | log | sigmoid)"
+        )
+
+    def rank_feature_df(
+        self,
+        field: str,
+        function: str = "saturation",
+        pivot: float | None = None,
+        scale: float | None = None,
+        exponent: float | None = None,
+        boost: float = 1.0,
+        query: str | None = None,
+        k: int | None = 10,
+        min_should_match: int = 1,
+        filter_sql: str | None = None,
+    ) -> DataFrame:
+        """ES rank_feature query: score docs by a non-negative numeric
+        metadata column through saturation/log/sigmoid (static signals —
+        pagerank, stars, recency weight). Standalone it ranks every doc
+        (the match_all + rank_feature shape); with `query` it adds to the
+        BM25 relevance like a bool-should companion clause (the usual
+        "relevance plus popularity" pattern).
+
+        Plan: one docs-metadata scan (pruned to `field`), the feature
+        expression JVM-side; with `query` the UNRANKED match set joins in
+        and scores add. ONE ordered cut ranks."""
+        expr = self._rank_feature_expr(field, function, pivot, scale, exponent)
+        docs = self.spark.read.parquet(os.path.join(self.index_dir, "docs"))
+        if field not in docs.columns:
+            raise ValueError(
+                f"unknown feature column {field!r}; docs table has "
+                f"{[c for c in docs.columns if c != 'doc_id']}"
+            )
+        feat = docs.select(
+            "doc_id", (F.lit(float(boost)) * expr).alias("_feat")
+        )
+        if query is None:
+            out = feat
+            if filter_sql:
+                out = out.join(
+                    self._filter_doc_ids(filter_sql), "doc_id", "left_semi"
+                )
+            out = out.select("doc_id", F.col("_feat").alias("score"))
+        else:
+            m = self.match_df(
+                query, min_should_match=min_should_match, filter_sql=filter_sql
+            )
+            out = m.join(feat, "doc_id").select(
+                "doc_id", (F.col("score") + F.col("_feat")).alias("score")
+            )
+        if k is None:
+            return out
+        return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def match_bool_prefix_df(
+        self,
+        query: str,
+        k: int | None = 10,
+        operator: str = "or",
+        limit: int = 128,
+        boosts: dict[str, float] | None = None,
+        filter_sql: str | None = None,
+    ) -> DataFrame:
+        """ES match_bool_prefix query: every token a term clause, the LAST
+        token a prefix clause (type-ahead over analyzed text without the
+        phrase ordering match_phrase_prefix imposes). operator 'or' (ES
+        default — any clause qualifies) or 'and' (every clause must).
+
+        Plan: the last token expands through the pruned term-dictionary
+        range read, then ONE search_bool_df call carries full tokens as
+        term clauses and the expansion as a final or-group — one postings
+        scan, conjunction as an aggregation predicate."""
+        if operator not in ("or", "and"):
+            raise ValueError(f"operator must be or|and, got {operator!r}")
+        toks = self.query_terms(query)
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        if not toks:
+            return empty
+        exp, _, _ = self._prefix_expansion(toks[-1], limit, boosts)
+        clauses: list = list(toks[:-1])
+        if exp:
+            clauses.append(list(exp))
+        elif operator == "and":
+            return empty  # unexpandable prefix can never satisfy 'and'
+        if not clauses:
+            return empty
+        if operator == "and":
+            return self.search_bool_df(
+                must=clauses, k=k, boosts=boosts, filter_sql=filter_sql
+            )
+        return self.search_bool_df(
+            should=clauses, k=k, boosts=boosts, filter_sql=filter_sql
+        )
+
     def dis_max_df(
         self,
         queries: list[str],
