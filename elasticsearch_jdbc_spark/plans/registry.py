@@ -6676,6 +6676,114 @@ def span_index_q(spark, sf_dir):
     )
 
 
+def _rank_feature_sql() -> str:
+    """Scoring-wrapper oracle over the match query 'fast key' (msm 1):
+      qid 0  constant_score boost 2.5 (rank = doc_id asc among equals)
+      qid 1  rank_feature saturation(dl, pivot 120) * 3, standalone
+      qid 2  rank_feature + query: BM25 + 3 * saturation(dl, 120)
+      qid 3  script_score: _score * 2 + dl / 1000
+    dl is the analyzer token count = len(toks) (same identity every BM25
+    oracle already relies on)."""
+    return """
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    stats AS (SELECT COUNT(*) AS n, SUM(len(toks)) * 1.0 / COUNT(*) AS avgdl FROM tok),
+    dft AS (
+      SELECT t.term, COUNT(DISTINCT doc_id) AS df
+      FROM tok, UNNEST(list_distinct(toks)) AS t(term)
+      GROUP BY t.term
+    ),
+    idf AS (
+      SELECT term, ln(1.0 + (stats.n - df + 0.5) / (df + 0.5)) AS idf
+      FROM dft, stats
+    ),
+    base AS (
+      SELECT doc_id, len(toks) AS dl,
+             len(list_filter(toks, x -> x = 'fast')) AS tf1,
+             len(list_filter(toks, x -> x = 'key'))  AS tf2
+      FROM tok
+    ),
+    bm AS (
+      SELECT b.doc_id, b.dl,
+             CASE WHEN b.tf1 > 0 THEN i1.idf * 2.2 * (b.tf1 / (b.tf1 + 1.2 * (0.25 + 0.75 * b.dl / stats.avgdl))) ELSE 0 END
+           + CASE WHEN b.tf2 > 0 THEN i2.idf * 2.2 * (b.tf2 / (b.tf2 + 1.2 * (0.25 + 0.75 * b.dl / stats.avgdl))) ELSE 0 END AS score,
+             b.tf1 + b.tf2 > 0 AS matched
+      FROM base b
+      JOIN idf i1 ON i1.term = 'fast'
+      JOIN idf i2 ON i2.term = 'key', stats
+    ),
+    hits AS (
+      SELECT 0 AS query_id, doc_id, 2.5 AS score, doc_id AS ord1, 0.0 AS ord2
+      FROM bm WHERE matched
+      UNION ALL
+      SELECT 1, doc_id, 3.0 * dl / (dl + 120.0), -1, 3.0 * dl / (dl + 120.0)
+      FROM bm
+      UNION ALL
+      SELECT 2, doc_id, score + 3.0 * dl / (dl + 120.0), -1, score + 3.0 * dl / (dl + 120.0)
+      FROM bm WHERE matched
+      UNION ALL
+      SELECT 3, doc_id, score * 2 + dl / 1000.0, -1, score * 2 + dl / 1000.0
+      FROM bm WHERE matched
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, score,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY ord2 DESC, ord1 ASC, doc_id ASC
+             ) AS rank
+      FROM hits
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, doc_id, ROUND(score, 4) AS score
+    FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+    """
+
+
+@_reg("rank_feature_search", _rank_feature_sql())
+def rank_feature_q(spark, sf_dir):
+    """ES scoring-wrapper queries through the REAL engine, ORACLE-CHECKED:
+    constant_score (uniform boost), rank_feature (saturation of the dl
+    metadata column, standalone and added to BM25), and script_score
+    (relevance replaced by a SQL expression over _score + metadata). Each
+    runs unranked (k=None) and takes its top-10 after the internal-id ->
+    documents.doc_id mapping with the oracle tie-break."""
+    from ..index import IndexReader
+
+    idx = _registry_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    ids = _index_docid_map(spark, idx)
+    QD = "fast key"
+    shapes = [
+        (0, reader.constant_score_df(QD, boost=2.5, k=None)),
+        (1, reader.rank_feature_df("dl", pivot=120.0, boost=3.0, k=None)),
+        (2, reader.rank_feature_df("dl", pivot=120.0, boost=3.0, query=QD, k=None)),
+        (3, reader.script_score_df(QD, "_score * 2 + dl / 1000.0", k=None)),
+    ]
+    out = None
+    for qid, df in shapes:
+        hits = df.withColumn("query_id", F.lit(qid))
+        out = hits if out is None else out.unionByName(hits)
+    # qid 0's scores are all equal -> rank by mapped doc_id; the others by
+    # score desc. One window covers both via (score-unless-constant, id).
+    w = W.partitionBy("query_id").orderBy(
+        F.when(F.col("query_id") == 0, F.lit(0.0)).otherwise(F.col("score")).desc(),
+        F.asc("documents_doc_id"),
+    )
+    return (
+        out.join(ids, "doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "rank",
+            F.col("documents_doc_id").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+    )
+
+
 _ROWS_ONLY_TAIL = [
     # collapse_index_search is a round-4 late addition (ES `collapse` +
     # inner_hits): a distinct-operator oracle, but the 50-row window is
@@ -6777,6 +6885,7 @@ _PROMOTED = [
     "combined_fields_index_search",
     "gopher_rules_filter",
     "span_index_search",
+    "rank_feature_search",
 ]
 _order = [
     k for k in QUERIES
