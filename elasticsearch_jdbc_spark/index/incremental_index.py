@@ -3002,6 +3002,20 @@ class IncrementalIndexReader:
             F.desc("score"), F.desc(rank_map[F.col("segment")]), F.asc("doc_id")
         ).limit(k)
 
+    def search_dsl_df(
+        self,
+        body: dict,
+        k: int | None = 10,
+        filter_sql: str | None = None,
+    ) -> DataFrame:
+        """ES `_search` with a JSON request body over the LIVE index:
+        every leaf dispatches onto this tier's surfaces (global stats,
+        tombstone masking, segment tie-break all inherited), composition
+        joins on (segment, doc_id) — see index/dsl.py."""
+        from .dsl import search_dsl_df
+
+        return search_dsl_df(self, body, k=k, filter_sql=filter_sql)
+
     def constant_score_df(
         self,
         query: str,

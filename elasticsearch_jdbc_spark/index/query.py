@@ -4853,6 +4853,20 @@ class IndexReader:
             return out
         return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def search_dsl_df(
+        self,
+        body: dict,
+        k: int | None = 10,
+        filter_sql: str | None = None,
+    ) -> DataFrame:
+        """ES `_search` with a JSON request body — the query DSL every ES
+        client sends, compiled onto the typed surfaces and composed
+        distributed (see index/dsl.py for the supported grammar and the
+        engine-native deltas). k=None returns the unranked match set."""
+        from .dsl import search_dsl_df
+
+        return search_dsl_df(self, body, k=k, filter_sql=filter_sql)
+
     def constant_score_df(
         self,
         query: str,

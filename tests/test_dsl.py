@@ -1,0 +1,364 @@
+"""ES JSON query-DSL compiler (index/dsl.py): every node class checked
+against the typed surface or a hand computation, composition algebra
+(bool / dis_max / boosting / function_score / script_score) against
+score arithmetic over the leaf match sets, field routing on a
+fields-indexed corpus, and base/live tier twins rank-identical."""
+
+from __future__ import annotations
+
+import base64
+import json
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_jdbc_spark.index import (
+    IncrementalIndexReader,
+    IndexBuilder,
+    IndexReader,
+)
+from elasticsearch_jdbc_spark.sources import synthetic_corpus
+
+
+@pytest.fixture(scope="module")
+def setup(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("dsl") / "idx")
+    corpus = synthetic_corpus(spark, n_files=150, seed=66).cache()
+    IndexBuilder(spark, d, partitions=4, with_positions=True).build(
+        corpus, resume=False
+    )
+    r = IndexReader(spark, d)
+    docs = {
+        x["doc_id"]: x.asDict()
+        for x in spark.read.parquet(f"{d}/docs").collect()
+    }
+    return d, r, docs
+
+
+def _ids(df):
+    return {x["doc_id"] for x in df.collect()}
+
+
+def _scores(df):
+    return {x["doc_id"]: x["score"] for x in df.collect()}
+
+
+def test_leafs_match_typed_surfaces(spark, setup):
+    d, r, docs = setup
+    cases = [
+        ({"match": {"content": "merge buffer"}}, r.match_df("merge buffer")),
+        (
+            {"match": {"content": {"query": "merge buffer", "operator": "and"}}},
+            r.match_df("merge buffer", min_should_match=2),
+        ),
+        (
+            {"match_phrase": {"content": {"query": "merge buffer", "slop": 1}}},
+            r.search_phrase_df("merge buffer", k=None, slop=1),
+        ),
+        (
+            {"match_bool_prefix": {"content": "merge buf"}},
+            r.match_bool_prefix_df("merge buf", k=None),
+        ),
+        ({"prefix": {"content": "buf"}}, r.search_prefix_df("buf", k=None)),
+        (
+            {"fuzzy": {"content": {"value": "mrge", "fuzziness": 1}}},
+            r.search_fuzzy_df("mrge", k=None, fuzziness=1),
+        ),
+        (
+            {"wildcard": {"content": "buf*er"}},
+            r.search_wildcard_df("buf*er", k=None),
+        ),
+        (
+            {"regexp": {"content": "buf.*"}},
+            r.search_regexp_df("buf.*", k=None),
+        ),
+        (
+            {"intervals": {"content": {"match": {"query": "merge buffer", "max_gaps": 3, "ordered": False}}}},
+            r.search_intervals_df("merge buffer", max_gaps=3, ordered=False, k=None),
+        ),
+        (
+            {"query_string": {"query": "+merge -rust buf*"}},
+            r.query_string_df("+merge -rust buf*", k=None),
+        ),
+        ({"term": {"content": "merge"}}, r.search_terms_df(["merge"], None)),
+    ]
+    for body, want_df in cases:
+        got = _scores(r.search_dsl_df(body, k=None))
+        want = _scores(want_df)
+        assert got.keys() == want.keys(), body
+        for k in got:
+            assert got[k] == pytest.approx(want[k], rel=1e-12), body
+        assert got, body
+
+
+def test_filter_context_leafs(spark, setup):
+    d, r, docs = setup
+    got = _scores(r.search_dsl_df({"range": {"dl": {"gte": 100, "lt": 150}}}, k=None))
+    want = {k for k, v in docs.items() if 100 <= v["dl"] < 150}
+    assert set(got) == want and set(got.values()) == {1.0}
+    got = _scores(
+        r.search_dsl_df({"term": {"lang": {"value": "rust", "boost": 2.0}}}, k=None)
+    )
+    assert set(got) == {k for k, v in docs.items() if v["lang"] == "rust"}
+    assert set(got.values()) == {2.0}
+    got = _ids(r.search_dsl_df({"terms": {"lang": ["rust", "go"]}}, k=None))
+    assert got == {k for k, v in docs.items() if v["lang"] in ("rust", "go")}
+    got = _ids(r.search_dsl_df({"exists": {"field": "lang"}}, k=None))
+    assert got == set(docs)
+    some = sorted(v["path"] for v in docs.values())[:3]
+    got = _ids(r.search_dsl_df({"ids": {"values": some}}, k=None))
+    assert got == {k for k, v in docs.items() if v["path"] in some}
+    got = _ids(r.search_dsl_df({"match_all": {}}, k=None))
+    assert got == set(docs)
+
+
+def test_bool_composition_arithmetic(spark, setup):
+    d, r, docs = setup
+    m1 = _scores(r.match_df("merge"))
+    m2 = _scores(r.match_df("buffer"))
+    body = {
+        "bool": {
+            "must": [
+                {"match": {"content": "merge"}},
+                {"match": {"content": "buffer"}},
+            ],
+            "filter": [{"range": {"dl": {"gte": 80}}}],
+            "must_not": [{"term": {"lang": "go"}}],
+            "should": [{"rank_feature": {"field": "dl", "saturation": {"pivot": 120}}}],
+            "boost": 2.0,
+        }
+    }
+    got = _scores(r.search_dsl_df(body, k=None))
+    want = {
+        k: 2.0 * (m1[k] + m2[k] + v["dl"] / (v["dl"] + 120.0))
+        for k, v in docs.items()
+        if k in m1 and k in m2 and v["dl"] >= 80 and v["lang"] != "go"
+    }
+    assert got.keys() == want.keys() and want
+    for k in got:
+        assert got[k] == pytest.approx(want[k], rel=1e-12)
+
+
+def test_bool_pure_should_msm(spark, setup):
+    d, r, _ = setup
+    body = {
+        "bool": {
+            "should": [
+                {"match": {"content": "merge"}},
+                {"match": {"content": "buffer"}},
+            ],
+            "minimum_should_match": 2,
+        }
+    }
+    got = _ids(r.search_dsl_df(body, k=None))
+    want = _ids(r.match_df("merge buffer", min_should_match=2))
+    assert got == want and want
+
+
+def test_dis_max_boosting_constant_wrapper(spark, setup):
+    d, r, docs = setup
+    m1 = _scores(r.match_df("merge"))
+    m2 = _scores(r.match_df("buffer"))
+    dm = {
+        "dis_max": {
+            "queries": [
+                {"match": {"content": "merge"}},
+                {"match": {"content": "buffer"}},
+            ],
+            "tie_breaker": 0.3,
+        }
+    }
+    got = _scores(r.search_dsl_df(dm, k=None))
+    for k, s in got.items():
+        a, b = m1.get(k, 0.0), m2.get(k, 0.0)
+        best, other = max(a, b), min(a, b)
+        assert s == pytest.approx(best + 0.3 * other, rel=1e-12)
+    wrapped = {
+        "wrapper": {"query": base64.b64encode(json.dumps(dm).encode()).decode()}
+    }
+    assert _scores(r.search_dsl_df(wrapped, k=None)) == got
+    boosting = {
+        "boosting": {
+            "positive": {"match": {"content": "merge"}},
+            "negative": {"term": {"lang": "rust"}},
+            "negative_boost": 0.25,
+        }
+    }
+    got = _scores(r.search_dsl_df(boosting, k=None))
+    for k, s in got.items():
+        want = m1[k] * (0.25 if docs[k]["lang"] == "rust" else 1.0)
+        assert s == pytest.approx(want, rel=1e-12)
+    cs = {"constant_score": {"filter": {"match": {"content": "merge"}}, "boost": 3.5}}
+    got = _scores(r.search_dsl_df(cs, k=None))
+    assert set(got) == set(m1) and set(got.values()) == {3.5}
+
+
+def test_function_and_script_score(spark, setup):
+    d, r, docs = setup
+    m = _scores(r.match_df("merge"))
+    fs = {
+        "function_score": {
+            "query": {"match": {"content": "merge"}},
+            "field_value_factor": {"field": "dl", "factor": 0.01, "modifier": "log1p"},
+            "boost_mode": "sum",
+        }
+    }
+    got = _scores(r.search_dsl_df(fs, k=None))
+    assert got.keys() == m.keys()
+    for k in got:
+        assert got[k] == pytest.approx(
+            m[k] + math.log(0.01 * docs[k]["dl"] + 1.0), rel=1e-12
+        )
+    rewritten = {k: v * 2 + docs[k]["dl"] / 1000.0 for k, v in m.items()}
+    floor = sorted(rewritten.values())[len(rewritten) // 2]
+    ss = {
+        "script_score": {
+            "query": {"match": {"content": "merge"}},
+            "script": {"source": "_score * 2 + dl / 1000.0"},
+            "min_score": floor,
+        }
+    }
+    got = _scores(r.search_dsl_df(ss, k=None))
+    want = {k: v for k, v in rewritten.items() if v >= floor}
+    assert got.keys() == want.keys() and want
+    for k in got:
+        assert got[k] == pytest.approx(want[k], rel=1e-12)
+
+
+def test_span_via_dsl_both_spellings(spark, setup):
+    d, r, _ = setup
+    native = {
+        "span_near": {
+            "clauses": [{"span_term": "merge"}, {"span_term": "buffer"}],
+            "slop": 2,
+            "in_order": True,
+        }
+    }
+    es_style = {
+        "span_near": {
+            "clauses": [
+                {"span_term": {"content": "merge"}},
+                {"span_term": {"content": "buffer"}},
+            ],
+            "slop": 2,
+            "in_order": True,
+        }
+    }
+    a = _scores(r.search_dsl_df(native, k=None))
+    b = _scores(r.search_dsl_df(es_style, k=None))
+    assert a == b and a
+    assert a == _scores(
+        r.search_span_df(
+            {
+                "span_near": {
+                    "clauses": [{"span_term": "merge"}, {"span_term": "buffer"}],
+                    "slop": 2,
+                    "in_order": True,
+                }
+            },
+            k=None,
+        )
+    )
+
+
+def test_envelope_and_errors(spark, setup):
+    d, r, _ = setup
+    # full request-body envelope accepted
+    got = _ids(r.search_dsl_df({"query": {"match": {"content": "merge"}}}, k=None))
+    assert got == _ids(r.match_df("merge"))
+    with pytest.raises(ValueError, match="unsupported query kind"):
+        r.search_dsl_df({"knn_banana": {}})
+    with pytest.raises(ValueError, match="plain corpus"):
+        r.search_dsl_df({"match": {"title": "x"}})
+    with pytest.raises(ValueError, match="positive clause"):
+        r.search_dsl_df({"bool": {"must_not": [{"match": {"content": "x"}}]}})
+    with pytest.raises(ValueError, match="metadata column"):
+        r.search_dsl_df({"range": {"content": {"gte": 1}}})
+
+
+def test_geo_distance_dsl(spark, setup):
+    """geo leafs compile to the same haversine filter-context SQL the
+    typed geo path uses (corpus lacks lat/lon -> synthesize via dl as a
+    fake coordinate is wrong; instead just assert the clean error)."""
+    d, r, _ = setup
+    with pytest.raises(Exception):
+        # synthetic corpus docs carry no lat/lon columns -> the filter
+        # SQL must fail loudly, not silently match nothing
+        r.search_dsl_df(
+            {"geo_distance": {"distance_km": 5, "lat": 0.0, "lon": 0.0}},
+            k=None,
+        ).collect()
+
+
+def test_dsl_live_twin_and_k_cut(spark, setup):
+    d, r, _ = setup
+    ri = IncrementalIndexReader(spark, d)
+    body = {
+        "bool": {
+            "must": [{"match": {"content": "merge"}}],
+            "should": [
+                {"match_phrase": {"content": "merge buffer"}},
+                {"rank_feature": {"field": "dl", "saturation": {"pivot": 120}}},
+            ],
+        }
+    }
+    base = r.search_dsl_df(body, k=10).collect()
+    live = ri.search_dsl_df(body, k=10).collect()
+    assert [(x["doc_id"], round(x["score"], 9)) for x in live] == [
+        (x["doc_id"], round(x["score"], 9)) for x in base
+    ]
+    assert len(base) == 10
+    # k cut is ordered by score desc
+    scores = [x["score"] for x in base]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_dsl_fields_corpus_routing(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    rows = [
+        ("r", "0", "c", "t", "spark engine", "a long body about other things"),
+        ("r", "1", "c", "t", "unrelated title", "spark spark spark body text"),
+        ("r", "2", "c", "t", "engine room", "machinery and boilers"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, lang string, "
+        "title string, body string",
+    )
+    IndexBuilder(spark, idx, partitions=2, fields=["title", "body"]).build(
+        df, resume=False
+    )
+    r = IndexReader(spark, idx)
+    paths = {
+        x["doc_id"]: x["path"]
+        for x in spark.read.parquet(f"{idx}/docs").collect()
+    }
+    # match routes to ONE field
+    got = {paths[i] for i in _ids(r.search_dsl_df({"match": {"title": "spark"}}, k=None))}
+    assert got == {"0"}
+    got = {paths[i] for i in _ids(r.search_dsl_df({"match": {"body": "spark"}}, k=None))}
+    assert got == {"1"}
+    # term namespaces into the field
+    got = {paths[i] for i in _ids(r.search_dsl_df({"term": {"title": "engine"}}, k=None))}
+    assert got == {"0", "2"}
+    # bool across fields composes
+    body = {
+        "bool": {
+            "must": [{"match": {"title": "engine"}}],
+            "must_not": [{"match": {"body": "boilers"}}],
+        }
+    }
+    got = {paths[i] for i in _ids(r.search_dsl_df(body, k=None))}
+    assert got == {"0"}
+    # multi_match with per-field boosts
+    got = _scores(r.search_dsl_df(
+        {"multi_match": {"query": "spark", "fields": ["title^2", "body"]}}, k=None
+    ))
+    want = _scores(r.multi_match_df("spark", boosts={"title": 2.0, "body": 1.0}, k=None))
+    assert got.keys() == want.keys()
+    for k in got:
+        assert got[k] == pytest.approx(want[k], rel=1e-12)
+    # unknown field rejected
+    with pytest.raises(ValueError, match="unknown field"):
+        r.search_dsl_df({"match": {"nope": "x"}})
