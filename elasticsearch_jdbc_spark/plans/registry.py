@@ -6784,6 +6784,93 @@ def rank_feature_q(spark, sf_dir):
     )
 
 
+def _dsl_sql() -> str:
+    """JSON query-DSL oracle: one nested bool request body —
+      must      match 'fast key' (msm 1, BM25 sum of present terms)
+      should    match_phrase 'fast key' (adds the phrase BM25 when the
+                bigram occurs; weight = adjacency count)
+      filter    range dl >= 40 (non-scoring)
+      must_not  term 'slow' (verbatim-token exclusion)
+    recomputed end-to-end in SQL."""
+    return """
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    stats AS (SELECT COUNT(*) AS n, SUM(len(toks)) * 1.0 / COUNT(*) AS avgdl FROM tok),
+    dft AS (
+      SELECT t.term, COUNT(DISTINCT doc_id) AS df
+      FROM tok, UNNEST(list_distinct(toks)) AS t(term)
+      GROUP BY t.term
+    ),
+    idf AS (
+      SELECT term, ln(1.0 + (stats.n - df + 0.5) / (df + 0.5)) AS idf
+      FROM dft, stats
+    ),
+    base AS (
+      SELECT doc_id, len(toks) AS dl,
+             len(list_filter(toks, x -> x = 'fast')) AS tf1,
+             len(list_filter(toks, x -> x = 'key'))  AS tf2,
+             len(list_filter(toks, x -> x = 'slow')) AS tfn,
+             len(list_filter(range(1, len(toks)),
+                             i -> toks[i] = 'fast' AND toks[i+1] = 'key')) AS pf
+      FROM tok
+    ),
+    scored AS (
+      SELECT b.doc_id,
+             CASE WHEN b.tf1 > 0 THEN i1.idf * 2.2 * (b.tf1 / (b.tf1 + 1.2 * (0.25 + 0.75 * b.dl / stats.avgdl))) ELSE 0 END
+           + CASE WHEN b.tf2 > 0 THEN i2.idf * 2.2 * (b.tf2 / (b.tf2 + 1.2 * (0.25 + 0.75 * b.dl / stats.avgdl))) ELSE 0 END
+           + CASE WHEN b.pf > 0 THEN (i1.idf + i2.idf) * 2.2 * (b.pf / (b.pf + 1.2 * (0.25 + 0.75 * b.dl / stats.avgdl))) ELSE 0 END AS score
+      FROM base b
+      JOIN idf i1 ON i1.term = 'fast'
+      JOIN idf i2 ON i2.term = 'key', stats
+      WHERE (b.tf1 > 0 OR b.tf2 > 0) AND b.dl >= 40 AND b.tfn = 0
+    ),
+    ranked AS (
+      SELECT doc_id, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM scored
+    )
+    SELECT CAST(rank AS INT) AS rank, doc_id, ROUND(score, 4) AS score
+    FROM ranked WHERE rank <= 10 ORDER BY rank
+    """
+
+
+@_reg("dsl_index_search", _dsl_sql())
+def dsl_index_q(spark, sf_dir):
+    """The ES JSON request-body compiler (index/dsl.py) through the REAL
+    engine, ORACLE-CHECKED: a nested bool body — match must,
+    match_phrase should, range filter, term must_not — compiled onto the
+    typed surfaces and composed via score-set joins; the SQL twin
+    recomputes every clause. Top-10 after the id mapping."""
+    from ..index import IndexReader
+
+    body = {
+        "bool": {
+            "must": [{"match": {"content": "fast key"}}],
+            "should": [{"match_phrase": {"content": "fast key"}}],
+            "filter": [{"range": {"dl": {"gte": 40}}}],
+            "must_not": [{"term": {"content": "slow"}}],
+        }
+    }
+    idx = _registry_index(spark, sf_dir, with_positions=True)
+    reader = IndexReader(spark, idx)
+    ids = _index_docid_map(spark, idx)
+    hits = reader.search_dsl_df(body, k=None)
+    w = W.orderBy(F.desc("score"), F.asc("documents_doc_id"))
+    return (
+        hits.join(ids, "doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "rank",
+            F.col("documents_doc_id").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+    )
+
+
 _ROWS_ONLY_TAIL = [
     # collapse_index_search is a round-4 late addition (ES `collapse` +
     # inner_hits): a distinct-operator oracle, but the 50-row window is
@@ -6886,6 +6973,7 @@ _PROMOTED = [
     "gopher_rules_filter",
     "span_index_search",
     "rank_feature_search",
+    "dsl_index_search",
 ]
 _order = [
     k for k in QUERIES
