@@ -719,6 +719,270 @@ def compile_dsl(reader, body: dict) -> DataFrame:
     return _compile(_Ctx(reader), body)
 
 
+# -------------------------------------------------------- aggregations
+
+
+_METRIC_KINDS = (
+    "avg", "sum", "min", "max", "value_count", "cardinality", "stats",
+    "percentiles", "weighted_avg",
+)
+_BUCKET_KINDS = (
+    "terms", "histogram", "date_histogram", "range", "filters", "missing",
+)
+
+
+def _metric_exprs(name: str, kind: str, spec: dict) -> list:
+    """One ES metric sub-aggregation -> aggregate Columns. Multi-valued
+    metrics flatten into suffixed columns ({name}_count, {name}_p50...)."""
+    field = spec.get("field")
+    col = F.col("_score") if field == "_score" else F.col(field) if field else None
+    if kind in ("avg", "sum", "min", "max"):
+        fn = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max}[kind]
+        return [fn(col).alias(name)]
+    if kind == "value_count":
+        return [F.count(col).alias(name)]
+    if kind == "cardinality":
+        if spec.get("exact"):
+            return [F.count_distinct(col).alias(name)]
+        rsd = max(
+            0.01,
+            min(0.05, 1.04 / (float(spec.get("precision_threshold", 3000)) ** 0.5)),
+        )
+        return [F.approx_count_distinct(col, rsd).alias(name)]
+    if kind == "stats":
+        return [
+            F.count(col).alias(f"{name}_count"),
+            F.min(col).alias(f"{name}_min"),
+            F.max(col).alias(f"{name}_max"),
+            F.avg(col).alias(f"{name}_avg"),
+            F.sum(col).alias(f"{name}_sum"),
+        ]
+    if kind == "percentiles":
+        ps = [float(p) for p in spec.get("percents", (25.0, 50.0, 75.0))]
+        src = "_score" if field == "_score" else field
+        return [
+            F.expr(f"percentile({src}, {p / 100.0})").alias(
+                f"{name}_p{str(p).rstrip('0').rstrip('.').replace('.', '_')}"
+            )
+            for p in ps
+        ]
+    if kind == "weighted_avg":
+        v, w = spec["value"]["field"], spec["weight"]["field"]
+        return [
+            (
+                F.sum(F.col(v) * F.col(w)) / F.sum(F.when(F.col(v).isNotNull(), F.col(w)))
+            ).alias(name)
+        ]
+    raise ValueError(f"unknown metric aggregation {kind!r}")
+
+
+def _bucket_key(ctx: _Ctx, rows: DataFrame, name: str, kind: str, spec: dict):
+    """Attach the bucket key column `name` to `rows` (exploding when a doc
+    lands in several buckets — range/filters). Returns (rows, level_meta)
+    where level_meta carries the post-aggregation cut knobs."""
+    meta = {
+        "name": name,
+        "size": int(spec.get("size", 10)) if kind == "terms" else None,
+        "min_doc_count": int(
+            spec.get("min_doc_count", 1 if kind == "terms" else 0)
+        ),
+    }
+    if kind == "terms":
+        return rows.withColumn(name, F.col(spec["field"])), meta
+    if kind == "histogram":
+        x = F.col(spec["field"]).cast("double")
+        interval = float(spec["interval"])
+        if interval <= 0:
+            raise ValueError("histogram interval must be > 0")
+        off = float(spec.get("offset", 0.0))
+        key = F.floor((x - F.lit(off)) / F.lit(interval)) * F.lit(interval) + F.lit(off)
+        return rows.withColumn(name, key), meta
+    if kind == "date_histogram":
+        fld = spec["field"]
+        cal = spec.get("calendar_interval")
+        if cal:
+            unit = {
+                "minute": "minute", "1m": "minute", "hour": "hour",
+                "1h": "hour", "day": "day", "1d": "day", "week": "week",
+                "1w": "week", "month": "month", "1M": "month",
+                "quarter": "quarter", "year": "year", "1y": "year",
+            }.get(cal)
+            if unit is None:
+                raise ValueError(f"unsupported calendar_interval {cal!r}")
+            return rows.withColumn(name, F.date_trunc(unit, F.col(fld))), meta
+        fixed = spec.get("fixed_interval")
+        if not fixed:
+            raise ValueError("date_histogram needs calendar_interval/fixed_interval")
+        import re as _re
+
+        m = _re.fullmatch(r"(\d+)(ms|s|m|h|d)", str(fixed))
+        if not m:
+            raise ValueError(f"bad fixed_interval {fixed!r}")
+        secs = int(m.group(1)) * {
+            "ms": 0.001, "s": 1, "m": 60, "h": 3600, "d": 86400
+        }[m.group(2)]
+        ts = F.col(fld).cast("double")
+        key = (F.floor(ts / F.lit(secs)) * F.lit(secs)).cast("timestamp")
+        return rows.withColumn(name, key), meta
+    if kind == "range":
+        fld = F.col(spec["field"]).cast("double")
+        labels = []
+        for rg in spec["ranges"]:
+            lo, hi = rg.get("from"), rg.get("to")
+            label = rg.get("key") or (
+                f"{'' if lo is None else _fmt_num(lo)}-"
+                f"{'' if hi is None else _fmt_num(hi)}"
+            )
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (fld >= F.lit(float(lo)))
+            if hi is not None:
+                cond = cond & (fld < F.lit(float(hi)))
+            labels.append(F.when(cond, F.lit(label)))
+        arr = F.array_compact(F.array(*labels))
+        return (
+            rows.withColumn(name, F.explode(arr)),
+            meta,
+        )
+    if kind == "filters":
+        tags = []
+        for fname, f0 in spec["filters"].items():
+            cond = (
+                F.expr(f0)
+                if isinstance(f0, str)
+                else F.lit(None)  # query-body filters resolved below
+            )
+            if isinstance(f0, dict):
+                member = _compile(ctx, f0).select(*ctx.keys).withColumn(
+                    f"_in_{fname}", F.lit(True)
+                )
+                rows = rows.join(member, ctx.keys, "left")
+                cond = F.col(f"_in_{fname}").isNotNull()
+            tags.append(F.when(cond, F.lit(fname)))
+        rows = rows.withColumn(name, F.explode(F.array_compact(F.array(*tags))))
+        return rows.drop(*[c for c in rows.columns if c.startswith("_in_")]), meta
+    if kind == "missing":
+        return (
+            rows.filter(F.col(spec["field"]).isNull()).withColumn(
+                name, F.lit("missing")
+            ),
+            meta,
+        )
+    raise ValueError(f"unknown bucket aggregation {kind!r}")
+
+
+def _fmt_num(v) -> str:
+    f = float(v)
+    return str(int(f)) if f == int(f) else str(f)
+
+
+def aggs_dsl_df(
+    reader,
+    aggs: dict,
+    query: dict | None = None,
+    filter_sql: str | None = None,
+) -> DataFrame:
+    """ES request-body `aggs` section compiled to ONE distributed
+    aggregation over the query's match set (all live docs when `query` is
+    None — the match_all default).
+
+    Grammar: {name: {<kind>: spec [, "aggs": {...}]}} with bucket kinds
+    terms / histogram / date_histogram / range / filters / missing and
+    metric kinds avg / sum / min / max / value_count / cardinality /
+    stats / percentiles / weighted_avg (field "_score" targets the
+    relevance score). Engine-native restrictions (documented): ONE bucket
+    agg per nesting level (sibling metrics live at the INNERMOST level);
+    the whole tree computes in one groupBy over the flattened key chain,
+    parent doc_counts as window sums — no per-bucket subqueries, no
+    second scan.
+
+    Output: one row per innermost bucket, flattened — each level
+    contributes `{name}` (key) and `{name}_doc_count`, metrics contribute
+    their (suffixed) columns; rows ordered by the key chain. terms levels
+    honor size (doc_count desc, key asc per parent) and min_doc_count."""
+    ctx = _Ctx(reader)
+    docs = ctx.docs()
+    if query is not None:
+        matched = _compile(ctx, query)
+        rows = matched.withColumnRenamed("score", "_score").join(docs, ctx.keys)
+    else:
+        rows = docs.withColumn("_score", F.lit(0.0))
+    if filter_sql:
+        rows = rows.join(ctx.filter_ids(filter_sql), ctx.keys, "left_semi")
+
+    levels: list[dict] = []
+    node = aggs
+    metric_cols: list = []
+    while True:
+        buckets = {
+            n: s for n, s in node.items() if next(iter(s)) in _BUCKET_KINDS
+        }
+        metrics = {
+            n: s
+            for n, s in node.items()
+            if next(iter(s)) in _METRIC_KINDS
+        }
+        unknown = set(node) - set(buckets) - set(metrics)
+        if unknown:
+            kinds = {next(iter(node[n])) for n in unknown}
+            raise ValueError(f"unknown aggregation kind(s) {sorted(kinds)}")
+        if len(buckets) > 1:
+            raise ValueError(
+                "one bucket aggregation per level (engine-native "
+                f"restriction); got {sorted(buckets)}"
+            )
+        if buckets and metrics:
+            raise ValueError(
+                "metrics live at the innermost level (engine-native "
+                "restriction); move them under the bucket's aggs"
+            )
+        if metrics:
+            for n, s in metrics.items():
+                kind, spec = _one({k: v for k, v in s.items() if k != "aggs"})
+                metric_cols.extend(_metric_exprs(n, kind, spec))
+            break
+        if not buckets:
+            break
+        (name, s0), = buckets.items()
+        kind, spec = _one({k: v for k, v in s0.items() if k != "aggs"})
+        rows, meta = _bucket_key(ctx, rows, name, kind, spec)
+        levels.append(meta)
+        node = s0.get("aggs") or {}
+        if not node:
+            break
+
+    keys = [lv["name"] for lv in levels]
+    if not keys:
+        return rows.agg(*(metric_cols or [F.count(F.lit(1)).alias("doc_count")]))
+    inner = rows.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias(f"{keys[-1]}_doc_count"), *metric_cols
+    )
+    from pyspark.sql.window import Window as _W
+
+    # parent doc_counts as window sums over the innermost buckets
+    for i in range(len(levels) - 1):
+        inner = inner.withColumn(
+            f"{keys[i]}_doc_count",
+            F.sum(f"{keys[-1]}_doc_count").over(
+                _W.partitionBy(*keys[: i + 1])
+            ),
+        )
+    # per-level min_doc_count + terms size cuts (parent-partitioned)
+    for i, lv in enumerate(levels):
+        dc = F.col(f"{keys[i]}_doc_count")
+        if lv["min_doc_count"] > 0:
+            inner = inner.filter(dc >= lv["min_doc_count"])
+        if lv["size"] is not None:
+            parent = keys[:i]
+            rk = F.dense_rank().over(
+                _W.partitionBy(*parent).orderBy(dc.desc(), F.col(keys[i]).asc())
+            )
+            inner = inner.withColumn("_rk", rk).filter(
+                F.col("_rk") <= lv["size"]
+            ).drop("_rk")
+    return inner.orderBy(*keys)
+
+
 def search_dsl_df(
     reader,
     body: dict,

@@ -3016,6 +3016,19 @@ class IncrementalIndexReader:
 
         return search_dsl_df(self, body, k=k, filter_sql=filter_sql)
 
+    def aggs_dsl_df(
+        self,
+        aggs: dict,
+        query: dict | None = None,
+        filter_sql: str | None = None,
+    ) -> DataFrame:
+        """ES `aggs` request-body section over the LIVE match set (all
+        live docs when query is None): tombstone-masked, newest-version
+        metadata — see index/dsl.py aggs_dsl_df."""
+        from .dsl import aggs_dsl_df
+
+        return aggs_dsl_df(self, aggs, query=query, filter_sql=filter_sql)
+
     def constant_score_df(
         self,
         query: str,

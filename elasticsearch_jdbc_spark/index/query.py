@@ -4867,6 +4867,20 @@ class IndexReader:
 
         return search_dsl_df(self, body, k=k, filter_sql=filter_sql)
 
+    def aggs_dsl_df(
+        self,
+        aggs: dict,
+        query: dict | None = None,
+        filter_sql: str | None = None,
+    ) -> DataFrame:
+        """ES request-body `aggs` section over the query's match set —
+        terms/histogram/date_histogram/range/filters/missing buckets with
+        nested metric sub-aggregations, ONE distributed groupBy (see
+        index/dsl.py aggs_dsl_df for grammar + restrictions)."""
+        from .dsl import aggs_dsl_df
+
+        return aggs_dsl_df(self, aggs, query=query, filter_sql=filter_sql)
+
     def constant_score_df(
         self,
         query: str,

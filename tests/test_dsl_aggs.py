@@ -1,0 +1,281 @@
+"""ES request-body `aggs` compiler (index/dsl.py aggs_dsl_df): bucket
+kinds (terms / histogram / date_histogram / range / filters / missing)
+and metric kinds against hand computation over the docs metadata,
+nesting with parent doc_counts, size/min_doc_count cuts, live twin."""
+
+from __future__ import annotations
+
+import collections
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_jdbc_spark.index import (
+    IncrementalIndexReader,
+    IndexBuilder,
+    IndexReader,
+)
+from elasticsearch_jdbc_spark.sources import synthetic_corpus
+
+
+@pytest.fixture(scope="module")
+def setup(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("aggs") / "idx")
+    corpus = synthetic_corpus(spark, n_files=150, seed=66)
+    # plant a deterministic timestamp + nullable tag metadata column
+    corpus = corpus.withColumn(
+        "ts",
+        F.timestamp_seconds(
+            F.lit(1700000000) + (F.crc32("path") % 86400) * 7
+        ),
+    ).withColumn(
+        "grp",
+        F.when(F.crc32("path") % 3 == 0, F.lit(None).cast("string")).otherwise(
+            F.concat(F.lit("g"), (F.crc32("path") % 2).cast("string"))
+        ),
+    )
+    IndexBuilder(spark, d, partitions=4).build(corpus, resume=False)
+    r = IndexReader(spark, d)
+    docs = {
+        x["doc_id"]: x.asDict()
+        for x in spark.read.parquet(f"{d}/docs").collect()
+    }
+    return d, r, docs
+
+
+def test_terms_with_nested_metrics_over_query(spark, setup):
+    d, r, docs = setup
+    aggs = {
+        "by_lang": {
+            "terms": {"field": "lang", "size": 10},
+            "aggs": {
+                "avg_dl": {"avg": {"field": "dl"}},
+                "dls": {"stats": {"field": "dl"}},
+                "uniq_repo": {"cardinality": {"field": "repo", "exact": True}},
+                "wavg": {
+                    "weighted_avg": {
+                        "value": {"field": "dl"},
+                        "weight": {"field": "doc_id"},
+                    }
+                },
+            },
+        }
+    }
+    got = {
+        x["by_lang"]: x.asDict()
+        for x in r.aggs_dsl_df(aggs, query={"match": {"content": "merge"}}).collect()
+    }
+    m = {x["doc_id"] for x in r.match_df("merge").collect()}
+    grp = collections.defaultdict(list)
+    for k in m:
+        grp[docs[k]["lang"]].append(docs[k])
+    assert set(got) == set(grp)
+    for lang, rows in grp.items():
+        g = got[lang]
+        assert g["by_lang_doc_count"] == len(rows)
+        assert g["avg_dl"] == pytest.approx(
+            sum(x["dl"] for x in rows) / len(rows), rel=1e-12
+        )
+        assert g["dls_min"] == min(x["dl"] for x in rows)
+        assert g["dls_max"] == max(x["dl"] for x in rows)
+        assert g["dls_count"] == len(rows)
+        assert g["uniq_repo"] == len({x["repo"] for x in rows})
+        assert g["wavg"] == pytest.approx(
+            sum(x["dl"] * x["doc_id"] for x in rows)
+            / sum(x["doc_id"] for x in rows),
+            rel=1e-12,
+        )
+
+
+def test_nested_buckets_parent_doc_counts(spark, setup):
+    d, r, docs = setup
+    aggs = {
+        "by_lang": {
+            "terms": {"field": "lang"},
+            "aggs": {
+                "by_dl": {
+                    "histogram": {"field": "dl", "interval": 50},
+                    "aggs": {"max_dl": {"max": {"field": "dl"}}},
+                }
+            },
+        }
+    }
+    rows = [x.asDict() for x in r.aggs_dsl_df(aggs).collect()]
+    want_parent = collections.Counter(v["lang"] for v in docs.values())
+    child_sum: dict = collections.defaultdict(int)
+    for x in rows:
+        child_sum[x["by_lang"]] += x["by_dl_doc_count"]
+        lo = x["by_dl"]
+        assert lo <= x["max_dl"] < lo + 50
+    for x in rows:
+        assert x["by_lang_doc_count"] == want_parent[x["by_lang"]]
+        assert child_sum[x["by_lang"]] == want_parent[x["by_lang"]]
+
+
+def test_range_overlapping_and_missing(spark, setup):
+    d, r, docs = setup
+    dls = [v["dl"] for v in docs.values()]
+    got = {
+        x["dl_ranges"]: x["dl_ranges_doc_count"]
+        for x in r.aggs_dsl_df(
+            {
+                "dl_ranges": {
+                    "range": {
+                        "field": "dl",
+                        "ranges": [
+                            {"to": 120},
+                            {"from": 100, "to": 200, "key": "mid"},
+                            {"from": 200},
+                        ],
+                    }
+                }
+            }
+        ).collect()
+    }
+    assert got["-120"] == sum(1 for x in dls if x < 120)
+    assert got["mid"] == sum(1 for x in dls if 100 <= x < 200)
+    assert got["200-"] == sum(1 for x in dls if x >= 200)
+    miss = r.aggs_dsl_df({"no_grp": {"missing": {"field": "grp"}}}).collect()
+    want = sum(1 for v in docs.values() if v["grp"] is None)
+    assert miss[0]["no_grp_doc_count"] == want and want > 0
+
+
+def test_filters_sql_and_query_body(spark, setup):
+    d, r, docs = setup
+    m = {x["doc_id"] for x in r.match_df("merge").collect()}
+    got = {
+        x["langs"]: x["langs_doc_count"]
+        for x in r.aggs_dsl_df(
+            {
+                "langs": {
+                    "filters": {
+                        "filters": {
+                            "rusty": "lang = 'rust'",
+                            "mergey": {"match": {"content": "merge"}},
+                        }
+                    }
+                }
+            }
+        ).collect()
+    }
+    assert got["rusty"] == sum(1 for v in docs.values() if v["lang"] == "rust")
+    assert got["mergey"] == len(m)
+
+
+def test_date_histogram_calendar_and_fixed(spark, setup):
+    d, r, docs = setup
+    got = {
+        x["by_day"]: x["by_day_doc_count"]
+        for x in r.aggs_dsl_df(
+            {"by_day": {"date_histogram": {"field": "ts", "calendar_interval": "day"}}}
+        ).collect()
+    }
+    want: dict = collections.defaultdict(int)
+    for v in docs.values():
+        want[v["ts"].replace(hour=0, minute=0, second=0, microsecond=0)] += 1
+    assert got == dict(want) and len(got) > 1
+    got12 = {
+        x["by_12h"]: x["by_12h_doc_count"]
+        for x in r.aggs_dsl_df(
+            {"by_12h": {"date_histogram": {"field": "ts", "fixed_interval": "12h"}}}
+        ).collect()
+    }
+    want12: dict = collections.defaultdict(int)
+    for v in docs.values():
+        epoch = int(v["ts"].replace(tzinfo=datetime.timezone.utc).timestamp())
+        want12[
+            datetime.datetime.fromtimestamp(
+                (epoch // 43200) * 43200, tz=datetime.timezone.utc
+            ).replace(tzinfo=None)
+        ] += 1
+    assert got12 == dict(want12)
+
+
+def test_terms_size_and_min_doc_count(spark, setup):
+    d, r, docs = setup
+    full = collections.Counter(v["lang"] for v in docs.values())
+    got = [
+        (x["top"], x["top_doc_count"])
+        for x in r.aggs_dsl_df({"top": {"terms": {"field": "lang", "size": 2}}}).collect()
+    ]
+    want = sorted(full.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+    assert sorted(got) == sorted(want)
+    cut = max(full.values())
+    got = [
+        x["top"]
+        for x in r.aggs_dsl_df(
+            {"top": {"terms": {"field": "lang", "min_doc_count": cut}}}
+        ).collect()
+    ]
+    assert got == [k for k, v in sorted(full.items()) if v >= cut]
+
+
+def test_top_level_metrics_and_score(spark, setup):
+    d, r, docs = setup
+    one = r.aggs_dsl_df(
+        {
+            "n": {"value_count": {"field": "dl"}},
+            "p50": {"percentiles": {"field": "dl", "percents": [50.0]}},
+        }
+    ).collect()[0]
+    assert one["n"] == len(docs)
+    import statistics
+
+    assert one["p50_p50"] == pytest.approx(
+        statistics.median(v["dl"] for v in docs.values()), rel=1e-9
+    )
+    # metrics over _score follow the query's relevance
+    m = {x["doc_id"]: x["score"] for x in r.match_df("merge").collect()}
+    got = r.aggs_dsl_df(
+        {"best": {"max": {"field": "_score"}}},
+        query={"match": {"content": "merge"}},
+    ).collect()[0]
+    assert got["best"] == pytest.approx(max(m.values()), rel=1e-12)
+
+
+def test_aggs_validation(spark, setup):
+    d, r, _ = setup
+    with pytest.raises(ValueError, match="one bucket aggregation"):
+        r.aggs_dsl_df(
+            {
+                "a": {"terms": {"field": "lang"}},
+                "b": {"terms": {"field": "repo"}},
+            }
+        )
+    with pytest.raises(ValueError, match="innermost"):
+        r.aggs_dsl_df(
+            {
+                "a": {"terms": {"field": "lang"}},
+                "b": {"avg": {"field": "dl"}},
+            }
+        )
+    with pytest.raises(ValueError, match="unknown aggregation"):
+        r.aggs_dsl_df({"a": {"banana_sketch": {"field": "lang"}}})
+    with pytest.raises(ValueError, match="interval"):
+        r.aggs_dsl_df({"a": {"histogram": {"field": "dl", "interval": 0}}})
+
+
+def test_aggs_live_twin_and_filter(spark, setup):
+    d, r, docs = setup
+    ri = IncrementalIndexReader(spark, d)
+    body = {"by_lang": {"terms": {"field": "lang"}, "aggs": {"avg_dl": {"avg": {"field": "dl"}}}}}
+    a = sorted(
+        (x["by_lang"], x["by_lang_doc_count"], round(x["avg_dl"], 9))
+        for x in ri.aggs_dsl_df(body).collect()
+    )
+    b = sorted(
+        (x["by_lang"], x["by_lang_doc_count"], round(x["avg_dl"], 9))
+        for x in r.aggs_dsl_df(body).collect()
+    )
+    assert a == b
+    got = {
+        x["by_lang"]: x["by_lang_doc_count"]
+        for x in r.aggs_dsl_df(
+            {"by_lang": {"terms": {"field": "lang"}}}, filter_sql="dl >= 150"
+        ).collect()
+    }
+    want = collections.Counter(
+        v["lang"] for v in docs.values() if v["dl"] >= 150
+    )
+    assert got == dict(want)
