@@ -6871,6 +6871,65 @@ def dsl_index_q(spark, sf_dir):
     )
 
 
+def _aggs_dsl_sql() -> str:
+    """aggs request-body oracle: terms buckets over lang for the match
+    set of 'fast key' (msm 1), with avg/max dl and exact repo... the
+    documents table has no repo — use doc_id cardinality; dl = analyzer
+    token count = len(toks)."""
+    return """
+    WITH tok AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    matched AS (
+      SELECT doc_id, lang, len(toks) AS dl
+      FROM tok
+      WHERE len(list_filter(toks, x -> x = 'fast')) > 0
+         OR len(list_filter(toks, x -> x = 'key')) > 0
+    )
+    SELECT lang AS by_lang,
+           CAST(COUNT(*) AS BIGINT) AS by_lang_doc_count,
+           ROUND(AVG(dl), 4) AS avg_dl,
+           MAX(dl) AS max_dl,
+           ROUND(MEDIAN(dl), 4) AS p50_p50
+    FROM matched
+    GROUP BY lang
+    ORDER BY by_lang
+    """
+
+
+@_reg("aggs_dsl_search", _aggs_dsl_sql())
+def aggs_dsl_q(spark, sf_dir):
+    """The ES `aggs` request-body compiler through the REAL engine,
+    ORACLE-CHECKED: terms buckets with nested avg/max/percentiles metric
+    sub-aggregations over the match set of a JSON match query, one
+    distributed groupBy — the SQL twin recomputes the match gate and the
+    bucket arithmetic."""
+    from ..index import IndexReader
+
+    idx = _registry_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    aggs = {
+        "by_lang": {
+            "terms": {"field": "lang", "size": 100},
+            "aggs": {
+                "avg_dl": {"avg": {"field": "dl"}},
+                "max_dl": {"max": {"field": "dl"}},
+                "p50": {"percentiles": {"field": "dl", "percents": [50.0]}},
+            },
+        }
+    }
+    out = reader.aggs_dsl_df(aggs, query={"match": {"content": "fast key"}})
+    return out.select(
+        "by_lang",
+        "by_lang_doc_count",
+        F.round("avg_dl", 4).alias("avg_dl"),
+        F.col("max_dl").cast("long").alias("max_dl"),
+        F.round("p50_p50", 4).alias("p50_p50"),
+    ).orderBy("by_lang")
+
+
 _ROWS_ONLY_TAIL = [
     # collapse_index_search is a round-4 late addition (ES `collapse` +
     # inner_hits): a distinct-operator oracle, but the 50-row window is
@@ -6974,6 +7033,7 @@ _PROMOTED = [
     "span_index_search",
     "rank_feature_search",
     "dsl_index_search",
+    "aggs_dsl_search",
 ]
 _order = [
     k for k in QUERIES
