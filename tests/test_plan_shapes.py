@@ -96,3 +96,38 @@ def test_pinned_organic_side_unranked_until_cut(spark, idx):
     # exactly one ordered cut (the final top-k), nothing upstream
     assert plan.count("TakeOrderedAndProject") == 1
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_dsl_bool_pushes_filters_one_ordered_cut(spark, idx):
+    r = IndexReader(spark, idx)
+    body = {
+        "bool": {
+            "must": [{"match": {"content": "merge"}}],
+            "filter": [{"range": {"req": {"gte": 1}}}],
+            "must_not": [{"term": {"lang": "zz"}}],
+        }
+    }
+    phys = _phys(r.search_dsl_df(body, k=5))
+    # metadata predicates reach the docs parquet scan
+    assert "PushedFilters" in phys and "GreaterThanOrEqual(req,1)" in phys
+    # exactly one ordered cut; no global Sort, no cartesian product
+    assert phys.count("TakeOrderedAndProject") == 1
+    assert "CartesianProduct" not in phys
+    # unranked compile has no sort/limit at all
+    opt = _opt(r.search_dsl_df(body, k=None))
+    assert "Sort" not in opt and "Limit" not in opt
+
+
+def test_aggs_dsl_single_aggregation_pass(spark, idx):
+    r = IndexReader(spark, idx)
+    aggs = {
+        "by_lang": {
+            "terms": {"field": "lang"},
+            "aggs": {"avg_req": {"avg": {"field": "req"}}},
+        }
+    }
+    phys = _phys(r.aggs_dsl_df(aggs, query={"match": {"content": "merge"}}))
+    # the whole bucket/metric tree is ONE aggregation (partial+final pairs
+    # over a single grouping), never one groupBy per bucket level
+    assert phys.count("HashAggregate") <= 4
+    assert "CartesianProduct" not in phys
