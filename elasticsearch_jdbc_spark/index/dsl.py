@@ -423,6 +423,45 @@ def _leaf_query_string(ctx, body):
     return _scale(df, body.get("boost", 1.0))
 
 
+def _leaf_knn(ctx, body):
+    """ES `knn` search clause over an embedding METADATA column: exact
+    top-k cosine against the query vector (the brute-force path — at
+    10^12 scale swap in operators/similarity's IVF/LSH candidate
+    pruning). Scores (1 + cosine) / 2, ES's cosine-similarity mapping, so
+    hybrid bool-should compositions with BM25 stay positive. `filter` is
+    a nested query body with PRE-filter semantics (restricts the corpus
+    BEFORE the cut, like ES knn.filter)."""
+    from ..operators.similarity import cosine
+
+    field = body["field"]
+    docs = ctx.docs()
+    if field not in docs.columns:
+        raise ValueError(
+            f"unknown embedding column {field!r}; docs table has "
+            f"{ctx.meta_cols()}"
+        )
+    qv = [float(x) for x in body["query_vector"]]
+    k = int(body.get("k", 10))
+    qcol = F.array(*[F.lit(x) for x in qv])
+    cand = docs
+    if body.get("filter") is not None:
+        cand = cand.join(
+            _compile(ctx, body["filter"]).select(*ctx.keys), ctx.keys, "left_semi"
+        )
+    scored = cand.filter(F.col(field).isNotNull()).select(
+        *ctx.keys,
+        (
+            (
+                F.lit(1.0)
+                + cosine(F.transform(F.col(field), lambda x: x.cast("double")), qcol)
+            )
+            / F.lit(2.0)
+        ).alias("score"),
+    )
+    top = scored.orderBy(F.desc("score"), *[F.asc(c) for c in ctx.keys]).limit(k)
+    return _scale(top, body.get("boost", 1.0))
+
+
 def _leaf_mlt(ctx, body):
     df = ctx.reader.more_like_this_df(
         body["like"], k=None,
@@ -668,6 +707,7 @@ _LEAFS = {
     "query_string": _leaf_query_string,
     "simple_query_string": _leaf_query_string,
     "more_like_this": _leaf_mlt,
+    "knn": _leaf_knn,
 }
 
 _COMPOUNDS = {

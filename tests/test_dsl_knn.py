@@ -1,0 +1,140 @@
+"""ES `knn` DSL leaf (index/dsl.py:_leaf_knn): exact top-k cosine over an
+embedding metadata column, scored (1+cos)/2 like ES's cosine similarity,
+with pre-filter semantics and hybrid bool composition. Brute-force model
+computed in plain Python from the docs parquet."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_jdbc_spark.index import (
+    IncrementalIndexReader,
+    IndexBuilder,
+    IndexReader,
+)
+from elasticsearch_jdbc_spark.sources import synthetic_corpus
+
+DIMS = 4
+QV = [0.25, -0.5, 0.75, 0.1]
+
+
+@pytest.fixture(scope="module")
+def setup(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("dslknn") / "idx")
+    corpus = synthetic_corpus(spark, n_files=120, seed=77).withColumn(
+        "emb",
+        F.array(
+            *[
+                ((F.xxhash64("path", F.lit(i)) % 1000) / F.lit(1000.0)).cast(
+                    "double"
+                )
+                for i in range(DIMS)
+            ]
+        ),
+    )
+    IndexBuilder(spark, d, partitions=4).build(corpus, resume=False)
+    r = IndexReader(spark, d)
+    docs = spark.read.parquet(f"{d}/docs").collect()
+    return d, r, docs
+
+
+def _knn_score(emb, qv):
+    dot = sum(a * b for a, b in zip(emb, qv))
+    na = math.sqrt(sum(a * a for a in emb))
+    nb = math.sqrt(sum(b * b for b in qv))
+    return (1.0 + dot / (na * nb)) / 2.0
+
+
+def _brute(docs, qv, k, pred=None):
+    scored = [
+        (_knn_score(x["emb"], qv), x["doc_id"])
+        for x in docs
+        if x["emb"] is not None and (pred is None or pred(x))
+    ]
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    return scored[:k]
+
+
+def test_knn_brute_parity(spark, setup):
+    d, r, docs = setup
+    got = r.search_dsl_df(
+        {"knn": {"field": "emb", "query_vector": QV, "k": 7}}, k=7
+    ).collect()
+    want = _brute(docs, QV, 7)
+    assert [x["doc_id"] for x in got] == [i for _, i in want]
+    for row, (s, _) in zip(got, want):
+        assert row["score"] == pytest.approx(s, rel=1e-9)
+
+
+def test_knn_prefilter_semantics(spark, setup):
+    """filter restricts the corpus BEFORE the k-cut (ES knn.filter): every
+    hit matches the filter and the ranking equals brute force over the
+    filtered subset — not a post-filter of the unfiltered top-k."""
+    d, r, docs = setup
+    term = "merge"
+    body = {
+        "knn": {
+            "field": "emb",
+            "query_vector": QV,
+            "k": 5,
+            "filter": {"match": {"content": term}},
+        }
+    }
+    got = r.search_dsl_df(body, k=5).collect()
+    match_ids = {
+        x["doc_id"] for x in r.match_df(term).collect()
+    }
+    want = _brute(docs, QV, 5, pred=lambda x: x["doc_id"] in match_ids)
+    assert [x["doc_id"] for x in got] == [i for _, i in want]
+    # pre-filter must differ from the unfiltered cut for the test to bite
+    assert [i for _, i in want] != [i for _, i in _brute(docs, QV, 5)]
+
+
+def test_knn_hybrid_bool_should(spark, setup):
+    """bool.should [bm25, knn] sums scores for docs in both match sets —
+    the ES hybrid-retrieval composition."""
+    d, r, docs = setup
+    knn_body = {"knn": {"field": "emb", "query_vector": QV, "k": 30}}
+    body = {
+        "bool": {
+            "should": [{"match": {"content": "merge"}}, knn_body],
+        }
+    }
+    hybrid = {x["doc_id"]: x["score"] for x in r.search_dsl_df(body, k=None).collect()}
+    bm25 = {x["doc_id"]: x["score"] for x in r.match_df("merge").collect()}
+    knn = {i: s for s, i in _brute(docs, QV, 30)}
+    want: dict = {}
+    for i, s in bm25.items():
+        want[i] = want.get(i, 0.0) + s
+    for i, s in knn.items():
+        want[i] = want.get(i, 0.0) + s
+    assert set(hybrid) == set(want)
+    both = [i for i in hybrid if i in bm25 and i in knn]
+    assert both, "fixture must produce overlap for the sum check to bite"
+    for i in hybrid:
+        assert hybrid[i] == pytest.approx(want[i], rel=1e-9)
+
+
+def test_knn_boost_and_live_twin(spark, setup):
+    d, r, docs = setup
+    body = {"knn": {"field": "emb", "query_vector": QV, "k": 6, "boost": 2.5}}
+    base = r.search_dsl_df(body, k=6).collect()
+    want = _brute(docs, QV, 6)
+    for row, (s, _) in zip(base, want):
+        assert row["score"] == pytest.approx(2.5 * s, rel=1e-9)
+    ri = IncrementalIndexReader(spark, d)
+    live = ri.search_dsl_df(body, k=6).collect()
+    assert [(x["doc_id"], round(x["score"], 9)) for x in live] == [
+        (x["doc_id"], round(x["score"], 9)) for x in base
+    ]
+
+
+def test_knn_unknown_field_raises(spark, setup):
+    d, r, _ = setup
+    with pytest.raises(ValueError, match="unknown embedding column"):
+        r.search_dsl_df(
+            {"knn": {"field": "nope", "query_vector": QV, "k": 3}}, k=3
+        )
