@@ -1436,7 +1436,8 @@ def _registry_index(spark, sf_dir, with_positions: bool = False) -> str:
     # geo1: docs table gained planted lat/lon metadata (corpus_from_documents)
     # tags1: planted array<string> tags metadata (ES array/nested fields)
     # pc1: planted parent ref metadata (ES join-field parent/child)
-    layout = ",".join(POSTINGS_SCHEMA.names) + f"|pos={with_positions}|geo1|tags1|pc1"
+    # emb1: planted dense-vector metadata (embeddings join) for knn/hybrid
+    layout = ",".join(POSTINGS_SCHEMA.names) + f"|pos={with_positions}|geo1|tags1|pc1|emb1"
     tag = _h.sha1(f"{sf_dir}|{layout}".encode()).hexdigest()[:10]
     idx = _os.path.join(_tmp.gettempdir(), f"registry_idx_{tag}")
     IndexBuilder(spark, idx, partitions=8, with_positions=with_positions).build(
@@ -6855,6 +6856,112 @@ def dsl_index_q(spark, sf_dir):
         }
     }
     idx = _registry_index(spark, sf_dir, with_positions=True)
+    reader = IndexReader(spark, idx)
+    ids = _index_docid_map(spark, idx)
+    hits = reader.search_dsl_df(body, k=None)
+    w = W.orderBy(F.desc("score"), F.asc("documents_doc_id"))
+    return (
+        hits.join(ids, "doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "rank",
+            F.col("documents_doc_id").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+    )
+
+
+def _knn_dsl_sql() -> str:
+    """Hybrid-retrieval oracle: bool.should [BM25 match 'fast key', knn
+    top-30 cosine vs embeddings.vec_id=0] — union of both match sets,
+    scores add. knn scores (1+cos)/2 (the ES cosine mapping); BM25 is the
+    engine's exact formula (same stats provenance as _dsl_sql). Both
+    cosines compute in DOUBLE (the engine casts the float vectors up)."""
+    return """
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+    ),
+    knn AS (
+      SELECT e.vec_id AS doc_id,
+             (1.0 + list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)) / 2.0 AS kscore
+      FROM embeddings e, q
+      ORDER BY kscore DESC, e.vec_id
+      LIMIT 30
+    ),
+    tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    stats AS (SELECT COUNT(*) AS n, SUM(len(toks)) * 1.0 / COUNT(*) AS avgdl FROM tok),
+    dft AS (
+      SELECT t.term, COUNT(DISTINCT doc_id) AS df
+      FROM tok, UNNEST(list_distinct(toks)) AS t(term)
+      GROUP BY t.term
+    ),
+    idf AS (
+      SELECT term, ln(1.0 + (stats.n - df + 0.5) / (df + 0.5)) AS idf
+      FROM dft, stats
+    ),
+    base AS (
+      SELECT doc_id, len(toks) AS dl,
+             len(list_filter(toks, x -> x = 'fast')) AS tf1,
+             len(list_filter(toks, x -> x = 'key'))  AS tf2
+      FROM tok
+    ),
+    bm25 AS (
+      SELECT b.doc_id,
+             CASE WHEN b.tf1 > 0 THEN i1.idf * 2.2 * (b.tf1 / (b.tf1 + 1.2 * (0.25 + 0.75 * b.dl / stats.avgdl))) ELSE 0 END
+           + CASE WHEN b.tf2 > 0 THEN i2.idf * 2.2 * (b.tf2 / (b.tf2 + 1.2 * (0.25 + 0.75 * b.dl / stats.avgdl))) ELSE 0 END AS score
+      FROM base b
+      JOIN idf i1 ON i1.term = 'fast'
+      JOIN idf i2 ON i2.term = 'key', stats
+      WHERE b.tf1 > 0 OR b.tf2 > 0
+    ),
+    unioned AS (
+      SELECT COALESCE(b.doc_id, k.doc_id) AS doc_id,
+             COALESCE(b.score, 0) + COALESCE(k.kscore, 0) AS score
+      FROM bm25 b FULL JOIN knn k ON b.doc_id = k.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM unioned
+    )
+    SELECT CAST(rank AS INT) AS rank, doc_id, ROUND(score, 4) AS score
+    FROM ranked WHERE rank <= 10 ORDER BY rank
+    """
+
+
+@_reg("knn_dsl_search", _knn_dsl_sql())
+def knn_dsl_q(spark, sf_dir):
+    """ES hybrid retrieval (BM25 + dense-vector knn) through the REAL
+    engine, ORACLE-CHECKED: a bool.should body composing a match clause
+    with the `knn` DSL leaf (exact top-30 cosine over the planted `emb`
+    dense-vector metadata column, scored (1+cos)/2 like ES's
+    cosine-similarity dense_vector mapping). The union's summed scores
+    are recomputed end-to-end in SQL. Top-10 after the id mapping.
+
+    Scale path: the leaf is the exact baseline; operators/similarity's
+    IVF/LSH candidate pruning swaps in for 10^12-row corpora."""
+    from ..index import IndexReader
+
+    qv = [
+        float(x)
+        for x in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") == 0)
+        .head()["embedding"]
+    ]
+    body = {
+        "bool": {
+            "should": [
+                {"match": {"content": "fast key"}},
+                {"knn": {"field": "emb", "query_vector": qv, "k": 30}},
+            ]
+        }
+    }
+    idx = _registry_index(spark, sf_dir)
     reader = IndexReader(spark, idx)
     ids = _index_docid_map(spark, idx)
     hits = reader.search_dsl_df(body, k=None)

@@ -178,8 +178,17 @@ def corpus_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     fields the reference's row->document fold produces from repeated
     column labels (multi-value fold cells), queried with terms/exists
     filter context over the array.
+
+    emb: the driver's embeddings table joined on (vec_id == doc_id) — the
+    ES dense_vector substrate for the `knn` DSL leaf and hybrid
+    retrieval. Left join: docs past the embeddings table's cardinality
+    carry NULL and are skipped by vector queries, like unmapped ES docs.
     """
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("emb")
+    )
+    d = d.join(e, "doc_id", "left")
     return d.select(
         F.col("source").alias("repo"),
         F.concat(F.lit("doc/"), F.col("doc_id").cast("string"), F.lit(".txt")).alias("path"),
@@ -203,4 +212,5 @@ def corpus_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(".txt"),
             ),
         ).alias("parent"),
+        F.col("emb"),
     )
