@@ -1023,6 +1023,49 @@ def aggs_dsl_df(
     return inner.orderBy(*keys)
 
 
+def _retriever_compile(ctx, spec) -> DataFrame:
+    """ES 8 retriever tree (the `retriever` section of a search body):
+    `standard` wraps a query DSL body, `knn` is the dense-vector leaf,
+    `rrf` fuses N sub-retrievers' rank_window_size-deep rankings with
+    Reciprocal Rank Fusion (rank_constant; optional weights) — no score
+    calibration, only ranks enter, which is why RRF is the production
+    hybrid combine at 10^12 docs. Sub-retrievers nest recursively.
+
+    Plan shape: each sub-retriever's window cut is a distributed
+    TakeOrdered (orderBy+limit, never a global row_number over the full
+    match set); rank assignment then windows over the <=window-row cut,
+    and the fusion itself is rrf_fuse's two narrow stages over N x
+    window rows — nothing downstream scales with corpus size."""
+    from pyspark.sql.window import Window as _W
+
+    from ..operators.similarity import rrf_fuse
+
+    kind, rbody = _one(spec)
+    if kind == "standard":
+        return _compile(ctx, rbody["query"])
+    if kind == "knn":
+        return _leaf_knn(ctx, rbody)
+    if kind == "rrf":
+        subs = _aslist(rbody.get("retrievers"))
+        if len(subs) < 2:
+            raise ValueError("rrf retriever needs at least 2 sub-retrievers")
+        window = int(rbody.get("rank_window_size", 100))
+        const = int(rbody.get("rank_constant", 60))
+        weights = rbody.get("weights")
+        order = [F.desc("score")] + [F.asc(c) for c in ctx.keys]
+        ranked = []
+        for s in subs:
+            top = _retriever_compile(ctx, s).orderBy(*order).limit(window)
+            ranked.append(
+                top.withColumn("rank", F.row_number().over(_W.orderBy(*order)))
+            )
+        fused = rrf_fuse(
+            ranked, ctx.keys, k=window, rank_k=const, weights=weights
+        )
+        return fused.select(*ctx.keys, F.col("rrf_score").alias("score"))
+    raise ValueError(f"unsupported retriever kind {kind!r}")
+
+
 def search_dsl_df(
     reader,
     body: dict,
@@ -1032,16 +1075,25 @@ def search_dsl_df(
     """ES `_search` with a JSON request body: compile (see compile_dsl),
     optionally restrict with filter context, ONE ordered top-k cut with
     the tier's tie-break (doc_id on a base index; segment recency then
-    doc_id on a live one)."""
+    doc_id on a live one). A single-key `{"retriever": ...}` body routes
+    through the ES 8 retriever tree (standard / knn / rrf fusion)."""
     ctx = _Ctx(reader)
     if (
         isinstance(body, dict)
-        and "query" in body
+        and "retriever" in body
         and len(body) == 1
-        and isinstance(body["query"], dict)
+        and isinstance(body["retriever"], dict)
     ):
-        body = body["query"]
-    out = _compile(ctx, body)
+        out = _retriever_compile(ctx, body["retriever"])
+    else:
+        if (
+            isinstance(body, dict)
+            and "query" in body
+            and len(body) == 1
+            and isinstance(body["query"], dict)
+        ):
+            body = body["query"]
+        out = _compile(ctx, body)
     if filter_sql:
         out = out.join(ctx.filter_ids(filter_sql), ctx.keys, "left_semi")
     if k is None:

@@ -6978,6 +6978,130 @@ def knn_dsl_q(spark, sf_dir):
     )
 
 
+def _rrf_sql() -> str:
+    """RRF fusion oracle: BM25 'fast key' and knn-vs-vec_id-0 rankings,
+    each 60 deep, fused with sum(1/(60+rank)). Both sides rank on scores
+    ROUNDED TO 9dp (ulp-noise absorber: DuckDB's list_cosine_similarity
+    and the engine's F.aggregate sum floats in different orders) with
+    doc_id tie-break; the reciprocal contributions and their 2-term sums
+    are then bitwise-identical IEEE doubles in both engines."""
+    return """
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+    ),
+    knnr AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS rank
+      FROM (
+        SELECT e.vec_id AS doc_id,
+               ROUND((1.0 + list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)) / 2.0, 9) AS s
+        FROM embeddings e, q
+        ORDER BY s DESC, e.vec_id LIMIT 60
+      )
+    ),
+    tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    stats AS (SELECT COUNT(*) AS n, SUM(len(toks)) * 1.0 / COUNT(*) AS avgdl FROM tok),
+    dft AS (
+      SELECT t.term, COUNT(DISTINCT doc_id) AS df
+      FROM tok, UNNEST(list_distinct(toks)) AS t(term)
+      GROUP BY t.term
+    ),
+    idf AS (
+      SELECT term, ln(1.0 + (stats.n - df + 0.5) / (df + 0.5)) AS idf
+      FROM dft, stats
+    ),
+    base AS (
+      SELECT doc_id, len(toks) AS dl,
+             len(list_filter(toks, x -> x = 'fast')) AS tf1,
+             len(list_filter(toks, x -> x = 'key'))  AS tf2
+      FROM tok
+    ),
+    bm25 AS (
+      SELECT b.doc_id,
+             ROUND(
+               CASE WHEN b.tf1 > 0 THEN i1.idf * 2.2 * (b.tf1 / (b.tf1 + 1.2 * (0.25 + 0.75 * b.dl / stats.avgdl))) ELSE 0 END
+             + CASE WHEN b.tf2 > 0 THEN i2.idf * 2.2 * (b.tf2 / (b.tf2 + 1.2 * (0.25 + 0.75 * b.dl / stats.avgdl))) ELSE 0 END, 9) AS s
+      FROM base b
+      JOIN idf i1 ON i1.term = 'fast'
+      JOIN idf i2 ON i2.term = 'key', stats
+      WHERE b.tf1 > 0 OR b.tf2 > 0
+    ),
+    bmr AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS rank
+      FROM (SELECT * FROM bm25 ORDER BY s DESC, doc_id LIMIT 60)
+    ),
+    fused AS (
+      SELECT COALESCE(b.doc_id, k.doc_id) AS doc_id,
+             COALESCE(1.0 / (60 + b.rank), 0) + COALESCE(1.0 / (60 + k.rank), 0) AS score,
+             (CASE WHEN b.doc_id IS NULL THEN 0 ELSE 1 END
+            + CASE WHEN k.doc_id IS NULL THEN 0 ELSE 1 END) AS n_rankers
+      FROM bmr b FULL JOIN knnr k ON b.doc_id = k.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, score, n_rankers,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM fused
+    )
+    SELECT CAST(rank AS INT) AS rank, doc_id, ROUND(score, 6) AS score,
+           CAST(n_rankers AS INT) AS n_rankers
+    FROM ranked WHERE rank <= 10 ORDER BY rank
+    """
+
+
+@_reg("rrf_retriever_search", _rrf_sql())
+def rrf_retriever_q(spark, sf_dir):
+    """Reciprocal Rank Fusion hybrid retrieval (the ES 8 `rrf` retriever)
+    through the REAL distributed operator, ORACLE-CHECKED: the lexical
+    ranker is the engine's unranked BM25 match set, the dense ranker the
+    knn DSL leaf, each window-cut 60 deep AFTER the internal->documents
+    id mapping (score-desc, doc_id tie-break on 9dp-rounded scores), then
+    fused by operators/similarity.rrf_fuse — two narrow stages over
+    2 x 60 rows, nothing scales with corpus size. The SQL twin recomputes
+    both rankings and the reciprocal sums end-to-end."""
+    from ..index import IndexReader
+    from ..operators.similarity import rrf_fuse
+
+    window, const = 60, 60
+    idx = _registry_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    ids = _index_docid_map(spark, idx)
+    qv = [
+        float(x)
+        for x in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") == 0)
+        .head()["embedding"]
+    ]
+
+    def _ranked(df):
+        mapped = df.join(ids, "doc_id").select(
+            F.col("documents_doc_id").alias("doc_id"),
+            F.round("score", 9).alias("s"),
+        )
+        order = [F.desc("s"), F.asc("doc_id")]
+        return (
+            mapped.orderBy(*order)
+            .limit(window)
+            .withColumn("rank", F.row_number().over(W.orderBy(*order)))
+        )
+
+    bm = _ranked(reader.match_df("fast key"))
+    kn = _ranked(
+        reader.search_dsl_df(
+            {"knn": {"field": "emb", "query_vector": qv, "k": window}}, k=None
+        )
+    )
+    fused = rrf_fuse([bm, kn], ["doc_id"], k=10, rank_k=const)
+    return fused.select(
+        F.col("fused_rank").cast("int").alias("rank"),
+        "doc_id",
+        F.round("rrf_score", 6).alias("score"),
+        F.col("n_rankers").cast("int").alias("n_rankers"),
+    ).orderBy("rank")
+
+
 def _aggs_dsl_sql() -> str:
     """aggs request-body oracle: terms buckets over lang for the match
     set of 'fast key' (msm 1), with avg/max dl and exact repo... the

@@ -138,3 +138,95 @@ def test_knn_unknown_field_raises(spark, setup):
         r.search_dsl_df(
             {"knn": {"field": "nope", "query_vector": QV, "k": 3}}, k=3
         )
+
+
+def _ranks(scores: dict, window: int) -> dict:
+    order = sorted(scores, key=lambda i: (-scores[i], i))[:window]
+    return {i: r for r, i in enumerate(order, 1)}
+
+
+def test_rrf_retriever_parity(spark, setup):
+    """ES 8 `retriever.rrf` body: BM25 standard + knn fused with RRF —
+    hand model sums 1/(rank_constant + rank) over the two window-deep
+    rankings."""
+    d, r, docs = setup
+    window, const = 25, 60
+    body = {
+        "retriever": {
+            "rrf": {
+                "retrievers": [
+                    {"standard": {"query": {"match": {"content": "merge"}}}},
+                    {"knn": {"field": "emb", "query_vector": QV, "k": window}},
+                ],
+                "rank_window_size": window,
+                "rank_constant": const,
+            }
+        }
+    }
+    got = r.search_dsl_df(body, k=10).collect()
+    bm25 = _ranks(
+        {x["doc_id"]: x["score"] for x in r.match_df("merge").collect()}, window
+    )
+    knn = _ranks({i: s for s, i in _brute(docs, QV, window)}, window)
+    want: dict = {}
+    for lst in (bm25, knn):
+        for i, rank in lst.items():
+            want[i] = want.get(i, 0.0) + 1.0 / (const + rank)
+    top = sorted(want, key=lambda i: (-want[i], i))[:10]
+    assert [x["doc_id"] for x in got] == top
+    for row in got:
+        assert row["score"] == pytest.approx(want[row["doc_id"]], rel=1e-12)
+
+
+def test_rrf_retriever_weights_and_live_twin(spark, setup):
+    d, r, docs = setup
+    body = {
+        "retriever": {
+            "rrf": {
+                "retrievers": [
+                    {"standard": {"query": {"match": {"content": "merge"}}}},
+                    {"knn": {"field": "emb", "query_vector": QV, "k": 15}},
+                ],
+                "rank_window_size": 15,
+                "rank_constant": 10,
+                "weights": [2.0, 0.5],
+            }
+        }
+    }
+    base = r.search_dsl_df(body, k=8).collect()
+    bm25 = _ranks(
+        {x["doc_id"]: x["score"] for x in r.match_df("merge").collect()}, 15
+    )
+    knn = _ranks({i: s for s, i in _brute(docs, QV, 15)}, 15)
+    want: dict = {}
+    for w, lst in ((2.0, bm25), (0.5, knn)):
+        for i, rank in lst.items():
+            want[i] = want.get(i, 0.0) + w / (10 + rank)
+    top = sorted(want, key=lambda i: (-want[i], i))[:8]
+    assert [x["doc_id"] for x in base] == top
+    ri = IncrementalIndexReader(spark, d)
+    live = ri.search_dsl_df(body, k=8).collect()
+    assert [(x["doc_id"], round(x["score"], 12)) for x in live] == [
+        (x["doc_id"], round(x["score"], 12)) for x in base
+    ]
+
+
+def test_standard_retriever_equals_plain_query(spark, setup):
+    d, r, _ = setup
+    q = {"match": {"content": "merge buffer"}}
+    a = r.search_dsl_df({"retriever": {"standard": {"query": q}}}, k=10).collect()
+    b = r.search_dsl_df(q, k=10).collect()
+    assert [(x["doc_id"], x["score"]) for x in a] == [
+        (x["doc_id"], x["score"]) for x in b
+    ]
+
+
+def test_rrf_retriever_validation(spark, setup):
+    d, r, _ = setup
+    with pytest.raises(ValueError, match="at least 2"):
+        r.search_dsl_df(
+            {"retriever": {"rrf": {"retrievers": [
+                {"standard": {"query": {"match": {"content": "x"}}}}]}}}
+        )
+    with pytest.raises(ValueError, match="unsupported retriever kind"):
+        r.search_dsl_df({"retriever": {"banana": {}}})
