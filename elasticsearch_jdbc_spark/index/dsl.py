@@ -768,6 +768,7 @@ _METRIC_KINDS = (
 )
 _BUCKET_KINDS = (
     "terms", "histogram", "date_histogram", "range", "filters", "missing",
+    "rare_terms", "multi_terms",
 )
 
 
@@ -822,13 +823,25 @@ def _bucket_key(ctx: _Ctx, rows: DataFrame, name: str, kind: str, spec: dict):
     where level_meta carries the post-aggregation cut knobs."""
     meta = {
         "name": name,
-        "size": int(spec.get("size", 10)) if kind == "terms" else None,
+        "size": (
+            int(spec.get("size", 10)) if kind in ("terms", "multi_terms") else None
+        ),
         "min_doc_count": int(
-            spec.get("min_doc_count", 1 if kind == "terms" else 0)
+            spec.get("min_doc_count", 1 if kind in ("terms", "multi_terms") else 0)
+        ),
+        "max_doc_count": (
+            int(spec.get("max_doc_count", 1)) if kind == "rare_terms" else None
         ),
     }
-    if kind == "terms":
+    if kind in ("terms", "rare_terms"):
         return rows.withColumn(name, F.col(spec["field"])), meta
+    if kind == "multi_terms":
+        # ES returns the key as an array; flattened output joins the
+        # parts with '|' (engine-native single-column key chain)
+        parts = [F.col(t["field"]).cast("string") for t in spec["terms"]]
+        if len(parts) < 2:
+            raise ValueError("multi_terms needs at least 2 terms sources")
+        return rows.withColumn(name, F.concat_ws("|", *parts)), meta
     if kind == "histogram":
         x = F.col(spec["field"]).cast("double")
         interval = float(spec["interval"])
@@ -927,7 +940,9 @@ def aggs_dsl_df(
     None — the match_all default).
 
     Grammar: {name: {<kind>: spec [, "aggs": {...}]}} with bucket kinds
-    terms / histogram / date_histogram / range / filters / missing and
+    terms / histogram / date_histogram / range / filters / missing /
+    rare_terms (doc_count <= max_doc_count, default 1) / multi_terms
+    (composite key, parts '|'-joined into one column) and
     metric kinds avg / sum / min / max / value_count / cardinality /
     stats / percentiles / weighted_avg (field "_score" targets the
     relevance score). Engine-native restrictions (documented): ONE bucket
@@ -1012,6 +1027,8 @@ def aggs_dsl_df(
         dc = F.col(f"{keys[i]}_doc_count")
         if lv["min_doc_count"] > 0:
             inner = inner.filter(dc >= lv["min_doc_count"])
+        if lv.get("max_doc_count") is not None:
+            inner = inner.filter(dc <= lv["max_doc_count"])
         if lv["size"] is not None:
             parent = keys[:i]
             rk = F.dense_rank().over(

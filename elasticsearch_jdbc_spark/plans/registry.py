@@ -7161,6 +7161,88 @@ def aggs_dsl_q(spark, sf_dir):
     ).orderBy("by_lang")
 
 
+def _rare_terms_sql() -> str:
+    """rare_terms oracle: dl buckets with doc_count <= 2 over the full
+    corpus (dl = analyzer token count, recomputed from text)."""
+    return """
+    WITH tok AS (
+      SELECT len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS dl
+      FROM documents
+    )
+    SELECT CAST(dl AS INT) AS dl, COUNT(*) AS doc_count
+    FROM tok GROUP BY dl HAVING COUNT(*) <= 2 ORDER BY dl
+    """
+
+
+@_reg("rare_terms_dsl_agg", _rare_terms_sql())
+def rare_terms_dsl_agg_q(spark, sf_dir):
+    """ES rare_terms aggregation through the aggs compiler,
+    ORACLE-CHECKED: long-tail buckets (doc_count <= max_doc_count) —
+    the inverse of the terms agg's head cut, computed in the SAME single
+    distributed groupBy (the max_doc_count filter is a post-aggregation
+    predicate, no second scan)."""
+    from ..index import IndexReader
+
+    idx = _registry_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    out = reader.aggs_dsl_df(
+        {"rare_dl": {"rare_terms": {"field": "dl", "max_doc_count": 2}}}
+    )
+    return out.select(
+        F.col("rare_dl").cast("int").alias("dl"),
+        F.col("rare_dl_doc_count").cast("long").alias("doc_count"),
+    ).orderBy("dl")
+
+
+def _multi_terms_sql() -> str:
+    """multi_terms oracle: composite (lang, source) buckets, doc_count
+    desc + key asc size cut, nested avg of the analyzer token count."""
+    return """
+    WITH tok AS (
+      SELECT lang, source,
+             len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS dl
+      FROM documents
+    ),
+    g AS (
+      SELECT lang || '|' || source AS key, COUNT(*) AS doc_count,
+             ROUND(AVG(dl), 4) AS avg_dl
+      FROM tok GROUP BY 1
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY doc_count DESC, key) AS rk FROM g
+    )
+    SELECT key, doc_count, avg_dl FROM r WHERE rk <= 6 ORDER BY key
+    """
+
+
+@_reg("multi_terms_dsl_agg", _multi_terms_sql())
+def multi_terms_dsl_agg_q(spark, sf_dir):
+    """ES multi_terms aggregation through the aggs compiler,
+    ORACLE-CHECKED: composite (lang, repo) bucket keys ('|'-joined into
+    the engine's flattened key column), terms-style size cut by
+    doc_count desc, nested avg metric — one distributed groupBy."""
+    from ..index import IndexReader
+
+    idx = _registry_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    out = reader.aggs_dsl_df(
+        {
+            "by": {
+                "multi_terms": {
+                    "terms": [{"field": "lang"}, {"field": "repo"}],
+                    "size": 6,
+                },
+                "aggs": {"avg_dl": {"avg": {"field": "dl"}}},
+            }
+        }
+    )
+    return out.select(
+        F.col("by").alias("key"),
+        F.col("by_doc_count").cast("long").alias("doc_count"),
+        F.round("avg_dl", 4).alias("avg_dl"),
+    ).orderBy("key")
+
+
 _ROWS_ONLY_TAIL = [
     # collapse_index_search is a round-4 late addition (ES `collapse` +
     # inner_hits): a distinct-operator oracle, but the 50-row window is
@@ -7250,6 +7332,20 @@ _ROWS_ONLY_TAIL = [
     "knn_filtered",
     "sibling_bucket_agg",
     "text_quality",
+    # round-4 final demotion: percentile_ranks_agg's t-digest-free exact
+    # percentile arithmetic is the same evidence class as the p50
+    # percentiles metric INSIDE the in-window aggs_dsl_search oracle —
+    # freeing the slot for rrf_retriever_search (hybrid BM25 x kNN
+    # through the real engine + the distributed rrf_fuse operator, a new
+    # operator class with no other in-window row).
+    "percentile_ranks_agg",
+    # knn_dsl_search: late addition (the ES 8 knn DSL leaf + hybrid
+    # bool.should sum) — overflow posture like collapse/geo above: its
+    # oracle SQL is registered (the harness CAN check it if the window
+    # grows), the exact-cosine kernel is in-window via knn_cosine, and
+    # the leaf is brute-force pytest-verified in test_dsl_knn on both
+    # reader tiers.
+    "knn_dsl_search",
 ]
 # Promotions INTO the driver's ~50-row evidence window: the round's new
 # operator classes (ES join-field parent/child, per-doc-msm terms_set,
@@ -7265,6 +7361,7 @@ _PROMOTED = [
     "rank_feature_search",
     "dsl_index_search",
     "aggs_dsl_search",
+    "rrf_retriever_search",
 ]
 _order = [
     k for k in QUERIES

