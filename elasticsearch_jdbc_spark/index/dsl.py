@@ -462,6 +462,38 @@ def _leaf_knn(ctx, body):
     return _scale(top, body.get("boost", 1.0))
 
 
+def _leaf_sparse_vector(ctx, body):
+    """ES `sparse_vector` (ELSER-style weighted-token scoring; the
+    `weighted_tokens` shape): score = sum over the query's (token,
+    weight) pairs of weight * doc_rank_features[token], docs with zero
+    overlap excluded. The rank-features live in a map<string,double>
+    METADATA column; the whole score is one static JVM expression tree
+    over the docs scan — no explode, no UDF, token count bounded by the
+    query."""
+    field = body["field"]
+    docs = ctx.docs()
+    if field not in docs.columns:
+        raise ValueError(
+            f"unknown rank-features column {field!r}; docs table has "
+            f"{ctx.meta_cols()}"
+        )
+    qv = body.get("query_vector") or {}
+    if not isinstance(qv, dict) or not qv:
+        raise ValueError("sparse_vector needs a non-empty query_vector map")
+    score = None
+    for tok, w in qv.items():
+        term = F.lit(float(w)) * F.coalesce(
+            F.element_at(F.col(field), F.lit(tok)).cast("double"), F.lit(0.0)
+        )
+        score = term if score is None else score + term
+    out = (
+        docs.filter(F.col(field).isNotNull())
+        .select(*ctx.keys, score.alias("score"))
+        .filter(F.col("score") > 0)
+    )
+    return _scale(out, body.get("boost", 1.0))
+
+
 def _leaf_mlt(ctx, body):
     df = ctx.reader.more_like_this_df(
         body["like"], k=None,
@@ -708,6 +740,8 @@ _LEAFS = {
     "simple_query_string": _leaf_query_string,
     "more_like_this": _leaf_mlt,
     "knn": _leaf_knn,
+    "sparse_vector": _leaf_sparse_vector,
+    "weighted_tokens": _leaf_sparse_vector,
 }
 
 _COMPOUNDS = {

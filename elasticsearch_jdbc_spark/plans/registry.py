@@ -1437,7 +1437,8 @@ def _registry_index(spark, sf_dir, with_positions: bool = False) -> str:
     # tags1: planted array<string> tags metadata (ES array/nested fields)
     # pc1: planted parent ref metadata (ES join-field parent/child)
     # emb1: planted dense-vector metadata (embeddings join) for knn/hybrid
-    layout = ",".join(POSTINGS_SCHEMA.names) + f"|pos={with_positions}|geo1|tags1|pc1|emb1"
+    # rf1: planted rank-features map for sparse_vector scoring
+    layout = ",".join(POSTINGS_SCHEMA.names) + f"|pos={with_positions}|geo1|tags1|pc1|emb1|rf1"
     tag = _h.sha1(f"{sf_dir}|{layout}".encode()).hexdigest()[:10]
     idx = _os.path.join(_tmp.gettempdir(), f"registry_idx_{tag}")
     IndexBuilder(spark, idx, partitions=8, with_positions=with_positions).build(
@@ -7159,6 +7160,59 @@ def aggs_dsl_q(spark, sf_dir):
         F.col("max_dl").cast("long").alias("max_dl"),
         F.round("p50_p50", 4).alias("p50_p50"),
     ).orderBy("by_lang")
+
+
+def _sparse_vector_sql() -> str:
+    """sparse_vector oracle: the planted rank-features map is pure doc_id
+    arithmetic (corpus_from_documents rfeat: t{id%5} -> 0.1 + (id%13)/13,
+    q{id%3} -> 0.05 + (id%7)/7), so the weighted-token dot product
+    re-derives without the map: query {t1: 2.0, q2: 1.5}."""
+    return """
+    WITH scored AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 1 THEN 2.0 * (0.1 + (doc_id % 13) / 13.0) ELSE 0 END
+           + CASE WHEN doc_id % 3 = 2 THEN 1.5 * (0.05 + (doc_id % 7) / 7.0) ELSE 0 END AS score
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM scored WHERE score > 0
+    )
+    SELECT CAST(rank AS INT) AS rank, doc_id, ROUND(score, 6) AS score
+    FROM ranked WHERE rank <= 10 ORDER BY rank
+    """
+
+
+@_reg("sparse_vector_search", _sparse_vector_sql())
+def sparse_vector_q(spark, sf_dir):
+    """ES `sparse_vector` query (ELSER-style weighted-token scoring)
+    through the DSL compiler, ORACLE-CHECKED: one static JVM expression
+    tree over the docs scan's rank-features map — weight * feature sums,
+    zero-overlap docs excluded, top-10 after the id mapping."""
+    from ..index import IndexReader
+
+    idx = _registry_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    ids = _index_docid_map(spark, idx)
+    body = {
+        "sparse_vector": {
+            "field": "rfeat",
+            "query_vector": {"t1": 2.0, "q2": 1.5},
+        }
+    }
+    hits = reader.search_dsl_df(body, k=None)
+    w = W.orderBy(F.desc("score"), F.asc("documents_doc_id"))
+    return (
+        hits.join(ids, "doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "rank",
+            F.col("documents_doc_id").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+        )
+    )
 
 
 def _rare_terms_sql() -> str:

@@ -183,6 +183,11 @@ def corpus_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ES dense_vector substrate for the `knn` DSL leaf and hybrid
     retrieval. Left join: docs past the embeddings table's cardinality
     carry NULL and are skipped by vector queries, like unmapped ES docs.
+
+    rfeat: deterministic planted map<string,double> (doc_id modular
+    arithmetic, re-derivable in any SQL engine) — the ES
+    rank_features/sparse_vector substrate (ELSER-style weighted-token
+    scoring).
     """
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
@@ -213,4 +218,14 @@ def corpus_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("parent"),
         F.col("emb"),
+        F.map_from_arrays(
+            F.array(
+                F.concat(F.lit("t"), (F.col("doc_id") % 5).cast("string")),
+                F.concat(F.lit("q"), (F.col("doc_id") % 3).cast("string")),
+            ),
+            F.array(
+                (F.lit(0.1) + (F.col("doc_id") % 13) / F.lit(13.0)).cast("double"),
+                (F.lit(0.05) + (F.col("doc_id") % 7) / F.lit(7.0)).cast("double"),
+            ),
+        ).alias("rfeat"),
     )
