@@ -424,13 +424,17 @@ def _leaf_query_string(ctx, body):
 
 
 def _leaf_knn(ctx, body):
-    """ES `knn` search clause over an embedding METADATA column: exact
-    top-k cosine against the query vector (the brute-force path — at
-    10^12 scale swap in operators/similarity's IVF/LSH candidate
-    pruning). Scores (1 + cosine) / 2, ES's cosine-similarity mapping, so
-    hybrid bool-should compositions with BM25 stay positive. `filter` is
-    a nested query body with PRE-filter semantics (restricts the corpus
-    BEFORE the cut, like ES knn.filter)."""
+    """ES `knn` search clause over an embedding METADATA column, scored
+    (1 + cosine) / 2 (ES's cosine-similarity mapping) so hybrid
+    bool-should compositions with BM25 stay positive. `filter` is a
+    nested query body with PRE-filter semantics (restricts the corpus
+    BEFORE candidate generation, like ES knn.filter).
+
+    `num_candidates` (the ES approximation knob): on a base-tier reader
+    with an `enable_ann` IVF sidecar, routes through the partition-pruned
+    centroid probe (reader.knn_df) — the 10^12-scale path. Without a
+    sidecar (or on the live tier) it falls back to the exact scan, which
+    is strictly-better recall."""
     from ..operators.similarity import cosine
 
     field = body["field"]
@@ -442,22 +446,35 @@ def _leaf_knn(ctx, body):
         )
     qv = [float(x) for x in body["query_vector"]]
     k = int(body.get("k", 10))
-    qcol = F.array(*[F.lit(x) for x in qv])
-    cand = docs
+    restrict = None
     if body.get("filter") is not None:
-        cand = cand.join(
-            _compile(ctx, body["filter"]).select(*ctx.keys), ctx.keys, "left_semi"
+        restrict = _compile(ctx, body["filter"]).select(*ctx.keys)
+    nc = body.get("num_candidates")
+    if (
+        not ctx.live
+        and hasattr(ctx.reader, "knn_df")
+        and (nc is None or ctx.reader._ann_meta(field) is not None)
+    ):
+        scored = ctx.reader.knn_df(
+            field, qv, num_candidates=nc, restrict_df=restrict
         )
-    scored = cand.filter(F.col(field).isNotNull()).select(
-        *ctx.keys,
-        (
+    else:
+        qcol = F.array(*[F.lit(x) for x in qv])
+        cand = docs
+        if restrict is not None:
+            cand = cand.join(restrict, ctx.keys, "left_semi")
+        scored = cand.filter(F.col(field).isNotNull()).select(
+            *ctx.keys,
             (
-                F.lit(1.0)
-                + cosine(F.transform(F.col(field), lambda x: x.cast("double")), qcol)
-            )
-            / F.lit(2.0)
-        ).alias("score"),
-    )
+                (
+                    F.lit(1.0)
+                    + cosine(
+                        F.transform(F.col(field), lambda x: x.cast("double")), qcol
+                    )
+                )
+                / F.lit(2.0)
+            ).alias("score"),
+        )
     top = scored.orderBy(F.desc("score"), *[F.asc(c) for c in ctx.keys]).limit(k)
     return _scale(top, body.get("boost", 1.0))
 

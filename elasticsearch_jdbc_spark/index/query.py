@@ -2155,6 +2155,125 @@ class IndexReader:
             self._fuzzy_meta_path(), json.dumps({"max_dist": max_dist})
         )
 
+    # ---------- dense-vector (IVF) sidecar ----------
+
+    def _ann_dir(self, field: str) -> str:
+        return os.path.join(self.index_dir, f"ann_{field}")
+
+    def _ann_meta(self, field: str) -> dict | None:
+        p = os.path.join(self._ann_dir(field), "meta.json")
+        return json.loads(self.fs.read_text(p)) if self.fs.exists(p) else None
+
+    def enable_ann(
+        self, field: str = "emb", n_centroids: int | None = None, seed: int = 42
+    ) -> dict:
+        """Build (once) the IVF-flat sidecar for a dense-vector metadata
+        column: driver k-means coarse centroids (bounded 4096-row sample,
+        deterministic seeds) + the per-doc centroid assignment, written
+        partitioned BY CENTROID so a probe reads only its lists. Turns
+        `knn_df(num_candidates=...)` from a full-corpus scan into a
+        partition-pruned candidate read — the FAISS IVF shape, same
+        posture as `enable_fuzzy` (an idempotent reader-side auxiliary
+        table; the reference has no analogue because it delegates all
+        search to Elasticsearch). Returns the sidecar meta."""
+        meta = self._ann_meta(field)
+        if meta is not None and (
+            n_centroids is None or meta["n_centroids"] >= n_centroids
+        ):
+            return meta
+        from ..operators.similarity import ivf_assign, kmeans_centroids
+
+        docs = self.spark.read.parquet(
+            os.path.join(self.index_dir, "docs")
+        ).filter(F.col(field).isNotNull())
+        n_vecs = docs.count()
+        if n_vecs == 0:
+            raise ValueError(f"no non-null vectors in docs column {field!r}")
+        k = n_centroids or max(2, min(256, int(n_vecs**0.5)))
+        cents = kmeans_centroids(docs, field, k=k, seed=seed, id_col="doc_id")
+        assigned = ivf_assign(docs.select("doc_id", field), cents, "doc_id", field)
+        (
+            assigned.select(F.col("vec_id").alias("doc_id"), "centroid")
+            .repartition("centroid")
+            .write.mode("overwrite")
+            .partitionBy("centroid")
+            .parquet(os.path.join(self._ann_dir(field), "assign"))
+        )
+        meta = {
+            "field": field,
+            "n_centroids": int(cents.shape[0]),
+            "n_vecs": int(n_vecs),
+            "dim": int(cents.shape[1]),
+            "centroids": [[float(v) for v in row] for row in cents],
+        }
+        self.fs.write_text(
+            os.path.join(self._ann_dir(field), "meta.json"), json.dumps(meta)
+        )
+        return meta
+
+    def knn_df(
+        self,
+        field: str,
+        query_vector: list[float],
+        num_candidates: int | None = None,
+        restrict_df: DataFrame | None = None,
+    ) -> DataFrame:
+        """The UNRANKED dense-vector score set (doc_id, score) — cosine
+        against `query_vector` scored (1 + cos) / 2 (ES's dense_vector
+        cosine mapping), no orderBy/limit (consumers cut). restrict_df =
+        ES knn.filter PRE-semantics: left-semi restriction BEFORE any
+        candidate generation, so an IVF probe spends its budget inside
+        the filtered sub-space.
+
+        num_candidates (requires `enable_ann(field)` first): approximate
+        search — probe the ceil(num_candidates * C / n_vecs) nearest
+        centroid lists (expected scan ~num_candidates vectors, the ES
+        `knn.num_candidates` contract) via the partition-pruned
+        assignment sidecar. Omitted: exact full scan."""
+        import numpy as np
+
+        from ..operators.similarity import cosine as _cos
+
+        docs = self.spark.read.parquet(
+            os.path.join(self.index_dir, "docs")
+        ).filter(F.col(field).isNotNull())
+        if restrict_df is not None:
+            docs = docs.join(restrict_df.select("doc_id"), "doc_id", "left_semi")
+        if num_candidates is not None:
+            meta = self._ann_meta(field)
+            if meta is None:
+                raise ValueError(
+                    f"num_candidates requires enable_ann({field!r}) first"
+                )
+            c = np.array(meta["centroids"], dtype=np.float64)
+            v = np.array(query_vector, dtype=np.float64)
+            v /= max(np.linalg.norm(v), 1e-12)
+            n_probe = max(
+                1,
+                min(
+                    len(c),
+                    -(-int(num_candidates) * len(c) // max(1, meta["n_vecs"])),
+                ),
+            )
+            probes = [int(i) for i in np.argsort(-(c @ v))[:n_probe]]
+            assign = self.spark.read.parquet(
+                os.path.join(self._ann_dir(field), "assign")
+            ).filter(F.col("centroid").isin(probes))
+            docs = docs.join(assign.select("doc_id"), "doc_id", "left_semi")
+        qcol = F.array(*[F.lit(float(x)) for x in query_vector])
+        return docs.select(
+            "doc_id",
+            (
+                (
+                    F.lit(1.0)
+                    + _cos(
+                        F.transform(F.col(field), lambda x: x.cast("double")), qcol
+                    )
+                )
+                / F.lit(2.0)
+            ).alias("score"),
+        )
+
     @staticmethod
     def _auto_fuzziness(token: str) -> int:
         """ES fuzziness=AUTO (AUTO:3,6): exact under 3 chars, 1 edit for

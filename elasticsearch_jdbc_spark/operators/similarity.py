@@ -151,6 +151,8 @@ def ivf_assign(
 
     def assign(batches):
         for pdf in batches:
+            if not len(pdf):
+                continue
             x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
             a = (xn @ c.T).argmax(axis=1).astype(np.int32)

@@ -230,3 +230,89 @@ def test_rrf_retriever_validation(spark, setup):
         )
     with pytest.raises(ValueError, match="unsupported retriever kind"):
         r.search_dsl_df({"retriever": {"banana": {}}})
+
+
+def test_enable_ann_and_knn_df_exact(spark, setup):
+    """knn_df without num_candidates == brute force; enable_ann is
+    idempotent and its meta records the trained shape."""
+    d, r, docs = setup
+    meta = r.enable_ann("emb", n_centroids=8)
+    assert meta["n_centroids"] == 8 and meta["n_vecs"] == len(docs)
+    assert meta["dim"] == DIMS and len(meta["centroids"]) == 8
+    meta2 = r.enable_ann("emb", n_centroids=8)
+    assert meta2 == meta  # second call: cached, no rebuild
+    got = {x["doc_id"]: x["score"] for x in r.knn_df("emb", QV).collect()}
+    for s, i in _brute(docs, QV, len(docs)):
+        assert got[i] == pytest.approx(s, rel=1e-9)
+
+
+def _probe_model(meta, docs, qv, num_candidates):
+    """Re-derive the IVF candidate set in plain Python from the sidecar
+    meta: assignment by nearest centroid, probes by centroid similarity."""
+    import numpy as np
+
+    c = np.array(meta["centroids"])
+    v = np.array(qv, dtype=float)
+    v /= np.linalg.norm(v)
+    n_probe = max(1, min(len(c), -(-num_candidates * len(c) // meta["n_vecs"])))
+    probes = set(int(i) for i in np.argsort(-(c @ v))[:n_probe])
+    cand = set()
+    for x in docs:
+        e = np.array(x["emb"], dtype=float)
+        e /= max(np.linalg.norm(e), 1e-12)
+        if int(np.argmax(c @ e)) in probes:
+            cand.add(x["doc_id"])
+    return cand
+
+
+def test_knn_df_num_candidates_prunes(spark, setup):
+    """num_candidates probes only the nearest centroid lists: the result
+    equals brute force restricted to the re-derived candidate set."""
+    d, r, docs = setup
+    meta = r.enable_ann("emb", n_centroids=8)
+    nc = 30
+    cand = _probe_model(meta, docs, QV, nc)
+    assert 0 < len(cand) < len(docs), "probe must actually prune"
+    got = {
+        x["doc_id"]: x["score"]
+        for x in r.knn_df("emb", QV, num_candidates=nc).collect()
+    }
+    assert set(got) == cand
+    want = dict()
+    for s, i in _brute(docs, QV, len(docs), pred=lambda x: x["doc_id"] in cand):
+        want[i] = s
+    for i, s in want.items():
+        assert got[i] == pytest.approx(s, rel=1e-9)
+
+
+def test_knn_leaf_num_candidates_and_filter(spark, setup):
+    """The DSL leaf routes num_candidates through the sidecar, with the
+    pre-filter applied BEFORE candidate generation."""
+    d, r, docs = setup
+    meta = r.enable_ann("emb", n_centroids=8)
+    nc = 30
+    cand = _probe_model(meta, docs, QV, nc)
+    body = {
+        "knn": {"field": "emb", "query_vector": QV, "k": 5, "num_candidates": nc}
+    }
+    got = r.search_dsl_df(body, k=5).collect()
+    want = _brute(docs, QV, 5, pred=lambda x: x["doc_id"] in cand)
+    assert [x["doc_id"] for x in got] == [i for _, i in want]
+    # with filter: every hit satisfies the filter
+    match_ids = {x["doc_id"] for x in r.match_df("merge").collect()}
+    body["knn"]["filter"] = {"match": {"content": "merge"}}
+    got2 = r.search_dsl_df(body, k=5).collect()
+    assert got2 and all(x["doc_id"] in match_ids for x in got2)
+
+
+def test_knn_df_requires_sidecar(spark, tmp_path):
+    from elasticsearch_jdbc_spark.sources import synthetic_corpus as _sc
+
+    idx = str(tmp_path / "idx")
+    corpus = _sc(spark, n_files=20, seed=3).withColumn(
+        "emb", F.array(*[F.lit(float(i)) for i in range(3)])
+    )
+    IndexBuilder(spark, idx, partitions=2).build(corpus, resume=False)
+    rr = IndexReader(spark, idx)
+    with pytest.raises(ValueError, match="requires enable_ann"):
+        rr.knn_df("emb", [1.0, 0.0, 0.0], num_candidates=5).collect()
