@@ -83,15 +83,42 @@ def get_spark(
 
 def _ship_package(spark: SparkSession) -> None:
     """Make this package importable on executors (the spark-submit
-    --py-files equivalent, done automatically so any entrypoint works)."""
+    --py-files equivalent, done automatically so any entrypoint works).
+
+    The zip is named by a content fingerprint of the package sources
+    (paths + sizes + mtimes), so concurrent sessions never collide: a
+    session that registered yesterday's zip keeps fetching IT while a
+    session started after an edit ships a differently-named zip —
+    Spark's addPyFile hard-errors if a same-named file changes content
+    mid-session (measured: one stale shared name failed every task of a
+    running suite)."""
+    import hashlib
     import shutil
     import tempfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zip_path = os.path.join(tempfile.gettempdir(), "elasticsearch_jdbc_spark_pkg")
+    h = hashlib.sha1()
+    for root, dirs, files in sorted(os.walk(pkg_dir)):
+        dirs.sort()
+        if "__pycache__" in root:
+            continue
+        for fn in sorted(files):
+            if fn.endswith((".pyc", ".pyo")):
+                continue
+            p = os.path.join(root, fn)
+            st = os.stat(p)
+            h.update(
+                f"{os.path.relpath(p, pkg_dir)}|{st.st_size}|{st.st_mtime_ns}".encode()
+            )
+    tag = h.hexdigest()[:12]
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"elasticsearch_jdbc_spark_pkg_{tag}"
+    )
     if not os.path.exists(zip_path + ".zip"):
+        tmp = zip_path + f".build{os.getpid()}"
         shutil.make_archive(
-            zip_path, "zip", root_dir=os.path.dirname(pkg_dir),
+            tmp, "zip", root_dir=os.path.dirname(pkg_dir),
             base_dir=os.path.basename(pkg_dir),
         )
+        os.replace(tmp + ".zip", zip_path + ".zip")
     spark.sparkContext.addPyFile(zip_path + ".zip")
