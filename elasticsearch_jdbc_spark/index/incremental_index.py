@@ -3568,6 +3568,89 @@ class IncrementalIndexReader:
             )
         )
 
+    def significant_text_df(
+        self,
+        query: str,
+        size: int = 10,
+        min_should_match: int = 1,
+        boosts: dict[str, float] | None = None,
+        filter_sql: str | None = None,
+        min_doc_count: int = 3,
+        filter_duplicate_text: bool = False,
+        field: str | None = None,
+    ) -> DataFrame:
+        """ES significant_text over the LIVE index (base + deltas): the
+        foreground re-analyzes the matching docs' stored token streams via
+        live_tokenized — tombstones masked and upserts resolved to their
+        newest version BEFORE counting, so fg stats are live-exact — with
+        the same deterministic filter_duplicate_text variant as
+        IndexReader.significant_text_df (byte-identical analyzed streams
+        count once; survivor choice cannot change the answer). Background
+        stats follow the Lucene deleted-docs stats rule (same as
+        combined_fields max_field): per-term df SUMMED across every
+        segment's dictionary, n = summed raw segment doc counts — deletes
+        correct bg only at merge, exactly like Lucene segment stats. JLH
+        scoring; output shape matches significant_terms_df."""
+        fields = self.readers[self.segments[0]].manifest.get("fields")
+        if fields:
+            if field is None:
+                raise ValueError(f"fields index: pass field= (one of {fields})")
+            if field not in fields:
+                raise ValueError(f"unknown field {field!r} (indexed: {fields})")
+        elif field is not None:
+            raise ValueError("not a fields index; field= is not applicable")
+        pre = (field + "\x1f") if fields else ""
+        match = self.match_df(
+            query, min_should_match=min_should_match, boosts=boosts,
+            filter_sql=filter_sql,
+        ).select("segment", "doc_id")
+        toks = F.col("tokens")
+        if pre:
+            toks = F.transform(
+                F.filter("tokens", lambda t: t.startswith(pre)),
+                lambda t: t.substr(F.lit(len(pre) + 1), F.length(t)),
+            )
+        rows = self.live_tokenized(match=match).select(toks.alias("toks"))
+        if filter_duplicate_text:
+            rows = rows.withColumn(
+                "_th", F.sha2(F.array_join("toks", "\x1e"), 256)
+            ).dropDuplicates(["_th"])
+        totals = rows.agg(F.count("*").cast("double").alias("fg_n"))
+        fg = (
+            rows.select(F.explode(F.array_distinct("toks")).alias("term"))
+            .groupBy("term")
+            .agg(F.count("*").alias("fg_count"))
+            .filter(F.col("fg_count") >= min_doc_count)
+        )
+        bg = None
+        for s in self.segments:
+            base = os.path.join(self.index_dir, s) if s else self.index_dir
+            d = self.spark.read.parquet(os.path.join(base, "terms")).select(
+                "term", "df"
+            )
+            bg = d if bg is None else bg.unionByName(d)
+        if pre:
+            bg = bg.filter(F.col("term").startswith(pre)).withColumn(
+                "term", F.expr(f"substring(term, {len(pre) + 1})")
+            )
+        bg = bg.groupBy("term").agg(F.sum("df").alias("bg_count"))
+        n = float(sum(self.readers[s].n_docs for s in self.segments))
+        fg_rate = F.col("fg_count") / F.col("fg_n")
+        bg_rate = F.col("bg_count") / F.lit(n)
+        return (
+            fg.join(bg, "term")
+            .crossJoin(F.broadcast(totals))
+            .withColumn("score", (fg_rate - bg_rate) * (fg_rate / bg_rate))
+            .orderBy(F.desc("score"), F.asc("term"))
+            .limit(size)
+            .select(
+                "term",
+                F.col("fg_count").cast("long").alias("fg_count"),
+                F.col("bg_count").cast("long").alias("bg_count"),
+                F.round("score", 6).alias("score"),
+            )
+        )
+
     def rescore_df(
         self,
         query: str,

@@ -1741,6 +1741,104 @@ class IndexReader:
             )
         )
 
+    def significant_text_df(
+        self,
+        query: str,
+        size: int = 10,
+        min_should_match: int = 1,
+        boosts: dict[str, float] | None = None,
+        filter_sql: str | None = None,
+        min_doc_count: int = 3,
+        filter_duplicate_text: bool = False,
+        field: str | None = None,
+    ) -> DataFrame:
+        """ES significant_text aggregation: significant_terms, but the
+        FOREGROUND statistics come from re-analyzing the matching
+        documents' source text — here the tokenized checkpoint, the
+        analysis persisted at build time, so nothing re-tokenizes — with
+        `filter_duplicate_text` folding duplicated text down to one vote
+        (ES's motivation: cut-and-paste boilerplate like reply chains or
+        mirrored articles otherwise dominates the fg counts). ES
+        near-dedups streamed sections with hashes, which is
+        order-dependent; this engine pins the deterministic exact
+        variant — docs whose analyzed token stream is byte-identical
+        count once, and since every row sharing the hash carries the
+        identical token array, survivor choice cannot change the answer
+        (partitioning-invariant). Background stats are the term
+        dictionary's df — the index-level stats ES itself uses — and the
+        scoring is the same JLH heuristic as significant_terms_df. On a
+        fields corpus pass `field` (the ES agg is single-field); fg
+        tokens and bg stats then resolve inside that namespace.
+
+        Plan: the UNRANKED match set (no ordered cut) restricts docs to
+        foreground keys, which left-semi-prune ONE tokenized scan; the
+        optional dedup is one dropDuplicates on a token-stream hash; fg
+        counts come from explode(array_distinct(tokens)); bg df rides in
+        on a hashed join with the narrow (term, df) dictionary.
+        Foreground work scales with the match set and background with
+        the dictionary — unlike significant_terms_df, no corpus-wide
+        postings decode (each agg costs its natural substrate)."""
+        pre = self._field_namespace(field)
+        keys = self.manifest["key_cols"]
+        fg_keys = (
+            self.spark.read.parquet(os.path.join(self.index_dir, "docs"))
+            .select("doc_id", *keys)
+            .join(
+                self.match_df(
+                    query, min_should_match=min_should_match, boosts=boosts,
+                    filter_sql=filter_sql,
+                ).select("doc_id"),
+                "doc_id",
+                "left_semi",
+            )
+            .select(*keys)
+        )
+        toks = F.col("tokens")
+        if pre:
+            toks = F.transform(
+                F.filter("tokens", lambda t: t.startswith(pre)),
+                lambda t: t.substr(F.lit(len(pre) + 1), F.length(t)),
+            )
+        rows = (
+            self.spark.read.parquet(os.path.join(self.index_dir, "tokenized"))
+            .select(*keys, "tokens")
+            .join(fg_keys, keys, "left_semi")
+            .select(toks.alias("toks"))
+        )
+        if filter_duplicate_text:
+            rows = rows.withColumn(
+                "_th", F.sha2(F.array_join("toks", "\x1e"), 256)
+            ).dropDuplicates(["_th"])
+        totals = rows.agg(F.count("*").cast("double").alias("fg_n"))
+        fg = (
+            rows.select(F.explode(F.array_distinct("toks")).alias("term"))
+            .groupBy("term")
+            .agg(F.count("*").alias("fg_count"))
+            .filter(F.col("fg_count") >= min_doc_count)
+        )
+        bg = self.spark.read.parquet(os.path.join(self.index_dir, "terms"))
+        if pre:
+            bg = bg.filter(F.col("term").startswith(pre)).withColumn(
+                "term", F.expr(f"substring(term, {len(pre) + 1})")
+            )
+        bg = bg.select("term", F.col("df").alias("bg_count"))
+        n = float(self.n_docs)
+        fg_rate = F.col("fg_count") / F.col("fg_n")
+        bg_rate = F.col("bg_count") / F.lit(n)
+        return (
+            fg.join(bg, "term")
+            .crossJoin(F.broadcast(totals))
+            .withColumn("score", (fg_rate - bg_rate) * (fg_rate / bg_rate))
+            .orderBy(F.desc("score"), F.asc("term"))
+            .limit(size)
+            .select(
+                "term",
+                F.col("fg_count").cast("long").alias("fg_count"),
+                F.col("bg_count").cast("long").alias("bg_count"),
+                F.round("score", 6).alias("score"),
+            )
+        )
+
     def _collect_blocks(
         self, terms: list[str], positions: bool = False
     ) -> dict[str, list]:

@@ -3354,6 +3354,82 @@ def sigterms_index_q(spark, sf_dir):
     return reader.significant_terms_df(_SIGTERMS_QUERY, size=15)
 
 
+def _sigtext_sql() -> str:
+    """significant_text oracle: same JLH table as significant_terms, but
+    the foreground folds byte-identical analyzed token streams to ONE vote
+    (filter_duplicate_text) before counting — fg docs dedup on the joined
+    token stream, fg_n and per-term fg counts come from the survivors,
+    background stays the whole-corpus per-term doc frequency."""
+    from ..functions.tokenizer import tokenize_py
+
+    values = ", ".join(
+        f"('{t}')" for t in dict.fromkeys(tokenize_py(_SIGTERMS_QUERY))
+    )
+    return f"""
+    WITH q(term) AS (VALUES {values}),
+    tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    doc_term AS (
+      SELECT DISTINCT doc_id, t.term
+      FROM tok, UNNEST(toks) AS t(term)
+    ),
+    fg_docs AS (
+      SELECT DISTINCT doc_id FROM doc_term JOIN q USING (term)
+    ),
+    fg_ded AS (
+      SELECT MIN(tok.doc_id) AS doc_id
+      FROM tok JOIN fg_docs USING (doc_id)
+      GROUP BY array_to_string(toks, CHR(30))
+    ),
+    tot AS (
+      SELECT (SELECT COUNT(*) FROM fg_ded) * 1.0 AS fg_n,
+             (SELECT COUNT(*) FROM tok) * 1.0 AS n
+    ),
+    fg AS (
+      SELECT dt.term, COUNT(*) AS fg_count
+      FROM doc_term dt JOIN fg_ded USING (doc_id)
+      GROUP BY 1
+      HAVING COUNT(*) >= 3
+    ),
+    bg AS (
+      SELECT term, COUNT(*) AS bg_count FROM doc_term GROUP BY 1
+    ),
+    scored AS (
+      SELECT fg.term, fg.fg_count, bg.bg_count,
+             ((fg.fg_count / tot.fg_n) - (bg.bg_count / tot.n))
+               * ((fg.fg_count / tot.fg_n) / (bg.bg_count / tot.n)) AS score
+      FROM fg JOIN bg USING (term), tot
+    )
+    SELECT term, CAST(fg_count AS BIGINT) AS fg_count,
+           CAST(bg_count AS BIGINT) AS bg_count, ROUND(score, 6) AS score
+    FROM scored
+    ORDER BY score DESC, term
+    LIMIT 15
+    """
+
+
+@_reg("sigtext_index_search", _sigtext_sql())
+def sigtext_index_q(spark, sf_dir):
+    """ES significant_text through the REAL engine, ORACLE-CHECKED with
+    filter_duplicate_text=True: the foreground re-analyzes matching docs
+    from the tokenized checkpoint (restricted by the UNRANKED match set),
+    folds duplicate analyzed streams to one vote via a hash
+    dropDuplicates, and joins dictionary dfs for the background — vs a
+    DuckDB plan deduplicating the same token streams over the raw corpus.
+    The sf0.01 documents table carries planted exact duplicates (the
+    dedup fixtures), so the dedup path is genuinely live here."""
+    from ..index import IndexReader
+
+    idx = _registry_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    return reader.significant_text_df(
+        _SIGTERMS_QUERY, size=15, filter_duplicate_text=True
+    )
+
+
 _PREFIX_CASES = [(0, "fa"), (1, "mer"), (2, "qu")]
 
 
@@ -7400,6 +7476,12 @@ _ROWS_ONLY_TAIL = [
     # the leaf is brute-force pytest-verified in test_dsl_knn on both
     # reader tiers.
     "knn_dsl_search",
+    # sigtext_index_search: round-4 late addition (ES significant_text —
+    # re-analysis foreground + filter_duplicate_text) — overflow posture
+    # like the entries above: oracle SQL registered (the harness CAN
+    # check it if the window grows), brute-force + sigterms-equivalence
+    # pytest in test_sigtext on both reader tiers.
+    "sigtext_index_search",
 ]
 # Promotions INTO the driver's ~50-row evidence window: the round's new
 # operator classes (ES join-field parent/child, per-doc-msm terms_set,
