@@ -1244,3 +1244,74 @@ def geo_line_geojson(line_df: DataFrame, group_cols: list[str]) -> DataFrame:
             ).alias("geometry"),
         )
     )
+
+
+def categorize_text(
+    df: DataFrame,
+    col: str,
+    size: int = 10,
+    min_doc_count: int = 1,
+) -> DataFrame:
+    """ES `categorize_text` aggregation (log-message categorization) as a
+    DETERMINISTIC exact-pattern variant: ES clusters messages with an
+    order-dependent streaming algorithm (a drain-style tree gated by
+    `similarity_threshold`, "re-running can produce different categories"
+    per its docs); here the category key IS the message's analyzed token
+    sequence with number-bearing tokens dropped — ES's own
+    category-defining-token rule (its categorization analyzer discards
+    tokens containing digits: timestamps, ids, addresses vary per event
+    and never define a category). Same collapse behavior on real log
+    streams (messages differing only in their variable parts land in one
+    bucket), but reproducible and partitioning-invariant, which is what a
+    pipeline run at 100 TB must be — the variable_width_histogram
+    precedent.
+
+    Response shape follows ES: per bucket
+      key                  space-joined category-defining tokens
+      doc_count            messages in the category
+      max_matching_length  longest raw message observed in the bucket
+                           (ES's bound on what the regex should match)
+      regex                '.*?tok1.+?tok2.*?' — the ES response regex,
+                           derived from the key
+    ordered by doc_count DESC with the key tie-break, top `size`.
+    Messages with NO category-defining token (all-numeric lines, empty
+    strings, NULLs) form no bucket, like ES.
+
+    Plan: ONE whole-stage-codegen projection (split -> two array filters
+    -> array_join) and ONE map-side-combinable groupBy on the category
+    key — a single narrow shuffle at any corpus size; the regex derives
+    from the key post-aggregation, never from row data."""
+    if size < 1:
+        raise ValueError("size must be >= 1")
+    toks = F.filter(
+        F.filter(
+            F.split(F.lower(F.col(col)), r"[^a-z0-9]+"),
+            lambda t: t != "",
+        ),
+        lambda t: ~t.rlike("[0-9]"),
+    )
+    return (
+        df.select(
+            F.array_join(toks, " ").alias("key"),
+            F.length(F.col(col)).alias("_len"),
+        )
+        .filter(F.col("key") != "")
+        .groupBy("key")
+        .agg(
+            F.count("*").cast("long").alias("doc_count"),
+            F.max("_len").cast("long").alias("max_matching_length"),
+        )
+        .filter(F.col("doc_count") >= min_doc_count)
+        .orderBy(F.desc("doc_count"), F.asc("key"))
+        .limit(size)
+        .select(
+            "key",
+            "doc_count",
+            "max_matching_length",
+            F.concat(
+                F.lit(".*?"),
+                F.regexp_replace("key", " ", r"\.\+\?"),
+                F.lit(".*?"),
+            ).alias("regex"),
+        )
+    )

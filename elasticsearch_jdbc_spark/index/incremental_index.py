@@ -3651,6 +3651,48 @@ class IncrementalIndexReader:
             )
         )
 
+    def categorize_text_df(
+        self,
+        query: str | None = None,
+        size: int = 10,
+        min_doc_count: int = 1,
+        min_should_match: int = 1,
+        filter_sql: str | None = None,
+        field: str | None = None,
+    ) -> DataFrame:
+        """ES `categorize_text` over the LIVE index (base + deltas): the
+        deterministic exact-pattern variant (see
+        IndexReader.categorize_text_df), with tombstones masked and
+        upserts resolved to their newest version BEFORE bucketing — a
+        deleted log line leaves its category immediately."""
+        fields = self.readers[self.segments[0]].manifest.get("fields")
+        if fields:
+            if field is None:
+                raise ValueError(f"fields index: pass field= (one of {fields})")
+            if field not in fields:
+                raise ValueError(f"unknown field {field!r} (indexed: {fields})")
+        elif field is not None:
+            raise ValueError("not a fields index; field= is not applicable")
+        pre = (field + "\x1f") if fields else ""
+        match = None
+        if query is not None:
+            match = self.match_df(
+                query, min_should_match=min_should_match, filter_sql=filter_sql
+            ).select("segment", "doc_id")
+        elif filter_sql is not None:
+            match = self._filter_docs(filter_sql).select("segment", "doc_id")
+        rows = self.live_tokenized(match=match)
+        toks = F.col("tokens")
+        if pre:
+            toks = F.transform(
+                F.filter("tokens", lambda t: t.startswith(pre)),
+                lambda t: t.substr(F.lit(len(pre) + 1), F.length(t)),
+            )
+        # reuse the base reader's bucket fold (pure column algebra)
+        return self.readers[self.segments[0]]._categorize_rows(
+            rows.select(toks.alias("toks")), size, min_doc_count
+        )
+
     def rescore_df(
         self,
         query: str,

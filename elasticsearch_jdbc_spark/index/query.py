@@ -1839,6 +1839,95 @@ class IndexReader:
             )
         )
 
+    def _categorize_rows(self, rows: DataFrame, size: int, min_doc_count: int):
+        """Shared categorize_text bucket fold over a (toks array) relation:
+        drop number-bearing tokens (ES's category-defining-token rule),
+        key = the joined survivor sequence, one map-side-combinable
+        groupBy. max_matching_tokens is the token-count analogue of ES's
+        max_matching_length (the index stores analyzed streams, not raw
+        text)."""
+        cat = F.filter("toks", lambda t: ~t.rlike("[0-9]"))
+        return (
+            rows.select(
+                F.array_join(cat, " ").alias("key"),
+                F.size("toks").alias("_n"),
+            )
+            .filter(F.col("key") != "")
+            .groupBy("key")
+            .agg(
+                F.count("*").cast("long").alias("doc_count"),
+                F.max("_n").cast("long").alias("max_matching_tokens"),
+            )
+            .filter(F.col("doc_count") >= min_doc_count)
+            .orderBy(F.desc("doc_count"), F.asc("key"))
+            .limit(size)
+            .select(
+                "key",
+                "doc_count",
+                "max_matching_tokens",
+                F.concat(
+                    F.lit(".*?"),
+                    F.regexp_replace("key", " ", ".+?"),
+                    F.lit(".*?"),
+                ).alias("regex"),
+            )
+        )
+
+    def categorize_text_df(
+        self,
+        query: str | None = None,
+        size: int = 10,
+        min_doc_count: int = 1,
+        min_should_match: int = 1,
+        filter_sql: str | None = None,
+        field: str | None = None,
+    ) -> DataFrame:
+        """ES `categorize_text` aggregation over the indexed corpus — the
+        deterministic exact-pattern variant (see aggs.categorize_text for
+        the full contract note: ES's streaming clusterer is documented
+        order-dependent; this engine pins category = the analyzed token
+        sequence with number-bearing tokens dropped, ES's own
+        category-defining-token rule). `query` (optional) scopes the agg
+        to a match set the way an enclosing ES query scopes its aggs —
+        the UNRANKED match set, no ordered cut. On a fields corpus pass
+        `field` (the ES agg is single-field).
+
+        Plan: the match set left-semi-prunes ONE tokenized scan through
+        the key columns; category keys fold in one codegen projection and
+        ONE narrow groupBy — no postings decode, no raw-text re-read."""
+        pre = self._field_namespace(field)
+        keys = self.manifest["key_cols"]
+        tok = self.spark.read.parquet(
+            os.path.join(self.index_dir, "tokenized")
+        ).select(*keys, "tokens")
+        if query is not None or filter_sql is not None:
+            fg_keys = (
+                self.spark.read.parquet(os.path.join(self.index_dir, "docs"))
+                .select("doc_id", *keys)
+                .join(
+                    self.match_df(
+                        query if query is not None else "",
+                        min_should_match=min_should_match,
+                        filter_sql=filter_sql,
+                    ).select("doc_id")
+                    if query is not None
+                    else self._filter_doc_ids(filter_sql).select("doc_id"),
+                    "doc_id",
+                    "left_semi",
+                )
+                .select(*keys)
+            )
+            tok = tok.join(fg_keys, keys, "left_semi")
+        toks = F.col("tokens")
+        if pre:
+            toks = F.transform(
+                F.filter("tokens", lambda t: t.startswith(pre)),
+                lambda t: t.substr(F.lit(len(pre) + 1), F.length(t)),
+            )
+        return self._categorize_rows(
+            tok.select(toks.alias("toks")), size, min_doc_count
+        )
+
     def _collect_blocks(
         self, terms: list[str], positions: bool = False
     ) -> dict[str, list]:

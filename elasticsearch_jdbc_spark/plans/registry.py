@@ -3430,6 +3430,56 @@ def sigtext_index_q(spark, sf_dir):
     )
 
 
+# categorize_text fixture: a log stream derived from doc_id arithmetic so
+# DuckDB re-derives every message independently — numbers vary per event,
+# the category-defining words are the template's
+_CATLOG_CASE = """
+    CASE CAST(doc_id % 3 AS INT)
+      WHEN 0 THEN {fmt}('user %d logged in from 10.0.0.%d', doc_id, doc_id % 251)
+      WHEN 1 THEN {fmt}('disk %d at 87%% capacity on host%d', doc_id % 7, doc_id)
+      ELSE {fmt}('connection timeout after %d ms retry %d', doc_id % 997, doc_id % 5)
+    END
+"""
+
+_CATLOG_SQL = f"""
+WITH msgs AS (
+  SELECT {_CATLOG_CASE.format(fmt="printf")} AS msg FROM documents
+),
+cat AS (
+  SELECT array_to_string(
+           list_filter(
+             string_split_regex(lower(msg), '[^a-z0-9]+'),
+             x -> x <> '' AND NOT regexp_matches(x, '[0-9]')
+           ), ' ') AS key,
+         strlen(msg) AS len
+  FROM msgs
+),
+b AS (
+  SELECT key, COUNT(*) AS doc_count, MAX(len) AS max_matching_length
+  FROM cat WHERE key <> '' GROUP BY 1
+)
+SELECT key, CAST(doc_count AS BIGINT) AS doc_count,
+       CAST(max_matching_length AS BIGINT) AS max_matching_length,
+       '.*?' || replace(key, ' ', '.+?') || '.*?' AS regex
+FROM b ORDER BY doc_count DESC, key LIMIT 10
+"""
+
+
+@_reg("categorize_text_agg", _CATLOG_SQL)
+def categorize_text_q(spark, sf_dir):
+    """ES categorize_text aggregation (deterministic exact-pattern
+    variant), ORACLE-CHECKED: messages derived from doc_id arithmetic
+    (timestamps/ids/addresses vary per event) collapse onto their
+    template's category-defining words — the engine's split -> digit-drop
+    -> join -> ONE groupBy plan vs the identical derivation in DuckDB,
+    byte-exact on keys, counts, lengths, and response regexes."""
+    from ..index.aggs import categorize_text
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    msgs = d.select(F.expr(_CATLOG_CASE.format(fmt="format_string")).alias("msg"))
+    return categorize_text(msgs, "msg", size=10)
+
+
 _PREFIX_CASES = [(0, "fa"), (1, "mer"), (2, "qu")]
 
 
@@ -7482,6 +7532,11 @@ _ROWS_ONLY_TAIL = [
     # check it if the window grows), brute-force + sigterms-equivalence
     # pytest in test_sigtext on both reader tiers.
     "sigtext_index_search",
+    # categorize_text_agg: round-4 late addition (ES categorize_text,
+    # deterministic exact-pattern variant) — same overflow posture
+    # (independent-arithmetic oracle registered; golden + reader-tier
+    # pytest in test_categorize).
+    "categorize_text_agg",
 ]
 # Promotions INTO the driver's ~50-row evidence window: the round's new
 # operator classes (ES join-field parent/child, per-doc-msm terms_set,
