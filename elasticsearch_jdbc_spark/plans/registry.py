@@ -3480,6 +3480,46 @@ def categorize_text_q(spark, sf_dir):
     return categorize_text(msgs, "msg", size=10)
 
 
+@_reg(
+    "scripted_metric_agg",
+    """
+    SELECT lang,
+           CAST(SUM(length(text) * length(text)) AS BIGINT) AS sumsq,
+           COUNT(*) AS n
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def scripted_metric_q(spark, sf_dir):
+    """ES scripted_metric aggregation through the map/combine/reduce
+    harness, ORACLE-CHECKED: a per-lang custom metric (sum of squared doc
+    lengths + count) whose map/combine/reduce scripts run as cloudpickled
+    Python over Arrow batches inside applyInPandas buckets — the value
+    must equal DuckDB's declarative recompute exactly (the scripts here
+    are order/partition-insensitive, the documented ES contract)."""
+    from ..operators.scripted import scripted_metric_by
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "lang", F.length("text").cast("double").alias("v")
+    )
+
+    def _map(state, pdf):
+        state["s"] = state.get("s", 0.0) + float((pdf["v"] ** 2).sum())
+        state["n"] = state.get("n", 0) + len(pdf)
+
+    def _combine(state):
+        return state
+
+    def _reduce(partials):
+        return {
+            "sumsq": int(sum(p.get("s", 0.0) for p in partials)),
+            "n": sum(p.get("n", 0) for p in partials),
+        }
+
+    return scripted_metric_by(
+        d, ["lang"], _map, _combine, _reduce, "sumsq bigint, n bigint"
+    ).orderBy("lang")
+
+
 _PREFIX_CASES = [(0, "fa"), (1, "mer"), (2, "qu")]
 
 
@@ -7537,6 +7577,10 @@ _ROWS_ONLY_TAIL = [
     # (independent-arithmetic oracle registered; golden + reader-tier
     # pytest in test_categorize).
     "categorize_text_agg",
+    # scripted_metric_agg: round-4 late addition (ES scripted_metric
+    # map/combine/reduce harness) — same overflow posture (oracle SQL
+    # registered; partition-invariance pytest in test_scripted_metric).
+    "scripted_metric_agg",
 ]
 # Promotions INTO the driver's ~50-row evidence window: the round's new
 # operator classes (ES join-field parent/child, per-doc-msm terms_set,
