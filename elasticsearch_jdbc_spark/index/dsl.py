@@ -819,7 +819,7 @@ _METRIC_KINDS = (
 )
 _BUCKET_KINDS = (
     "terms", "histogram", "date_histogram", "range", "filters", "missing",
-    "rare_terms", "multi_terms",
+    "rare_terms", "multi_terms", "categorize_text",
 )
 
 
@@ -872,13 +872,12 @@ def _bucket_key(ctx: _Ctx, rows: DataFrame, name: str, kind: str, spec: dict):
     """Attach the bucket key column `name` to `rows` (exploding when a doc
     lands in several buckets — range/filters). Returns (rows, level_meta)
     where level_meta carries the post-aggregation cut knobs."""
+    sized = ("terms", "multi_terms", "categorize_text")
     meta = {
         "name": name,
-        "size": (
-            int(spec.get("size", 10)) if kind in ("terms", "multi_terms") else None
-        ),
+        "size": (int(spec.get("size", 10)) if kind in sized else None),
         "min_doc_count": int(
-            spec.get("min_doc_count", 1 if kind in ("terms", "multi_terms") else 0)
+            spec.get("min_doc_count", 1 if kind in sized else 0)
         ),
         "max_doc_count": (
             int(spec.get("max_doc_count", 1)) if kind == "rare_terms" else None
@@ -970,6 +969,24 @@ def _bucket_key(ctx: _Ctx, rows: DataFrame, name: str, kind: str, spec: dict):
             rows.filter(F.col(spec["field"]).isNull()).withColumn(
                 name, F.lit("missing")
             ),
+            meta,
+        )
+    if kind == "categorize_text":
+        # the deterministic exact-pattern variant (see aggs.categorize_text):
+        # key = the field's analyzed tokens with number-bearing tokens
+        # dropped (ES's category-defining-token rule); messages with no
+        # defining token form no bucket. Sized/ordered like terms
+        # (doc_count desc), matching the ES response.
+        toks = F.filter(
+            F.filter(
+                F.split(F.lower(F.col(spec["field"])), r"[^a-z0-9]+"),
+                lambda t: t != "",
+            ),
+            lambda t: ~t.rlike("[0-9]"),
+        )
+        key = F.array_join(toks, " ")
+        return (
+            rows.withColumn(name, key).filter(F.col(name) != ""),
             meta,
         )
     raise ValueError(f"unknown bucket aggregation {kind!r}")

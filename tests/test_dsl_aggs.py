@@ -334,3 +334,42 @@ def test_multi_terms_with_metrics(spark, setup):
         r.aggs_dsl_df(
             {"x": {"multi_terms": {"terms": [{"field": "lang"}]}}}
         )
+
+
+def test_categorize_text_bucket(spark, tmp_path):
+    """categorize_text as a DSL bucket kind: keys fold onto the
+    category-defining tokens of a stored metadata column, sized/ordered
+    like terms, nested metrics ride along."""
+    rows = [
+        ("r", f"p/{i}", "c", "t", f"content word{i}",
+         f"user {i} logged in from 10.0.0.{i}" if i % 2 == 0
+         else f"disk sd{i} at {i}% capacity")
+        for i in range(10)
+    ]
+    d = str(tmp_path / "cat_dsl_idx")
+    IndexBuilder(spark, d, partitions=2).build(
+        spark.createDataFrame(
+            rows,
+            "repo string, path string, commit string, lang string, "
+            "content string, msg string",
+        ),
+        resume=False,
+    )
+    r = IndexReader(spark, d)
+    out = [
+        x.asDict()
+        for x in r.aggs_dsl_df(
+            {
+                "cats": {
+                    "categorize_text": {"field": "msg", "size": 5},
+                    "aggs": {"max_id": {"max": {"field": "doc_id"}}},
+                }
+            }
+        ).collect()
+    ]
+    got = {x["cats"]: x["cats_doc_count"] for x in out}
+    # 'sd0'..'sd9' and '10.0.0.N' tokens are digit-bearing -> dropped
+    assert got == {"user logged in from": 5, "disk at capacity": 5}
+    # doc_count ties -> key asc tie-break; size cuts after ordering
+    one = r.aggs_dsl_df({"cats": {"categorize_text": {"field": "msg", "size": 1}}})
+    assert [x["cats"] for x in one.collect()] == ["disk at capacity"]
