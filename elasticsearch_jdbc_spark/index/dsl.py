@@ -884,7 +884,13 @@ def _bucket_key(ctx: _Ctx, rows: DataFrame, name: str, kind: str, spec: dict):
         ),
     }
     if kind in ("terms", "rare_terms"):
-        return rows.withColumn(name, F.col(spec["field"])), meta
+        c = F.col(spec["field"])
+        # ES array-field semantics: a doc contributes to EVERY element's
+        # bucket (and once per bucket even with duplicate elements) —
+        # keys explode, doc_count stays a doc count
+        if dict(rows.dtypes).get(spec["field"], "").startswith("array"):
+            return rows.withColumn(name, F.explode(F.array_distinct(c))), meta
+        return rows.withColumn(name, c), meta
     if kind == "multi_terms":
         # ES returns the key as an array; flattened output joins the
         # parts with '|' (engine-native single-column key chain)

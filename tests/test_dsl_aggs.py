@@ -373,3 +373,32 @@ def test_categorize_text_bucket(spark, tmp_path):
     # doc_count ties -> key asc tie-break; size cuts after ordering
     one = r.aggs_dsl_df({"cats": {"categorize_text": {"field": "msg", "size": 1}}})
     assert [x["cats"] for x in one.collect()] == ["disk at capacity"]
+
+
+def test_terms_bucket_array_field(spark, tmp_path):
+    """ES array-field terms semantics: a doc lands in EVERY element's
+    bucket, once per bucket even with duplicate elements; doc_count stays
+    a doc count (the sum across buckets exceeds n_docs)."""
+    rows = [
+        ("r", "0", "c", "t", "alpha words here", ["t1", "t2"]),
+        ("r", "1", "c", "t", "beta words here", ["t2", "t2", "t3"]),
+        ("r", "2", "c", "t", "gamma words here", ["t2"]),
+        ("r", "3", "c", "t", "delta words here", []),
+    ]
+    d = str(tmp_path / "arr_idx")
+    IndexBuilder(spark, d, partitions=2).build(
+        spark.createDataFrame(
+            rows,
+            "repo string, path string, commit string, lang string, "
+            "content string, tags array<string>",
+        ),
+        resume=False,
+    )
+    r = IndexReader(spark, d)
+    out = {
+        x["by_tag"]: x["by_tag_doc_count"]
+        for x in r.aggs_dsl_df(
+            {"by_tag": {"terms": {"field": "tags", "size": 10}}}
+        ).collect()
+    }
+    assert out == {"t1": 1, "t2": 3, "t3": 1}
