@@ -6,6 +6,7 @@ SQL-expressible so DuckDB can oracle-check them.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -389,3 +390,28 @@ def compression_ratio_col(
         )
 
     return map_fn, schema_of
+
+
+def normalize_text_col(col: str | Column, form: str = "NFC") -> Column:
+    """Unicode normalization (NFC / NFD / NFKC / NFKD) — the canonical
+    first step of a web-corpus cleaning pipeline: 'e' + COMBINING ACUTE
+    and precomposed 'é' must fingerprint, dedup, and tokenize identically,
+    and NFKC folds compatibility forms (ligatures, circled digits,
+    full-width ASCII) that otherwise split token statistics.
+
+    Spark has no built-in normalizer, so this is an Arrow-batched pandas
+    UDF over stdlib unicodedata (pandas Series.str.normalize) — the
+    documented exception to the JVM-only rule: a pure stateless map, no
+    shuffle, safe at any scale. Idempotent; NULL passes through. The
+    NFC output is bit-compatible with DuckDB's nfc_normalize (both
+    implement UAX #15 canonical composition), which is the oracle
+    contract."""
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        return s.str.normalize(form)
+
+    return _norm(F.col(col) if isinstance(col, str) else col)

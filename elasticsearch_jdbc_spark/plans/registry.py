@@ -3520,6 +3520,36 @@ def scripted_metric_q(spark, sf_dir):
     ).orderBy("lang")
 
 
+@_reg(
+    "pipeline_nfc_normalize",
+    """
+    SELECT doc_id,
+           md5(nfc_normalize(
+             text || ' e' || chr(769) || 'clair ' || chr(64257) || 'le '
+                  || chr(9312)
+           )) AS norm_md5
+    FROM documents ORDER BY doc_id
+    """,
+)
+def nfc_normalize_q(spark, sf_dir):
+    """Unicode NFC normalization kernel, ORACLE-CHECKED byte-exact: every
+    document's text extended with decomposed/compatibility characters
+    (combining acute, fi ligature, circled one), normalized by the
+    Arrow-batched unicodedata kernel, md5-hashed JVM-side — must equal
+    DuckDB's nfc_normalize of the identical construction (both implement
+    UAX #15 canonical composition; the circled one and the ligature must
+    SURVIVE NFC, catching any accidental NFKC folding)."""
+    from ..functions.text import normalize_text_col
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the suffix is DECOMPOSED on purpose ('e' + U+0301, matching the
+    # oracle's chr(769) construction) so the kernel genuinely composes
+    raw = F.concat(F.col("text"), F.lit(" e\u0301clair \ufb01le \u2460"))
+    return d.select(
+        "doc_id", F.md5(normalize_text_col(raw)).alias("norm_md5")
+    ).orderBy("doc_id")
+
+
 _PREFIX_CASES = [(0, "fa"), (1, "mer"), (2, "qu")]
 
 
@@ -7581,6 +7611,10 @@ _ROWS_ONLY_TAIL = [
     # map/combine/reduce harness) — same overflow posture (oracle SQL
     # registered; partition-invariance pytest in test_scripted_metric).
     "scripted_metric_agg",
+    # pipeline_nfc_normalize: round-4 late addition (unicode NFC cleaning
+    # kernel) — same overflow posture (byte-exact md5 oracle registered;
+    # golden + DuckDB-parity pytest in test_pipeline_ops).
+    "pipeline_nfc_normalize",
 ]
 # Promotions INTO the driver's ~50-row evidence window: the round's new
 # operator classes (ES join-field parent/child, per-doc-msm terms_set,

@@ -355,3 +355,47 @@ def test_exact_substring_scrub(spark):
         per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + r["span_tokens"]
     for i, (_t, _n, removed) in out.items():
         assert removed == per_doc.get(i, 0)
+
+
+def test_normalize_text_col(spark):
+    """Unicode normalization kernel: NFC composes combining marks, NFKC
+    additionally folds compatibility forms; idempotent; NULL passthrough;
+    NFC output matches DuckDB's nfc_normalize (the oracle contract)."""
+    import duckdb
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from elasticsearch_jdbc_spark.functions.text import normalize_text_col
+
+    rows = [
+        ("éclair",),        # combining acute -> precomposed
+        ("① ﬁle ａ",),  # circled 1, fi ligature, fullwidth a
+        ("plain ascii",),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "t string")
+    nfc = [r["n"] for r in df.select(normalize_text_col("t").alias("n")).collect()]
+    assert nfc[0] == "éclair"
+    assert nfc[1] == "① ﬁle ａ"  # NFC keeps compatibility forms
+    assert nfc[2] == "plain ascii" and nfc[3] is None
+    nfkc = [
+        r["n"]
+        for r in df.select(normalize_text_col("t", "NFKC").alias("n")).collect()
+    ]
+    assert nfkc[1] == "1 file a"
+    # idempotent fixed point
+    twice = [
+        r["n"]
+        for r in df.select(
+            normalize_text_col(normalize_text_col("t"), "NFC").alias("n")
+        ).collect()
+    ]
+    assert twice == nfc
+    # DuckDB parity on the NFC contract
+    for raw, got in zip([r[0] for r in rows], nfc):
+        if raw is None:
+            continue
+        want = duckdb.sql("select nfc_normalize(?)", params=[raw]).fetchone()[0]
+        assert got == want
+    with _pytest.raises(ValueError, match="normalization form"):
+        normalize_text_col("t", "NFX")
