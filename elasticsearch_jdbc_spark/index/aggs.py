@@ -45,7 +45,8 @@ def pipeline_aggs(
     specs: output column -> one of
       ("derivative", metric_col)
       ("cumulative_sum", metric_col)
-      ("moving_avg", metric_col, window_buckets)
+      ("moving_avg" | "moving_max" | "moving_min" | "moving_sum"
+         | "moving_stddev", metric_col, window_buckets)   # ES moving_fn set
       ("serial_diff", metric_col[, lag=1])
       ("bucket_script", sql_expression)
     """
@@ -67,13 +68,21 @@ def pipeline_aggs(
                     w.rowsBetween(Window.unboundedPreceding, 0)
                 ),
             )
-        elif kind == "moving_avg":
+        elif kind in ("moving_avg", "moving_max", "moving_min", "moving_sum",
+                      "moving_stddev"):
+            # the ES moving_fn built-in function set (MovingFunctions.*:
+            # unweightedAvg/max/min/sum/stdDev) over a trailing window —
+            # each one Spark window aggregate, still a single WindowExec
             n = int(spec[2])
             if n < 1:
-                raise ValueError(f"moving_avg window must be >= 1, got {n}")
+                raise ValueError(f"{kind} window must be >= 1, got {n}")
+            fn = {
+                "moving_avg": F.avg, "moving_max": F.max, "moving_min": F.min,
+                "moving_sum": F.sum, "moving_stddev": F.stddev_pop,
+            }[kind]
             out = out.withColumn(
                 name,
-                F.avg(F.col(spec[1]).cast("double")).over(
+                fn(F.col(spec[1]).cast("double")).over(
                     w.rowsBetween(-(n - 1), 0)
                 ),
             )
@@ -110,8 +119,8 @@ def pipeline_aggs(
         else:
             raise ValueError(
                 f"unknown pipeline agg {kind!r} (supported: derivative, "
-                "cumulative_sum, moving_avg, serial_diff, moving_percentile, "
-                "rate, bucket_script)"
+                "cumulative_sum, moving_avg/max/min/sum/stddev, serial_diff, "
+                "moving_percentile, rate, bucket_script)"
             )
     return out
 

@@ -268,3 +268,34 @@ def test_geo_line(spark):
 
     with _pt.raises(ValueError):
         geo_line(df, ["g"], "lat", "lon", "t", size=0)
+
+
+def test_moving_fn_set(spark):
+    """The ES moving_fn built-in set (MovingFunctions.max/min/sum/stdDev)
+    over a trailing window, vs numpy on the same trailing slices."""
+    import numpy as np
+
+    df = _rows(spark).filter("g = 'a'").drop("g")
+    out = {
+        r["bucket"]: r
+        for r in pipeline_aggs(
+            df,
+            "bucket",
+            {
+                "mx": ("moving_max", "v", 2),
+                "mn": ("moving_min", "v", 2),
+                "sm": ("moving_sum", "v", 3),
+                "sd": ("moving_stddev", "v", 3),
+            },
+        ).collect()
+    }
+    vals = [10, 13, 9, 9]
+    for i in range(4):
+        w2 = vals[max(0, i - 1): i + 1]
+        w3 = vals[max(0, i - 2): i + 1]
+        assert out[i]["mx"] == max(w2)
+        assert out[i]["mn"] == min(w2)
+        assert out[i]["sm"] == sum(w3)
+        assert out[i]["sd"] == pytest.approx(float(np.std(w3)), rel=1e-12)
+    with pytest.raises(ValueError, match="window must be >= 1"):
+        pipeline_aggs(df, "bucket", {"x": ("moving_sum", "v", 0)}).collect()
