@@ -132,27 +132,27 @@ def train_bpe(
             F.array(F.lit(EOW)),
         ),
     ).select("syms", "count")
-    vocab = vocab.cache()
-    vocab.count()  # materialize once; rounds iterate on the cached relation
+    # iterative lineage MUST truncate each round: cache() materializes but
+    # keeps the analyzed plan, and Catalyst's projection collapse re-inlines
+    # the fold expression at every `acc` reference — by ~10 rounds the plan
+    # string is gigabytes (observed: a 1.3 GB UTF16 OOM building round 12's
+    # lineage). localCheckpoint(eager=True) pins the round's rows in
+    # executor storage AND cuts the plan, the standard pattern for
+    # iterative algorithms (old checkpoint blocks are GC-reclaimed).
+    vocab = vocab.localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []
-    try:
-        for _ in range(num_merges):
-            top = (
-                _pair_counts(vocab)
-                .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
-                .limit(1)
-                .collect()
-            )
-            if not top or top[0]["n"] < min_pair_count:
-                break
-            a, b = top[0]["a"], top[0]["b"]
-            merges.append((a, b))
-            nxt = _merge_pair(vocab, a, b).cache()
-            nxt.count()
-            vocab.unpersist()
-            vocab = nxt
-    finally:
-        vocab.unpersist()
+    for _ in range(num_merges):
+        top = (
+            _pair_counts(vocab)
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n"] < min_pair_count:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        vocab = _merge_pair(vocab, a, b).localCheckpoint(eager=True)
     return merges
 
 
