@@ -74,11 +74,18 @@ def _merge_pair(vocab: DataFrame, a: str, b: str) -> DataFrame:
     Pure Catalyst: an aggregate fold with (rebuilt, just_merged) state —
     no Python, no shuffle; only rows containing the pair rewrite."""
     la, lb = F.lit(a), F.lit(b)
-    has = F.exists(
-        F.sequence(F.lit(1), F.size("syms") - 1),
-        lambda i: (F.element_at("syms", i) == la)
-        & (F.element_at("syms", i + 1) == lb),
-    )
+    # when-guarded: sequence(1, size-1) on a 1-symbol row auto-steps DOWN
+    # to [1, 0] and element_at(syms, 0) raises under ANSI — and splitting
+    # keep/candidate relations instead would union-DOUBLE the partition
+    # count every round (observed: 4096 tasks by merge 12)
+    has = F.when(
+        F.size("syms") >= 2,
+        F.exists(
+            F.sequence(F.lit(1), F.size("syms") - 1),
+            lambda i: (F.element_at("syms", i) == la)
+            & (F.element_at("syms", i + 1) == lb),
+        ),
+    ).otherwise(F.lit(False))
     state = F.struct(
         F.array().cast("array<string>").alias("out"),
         F.lit(False).alias("skip"),
@@ -101,10 +108,8 @@ def _merge_pair(vocab: DataFrame, a: str, b: str) -> DataFrame:
         return F.struct(out.alias("out"), merged.alias("skip"))
 
     rewritten = F.aggregate("syms", state, step)["out"]
-    keep = vocab.filter(F.size("syms") < 2)
-    cand = vocab.filter(F.size("syms") >= 2)
-    return keep.unionByName(
-        cand.withColumn("syms", F.when(has, rewritten).otherwise(F.col("syms")))
+    return vocab.withColumn(
+        "syms", F.when(has, rewritten).otherwise(F.col("syms"))
     )
 
 

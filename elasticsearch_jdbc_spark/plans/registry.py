@@ -3550,6 +3550,27 @@ def nfc_normalize_q(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+@_reg("pipeline_bpe_train")  # rows-only: iterative (merge k+1 depends on k),
+# the documented non-SQL-expressible class — brute-force reference-trainer
+# parity + partitioning invariance live in tests/test_bpe.py
+def bpe_train_q(spark, sf_dir):
+    """Distributed BPE tokenizer training over the documents corpus: one
+    corpus-sized (word, count) pass, then per merge round one
+    map-side-combinable pair-count agg + a driver argmax + one filtered
+    Catalyst-fold rewrite of the vocab (lineage truncated per round).
+    Returns the ordered merge table (rank, a, b) — deterministic on any
+    partitioning (count DESC, pair lex ASC tie-breaks), so the driver's
+    rows-only evidence is still a stable relation."""
+    from ..operators.bpe import train_bpe
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = train_bpe(d, "text", num_merges=12)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, a string, b string",
+    )
+
+
 _PREFIX_CASES = [(0, "fa"), (1, "mer"), (2, "qu")]
 
 
@@ -7615,6 +7636,10 @@ _ROWS_ONLY_TAIL = [
     # kernel) — same overflow posture (byte-exact md5 oracle registered;
     # golden + DuckDB-parity pytest in test_pipeline_ops).
     "pipeline_nfc_normalize",
+    # pipeline_bpe_train: round-4 late addition (distributed BPE tokenizer
+    # training) — overflow posture; rows-only by design (iterative), the
+    # reference-trainer parity proof lives in test_bpe.
+    "pipeline_bpe_train",
 ]
 # Promotions INTO the driver's ~50-row evidence window: the round's new
 # operator classes (ES join-field parent/child, per-doc-msm terms_set,
