@@ -819,7 +819,7 @@ _METRIC_KINDS = (
 )
 _BUCKET_KINDS = (
     "terms", "histogram", "date_histogram", "range", "filters", "missing",
-    "rare_terms", "multi_terms", "categorize_text",
+    "rare_terms", "multi_terms", "categorize_text", "global",
 )
 
 
@@ -1074,7 +1074,23 @@ def aggs_dsl_df(
             break
         (name, s0), = buckets.items()
         kind, spec = _one({k: v for k, v in s0.items() if k != "aggs"})
-        rows, meta = _bucket_key(ctx, rows, name, kind, spec)
+        if kind == "global":
+            # ES global bucket: escape the query scope entirely — the
+            # subtree aggregates over ALL live docs (the ES contract:
+            # global is only legal top-level and takes no parameters)
+            if levels:
+                raise ValueError("global must be the top-level aggregation")
+            if spec:
+                raise ValueError("global takes no parameters")
+            rows = docs.withColumn("_score", F.lit(0.0)).withColumn(
+                name, F.lit("global")
+            )
+            meta = {
+                "name": name, "size": None, "min_doc_count": 0,
+                "max_doc_count": None,
+            }
+        else:
+            rows, meta = _bucket_key(ctx, rows, name, kind, spec)
         levels.append(meta)
         node = s0.get("aggs") or {}
         if not node:

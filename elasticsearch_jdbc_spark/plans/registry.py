@@ -3550,6 +3550,58 @@ def nfc_normalize_q(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+@_reg(
+    "pipeline_quantize_embeddings",
+    """
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, vv,
+             list_max(list_transform(vv, x -> abs(x))) / 127.0 AS scale
+      FROM v
+    ),
+    q AS (
+      SELECT vec_id, scale,
+             CASE WHEN scale = 0 THEN list_transform(vv, x -> 0)
+                  ELSE list_transform(
+                         vv,
+                         x -> GREATEST(-127, LEAST(127,
+                                CAST(round(x / scale) AS INT)))
+                       )
+             END AS codes
+      FROM s
+    )
+    SELECT vec_id, ROUND(scale, 9) AS scale,
+           CAST(list_sum(codes) AS BIGINT) AS code_sum,
+           CAST(list_sum(list_transform(codes, c -> abs(c))) AS BIGINT)
+             AS code_l1,
+           CAST(len(codes) AS INT) AS dim
+    FROM q ORDER BY vec_id
+    """,
+)
+def quantize_embeddings_q(spark, sf_dir):
+    """Per-vector symmetric int8 embedding quantization, ORACLE-CHECKED:
+    the Catalyst projection (scale = max|x|/127 in double, half-away
+    rounding, clamp) must reproduce DuckDB's identical double arithmetic
+    bit-for-bit — compared via per-vector code sums / L1 / dim so the
+    check covers every code without shipping arrays."""
+    from ..operators.similarity import quantize_embeddings
+
+    d = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = quantize_embeddings(d, "embedding")
+    zero = F.lit(0).cast("long")
+    return q.select(
+        "vec_id",
+        F.round("q_scale", 9).alias("scale"),
+        F.aggregate("q_codes", zero, lambda a, c: a + c).alias("code_sum"),
+        F.aggregate("q_codes", zero, lambda a, c: a + F.abs(c)).alias("code_l1"),
+        F.size("q_codes").cast("int").alias("dim"),
+    ).orderBy("vec_id")
+
+
 @_reg("pipeline_bpe_train")  # rows-only: iterative (merge k+1 depends on k),
 # the documented non-SQL-expressible class — brute-force reference-trainer
 # parity + partitioning invariance live in tests/test_bpe.py
@@ -7640,6 +7692,10 @@ _ROWS_ONLY_TAIL = [
     # training) — overflow posture; rows-only by design (iterative), the
     # reference-trainer parity proof lives in test_bpe.
     "pipeline_bpe_train",
+    # pipeline_quantize_embeddings: round-4 late addition (int8 vector
+    # compression) — overflow posture (bit-exact double-arithmetic oracle
+    # registered; goldens + reconstruction bound in test_operators).
+    "pipeline_quantize_embeddings",
 ]
 # Promotions INTO the driver's ~50-row evidence window: the round's new
 # operator classes (ES join-field parent/child, per-doc-msm terms_set,

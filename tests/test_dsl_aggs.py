@@ -402,3 +402,34 @@ def test_terms_bucket_array_field(spark, tmp_path):
         ).collect()
     }
     assert out == {"t1": 1, "t2": 3, "t3": 1}
+
+
+def test_global_bucket(spark, setup):
+    """ES global: escapes the enclosing query scope — the subtree counts
+    ALL live docs while sibling trees stay query-scoped."""
+    d, r, docs = setup
+    scoped = r.aggs_dsl_df(
+        {"by_lang": {"terms": {"field": "lang", "size": 10}}},
+        query={"match": {"content": "merge"}},
+    ).collect()
+    n_scoped = sum(x["by_lang_doc_count"] for x in scoped)
+    out = r.aggs_dsl_df(
+        {
+            "everything": {
+                "global": {},
+                "aggs": {"n": {"value_count": {"field": "doc_id"}}},
+            }
+        },
+        query={"match": {"content": "merge"}},
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["everything"] == "global"
+    assert out[0]["everything_doc_count"] == len(docs)
+    assert out[0]["n"] == len(docs) > n_scoped
+    with pytest.raises(ValueError, match="top-level"):
+        r.aggs_dsl_df(
+            {"x": {"terms": {"field": "lang"},
+                   "aggs": {"g": {"global": {}}}}}
+        )
+    with pytest.raises(ValueError, match="no parameters"):
+        r.aggs_dsl_df({"g": {"global": {"field": "lang"}}})

