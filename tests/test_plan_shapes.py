@@ -131,3 +131,71 @@ def test_aggs_dsl_single_aggregation_pass(spark, idx):
     # over a single grouping), never one groupBy per bucket level
     assert phys.count("HashAggregate") <= 4
     assert "CartesianProduct" not in phys
+
+
+def test_significant_text_no_postings_decode(spark, idx):
+    """significant_text's fg comes from the tokenized checkpoint: the only
+    Python stage allowed is the match set's block decode — one fewer than
+    significant_terms, which decodes the WHOLE postings table."""
+    r = IndexReader(spark, idx)
+    st = _phys(r.significant_text_df("merge", size=5, min_doc_count=1))
+    sg = _phys(r.significant_terms_df("merge", size=5, min_doc_count=1))
+    assert st.count("MapInPandas") == sg.count("MapInPandas") - 1
+    assert st.count("TakeOrderedAndProject") == 1
+
+
+def test_categorize_text_single_shuffle(spark, idx):
+    """categorize_text (unscoped): one codegen projection + ONE narrow
+    shuffle on the category key; no Python, no extra exchange, the final
+    cut is a TakeOrdered."""
+    r = IndexReader(spark, idx)
+    phys = _phys(r.categorize_text_df(size=5))
+    assert "MapInPandas" not in phys and "EvalPython" not in phys
+    assert phys.count("Exchange") == 1
+    assert phys.count("TakeOrderedAndProject") == 1
+
+
+def test_quantize_embeddings_map_only(spark):
+    """int8 quantization is one codegen projection: no shuffle, no UDF."""
+    from elasticsearch_jdbc_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    df = spark.range(100).select(
+        F.col("id"), F.array(F.rand(7), F.rand(8), F.rand(9)).alias("v")
+    )
+    phys = _phys(quantize_embeddings(df, "v"))
+    assert "Exchange" not in phys
+    assert "EvalPython" not in phys and "MapInPandas" not in phys
+
+
+def test_bpe_pair_counts_map_side_combine(spark):
+    """BPE's per-round pair count must map-side combine: partial + final
+    HashAggregate around exactly ONE exchange."""
+    from elasticsearch_jdbc_spark.operators.bpe import _pair_counts, word_vocab
+
+    df = spark.createDataFrame([("low low lower newest",)], "text string")
+    vocab = word_vocab(df, "text").withColumn(
+        "syms", F.concat(F.split("word", ""), F.array(F.lit("▁")))
+    )
+    phys = _phys(_pair_counts(vocab))
+    # vocab build (1 exchange) + pair groupBy (1 exchange), nothing more
+    assert phys.count("Exchange") == 2
+    assert "partial_" in phys.lower() or "HashAggregate" in phys
+
+
+def test_scripted_metric_by_one_shuffle(spark):
+    from elasticsearch_jdbc_spark.operators.scripted import scripted_metric_by
+
+    df = spark.createDataFrame([("a", 1.0), ("b", 2.0)], "g string, v double")
+
+    def m(s, pdf):
+        s["n"] = s.get("n", 0) + len(pdf)
+
+    out = scripted_metric_by(
+        df, ["g"], m, lambda s: s, lambda ps: {"n": sum(p.get("n", 0) for p in ps)},
+        "n bigint",
+    )
+    phys = _phys(out)
+    assert phys.count("Exchange") == 1
+    assert "FlatMapGroupsInPandas" in phys
