@@ -1324,3 +1324,101 @@ def categorize_text(
             ).alias("regex"),
         )
     )
+
+
+def frequent_item_sets(
+    df: DataFrame,
+    items_col: str,
+    min_support: float = 0.1,
+    max_set_size: int = 2,
+    size: int = 10,
+) -> DataFrame:
+    """ES `frequent_item_sets` aggregation (8.4+ market-basket analysis):
+    item sets co-occurring in >= min_support of the docs. ES runs an
+    approximate ECLAT whose results "may not be exact" per its docs; this
+    is the DETERMINISTIC exact variant for bounded set sizes (<= 3, the
+    practically-queried range — ES's own UI defaults to pairs), the
+    variable_width_histogram precedent.
+
+    Plan: per doc, the sorted DISTINCT item array generates its k-subsets
+    INSIDE one codegen projection (nested sequence/transform/flatten — no
+    self-joins, no per-size scans), one explode, ONE map-side-combinable
+    groupBy on the subset key. Cost scales with docs x C(items_per_doc, k)
+    — the realistic regime (small per-doc item arrays) at any corpus size;
+    a doc repeating an item counts once per set, the ES doc_count rule.
+
+    Output: (items '|'-joined from the sorted set, set_size, doc_count,
+    support) ordered by doc_count DESC, items ASC, top `size`."""
+    if not (1 <= max_set_size <= 3):
+        raise ValueError("max_set_size must be 1..3 (exact-variant bound)")
+    if not (0.0 < min_support <= 1.0):
+        raise ValueError("min_support must be in (0, 1]")
+    if size < 1:
+        raise ValueError("size must be >= 1")
+    items = F.array_sort(F.array_distinct(F.col(items_col)))
+    n = F.size(items)
+    subsets = [F.transform(items, lambda x: F.array(x))]  # k=1
+    if max_set_size >= 2:
+        subsets.append(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.transform(
+                        F.sequence(i + 1, n),
+                        lambda j: F.array(
+                            F.element_at(items, i), F.element_at(items, j)
+                        ),
+                    ),
+                )
+            )
+        )
+    if max_set_size >= 3:
+        subsets.append(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), n - 2),
+                    lambda i: F.flatten(
+                        F.transform(
+                            F.sequence(i + 1, n - 1),
+                            lambda j: F.transform(
+                                F.sequence(j + 1, n),
+                                lambda k: F.array(
+                                    F.element_at(items, i),
+                                    F.element_at(items, j),
+                                    F.element_at(items, k),
+                                ),
+                            ),
+                        )
+                    ),
+                )
+            )
+        )
+    # guard short arrays: sequence(1, 0)/(2, 1) would step DOWN (ANSI trap)
+    per_k = []
+    for k, sub in enumerate(subsets, start=1):
+        per_k.append(F.when(n >= k, sub).otherwise(F.array().cast(
+            "array<array<string>>"
+        )))
+    gen = F.concat(*per_k) if len(per_k) > 1 else per_k[0]
+    total = df.count()
+    if total == 0:
+        return df.sparkSession.createDataFrame(
+            [], "items string, set_size int, doc_count long, support double"
+        )
+    import math
+
+    # round before ceil: 0.1 * 30 is 3.0000000000000004 in binary
+    min_count = max(1, math.ceil(round(min_support * total, 9)))
+    return (
+        df.filter(n >= 1)
+        .select(F.explode(gen).alias("s"))
+        .groupBy(F.array_join("s", "|").alias("items"),
+                 F.size("s").alias("set_size"))
+        .agg(F.count("*").cast("long").alias("doc_count"))
+        .filter(F.col("doc_count") >= min_count)
+        .withColumn(
+            "support", F.round(F.col("doc_count") / F.lit(float(total)), 6)
+        )
+        .orderBy(F.desc("doc_count"), F.asc("items"))
+        .limit(size)
+    )

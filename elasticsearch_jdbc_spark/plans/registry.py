@@ -3602,6 +3602,65 @@ def quantize_embeddings_q(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+@_reg(
+    "frequent_item_sets_agg",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             list_sort(list_distinct([
+               't' || CAST(doc_id % 5 AS VARCHAR),
+               't' || CAST(doc_id % 7 AS VARCHAR),
+               't' || CAST(doc_id % 3 AS VARCHAR)
+             ])) AS tags
+      FROM documents
+    ),
+    tot AS (SELECT COUNT(*) * 1.0 AS n FROM base),
+    singles AS (
+      SELECT doc_id, t.x AS a FROM base, UNNEST(tags) AS t(x)
+    ),
+    sets1 AS (
+      SELECT a AS items, 1 AS set_size, COUNT(*) AS doc_count
+      FROM singles GROUP BY 1
+    ),
+    pairs AS (
+      SELECT s1.doc_id, s1.a || '|' || s2.a AS items
+      FROM singles s1
+      JOIN singles s2 ON s1.doc_id = s2.doc_id AND s1.a < s2.a
+    ),
+    sets2 AS (
+      SELECT items, 2 AS set_size, COUNT(*) AS doc_count
+      FROM pairs GROUP BY 1
+    ),
+    u AS (SELECT * FROM sets1 UNION ALL SELECT * FROM sets2)
+    SELECT items, set_size, CAST(doc_count AS BIGINT) AS doc_count,
+           ROUND(doc_count / tot.n, 6) AS support
+    FROM u, tot
+    WHERE doc_count >= CEIL(0.25 * tot.n)
+    ORDER BY doc_count DESC, items
+    LIMIT 15
+    """,
+)
+def frequent_item_sets_q(spark, sf_dir):
+    """ES frequent_item_sets (deterministic exact variant), ORACLE-CHECKED:
+    per-doc tag sets derived from doc_id arithmetic; the engine's in-array
+    k-subset generation + one groupBy must reproduce DuckDB's
+    self-join-per-size derivation exactly (counts, supports, tie-broken
+    order). min_support 0.25 is exactly representable in binary, so both
+    sides' ceil(min_support * n) agree."""
+    from ..index.aggs import frequent_item_sets
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.expr(
+            "array('t' || CAST(doc_id % 5 AS STRING), "
+            "'t' || CAST(doc_id % 7 AS STRING), "
+            "'t' || CAST(doc_id % 3 AS STRING))"
+        ).alias("tags")
+    )
+    return frequent_item_sets(
+        d, "tags", min_support=0.25, max_set_size=2, size=15
+    )
+
+
 @_reg("pipeline_bpe_train")  # rows-only: iterative (merge k+1 depends on k),
 # the documented non-SQL-expressible class — brute-force reference-trainer
 # parity + partitioning invariance live in tests/test_bpe.py
@@ -7696,6 +7755,10 @@ _ROWS_ONLY_TAIL = [
     # compression) — overflow posture (bit-exact double-arithmetic oracle
     # registered; goldens + reconstruction bound in test_operators).
     "pipeline_quantize_embeddings",
+    # frequent_item_sets_agg: round-4 late addition (ES 8.4 market-basket
+    # agg, deterministic exact variant) — overflow posture (independent
+    # self-join oracle registered; brute-force pytest in test_matrix_aggs).
+    "frequent_item_sets_agg",
 ]
 # Promotions INTO the driver's ~50-row evidence window: the round's new
 # operator classes (ES join-field parent/child, per-doc-msm terms_set,

@@ -86,3 +86,50 @@ def test_matrix_stats(spark):
     assert p["correlation"] == pytest.approx(round(corr, 6), abs=1e-6)
     with pytest.raises(ValueError, match="at least two"):
         matrix_stats(df, ["x"])
+
+
+def test_frequent_item_sets(spark):
+    """ES frequent_item_sets (exact deterministic variant): k-subset
+    counts vs itertools brute force, min_support cut, dup-item rule."""
+    import itertools as it
+
+    import pytest as _pytest
+
+    from elasticsearch_jdbc_spark.index.aggs import frequent_item_sets
+
+    rows = [
+        (["milk", "bread", "eggs"],),
+        (["milk", "bread"],),
+        (["milk", "bread", "milk"],),  # dup item counts once
+        (["eggs", "jam"],),
+        ([],),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "tags array<string>")
+    got = [
+        (r["items"], r["set_size"], r["doc_count"], r["support"])
+        for r in frequent_item_sets(
+            df, "tags", min_support=0.3, max_set_size=3, size=50
+        ).collect()
+    ]
+    # brute force over the 6 rows (n includes empty/null docs)
+    counts: dict = {}
+    for (tags,) in rows:
+        uniq = sorted(set(tags or []))
+        for k in (1, 2, 3):
+            for sub in it.combinations(uniq, k):
+                counts[sub] = counts.get(sub, 0) + 1
+    want = [
+        ("|".join(s), len(s), c, round(c / 6.0, 6))
+        for s, c in counts.items()
+        if c >= 2  # ceil(0.3 * 6)
+    ]
+    want.sort(key=lambda x: (-x[2], x[0]))
+    assert got == want
+    # milk|bread pair must co-occur in 3 docs (dup counted once)
+    assert ("bread|milk", 2, 3, 0.5) in got
+    # guards
+    with _pytest.raises(ValueError, match="max_set_size"):
+        frequent_item_sets(df, "tags", max_set_size=4)
+    with _pytest.raises(ValueError, match="min_support"):
+        frequent_item_sets(df, "tags", min_support=0.0)
