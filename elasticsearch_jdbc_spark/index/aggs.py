@@ -1422,3 +1422,74 @@ def frequent_item_sets(
         .orderBy(F.desc("doc_count"), F.asc("items"))
         .limit(size)
     )
+
+
+def _ipv4_to_long(c):
+    """Dotted-quad IPv4 -> unsigned 32-bit value as a bigint, one codegen
+    fold (no UDF); NULL for malformed addresses."""
+    parts = F.split(c, r"\.")
+    ok = (F.size(parts) == 4) & ~F.exists(
+        parts, lambda p: ~p.rlike("^[0-9]{1,3}$") | (p.cast("int") > 255)
+    )
+    val = F.aggregate(
+        parts, F.lit(0).cast("bigint"),
+        lambda acc, p: acc * 256 + p.cast("bigint"),
+    )
+    return F.when(ok, val)
+
+
+def _cidr_bounds(mask: str) -> tuple[int, int]:
+    """'10.0.0.0/8' -> [lo, hi) in unsigned-32 space (driver-side parse)."""
+    import ipaddress
+
+    net = ipaddress.ip_network(mask, strict=False)
+    return int(net.network_address), int(net.broadcast_address) + 1
+
+
+def ip_range(
+    df: DataFrame,
+    col: str,
+    ranges: list[dict],
+) -> DataFrame:
+    """ES `ip_range` aggregation over an IPv4 string column: buckets by
+    explicit bounds ({"from": ..., "to": ...} — from-inclusive,
+    to-exclusive, the ES rule) and/or CIDR masks ({"mask": "10.0.0.0/8"});
+    overlapping buckets each count the doc, like the numeric range agg.
+    Malformed/NULL addresses land in no bucket.
+
+    Plan: one codegen projection converts the address to its unsigned-32
+    value and tags every matching bucket label (array_compact + explode),
+    then ONE map-side-combinable groupBy — no UDF, no second scan."""
+    if not ranges:
+        raise ValueError("ip_range needs at least one range")
+    v = _ipv4_to_long(F.col(col))
+    labels = []
+    for rg in ranges:
+        if "mask" in rg:
+            lo, hi = _cidr_bounds(rg["mask"])
+            label = rg.get("key", rg["mask"])
+        else:
+            lo = (
+                None if rg.get("from") is None
+                else _cidr_bounds(rg["from"] + "/32")[0]
+            )
+            hi = (
+                None if rg.get("to") is None
+                else _cidr_bounds(rg["to"] + "/32")[0]
+            )
+            label = rg.get(
+                "key",
+                f"{rg.get('from', '')}-{rg.get('to', '')}",
+            )
+        cond = v.isNotNull()
+        if lo is not None:
+            cond = cond & (v >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (v < F.lit(hi))
+        labels.append(F.when(cond, F.lit(label)))
+    return (
+        df.select(F.explode(F.array_compact(F.array(*labels))).alias("key"))
+        .groupBy("key")
+        .agg(F.count("*").cast("long").alias("doc_count"))
+        .orderBy("key")
+    )

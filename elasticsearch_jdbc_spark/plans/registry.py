@@ -3661,6 +3661,60 @@ def frequent_item_sets_q(spark, sf_dir):
     )
 
 
+@_reg(
+    "ip_range_agg",
+    """
+    WITH v AS (
+      SELECT CASE WHEN doc_id % 4 = 0
+               THEN CAST(192 AS BIGINT) * 16777216 + 168 * 65536
+                    + (doc_id % 256) * 256 + (doc_id % 256)
+               ELSE CAST(10 AS BIGINT) * 16777216 + (doc_id % 200) * 65536
+                    + (doc_id % 250) * 256 + (doc_id % 256)
+             END AS val
+      FROM documents
+    ),
+    b AS (
+      SELECT '10.0.0.0/8' AS key, COUNT(*) AS doc_count FROM v
+      WHERE val >= CAST(10 AS BIGINT) * 16777216 AND val < CAST(11 AS BIGINT) * 16777216
+      UNION ALL
+      SELECT 'sub16', COUNT(*) FROM v
+      WHERE val >= CAST(10 AS BIGINT) * 16777216 AND val < CAST(10 AS BIGINT) * 16777216 + 65536
+      UNION ALL
+      SELECT 'office', COUNT(*) FROM v
+      WHERE val >= CAST(192 AS BIGINT) * 16777216 + 168 * 65536
+        AND val < CAST(192 AS BIGINT) * 16777216 + 168 * 65536 + 128 * 256
+    )
+    SELECT key, CAST(doc_count AS BIGINT) AS doc_count
+    FROM b WHERE doc_count > 0 ORDER BY key
+    """,
+)
+def ip_range_q(spark, sf_dir):
+    """ES ip_range aggregation, ORACLE-CHECKED: IPv4 strings derived from
+    doc_id arithmetic; the engine PARSES the dotted quads (codegen fold)
+    and buckets by CIDR/bound, while DuckDB derives each address's 32-bit
+    value independently from the same moduli and buckets numerically —
+    the string round-trip must land on the identical counts."""
+    from ..index.aggs import ip_range
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.expr(
+            "CASE WHEN doc_id % 4 = 0 THEN "
+            "format_string('192.168.%d.%d', doc_id % 256, doc_id % 256) "
+            "ELSE format_string('10.%d.%d.%d', doc_id % 200, doc_id % 250,"
+            " doc_id % 256) END"
+        ).alias("ip")
+    )
+    return ip_range(
+        d,
+        "ip",
+        [
+            {"mask": "10.0.0.0/8"},
+            {"mask": "10.0.0.0/16", "key": "sub16"},
+            {"from": "192.168.0.0", "to": "192.168.128.0", "key": "office"},
+        ],
+    )
+
+
 @_reg("pipeline_bpe_train")  # rows-only: iterative (merge k+1 depends on k),
 # the documented non-SQL-expressible class — brute-force reference-trainer
 # parity + partitioning invariance live in tests/test_bpe.py
@@ -7759,6 +7813,10 @@ _ROWS_ONLY_TAIL = [
     # agg, deterministic exact variant) — overflow posture (independent
     # self-join oracle registered; brute-force pytest in test_matrix_aggs).
     "frequent_item_sets_agg",
+    # ip_range_agg: round-4 late addition (ES ip_range with CIDR masks) —
+    # overflow posture (independent numeric-derivation oracle registered;
+    # golden pytest in test_matrix_aggs).
+    "ip_range_agg",
 ]
 # Promotions INTO the driver's ~50-row evidence window: the round's new
 # operator classes (ES join-field parent/child, per-doc-msm terms_set,

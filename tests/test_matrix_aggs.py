@@ -133,3 +133,39 @@ def test_frequent_item_sets(spark):
         frequent_item_sets(df, "tags", max_set_size=4)
     with _pytest.raises(ValueError, match="min_support"):
         frequent_item_sets(df, "tags", min_support=0.0)
+
+
+def test_ip_range(spark):
+    """ES ip_range: explicit from/to (from-inclusive, to-exclusive) and
+    CIDR masks, overlap allowed, malformed/NULL in no bucket."""
+    import pytest as _pytest
+
+    from elasticsearch_jdbc_spark.index.aggs import ip_range
+
+    rows = [
+        ("10.0.0.4",), ("10.0.200.1",), ("10.255.255.255",),
+        ("11.0.0.0",), ("192.168.1.5",), ("192.168.1.255",),
+        ("not-an-ip",), ("10.0.0.999",), (None,),
+    ]
+    df = spark.createDataFrame(rows, "ip string")
+    got = {
+        r["key"]: r["doc_count"]
+        for r in ip_range(
+            df,
+            "ip",
+            [
+                {"mask": "10.0.0.0/8"},
+                {"mask": "192.168.1.0/24", "key": "office"},
+                {"from": "10.0.0.0", "to": "10.0.255.255"},
+                {"to": "11.0.0.1", "key": "low"},
+            ],
+        ).collect()
+    }
+    assert got == {
+        "10.0.0.0/8": 3,
+        "office": 2,
+        "10.0.0.0-10.0.255.255": 2,  # to-exclusive: .255.255 itself is out
+        "low": 4,  # the three 10.* plus 11.0.0.0 (< 11.0.0.1)
+    }
+    with _pytest.raises(ValueError, match="at least one"):
+        ip_range(df, "ip", [])
