@@ -1493,3 +1493,147 @@ def ip_range(
         .agg(F.count("*").cast("long").alias("doc_count"))
         .orderBy("key")
     )
+
+
+def geo_distance_agg(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    lat: float,
+    lon: float,
+    ranges: list[dict],
+) -> DataFrame:
+    """ES `geo_distance` aggregation (GeoDistanceAggregationBuilder):
+    bucket docs into concentric distance rings around an origin point —
+    {"from": km, "to": km, "key": label}, from-INCLUSIVE / to-EXCLUSIVE
+    like the numeric range agg; either bound may be absent; overlapping
+    rings each count the doc. NULL coordinates land in no bucket.
+
+    Plan: ONE codegen projection computes the haversine distance (pure
+    Column math, functions/geo.py — no UDF) and tags every matching ring
+    label (array_compact + explode), then one map-side-combinable
+    groupBy. Ring tagging is per-row arithmetic, so the plan is a single
+    scan + single shuffle of (label) pairs at any corpus scale."""
+    from ..functions.geo import haversine_km
+
+    if not ranges:
+        raise ValueError("geo_distance_agg needs at least one range")
+    d = haversine_km(
+        F.col(lat_col), F.col(lon_col), F.lit(float(lat)), F.lit(float(lon))
+    )
+    labels = []
+    for rg in ranges:
+        lo = rg.get("from")
+        hi = rg.get("to")
+        label = rg.get("key", f"{'' if lo is None else lo}-{'' if hi is None else hi}")
+        cond = F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull()
+        if lo is not None:
+            cond = cond & (d >= F.lit(float(lo)))
+        if hi is not None:
+            cond = cond & (d < F.lit(float(hi)))
+        labels.append(F.when(cond, F.lit(label)))
+    return (
+        df.select(F.explode(F.array_compact(F.array(*labels))).alias("key"))
+        .groupBy("key")
+        .agg(F.count("*").cast("long").alias("doc_count"))
+        .orderBy("key")
+    )
+
+
+def change_point(
+    buckets: DataFrame,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """ES `change_point` aggregation (8.x sibling pipeline agg): detect
+    the step change in a metric series over the buckets another
+    aggregation produced. ES fits several change types via ML heuristics;
+    this is the DETERMINISTIC core — least-squares binary segmentation:
+    choose the split maximizing the variance-reduction gain
+
+        gain(k) = SS_total - SS_left(k) - SS_right(k)
+
+    (the classic step-change / CUSUM-equivalent objective). Returns ONE
+    row: `change_at` (the order key of the FIRST bucket of the right
+    segment), the two segment means, and the gain.
+
+    Plan: bucket counts are aggregation output — small by construction —
+    so ONE window pass (running sum of x and x², the pipeline_aggs
+    posture: the single WindowExec partition holds only the bucket list)
+    computes every candidate split's gain in O(n), then one argmax row.
+    Never touches raw rows; deterministic tie-break (gain DESC, order
+    ASC)."""
+    w = Window.orderBy(F.col("_ord"))
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    x = F.col(value_col).cast("double")
+    c = (
+        buckets.select(F.col(order_col).alias("_ord"), x.alias("_x"))
+        .withColumn("_k", F.row_number().over(w))
+        .withColumn("_cs", F.sum("_x").over(w))
+        .withColumn("_cs2", F.sum(F.col("_x") * F.col("_x")).over(w))
+        .withColumn("_n", F.count("*").over(full))
+        .withColumn("_ts", F.sum("_x").over(full))
+        .withColumn("_ts2", F.sum(F.col("_x") * F.col("_x")).over(full))
+        .withColumn("_next", F.lead("_ord").over(w))
+    )
+    k = F.col("_k").cast("double")
+    n = F.col("_n").cast("double")
+    ss_tot = F.col("_ts2") - F.col("_ts") * F.col("_ts") / n
+    ss_l = F.col("_cs2") - F.col("_cs") * F.col("_cs") / k
+    ss_r = (F.col("_ts2") - F.col("_cs2")) - (
+        (F.col("_ts") - F.col("_cs")) * (F.col("_ts") - F.col("_cs")) / (n - k)
+    )
+    scored = (
+        c.filter(F.col("_k") < F.col("_n"))
+        .select(
+            F.col("_next").alias("change_at"),
+            (F.col("_cs") / k).alias("before_mean"),
+            ((F.col("_ts") - F.col("_cs")) / (n - k)).alias("after_mean"),
+            (ss_tot - ss_l - ss_r).alias("gain"),
+        )
+        .orderBy(F.desc("gain"), F.asc("change_at"))
+        .limit(1)
+    )
+    return scored.select(
+        "change_at",
+        F.round("before_mean", 6).alias("before_mean"),
+        F.round("after_mean", 6).alias("after_mean"),
+        F.round("gain", 6).alias("gain"),
+    )
+
+
+def bucket_correlation(
+    buckets: DataFrame,
+    order_col: str,
+    count_col: str,
+    indicator: list[float],
+) -> DataFrame:
+    """ES `bucket_correlation` pipeline aggregation (count_correlation
+    function): Pearson correlation between the buckets' doc counts and a
+    caller-supplied indicator vector, attached positionally by bucket
+    order — the ES use case scores how well a terms/histogram bucketing
+    tracks a known signal.
+
+    Plan: the indicator is a tiny literal DataFrame broadcast-joined on
+    the bucket rank (row_number over the bucket order — buckets are
+    aggregation output, so the single window partition is the bucket
+    list, the pipeline_aggs posture), then ONE corr() aggregate. Raises
+    if the vector length doesn't match the bucket count (the ES 400)."""
+    n_buckets = buckets.count()
+    if n_buckets != len(indicator):
+        raise ValueError(
+            f"indicator has {len(indicator)} entries for {n_buckets} buckets"
+        )
+    spark = buckets.sparkSession
+    ind = spark.createDataFrame(
+        [(i + 1, float(v)) for i, v in enumerate(indicator)],
+        "_rank int, _ind double",
+    )
+    w = Window.orderBy(F.col(order_col))
+    ranked = buckets.select(
+        F.col(count_col).cast("double").alias("_cnt"),
+        F.row_number().over(w).alias("_rank"),
+    )
+    return ranked.join(F.broadcast(ind), "_rank").agg(
+        F.round(F.corr("_cnt", "_ind"), 6).alias("correlation")
+    )

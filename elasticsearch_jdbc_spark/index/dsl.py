@@ -36,7 +36,7 @@ parent_id, prefix, fuzzy, wildcard, regexp, intervals (match rule),
 span_term/span_near/span_first/span_or/span_not, geo_distance,
 geo_bounding_box, query_string, simple_query_string, bool,
 constant_score, dis_max, boosting, function_score (field_value_factor +
-script), script_score, rank_feature, wrapper, more_like_this.
+script), script_score, rank_feature, wrapper, more_like_this, pinned.
 
 Engine-native deltas (documented, all checked in tests/test_dsl.py):
   - scripts are Spark SQL expressions (`{"script": {"source": "..."}}`)
@@ -735,6 +735,53 @@ def _compound_wrapper(ctx, body):
 # --------------------------------------------------------------- dispatch
 
 
+def _compound_pinned(ctx, body):
+    """ES `pinned` query (PinnedQueryBuilder): the listed ids rank FIRST,
+    in the order given, ahead of every organic hit; organic hits keep
+    their relevance order below and pinned docs are removed from the
+    organic set. Generalizes IndexReader.search_pinned_df (whose organic
+    side is a plain match string) to ANY organic subquery, under the
+    SAME sentinel contract: score = PINNED_BASE_SCORE - position, exact
+    in float64 (see the constant's comment in index/query.py on why
+    ES's Float.MAX_VALUE base can't express per-rank steps).
+
+    Plan: the organic query compiles once; the pin list is a tiny
+    literal DataFrame broadcast-joined to the docs table on `id_field`
+    (the pruned metadata scan, no postings access), and the organic set
+    drops pins via one broadcast anti-join — no extra index scan for
+    the pins at any corpus scale."""
+    from .query import IndexReader
+    ids = [str(v) for v in _aslist(body["ids"])]
+    if not ids:
+        raise ValueError("pinned needs at least one id")
+    if "organic" not in body:
+        raise ValueError("pinned needs an organic query")
+    id_field = body.get("id_field", "path")
+    docs = ctx.docs()
+    if id_field not in docs.columns:
+        raise ValueError(
+            f"unknown docs column {id_field!r}; docs table has {docs.columns}"
+        )
+    organic = _compile(ctx, body["organic"])
+    spark = docs.sparkSession
+    pin = spark.createDataFrame(
+        [(i + 1, v) for i, v in enumerate(ids)], "pin_rank int, pin_id string"
+    )
+    pinned = docs.join(
+        F.broadcast(pin), docs[id_field].cast("string") == pin.pin_id
+    ).select(
+        *ctx.keys,
+        (
+            F.lit(IndexReader.PINNED_BASE_SCORE)
+            - F.col("pin_rank").cast("double")
+        ).alias("score"),
+    )
+    rest = organic.join(
+        F.broadcast(pinned.select(*ctx.keys)), ctx.keys, "left_anti"
+    )
+    return pinned.unionByName(rest)
+
+
 _LEAFS = {
     "match": _leaf_match,
     "match_phrase": _leaf_match_phrase,
@@ -770,6 +817,7 @@ _COMPOUNDS = {
     "function_score": _compound_function_score,
     "rank_feature": _compound_rank_feature,
     "wrapper": _compound_wrapper,
+    "pinned": _compound_pinned,
 }
 
 _SPAN_KINDS = ("span_term", "span_near", "span_first", "span_or", "span_not")

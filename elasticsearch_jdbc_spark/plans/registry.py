@@ -3715,6 +3715,151 @@ def ip_range_q(spark, sf_dir):
     )
 
 
+def _geo_rings_sql() -> str:
+    from ..functions.geo import haversine_km_sql
+
+    dist = haversine_km_sql("lat", "lon", 0.0, 0.0)
+    return f"""
+    WITH pts AS (
+      SELECT -30.0 + (doc_id % 120) * 0.5 AS lat,
+             (doc_id % 300) * 1.0 - 150.0 AS lon
+      FROM documents
+    ),
+    d AS (SELECT ({dist}) AS km FROM pts),
+    b AS (
+      SELECT 'near' AS key, COUNT(*) AS doc_count FROM d WHERE km < 2000.0
+      UNION ALL
+      SELECT 'mid', COUNT(*) FROM d WHERE km >= 2000.0 AND km < 6000.0
+      UNION ALL
+      SELECT 'far', COUNT(*) FROM d WHERE km >= 6000.0
+      UNION ALL
+      SELECT 'wide', COUNT(*) FROM d WHERE km < 9000.0
+    )
+    SELECT key, CAST(doc_count AS BIGINT) AS doc_count
+    FROM b WHERE doc_count > 0 ORDER BY key
+    """
+
+
+@_reg("geo_distance_rings_agg", _geo_rings_sql())
+def geo_distance_rings_q(spark, sf_dir):
+    """ES geo_distance aggregation (distance rings), ORACLE-CHECKED:
+    coordinates derived from doc_id arithmetic, bucketed into concentric
+    rings around (0, 0) — overlapping 'wide' ring counts docs twice, the
+    ES overlapping-ranges rule. Engine and DuckDB evaluate the SAME
+    haversine arithmetic (functions/geo.py emits one formula for both
+    engines), so ring counts must agree exactly."""
+    from ..index.aggs import geo_distance_agg
+
+    d = _t(spark, sf_dir, "documents").select(
+        (F.lit(-30.0) + (F.col("doc_id") % 120) * 0.5).alias("lat"),
+        ((F.col("doc_id") % 300) * 1.0 - 150.0).alias("lon"),
+    )
+    return geo_distance_agg(
+        d, "lat", "lon", 0.0, 0.0,
+        [
+            {"to": 2000.0, "key": "near"},
+            {"from": 2000.0, "to": 6000.0, "key": "mid"},
+            {"from": 6000.0, "key": "far"},
+            {"to": 9000.0, "key": "wide"},
+        ],
+    )
+
+
+_CHANGE_POINT_SQL = """
+    WITH b0 AS (SELECT doc_id % 40 AS ord FROM documents),
+    b AS (
+      SELECT ord,
+             COUNT(*) + CASE WHEN ord >= 25 THEN 300 ELSE 0 END AS value
+      FROM b0 GROUP BY ord
+    ),
+    c AS (
+      SELECT ord,
+             ROW_NUMBER() OVER (ORDER BY ord) AS k,
+             SUM(CAST(value AS DOUBLE)) OVER (ORDER BY ord) AS cs,
+             SUM(CAST(value AS DOUBLE) * CAST(value AS DOUBLE))
+               OVER (ORDER BY ord) AS cs2,
+             COUNT(*) OVER () AS n,
+             SUM(CAST(value AS DOUBLE)) OVER () AS ts,
+             SUM(CAST(value AS DOUBLE) * CAST(value AS DOUBLE))
+               OVER () AS ts2,
+             LEAD(ord) OVER (ORDER BY ord) AS next_ord
+      FROM b
+    ),
+    g AS (
+      SELECT next_ord AS change_at,
+             cs / k AS before_mean,
+             (ts - cs) / (n - k) AS after_mean,
+             (ts2 - ts * ts / n) - (cs2 - cs * cs / k)
+               - ((ts2 - cs2) - (ts - cs) * (ts - cs) / (n - k)) AS gain
+      FROM c WHERE k < n
+    )
+    SELECT change_at, ROUND(before_mean, 6) AS before_mean,
+           ROUND(after_mean, 6) AS after_mean, ROUND(gain, 6) AS gain
+    FROM g ORDER BY gain DESC, change_at LIMIT 1
+    """
+
+
+@_reg("change_point_agg", _CHANGE_POINT_SQL)
+def change_point_q(spark, sf_dir):
+    """ES change_point aggregation (deterministic least-squares binary
+    segmentation core), ORACLE-CHECKED: a step of +300 planted at bucket
+    ord 25 over a 40-bucket count series; the engine's single window
+    pass (running sums of x and x^2 -> per-split variance-reduction
+    gain -> argmax) must land on the identical split, segment means, and
+    gain as DuckDB's window re-derivation — same expression structure on
+    integer-valued doubles, so the doubles agree bit-for-bit before the
+    6-dp round."""
+    from ..index.aggs import change_point
+
+    d = _t(spark, sf_dir, "documents")
+    b = (
+        d.groupBy((F.col("doc_id") % 40).alias("ord"))
+        .agg(F.count("*").alias("c"))
+        .select(
+            "ord",
+            (
+                F.col("c")
+                + F.when(F.col("ord") >= 25, F.lit(300)).otherwise(F.lit(0))
+            ).alias("value"),
+        )
+    )
+    return change_point(b, "ord", "value")
+
+
+_BUCKET_CORR_SQL = """
+    WITH b AS (
+      SELECT doc_id % 20 AS ord, SUM(doc_id) AS val
+      FROM documents GROUP BY 1
+    ),
+    r AS (SELECT val, ROW_NUMBER() OVER (ORDER BY ord) AS rank FROM b),
+    j AS (
+      SELECT CAST(val AS DOUBLE) AS cnt,
+             CAST(((rank - 1) * (rank - 1) * 7) % 23 AS DOUBLE) AS ind
+      FROM r
+    )
+    SELECT ROUND(corr(cnt, ind), 6) AS correlation FROM j
+    """
+
+
+@_reg("bucket_correlation_agg", _BUCKET_CORR_SQL)
+def bucket_correlation_q(spark, sf_dir):
+    """ES bucket_correlation pipeline aggregation (count_correlation),
+    ORACLE-CHECKED: per-bucket doc_id sums over a 20-bucket terms
+    bucketing, correlated against a deterministic indicator vector
+    ((i*i*7) % 23) attached positionally by bucket order — the engine's
+    broadcast rank-join + corr() must match DuckDB's corr() at 6 dp
+    (Pearson correlation is scale-invariant, so the sample/population
+    distinction cancels)."""
+    from ..index.aggs import bucket_correlation
+
+    d = _t(spark, sf_dir, "documents")
+    b = d.groupBy((F.col("doc_id") % 20).alias("ord")).agg(
+        F.sum("doc_id").alias("val")
+    )
+    indicator = [float((i * i * 7) % 23) for i in range(20)]
+    return bucket_correlation(b, "ord", "val", indicator)
+
+
 @_reg("pipeline_bpe_train")  # rows-only: iterative (merge k+1 depends on k),
 # the documented non-SQL-expressible class — brute-force reference-trainer
 # parity + partitioning invariance live in tests/test_bpe.py
@@ -5546,6 +5691,64 @@ def boosting_index_q(spark, sf_dir):
             F.round("score", 4).alias("score"),
         )
     )
+
+
+def _pinned_sql() -> str:
+    """pinned oracle: organic = BM25 of query 0, pins (doc 101, 7, 55)
+    score PINNED_BASE_SCORE - rank; organic minus pins below."""
+    return f"""{_bm25_per_query_ctes()},
+    pins(pin_rank, doc_id) AS (VALUES (1, 101), (2, 7), (3, 55)),
+    unioned AS (
+      SELECT doc_id, 1000000000000.0 - pin_rank AS score FROM pins
+      UNION ALL
+      SELECT s.doc_id, s.score FROM scored s
+      WHERE s.query_id = 0
+        AND s.doc_id NOT IN (SELECT doc_id FROM pins)
+    ),
+    ranked AS (
+      SELECT doc_id, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM unioned
+    )
+    SELECT rank, doc_id, round(score, 4) AS score
+    FROM ranked WHERE rank <= 10 ORDER BY rank
+    """
+
+
+@_reg("pinned_index_search", _pinned_sql())
+def pinned_index_q(spark, sf_dir):
+    """ES pinned query (PinnedQueryBuilder) through the REAL engine,
+    ORACLE-CHECKED: three ids pinned ahead of the 'fast key merge sort'
+    organic match — pinned docs take descending exact sentinel scores
+    (PINNED_BASE_SCORE - rank, index/dsl.py:_compound_pinned, the
+    search_pinned_df contract) and drop out of the
+    organic set; the oracle re-derives organic BM25 from the shared CTE
+    chain and applies the same union/anti-join. Top-10 after the id
+    mapping."""
+    from ..index import IndexReader
+
+    body = {
+        "pinned": {
+            "ids": ["doc/101.txt", "doc/7.txt", "doc/55.txt"],
+            "organic": {"match": {"content": REFERENCE_QUERIES[0][1]}},
+        }
+    }
+    idx = _registry_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    ids = _index_docid_map(spark, idx)
+    hits = reader.search_dsl_df(body, k=None)
+    w = W.orderBy(F.desc("score"), F.asc("documents_doc_id"))
+    return (
+        hits.join(ids, "doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "rank",
+            F.col("documents_doc_id").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+    )
+
 
 
 def _substr_dedup_sql() -> str:
@@ -7817,6 +8020,14 @@ _ROWS_ONLY_TAIL = [
     # overflow posture (independent numeric-derivation oracle registered;
     # golden pytest in test_matrix_aggs).
     "ip_range_agg",
+    # Round-4 late additions, overflow posture (each has an independent
+    # oracle registered + pytest in test_matrix_aggs / test_dsl):
+    # geo_distance rings, change_point (binary segmentation core),
+    # bucket_correlation (count_correlation), and the pinned query.
+    "geo_distance_rings_agg",
+    "change_point_agg",
+    "bucket_correlation_agg",
+    "pinned_index_search",
 ]
 # Promotions INTO the driver's ~50-row evidence window: the round's new
 # operator classes (ES join-field parent/child, per-doc-msm terms_set,
