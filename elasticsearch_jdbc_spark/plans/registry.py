@@ -3860,6 +3860,118 @@ def bucket_correlation_q(spark, sf_dir):
     return bucket_correlation(b, "ord", "val", indicator)
 
 
+_INGEST_SQL = """
+    -- Ground truth derived INDEPENDENTLY of the processor code: every
+    -- messy field is pure doc_id arithmetic, so the oracle derives each
+    -- processor's OUTPUT from the same arithmetic (never by re-running
+    -- a parse), the URL-dedup oracle posture.
+    WITH base AS (
+      SELECT doc_id,
+             doc_id % 3 AS m3, doc_id % 4 AS m4, doc_id % 11 AS m11,
+             doc_id % 997 AS mnum, doc_id % 20 AS muser,
+             doc_id % 2 AS m2, doc_id % 7 AS mpath,
+             1 + doc_id % 28 AS mday
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE m3 WHEN 0 THEN 'ok' WHEN 1 THEN 'fail' ELSE 'warn' END
+             AS status,
+           CASE WHEN m11 = 0 THEN NULL ELSE mnum END AS num,
+           CAST((m4 + 1) * CASE m3 WHEN 0 THEN 1024
+                                   WHEN 1 THEN 1048576 ELSE 1 END
+                AS BIGINT) AS size_bytes,
+           'u' || CAST(muser AS VARCHAR) AS req_user,
+           CASE m2 WHEN 0 THEN 'GET' ELSE 'POST' END AS method,
+           '/p' || CAST(mpath AS VARCHAR) AS path,
+           CAST(200 + m3 AS VARCHAR) AS code,
+           '2024-03-' || lpad(CAST(mday AS VARCHAR), 2, '0')
+             || ' 00:00:00' AS ts_iso,
+           sha256(concat_ws('|',
+             CASE m3 WHEN 0 THEN 'ok' WHEN 1 THEN 'fail' ELSE 'warn' END,
+             CASE WHEN m11 = 0 THEN NULL ELSE CAST(mnum AS VARCHAR) END
+           )) AS fp
+    FROM base
+    WHERE m3 <> 2
+    ORDER BY doc_id
+    """
+
+
+@_reg("ingest_pipeline_docs", _INGEST_SQL)
+def ingest_pipeline_q(spark, sf_dir):
+    """ES ingest pipeline (operators/ingest.py) over messy planted
+    fields, ORACLE-CHECKED: trim+lowercase, try-cast convert (planted
+    'x' suffix -> null), bytes ('3kb' -> 3072), dissect of a log line,
+    multi-format date parse to one ISO string, sha256 fingerprint, and
+    a drop condition — ALL compiled into one Catalyst projection chain.
+    The oracle derives every processor's OUTPUT independently from the
+    doc_id arithmetic (it never re-parses), so the chain must land on
+    the derived values byte-exact."""
+    from ..operators.ingest import apply_pipeline
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    messy = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("  "),
+            F.element_at(
+                F.array(F.lit("OK"), F.lit("Fail"), F.lit("WARN")),
+                (did % 3 + 1).cast("int"),
+            ),
+            F.lit(" "),
+        ).alias("status"),
+        F.concat(
+            (did % 997).cast("string"),
+            F.when(did % 11 == 0, F.lit("x")).otherwise(F.lit("")),
+        ).alias("num"),
+        F.concat(
+            (did % 4 + 1).cast("string"),
+            F.element_at(
+                F.array(F.lit("kb"), F.lit("MB"), F.lit("b")),
+                (did % 3 + 1).cast("int"),
+            ),
+        ).alias("size"),
+        F.format_string(
+            "u%d %s /p%d %d",
+            (did % 20).cast("int"),
+            F.when(did % 2 == 0, F.lit("GET")).otherwise(F.lit("POST")),
+            (did % 7).cast("int"),
+            (did % 3 + 200).cast("int"),
+        ).alias("log"),
+        F.when(
+            did % 2 == 0,
+            F.format_string("2024-03-%02d", (did % 28 + 1).cast("int")),
+        ).otherwise(
+            F.format_string("%02d/03/2024", (did % 28 + 1).cast("int"))
+        ).alias("d_raw"),
+    )
+    out = apply_pipeline(
+        messy,
+        [
+            {"trim": {"field": "status"}},
+            {"lowercase": {"field": "status"}},
+            {"convert": {"field": "num", "type": "long"}},
+            {"bytes": {"field": "size", "target_field": "size_bytes"}},
+            {"dissect": {
+                "field": "log",
+                "pattern": "%{req_user} %{method} %{path} %{code}",
+            }},
+            {"date": {
+                "field": "d_raw",
+                "formats": ["yyyy-MM-dd", "dd/MM/yyyy"],
+                "target_field": "ts_iso",
+                "output_format": "yyyy-MM-dd HH:mm:ss",
+            }},
+            {"fingerprint": {"fields": ["status", "num"], "target_field": "fp"}},
+            {"drop": {"if": "code = '202'"}},
+        ],
+    )
+    return out.select(
+        "doc_id", "status", "num", "size_bytes", "req_user", "method",
+        "path", "code", "ts_iso", "fp",
+    ).orderBy("doc_id")
+
+
 @_reg("pipeline_bpe_train")  # rows-only: iterative (merge k+1 depends on k),
 # the documented non-SQL-expressible class — brute-force reference-trainer
 # parity + partitioning invariance live in tests/test_bpe.py
@@ -8028,6 +8140,10 @@ _ROWS_ONLY_TAIL = [
     "change_point_agg",
     "bucket_correlation_agg",
     "pinned_index_search",
+    # ingest_pipeline_docs: ES ingest-processor chain (operators/ingest.py)
+    # — overflow posture (independent arithmetic-derivation oracle
+    # registered; processor unit tests in test_ingest.py).
+    "ingest_pipeline_docs",
 ]
 # Promotions INTO the driver's ~50-row evidence window: the round's new
 # operator classes (ES join-field parent/child, per-doc-msm terms_set,
