@@ -1637,3 +1637,46 @@ def bucket_correlation(
     return ranked.join(F.broadcast(ind), "_rank").agg(
         F.round(F.corr("_cnt", "_ind"), 6).alias("correlation")
     )
+
+
+def downsample(
+    df: DataFrame,
+    ts_col: str,
+    interval: str,
+    dims: list[str],
+    metrics: list[str],
+    last_value: list[str] | None = None,
+) -> DataFrame:
+    """ES TSDB `downsample` API (8.5+ DownsampleAction): roll a
+    time-series table up to a coarser fixed interval — one output row
+    per (dimensions, time bucket) carrying min/max/sum/value_count for
+    every metric (the ES aggregate_metric_double shape) and, for
+    `last_value` columns (ES last-value metrics / labels), the value at
+    the bucket's latest timestamp (max_by: latest-wins, the TSDB rule).
+
+    interval: a date_trunc unit ('hour', 'day', 'week', ...) — the ES
+    fixed_interval calendar units.
+
+    Plan: ONE map-side-combinable groupBy on (dims, date_trunc bucket) —
+    partial aggregation runs scan-side, so the shuffle carries only
+    per-bucket partials at any corpus scale; last_value folds as max_by
+    in the same pass (no window, no second scan)."""
+    if not metrics:
+        raise ValueError("downsample needs at least one metric column")
+    bucket = F.date_trunc(interval, F.col(ts_col)).alias("_tsbucket")
+    aggs = [F.count("*").cast("long").alias("_doc_count")]
+    for m in metrics:
+        c = F.col(m).cast("double")
+        aggs += [
+            F.min(c).alias(f"{m}_min"),
+            F.max(c).alias(f"{m}_max"),
+            F.sum(c).alias(f"{m}_sum"),
+            F.count(c).cast("long").alias(f"{m}_value_count"),
+        ]
+    for lv in last_value or []:
+        aggs.append(F.max_by(F.col(lv), F.col(ts_col)).alias(f"{lv}_last"))
+    return (
+        df.groupBy(*[F.col(d) for d in dims], bucket)
+        .agg(*aggs)
+        .orderBy(*dims, "_tsbucket")
+    )

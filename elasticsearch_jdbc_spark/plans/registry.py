@@ -3972,6 +3972,38 @@ def ingest_pipeline_q(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+_DOWNSAMPLE_SQL = """
+    SELECT event_type, date_trunc('day', ts) AS _tsbucket,
+           CAST(COUNT(*) AS BIGINT) AS _doc_count,
+           ROUND(MIN(value), 6) AS value_min,
+           ROUND(MAX(value), 6) AS value_max,
+           ROUND(SUM(value), 6) AS value_sum,
+           CAST(COUNT(value) AS BIGINT) AS value_value_count
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+@_reg("downsample_events", _DOWNSAMPLE_SQL)
+def downsample_events_q(spark, sf_dir):
+    """ES TSDB downsample API (index/aggs.py:downsample), ORACLE-CHECKED:
+    the events stream rolled up per (event_type, day) into the
+    aggregate_metric_double shape (min/max/sum/value_count) in ONE
+    map-side-combinable groupBy — partials fold scan-side, the shuffle
+    carries only per-bucket rows. Sums rounded at 6 dp on both sides
+    (double accumulation order differs across engines)."""
+    from ..index.aggs import downsample
+
+    d = _t(spark, sf_dir, "events")
+    out = downsample(d, "ts", "day", ["event_type"], ["value"])
+    return out.select(
+        "event_type", "_tsbucket", "_doc_count",
+        F.round("value_min", 6).alias("value_min"),
+        F.round("value_max", 6).alias("value_max"),
+        F.round("value_sum", 6).alias("value_sum"),
+        "value_value_count",
+    ).orderBy("event_type", "_tsbucket")
+
+
 @_reg("pipeline_bpe_train")  # rows-only: iterative (merge k+1 depends on k),
 # the documented non-SQL-expressible class — brute-force reference-trainer
 # parity + partitioning invariance live in tests/test_bpe.py
@@ -8144,6 +8176,9 @@ _ROWS_ONLY_TAIL = [
     # — overflow posture (independent arithmetic-derivation oracle
     # registered; processor unit tests in test_ingest.py).
     "ingest_pipeline_docs",
+    # downsample_events: ES TSDB downsample rollup — overflow posture
+    # (oracle registered; last_value/guard tests in test_round4_late_aggs).
+    "downsample_events",
 ]
 # Promotions INTO the driver's ~50-row evidence window: the round's new
 # operator classes (ES join-field parent/child, per-doc-msm terms_set,

@@ -199,3 +199,36 @@ def test_pinned_missing_id_skipped_and_guards(spark, pinned_setup):
             {"pinned": {"ids": ["a"], "organic": {"match": {"content": "x"}},
                         "id_field": "nope"}}
         )
+
+
+# ------------------------------------------------------------ downsample
+
+
+def test_downsample_shape_and_last_value(spark):
+    from elasticsearch_jdbc_spark.index.aggs import downsample
+
+    rows = [
+        ("a", "2024-01-01 01:00:00", 1.0, "x"),
+        ("a", "2024-01-01 23:00:00", 5.0, "y"),  # latest on day 1
+        ("a", "2024-01-02 03:00:00", 2.0, "z"),
+        ("b", "2024-01-01 12:00:00", None, "w"),
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, ts string, v double, label string"
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts", "v", "label")
+    out = {
+        (r["k"], str(r["_tsbucket"])): r
+        for r in downsample(
+            df, "ts", "day", ["k"], ["v"], last_value=["label"]
+        ).collect()
+    }
+    d1 = out[("a", "2024-01-01 00:00:00")]
+    assert (d1["_doc_count"], d1["v_min"], d1["v_max"], d1["v_sum"],
+            d1["v_value_count"], d1["label_last"]) == (2, 1.0, 5.0, 6.0, 2, "y")
+    d3 = out[("b", "2024-01-01 00:00:00")]
+    assert d3["v_value_count"] == 0 and d3["v_sum"] is None  # null metric
+    assert d3["label_last"] == "w"
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="at least one metric"):
+        downsample(df, "ts", "day", ["k"], [])
