@@ -1680,3 +1680,131 @@ def downsample(
         .agg(*aggs)
         .orderBy(*dims, "_tsbucket")
     )
+
+
+def bucket_count_ks_test(
+    buckets: DataFrame,
+    order_col: str,
+    count_col: str,
+    fractions: list[float] | None = None,
+) -> DataFrame:
+    """ES `bucket_count_ks_test` pipeline aggregation: Kolmogorov-Smirnov
+    statistic between the buckets' doc-count distribution and an expected
+    one (`fractions`, positional by bucket order; uniform when omitted —
+    the ES default). Returns ONE row with the two-sided D statistic
+    (max |ECDF_obs - ECDF_exp|) plus the one-sided D+ / D- variants (the
+    ES 'greater'/'less' alternatives). ES converts D to a p-value via ML
+    heuristics; the statistic itself is the deterministic core.
+
+    Plan: one window pass over the bucket list (the pipeline_aggs
+    posture — aggregation output, single tiny partition), broadcast-
+    joined to the literal fractions by bucket rank."""
+    n = buckets.count()
+    if fractions is None:
+        fractions = [1.0 / n] * n
+    if len(fractions) != n:
+        raise ValueError(f"fractions has {len(fractions)} entries for {n} buckets")
+    tot = sum(fractions)
+    if tot <= 0:
+        raise ValueError("fractions must sum to a positive value")
+    spark = buckets.sparkSession
+    frac = spark.createDataFrame(
+        [(i + 1, float(f) / tot) for i, f in enumerate(fractions)],
+        "_rank int, _frac double",
+    )
+    w = Window.orderBy(F.col(order_col))
+    ranked = buckets.select(
+        F.col(count_col).cast("double").alias("_cnt"),
+        F.row_number().over(w).alias("_rank"),
+    ).join(F.broadcast(frac), "_rank")
+    wr = Window.orderBy(F.col("_rank"))
+    full = wr.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ecdf = (
+        ranked.withColumn("_cobs", F.sum("_cnt").over(wr))
+        .withColumn("_tobs", F.sum("_cnt").over(full))
+        .withColumn("_cexp", F.sum("_frac").over(wr))
+        .select(
+            (F.col("_cobs") / F.col("_tobs") - F.col("_cexp")).alias("_d")
+        )
+    )
+    # + 0.0 normalizes IEEE negative zero (GREATEST(-0.0, 0.0) may
+    # return either representation; -0.0 + 0.0 = +0.0 canonically)
+    return ecdf.agg(
+        F.round(F.max(F.abs(F.col("_d"))) + F.lit(0.0), 6).alias("d_two_sided"),
+        F.round(
+            F.greatest(F.max(F.col("_d")), F.lit(0.0)) + F.lit(0.0), 6
+        ).alias("d_greater"),
+        F.round(
+            F.greatest(F.max(-F.col("_d")), F.lit(0.0)) + F.lit(0.0), 6
+        ).alias("d_less"),
+    )
+
+
+def ip_prefix(
+    df: DataFrame,
+    col: str,
+    prefix_length: int,
+    min_doc_count: int = 1,
+) -> DataFrame:
+    """ES `ip_prefix` aggregation (8.9+): bucket IPv4 addresses by their
+    /prefix_length network — the subnet rollup ES uses for traffic
+    summaries. Buckets are keyed by the canonical network address string
+    ('10.42.0.0/16'); malformed/NULL addresses land in no bucket.
+
+    Plan: the same single codegen projection as ip_range (parse to the
+    unsigned-32 value, mask, format back) + ONE map-side-combinable
+    groupBy."""
+    if not 0 <= prefix_length <= 32:
+        raise ValueError(f"prefix_length must be 0..32, got {prefix_length}")
+    v = _ipv4_to_long(F.col(col))
+    masked = (
+        F.floor(v / F.lit(2 ** (32 - prefix_length)))
+        * F.lit(2 ** (32 - prefix_length))
+        if prefix_length < 32
+        else v
+    )
+    key = F.concat_ws(
+        ".",
+        F.floor(masked / 16777216).cast("long"),
+        (F.floor(masked / 65536) % 256).cast("long"),
+        (F.floor(masked / 256) % 256).cast("long"),
+        (masked % 256).cast("long"),
+    )
+    return (
+        df.select(
+            F.when(
+                v.isNotNull(),
+                F.concat(key, F.lit(f"/{prefix_length}")),
+            ).alias("key")
+        )
+        .filter(F.col("key").isNotNull())
+        .groupBy("key")
+        .agg(F.count("*").cast("long").alias("doc_count"))
+        .filter(F.col("doc_count") >= min_doc_count)
+        .orderBy("key")
+    )
+
+
+def random_sampler(
+    df: DataFrame,
+    probability: float,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES `random_sampler` aggregation (8.2+): run sub-aggs over a
+    deterministic pseudo-random subset of the docs. ES hashes doc ids
+    against the probability; here the subset is md5(seed || id) — a
+    cross-engine-reproducible hash (the sampling-split posture of
+    operators/sampling.py), so any SQL engine derives the SAME subset.
+    Compose sub-aggregations over the returned DataFrame.
+
+    Plan: one codegen filter on the scan — no shuffle, no RNG state; at
+    any scale the sample is a scan-side prune."""
+    if not 0.0 < probability <= 1.0:
+        raise ValueError(f"probability must be in (0, 1], got {probability}")
+    # first 8 hex chars of md5 -> uniform 32-bit integer
+    bucket = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(id_col).cast("string"))), 1, 8),
+        16, 10,
+    ).cast("long")
+    return df.filter(bucket < F.lit(int(probability * 2**32)))

@@ -30,7 +30,10 @@ Spec shape (all keys optional except source):
       "k1": 1.2, "b": 0.75, "block_size": 128, "partitions": 64,
       "positions": false,           # true -> phrase-query support
       "fields": ["title", "body"],  # multi-field (multi_match) indexing
-      "lang_filter": false          # analyzer keyword filtering
+      "lang_filter": false,         # analyzer keyword filtering
+      "ingest_pipeline": [          # ES ingest processors applied to the
+        {"trim": {"field": "content"}}   # rows BEFORE indexing
+      ]                             # (operators/ingest.py)
     }
 """
 
@@ -216,6 +219,13 @@ def run_import(
     df = read_source(spark, spec)
     for old, new in spec.get("rename", {}).items():
         df = df.withColumnRenamed(old, new)
+    if spec.get("ingest_pipeline"):
+        # ES runs ingest pipelines node-side before indexing; here the
+        # processor chain (operators/ingest.py) folds into the import
+        # plan itself — same declarative JSON, executed distributed.
+        from ..operators.ingest import apply_pipeline
+
+        df = apply_pipeline(df, spec["ingest_pipeline"])
 
     if spec["strategy"] == "column":
         return _run_column(spark, spec, df, resume, fs=fs)

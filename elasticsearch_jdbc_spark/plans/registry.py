@@ -4004,6 +4004,117 @@ def downsample_events_q(spark, sf_dir):
     ).orderBy("event_type", "_tsbucket")
 
 
+_KS_TEST_SQL = """
+    WITH b AS (
+      SELECT doc_id % 16 AS ord, COUNT(*) AS cnt
+      FROM documents GROUP BY 1
+    ),
+    r AS (
+      SELECT CAST(cnt AS DOUBLE) AS cnt,
+             ROW_NUMBER() OVER (ORDER BY ord) AS rank
+      FROM b
+    ),
+    e AS (
+      SELECT SUM(cnt) OVER (ORDER BY rank) / SUM(cnt) OVER ()
+               - SUM(0.0625) OVER (ORDER BY rank) AS d
+      FROM r
+    )
+    SELECT ROUND(MAX(ABS(d)) + 0.0, 6) AS d_two_sided,
+           ROUND(GREATEST(MAX(d), 0.0) + 0.0, 6) AS d_greater,
+           ROUND(GREATEST(MAX(-d), 0.0) + 0.0, 6) AS d_less
+    FROM e
+    """
+
+
+@_reg("ks_test_agg", _KS_TEST_SQL)
+def ks_test_q(spark, sf_dir):
+    """ES bucket_count_ks_test pipeline aggregation, ORACLE-CHECKED: the
+    deterministic K-S statistic core (two-sided D + one-sided D+/D-)
+    between a 16-bucket doc-count distribution and the uniform expected
+    fractions — both engines walk the same ECDF cumsums in bucket order,
+    so the doubles agree before the 6-dp round."""
+    from ..index.aggs import bucket_count_ks_test
+
+    d = _t(spark, sf_dir, "documents")
+    b = d.groupBy((F.col("doc_id") % 16).alias("ord")).count()
+    return bucket_count_ks_test(b, "ord", "count")
+
+
+_IP_PREFIX_SQL = """
+    WITH v AS (
+      SELECT CASE WHEN doc_id % 4 = 0
+               THEN CAST(192 AS BIGINT) * 16777216 + 168 * 65536
+                    + (doc_id % 256) * 256 + (doc_id % 256)
+               ELSE CAST(10 AS BIGINT) * 16777216 + (doc_id % 200) * 65536
+                    + (doc_id % 250) * 256 + (doc_id % 256)
+             END AS val
+      FROM documents
+    ),
+    m AS (SELECT (val // 65536) * 65536 AS net FROM v),
+    b AS (
+      SELECT CAST(net // 16777216 AS VARCHAR) || '.'
+             || CAST((net // 65536) % 256 AS VARCHAR) || '.'
+             || CAST((net // 256) % 256 AS VARCHAR) || '.'
+             || CAST(net % 256 AS VARCHAR) || '/16' AS key,
+             COUNT(*) AS doc_count
+      FROM m GROUP BY 1
+    )
+    SELECT key, CAST(doc_count AS BIGINT) AS doc_count
+    FROM b WHERE doc_count >= 1 ORDER BY key
+    """
+
+
+@_reg("ip_prefix_agg", _IP_PREFIX_SQL)
+def ip_prefix_q(spark, sf_dir):
+    """ES ip_prefix aggregation (8.9+ subnet rollup), ORACLE-CHECKED: the
+    same planted dotted-quad strings as ip_range_agg, masked to /16
+    networks by the engine's parse->mask->format codegen chain; DuckDB
+    derives each network independently from the doc_id arithmetic (it
+    never parses the string), so the canonical '/16' keys and counts
+    must land byte-exact."""
+    from ..index.aggs import ip_prefix
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.expr(
+            "CASE WHEN doc_id % 4 = 0 THEN "
+            "format_string('192.168.%d.%d', doc_id % 256, doc_id % 256) "
+            "ELSE format_string('10.%d.%d.%d', doc_id % 200, doc_id % 250,"
+            " doc_id % 256) END"
+        ).alias("ip")
+    )
+    return ip_prefix(d, "ip", 16)
+
+
+_RANDOM_SAMPLER_SQL = """
+    WITH s AS (
+      SELECT lang FROM documents
+      WHERE CAST(('0x' || substr(
+              md5('7|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+            < CAST(0.35 * 4294967296 AS UBIGINT)
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS doc_count
+    FROM s GROUP BY lang ORDER BY lang
+    """
+
+
+@_reg("random_sampler_docs", _RANDOM_SAMPLER_SQL)
+def random_sampler_q(spark, sf_dir):
+    """ES random_sampler aggregation (8.2+), ORACLE-CHECKED: a
+    deterministic md5-threshold subset (seed 7, p=0.35) with a terms
+    sub-agg over it — the hash is cross-engine-reproducible, so DuckDB
+    selects the IDENTICAL subset and the per-lang counts must match
+    exactly (the sampling-split posture of operators/sampling.py)."""
+    from ..index.aggs import random_sampler
+
+    d = _t(spark, sf_dir, "documents")
+    s = random_sampler(d, 0.35, seed=7, id_col="doc_id")
+    return (
+        s.groupBy("lang")
+        .agg(F.count("*").cast("long").alias("doc_count"))
+        .orderBy("lang")
+    )
+
+
 @_reg("pipeline_bpe_train")  # rows-only: iterative (merge k+1 depends on k),
 # the documented non-SQL-expressible class — brute-force reference-trainer
 # parity + partitioning invariance live in tests/test_bpe.py
@@ -8179,6 +8290,12 @@ _ROWS_ONLY_TAIL = [
     # downsample_events: ES TSDB downsample rollup — overflow posture
     # (oracle registered; last_value/guard tests in test_round4_late_aggs).
     "downsample_events",
+    # Round-4 late additions, overflow posture (oracles registered;
+    # pytest in test_round4_late_aggs): bucket_count_ks_test statistic
+    # core, ip_prefix subnet rollup, random_sampler md5-threshold subset.
+    "ks_test_agg",
+    "ip_prefix_agg",
+    "random_sampler_docs",
 ]
 # Promotions INTO the driver's ~50-row evidence window: the round's new
 # operator classes (ES join-field parent/child, per-doc-msm terms_set,

@@ -211,3 +211,36 @@ def test_spec_builds_fields_index(spark, sf_dir, tmp_path):
     reader = IndexReader(spark, str(tmp_path / "idx"))
     hits = reader.search_fields("the data value", boosts={"title": 2.0, "body": 1.0}, k=5)
     assert hits  # multi-field search over a spec-built index answers
+
+
+def test_ingest_pipeline_in_spec(spark, sf_dir, tmp_path):
+    """The spec's ingest_pipeline block (ES ingest processors) rewrites
+    rows BEFORE the fold/build — uppercased content must be what the
+    index tokenizes, and dropped rows must not index at all."""
+    from elasticsearch_jdbc_spark.index import IndexReader
+    from elasticsearch_jdbc_spark.plans.jobspec import run_import
+
+    src = str(tmp_path / "src")
+    spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30).selectExpr(
+        "source AS repo", "CAST(doc_id AS STRING) AS path",
+        "'c1' AS commit", "lang", "text AS content",
+    ).write.parquet(src)
+    idx = str(tmp_path / "idx")
+    manifest = run_import(
+        spark,
+        {
+            "source": {"format": "parquet", "path": src},
+            "index_dir": idx,
+            "partitions": 2,
+            "ingest_pipeline": [
+                {"set": {"field": "content", "value": "zzmarker only token",
+                         "if": "path = '3'"}},
+                {"drop": {"if": "CAST(path AS INT) >= 20"}},
+            ],
+        },
+        resume=False,
+    )
+    assert manifest["n_docs"] == 20  # drop ran pre-build
+    r = IndexReader(spark, idx)
+    hits = r.search("zzmarker", k=5)
+    assert len(hits) == 1  # the rewritten doc tokenized the NEW content

@@ -199,3 +199,67 @@ def test_scripted_metric_by_one_shuffle(spark):
     phys = _phys(out)
     assert phys.count("Exchange") == 1
     assert "FlatMapGroupsInPandas" in phys
+
+
+def test_ingest_pipeline_fuses_to_projection(spark):
+    from elasticsearch_jdbc_spark.operators.ingest import apply_pipeline
+
+    df = spark.createDataFrame(
+        [(1, " A ", "2kb", "u1 GET /a")], "id int, s string, b string, log string"
+    )
+    out = apply_pipeline(df, [
+        {"trim": {"field": "s"}},
+        {"lowercase": {"field": "s"}},
+        {"bytes": {"field": "b"}},
+        {"dissect": {"field": "log", "pattern": "%{u} %{m} %{p}"}},
+        {"fingerprint": {"fields": ["s", "u"]}},
+        {"drop": {"if": "m = 'DELETE'"}},
+    ])
+    phys = _phys(out)
+    # the whole 6-processor chain is one codegen pass: no shuffle, no
+    # UDF, a single WholeStageCodegen span over the scan
+    assert "Exchange" not in phys
+    assert "BatchEvalPython" not in phys and "MapInPandas" not in phys
+    # one codegen stage ("*(1)") over one scan — the chain fully fused
+    assert "*(1) Project" in phys or "*(1) Filter" in phys
+    assert phys.count("Scan") == 1
+
+
+def test_downsample_one_shuffle_partial_agg(spark):
+    from elasticsearch_jdbc_spark.index.aggs import downsample
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 01:00:00", 1.0)], "k string, ts string, v double"
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts", "v")
+    phys = _phys(downsample(df, "ts", "day", ["k"], ["v"], last_value=["k"]))
+    # one groupBy shuffle + the presentation sort, map-side partials
+    assert phys.count("Exchange") == 2  # hashpartitioning + rangepartitioning
+    assert "partial" in phys.lower()
+
+
+def test_geo_rings_one_shuffle(spark):
+    from elasticsearch_jdbc_spark.index.aggs import geo_distance_agg
+
+    df = spark.createDataFrame([(1.0, 2.0)], "lat double, lon double")
+    phys = _phys(
+        geo_distance_agg(df, "lat", "lon", 0.0, 0.0, [{"to": 5.0, "key": "x"}])
+    )
+    # ring tagging is pure projection (no UDF); one agg shuffle + sort
+    assert "BatchEvalPython" not in phys and "MapInPandas" not in phys
+    assert phys.count("Exchange") == 2
+
+
+def test_pinned_dsl_broadcasts_pins_no_sort_unranked(spark, idx):
+    r = IndexReader(spark, idx)
+    body = {
+        "pinned": {
+            "ids": ["3", "5"],
+            "organic": {"match": {"content": "merge"}},
+        }
+    }
+    opt = _opt(r.search_dsl_df(body, k=None))
+    # unranked compile: pins broadcast, organic anti-joined, NO global sort
+    assert "Sort" not in opt
+    phys = _phys(r.search_dsl_df(body, k=None))
+    assert "BroadcastHashJoin" in phys
+    assert "CartesianProduct" not in phys

@@ -232,3 +232,63 @@ def test_downsample_shape_and_last_value(spark):
 
     with _pt.raises(ValueError, match="at least one metric"):
         downsample(df, "ts", "day", ["k"], [])
+
+
+# ------------------------------------------------- ks_test / ip_prefix /
+# random_sampler
+
+
+def test_ks_test_brute(spark):
+    from elasticsearch_jdbc_spark.index.aggs import bucket_count_ks_test
+
+    counts = [5.0, 1.0, 9.0, 5.0]
+    b = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(counts)], "ord int, cnt double"
+    )
+    row = bucket_count_ks_test(b, "ord", "cnt").collect()[0]
+    tot = sum(counts)
+    ds = []
+    run = 0.0
+    for i, c in enumerate(counts):
+        run += c
+        ds.append(run / tot - (i + 1) / 4.0)
+    assert row["d_two_sided"] == pytest.approx(max(abs(d) for d in ds), abs=1e-6)
+    assert row["d_greater"] == pytest.approx(max(max(ds), 0.0), abs=1e-6)
+    assert row["d_less"] == pytest.approx(max(max(-d for d in ds), 0.0), abs=1e-6)
+    # perfect match against explicit fractions -> D == 0
+    frac = [c / tot for c in counts]
+    row2 = bucket_count_ks_test(b, "ord", "cnt", frac).collect()[0]
+    assert row2["d_two_sided"] == 0.0
+    with pytest.raises(ValueError, match="4 buckets"):
+        bucket_count_ks_test(b, "ord", "cnt", [0.5, 0.5])
+
+
+def test_ip_prefix_brute(spark):
+    from elasticsearch_jdbc_spark.index.aggs import ip_prefix
+
+    ips = ["10.1.2.3", "10.1.9.200", "10.2.0.1", "192.168.1.1", None, "bad"]
+    df = spark.createDataFrame([(x,) for x in ips], "ip string")
+    got = {
+        r["key"]: r["doc_count"] for r in ip_prefix(df, "ip", 16).collect()
+    }
+    assert got == {"10.1.0.0/16": 2, "10.2.0.0/16": 1, "192.168.0.0/16": 1}
+    got24 = {r["key"]: r["doc_count"] for r in ip_prefix(df, "ip", 32).collect()}
+    assert got24["10.1.2.3/32"] == 1
+    with pytest.raises(ValueError, match="0..32"):
+        ip_prefix(df, "ip", 33)
+
+
+def test_random_sampler_deterministic_and_unbiased(spark):
+    from elasticsearch_jdbc_spark.index.aggs import random_sampler
+
+    df = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    a = random_sampler(df, 0.25, seed=1).count()
+    b = random_sampler(df, 0.25, seed=1).count()
+    c = random_sampler(df, 0.25, seed=2).count()
+    assert a == b            # deterministic under a fixed seed
+    assert a != c            # seed changes the subset
+    assert 800 < a < 1200    # ~1000 expected
+    # p=1 keeps everything
+    assert random_sampler(df, 1.0, seed=1).count() == 4000
+    with pytest.raises(ValueError, match="probability"):
+        random_sampler(df, 0.0)
