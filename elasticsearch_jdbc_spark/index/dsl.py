@@ -32,8 +32,10 @@ bodies the single-scan kernel cannot express.
 
 Supported nodes (ES query-dsl.html): match, match_all, match_phrase,
 match_bool_prefix, multi_match, term, terms, range, exists, ids,
-parent_id, prefix, fuzzy, wildcard, regexp, intervals (match rule),
-span_term/span_near/span_first/span_or/span_not, geo_distance,
+parent_id, prefix, fuzzy, wildcard, regexp, intervals (match /
+all_of / any_of rules — compositions compile onto the span algebra),
+span_term/span_near/span_first/span_or/span_not/span_within/
+span_containing, geo_distance,
 geo_bounding_box, query_string, simple_query_string, bool,
 constant_score, dis_max, boosting, function_score (field_value_factor +
 script), script_score, rank_feature, wrapper, more_like_this, pinned.
@@ -327,17 +329,76 @@ def _leaf_regexp(ctx, body):
     return _scale(df, spec.get("boost", 1.0))
 
 
+def _interval_rule_to_span(rule: dict) -> dict:
+    """Compile an ES intervals RULE tree (match / all_of / any_of,
+    intervals-query.html) onto the engine's canonical span algebra
+    (index/spans.py): match -> span_term / ordered-near of its analyzed
+    tokens, all_of -> span_near (max_gaps = slop, ordered = in_order),
+    any_of -> span_or. Lucene evaluates intervals with its own
+    minimal-interval iterators; the span algebra here enforces the same
+    minimality discipline, so the compiled tree keeps the exact
+    proximity gate (the documented gate+BM25 intervals contract)."""
+    kind, spec = _one(rule)
+    if kind == "match":
+        from ..functions.tokenizer import tokenize_py
+
+        toks = tokenize_py(str(spec["query"]))
+        if not toks:
+            raise ValueError(
+                f"intervals match query {spec['query']!r} tokenized to nothing"
+            )
+        if len(toks) == 1:
+            return {"span_term": toks[0]}
+        return {
+            "span_near": {
+                "clauses": [{"span_term": t} for t in toks],
+                "slop": int(spec.get("max_gaps", 0)),
+                "in_order": bool(spec.get("ordered", True)),
+            }
+        }
+    if kind == "all_of":
+        return {
+            "span_near": {
+                "clauses": [
+                    _interval_rule_to_span(r) for r in spec["intervals"]
+                ],
+                "slop": int(spec.get("max_gaps", 0)),
+                "in_order": bool(spec.get("ordered", True)),
+            }
+        }
+    if kind == "any_of":
+        return {
+            "span_or": {
+                "clauses": [
+                    _interval_rule_to_span(r) for r in spec["intervals"]
+                ]
+            }
+        }
+    raise ValueError(
+        f"unsupported intervals rule {kind!r}; supported: match, all_of, any_of"
+    )
+
+
 def _leaf_intervals(ctx, body):
     field, spec = _one(body)
     _text_field_check(ctx, field)
-    m = spec.get("match")
-    if not m:
-        raise ValueError("intervals supports the `match` rule")
-    df = ctx.reader.search_intervals_df(
-        m["query"], max_gaps=int(m.get("max_gaps", 0)),
-        ordered=bool(m.get("ordered", True)), k=None,
-        field=field if ctx.fields else None,
-    )
+    rules = {k: v for k, v in spec.items() if k != "boost"}
+    if "match" in rules and len(rules) == 1:
+        # the flat match rule keeps the dedicated exact minimal-interval
+        # kernel (positions decode once, no span-tree recursion)
+        m = spec["match"]
+        df = ctx.reader.search_intervals_df(
+            m["query"], max_gaps=int(m.get("max_gaps", 0)),
+            ordered=bool(m.get("ordered", True)), k=None,
+            field=field if ctx.fields else None,
+        )
+    elif rules:
+        span = _interval_rule_to_span(dict([next(iter(rules.items()))]))
+        df = ctx.reader.search_span_df(
+            span, k=None, field=field if ctx.fields else None
+        )
+    else:
+        raise ValueError("intervals needs a match / all_of / any_of rule")
     return _scale(df, spec.get("boost", 1.0))
 
 
@@ -366,6 +427,13 @@ def _span_to_native(node, fields_out: set):
                 "exclude": _span_to_native(body["exclude"], fields_out),
                 "pre": int(body.get("pre", 0)),
                 "post": int(body.get("post", 0)),
+            }
+        }
+    if kind in ("span_within", "span_containing"):
+        return {
+            kind: {
+                "little": _span_to_native(body["little"], fields_out),
+                "big": _span_to_native(body["big"], fields_out),
             }
         }
     if kind in ("span_near", "span_or"):
@@ -820,7 +888,10 @@ _COMPOUNDS = {
     "pinned": _compound_pinned,
 }
 
-_SPAN_KINDS = ("span_term", "span_near", "span_first", "span_or", "span_not")
+_SPAN_KINDS = (
+    "span_term", "span_near", "span_first", "span_or", "span_not",
+    "span_within", "span_containing",
+)
 
 
 def _compile(ctx: _Ctx, body: dict) -> DataFrame:

@@ -3587,6 +3587,13 @@ class IndexReader:
                     "post": int(body.get("post", 0)),
                 }
             }
+        if kind in ("span_within", "span_containing"):
+            return {
+                kind: {
+                    "little": self._analyze_span(body["little"], field),
+                    "big": self._analyze_span(body["big"], field),
+                }
+            }
         out = dict(body)
         out["clauses"] = [self._analyze_span(c, field) for c in body["clauses"]]
         return {kind: out}

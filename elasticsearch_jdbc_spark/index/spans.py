@@ -1,5 +1,6 @@
 """Span query algebra (ES `span_term` / `span_near` / `span_first` /
-`span_or` / `span_not`): pure-numpy per-document evaluation over token
+`span_or` / `span_not` / `span_within` / `span_containing`): pure-numpy
+per-document evaluation over token
 position lists, shared by both reader tiers' `search_span_df`.
 
 The reference imports rows into Elasticsearch, whose query DSL ships the
@@ -23,6 +24,10 @@ Spec grammar (each node is a single-key dict):
   {"span_not": {"include": spec,                 include-spans that overlap
                 "exclude": spec,                 no exclude-span widened by
                 "pre": 0, "post": 0}}            pre/post positions
+  {"span_within": {"little": spec,               little-spans enclosed by
+                   "big": spec}}                 some big-span
+  {"span_containing": {"little": spec,           big-spans enclosing some
+                       "big": spec}}             little-span
 
 Span sets are kept MINIMAL (no span strictly containing another survives a
 combinator — Lucene's spans iterators enforce the same discipline via
@@ -56,7 +61,10 @@ from __future__ import annotations
 
 import numpy as np
 
-_SPAN_KINDS = ("span_term", "span_near", "span_first", "span_or", "span_not")
+_SPAN_KINDS = (
+    "span_term", "span_near", "span_first", "span_or", "span_not",
+    "span_within", "span_containing",
+)
 
 _EMPTY = (np.empty(0, np.int64), np.empty(0, np.int64))
 
@@ -96,6 +104,11 @@ def validate_span(spec: dict) -> None:
             raise ValueError("span_not pre/post must be >= 0")
         validate_span(body["include"])
         validate_span(body["exclude"])
+    elif kind in ("span_within", "span_containing"):
+        if not isinstance(body, dict) or "little" not in body or "big" not in body:
+            raise ValueError(f"{kind} wants {{'little': spec, 'big': spec}}")
+        validate_span(body["little"])
+        validate_span(body["big"])
     else:
         raise ValueError(f"unknown span kind {kind!r} (supported: {_SPAN_KINDS})")
 
@@ -109,6 +122,8 @@ def span_leaf_texts(spec: dict) -> list[str]:
         return span_leaf_texts(body["match"])
     if kind == "span_not":
         return span_leaf_texts(body["include"]) + span_leaf_texts(body["exclude"])
+    if kind in ("span_within", "span_containing"):
+        return span_leaf_texts(body["little"]) + span_leaf_texts(body["big"])
     return [t for c in body["clauses"] for t in span_leaf_texts(c)]
 
 
@@ -123,6 +138,9 @@ def span_scoring_texts(spec: dict) -> list[str]:
         return span_scoring_texts(body["match"])
     if kind == "span_not":
         return span_scoring_texts(body["include"])
+    if kind in ("span_within", "span_containing"):
+        # both branches must exist for a match -> both rank
+        return span_scoring_texts(body["little"]) + span_scoring_texts(body["big"])
     return [t for c in body["clauses"] for t in span_scoring_texts(c)]
 
 
@@ -218,6 +236,24 @@ def eval_span(spec: dict, by_term: dict):
         overlap = (hi > 0) & (exc_e[np.maximum(hi - 1, 0)] > inc_s - pre)
         keep = ~overlap
         return inc_s[keep], inc_e[keep]
+    if kind in ("span_within", "span_containing"):
+        lit_s, lit_e = eval_span(body["little"], by_term)
+        big_s, big_e = eval_span(body["big"], by_term)
+        if len(lit_s) == 0 or len(big_s) == 0:
+            return _EMPTY
+        if kind == "span_within":
+            # keep little spans enclosed by SOME big span. In an antichain
+            # sorted by start, ends ascend too, so among big spans with
+            # start <= ls the one with the LARGEST end is the last.
+            j = np.searchsorted(big_s, lit_s, side="right") - 1
+            keep = (j >= 0) & (big_e[np.maximum(j, 0)] >= lit_e)
+            return lit_s[keep], lit_e[keep]
+        # span_containing: keep big spans containing SOME little span —
+        # among little spans with start >= bs the smallest end comes
+        # first (ends ascend), so index i is the best witness.
+        i = np.searchsorted(lit_s, big_s, side="left")
+        keep = (i < len(lit_s)) & (lit_e[np.minimum(i, len(lit_s) - 1)] <= big_e)
+        return big_s[keep], big_e[keep]
     # span_near
     clause_spans = [eval_span(c, by_term) for c in body["clauses"]]
     if any(len(s) == 0 for s, _ in clause_spans):

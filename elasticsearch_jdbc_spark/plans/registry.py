@@ -4115,6 +4115,125 @@ def random_sampler_q(spark, sf_dir):
     )
 
 
+_SPAN_WC_SQL = """
+    -- Planted-position span fixture: every token slot is doc_id
+    -- arithmetic, each query token occurs AT MOST ONCE per doc (the
+    -- class where the minimal-antichain span algebra coincides with the
+    -- all-combinations reading), so the gate AND the BM25 scores derive
+    -- without tokenizing: tf=1, dl=avgdl=16 collapses the BM25 kernel
+    -- to score = sum of leaf idfs.
+    WITH base AS (
+      SELECT doc_id,
+             doc_id % 4 AS pa,
+             doc_id % 4 + 1 + doc_id % 3 AS pb,
+             doc_id % 12 AS pc
+      FROM documents
+    ),
+    flags AS (
+      SELECT doc_id, pa, pb, pc,
+             (pc <> pa AND pc <> pb) AS has_qc
+      FROM base
+    ),
+    stats AS (
+      SELECT COUNT(*) * 1.0 AS n,
+             SUM(CASE WHEN has_qc THEN 1 ELSE 0 END) * 1.0 AS df_qc
+      FROM flags
+    ),
+    idfs AS (
+      SELECT ln(1.0 + (n - n + 0.5) / (n + 0.5)) AS idf_ab,
+             ln(1.0 + (n - df_qc + 0.5) / (df_qc + 0.5)) AS idf_qc
+      FROM stats
+    ),
+    gated AS (
+      SELECT f.doc_id,
+             CASE WHEN f.has_qc AND f.pa < f.pc AND f.pc < f.pb
+                  THEN 0 END AS c_within,
+             CASE WHEN f.has_qc AND f.pa < f.pc AND f.pc < f.pb
+                  THEN 1 END AS c_containing
+      FROM flags f
+    ),
+    hits AS (
+      SELECT 'within' AS q, doc_id,
+             i.idf_qc + 2 * i.idf_ab AS score
+      FROM gated, idfs i WHERE c_within = 0
+      UNION ALL
+      SELECT 'containing', doc_id, i.idf_qc + 2 * i.idf_ab
+      FROM gated, idfs i WHERE c_containing = 1
+    ),
+    ranked AS (
+      SELECT q, doc_id, round(score, 4) AS score,
+             ROW_NUMBER() OVER (PARTITION BY q ORDER BY score DESC, doc_id)
+               AS rank
+      FROM hits
+    )
+    SELECT q, rank, doc_id, score
+    FROM ranked WHERE rank <= 10 ORDER BY q, rank
+    """
+
+
+@_reg("span_within_search", _SPAN_WC_SQL)
+def span_within_q(spark, sf_dir):
+    """ES span_within / span_containing through the REAL engine,
+    ORACLE-CHECKED: a planted-position corpus (each doc is 16 slots of
+    'pad' with 'qa'/'qb'/'qc' at doc_id-arithmetic positions, every
+    query token at most once per doc — the unambiguous span class) is
+    indexed with positions, then little='qc' within / containing
+    big=span_near(qa,qb, slop 2, ordered). The oracle derives the
+    enclosure gate (pa < pc < pb) AND the scores from pure arithmetic:
+    tf=1 and dl=avgdl collapse BM25 to the leaf-idf sum, so the engine's
+    positional algebra + scoring must land on derived values exactly."""
+    import hashlib as _h
+    import os as _os
+    import tempfile as _tmp
+
+    from ..index import IndexBuilder, IndexReader
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.select(
+        F.lit("r").alias("repo"),
+        F.format_string("doc/%d.txt", F.col("doc_id").cast("int")).alias("path"),
+        F.lit("c").alias("commit"),
+        F.lit("txt").alias("lang"),
+        F.expr(
+            "array_join(transform(sequence(0, 15), i -> CASE "
+            "WHEN i = doc_id % 4 THEN 'qa' "
+            "WHEN i = doc_id % 4 + 1 + doc_id % 3 THEN 'qb' "
+            "WHEN i = doc_id % 12 AND doc_id % 12 <> doc_id % 4 "
+            "  AND doc_id % 12 <> doc_id % 4 + 1 + doc_id % 3 THEN 'qc' "
+            "ELSE 'pad' END), ' ')"
+        ).alias("content"),
+    )
+    tag = _h.sha1(f"{sf_dir}|spanwc1".encode()).hexdigest()[:10]
+    idx = _os.path.join(_tmp.gettempdir(), f"registry_spanwc_{tag}")
+    IndexBuilder(spark, idx, partitions=4, with_positions=True).build(corpus)
+    reader = IndexReader(spark, idx)
+    ids = _index_docid_map(spark, idx)
+    big = {
+        "span_near": {
+            "clauses": [{"span_term": "qa"}, {"span_term": "qb"}],
+            "slop": 2, "in_order": True,
+        }
+    }
+    out = None
+    for name, kind in (("within", "span_within"), ("containing", "span_containing")):
+        hits = reader.search_span_df(
+            {kind: {"little": {"span_term": "qc"}, "big": big}}, k=None
+        ).withColumn("q", F.lit(name))
+        out = hits if out is None else out.unionByName(hits)
+    w = W.partitionBy("q").orderBy(F.desc("score"), F.asc("documents_doc_id"))
+    return (
+        out.join(ids, "doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "q", "rank",
+            F.col("documents_doc_id").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+        .orderBy("q", "rank")
+    )
+
+
 @_reg("pipeline_bpe_train")  # rows-only: iterative (merge k+1 depends on k),
 # the documented non-SQL-expressible class — brute-force reference-trainer
 # parity + partitioning invariance live in tests/test_bpe.py
@@ -8290,6 +8409,10 @@ _ROWS_ONLY_TAIL = [
     # downsample_events: ES TSDB downsample rollup — overflow posture
     # (oracle registered; last_value/guard tests in test_round4_late_aggs).
     "downsample_events",
+    # span_within_search: span_within/span_containing end-to-end on a
+    # planted-position index — overflow posture (arithmetic-derived
+    # oracle incl. scores; randomized algebra parity in test_span).
+    "span_within_search",
     # Round-4 late additions, overflow posture (oracles registered;
     # pytest in test_round4_late_aggs): bucket_count_ks_test statistic
     # core, ip_prefix subnet rollup, random_sampler md5-threshold subset.

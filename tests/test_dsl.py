@@ -362,3 +362,47 @@ def test_dsl_fields_corpus_routing(spark, tmp_path):
     # unknown field rejected
     with pytest.raises(ValueError, match="unknown field"):
         r.search_dsl_df({"match": {"nope": "x"}})
+
+
+def test_intervals_all_of_any_of_compile_to_spans(spark, setup):
+    """intervals all_of/any_of compile onto the span algebra: any_of ==
+    union of its alternatives; all_of ordered slop-0 over single terms ==
+    the flat match rule; nested trees equal the directly-spelled span
+    query."""
+    d, r, docs = setup
+    # any_of == union of the two matches (scores: disjunctive BM25 of
+    # the scoring leafs -- compare SETS here, score contract is span's)
+    a = _ids(r.search_dsl_df(
+        {"intervals": {"content": {"any_of": {"intervals": [
+            {"match": {"query": "merge"}},
+            {"match": {"query": "buffer"}},
+        ]}}}}, k=None))
+    assert a == _ids(r.match_df("merge buffer", min_should_match=1))
+    # all_of over single-term matches == the flat ordered match rule
+    b = _ids(r.search_dsl_df(
+        {"intervals": {"content": {"all_of": {"intervals": [
+            {"match": {"query": "merge"}},
+            {"match": {"query": "buffer"}},
+        ], "max_gaps": 3, "ordered": True}}}}, k=None))
+    assert b == _ids(r.search_intervals_df(
+        "merge buffer", max_gaps=3, ordered=True, k=None))
+    # nested tree == the equivalent span query through the DSL
+    nested = {"intervals": {"content": {"all_of": {"intervals": [
+        {"match": {"query": "merge"}},
+        {"any_of": {"intervals": [
+            {"match": {"query": "buffer"}},
+            {"match": {"query": "sort"}},
+        ]}},
+    ], "max_gaps": 2, "ordered": True}}}}
+    spans = {"span_near": {"clauses": [
+        {"span_term": {"content": {"query": "merge"}}},
+        {"span_or": {"clauses": [
+            {"span_term": {"content": {"query": "buffer"}}},
+            {"span_term": {"content": {"query": "sort"}}},
+        ]}},
+    ], "slop": 2, "in_order": True}}
+    assert _scores(r.search_dsl_df(nested, k=None)) == _scores(
+        r.search_dsl_df(spans, k=None))
+    with pytest.raises(ValueError, match="match, all_of, any_of"):
+        r.search_dsl_df(
+            {"intervals": {"content": {"prefix": {"prefix": "mer"}}}}, k=None)

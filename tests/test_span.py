@@ -65,6 +65,18 @@ def _ref_eval(spec, by_term):
                 if not any(xs < e + post and xe > s - pre for xs, xe in exc)
             }
         )
+    if kind in ("span_within", "span_containing"):
+        lit = _ref_eval(body["little"], by_term)
+        big = _ref_eval(body["big"], by_term)
+        if kind == "span_within":
+            return _minimal(
+                {(s, e) for s, e in lit
+                 if any(bs <= s and e <= be for bs, be in big)}
+            )
+        return _minimal(
+            {(bs, be) for bs, be in big
+             if any(bs <= s and e <= be for s, e in lit)}
+        )
     clause = [sorted(_ref_eval(c, by_term)) for c in body["clauses"]]
     if any(not cs for cs in clause):
         return set()
@@ -99,7 +111,8 @@ def _ref_eval(spec, by_term):
 
 def _rand_spec(rng, terms, depth=0):
     kinds = ["span_term"] * 3 + (
-        ["span_near", "span_or", "span_first", "span_not"] if depth < 2 else []
+        ["span_near", "span_or", "span_first", "span_not",
+         "span_within", "span_containing"] if depth < 2 else []
     )
     k = rng.choice(kinds)
     if k == "span_term":
@@ -124,6 +137,13 @@ def _rand_spec(rng, terms, depth=0):
                 "exclude": _rand_spec(rng, terms, depth + 1),
                 "pre": rng.randint(0, 1),
                 "post": rng.randint(0, 1),
+            }
+        }
+    if k in ("span_within", "span_containing"):
+        return {
+            k: {
+                "little": _rand_spec(rng, terms, depth + 1),
+                "big": _rand_spec(rng, terms, depth + 1),
             }
         }
     return {
@@ -262,6 +282,10 @@ def _positions(reader, corpus):
         {"span_first": {"match": {"span_term": Q1}, "end": 12}},
         {"span_or": {"clauses": [{"span_term": Q1}, {"span_term": "zlib"}]}},
         {"span_not": {"include": {"span_term": Q1}, "exclude": {"span_term": Q2}, "pre": 1, "post": 1}},
+        {"span_within": {"little": {"span_term": Q1},
+                         "big": {"span_near": {"clauses": [{"span_term": Q2}, {"span_term": Q1}], "slop": 6, "in_order": False}}}},
+        {"span_containing": {"little": {"span_term": Q1},
+                             "big": {"span_near": {"clauses": [{"span_term": Q2}, {"span_term": Q1}], "slop": 6, "in_order": False}}}},
     ],
 )
 def test_engine_matches_analyzer_walk(spark, setup, spec):
@@ -352,3 +376,29 @@ def test_span_validation_and_empty(spark, setup):
     with pytest.raises(ValueError, match="span"):
         r.search_span_df({"span_banana": "x"})
     assert r.search_span_df({"span_term": "zzznohit"}, k=5).count() == 0
+
+
+def test_span_within_containing_goldens():
+    """within keeps enclosed little-spans; containing keeps enclosing
+    big-spans; empty branches gate to empty."""
+    import numpy as np
+
+    by = {
+        "a": np.array([5, 20]),
+        "x": np.array([2, 18]),
+        "y": np.array([9, 19]),
+    }
+    big = {"span_near": {"clauses": [{"span_term": "x"}, {"span_term": "y"}],
+                         "slop": 8, "in_order": True}}
+    w = eval_span({"span_within": {"little": {"span_term": "a"}, "big": big}}, by)
+    assert list(w[0]) == [5] and list(w[1]) == [6]  # a@20 not enclosed
+    c = eval_span(
+        {"span_containing": {"little": {"span_term": "a"}, "big": big}}, by
+    )
+    assert list(c[0]) == [2] and list(c[1]) == [10]
+    none = eval_span(
+        {"span_within": {"little": {"span_term": "zz"}, "big": big}}, by
+    )
+    assert len(none[0]) == 0
+    with pytest.raises(ValueError, match="little"):
+        validate_span({"span_within": {"big": big}})
