@@ -35,7 +35,7 @@ match_bool_prefix, multi_match, term, terms, range, exists, ids,
 parent_id, prefix, fuzzy, wildcard, regexp, intervals (match /
 all_of / any_of rules — compositions compile onto the span algebra),
 span_term/span_near/span_first/span_or/span_not/span_within/
-span_containing, geo_distance,
+span_containing/span_multi (prefix/fuzzy/wildcard rewrite), geo_distance,
 geo_bounding_box, query_string, simple_query_string, bool,
 constant_score, dis_max, boosting, function_score (field_value_factor +
 script), script_score, rank_feature, wrapper, more_like_this, pinned.
@@ -436,6 +436,21 @@ def _span_to_native(node, fields_out: set):
                 "big": _span_to_native(body["big"], fields_out),
             }
         }
+    if kind == "span_multi":
+        m = body.get("match")
+        if not isinstance(m, dict) or len(m) != 1:
+            raise ValueError(
+                "span_multi wants {'match': {prefix|fuzzy|wildcard: {field: spec}}}"
+            )
+        mk, mb = _one(m)
+        if isinstance(mb, dict) and len(mb) == 1:
+            fname, fspec = next(iter(mb.items()))
+            if fname not in ("value", "query"):
+                fields_out.add(fname)
+        out = {"match": {mk: mb}}
+        if "max_expansions" in body:
+            out["max_expansions"] = int(body["max_expansions"])
+        return {"span_multi": out}
     if kind in ("span_near", "span_or"):
         out = {
             "clauses": [_span_to_native(c, fields_out) for c in body["clauses"]]
@@ -890,7 +905,7 @@ _COMPOUNDS = {
 
 _SPAN_KINDS = (
     "span_term", "span_near", "span_first", "span_or", "span_not",
-    "span_within", "span_containing",
+    "span_within", "span_containing", "span_multi",
 )
 
 

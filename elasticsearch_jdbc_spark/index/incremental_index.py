@@ -2794,8 +2794,15 @@ class IncrementalIndexReader:
                 "IndexBuilder(with_positions=True) for span queries"
             )
         validate_span(span)
-        spec = r0._analyze_span(span, field)
-        leafs = list(dict.fromkeys(span_leaf_texts(spec)))
+        # analyze per segment: span_multi rewrites expand against EACH
+        # segment's dictionary (delta-only terms included), so the global
+        # idf map must cover the union of expansions
+        leafs = []
+        for sname in self.segments:
+            leafs.extend(
+                span_leaf_texts(self.readers[sname]._analyze_span(span, field))
+            )
+        leafs = list(dict.fromkeys(leafs))
         empty = self.spark.createDataFrame(
             [], "segment string, doc_id long, score double"
         )

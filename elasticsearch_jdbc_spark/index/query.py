@@ -3594,9 +3594,65 @@ class IndexReader:
                     "big": self._analyze_span(body["big"], field),
                 }
             }
+        if kind == "span_multi":
+            return self._span_multi_rewrite(body, field)
         out = dict(body)
         out["clauses"] = [self._analyze_span(c, field) for c in body["clauses"]]
         return {kind: out}
+
+    def _span_multi_rewrite(self, body: dict, field: str | None) -> dict:
+        """ES `span_multi` (SpanMultiTermQueryWrapper): a prefix / fuzzy /
+        wildcard query in span position — rewritten, like Lucene's
+        SpanRewriteMethod, to a span_or over the matching dictionary
+        terms (capped at max_expansions, default 50; field-namespaced on
+        a fields corpus). Raises when the expansion is empty, mirroring
+        span_term's analyzed-to-nothing error."""
+        m = body.get("match")
+        if not isinstance(m, dict) or len(m) != 1:
+            raise ValueError(
+                "span_multi wants {'match': {prefix|fuzzy|wildcard: ...}}"
+            )
+        mk, mb = next(iter(m.items()))
+        if isinstance(mb, dict) and len(mb) == 1 and isinstance(
+            next(iter(mb.values())), (str, dict)
+        ) and next(iter(mb.keys())) not in ("value", "query"):
+            # ES field-keyed form {"prefix": {field: spec}} — the field
+            # must agree with the span query's field routing
+            mb = next(iter(mb.values()))
+        if isinstance(mb, str):
+            spec: dict = {"value": mb}
+        else:
+            spec = dict(mb)
+        val = spec.get("value", spec.get("query"))
+        if not val:
+            raise ValueError(f"span_multi {mk} needs a value")
+        limit = int(body.get("max_expansions", spec.get("max_expansions", 50)))
+        fields = self.manifest.get("fields")
+        boosts = {field: 1.0} if (field and fields) else None
+        if mk == "prefix":
+            terms, _, _ = self._prefix_expansion(str(val), limit, boosts)
+        elif mk == "fuzzy":
+            terms, _, _ = self._fuzzy_expansion(
+                str(val), limit, spec.get("fuzziness", "AUTO"), boosts
+            )
+        elif mk == "wildcard":
+            pat = str(val)
+            if fields:
+                ns = field if field else fields[0]
+                pat = ns + "\x1f" + pat
+            terms = self.expand_wildcard(pat, limit)
+        else:
+            raise ValueError(
+                f"span_multi supports prefix/fuzzy/wildcard, got {mk!r}"
+            )
+        if not terms:
+            # Lucene's SpanRewriteMethod with zero expansions matches
+            # NOTHING (not an error): rewrite to a token the analyzer can
+            # never produce, which yields the empty span set naturally
+            return {"span_term": "\x00"}
+        if len(terms) == 1:
+            return {"span_term": terms[0]}
+        return {"span_or": {"clauses": [{"span_term": t} for t in terms]}}
 
     def search_span_df(
         self,

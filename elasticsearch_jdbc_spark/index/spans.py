@@ -1,5 +1,6 @@
 """Span query algebra (ES `span_term` / `span_near` / `span_first` /
-`span_or` / `span_not` / `span_within` / `span_containing`): pure-numpy
+`span_or` / `span_not` / `span_within` / `span_containing` /
+`span_multi`): pure-numpy
 per-document evaluation over token
 position lists, shared by both reader tiers' `search_span_df`.
 
@@ -28,6 +29,9 @@ Spec grammar (each node is a single-key dict):
                    "big": spec}}                 some big-span
   {"span_containing": {"little": spec,           big-spans enclosing some
                        "big": spec}}             little-span
+  {"span_multi": {"match": {prefix|fuzzy|       multi-term query in span
+                  wildcard: ...},               position: reader rewrites
+                  "max_expansions": 50}}        to span_or pre-algebra
 
 Span sets are kept MINIMAL (no span strictly containing another survives a
 combinator — Lucene's spans iterators enforce the same discipline via
@@ -63,7 +67,7 @@ import numpy as np
 
 _SPAN_KINDS = (
     "span_term", "span_near", "span_first", "span_or", "span_not",
-    "span_within", "span_containing",
+    "span_within", "span_containing", "span_multi",
 )
 
 _EMPTY = (np.empty(0, np.int64), np.empty(0, np.int64))
@@ -109,6 +113,13 @@ def validate_span(spec: dict) -> None:
             raise ValueError(f"{kind} wants {{'little': spec, 'big': spec}}")
         validate_span(body["little"])
         validate_span(body["big"])
+    elif kind == "span_multi":
+        # pre-analysis node only: the reader rewrites it to span_term /
+        # span_or (SpanRewriteMethod) before the algebra ever sees it
+        if not isinstance(body, dict) or not isinstance(body.get("match"), dict):
+            raise ValueError(
+                "span_multi wants {'match': {prefix|fuzzy|wildcard: ...}}"
+            )
     else:
         raise ValueError(f"unknown span kind {kind!r} (supported: {_SPAN_KINDS})")
 

@@ -402,3 +402,59 @@ def test_span_within_containing_goldens():
     assert len(none[0]) == 0
     with pytest.raises(ValueError, match="little"):
         validate_span({"span_within": {"big": big}})
+
+
+def test_span_multi_rewrite_and_engine(spark, setup):
+    """span_multi (prefix/fuzzy/wildcard in span position) rewrites to a
+    span_or over the dictionary expansion (SpanRewriteMethod); zero
+    expansions match nothing (not an error)."""
+    d, corpus = setup
+    r = IndexReader(spark, d)
+    # rewrite shape: prefix expands to >= 1 dictionary terms
+    native = r._analyze_span(
+        {"span_multi": {"match": {"prefix": "mer"}}}, None
+    )
+    kinds = next(iter(native))
+    assert kinds in ("span_term", "span_or")
+    exp = r.expand_prefix("mer", 50)
+    assert exp
+    got = {
+        x["doc_id"]
+        for x in r.search_span_df(
+            {"span_multi": {"match": {"prefix": "mer"}}}, k=None
+        ).collect()
+    }
+    want = {
+        x["doc_id"]
+        for x in r.search_span_df(
+            {"span_or": {"clauses": [{"span_term": t} for t in exp]}}, k=None
+        ).collect()
+    }
+    assert got == want and got
+    # inside a near: "mer* buffer" within slop 3
+    near = {
+        "span_near": {
+            "clauses": [
+                {"span_multi": {"match": {"prefix": "mer"}}},
+                {"span_term": "buffer"},
+            ],
+            "slop": 3,
+            "in_order": True,
+        }
+    }
+    assert r.search_span_df(near, k=None).count() > 0
+    # wildcard + max_expansions cap
+    one = r._analyze_span(
+        {"span_multi": {"match": {"wildcard": "mer*"}, "max_expansions": 1}},
+        None,
+    )
+    assert next(iter(one)) == "span_term"
+    # zero expansions -> empty result, no raise
+    assert (
+        r.search_span_df(
+            {"span_multi": {"match": {"prefix": "zzzzqqq"}}}, k=None
+        ).count()
+        == 0
+    )
+    with pytest.raises(ValueError, match="prefix|fuzzy|wildcard"):
+        r.search_span_df({"span_multi": {"match": {"regexp": "a.*"}}}, k=None)
