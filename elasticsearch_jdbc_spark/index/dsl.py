@@ -30,13 +30,17 @@ search_bool_df's ONE-postings-scan kernel — this layer trades one scan
 per leaf for full compositionality, the right trade for the nested
 bodies the single-scan kernel cannot express.
 
-Supported nodes (ES query-dsl.html): match, match_all, match_phrase,
-match_bool_prefix, multi_match, term, terms, range, exists, ids,
-parent_id, prefix, fuzzy, wildcard, regexp, intervals (match /
+Supported nodes (ES query-dsl.html): match, match_all, match_none,
+match_phrase, match_phrase_prefix (span-compiled MultiPhraseQuery gate),
+match_bool_prefix, multi_match, combined_fields (BM25F term-centric
+blend), term, terms, terms_set, range, exists, ids, parent_id,
+has_child, has_parent (join-field queries over a metadata FK column),
+prefix, fuzzy, wildcard, regexp, intervals (match /
 all_of / any_of rules — compositions compile onto the span algebra),
 span_term/span_near/span_first/span_or/span_not/span_within/
 span_containing/span_multi (prefix/fuzzy/wildcard rewrite), geo_distance,
-geo_bounding_box, query_string, simple_query_string, bool,
+geo_bounding_box, distance_feature, script (filter-context SQL
+predicate), query_string, simple_query_string, bool,
 constant_score, dis_max, boosting, function_score (field_value_factor +
 script), script_score, rank_feature, wrapper, more_like_this, pinned.
 
@@ -292,6 +296,192 @@ def _leaf_prefix(ctx, body):
         limit=int(spec.get("rewrite_limit", 128)), boosts=boosts,
     )
     return _scale(df, spec.get("boost", 1.0))
+
+
+def _leaf_match_none(ctx, body):
+    # ES match_none: the empty match set — the identity element of the
+    # should/dis_max algebra, an empty relation of the tier's key shape
+    return _set_score(ctx, ctx.docs().select(*ctx.keys).limit(0), 0.0)
+
+
+def _leaf_match_phrase_prefix(ctx, body):
+    """ES match_phrase_prefix compiled onto the span algebra: every
+    analyzed token but the last is a span_term, the last is a span_multi
+    prefix (SpanRewriteMethod expansion capped at max_expansions) — the
+    Lucene MultiPhraseQuery shape as an ordered span_near gate, scored
+    under the engine's documented gate+BM25 span contract
+    (query-dsl match-query-phrase-prefix; the reference's users issue
+    these from every search-as-you-type box)."""
+    field, spec = _field_spec(body)
+    _text_field_check(ctx, field)
+    from ..functions.tokenizer import tokenize_py
+
+    toks = tokenize_py(str(spec["query"]))
+    if not toks:
+        raise ValueError("match_phrase_prefix analyzed to no tokens")
+    limit = int(spec.get("max_expansions", 50))
+    last: dict = {
+        "span_multi": {
+            "match": {"prefix": {"value": toks[-1]}},
+            "max_expansions": limit,
+        }
+    }
+    if len(toks) == 1:
+        span = last
+    else:
+        span = {
+            "span_near": {
+                "clauses": [{"span_term": t} for t in toks[:-1]] + [last],
+                "slop": int(spec.get("slop", 0)),
+                "in_order": True,
+            }
+        }
+    df = ctx.reader.search_span_df(
+        span, k=None, field=field if ctx.fields else None
+    )
+    return _scale(df, spec.get("boost", 1.0))
+
+
+def _leaf_combined_fields(ctx, body):
+    """ES combined_fields: the BM25F term-centric blend — tf sums across
+    fields BEFORE saturation (search_combined_df's documented contract),
+    vs multi_match/most_fields' per-field score sum after it."""
+    body = dict(body)
+    if not ctx.fields:
+        raise ValueError("combined_fields requires a fields-indexed corpus")
+    q = body["query"]
+    boosts = None
+    if body.get("fields"):
+        boosts = {}
+        for f0 in body["fields"]:
+            name, _, w = f0.partition("^")
+            if name not in ctx.fields:
+                raise ValueError(
+                    f"unknown field {name!r}; indexed: {ctx.fields}"
+                )
+            boosts[name] = float(w) if w else 1.0
+    msm = body.get("minimum_should_match")
+    if msm is None:
+        msm = len(ctx.r0.query_terms(q)) if body.get("operator") == "and" else 1
+    df = ctx.reader.search_combined_df(
+        q, boosts=boosts, k=None, min_should_match=int(msm)
+    )
+    return _scale(df, body.get("boost", 1.0))
+
+
+def _leaf_terms_set(ctx, body):
+    """ES terms_set: per-doc minimum_should_match from a metadata field
+    (minimum_should_match_field) or a Catalyst SQL expression (the
+    minimum_should_match_script analogue — engine-native delta: Spark SQL
+    over the docs columns, never eval'd Python). Non-scoring filter
+    context scoring `boost` (delta vs ES's per-term BM25 sum,
+    documented)."""
+    field, spec = _one(body)
+    spec = dict(spec)
+    script = spec.get("minimum_should_match_script")
+    if isinstance(script, dict):
+        script = script.get("source")
+    df = ctx.reader.terms_set_df(
+        field,
+        [str(t) for t in _aslist(spec.get("terms"))],
+        msm_field=spec.get("minimum_should_match_field"),
+        msm_sql=script,
+    )
+    return _set_score(ctx, df.select(*ctx.keys), float(spec.get("boost", 1.0)))
+
+
+def _inner_match_text(q) -> str:
+    """Extract the match text from a has_child/has_parent inner query:
+    a plain string, or a {'match': {field: text|{'query': text}}} body
+    (engine-native restriction — the join surfaces take an analyzed
+    match query, not an arbitrary DSL subtree; documented)."""
+    if isinstance(q, str):
+        return q
+    kind, b = _one(q)
+    if kind != "match":
+        raise ValueError(
+            "has_child/has_parent inner query supports match only "
+            f"(engine-native restriction), got {kind!r}"
+        )
+    _, spec = _field_spec(b)
+    return str(spec["query"])
+
+
+def _leaf_has_child(ctx, body):
+    spec = dict(body)
+    df = ctx.reader.has_child_df(
+        _inner_match_text(spec["query"]),
+        parent_field=spec.get("parent_field", "parent"),
+        id_field=spec.get("id_field", "path"),
+        score_mode=spec.get("score_mode", "none"),
+        min_children=int(spec.get("min_children", 1)),
+        max_children=(
+            int(spec["max_children"]) if spec.get("max_children") else None
+        ),
+    )
+    return _scale(
+        df.select(*ctx.keys, F.col("score").cast("double").alias("score")),
+        spec.get("boost", 1.0),
+    )
+
+
+def _leaf_has_parent(ctx, body):
+    spec = dict(body)
+    df = ctx.reader.has_parent_df(
+        _inner_match_text(spec["query"]),
+        parent_field=spec.get("parent_field", "parent"),
+        id_field=spec.get("id_field", "path"),
+        score=bool(spec.get("score", False)),
+    )
+    return _scale(
+        df.select(*ctx.keys, F.col("score").cast("double").alias("score")),
+        spec.get("boost", 1.0),
+    )
+
+
+def _leaf_distance_feature(ctx, body):
+    """ES distance_feature: matches every doc with the field, scored
+    boost * pivot / (pivot + |field - origin|) — the closer to origin the
+    higher. Numeric/epoch fields (dates as their epoch numbers —
+    engine-native delta vs ES date-math strings, documented). One docs
+    scan, pure codegen arithmetic, no postings."""
+    spec = dict(body)
+    field = spec["field"]
+    if field not in ctx.meta_cols():
+        raise ValueError(
+            f"distance_feature wants a docs metadata column; {field!r} "
+            f"not in {ctx.meta_cols()}"
+        )
+    origin = float(spec["origin"])
+    pivot = float(spec["pivot"])
+    if pivot <= 0:
+        raise ValueError("distance_feature pivot must be > 0")
+    boost = float(spec.get("boost", 1.0))
+    dist = F.abs(F.col(field).cast("double") - F.lit(origin))
+    return (
+        ctx.docs()
+        .filter(F.col(field).isNotNull())
+        .select(
+            *ctx.keys,
+            (F.lit(boost) * F.lit(pivot) / (F.lit(pivot) + dist))
+            .cast("double")
+            .alias("score"),
+        )
+    )
+
+
+def _leaf_script_query(ctx, body):
+    """ES script query (filter context): the predicate is a Spark SQL
+    boolean expression over the docs metadata columns (the engine's
+    script dialect everywhere — never eval'd Python), scoring `boost`."""
+    s = body.get("script")
+    if isinstance(s, dict):
+        s = s.get("source")
+    if not s or not isinstance(s, str):
+        raise ValueError(
+            "script query wants {'script': {'source': <Spark SQL bool expr>}}"
+        )
+    return _set_score(ctx, ctx.filter_ids(s), float(body.get("boost", 1.0)))
 
 
 def _leaf_fuzzy(ctx, body):
@@ -881,6 +1071,14 @@ _LEAFS = {
     "wildcard": _leaf_wildcard,
     "regexp": _leaf_regexp,
     "intervals": _leaf_intervals,
+    "match_none": _leaf_match_none,
+    "match_phrase_prefix": _leaf_match_phrase_prefix,
+    "combined_fields": _leaf_combined_fields,
+    "terms_set": _leaf_terms_set,
+    "has_child": _leaf_has_child,
+    "has_parent": _leaf_has_parent,
+    "distance_feature": _leaf_distance_feature,
+    "script": _leaf_script_query,
     "geo_distance": _leaf_geo_distance,
     "geo_bounding_box": _leaf_geo_bbox,
     "query_string": _leaf_query_string,

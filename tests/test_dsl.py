@@ -406,3 +406,87 @@ def test_intervals_all_of_any_of_compile_to_spans(spark, setup):
     with pytest.raises(ValueError, match="match, all_of, any_of"):
         r.search_dsl_df(
             {"intervals": {"content": {"prefix": {"prefix": "mer"}}}}, k=None)
+
+
+def test_match_none_and_script_query(spark, setup):
+    d, r, docs = setup
+    # match_none: the empty match set, usable inside compositions
+    assert _ids(r.search_dsl_df({"match_none": {}}, k=None)) == set()
+    body = {"bool": {"should": [
+        {"match": {"content": "merge"}}, {"match_none": {}},
+    ]}}
+    assert _scores(r.search_dsl_df(body, k=None)) == _scores(
+        r.search_dsl_df({"match": {"content": "merge"}}, k=None))
+    # script query: filter-context Spark SQL predicate over docs metadata
+    got = _ids(r.search_dsl_df(
+        {"script": {"script": {"source": "lang = 'java'"}}}, k=None))
+    want = {i for i, x in docs.items() if x["lang"] == "java"}
+    assert got == want
+    sc = _scores(r.search_dsl_df(
+        {"script": {"script": {"source": "lang = 'java'"}, "boost": 2.5}},
+        k=None))
+    assert set(sc.values()) == {2.5}
+    with pytest.raises(ValueError, match="script query wants"):
+        r.search_dsl_df({"script": {}}, k=None)
+
+
+def test_match_phrase_prefix_leaf(spark, setup):
+    """match_phrase_prefix == the ordered span gate with a span_multi
+    prefix tail: match SET equals the dedicated search_phrase_prefix
+    kernel's, and equals the span query spelled directly."""
+    d, r, docs = setup
+    body = {"match_phrase_prefix": {"content": "merge buf"}}
+    got = _ids(r.search_dsl_df(body, k=None))
+    want = {i for i, _ in r.search_phrase_prefix("merge buf", k=10_000, limit=50)}
+    assert got == want and got
+    spans = r.search_span_df(
+        {"span_near": {"clauses": [
+            {"span_term": "merge"},
+            {"span_multi": {"match": {"prefix": {"value": "buf"}},
+                            "max_expansions": 50}},
+        ], "slop": 0, "in_order": True}}, k=None)
+    assert _scores(r.search_dsl_df(body, k=None)) == _scores(spans)
+    # single-token form degrades to the bare prefix-in-span-position
+    # (equal expansion caps -> equal match sets)
+    one = _ids(r.search_dsl_df(
+        {"match_phrase_prefix": {"content": {"query": "buf",
+                                             "max_expansions": 1000}}},
+        k=None))
+    assert one == _ids(r.search_dsl_df(
+        {"prefix": {"content": {"query": "buf", "rewrite_limit": 1000}}},
+        k=None))
+
+
+def test_combined_fields_leaf(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    rows = [
+        ("r", "0", "c", "t", "spark engine", "a long body about other things"),
+        ("r", "1", "c", "t", "unrelated title", "spark spark spark body text"),
+        ("r", "2", "c", "t", "engine room", "machinery and boilers"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, lang string, "
+        "title string, body string",
+    )
+    IndexBuilder(spark, idx, partitions=2, fields=["title", "body"]).build(
+        df, resume=False
+    )
+    r = IndexReader(spark, idx)
+    got = _scores(r.search_dsl_df(
+        {"combined_fields": {"query": "spark engine",
+                             "fields": ["title^2", "body"]}}, k=None))
+    want = _scores(r.search_combined_df(
+        "spark engine", boosts={"title": 2.0, "body": 1.0}, k=None))
+    assert got.keys() == want.keys() and got
+    for k in got:
+        assert got[k] == pytest.approx(want[k], rel=1e-12)
+    # operator and -> every token must land
+    both = _ids(r.search_dsl_df(
+        {"combined_fields": {"query": "spark engine", "operator": "and",
+                             "fields": ["title", "body"]}}, k=None))
+    assert both == _ids(r.search_combined_df(
+        "spark engine", k=None, min_should_match=2))
+    with pytest.raises(ValueError, match="unknown field"):
+        r.search_dsl_df(
+            {"combined_fields": {"query": "x", "fields": ["nope"]}}, k=None)

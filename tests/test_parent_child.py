@@ -285,3 +285,83 @@ def test_live_ids_and_parent_id(spark, live):
     r = IncrementalIndexReader(spark, live)
     assert _live_paths(r, r.ids_df(["k1", "k2"]).collect()) == ["k2"]
     assert _live_paths(r, r.parent_id_df("p0").collect()) == ["k0"]
+
+
+# ---------------- DSL leaves over the join/metadata surfaces ----------------
+
+
+def test_dsl_terms_set_leaf(spark, idx):
+    from elasticsearch_jdbc_spark.index import IndexReader
+
+    r = IndexReader(spark, idx)
+    body = {"terms_set": {"tags": {
+        "terms": ["red", "blue"], "minimum_should_match_field": "req",
+        "boost": 3.0,
+    }}}
+    out = r.search_dsl_df(body, k=None).collect()
+    want = {x["doc_id"] for x in r.terms_set_df("tags", ["red", "blue"], msm_field="req").collect()}
+    assert {x["doc_id"] for x in out} == want
+    assert {x["score"] for x in out} == {3.0}
+    # script form routes to msm_sql
+    body2 = {"terms_set": {"tags": {
+        "terms": ["red", "green"],
+        "minimum_should_match_script": {
+            "source": "CASE WHEN parent IS NULL THEN 1 ELSE 2 END"},
+    }}}
+    got2 = {x["doc_id"] for x in r.search_dsl_df(body2, k=None).collect()}
+    want2 = {x["doc_id"] for x in r.terms_set_df(
+        "tags", ["red", "green"],
+        msm_sql="CASE WHEN parent IS NULL THEN 1 ELSE 2 END").collect()}
+    assert got2 == want2
+
+
+def test_dsl_has_child_has_parent_leafs(spark, idx):
+    from elasticsearch_jdbc_spark.index import IndexReader
+
+    r = IndexReader(spark, idx)
+    body = {"has_child": {
+        "query": {"match": {"content": "alpha"}},
+        "parent_field": "parent", "id_field": "path",
+        "score_mode": "sum",
+    }}
+    got = {x["doc_id"]: x["score"] for x in r.search_dsl_df(body, k=None).collect()}
+    want = {x["doc_id"]: x["score"] for x in r.has_child_df(
+        "alpha", "parent", "path", score_mode="sum").collect()}
+    assert got == pytest.approx(want) and got
+    # plain-string inner query accepted; non-match inner rejected
+    got2 = {x["doc_id"] for x in r.search_dsl_df(
+        {"has_child": {"query": "alpha", "parent_field": "parent",
+                       "id_field": "path"}}, k=None).collect()}
+    assert got2 == set(want)
+    with pytest.raises(ValueError, match="match only"):
+        r.search_dsl_df({"has_child": {
+            "query": {"term": {"lang": "t"}},
+            "parent_field": "parent", "id_field": "path"}}, k=None)
+    bodyp = {"has_parent": {
+        "query": {"match": {"content": "alpha"}},
+        "parent_field": "parent", "id_field": "path", "score": True,
+    }}
+    gotp = {x["doc_id"]: x["score"] for x in r.search_dsl_df(bodyp, k=None).collect()}
+    wantp = {x["doc_id"]: x["score"] for x in r.has_parent_df(
+        "alpha", "parent", "path", score=True).collect()}
+    assert gotp == pytest.approx(wantp) and gotp
+
+
+def test_dsl_distance_feature_leaf(spark, idx):
+    from elasticsearch_jdbc_spark.index import IndexReader
+
+    r = IndexReader(spark, idx)
+    out = {x["doc_id"]: x["score"] for x in r.search_dsl_df(
+        {"distance_feature": {"field": "req", "origin": 2, "pivot": 1,
+                              "boost": 4.0}}, k=None).collect()}
+    docs = {x["doc_id"]: x["req"] for x in
+            spark.read.parquet(f"{idx}/docs").collect()}
+    assert set(out) == set(docs)
+    for i, req in docs.items():
+        assert out[i] == pytest.approx(4.0 * 1.0 / (1.0 + abs(req - 2)))
+    with pytest.raises(ValueError, match="metadata column"):
+        r.search_dsl_df({"distance_feature": {
+            "field": "nope", "origin": 0, "pivot": 1}}, k=None)
+    with pytest.raises(ValueError, match="pivot"):
+        r.search_dsl_df({"distance_feature": {
+            "field": "req", "origin": 0, "pivot": 0}}, k=None)
