@@ -1515,8 +1515,22 @@ def search_dsl_df(
     optionally restrict with filter context, ONE ordered top-k cut with
     the tier's tie-break (doc_id on a base index; segment recency then
     doc_id on a live one). A single-key `{"retriever": ...}` body routes
-    through the ES 8 retriever tree (standard / knn / rrf fusion)."""
+    through the ES 8 retriever tree (standard / knn / rrf fusion).
+
+    `{"query": ..., "collapse": {"field": f}}` collapses hits to ONE row
+    per distinct value of the docs metadata column f — the best-scoring
+    doc under the tier's tie-break (ES field collapsing,
+    collapse-search-results.html). Collapsed output carries two extra
+    columns: the collapse key f and `collapse_count` (group size — the
+    inner_hits total). Plan: the match set joins the (doc_id -> f)
+    projection and window-ranks per key: one hash shuffle on the
+    collapse key, no driver funnel; the ordered cut runs on the <=
+    |distinct f| survivors."""
     ctx = _Ctx(reader)
+    collapse = None
+    if isinstance(body, dict) and "collapse" in body and len(body) > 1:
+        body = dict(body)
+        collapse = body.pop("collapse")
     if (
         isinstance(body, dict)
         and "retriever" in body
@@ -1535,6 +1549,34 @@ def search_dsl_df(
         out = _compile(ctx, body)
     if filter_sql:
         out = out.join(ctx.filter_ids(filter_sql), ctx.keys, "left_semi")
+    if collapse is not None:
+        if not isinstance(collapse, dict) or "field" not in collapse:
+            raise ValueError("collapse wants {'field': <docs column>}")
+        cf = collapse["field"]
+        if cf not in ctx.meta_cols():
+            raise ValueError(
+                f"collapse field {cf!r} not a docs metadata column; "
+                f"have {ctx.meta_cols()}"
+            )
+        from pyspark.sql.window import Window as _W
+
+        out = out.join(ctx.docs().select(*ctx.keys, cf), ctx.keys)
+        if ctx.live:
+            rank_map = reader._rank_map()
+            order = [
+                F.desc("score"),
+                F.desc(rank_map[F.col("segment")]),
+                F.asc("doc_id"),
+            ]
+        else:
+            order = [F.desc("score"), F.asc("doc_id")]
+        w = _W.partitionBy(cf).orderBy(*order)
+        out = (
+            out.withColumn("_rn", F.row_number().over(w))
+            .withColumn("collapse_count", F.count(F.lit(1)).over(_W.partitionBy(cf)))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
     if k is None:
         return out
     if ctx.live:

@@ -490,3 +490,31 @@ def test_combined_fields_leaf(spark, tmp_path):
     with pytest.raises(ValueError, match="unknown field"):
         r.search_dsl_df(
             {"combined_fields": {"query": "x", "fields": ["nope"]}}, k=None)
+
+
+def test_collapse_field(spark, setup):
+    """ES field collapsing: one hit per collapse-key value — the
+    best-scoring doc per key; collapse_count = group size."""
+    d, r, docs = setup
+    body = {"query": {"match": {"content": "merge buffer"}},
+            "collapse": {"field": "lang"}}
+    out = r.search_dsl_df(body, k=None).collect()
+    scores = _scores(r.search_dsl_df({"match": {"content": "merge buffer"}}, k=None))
+    # hand-collapse: best (score desc, doc_id asc) per lang
+    best, counts = {}, {}
+    for i, s in scores.items():
+        lg = docs[i]["lang"]
+        counts[lg] = counts.get(lg, 0) + 1
+        if lg not in best or (s, -i) > (best[lg][1], -best[lg][0]):
+            best[lg] = (i, s)
+    assert {x["lang"]: x["doc_id"] for x in out} == {
+        lg: i for lg, (i, _) in best.items()}
+    assert {x["lang"]: x["collapse_count"] for x in out} == counts
+    # k cuts AFTER collapsing, ordered by score
+    top2 = r.search_dsl_df(body, k=2).collect()
+    want2 = sorted(((s, -i) for i, s in
+                    ((i, s) for i, s in best.values())), reverse=True)[:2]
+    assert [x["doc_id"] for x in top2] == [-ni for _, ni in want2]
+    with pytest.raises(ValueError, match="collapse"):
+        r.search_dsl_df({"query": {"match_all": {}},
+                         "collapse": {"field": "nope"}}, k=None)
