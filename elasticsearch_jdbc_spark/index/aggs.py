@@ -1808,3 +1808,4 @@ def random_sampler(
         16, 10,
     ).cast("long")
     return df.filter(bucket < F.lit(int(probability * 2**32)))
+

@@ -1335,6 +1335,38 @@ def _fmt_num(v) -> str:
     return str(int(f)) if f == int(f) else str(f)
 
 
+def _es_composite_sources(sources) -> tuple[list, list[str], list[bool]]:
+    """ES-JSON composite `sources` -> (the engine-native source tuples of
+    query._composite_sources, per-source orders, per-source
+    missing_bucket flags). ES shape: [{name: {terms|histogram|
+    date_histogram: {field, order?, missing_bucket?}}}, ...]."""
+    native, orders, missing = [], [], []
+    for s in _aslist(sources):
+        name, body = _one(s)
+        kind, sp = _one(body)
+        field = sp["field"]
+        if kind == "terms":
+            native.append((name, field))
+        elif kind == "histogram":
+            native.append((name, (field, float(sp["interval"]))))
+        elif kind == "date_histogram":
+            unit = sp.get("calendar_interval") or sp.get("fixed_interval")
+            if not unit:
+                raise ValueError(
+                    f"composite source {name!r}: date_histogram wants "
+                    "calendar_interval"
+                )
+            native.append((name, (field, str(unit))))
+        else:
+            raise ValueError(
+                f"composite source kind {kind!r}; supported: terms / "
+                "histogram / date_histogram"
+            )
+        orders.append(str(sp.get("order", "asc")))
+        missing.append(bool(sp.get("missing_bucket", False)))
+    return native, orders, missing
+
+
 def aggs_dsl_df(
     reader,
     aggs: dict,
@@ -1370,6 +1402,45 @@ def aggs_dsl_df(
         rows = docs.withColumn("_score", F.lit(0.0))
     if filter_sql:
         rows = rows.join(ctx.filter_ids(filter_sql), ctx.keys, "left_semi")
+
+    # composite: the bucket-space paginator — top-level only (ES
+    # contract), sub-aggs are metrics, routed to the dedicated kernel
+    # whose `after` cursor prunes rows BELOW the shuffle
+    if len(aggs) == 1:
+        (_cname, _cspec), = aggs.items()
+        _ckinds = [k for k in _cspec if k != "aggs"]
+        if _ckinds == ["composite"]:
+            from .query import _composite_agg
+
+            spec = _cspec["composite"]
+            metric_cols = []
+            for n, s in (_cspec.get("aggs") or {}).items():
+                kind, sp = _one({k: v for k, v in s.items() if k != "aggs"})
+                if kind not in _METRIC_KINDS:
+                    raise ValueError(
+                        "composite sub-aggregations are metrics only "
+                        f"(engine-native restriction), got {kind!r}"
+                    )
+                metric_cols.extend(_metric_exprs(n, kind, sp))
+            native, orders, missing = _es_composite_sources(spec["sources"])
+            names = [n for n, _ in native]
+            a = spec.get("after")
+            if a is not None:
+                absent = set(names) - set(a)
+                if absent:
+                    raise ValueError(
+                        f"after key missing sources: {sorted(absent)}"
+                    )
+                a = tuple(a[n] for n in names)
+            return _composite_agg(
+                rows,
+                native,
+                size=int(spec.get("size", 10)),
+                after=a,
+                metric_cols=metric_cols,
+                orders=orders,
+                missing=missing,
+            ).withColumnRenamed("n_docs", "doc_count")
 
     levels: list[dict] = []
     node = aggs
@@ -1558,24 +1629,27 @@ def search_dsl_df(
                 f"collapse field {cf!r} not a docs metadata column; "
                 f"have {ctx.meta_cols()}"
             )
-        from pyspark.sql.window import Window as _W
-
         out = out.join(ctx.docs().select(*ctx.keys, cf), ctx.keys)
+        # per-key head via max_by — a map-side-combinable aggregate, NOT
+        # a window over the full match set (collapse_df's plan argument:
+        # a window would shuffle-sort every matching doc; the agg
+        # combines partials). Tie-break mirrors the tier's ordered cut.
         if ctx.live:
             rank_map = reader._rank_map()
-            order = [
-                F.desc("score"),
-                F.desc(rank_map[F.col("segment")]),
-                F.asc("doc_id"),
-            ]
+            ordkey = F.struct(
+                F.col("score"),
+                rank_map[F.col("segment")].alias("_rk"),
+                (-F.col("doc_id")).alias("_nd"),
+            )
         else:
-            order = [F.desc("score"), F.asc("doc_id")]
-        w = _W.partitionBy(cf).orderBy(*order)
+            ordkey = F.struct(F.col("score"), (-F.col("doc_id")).alias("_nd"))
         out = (
-            out.withColumn("_rn", F.row_number().over(w))
-            .withColumn("collapse_count", F.count(F.lit(1)).over(_W.partitionBy(cf)))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
+            out.groupBy(cf)
+            .agg(
+                F.max_by(F.struct(*ctx.keys, "score"), ordkey).alias("_head"),
+                F.count(F.lit(1)).alias("collapse_count"),
+            )
+            .select(F.col("_head.*"), cf, "collapse_count")
         )
     if k is None:
         return out

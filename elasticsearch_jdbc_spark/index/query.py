@@ -520,6 +520,9 @@ def _composite_agg(
     size: int = 10,
     after: tuple | None = None,
     metrics: dict | None = None,
+    orders: list[str] | None = None,
+    missing: list[bool] | None = None,
+    metric_cols: list | None = None,
 ) -> DataFrame:
     """ES composite aggregation: the SCALABLE way to page over a huge
     bucket space (terms x histogram x ...) — buckets stream in composite-
@@ -527,34 +530,68 @@ def _composite_agg(
     page ever materializes the full bucket set on one node. Stateless
     across pages exactly like ES (each page re-runs with the new after).
 
-    Plan: bucket exprs project JVM-side, one map-side-combinable groupBy
-    over the composite key, the after cursor is a lexicographic
-    strict-greater predicate (prunes BEFORE the ordered cut), then ONE
-    TakeOrdered(size) — per page the driver sees `size` rows, never the
-    bucket universe. Docs with a NULL source value are omitted (ES
-    missing_bucket=false default)."""
+    Plan: bucket exprs project JVM-side; the after cursor compiles to a
+    lexicographic strict-greater predicate on the KEY EXPRESSIONS OF THE
+    ROWS — below the groupBy shuffle, valid because bucket membership is
+    fully key-determined, so docs on already-served pages never enter the
+    exchange; one map-side-combinable groupBy over the composite key;
+    then ONE TakeOrdered(size) — per page the driver sees `size` rows,
+    never the bucket universe.
+
+    `orders` ('asc'/'desc' per source, default all-asc) and `missing`
+    (missing_bucket per source, default all-False: NULL-keyed docs are
+    omitted; True keeps them as their own bucket, nulls first on asc /
+    last on desc — the ES missing_order default). `metric_cols`: extra
+    pre-built aggregate Columns (the aggs-DSL metric surface) computed in
+    the same pass as the dict-shaped `metrics`."""
     srcs = _composite_sources(sources)
     names = [n for n, _ in srcs]
+    orders = orders or ["asc"] * len(names)
+    missing = missing or [False] * len(names)
+    if len(orders) != len(names) or len(missing) != len(names):
+        raise ValueError("orders/missing must match the source count")
+    for o in orders:
+        if o not in ("asc", "desc"):
+            raise ValueError(f"order {o!r}: use 'asc' or 'desc'")
     out = joined
     for n, e in srcs:
         out = out.withColumn(n, e)
-    for n in names:
-        out = out.filter(F.col(n).isNotNull())
-    out = out.groupBy(*names).agg(
-        F.count("*").alias("n_docs"), *_metric_aggs(metrics)
-    )
+    for n, mb in zip(names, missing):
+        if not mb:
+            out = out.filter(F.col(n).isNotNull())
     if after is not None:
         if len(after) != len(names):
             raise ValueError(
                 f"after cursor has {len(after)} values for {len(names)} sources"
             )
+        types = dict(out.dtypes)
         cond = F.lit(False)
         eq = F.lit(True)
-        for n, v in zip(names, after):
-            cond = cond | (eq & (F.col(n) > F.lit(v)))
-            eq = eq & (F.col(n) == F.lit(v))
+        for n, v, o in zip(names, after, orders):
+            k = F.col(n)
+            lit = None if v is None else F.lit(v).cast(types[n])
+            if o == "asc":
+                # nulls sort first: every non-null key comes after null
+                gt = k.isNotNull() if v is None else (k > lit)
+                e0 = k.isNull() if v is None else k.eqNullSafe(lit)
+            else:
+                # nulls sort last: nothing pages past a null cursor here
+                gt = F.lit(False) if v is None else ((k < lit) | k.isNull())
+                e0 = k.isNull() if v is None else k.eqNullSafe(lit)
+            cond = cond | (eq & gt)
+            eq = eq & e0
         out = out.filter(cond)
-    return out.orderBy(*[F.asc(n) for n in names]).limit(size)
+    out = out.groupBy(*names).agg(
+        F.count("*").alias("n_docs"),
+        *_metric_aggs(metrics),
+        *(metric_cols or []),
+    )
+    return out.orderBy(
+        *[
+            F.asc_nulls_first(n) if o == "asc" else F.desc_nulls_last(n)
+            for n, o in zip(names, orders)
+        ]
+    ).limit(size)
 
 
 def _bucket_agg(

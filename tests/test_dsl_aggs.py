@@ -433,3 +433,85 @@ def test_global_bucket(spark, setup):
         )
     with pytest.raises(ValueError, match="no parameters"):
         r.aggs_dsl_df({"g": {"global": {"field": "lang"}}})
+
+
+def _collect_rows(df):
+    return [tuple(x) for x in df.collect()]
+
+
+def test_composite_dsl_parity_and_pagination(spark, setup):
+    """`composite` through the aggs request body: parity with
+    composite_df on page 1, then a full after-key page walk covers the
+    bucket space exactly once, with metric sub-aggs along for the ride."""
+    d, r, docs = setup
+    body = {"pages": {"composite": {
+        "sources": [
+            {"by_lang": {"terms": {"field": "lang"}}},
+            {"day": {"date_histogram": {"field": "ts",
+                                        "calendar_interval": "day"}}},
+        ],
+        "size": 4,
+    }, "aggs": {"avg_dl": {"avg": {"field": "dl"}}}}}
+    q = {"match": {"content": "merge buffer"}}
+    page1 = r.aggs_dsl_df(body, query=q)
+    assert page1.columns == ["by_lang", "day", "doc_count", "avg_dl"]
+    native = r.composite_df(
+        "merge buffer", [("by_lang", "lang"), ("day", ("ts", "day"))],
+        size=4, metrics={"avg_dl": ("avg", "dl")})
+    got = [(x["by_lang"], x["day"], x["doc_count"], x["avg_dl"])
+           for x in page1.collect()]
+    want = [(x["by_lang"], x["day"], x["n_docs"], x["avg_dl"])
+            for x in native.collect()]
+    assert got == want and got
+    # full page walk == the whole bucket space, each bucket exactly once
+    matched = {x["doc_id"] for x in r.match_df("merge buffer").collect()}
+    model = collections.Counter(
+        (docs[i]["lang"],
+         docs[i]["ts"].replace(hour=0, minute=0, second=0, microsecond=0))
+        for i in matched)
+    walked = {}
+    after = None
+    for _ in range(100):
+        b = dict(body)
+        b["pages"] = dict(body["pages"])
+        comp = dict(b["pages"]["composite"])
+        if after is not None:
+            comp["after"] = after
+        b["pages"] = {"composite": comp, "aggs": body["pages"]["aggs"]}
+        rows = r.aggs_dsl_df(b, query=q).collect()
+        if not rows:
+            break
+        for x in rows:
+            key = (x["by_lang"], x["day"])
+            assert key not in walked, "bucket served twice"
+            walked[key] = x["doc_count"]
+        after = {"by_lang": rows[-1]["by_lang"], "day": rows[-1]["day"]}
+    assert walked == dict(model)
+
+
+def test_composite_dsl_desc_and_missing_bucket(spark, setup):
+    d, r, docs = setup
+    body = {"p": {"composite": {
+        "sources": [{"g": {"terms": {"field": "grp", "order": "desc",
+                                     "missing_bucket": True}}}],
+        "size": 10,
+    }}}
+    rows = r.aggs_dsl_df(body).collect()
+    model = collections.Counter(v["grp"] for v in docs.values())
+    # desc order, nulls last (the ES missing_order default for desc)
+    keys = [x["g"] for x in rows]
+    assert keys == sorted([k for k in model if k is not None], reverse=True) + [None]
+    assert {x["g"]: x["doc_count"] for x in rows} == dict(model)
+    # paging past a null cursor ends the walk
+    comp = dict(body["p"]["composite"])
+    comp["after"] = {"g": None}
+    assert r.aggs_dsl_df({"p": {"composite": comp}}).count() == 0
+    # missing_bucket=False drops the null bucket
+    body2 = {"p": {"composite": {
+        "sources": [{"g": {"terms": {"field": "grp"}}}], "size": 10}}}
+    rows2 = r.aggs_dsl_df(body2).collect()
+    assert [x["g"] for x in rows2] == sorted(k for k in model if k is not None)
+    with pytest.raises(ValueError, match="metrics only"):
+        r.aggs_dsl_df({"p": {"composite": {"sources": [
+            {"g": {"terms": {"field": "grp"}}}]},
+            "aggs": {"t": {"terms": {"field": "lang"}}}}})
