@@ -70,31 +70,45 @@ from pyspark.sql import DataFrame, functions as F
 
 
 class _Ctx:
-    def __init__(self, reader):
+    def __init__(self, reader, runtime: dict | None = None):
         self.reader = reader
         self.live = hasattr(reader, "segments")
         self.keys = ["segment", "doc_id"] if self.live else ["doc_id"]
         r0 = reader.readers[reader.segments[0]] if self.live else reader
         self.r0 = r0
         self.fields = r0.manifest.get("fields")
+        self.runtime = runtime or {}
         self._docs = None
         self._n = 0  # alias uniquifier
 
     def docs(self) -> DataFrame:
         if self._docs is None:
-            self._docs = (
+            d = (
                 self.reader.live_docs()
                 if self.live
                 else self.reader.spark.read.parquet(
                     os.path.join(self.reader.index_dir, "docs")
                 )
             )
+            # runtime_mappings: computed columns over the stored docs
+            # metadata, evaluated by Catalyst at query time (never stored,
+            # never a second scan). withColumn REPLACES an existing column
+            # of the same name — exactly ES's "runtime fields shadow
+            # mapped fields" rule (runtime-search-request.html).
+            for name, col in self.runtime.items():
+                d = d.withColumn(name, col)
+            self._docs = d
         return self._docs
 
     def meta_cols(self) -> list[str]:
         return [c for c in self.docs().columns if c not in ("doc_id", "segment")]
 
     def filter_ids(self, sql: str) -> DataFrame:
+        if self.runtime:
+            # the predicate may reference runtime columns, which only the
+            # ctx's docs view carries; base-column conjuncts still push
+            # into the parquet scan, runtime exprs compute JVM-side above
+            return self.docs().filter(F.expr(sql)).select(*self.keys)
         return (
             self.reader._filter_docs(sql)
             if self.live
@@ -116,6 +130,49 @@ def _aslist(x):
     if x is None:
         return []
     return x if isinstance(x, list) else [x]
+
+
+_RUNTIME_CASTS = {
+    "keyword": "string",
+    "long": "bigint",
+    "double": "double",
+    "boolean": "boolean",
+    "date": "timestamp",
+    "ip": "string",
+}
+
+
+def _parse_runtime(rm: dict) -> dict:
+    """ES `runtime_mappings` -> {name: Column}. The ES shape is
+    {name: {"type": t, "script": {"source": src}}} (runtime-mapping-fields
+    .html); engine-native delta (same rule as every other script surface
+    here): `source` is a Spark SQL expression over the docs metadata
+    columns, not Painless. {name: "expr"} is accepted shorthand (type
+    inferred by Catalyst). The declared type casts the expression — ES
+    coerces script emit values to the field type the same way."""
+    out = {}
+    for name, spec in rm.items():
+        if isinstance(spec, str):
+            out[name] = F.expr(spec)
+            continue
+        if not isinstance(spec, dict) or "script" not in spec:
+            raise ValueError(
+                f"runtime_mappings[{name!r}] wants a SQL-expression string "
+                "or {'type': ..., 'script': {'source': ...}}"
+            )
+        src = spec["script"]
+        src = src["source"] if isinstance(src, dict) else src
+        col = F.expr(src)
+        t = spec.get("type")
+        if t is not None:
+            if t not in _RUNTIME_CASTS:
+                raise ValueError(
+                    f"runtime field type {t!r} not supported; have "
+                    f"{sorted(_RUNTIME_CASTS)}"
+                )
+            col = col.cast(_RUNTIME_CASTS[t])
+        out[name] = col
+    return out
 
 
 def _sql_lit(v) -> str:
@@ -1372,6 +1429,7 @@ def aggs_dsl_df(
     aggs: dict,
     query: dict | None = None,
     filter_sql: str | None = None,
+    runtime_mappings: dict | None = None,
 ) -> DataFrame:
     """ES request-body `aggs` section compiled to ONE distributed
     aggregation over the query's match set (all live docs when `query` is
@@ -1393,7 +1451,10 @@ def aggs_dsl_df(
     contributes `{name}` (key) and `{name}_doc_count`, metrics contribute
     their (suffixed) columns; rows ordered by the key chain. terms levels
     honor size (doc_count desc, key asc per parent) and min_doc_count."""
-    ctx = _Ctx(reader)
+    ctx = _Ctx(
+        reader,
+        runtime=_parse_runtime(runtime_mappings) if runtime_mappings else None,
+    )
     docs = ctx.docs()
     if query is not None:
         matched = _compile(ctx, query)
@@ -1596,8 +1657,20 @@ def search_dsl_df(
     inner_hits total). Plan: the match set joins the (doc_id -> f)
     projection and window-ranks per key: one hash shuffle on the
     collapse key, no driver funnel; the ordered cut runs on the <=
-    |distinct f| survivors."""
-    ctx = _Ctx(reader)
+    |distinct f| survivors.
+
+    `{"query": ..., "runtime_mappings": {name: {"type": t, "script":
+    {"source": sql}}}}` adds query-time computed fields over the docs
+    metadata (runtime-search-request.html): usable in every
+    filter-context leaf (term/terms/range/exists/script), in collapse,
+    and shadowing a mapped column of the same name. Catalyst evaluates
+    the expression inside the docs scan projection — no second pass, no
+    storage."""
+    runtime = {}
+    if isinstance(body, dict) and "runtime_mappings" in body and len(body) > 1:
+        body = dict(body)
+        runtime = _parse_runtime(body.pop("runtime_mappings"))
+    ctx = _Ctx(reader, runtime=runtime)
     collapse = None
     if isinstance(body, dict) and "collapse" in body and len(body) > 1:
         body = dict(body)

@@ -3028,13 +3028,19 @@ class IncrementalIndexReader:
         aggs: dict,
         query: dict | None = None,
         filter_sql: str | None = None,
+        runtime_mappings: dict | None = None,
     ) -> DataFrame:
         """ES `aggs` request-body section over the LIVE match set (all
         live docs when query is None): tombstone-masked, newest-version
-        metadata — see index/dsl.py aggs_dsl_df."""
+        metadata — see index/dsl.py aggs_dsl_df. runtime_mappings adds
+        query-time computed fields usable as bucket keys / metric
+        targets (index/dsl.py _parse_runtime)."""
         from .dsl import aggs_dsl_df
 
-        return aggs_dsl_df(self, aggs, query=query, filter_sql=filter_sql)
+        return aggs_dsl_df(
+            self, aggs, query=query, filter_sql=filter_sql,
+            runtime_mappings=runtime_mappings,
+        )
 
     def constant_score_df(
         self,

@@ -5278,14 +5278,20 @@ class IndexReader:
         aggs: dict,
         query: dict | None = None,
         filter_sql: str | None = None,
+        runtime_mappings: dict | None = None,
     ) -> DataFrame:
         """ES request-body `aggs` section over the query's match set —
         terms/histogram/date_histogram/range/filters/missing buckets with
         nested metric sub-aggregations, ONE distributed groupBy (see
-        index/dsl.py aggs_dsl_df for grammar + restrictions)."""
+        index/dsl.py aggs_dsl_df for grammar + restrictions).
+        runtime_mappings adds query-time computed fields usable as bucket
+        keys / metric targets (index/dsl.py _parse_runtime)."""
         from .dsl import aggs_dsl_df
 
-        return aggs_dsl_df(self, aggs, query=query, filter_sql=filter_sql)
+        return aggs_dsl_df(
+            self, aggs, query=query, filter_sql=filter_sql,
+            runtime_mappings=runtime_mappings,
+        )
 
     def constant_score_df(
         self,

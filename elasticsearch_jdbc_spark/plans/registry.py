@@ -8256,6 +8256,116 @@ def multi_terms_dsl_agg_q(spark, sf_dir):
     ).orderBy("key")
 
 
+def _runtime_fields_sql() -> str:
+    """Runtime-fields oracle: BM25 over the full corpus (runtime fields
+    never touch scoring stats), ranked only over docs whose RE-DERIVED
+    runtime values pass the predicates — doc_num extracted from the path
+    is documents.doc_id itself, so DuckDB applies the same arithmetic
+    directly."""
+    from ..index.bm25_df import B, K1, TOP_K, _query_term_pairs
+
+    values = ", ".join(f"({qid}, '{t}')" for qid, t in _query_term_pairs())
+    return f"""
+    WITH q(query_id, term) AS (VALUES {values}),
+    tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    flat AS (
+      SELECT doc_id, len(toks) AS dl, t.term
+      FROM tok, UNNEST(toks) AS t(term)
+    ),
+    tf AS (
+      SELECT term, doc_id, dl, COUNT(*) AS tf FROM flat GROUP BY 1, 2, 3
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n, SUM(dl) * 1.0 / COUNT(*) AS avgdl
+      FROM (SELECT doc_id, len(toks) AS dl FROM tok)
+    ),
+    dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    keep AS (
+      SELECT doc_id FROM documents
+      WHERE doc_id % 3 = 0 AND doc_id >= 100
+    ),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             SUM(
+               ln(1.0 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+               * {K1 + 1.0}
+               * (tf.tf / (tf.tf + {K1} * ({1.0 - B} + {B} * tf.dl / stats.avgdl)))
+             ) AS score
+      FROM tf JOIN q USING (term) JOIN dft USING (term), stats
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT s.query_id, s.doc_id, s.score,
+             ROW_NUMBER() OVER (PARTITION BY s.query_id ORDER BY s.score DESC, s.doc_id) AS rank
+      FROM scored s JOIN keep USING (doc_id)
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, doc_id, ROUND(score, 4) AS score
+    FROM ranked WHERE rank <= {TOP_K}
+    """
+
+
+@_reg("runtime_fields_search", _runtime_fields_sql())
+def runtime_fields_q(spark, sf_dir):
+    """ES runtime fields (runtime_mappings, runtime-search-request.html)
+    through the REAL distributed engine, ORACLE-CHECKED: the request body
+    declares query-time computed fields over the docs metadata (doc_num
+    parsed out of the stored path; a boolean derived from it) and uses
+    them in bool filter clauses — range on the long, term on the boolean.
+    Catalyst evaluates both expressions inside the docs-scan projection
+    (no second pass, nothing stored); BM25 stats stay full-corpus (filter
+    context never scores), matching ES semantics exactly. Reference bar:
+    ES users add runtime fields precisely to slice StandardSink-fed
+    indexes without reindexing (reference README.md mapping examples)."""
+    from ..index import IndexReader
+
+    idx = _registry_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    ids = _index_docid_map(spark, idx)
+    rm = {
+        "doc_num": {
+            "type": "long",
+            "script": {
+                "source": r"cast(regexp_extract(path, 'doc/(\\d+)\\.txt', 1) as bigint)"
+            },
+        },
+        "is_third": r"cast(regexp_extract(path, 'doc/(\\d+)\\.txt', 1) as bigint) % 3 = 0",
+    }
+    out = None
+    for qid, qtext in REFERENCE_QUERIES:
+        body = {
+            "query": {
+                "bool": {
+                    "must": [{"match": {"content": qtext}}],
+                    "filter": [
+                        {"range": {"doc_num": {"gte": 100}}},
+                        {"term": {"is_third": True}},
+                    ],
+                }
+            },
+            "runtime_mappings": rm,
+        }
+        hits = reader.search_dsl_df(body, k=None).withColumn(
+            "query_id", F.lit(qid)
+        )
+        out = hits if out is None else out.unionByName(hits)
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("documents_doc_id"))
+    return (
+        out.join(ids, "doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "rank",
+            F.col("documents_doc_id").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+    )
+
+
 _ROWS_ONLY_TAIL = [
     # collapse_index_search is a round-4 late addition (ES `collapse` +
     # inner_hits): a distinct-operator oracle, but the 50-row window is

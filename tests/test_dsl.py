@@ -7,6 +7,7 @@ fields-indexed corpus, and base/live tier twins rank-identical."""
 from __future__ import annotations
 
 import base64
+import collections
 import json
 import math
 
@@ -518,3 +519,77 @@ def test_collapse_field(spark, setup):
     with pytest.raises(ValueError, match="collapse"):
         r.search_dsl_df({"query": {"match_all": {}},
                          "collapse": {"field": "nope"}}, k=None)
+
+
+def test_runtime_mappings(spark, setup):
+    """ES runtime fields (runtime-search-request.html): query-time
+    computed columns over docs metadata — usable in filter-context
+    leaves, collapse, aggs bucket keys; shadowing a mapped column."""
+    d, r, docs = setup
+    rm = {
+        "path_depth": {
+            "type": "long",
+            "script": {"source": "size(split(path, '/')) - 1"},
+        },
+        "is_java": "lang = 'java'",  # shorthand spelling
+    }
+    depth = {i: x["path"].count("/") for i, x in docs.items()}
+
+    # term leaf on a runtime boolean field
+    out = _ids(r.search_dsl_df(
+        {"query": {"term": {"is_java": True}}, "runtime_mappings": rm},
+        k=None,
+    ))
+    assert out == {i for i, x in docs.items() if x["lang"] == "java"}
+
+    # range leaf on a runtime long field, composed in a bool with a
+    # scoring match clause
+    base = _ids(r.search_dsl_df({"match": {"content": "merge buffer"}}, k=None))
+    thr = sorted(depth[i] for i in base)[len(base) // 2]  # median: both sides
+    body = {
+        "query": {"bool": {
+            "must": [{"match": {"content": "merge buffer"}}],
+            "filter": [{"range": {"path_depth": {"gte": thr}}}],
+        }},
+        "runtime_mappings": rm,
+    }
+    got = _ids(r.search_dsl_df(body, k=None))
+    assert got == {i for i in base if depth[i] >= thr}
+    assert got  # non-degenerate
+
+    # collapse on a runtime field
+    col = r.search_dsl_df(
+        {"query": {"match": {"content": "merge buffer"}},
+         "collapse": {"field": "is_java"},
+         "runtime_mappings": rm},
+        k=None,
+    ).collect()
+    assert {bool(x["is_java"]) for x in col} <= {True, False}
+    assert sum(x["collapse_count"] for x in col) == len(base)
+
+    # aggs bucket key on a runtime field (both tiers share the compiler)
+    agg = {x["path_depth"]: x["path_depth_doc_count"]
+           for x in r.aggs_dsl_df(
+               {"path_depth": {"terms": {"field": "path_depth",
+                                         "size": 100}}},
+               runtime_mappings=rm,
+           ).collect()}
+    want = collections.Counter(depth.values())
+    assert agg == dict(want)
+
+    # shadowing: a runtime field named like a mapped column wins
+    sh = r.search_dsl_df(
+        {"query": {"term": {"lang": "JAVA"}},
+         "runtime_mappings": {"lang": "upper(lang)"}},
+        k=None,
+    )
+    assert _ids(sh) == {i for i, x in docs.items() if x["lang"] == "java"}
+
+    # unknown runtime type errors
+    with pytest.raises(ValueError, match="runtime field type"):
+        r.search_dsl_df(
+            {"query": {"match_all": {}},
+             "runtime_mappings": {"x": {"type": "geo_shape",
+                                        "script": {"source": "1"}}}},
+            k=None,
+        )
