@@ -1185,6 +1185,103 @@ def _compile(ctx: _Ctx, body: dict) -> DataFrame:
     return out.select(*ctx.keys, F.col("score").cast("double").alias("score"))
 
 
+def _profile_node(body: dict) -> dict:
+    """Structural profile of one query node: its kind, the engine surface
+    it dispatches to (the compiled function's name — greppable straight
+    into this module), and its child query nodes. Mirrors _compile's
+    dispatch exactly, so an unsupported body fails profile the same way
+    it would fail search."""
+    kind, spec = _one(body)
+    if kind == "match_all":
+        surface = "docs_scan"
+    elif kind in _SPAN_KINDS:
+        surface = "_leaf_span/span_algebra"
+    elif kind in _LEAFS:
+        surface = _LEAFS[kind].__name__
+    elif kind in _COMPOUNDS:
+        surface = _COMPOUNDS[kind].__name__
+    else:
+        raise ValueError(
+            f"unsupported query kind {kind!r}; supported: "
+            f"{sorted([*_LEAFS, *_COMPOUNDS, *_SPAN_KINDS, 'match_all'])}"
+        )
+    children: list[dict] = []
+    if kind in _COMPOUNDS and kind != "wrapper":
+        kinds = set(_LEAFS) | set(_COMPOUNDS) | set(_SPAN_KINDS) | {"match_all"}
+
+        def walk(v):
+            if isinstance(v, dict) and len(v) == 1 and next(iter(v)) in kinds:
+                children.append(_profile_node(v))
+            elif isinstance(v, dict):
+                for x in v.values():
+                    walk(x)
+            elif isinstance(v, list):
+                for x in v:
+                    walk(x)
+
+        walk(spec)
+    elif kind == "wrapper":
+        # decode and profile the wrapped body (the ES profile shows the
+        # rewritten query, not the base64 envelope)
+        raw = spec["query"] if isinstance(spec, dict) else spec
+        children.append(_profile_node(json.loads(base64.b64decode(raw))))
+    return {"type": kind, "surface": surface, "children": children}
+
+
+def profile_dsl(
+    reader,
+    body: dict,
+    k: int | None = 10,
+    filter_sql: str | None = None,
+) -> dict:
+    """ES `"profile": true` analogue for a request body: how the engine
+    will execute the query, WITHOUT guessing — the compiled DataFrame's
+    own physical plan.
+
+    Returns {"query_tree", "physical_plan", "hits"}:
+      * query_tree — the node-by-node dispatch _compile will perform
+        (kind -> engine surface -> children), the ES profile's query
+        component tree;
+      * physical_plan — Spark's formatted explain of the FULL ranked
+        plan (scans with PushedFilters, exchanges, codegen spans): the
+        ES profile's collector/timing breakdown is a per-shard wall-time
+        report, Spark's equivalent observability is the plan plus the UI
+        stage metrics, so that is what we surface (engine-native delta);
+      * hits — the ranked result DataFrame itself (profile in ES still
+        returns hits; nothing here forces an extra execution — the plan
+        string comes from the optimizer, not a run).
+    """
+    q = body
+    if isinstance(q, dict) and len(q) > 1:
+        q = {kk: vv for kk, vv in q.items() if kk not in (
+            "collapse", "runtime_mappings")}
+    if isinstance(q, dict) and "query" in q and len(q) == 1:
+        q = q["query"]
+    if isinstance(q, dict) and len(q) == 1 and "retriever" in q:
+        # retriever trees fuse ranked sub-searches (not match-set algebra);
+        # profile the tree shape, leave leaf expansion to their own bodies
+        def rtree(spec):
+            (rk, rs), = spec.items()
+            return {
+                "type": rk, "surface": "_retriever_compile",
+                "children": [rtree(c) for c in rs.get("retrievers", [])],
+            }
+
+        tree = rtree(q["retriever"])
+    else:
+        tree = _profile_node(q)
+    df = search_dsl_df(reader, body, k=k, filter_sql=filter_sql)
+    try:
+        qe = df._jdf.queryExecution()
+        mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = qe.explainString(mode)
+    except Exception:  # non-JVM backends: degrade to the simple string
+        plan = df._jdf.queryExecution().toString()
+    return {"query_tree": tree, "physical_plan": plan, "hits": df}
+
+
 def compile_dsl(reader, body: dict) -> DataFrame:
     """Compile an ES JSON query body to the UNRANKED match-set DataFrame
     (tier keys + score) — the substrate for counts, facets, deletes, or a

@@ -3023,6 +3023,19 @@ class IncrementalIndexReader:
 
         return search_dsl_df(self, body, k=k, filter_sql=filter_sql)
 
+    def profile_dsl(
+        self,
+        body: dict,
+        k: int | None = 10,
+        filter_sql: str | None = None,
+    ) -> dict:
+        """ES `"profile": true` analogue over the LIVE index: dispatch
+        tree + formatted Spark explain of the tombstone-masked multi-
+        segment plan + hits — see index/dsl.py profile_dsl."""
+        from .dsl import profile_dsl
+
+        return profile_dsl(self, body, k=k, filter_sql=filter_sql)
+
     def aggs_dsl_df(
         self,
         aggs: dict,

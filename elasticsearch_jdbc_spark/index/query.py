@@ -5273,6 +5273,19 @@ class IndexReader:
 
         return search_dsl_df(self, body, k=k, filter_sql=filter_sql)
 
+    def profile_dsl(
+        self,
+        body: dict,
+        k: int | None = 10,
+        filter_sql: str | None = None,
+    ) -> dict:
+        """ES `"profile": true` analogue: the request body's compile-time
+        dispatch tree + the ranked plan's formatted Spark explain + the
+        hits DataFrame — see index/dsl.py profile_dsl."""
+        from .dsl import profile_dsl
+
+        return profile_dsl(self, body, k=k, filter_sql=filter_sql)
+
     def aggs_dsl_df(
         self,
         aggs: dict,

@@ -593,3 +593,46 @@ def test_runtime_mappings(spark, setup):
                                         "script": {"source": "1"}}}},
             k=None,
         )
+
+
+def test_profile_dsl(spark, setup):
+    """ES profile analogue: dispatch tree mirrors _compile's tables, the
+    physical plan is the compiled DataFrame's own explain, hits are
+    rank-identical to search_dsl_df."""
+    d, r, docs = setup
+    body = {"query": {"bool": {
+        "must": [{"match": {"content": "merge buffer"}}],
+        "should": [{"constant_score": {
+            "filter": {"term": {"lang": "java"}}, "boost": 0.5}}],
+        "must_not": [{"wildcard": {"content": "zz*"}}],
+    }}}
+    p = r.profile_dsl(body, k=7)
+    t = p["query_tree"]
+    assert t["type"] == "bool" and t["surface"] == "_compound_bool"
+    kinds = [c["type"] for c in t["children"]]
+    assert kinds == ["match", "constant_score", "wildcard"]
+    cs = t["children"][1]
+    assert cs["children"][0]["type"] == "term"
+    assert "Exchange" in p["physical_plan"] or "Scan" in p["physical_plan"]
+    want = [(x["doc_id"], x["score"])
+            for x in r.search_dsl_df(body, k=7).collect()]
+    got = [(x["doc_id"], x["score"]) for x in p["hits"].collect()]
+    assert got == want
+
+    # retriever tree shape; unsupported kind fails like search
+    rt = r.profile_dsl({"retriever": {"rrf": {"retrievers": [
+        {"standard": {"query": {"match": {"content": "merge"}}}},
+        {"standard": {"query": {"match": {"content": "buffer"}}}},
+    ], "rank_constant": 60}}}, k=3)
+    assert rt["query_tree"]["type"] == "rrf"
+    assert len(rt["query_tree"]["children"]) == 2
+    with pytest.raises(ValueError, match="unsupported query kind"):
+        r.profile_dsl({"query": {"nope": {}}})
+
+    # live tier: the multi-segment plan profiles through the same path
+    live = IncrementalIndexReader(spark, d)
+    lp = live.profile_dsl({"match": {"content": "merge buffer"}}, k=3)
+    assert lp["query_tree"]["surface"] == "_leaf_match"
+    assert [x["doc_id"] for x in lp["hits"].collect()] == [
+        x["doc_id"] for x in live.search_dsl_df(
+            {"match": {"content": "merge buffer"}}, k=3).collect()]
