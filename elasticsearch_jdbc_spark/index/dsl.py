@@ -62,6 +62,7 @@ from __future__ import annotations
 import base64
 import json
 import os
+import re
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -1228,6 +1229,54 @@ def _profile_node(body: dict) -> dict:
     return {"type": kind, "surface": surface, "children": children}
 
 
+_SORT_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+
+def _apply_sort(ctx: _Ctx, out: DataFrame, sort) -> tuple:
+    """Compile the ES `sort` array onto the match set: each entry is
+    '_score', a docs metadata column (runtime fields included — the ctx
+    docs view carries them), or a Spark SQL expression (the ES script /
+    _geo_distance computed-sort surface, returned as sort_<i>). `missing`
+    honors _first/_last (ES default _last). Returns the decorated match
+    set plus the ordering columns; the caller appends the tier tie-break
+    (ES _shard_doc)."""
+    docs = ctx.docs()
+    cols, order = [], []
+    for i, s in enumerate(_aslist(sort)):
+        if isinstance(s, str):
+            f, direction, missing = s, ("desc" if s == "_score" else "asc"), "_last"
+        elif isinstance(s, dict) and len(s) == 1:
+            (f, spec), = s.items()
+            if isinstance(spec, str):
+                direction, missing = spec, "_last"
+            else:
+                direction = spec.get("order", "desc" if f == "_score" else "asc")
+                missing = spec.get("missing", "_last")
+        else:
+            raise ValueError(f"bad sort entry {s!r}")
+        if f == "_score":
+            col = F.col("score")
+        elif f in docs.columns:
+            cols.append(f)
+            col = F.col(f)
+        elif _SORT_IDENT.fullmatch(f):
+            meta = [c for c in docs.columns if c not in ("doc_id", "segment")]
+            raise ValueError(f"unknown sort field {f!r}; docs table has {meta}")
+        else:
+            name = f"sort_{i}"
+            docs = docs.withColumn(name, F.expr(f))
+            cols.append(name)
+            col = F.col(name)
+        asc = direction != "desc"
+        if missing == "_first":
+            order.append(col.asc_nulls_first() if asc else col.desc_nulls_first())
+        else:
+            order.append(col.asc_nulls_last() if asc else col.desc_nulls_last())
+    if cols:
+        out = out.join(docs.select(*ctx.keys, *cols), ctx.keys)
+    return out, order
+
+
 def profile_dsl(
     reader,
     body: dict,
@@ -1254,7 +1303,7 @@ def profile_dsl(
     q = body
     if isinstance(q, dict) and len(q) > 1:
         q = {kk: vv for kk, vv in q.items() if kk not in (
-            "collapse", "runtime_mappings")}
+            "collapse", "runtime_mappings", "sort", "size", "from")}
     if isinstance(q, dict) and "query" in q and len(q) == 1:
         q = q["query"]
     if isinstance(q, dict) and len(q) == 1 and "retriever" in q:
@@ -1760,14 +1809,35 @@ def search_dsl_df(
     {"source": sql}}}}` adds query-time computed fields over the docs
     metadata (runtime-search-request.html): usable in every
     filter-context leaf (term/terms/range/exists/script), in collapse,
-    and shadowing a mapped column of the same name. Catalyst evaluates
-    the expression inside the docs scan projection — no second pass, no
-    storage."""
+    in `sort`, and shadowing a mapped column of the same name. Catalyst
+    evaluates the expression inside the docs scan projection — no second
+    pass, no storage.
+
+    `sort` / `from` / `size` (the request-body pagination trio): `sort`
+    entries are '_score', docs metadata columns (each {field: {"order":
+    .., "missing": "_first"|"_last"}} or shorthand), or Spark SQL
+    expressions (the ES script-sort surface, returned as sort_<i>); the
+    tier tie-break is always appended (ES _shard_doc). `size` overrides
+    the `k` argument; `from` skips rows AFTER the global order — fine for
+    shallow pages, use search_after for deep pagination (the same advice
+    ES gives). Plan: sort columns join from the (pruned) docs scan; the
+    cut is ONE TakeOrdered on the sort keys."""
     runtime = {}
     if isinstance(body, dict) and "runtime_mappings" in body and len(body) > 1:
         body = dict(body)
         runtime = _parse_runtime(body.pop("runtime_mappings"))
     ctx = _Ctx(reader, runtime=runtime)
+    sort = size = None
+    offset = 0
+    if isinstance(body, dict) and len(body) > 1 and (
+        "sort" in body or "size" in body or "from" in body
+    ):
+        body = dict(body)
+        sort = body.pop("sort", None)
+        size = body.pop("size", None)
+        offset = int(body.pop("from", 0) or 0)
+    if size is not None:
+        k = int(size)  # the body's size wins over the API default (ES)
     collapse = None
     if isinstance(body, dict) and "collapse" in body and len(body) > 1:
         body = dict(body)
@@ -1821,13 +1891,19 @@ def search_dsl_df(
             )
             .select(F.col("_head.*"), cf, "collapse_count")
         )
-    if k is None:
-        return out
+    order = None
+    if sort is not None:
+        out, order = _apply_sort(ctx, out, sort)
+    if k is None and not offset:
+        return out  # unranked match set (decorated with sort cols if any)
+    if order is None:
+        order = [F.desc("score")]
     if ctx.live:
         rank_map = reader._rank_map()
-        return out.orderBy(
-            F.desc("score"),
-            F.desc(rank_map[F.col("segment")]),
-            F.asc("doc_id"),
-        ).limit(k)
-    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        order = order + [F.desc(rank_map[F.col("segment")]), F.asc("doc_id")]
+    else:
+        order = order + [F.asc("doc_id")]
+    out = out.orderBy(*order)
+    if offset:
+        out = out.offset(offset)  # ES `from`: skip AFTER the global order
+    return out if k is None else out.limit(k)

@@ -8366,6 +8366,62 @@ def runtime_fields_q(spark, sf_dir):
     )
 
 
+@_reg(
+    "dsl_sort_page_search",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    match AS (
+      SELECT doc_id FROM tok
+      WHERE list_has_any(toks, ['slow', 'query', 'scan'])
+    ),
+    page AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id DESC) AS rn
+      FROM match
+    )
+    SELECT CAST(rn - 5 AS INT) AS page_rank, CAST(doc_id AS BIGINT) AS doc_id
+    FROM page WHERE rn > 5 AND rn <= 15
+    """,
+)
+def dsl_sort_page_q(spark, sf_dir):
+    """ES request-body sort + from + size + runtime_mappings in ONE body
+    through the REAL engine, ORACLE-CHECKED: the match set (msm=1 OR
+    semantics) sorts on a runtime field (doc number parsed from the
+    stored path — UNIQUE, so the page boundary is tie-break-independent
+    and DuckDB can reproduce it exactly), `from` skips 5 rows AFTER the
+    global order, `size` cuts 10. Plan: ONE TakeOrdered on the sort key
+    over the unranked match set joined to the pruned docs projection —
+    pagination never materializes from+size times the corpus."""
+    from ..index import IndexReader
+
+    idx = _registry_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    body = {
+        "query": {"match": {"content": "slow query scan"}},
+        "runtime_mappings": {
+            "doc_num": {
+                "type": "long",
+                "script": {
+                    "source": r"cast(regexp_extract(path, 'doc/(\\d+)\\.txt', 1) as bigint)"
+                },
+            },
+        },
+        "sort": [{"doc_num": "desc"}],
+        "from": 5,
+        "size": 10,
+    }
+    out = reader.search_dsl_df(body)
+    w = W.orderBy(F.desc("doc_num"))
+    return (
+        out.select("doc_num")
+        .withColumn("page_rank", F.row_number().over(w).cast("int"))
+        .select("page_rank", F.col("doc_num").cast("long").alias("doc_id"))
+    )
+
+
 _ROWS_ONLY_TAIL = [
     # collapse_index_search is a round-4 late addition (ES `collapse` +
     # inner_hits): a distinct-operator oracle, but the 50-row window is

@@ -636,3 +636,60 @@ def test_profile_dsl(spark, setup):
     assert [x["doc_id"] for x in lp["hits"].collect()] == [
         x["doc_id"] for x in live.search_dsl_df(
             {"match": {"content": "merge buffer"}}, k=3).collect()]
+
+
+def test_body_sort_from_size(spark, setup):
+    """ES request-body sort / from / size: field sort with tie-break,
+    _score entries, script sort, missing placement, size overriding k,
+    from offsetting after the global order, runtime-field sort."""
+    d, r, docs = setup
+    base = {"match": {"content": "merge buffer"}}
+    m = _scores(r.search_dsl_df(base, k=None))
+
+    # sort by dl desc, doc_id tie-break; size wins over k
+    out = r.search_dsl_df(
+        {"query": base, "sort": [{"dl": "desc"}], "size": 5}, k=99
+    ).collect()
+    want = sorted(m, key=lambda i: (-docs[i]["dl"], i))[:5]
+    assert [x["doc_id"] for x in out] == want
+    assert [x["dl"] for x in out] == [docs[i]["dl"] for i in want]
+
+    # from: page 2 continues exactly where page 1 ended
+    all10 = sorted(m, key=lambda i: (-docs[i]["dl"], i))[:10]
+    page2 = r.search_dsl_df(
+        {"query": base, "sort": [{"dl": "desc"}], "from": 5, "size": 5}
+    ).collect()
+    assert [x["doc_id"] for x in page2] == all10[5:]
+
+    # multi-key: lang asc then _score desc
+    out = r.search_dsl_df(
+        {"query": base, "sort": [{"lang": "asc"}, "_score"], "size": 8}
+    ).collect()
+    want = sorted(m, key=lambda i: (docs[i]["lang"], -m[i], i))[:8]
+    assert [x["doc_id"] for x in out] == want
+
+    # script sort (expression over docs metadata) comes back as sort_0
+    out = r.search_dsl_df(
+        {"query": base, "sort": [{"dl % 7": "asc"}], "size": 6}
+    ).collect()
+    want = sorted(m, key=lambda i: (docs[i]["dl"] % 7, i))[:6]
+    assert [x["doc_id"] for x in out] == want
+    assert [x["sort_0"] for x in out] == [docs[i]["dl"] % 7 for i in want]
+
+    # runtime field as the sort key
+    out = r.search_dsl_df(
+        {"query": base, "sort": [{"neg_dl": "asc"}], "size": 4,
+         "runtime_mappings": {"neg_dl": "-dl"}}
+    ).collect()
+    assert [x["doc_id"] for x in out] == sorted(
+        m, key=lambda i: (-docs[i]["dl"], i))[:4]
+
+    # unknown bare column errors; live tier twin agrees
+    with pytest.raises(ValueError, match="unknown sort field"):
+        r.search_dsl_df({"query": base, "sort": ["nope"], "size": 3})
+    live = IncrementalIndexReader(spark, d)
+    lout = live.search_dsl_df(
+        {"query": base, "sort": [{"dl": "desc"}], "size": 5})
+    assert [x["doc_id"] for x in lout.collect()] == [
+        x["doc_id"] for x in r.search_dsl_df(
+            {"query": base, "sort": [{"dl": "desc"}], "size": 5}).collect()]
