@@ -1303,7 +1303,8 @@ def profile_dsl(
     q = body
     if isinstance(q, dict) and len(q) > 1:
         q = {kk: vv for kk, vv in q.items() if kk not in (
-            "collapse", "runtime_mappings", "sort", "size", "from")}
+            "collapse", "runtime_mappings", "sort", "size", "from",
+            "fields", "_source")}
     if isinstance(q, dict) and "query" in q and len(q) == 1:
         q = q["query"]
     if isinstance(q, dict) and len(q) == 1 and "retriever" in q:
@@ -1821,21 +1822,42 @@ def search_dsl_df(
     the `k` argument; `from` skips rows AFTER the global order — fine for
     shallow pages, use search_after for deep pagination (the same advice
     ES gives). Plan: sort columns join from the (pruned) docs scan; the
-    cut is ONE TakeOrdered on the sort keys."""
+    cut is ONE TakeOrdered on the sort keys.
+
+    `fields` / `_source` (response shaping): enrich the ranked page with
+    docs metadata columns — a list of names (or ES {"field": name}
+    objects), `_source: true` = all metadata columns, runtime fields
+    included. The tiny ranked page joins the pruned docs projection
+    (hits_df's plan); ranking is re-established after the join."""
     runtime = {}
     if isinstance(body, dict) and "runtime_mappings" in body and len(body) > 1:
         body = dict(body)
         runtime = _parse_runtime(body.pop("runtime_mappings"))
     ctx = _Ctx(reader, runtime=runtime)
-    sort = size = None
+    sort = size = fields_sel = None
     offset = 0
     if isinstance(body, dict) and len(body) > 1 and (
         "sort" in body or "size" in body or "from" in body
+        or "fields" in body or "_source" in body
     ):
         body = dict(body)
         sort = body.pop("sort", None)
         size = body.pop("size", None)
         offset = int(body.pop("from", 0) or 0)
+        # response shaping: `fields` / `_source` enrich hits with docs
+        # metadata columns (runtime fields included — the ctx docs view
+        # carries them). _source: true = all metadata; false = keys+score
+        # only (the default here anyway); a list = that subset.
+        fl = body.pop("fields", None)
+        src = body.pop("_source", None)
+        if fl is not None:
+            fields_sel = [
+                f["field"] if isinstance(f, dict) else f for f in _aslist(fl)
+            ]
+        elif isinstance(src, list):
+            fields_sel = list(src)
+        elif src is True:
+            fields_sel = True
     if size is not None:
         k = int(size)  # the body's size wins over the API default (ES)
     collapse = None
@@ -1894,8 +1916,29 @@ def search_dsl_df(
     order = None
     if sort is not None:
         out, order = _apply_sort(ctx, out, sort)
+
+    def shape(df):
+        if fields_sel is None:
+            return df
+        docs = ctx.docs()
+        want = (
+            [c for c in docs.columns if c not in ("doc_id", "segment")]
+            if fields_sel is True
+            else list(fields_sel)
+        )
+        unknown = [f for f in want if f not in docs.columns]
+        if unknown:
+            meta = [c for c in docs.columns if c not in ("doc_id", "segment")]
+            raise ValueError(f"unknown fields {unknown}; docs table has {meta}")
+        add = [f for f in want if f not in df.columns]
+        if not add:
+            return df
+        # the (tiny) ranked page joins the pruned docs projection — the
+        # doc-key set pushes into the scan, same plan as hits_df
+        return df.join(docs.select(*ctx.keys, *add), ctx.keys, "left")
+
     if k is None and not offset:
-        return out  # unranked match set (decorated with sort cols if any)
+        return shape(out)  # unranked match set (+ sort cols if any)
     if order is None:
         order = [F.desc("score")]
     if ctx.live:
@@ -1906,4 +1949,9 @@ def search_dsl_df(
     out = out.orderBy(*order)
     if offset:
         out = out.offset(offset)  # ES `from`: skip AFTER the global order
-    return out if k is None else out.limit(k)
+    if k is not None:
+        out = out.limit(k)
+    if fields_sel is not None:
+        # re-establish ranking after the enrichment join
+        out = shape(out).orderBy(*order)
+    return out

@@ -693,3 +693,40 @@ def test_body_sort_from_size(spark, setup):
     assert [x["doc_id"] for x in lout.collect()] == [
         x["doc_id"] for x in r.search_dsl_df(
             {"query": base, "sort": [{"dl": "desc"}], "size": 5}).collect()]
+
+
+def test_body_fields_source(spark, setup):
+    """ES response shaping in the body: `fields` / `_source` enrich the
+    ranked page with docs metadata (runtime fields included), ranking
+    preserved; unknown fields error."""
+    d, r, docs = setup
+    base = {"match": {"content": "merge buffer"}}
+    want = [x["doc_id"] for x in r.search_dsl_df(base, k=5).collect()]
+
+    out = r.search_dsl_df({"query": base, "fields": ["lang", "dl"], "size": 5})
+    rows = out.collect()
+    assert [x["doc_id"] for x in rows] == want
+    assert all(x["lang"] == docs[x["doc_id"]]["lang"] and
+               x["dl"] == docs[x["doc_id"]]["dl"] for x in rows)
+
+    # ES {"field": name} objects; _source: true = all metadata columns
+    rows = r.search_dsl_df(
+        {"query": base, "fields": [{"field": "repo"}], "size": 3}).collect()
+    assert all(x["repo"] == docs[x["doc_id"]]["repo"] for x in rows)
+    allcols = r.search_dsl_df({"query": base, "_source": True, "size": 2})
+    for c in ("repo", "path", "lang", "dl"):
+        assert c in allcols.columns
+    # runtime field in the response
+    rows = r.search_dsl_df(
+        {"query": base, "fields": ["dl2"], "size": 3,
+         "runtime_mappings": {"dl2": "dl * 2"}}).collect()
+    assert all(x["dl2"] == 2 * docs[x["doc_id"]]["dl"] for x in rows)
+    # composes with sort+from; unknown field errors
+    rows = r.search_dsl_df(
+        {"query": base, "sort": [{"dl": "desc"}], "from": 1, "size": 2,
+         "fields": ["lang"]}).collect()
+    m = _ids(r.search_dsl_df(base, k=None))
+    wantp = sorted(m, key=lambda i: (-docs[i]["dl"], i))[1:3]
+    assert [x["doc_id"] for x in rows] == wantp
+    with pytest.raises(ValueError, match="unknown fields"):
+        r.search_dsl_df({"query": base, "fields": ["nope"], "size": 2})
