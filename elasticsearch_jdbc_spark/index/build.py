@@ -126,6 +126,7 @@ class IndexBuilder:
         with_positions: bool = False,
         lang_filter: bool = False,
         fields: list[str] | None = None,
+        index_sort: list | None = None,
         fs=None,
     ):
         self.spark = spark
@@ -168,6 +169,32 @@ class IndexBuilder:
         # with pretokenized=True, fields is a manifest-only declaration:
         # the checkpointed tokens are assumed already field-namespaced
         # (compaction of a fields index re-uses them verbatim)
+        # index_sort: ES index.sort / Lucene index sorting — docs within
+        # the segment are laid out (and doc_ids assigned) in the order of
+        # these metadata columns, key_cols as the final tie-break. Two
+        # scale effects: (1) the docs parquet gets monotone row-group
+        # min/max on the sort columns, so filter_sql range predicates
+        # prune row groups at the scan; (2) doc_id becomes MONOTONE with
+        # the sort, so a same-direction-prefix `sort` query orders by the
+        # long doc_id instead of the joined metadata (search_sorted_df
+        # fast path). Per-segment, exactly Lucene's contract — deltas and
+        # compactions inherit it through the manifest. Costs one extra
+        # source scan (range partitioning samples bounds), the same
+        # index-time price ES pays.
+        self.index_sort = None
+        if index_sort:
+            norm = []
+            for s in index_sort:
+                c, o = (s, "asc") if isinstance(s, str) else (s[0], s[1])
+                if o not in ("asc", "desc"):
+                    raise ValueError(f"index_sort order {o!r} not asc/desc")
+                if c in reserved or c in self.key_cols:
+                    raise ValueError(
+                        f"index_sort column {c!r} is reserved or a key "
+                        "column (keys are already the tie-break)"
+                    )
+                norm.append((c, o))
+            self.index_sort = norm
         self.fields = list(fields) if fields else None
         if self.fields and not pretokenized:
             missing = [f for f in self.fields if f in self.key_cols]
@@ -227,6 +254,7 @@ class IndexBuilder:
             "with_positions": self.with_positions,
             "lang_filter": self.lang_filter,
             "fields": self.fields,
+            "index_sort": self.index_sort,
             "k1": self.k1,
             "b": self.b,
             "block_size": self.block_size,
@@ -261,7 +289,22 @@ class IndexBuilder:
         pretok = self.pretokenized
         lfilter = self.lang_filter
         fields = self.fields
-        keyed = df.repartition(self.partitions, *[F.col(k) for k in keys]).sortWithinPartitions(*keys)
+        if self.index_sort:
+            # index sorting: RANGE partition + sort on (sort cols, keys) —
+            # doc_id (offset[pid] + local rank, offsets cumulative in pid
+            # order) is then the GLOBAL rank in this total order. The
+            # composite includes the keys, so ties never straddle
+            # partitions nondeterministically; doc_ids are a pure function
+            # of the data regardless of where sampling puts the bounds.
+            sort_exprs = [
+                F.col(c).desc() if o == "desc" else F.col(c).asc()
+                for c, o in self.index_sort
+            ] + [F.col(k) for k in keys]
+            keyed = df.repartitionByRange(
+                self.partitions, *sort_exprs
+            ).sortWithinPartitions(*sort_exprs)
+        else:
+            keyed = df.repartition(self.partitions, *[F.col(k) for k in keys]).sortWithinPartitions(*keys)
         if not pretok:
             # multi-field: the ingest invariant hashes the concatenated
             # field contents (RS-separated, deterministic)
@@ -414,6 +457,17 @@ class IndexBuilder:
             *meta_cols,
         )
         docs_dir = os.path.join(self.index_dir, "docs")
+        if self.index_sort:
+            # physically lay the docs table out in doc_id order (= the
+            # index sort order): the parquet read-back above repacked the
+            # tokenized files arbitrarily, and monotone per-file/row-group
+            # min/max on the sort columns is the whole point — that is
+            # what lets a range filter_sql prune row groups at the scan.
+            # One extra shuffle of the NARROW docs projection, build-time
+            # only (the ES index-time sorting price).
+            docs = docs.repartitionByRange(
+                self.partitions, F.col("doc_id")
+            ).sortWithinPartitions("doc_id")
         docs.write.mode("overwrite").parquet(docs_dir)
         n_rows = int(sum(r["cnt"] for r in per_pid))
         sum_dl = int(sum(r["sum_dl"] or 0 for r in per_pid))

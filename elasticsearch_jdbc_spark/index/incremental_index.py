@@ -93,6 +93,7 @@ def _builder_kwargs_from_manifest(m: dict) -> dict:
         "with_positions": m.get("with_positions", False),
         "lang_filter": m.get("lang_filter", False),
         "fields": m.get("fields"),
+        "index_sort": m.get("index_sort"),
         "key_cols": tuple(m["key_cols"]),
     }
 

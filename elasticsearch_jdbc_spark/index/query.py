@@ -5205,6 +5205,19 @@ class IndexReader:
                 F.desc(cols[-1]) if direction == "desc" else F.asc(cols[-1])
             )
         order.append(F.asc("doc_id"))
+        # index-sort fast path: when the index was built with index_sort
+        # and the requested spec is a SAME-DIRECTION PREFIX of it, doc_id
+        # is monotone with the sort — the cut orders by one long instead
+        # of the joined metadata, and within prefix-ties doc_id asc IS the
+        # documented tie-break (doc_id = global rank in the index order).
+        isort = self.manifest.get("index_sort")
+        if isort and len(sort) <= len(isort):
+            req = [
+                tuple(s) if isinstance(s, (tuple, list)) else (s, "asc")
+                for s in sort
+            ]
+            if req == [tuple(x) for x in isort[: len(req)]]:
+                order = [F.asc("doc_id")]
         meta = docs
         for name, expr in computed:
             meta = meta.withColumn(name, expr)
