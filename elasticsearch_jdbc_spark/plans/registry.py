@@ -8422,6 +8422,75 @@ def dsl_sort_page_q(spark, sf_dir):
     )
 
 
+@_reg(
+    "index_sort_search",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    match AS (
+      SELECT doc_id FROM tok
+      WHERE list_has_any(toks, ['slow', 'query', 'scan'])
+    ),
+    sorted AS (
+      SELECT doc_id, (doc_id * 37) % 1000 AS ts,
+             ROW_NUMBER() OVER (
+               ORDER BY (doc_id * 37) % 1000 DESC, doc_id
+             ) AS rank
+      FROM match
+    )
+    SELECT CAST(rank AS INT) AS rank, CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(ts AS BIGINT) AS ts
+    FROM sorted WHERE rank <= 10
+    """,
+)
+def index_sort_q(spark, sf_dir):
+    """ES index.sort through the REAL engine, ORACLE-CHECKED: the
+    documents corpus is indexed with index_sort=[(ts, desc)] (ts planted
+    as pure doc_id arithmetic, reproducible in any engine) — ingest
+    range-partitions on the sort key, doc_id becomes the global rank in
+    (ts desc, keys) order, the docs parquet is laid out monotonically —
+    then a sorted search for the reference tokens ranks by (ts desc).
+    Because the requested sort IS the index sort, search_sorted_df takes
+    the fast path (ordered cut on the long doc_id, no metadata ordering)
+    — this entry is driver evidence that the fast path returns exactly
+    the order the oracle derives. Lucene index-sorting semantics
+    per-segment (sorting-search.html / index-modules-index-sort.html)."""
+    import hashlib as _h
+    import os as _os
+    import tempfile as _tmp
+
+    from ..index import IndexBuilder, IndexReader
+    from ..sources.corpus import corpus_from_documents
+
+    corpus = corpus_from_documents(spark, sf_dir).withColumn(
+        "ts", F.expr("(cast(regexp_extract(path, 'doc/(\\\\d+)\\\\.txt', 1) as bigint) * 37) % 1000")
+    )
+    tag = _h.sha1(f"{sf_dir}|isort1".encode()).hexdigest()[:10]
+    idx = _os.path.join(_tmp.gettempdir(), f"registry_isort_{tag}")
+    IndexBuilder(
+        spark, idx, partitions=4, index_sort=[("ts", "desc")]
+    ).build(corpus)
+    reader = IndexReader(spark, idx)
+    ids = _index_docid_map(spark, idx)
+    out = reader.search_sorted_df(
+        "slow query scan", sort=[("ts", "desc")], k=None
+    )
+    w = W.orderBy(F.desc("ts"), F.asc("documents_doc_id"))
+    return (
+        out.join(ids, "doc_id")
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "rank",
+            F.col("documents_doc_id").alias("doc_id"),
+            F.col("ts").cast("long").alias("ts"),
+        )
+    )
+
+
 _ROWS_ONLY_TAIL = [
     # collapse_index_search is a round-4 late addition (ES `collapse` +
     # inner_hits): a distinct-operator oracle, but the 50-row window is
