@@ -1229,6 +1229,63 @@ def _profile_node(body: dict) -> dict:
     return {"type": kind, "surface": surface, "children": children}
 
 
+def _tier_order(ctx: _Ctx, primary) -> list:
+    """Primary ordering + the tier's deterministic tie-break (ES
+    _shard_doc): doc_id asc on a base index, segment recency then doc_id
+    on a live one."""
+    if ctx.live:
+        rank_map = ctx.reader._rank_map()
+        return list(primary) + [
+            F.desc(rank_map[F.col("segment")]), F.asc("doc_id")
+        ]
+    return list(primary) + [F.asc("doc_id")]
+
+
+_RESCORE_MODES = ("total", "multiply", "avg", "max", "min")
+
+
+def _apply_rescore(ctx: _Ctx, out: DataFrame, spec: dict) -> DataFrame:
+    """One ES rescorer (rescore-search-results.html), generalized: the
+    first-pass top window_size (ranked with the tier tie-break — a
+    k-bounded TakeOrdered, never the full match set) left-joins the
+    rescore query's UNRANKED match set (ANY query body, not just phrase —
+    a strict superset of the reader's rescore_df) and combines
+    query_weight*q with rescore_query_weight*r under score_mode
+    total/multiply/avg/max/min; a window doc the rescore query misses
+    keeps query_weight*q (the ES contract). Engine-native delta
+    (documented): hits BEYOND the window are dropped rather than kept at
+    their first-pass rank — callers page within the window."""
+    if not isinstance(spec, dict) or "query" not in spec:
+        raise ValueError(
+            "rescore wants {'window_size': n, 'query': {'rescore_query': "
+            "...}}"
+        )
+    window = int(spec.get("window_size", 100))
+    q = spec["query"]
+    rq = q.get("rescore_query")
+    if not isinstance(rq, dict):
+        raise ValueError("rescore.query.rescore_query must be a query object")
+    wq = float(q.get("query_weight", 1.0))
+    wr = float(q.get("rescore_query_weight", 1.0))
+    mode = q.get("score_mode", "total")
+    if mode not in _RESCORE_MODES:
+        raise ValueError(f"score_mode {mode!r}: one of {_RESCORE_MODES}")
+    first = out.orderBy(*_tier_order(ctx, [F.desc("score")])).limit(window)
+    resc = _compile(ctx, rq).withColumnRenamed("score", "_r")
+    j = first.join(resc, ctx.keys, "left")
+    qc = F.col("score") * F.lit(wq)
+    rc = F.col("_r") * F.lit(wr)
+    matched = {
+        "total": qc + rc,
+        "multiply": qc * rc,
+        "avg": (qc + rc) / F.lit(2.0),
+        "max": F.greatest(qc, rc),
+        "min": F.least(qc, rc),
+    }[mode]
+    combined = F.when(F.col("_r").isNull(), qc).otherwise(matched)
+    return j.select(*ctx.keys, combined.cast("double").alias("score"))
+
+
 _SORT_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 
 
@@ -1304,7 +1361,7 @@ def profile_dsl(
     if isinstance(q, dict) and len(q) > 1:
         q = {kk: vv for kk, vv in q.items() if kk not in (
             "collapse", "runtime_mappings", "sort", "size", "from",
-            "fields", "_source")}
+            "fields", "_source", "rescore")}
     if isinstance(q, dict) and "query" in q and len(q) == 1:
         q = q["query"]
     if isinstance(q, dict) and len(q) == 1 and "retriever" in q:
@@ -1860,6 +1917,10 @@ def search_dsl_df(
             fields_sel = True
     if size is not None:
         k = int(size)  # the body's size wins over the API default (ES)
+    rescore = None
+    if isinstance(body, dict) and "rescore" in body and len(body) > 1:
+        body = dict(body)
+        rescore = body.pop("rescore")
     collapse = None
     if isinstance(body, dict) and "collapse" in body and len(body) > 1:
         body = dict(body)
@@ -1882,6 +1943,11 @@ def search_dsl_df(
         out = _compile(ctx, body)
     if filter_sql:
         out = out.join(ctx.filter_ids(filter_sql), ctx.keys, "left_semi")
+    if rescore is not None:
+        # a LIST of rescorers applies sequentially, each pass's combined
+        # score feeding the next window (the ES multi-rescore contract)
+        for rspec in _aslist(rescore):
+            out = _apply_rescore(ctx, out, rspec)
     if collapse is not None:
         if not isinstance(collapse, dict) or "field" not in collapse:
             raise ValueError("collapse wants {'field': <docs column>}")

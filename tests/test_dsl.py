@@ -730,3 +730,68 @@ def test_body_fields_source(spark, setup):
     assert [x["doc_id"] for x in rows] == wantp
     with pytest.raises(ValueError, match="unknown fields"):
         r.search_dsl_df({"query": base, "fields": ["nope"], "size": 2})
+
+
+def test_body_rescore(spark, setup):
+    """ES request-body rescore: window re-rank with any rescore query,
+    the five score modes, weights, miss-keeps-query-score, and
+    sequential rescorer lists."""
+    d, r, docs = setup
+    base = {"match": {"content": "merge"}}
+    m = _scores(r.search_dsl_df(base, k=None))
+    ph = _scores(r.search_dsl_df(
+        {"match_phrase": {"content": "merge buffer"}}, k=None))
+    win = sorted(m, key=lambda i: (-m[i], i))[:20]
+
+    def combined(i, wq, wr, mode):
+        q = wq * m[i]
+        if i not in ph:
+            return q
+        rr = wr * ph[i]
+        return {"total": q + rr, "multiply": q * rr, "avg": (q + rr) / 2,
+                "max": max(q, rr), "min": min(q, rr)}[mode]
+
+    for mode in ("total", "multiply", "avg", "max", "min"):
+        body = {"query": base, "rescore": {
+            "window_size": 20,
+            "query": {"rescore_query":
+                      {"match_phrase": {"content": "merge buffer"}},
+                      "query_weight": 0.7, "rescore_query_weight": 1.2,
+                      "score_mode": mode}}}
+        got = _scores(r.search_dsl_df(body, k=None))
+        assert set(got) == set(win), mode
+        for i in win:
+            assert got[i] == pytest.approx(
+                combined(i, 0.7, 1.2, mode), rel=1e-12), mode
+
+    # sequential rescorers: second pass windows the FIRST pass's scores
+    body = {"query": base, "rescore": [
+        {"window_size": 20, "query": {
+            "rescore_query": {"match_phrase": {"content": "merge buffer"}}}},
+        {"window_size": 5, "query": {
+            "rescore_query": {"term": {"lang": "java"}},
+            "rescore_query_weight": 10.0}},
+    ]}
+    got = _scores(r.search_dsl_df(body, k=None))
+    s1 = {i: combined(i, 1.0, 1.0, "total") for i in win}
+    w2 = sorted(s1, key=lambda i: (-s1[i], i))[:5]
+    assert set(got) == set(w2)
+    for i in w2:
+        want = s1[i] + (10.0 if docs[i]["lang"] == "java" else 0.0)
+        assert got[i] == pytest.approx(want, rel=1e-12)
+
+    with pytest.raises(ValueError, match="score_mode"):
+        r.search_dsl_df({"query": base, "rescore": {
+            "window_size": 5,
+            "query": {"rescore_query": base, "score_mode": "sum"}}})
+    # live twin
+    live = IncrementalIndexReader(spark, d)
+    lb = {"query": base, "rescore": {"window_size": 10, "query": {
+        "rescore_query": {"match_phrase": {"content": "merge buffer"}}}}}
+    got = {x["doc_id"]: x["score"] for x in live.search_dsl_df(lb, k=5).collect()}
+    wantw = sorted(m, key=lambda i: (-m[i], i))[:10]
+    s = {i: combined(i, 1.0, 1.0, "total") for i in wantw}
+    want = dict(sorted(s.items(), key=lambda kv: (-kv[1], kv[0]))[:5])
+    assert set(got) == set(want)
+    for i in got:
+        assert got[i] == pytest.approx(want[i], rel=1e-12)
