@@ -1628,6 +1628,39 @@ def _es_composite_sources(sources) -> tuple[list, list[str], list[bool]]:
     return native, orders, missing
 
 
+def search_request(reader, body: dict) -> dict:
+    """The full ES `_search` response shape from ONE request body:
+    {"hits": <ranked DataFrame>, "aggregations": <DataFrame | None>}.
+
+    The body splits exactly as ES does: `query` + hit-shaping params
+    (sort/from/size/fields/_source/collapse/rescore/min_score/
+    post_filter/runtime_mappings) drive the hits; the `aggs` section
+    computes over the QUERY match set — post_filter narrows the hits
+    only, never the aggregations (the faceted-navigation contract
+    post_filter exists for). runtime_mappings are shared by both sides.
+    An aggs-only request uses "size": 0 (hits comes back empty but with
+    the stable schema). Two plans, one body — Spark computes them
+    independently (ES too runs the agg collector separately from the
+    top-k collector)."""
+    body = dict(body)
+    aggs = body.pop("aggs", None)
+    if aggs is None:
+        aggs = body.pop("aggregations", None)
+    if "query" not in body:
+        body["query"] = {"match_all": {}}
+    rm = body.get("runtime_mappings")
+    query = body["query"]
+    hits = search_dsl_df(reader, body)
+    aggs_df = None
+    if aggs is not None:
+        aggs_df = aggs_dsl_df(
+            reader, aggs,
+            query=None if query == {"match_all": {}} else query,
+            runtime_mappings=rm,
+        )
+    return {"hits": hits, "aggregations": aggs_df}
+
+
 def aggs_dsl_df(
     reader,
     aggs: dict,
@@ -1917,10 +1950,16 @@ def search_dsl_df(
             fields_sel = True
     if size is not None:
         k = int(size)  # the body's size wins over the API default (ES)
-    rescore = None
+    rescore = post_filter = min_score = None
     if isinstance(body, dict) and "rescore" in body and len(body) > 1:
         body = dict(body)
         rescore = body.pop("rescore")
+    if isinstance(body, dict) and "post_filter" in body and len(body) > 1:
+        body = dict(body)
+        post_filter = body.pop("post_filter")
+    if isinstance(body, dict) and "min_score" in body and len(body) > 1:
+        body = dict(body)
+        min_score = float(body.pop("min_score"))
     collapse = None
     if isinstance(body, dict) and "collapse" in body and len(body) > 1:
         body = dict(body)
@@ -1948,6 +1987,15 @@ def search_dsl_df(
         # score feeding the next window (the ES multi-rescore contract)
         for rspec in _aslist(rescore):
             out = _apply_rescore(ctx, out, rspec)
+    if min_score is not None:
+        out = out.filter(F.col("score") >= F.lit(min_score))
+    if post_filter is not None:
+        # post_filter narrows the HITS only — aggregations over the same
+        # body (search_request) see the pre-post_filter match set, the
+        # faceted-navigation contract ES defines post_filter for
+        if not isinstance(post_filter, dict):
+            raise ValueError("post_filter must be a query object")
+        out = out.join(_compile(ctx, post_filter), ctx.keys, "left_semi")
     if collapse is not None:
         if not isinstance(collapse, dict) or "field" not in collapse:
             raise ValueError("collapse wants {'field': <docs column>}")

@@ -3037,6 +3037,14 @@ class IncrementalIndexReader:
 
         return profile_dsl(self, body, k=k, filter_sql=filter_sql)
 
+    def search_request(self, body: dict) -> dict:
+        """The full ES `_search` response shape over the LIVE index:
+        {"hits": ranked DataFrame, "aggregations": DataFrame | None} —
+        post_filter narrows hits only (index/dsl.py search_request)."""
+        from .dsl import search_request
+
+        return search_request(self, body)
+
     def aggs_dsl_df(
         self,
         aggs: dict,

@@ -5299,6 +5299,15 @@ class IndexReader:
 
         return profile_dsl(self, body, k=k, filter_sql=filter_sql)
 
+    def search_request(self, body: dict) -> dict:
+        """The full ES `_search` response shape from one request body:
+        {"hits": ranked DataFrame, "aggregations": DataFrame | None} —
+        post_filter narrows hits only, aggs see the query match set
+        (index/dsl.py search_request)."""
+        from .dsl import search_request
+
+        return search_request(self, body)
+
     def aggs_dsl_df(
         self,
         aggs: dict,

@@ -795,3 +795,48 @@ def test_body_rescore(spark, setup):
     assert set(got) == set(want)
     for i in got:
         assert got[i] == pytest.approx(want[i], rel=1e-12)
+
+
+def test_post_filter_min_score_search_request(spark, setup):
+    """ES post_filter (hits narrowed, aggs NOT), min_score floor, and the
+    full _search response shape (hits + aggregations from one body)."""
+    d, r, docs = setup
+    base = {"match": {"content": "merge buffer"}}
+    m = _scores(r.search_dsl_df(base, k=None))
+
+    # min_score floors the hit set
+    floor = sorted(m.values())[len(m) // 2]
+    got = _ids(r.search_dsl_df({"query": base, "min_score": floor}, k=None))
+    assert got == {i for i, s in m.items() if s >= floor} and got
+
+    # post_filter narrows hits, scores unchanged
+    got = _scores(r.search_dsl_df(
+        {"query": base, "post_filter": {"term": {"lang": "java"}}}, k=None))
+    assert set(got) == {i for i in m if docs[i]["lang"] == "java"}
+    for i in got:
+        assert got[i] == pytest.approx(m[i], rel=1e-12)
+
+    # search_request: hits honor post_filter, aggregations do NOT
+    res = r.search_request({
+        "query": base,
+        "post_filter": {"term": {"lang": "java"}},
+        "size": 5,
+        "aggs": {"by_lang": {"terms": {"field": "lang", "size": 10}}},
+    })
+    hits = res["hits"].collect()
+    assert all(docs[x["doc_id"]]["lang"] == "java" for x in hits)
+    agg = {x["by_lang"]: x["by_lang_doc_count"]
+           for x in res["aggregations"].collect()}
+    want = collections.Counter(docs[i]["lang"] for i in m)
+    assert agg == dict(want)  # full match set, not the filtered hits
+
+    # aggs-only request: size 0, stable hit schema, aggs over match_all
+    res = r.search_request({
+        "size": 0,
+        "aggs": {"langs": {"terms": {"field": "lang", "size": 10}}},
+    })
+    assert res["hits"].count() == 0
+    assert "score" in res["hits"].columns
+    agg = {x["langs"]: x["langs_doc_count"]
+           for x in res["aggregations"].collect()}
+    assert agg == dict(collections.Counter(v["lang"] for v in docs.values()))
