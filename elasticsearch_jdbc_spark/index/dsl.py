@@ -1361,7 +1361,8 @@ def profile_dsl(
     if isinstance(q, dict) and len(q) > 1:
         q = {kk: vv for kk, vv in q.items() if kk not in (
             "collapse", "runtime_mappings", "sort", "size", "from",
-            "fields", "_source", "rescore")}
+            "fields", "_source", "rescore", "post_filter", "min_score",
+            "aggs", "aggregations")}
     if isinstance(q, dict) and "query" in q and len(q) == 1:
         q = q["query"]
     if isinstance(q, dict) and len(q) == 1 and "retriever" in q:
@@ -1377,7 +1378,11 @@ def profile_dsl(
         tree = rtree(q["retriever"])
     else:
         tree = _profile_node(q)
-    df = search_dsl_df(reader, body, k=k, filter_sql=filter_sql)
+    hb = body
+    if isinstance(hb, dict) and ("aggs" in hb or "aggregations" in hb):
+        hb = {kk: vv for kk, vv in hb.items()
+              if kk not in ("aggs", "aggregations")}
+    df = search_dsl_df(reader, hb, k=k, filter_sql=filter_sql)
     try:
         qe = df._jdf.queryExecution()
         mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
@@ -1919,6 +1924,12 @@ def search_dsl_df(
     objects), `_source: true` = all metadata columns, runtime fields
     included. The tiny ranked page joins the pruned docs projection
     (hits_df's plan); ranking is re-established after the join."""
+    if isinstance(body, dict) and ("aggs" in body or "aggregations" in body):
+        raise ValueError(
+            "the body has an aggs section — search_dsl_df returns hits "
+            "only; use search_request(body) for {hits, aggregations}, or "
+            "aggs_dsl_df for aggregations alone"
+        )
     runtime = {}
     if isinstance(body, dict) and "runtime_mappings" in body and len(body) > 1:
         body = dict(body)

@@ -840,3 +840,16 @@ def test_post_filter_min_score_search_request(spark, setup):
     agg = {x["langs"]: x["langs_doc_count"]
            for x in res["aggregations"].collect()}
     assert agg == dict(collections.Counter(v["lang"] for v in docs.values()))
+
+
+def test_aggs_body_guard(spark, setup):
+    """search_dsl_df rejects an aggs body with a pointer to
+    search_request; profile_dsl profiles the query side of one."""
+    d, r, docs = setup
+    body = {"query": {"match": {"content": "merge"}},
+            "aggs": {"l": {"terms": {"field": "lang"}}}}
+    with pytest.raises(ValueError, match="search_request"):
+        r.search_dsl_df(body)
+    p = r.profile_dsl(body, k=3)
+    assert p["query_tree"]["type"] == "match"
+    assert p["hits"].count() == 3
