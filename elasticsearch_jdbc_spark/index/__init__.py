@@ -15,6 +15,13 @@ from .alias import (
 )
 from .build import IndexBuilder
 from .completion import build_completions, complete, complete_df
+from .dsl import (
+    aggs_dsl_df,
+    compile_dsl,
+    profile_dsl,
+    search_dsl_df,
+    search_request,
+)
 from .templates import (
     delete_template,
     get_template,
@@ -75,4 +82,9 @@ __all__ = [
     "search_template",
     "terms_lookup_sql",
     "validate_query",
+    "aggs_dsl_df",
+    "compile_dsl",
+    "profile_dsl",
+    "search_dsl_df",
+    "search_request",
 ]
