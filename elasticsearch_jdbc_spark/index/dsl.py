@@ -1296,8 +1296,17 @@ def _apply_sort(ctx: _Ctx, out: DataFrame, sort) -> tuple:
     _geo_distance computed-sort surface, returned as sort_<i>). `missing`
     honors _first/_last (ES default _last). Returns the decorated match
     set plus the ordering columns; the caller appends the tier tie-break
-    (ES _shard_doc)."""
+    (ES _shard_doc).
+
+    Index-sort fast path (base tier): when the request is a
+    same-direction prefix of the build's index_sort AND each entry's
+    null placement matches the layout (the builder sorted with Spark
+    defaults — asc = nulls FIRST, desc = nulls last — so an asc entry
+    must say missing: _first; desc matches the ES _last default), doc_id
+    is monotone with the request and the ordering collapses to the one
+    long column. Sort columns still decorate the output."""
     docs = ctx.docs()
+    entries = []
     cols, order = [], []
     for i, s in enumerate(_aslist(sort)):
         if isinstance(s, str):
@@ -1329,8 +1338,18 @@ def _apply_sort(ctx: _Ctx, out: DataFrame, sort) -> tuple:
             order.append(col.asc_nulls_first() if asc else col.desc_nulls_first())
         else:
             order.append(col.asc_nulls_last() if asc else col.desc_nulls_last())
+        entries.append((f, direction, missing))
     if cols:
         out = out.join(docs.select(*ctx.keys, *cols), ctx.keys)
+    isort = ctx.r0.manifest.get("index_sort")
+    if not ctx.live and isort and len(entries) <= len(isort):
+        ok = all(
+            (f, d) == tuple(isort[i])
+            and ((d == "desc" and m == "_last") or (d == "asc" and m == "_first"))
+            for i, (f, d, m) in enumerate(entries)
+        )
+        if ok:
+            order = [F.asc("doc_id")]
     return out, order
 
 

@@ -149,3 +149,37 @@ def test_bad_index_sort_rejected(spark):
         IndexBuilder(spark, "/tmp/x_isort_bad", index_sort=["path"])
     with pytest.raises(ValueError, match="asc/desc"):
         IndexBuilder(spark, "/tmp/x_isort_bad", index_sort=[("ts", "down")])
+
+
+def test_dsl_body_sort_fast_path(spark, built):
+    """The request-body sort takes the doc_id fast path on a matching
+    same-direction prefix (null placement matched), and falls back
+    otherwise — results identical either way."""
+    d_sorted, d_plain = built
+    rs, rp = IndexReader(spark, d_sorted), IndexReader(spark, d_plain)
+    body = {"query": {"match": {"content": "merge buffer"}},
+            "sort": [{"ts": "desc"}], "size": 12}
+    fast = rs.search_dsl_df(body)
+    slow = rp.search_dsl_df(body)
+    assert [x["ts"] for x in fast.collect()] == [
+        x["ts"] for x in slow.collect()]
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    line = next(l for l in plan.split("\n") if "TakeOrderedAndProject" in l)
+    order_sec = line.split("orderBy=[")[1].split("]")[0]
+    assert "ts#" not in order_sec  # fast path: doc_id is the whole order
+    sline = next(
+        l for l in slow._jdf.queryExecution().executedPlan().toString()
+        .split("\n") if "TakeOrderedAndProject" in l)
+    assert "ts#" in sline.split("orderBy=[")[1].split("]")[0]
+    # asc with the ES default missing=_last mismatches the build's
+    # nulls-first asc layout -> slow path (still correct)
+    up = rs.search_dsl_df({"query": {"match": {"content": "merge buffer"}},
+                           "sort": [{"ts": "asc"}], "size": 12})
+    ts = [x["ts"] for x in up.collect()]
+    assert ts == sorted(ts)
+    # asc + missing _first matches the layout -> fast path, same order
+    up2 = rs.search_dsl_df({"query": {"match": {"content": "merge buffer"}},
+                            "sort": [{"ts": {"order": "asc",
+                                             "missing": "_first"}}],
+                            "size": 12})
+    assert [x["ts"] for x in up2.collect()] == ts
