@@ -4126,7 +4126,7 @@ _SPAN_WC_SQL = """
       SELECT doc_id,
              doc_id % 4 AS pa,
              doc_id % 4 + 1 + doc_id % 3 AS pb,
-             doc_id % 12 AS pc
+             doc_id % 11 AS pc
       FROM documents
     ),
     flags AS (
@@ -4198,12 +4198,12 @@ def span_within_q(spark, sf_dir):
             "array_join(transform(sequence(0, 15), i -> CASE "
             "WHEN i = doc_id % 4 THEN 'qa' "
             "WHEN i = doc_id % 4 + 1 + doc_id % 3 THEN 'qb' "
-            "WHEN i = doc_id % 12 AND doc_id % 12 <> doc_id % 4 "
-            "  AND doc_id % 12 <> doc_id % 4 + 1 + doc_id % 3 THEN 'qc' "
+            "WHEN i = doc_id % 11 AND doc_id % 11 <> doc_id % 4 "
+            "  AND doc_id % 11 <> doc_id % 4 + 1 + doc_id % 3 THEN 'qc' "
             "ELSE 'pad' END), ' ')"
         ).alias("content"),
     )
-    tag = _h.sha1(f"{sf_dir}|spanwc1".encode()).hexdigest()[:10]
+    tag = _h.sha1(f"{sf_dir}|spanwc2".encode()).hexdigest()[:10]
     idx = _os.path.join(_tmp.gettempdir(), f"registry_spanwc_{tag}")
     IndexBuilder(spark, idx, partitions=4, with_positions=True).build(corpus)
     reader = IndexReader(spark, idx)

@@ -59,6 +59,8 @@ def test_oracle_parity(spark, ducks, name):
         f"{name}: columns {sorted(sdf.columns)} vs {sorted(odf.columns)}"
     )
     assert len(sdf) == len(odf), f"{name}: rows {len(sdf)} vs {len(odf)}"
+    if len(sdf) == 0:
+        return  # both empty: the driver's hash compare passes these
     a, b = _canon(sdf), _canon(odf)
     if not a.equals(b):
         diff = (a != b).any(axis=1)
