@@ -1322,8 +1322,13 @@ def _apply_sort(ctx: _Ctx, out: DataFrame, sort) -> tuple:
             raise ValueError(f"bad sort entry {s!r}")
         if f == "_score":
             col = F.col("score")
+        elif f in out.columns:
+            # already on the match set (a collapse key, collapse_count, a
+            # column an earlier entry joined) — no second join
+            col = F.col(f)
         elif f in docs.columns:
-            cols.append(f)
+            if f not in cols:
+                cols.append(f)
             col = F.col(f)
         elif _SORT_IDENT.fullmatch(f):
             meta = [c for c in docs.columns if c not in ("doc_id", "segment")]
@@ -1994,6 +1999,16 @@ def search_dsl_df(
     if isinstance(body, dict) and "collapse" in body and len(body) > 1:
         body = dict(body)
         collapse = body.pop("collapse")
+    if isinstance(body, dict) and "query" in body and len(body) > 1:
+        # every supported request-body section was popped above — name
+        # what is left instead of failing with a single-key parse error
+        extra = sorted(k for k in body if k != "query")
+        raise ValueError(
+            f"unsupported request-body sections {extra}; supported: "
+            "query, retriever, aggs (via search_request), collapse, "
+            "rescore, post_filter, min_score, runtime_mappings, sort, "
+            "from, size, fields, _source"
+        )
     if (
         isinstance(body, dict)
         and "retriever" in body

@@ -853,3 +853,24 @@ def test_aggs_body_guard(spark, setup):
     p = r.profile_dsl(body, k=3)
     assert p["query_tree"]["type"] == "match"
     assert p["hits"].count() == 3
+
+
+def test_sort_collapse_interplay_and_guards(spark, setup):
+    """Sort on a column the collapsed output already carries (the
+    collapse field, collapse_count) joins nothing twice; duplicate sort
+    fields don't crash; unknown body sections name themselves."""
+    d, r, docs = setup
+    base = {"match": {"content": "merge buffer"}}
+    out = r.search_dsl_df({
+        "query": base, "collapse": {"field": "lang"},
+        "sort": [{"collapse_count": "desc"}, {"lang": "asc"}], "size": 10,
+    }).collect()
+    pairs = [(x["collapse_count"], x["lang"]) for x in out]
+    assert pairs == sorted(pairs, key=lambda p: (-p[0], p[1]))
+    # duplicate field in the sort spec
+    out2 = r.search_dsl_df(
+        {"query": base, "sort": [{"dl": "desc"}, {"dl": "asc"}], "size": 5})
+    dls = [x["dl"] for x in out2.collect()]
+    assert dls == sorted(dls, reverse=True)
+    with pytest.raises(ValueError, match="unsupported request-body sections"):
+        r.search_dsl_df({"query": base, "suggest": {"s": {}}})
