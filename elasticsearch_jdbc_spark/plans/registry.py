@@ -428,15 +428,21 @@ def a6(spark, sf_dir):
     "a7_antijoin_nulls",
     """
     SELECT c.c_custkey, c.c_name
-    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
-    WHERE o.o_orderkey IS NULL
+    FROM customer c LEFT JOIN
+      (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P') o
+      ON o.o_custkey = c.c_custkey
+    WHERE o.o_custkey IS NULL
     """,
 )
 def a7(spark, sf_dir):
     """Null handling (A7 ignore_null_values): the left-join null pattern;
-    Spark plans the filter as a proper anti-join."""
+    Spark plans the filter as a proper anti-join. The right side is
+    restricted to 'P'-status orders so the anti-set is NON-EMPTY at every
+    sf (the unrestricted twin is vacuously empty on this data — a 0=0
+    oracle pass proves nothing; caught in the round-4 empty-result
+    audit)."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
     return c.join(o, o.o_custkey == c.c_custkey, "left_anti").select("c_custkey", "c_name")
 
 
