@@ -439,6 +439,10 @@ def _leaf_terms_set(ctx, body):
     script = spec.get("minimum_should_match_script")
     if isinstance(script, dict):
         script = script.get("source")
+    if spec.get("terms") is None:
+        # without this, _aslist(None) -> ['None'] would silently query
+        # the literal term 'None' (ADVICE r4)
+        raise ValueError("terms_set needs a non-empty 'terms' list")
     df = ctx.reader.terms_set_df(
         field,
         [str(t) for t in _aslist(spec.get("terms"))],
@@ -1348,8 +1352,12 @@ def _apply_sort(ctx: _Ctx, out: DataFrame, sort) -> tuple:
         out = out.join(docs.select(*ctx.keys, *cols), ctx.keys)
     isort = ctx.r0.manifest.get("index_sort")
     if not ctx.live and isort and len(entries) <= len(isort):
+        # a runtime field SHADOWING an index_sort column must disable the
+        # fast path: doc_id order reflects the STORED values, not the
+        # runtime expression the user is sorting on (ADVICE r4)
         ok = all(
             (f, d) == tuple(isort[i])
+            and f not in ctx.runtime
             and ((d == "desc" and m == "_last") or (d == "asc" and m == "_first"))
             for i, (f, d, m) in enumerate(entries)
         )
@@ -1989,6 +1997,18 @@ def search_dsl_df(
     if isinstance(body, dict) and "rescore" in body and len(body) > 1:
         body = dict(body)
         rescore = body.pop("rescore")
+        if sort is not None:
+            # ES rejects rescore combined with any sort other than
+            # _score: the rescorer's reordering would be silently thrown
+            # away by the sort section (ADVICE r4)
+            names = []
+            for e in _aslist(sort):
+                names.extend(e.keys() if isinstance(e, dict) else [e])
+            if any(n != "_score" for n in names):
+                raise ValueError(
+                    "rescore cannot be combined with a sort other than "
+                    "'_score' (Elasticsearch rejects this combination)"
+                )
     if isinstance(body, dict) and "post_filter" in body and len(body) > 1:
         body = dict(body)
         post_filter = body.pop("post_filter")
@@ -2041,6 +2061,7 @@ def search_dsl_df(
         if not isinstance(post_filter, dict):
             raise ValueError("post_filter must be a query object")
         out = out.join(_compile(ctx, post_filter), ctx.keys, "left_semi")
+    order = None
     if collapse is not None:
         if not isinstance(collapse, dict) or "field" not in collapse:
             raise ValueError("collapse wants {'field': <docs column>}")
@@ -2050,29 +2071,69 @@ def search_dsl_df(
                 f"collapse field {cf!r} not a docs metadata column; "
                 f"have {ctx.meta_cols()}"
             )
-        out = out.join(ctx.docs().select(*ctx.keys, cf), ctx.keys)
-        # per-key head via max_by — a map-side-combinable aggregate, NOT
-        # a window over the full match set (collapse_df's plan argument:
-        # a window would shuffle-sort every matching doc; the agg
-        # combines partials). Tie-break mirrors the tier's ordered cut.
-        if ctx.live:
-            rank_map = reader._rank_map()
-            ordkey = F.struct(
-                F.col("score"),
-                rank_map[F.col("segment")].alias("_rk"),
-                (-F.col("doc_id")).alias("_nd"),
+        sort_names = []
+        if sort is not None:
+            for e in _aslist(sort):
+                sort_names.extend(e.keys() if isinstance(e, dict) else [e])
+        if sort is not None and "collapse_count" not in sort_names:
+            # ES field collapsing selects each group's head by the SEARCH
+            # SORT, not by score (ADVICE r4). Semantics force a per-group
+            # ordering on an arbitrary sort, so this path pays ONE window
+            # shuffle on the collapse key; the no-sort path below keeps
+            # the map-side-combinable max_by aggregate. (Sorting on
+            # `collapse_count` — an engine extension, the column only
+            # exists post-collapse — keeps the post-collapse sort.)
+            out, order = _apply_sort(ctx, out, sort)
+            sort = None  # consumed — the ordered cut reuses `order`
+            if cf not in out.columns:
+                out = out.join(ctx.docs().select(*ctx.keys, cf), ctx.keys)
+            if ctx.live:
+                rank_map = reader._rank_map()
+                tie = [F.desc(rank_map[F.col("segment")]), F.asc("doc_id")]
+            else:
+                tie = [F.asc("doc_id")]
+            from pyspark.sql.window import Window
+
+            wkey = Window.partitionBy(cf)
+            out = (
+                out.withColumn(
+                    "collapse_count", F.count(F.lit(1)).over(wkey)
+                )
+                .withColumn(
+                    "_rn",
+                    F.row_number().over(wkey.orderBy(*(list(order) + tie))),
+                )
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
             )
         else:
-            ordkey = F.struct(F.col("score"), (-F.col("doc_id")).alias("_nd"))
-        out = (
-            out.groupBy(cf)
-            .agg(
-                F.max_by(F.struct(*ctx.keys, "score"), ordkey).alias("_head"),
-                F.count(F.lit(1)).alias("collapse_count"),
+            # per-key head via max_by — a map-side-combinable aggregate,
+            # NOT a window over the full match set (collapse_df's plan
+            # argument: a window would shuffle-sort every matching doc;
+            # the agg combines partials). Tie-break mirrors the tier's
+            # ordered cut.
+            out = out.join(ctx.docs().select(*ctx.keys, cf), ctx.keys)
+            if ctx.live:
+                rank_map = reader._rank_map()
+                ordkey = F.struct(
+                    F.col("score"),
+                    rank_map[F.col("segment")].alias("_rk"),
+                    (-F.col("doc_id")).alias("_nd"),
+                )
+            else:
+                ordkey = F.struct(
+                    F.col("score"), (-F.col("doc_id")).alias("_nd")
+                )
+            out = (
+                out.groupBy(cf)
+                .agg(
+                    F.max_by(
+                        F.struct(*ctx.keys, "score"), ordkey
+                    ).alias("_head"),
+                    F.count(F.lit(1)).alias("collapse_count"),
+                )
+                .select(F.col("_head.*"), cf, "collapse_count")
             )
-            .select(F.col("_head.*"), cf, "collapse_count")
-        )
-    order = None
     if sort is not None:
         out, order = _apply_sort(ctx, out, sort)
 

@@ -200,9 +200,10 @@ def _p_append(df, body):
         new = (
             F.concat(base, lit)
             if body.get("allow_duplicates", True)
-            # array_union: order-preserving distinct union, the ES
-            # allow_duplicates=false contract (skip values already there)
-            else F.array_union(base, lit)
+            # allow_duplicates=false skips only APPENDED values already
+            # present — the base array keeps its own duplicates (ES
+            # contract; array_union would also dedup the base, ADVICE r4)
+            else F.concat(base, F.array_except(lit, base))
         )
     return _conditional(df, body, field, new)
 

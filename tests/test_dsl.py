@@ -874,3 +874,56 @@ def test_sort_collapse_interplay_and_guards(spark, setup):
     assert dls == sorted(dls, reverse=True)
     with pytest.raises(ValueError, match="unsupported request-body sections"):
         r.search_dsl_df({"query": base, "suggest": {"s": {}}})
+
+
+def test_collapse_head_by_sort(spark, setup):
+    """ES field collapsing with a `sort` section selects each group's
+    head by the SEARCH SORT, not by score (ADVICE r4)."""
+    d, r, docs = setup
+    base = {"match": {"content": "merge buffer"}}
+    out = r.search_dsl_df({
+        "query": base, "collapse": {"field": "lang"},
+        "sort": [{"dl": "desc"}], "size": 50,
+    }).collect()
+    # brute force: per lang, the matching doc with the largest dl
+    match = {x["doc_id"] for x in r.search_dsl_df({"query": base}, k=None).collect()}
+    groups = {}
+    for did in match:
+        groups.setdefault(docs[did]["lang"], []).append(did)
+    want = {
+        lang: max(ids, key=lambda i: (docs[i]["dl"], -i))
+        for lang, ids in groups.items()
+    }
+    got = {x["lang"]: x["doc_id"] for x in out}
+    assert got == want
+    # hits themselves come back in the sort order
+    dls = [x["dl"] for x in out]
+    assert dls == sorted(dls, reverse=True)
+    # group sizes intact
+    assert {x["lang"]: x["collapse_count"] for x in out} == {
+        lang: len(ids) for lang, ids in groups.items()
+    }
+
+
+def test_rescore_sort_rejected(spark, setup):
+    """ES rejects rescore combined with a sort other than _score
+    (ADVICE r4); a bare _score sort stays allowed."""
+    d, r, docs = setup
+    body = {
+        "query": {"match": {"content": "merge buffer"}},
+        "rescore": {"window_size": 10, "query": {
+            "rescore_query": {"match": {"content": "stream"}}}},
+    }
+    with pytest.raises(ValueError, match="rescore.*sort"):
+        r.search_dsl_df({**body, "sort": [{"dl": "desc"}]})
+    ok = r.search_dsl_df({**body, "sort": ["_score"], "size": 5})
+    assert ok.count() > 0
+
+
+def test_terms_set_missing_terms_rejected(spark, setup):
+    """A terms_set body without 'terms' must error, not silently query
+    the literal string 'None' (ADVICE r4)."""
+    d, r, docs = setup
+    with pytest.raises(ValueError, match="terms_set"):
+        r.search_dsl_df({"terms_set": {"lang": {
+            "minimum_should_match_field": "dl"}}})

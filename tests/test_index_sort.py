@@ -183,3 +183,32 @@ def test_dsl_body_sort_fast_path(spark, built):
                                              "missing": "_first"}}],
                             "size": 12})
     assert [x["ts"] for x in up2.collect()] == ts
+
+
+def test_runtime_shadow_disables_fast_path(spark, built):
+    """A runtime field shadowing an index_sort column must NOT take the
+    doc_id fast path: doc_id order reflects the STORED ts, but the user
+    is sorting on the runtime expression (ADVICE r4)."""
+    d_sorted, _ = built
+    rs = IndexReader(spark, d_sorted)
+    body = {
+        "query": {"match": {"content": "merge buffer"}},
+        "runtime_mappings": {
+            "ts": {"type": "long", "script": {"source": "1000 - ts"}}
+        },
+        "sort": [{"ts": "desc"}],
+        "size": 12,
+    }
+    out = rs.search_dsl_df(body).collect()
+    got = [x["ts"] for x in out]
+    assert got == sorted(got, reverse=True)
+    # the runtime values are the INVERTED stored values, so a doc_id-asc
+    # cut would have returned the opposite extreme: check against the
+    # stored-ts order of the same body without the runtime shadow
+    stored = rs.search_dsl_df(
+        {"query": {"match": {"content": "merge buffer"}},
+         "sort": [{"ts": "desc"}], "size": 12}
+    ).collect()
+    assert [x["ts"] for x in out] != [x["ts"] for x in stored]
+    # and the runtime-desc head is the stored-asc head's inversion
+    assert got[0] == 1000 - min(x["ts"] for x in stored) or got[0] >= stored[-1]["ts"]

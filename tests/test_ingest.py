@@ -158,3 +158,19 @@ def test_simulate(spark):
     assert [r["s"] for r in got] == ["ab", "cd"]
     with pytest.raises(ValueError, match="at least one doc"):
         simulate_pipeline(spark, [], [])
+
+
+def test_append_keeps_base_duplicates(spark):
+    """allow_duplicates=false skips only APPENDED values already present;
+    pre-existing duplicates inside the base array survive (ADVICE r4)."""
+    from elasticsearch_jdbc_spark.operators.ingest import apply_pipeline
+
+    df = spark.createDataFrame(
+        [(["a", "a"],)], "tags array<string>"
+    )
+    out = apply_pipeline(
+        df,
+        [{"append": {"field": "tags", "value": ["b", "a"],
+                     "allow_duplicates": False}}],
+    ).collect()
+    assert out[0]["tags"] == ["a", "a", "b"]
