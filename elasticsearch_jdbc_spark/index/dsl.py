@@ -332,6 +332,149 @@ def _leaf_exists(ctx, body):
     return _set_score(ctx, ctx.filter_ids(f"{field} IS NOT NULL"), boost)
 
 
+_NESTED_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+
+def _nested_elem_sql(path: str, q: dict, elem_fields: list[str]) -> str:
+    """Compile a `nested` inner-query subtree to ONE boolean SQL
+    expression over the lambda variable `e` (an element of the
+    array-of-structs column `path`). Keeping the whole subtree inside a
+    single lambda is what enforces ES's same-element rule: two
+    predicates ANDed here must hit the SAME element, never two different
+    ones. Supported inner kinds: term / terms / range / exists /
+    match_all / bool (arbitrarily nested)."""
+
+    def fld(f: str) -> str:
+        if not isinstance(f, str) or not f.startswith(path + "."):
+            raise ValueError(
+                f"nested inner field {f!r} must be qualified under the "
+                f"nested path {path!r} (ES: 'comments.stars')"
+            )
+        inner = f[len(path) + 1 :]
+        if not _NESTED_IDENT.fullmatch(inner):
+            raise ValueError(f"bad nested inner field name {inner!r}")
+        if inner not in elem_fields:
+            raise ValueError(
+                f"nested element has no field {inner!r}; has {elem_fields}"
+            )
+        return f"e.{inner}"
+
+    kind, spec = _one(q)
+    if kind == "match_all":
+        return "true"
+    if kind == "term":
+        field, tspec = _field_spec(spec)
+        return f"{fld(field)} = {_sql_lit(tspec['query'])}"
+    if kind == "terms":
+        body2 = {k: v for k, v in dict(spec).items() if k != "boost"}
+        field, values = _one(body2)
+        if not isinstance(values, list) or not values:
+            raise ValueError("nested terms wants {field: [v, ...]}")
+        lits = ", ".join(_sql_lit(v) for v in values)
+        return f"{fld(field)} IN ({lits})"
+    if kind == "range":
+        field, rspec = _one(spec)
+        parts = [
+            f"{fld(field)} {_RANGE_OPS[op]} {_sql_lit(v)}"
+            for op, v in dict(rspec).items()
+            if op in _RANGE_OPS
+        ]
+        if not parts:
+            raise ValueError("nested range needs gte/gt/lte/lt")
+        return "(" + " AND ".join(parts) + ")"
+    if kind == "exists":
+        field = spec["field"] if isinstance(spec, dict) else spec
+        return f"{fld(field)} IS NOT NULL"
+    if kind == "bool":
+        conj = [
+            _nested_elem_sql(path, x, elem_fields)
+            for x in _aslist(spec.get("must")) + _aslist(spec.get("filter"))
+        ]
+        must_not = [
+            _nested_elem_sql(path, x, elem_fields)
+            for x in _aslist(spec.get("must_not"))
+        ]
+        should = [
+            _nested_elem_sql(path, x, elem_fields)
+            for x in _aslist(spec.get("should"))
+        ]
+        exprs = [f"({p})" for p in conj] + [f"(NOT ({p}))" for p in must_not]
+        if should:
+            # filter-context should: msm defaults to 1 when there is no
+            # must/filter sibling, else 0 (purely optional) — the ES rule
+            msm = spec.get("minimum_should_match", 1 if not conj else 0)
+            msm = int(msm)
+            if msm == 1:
+                exprs.append("(" + " OR ".join(f"({p})" for p in should) + ")")
+            elif msm > 1:
+                counts = " + ".join(
+                    f"(CASE WHEN ({p}) THEN 1 ELSE 0 END)" for p in should
+                )
+                exprs.append(f"(({counts}) >= {msm})")
+            # msm == 0: optional clauses, no constraint in filter context
+        if not exprs:
+            raise ValueError("empty bool inside nested query")
+        return " AND ".join(exprs)
+    raise ValueError(
+        f"unsupported query kind {kind!r} inside nested; supported: "
+        "term, terms, range, exists, match_all, bool"
+    )
+
+
+def _leaf_nested(ctx, body):
+    """ES `nested` query (query-dsl-nested-query.html): per-element
+    scoped predicates over an array-of-structs docs column. The defining
+    contract — ALL inner predicates must match the SAME element — maps
+    to Spark's `exists(path, e -> <inner conjunction>)` higher-order
+    function: one docs-scan projection, whole-stage codegen, no explode,
+    no shuffle (the fold layer builds these arrays from bracket labels,
+    PlainKeyValueStreamListener.java:291-321, README.md:553-605).
+
+    score_mode: matching elements are filter-context predicates with
+    constant per-element score 1.0, so 'none'/'avg'/'max'/'min' all
+    yield boost × 1.0 and 'sum' yields boost × (matching-element count)
+    — exactly ES's combination rules applied to constant child scores
+    (documented deviation: no per-element BM25 relevance)."""
+    spec = dict(body)
+    path = spec.get("path")
+    inner = spec.get("query")
+    boost = float(spec.get("boost", 1.0))
+    mode = spec.get("score_mode", "avg")
+    if not path or not isinstance(inner, dict):
+        raise ValueError("nested wants {'path': col, 'query': {...}}")
+    if mode not in ("none", "avg", "max", "min", "sum"):
+        raise ValueError(f"unsupported nested score_mode {mode!r}")
+    schema = {f.name: f for f in ctx.docs().schema.fields}
+    if path not in schema:
+        raise ValueError(
+            f"nested path {path!r} not a docs metadata column; "
+            f"have {ctx.meta_cols()}"
+        )
+    from pyspark.sql.types import ArrayType, StructType
+
+    dt = schema[path].dataType
+    if not (
+        isinstance(dt, ArrayType) and isinstance(dt.elementType, StructType)
+    ):
+        raise ValueError(
+            f"nested path {path!r} must be array<struct<...>>, got "
+            f"{dt.simpleString()}"
+        )
+    elem_fields = [f.name for f in dt.elementType.fields]
+    pred = _nested_elem_sql(path, inner, elem_fields)
+    sql = f"exists({path}, e -> {pred})"
+    if mode == "sum":
+        matched = ctx.docs().filter(F.expr(sql))
+        return matched.select(
+            *ctx.keys,
+            (
+                F.expr(f"size(filter({path}, e -> {pred}))").cast("double")
+                * F.lit(boost)
+            ).alias("score"),
+        )
+    return _set_score(ctx, ctx.filter_ids(sql), boost)
+
+
 def _leaf_ids(ctx, body):
     df = ctx.reader.ids_df(
         list(body["values"]), id_field=body.get("id_field", "path")
@@ -1126,6 +1269,7 @@ _LEAFS = {
     "terms": _leaf_terms,
     "range": _leaf_range,
     "exists": _leaf_exists,
+    "nested": _leaf_nested,
     "ids": _leaf_ids,
     "parent_id": _leaf_parent_id,
     "prefix": _leaf_prefix,

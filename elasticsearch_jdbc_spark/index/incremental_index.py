@@ -3024,6 +3024,26 @@ class IncrementalIndexReader:
 
         return search_dsl_df(self, body, k=k, filter_sql=filter_sql)
 
+    def nested_df(
+        self,
+        path: str,
+        query: dict,
+        score_mode: str = "avg",
+        boost: float = 1.0,
+        k: int | None = None,
+    ) -> DataFrame:
+        """ES `nested` query over the LIVE index (same-element scoped
+        predicates on an array-of-structs column; tombstone masking and
+        segment recency inherited) — see index/dsl.py _leaf_nested."""
+        from .dsl import search_dsl_df
+
+        return search_dsl_df(
+            self,
+            {"nested": {"path": path, "query": query,
+                        "score_mode": score_mode, "boost": boost}},
+            k=k,
+        )
+
     def profile_dsl(
         self,
         body: dict,

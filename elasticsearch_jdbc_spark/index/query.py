@@ -5286,6 +5286,28 @@ class IndexReader:
 
         return search_dsl_df(self, body, k=k, filter_sql=filter_sql)
 
+    def nested_df(
+        self,
+        path: str,
+        query: dict,
+        score_mode: str = "avg",
+        boost: float = 1.0,
+        k: int | None = None,
+    ) -> DataFrame:
+        """ES `nested` query, typed surface: per-element scoped
+        predicates over an array-of-structs docs column — all inner
+        predicates must hit the SAME element. Compiles to Spark's
+        `exists(path, e -> ...)` higher-order function (see
+        index/dsl.py _leaf_nested for grammar and score_mode rules)."""
+        from .dsl import search_dsl_df
+
+        return search_dsl_df(
+            self,
+            {"nested": {"path": path, "query": query,
+                        "score_mode": score_mode, "boost": boost}},
+            k=k,
+        )
+
     def profile_dsl(
         self,
         body: dict,

@@ -4240,6 +4240,109 @@ def span_within_q(spark, sf_dir):
     )
 
 
+_NESTED_QUERY_SQL = """
+-- ES `nested` query oracle: per-element scoped predicates over an
+-- array-of-structs field, re-derived from the SAME doc_id arithmetic
+-- that plants the Spark-side comments column. Element j (j in 0..2,
+-- kept while j < doc_id % 4): author = 'u' || (doc_id + j) % 5,
+-- stars = (doc_id*7 + j*3) % 6. DuckDB list lambdas mirror the Spark
+-- higher-order functions exactly — the same-element conjunction is the
+-- per-element lambda body in both engines.
+WITH base AS (
+  SELECT doc_id,
+         list_filter(range(3), j ->
+           j < doc_id % 4
+           AND (doc_id + j) % 5 = 2
+           AND (doc_id * 7 + j * 3) % 6 >= 4) AS same_hits,
+         list_filter(range(3), j ->
+           j < doc_id % 4
+           AND (doc_id * 7 + j * 3) % 6 <= 1
+           AND NOT (doc_id + j) % 5 = 0) AS mixed_hits
+  FROM documents
+),
+hits AS (
+  SELECT 'same_elem' AS q, doc_id,
+         CAST(len(same_hits) AS DOUBLE) AS score
+  FROM base WHERE len(same_hits) > 0
+  UNION ALL
+  SELECT 'mixed', doc_id, 1.0 FROM base WHERE len(mixed_hits) > 0
+)
+SELECT q, doc_id, score FROM hits ORDER BY q, doc_id
+"""
+
+
+@_reg("nested_query_search", _NESTED_QUERY_SQL)
+def nested_query_q(spark, sf_dir):
+    """ES `nested` query through the REAL engine, ORACLE-CHECKED: a
+    planted corpus carries `comments: array<struct<author, stars>>`
+    (doc_id arithmetic, 0-3 elements per doc — the array-of-objects
+    shape the reference's bracket fold produces,
+    PlainKeyValueStreamListener.java:291-321, README.md:553-605) through
+    the builder's metadata passthrough; the `nested` DSL leaf compiles
+    the inner bool to ONE `exists(comments, e -> ...)` higher-order
+    predicate, enforcing ES's same-element rule (two conjuncts must hit
+    the SAME element). Two flavors: score_mode='sum' (score = matching
+    element count) and a filter/must_not bool with constant score.
+    Full unranked match sets, ordered by (q, doc_id) — no window."""
+    import hashlib as _h
+    import os as _os
+    import tempfile as _tmp
+
+    from ..index import IndexBuilder, IndexReader
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.select(
+        F.lit("r").alias("repo"),
+        F.format_string("doc/%d.txt", F.col("doc_id").cast("int")).alias("path"),
+        F.lit("c").alias("commit"),
+        F.lit("txt").alias("lang"),
+        F.lit("pad text").alias("content"),
+        F.expr(
+            "slice(transform(sequence(0, 2), j -> named_struct("
+            "'author', concat('u', cast((doc_id + j) % 5 as string)), "
+            "'stars', cast((doc_id * 7 + j * 3) % 6 as bigint))), "
+            "1, cast(doc_id % 4 as int))"
+        ).alias("comments"),
+    )
+    tag = _h.sha1(f"{sf_dir}|nstq1".encode()).hexdigest()[:10]
+    idx = _os.path.join(_tmp.gettempdir(), f"registry_nstq_{tag}")
+    IndexBuilder(spark, idx, partitions=4).build(corpus)
+    reader = IndexReader(spark, idx)
+    ids = _index_docid_map(spark, idx)
+    same = reader.search_dsl_df(
+        {"nested": {
+            "path": "comments",
+            "score_mode": "sum",
+            "query": {"bool": {"must": [
+                {"term": {"comments.author": "u2"}},
+                {"range": {"comments.stars": {"gte": 4}}},
+            ]}},
+        }},
+        k=None,
+    ).withColumn("q", F.lit("same_elem"))
+    mixed = reader.search_dsl_df(
+        {"nested": {
+            "path": "comments",
+            "score_mode": "none",
+            "query": {"bool": {
+                "filter": [{"range": {"comments.stars": {"lte": 1}}}],
+                "must_not": [{"term": {"comments.author": "u0"}}],
+            }},
+        }},
+        k=None,
+    ).withColumn("q", F.lit("mixed"))
+    return (
+        same.unionByName(mixed)
+        .join(ids, "doc_id")
+        .select(
+            "q",
+            F.col("documents_doc_id").alias("doc_id"),
+            F.col("score").cast("double").alias("score"),
+        )
+        .orderBy("q", "doc_id")
+    )
+
+
 @_reg("pipeline_bpe_train")  # rows-only: iterative (merge k+1 depends on k),
 # the documented non-SQL-expressible class — brute-force reference-trainer
 # parity + partitioning invariance live in tests/test_bpe.py
