@@ -1014,7 +1014,71 @@ def _sum_scores(ctx, dfs: list[DataFrame]) -> DataFrame:
     return out
 
 
+def _flat_bool_fast(ctx, body):
+    """ONE-postings-scan fast path for a FLAT bool: when every clause is
+    a bare default-options `match` on the content pseudo-field of a
+    plain corpus, the whole bool routes through the search_bool_df
+    kernel — one postings scan over the union of terms, conjunction and
+    exclusion as aggregation predicates — instead of one postings scan
+    per leaf plus joins (VERDICT r4 #4). Returns None (fall back to the
+    generic compiler) whenever exact score parity is not guaranteed:
+    fields corpora (per-field namespaces/boosts), filter clauses,
+    explicit minimum_should_match, non-match clauses, per-clause
+    options, stopword-empty clauses, or a term shared by two clauses
+    (the kernel scans each term once; the per-leaf path would sum it
+    twice)."""
+    if ctx.fields or ctx.runtime:
+        return None
+    if body.get("filter") or "minimum_should_match" in body:
+        return None
+    known = {"must", "should", "must_not", "boost"}
+    if any(k not in known for k in body):
+        return None
+
+    def clause_tokens(key):
+        out = []
+        for q in _aslist(body.get(key)):
+            if not isinstance(q, dict) or len(q) != 1 or "match" not in q:
+                return None
+            field, spec = _field_spec(q["match"])
+            if field not in ("content", "text", "_all"):
+                return None
+            if set(spec) - {"query"}:
+                return None
+            v = spec["query"]
+            if not isinstance(v, str):
+                return None
+            toks = ctx.reader.query_terms(v)
+            if not toks:
+                return None  # stopword-empty clause: semantics diverge
+            out.append(toks)
+        return out
+
+    must = clause_tokens("must")
+    should = clause_tokens("should")
+    must_not = clause_tokens("must_not")
+    if must is None or should is None or must_not is None:
+        return None
+    if not (must or should):
+        return None  # let the generic path raise its error
+    flat = [t for c in must + should for t in c]
+    if len(flat) != len(set(flat)):
+        return None
+    # each clause rides as ONE nested or-group (ES match, operator OR:
+    # >=1 token of the clause); must_not flattens to exclusion terms
+    out = ctx.reader.search_bool_df(
+        must=must,
+        should=should,
+        must_not=[t for c in must_not for t in c],
+        k=None,
+    )
+    return _scale(out, float(body.get("boost", 1.0)))
+
+
 def _compound_bool(ctx, body):
+    fast = _flat_bool_fast(ctx, body)
+    if fast is not None:
+        return fast
     must = [_compile(ctx, q) for q in _aslist(body.get("must"))]
     filt = [_compile(ctx, q) for q in _aslist(body.get("filter"))]
     should = [_compile(ctx, q) for q in _aslist(body.get("should"))]
@@ -1538,7 +1602,12 @@ def profile_dsl(
         q = {kk: vv for kk, vv in q.items() if kk not in (
             "collapse", "runtime_mappings", "sort", "size", "from",
             "fields", "_source", "rescore", "post_filter", "min_score",
-            "aggs", "aggregations")}
+            "aggs", "aggregations", "highlight", "suggest")}
+    knn_hybrid = None
+    if isinstance(q, dict) and "knn" in q and "query" in q:
+        # top-level knn + query: profile both sides under one fusion node
+        q = dict(q)
+        knn_hybrid = _aslist(q.pop("knn"))
     if isinstance(q, dict) and "query" in q and len(q) == 1:
         q = q["query"]
     if isinstance(q, dict) and len(q) == 1 and "retriever" in q:
@@ -1554,10 +1623,22 @@ def profile_dsl(
         tree = rtree(q["retriever"])
     else:
         tree = _profile_node(q)
+    if knn_hybrid is not None:
+        tree = {
+            "type": "knn_hybrid",
+            "surface": "search_dsl_df score-sum fusion (ES 8 top-level knn)",
+            "children": [tree] + [
+                {"type": "knn", "surface": "_leaf_knn", "children": []}
+                for _ in knn_hybrid
+            ],
+        }
     hb = body
-    if isinstance(hb, dict) and ("aggs" in hb or "aggregations" in hb):
+    if isinstance(hb, dict) and (
+        "aggs" in hb or "aggregations" in hb
+        or "highlight" in hb or "suggest" in hb
+    ):
         hb = {kk: vv for kk, vv in hb.items()
-              if kk not in ("aggs", "aggregations")}
+              if kk not in ("aggs", "aggregations", "highlight", "suggest")}
     df = search_dsl_df(reader, hb, k=k, filter_sql=filter_sql)
     try:
         qe = df._jdf.queryExecution()
@@ -1809,29 +1890,201 @@ def _es_composite_sources(sources) -> tuple[list, list[str], list[bool]]:
     return native, orders, missing
 
 
-def search_request(reader, body: dict) -> dict:
+def _highlight_texts(q: dict) -> list[str]:
+    """Walk a query-DSL tree collecting the text every scoring/matching
+    clause contributes — the term source for highlighting (ES highlights
+    from the query's analyzed terms; must_not clauses never highlight)."""
+    kind, spec = _one(q)
+    out: list[str] = []
+    if kind in (
+        "match", "match_phrase", "match_phrase_prefix", "term",
+        "prefix", "fuzzy", "wildcard",
+    ):
+        _f, s = _field_spec(spec)
+        out.append(str(s["query"]))
+    elif kind == "terms":
+        b = {k: v for k, v in dict(spec).items() if k != "boost"}
+        _f, vals = _one(b)
+        out.extend(str(v) for v in _aslist(vals))
+    elif kind in (
+        "multi_match", "combined_fields", "query_string",
+        "simple_query_string", "more_like_this",
+    ):
+        v = spec.get("query") or spec.get("like") or ""
+        out.extend(str(x) for x in _aslist(v))
+    elif kind == "bool":
+        for sub in (
+            _aslist(spec.get("must"))
+            + _aslist(spec.get("filter"))
+            + _aslist(spec.get("should"))
+        ):
+            out.extend(_highlight_texts(sub))
+    elif kind == "dis_max":
+        for sub in spec.get("queries", []):
+            out.extend(_highlight_texts(sub))
+    elif kind == "boosting":
+        out.extend(_highlight_texts(spec["positive"]))
+    elif kind == "constant_score":
+        out.extend(_highlight_texts(spec["filter"]))
+    elif kind in ("function_score", "script_score") and "query" in spec:
+        out.extend(_highlight_texts(spec["query"]))
+    return out
+
+
+def _apply_highlight(reader, hits, hl, query_body, source):
+    """Request-body `highlight` section: enrich the (tiny) ranked hits
+    page with the best matching fragment of each doc's text, query terms
+    tag-wrapped. The index stores no _source (the reference's model: the
+    database is authoritative, README.md quick-start), so the corpus
+    `source` DataFrame must be passed to search_request. Plan = the
+    typed highlight_df's: hits join docs keys, left-join the source on
+    the key columns (k rows prune the scan), ONE mapInPandas snippet
+    kernel over the k survivors — text never reaches the driver."""
+    if source is None:
+        raise ValueError(
+            "the body has a highlight section — the index stores no "
+            "_source, pass the corpus: search_request(body, "
+            "source=<corpus DataFrame>)"
+        )
+    if not isinstance(hl, dict) or not hl.get("fields"):
+        raise ValueError("highlight wants {'fields': {<source col>: {...}}}")
+    if len(hl["fields"]) != 1:
+        raise ValueError(
+            "one highlight field per request (engine-native restriction)"
+        )
+    ((text_col, fspec),) = hl["fields"].items()
+    fspec = fspec or {}
+    pre = (_aslist(fspec.get("pre_tags") or hl.get("pre_tags")) or ["<em>"])[0]
+    post = (
+        _aslist(fspec.get("post_tags") or hl.get("post_tags")) or ["</em>"]
+    )[0]
+    # engine-native knob: fragment width in TOKENS (ES fragment_size is
+    # chars; ~8 chars/token maps the default 100 -> 12)
+    window = int(fspec.get("window", hl.get("window", 12)))
+    if text_col not in source.columns:
+        raise ValueError(
+            f"highlight field {text_col!r} not a source column; "
+            f"source has {source.columns}"
+        )
+    from ..functions.tokenizer import tokenize_py
+    from .query import _snippet_map
+
+    terms: set[str] = set()
+    if query_body is not None:
+        for t in _highlight_texts(query_body):
+            terms.update(tokenize_py(t))
+    ctx = _Ctx(reader)
+    key_cols = list(ctx.r0.manifest["key_cols"])
+    need = [c for c in key_cols if c not in hits.columns]
+    if need:
+        hits = hits.join(ctx.docs().select(*ctx.keys, *need), ctx.keys)
+    rows = hits.join(source.select(*key_cols, text_col), key_cols, "left")
+    out = _snippet_map(rows, text_col, terms, window, pre, post)
+    return out.orderBy(F.desc("score"), *[F.asc(c) for c in ctx.keys])
+
+
+def _apply_suggest(reader, suggest: dict) -> dict:
+    """Request-body `suggest` section: {name: {'text'|'prefix': ...,
+    'term'|'phrase'|'completion': {...}}} — each named suggester
+    dispatches to the matching typed surface (suggest_df /
+    phrase_suggest_df / complete_df) and comes back as a DataFrame."""
+    if not isinstance(suggest, dict):
+        raise ValueError(
+            "suggest wants {name: {'text': ..., 'term'|'phrase'|"
+            "'completion': {...}}}"
+        )
+    fields = (
+        reader.readers[reader.segments[0]]
+        if hasattr(reader, "segments")
+        else reader
+    ).manifest.get("fields")
+    out: dict = {}
+    for name, spec in suggest.items():
+        spec = dict(spec)
+        text = spec.pop("text", None)
+        prefix = spec.pop("prefix", None)
+        kinds = [k for k in spec if k in ("term", "phrase", "completion")]
+        if len(kinds) != 1:
+            raise ValueError(
+                f"suggester {name!r} wants exactly one of "
+                "term/phrase/completion"
+            )
+        kind = kinds[0]
+        s = dict(spec[kind] or {})
+        field = s.get("field")
+        if not fields:
+            field = None  # plain corpus: single namespace (suggest_df)
+        if kind == "term":
+            if text is None:
+                raise ValueError(f"term suggester {name!r} needs 'text'")
+            out[name] = reader.suggest_df(
+                text,
+                size=int(s.get("size", 5)),
+                max_edits=int(s.get("max_edits", 2)),
+                prefix_length=int(s.get("prefix_length", 1)),
+                field=field,
+            )
+        elif kind == "phrase":
+            if text is None:
+                raise ValueError(f"phrase suggester {name!r} needs 'text'")
+            kw = {
+                k: s[k]
+                for k in (
+                    "size", "max_edits", "prefix_length",
+                    "candidates_per_token",
+                )
+                if k in s
+            }
+            out[name] = reader.phrase_suggest_df(text, field=field, **kw)
+        else:
+            p = prefix if prefix is not None else text
+            if p is None:
+                raise ValueError(
+                    f"completion suggester {name!r} needs 'prefix'"
+                )
+            fz = s.get("fuzzy") or {}
+            out[name] = reader.complete_df(
+                p,
+                size=int(s.get("size", 5)),
+                fuzziness=int(fz.get("fuzziness", 0)),
+                name=s.get("name"),
+            )
+    return out
+
+
+def search_request(reader, body: dict, source: DataFrame | None = None) -> dict:
     """The full ES `_search` response shape from ONE request body:
-    {"hits": <ranked DataFrame>, "aggregations": <DataFrame | None>}.
+    {"hits": <ranked DataFrame>, "aggregations": <DataFrame | None>,
+    "suggest": <{name: DataFrame} | None>}.
 
     The body splits exactly as ES does: `query` + hit-shaping params
     (sort/from/size/fields/_source/collapse/rescore/min_score/
-    post_filter/runtime_mappings) drive the hits; the `aggs` section
-    computes over the QUERY match set — post_filter narrows the hits
-    only, never the aggregations (the faceted-navigation contract
+    post_filter/runtime_mappings) drive the hits; a top-level `knn`
+    fuses with the query by score sum (search_dsl_df); the `aggs`
+    section computes over the QUERY match set — post_filter narrows the
+    hits only, never the aggregations (the faceted-navigation contract
     post_filter exists for). runtime_mappings are shared by both sides.
-    An aggs-only request uses "size": 0 (hits comes back empty but with
-    the stable schema). Two plans, one body — Spark computes them
-    independently (ES too runs the agg collector separately from the
-    top-k collector)."""
+    A `highlight` section decorates each hit with (snippet, n_hits)
+    columns — pass the corpus as `source` (the index stores no _source;
+    the database is authoritative, the reference's model). A `suggest`
+    section returns one DataFrame per named suggester
+    (term/phrase/completion). An aggs-only request uses "size": 0 (hits
+    comes back empty but with the stable schema). Independent plans, one
+    body — ES too runs the agg/suggest collectors separately from the
+    top-k collector."""
     body = dict(body)
     aggs = body.pop("aggs", None)
     if aggs is None:
         aggs = body.pop("aggregations", None)
+    highlight = body.pop("highlight", None)
+    suggest = body.pop("suggest", None)
     if "query" not in body:
         body["query"] = {"match_all": {}}
     rm = body.get("runtime_mappings")
     query = body["query"]
     hits = search_dsl_df(reader, body)
+    if highlight is not None:
+        hits = _apply_highlight(reader, hits, highlight, query, source)
     aggs_df = None
     if aggs is not None:
         aggs_df = aggs_dsl_df(
@@ -1839,7 +2092,8 @@ def search_request(reader, body: dict) -> dict:
             query=None if query == {"match_all": {}} else query,
             runtime_mappings=rm,
         )
-    return {"hits": hits, "aggregations": aggs_df}
+    suggest_out = _apply_suggest(reader, suggest) if suggest else None
+    return {"hits": hits, "aggregations": aggs_df, "suggest": suggest_out}
 
 
 def aggs_dsl_df(
@@ -2163,15 +2417,23 @@ def search_dsl_df(
     if isinstance(body, dict) and "collapse" in body and len(body) > 1:
         body = dict(body)
         collapse = body.pop("collapse")
+    knn_sec = None
+    if isinstance(body, dict) and "knn" in body and "query" in body:
+        # TOP-LEVEL knn alongside query: the ES 8 hybrid contract — both
+        # sides run, a doc's final score is the SUM of its query score
+        # and its knn score (docs found by only one side keep that
+        # side's score). A body with knn and no query stays the DSL leaf.
+        body = dict(body)
+        knn_sec = body.pop("knn")
     if isinstance(body, dict) and "query" in body and len(body) > 1:
         # every supported request-body section was popped above — name
         # what is left instead of failing with a single-key parse error
         extra = sorted(k for k in body if k != "query")
         raise ValueError(
             f"unsupported request-body sections {extra}; supported: "
-            "query, retriever, aggs (via search_request), collapse, "
-            "rescore, post_filter, min_score, runtime_mappings, sort, "
-            "from, size, fields, _source"
+            "query, retriever, knn, aggs / highlight / suggest (via "
+            "search_request), collapse, rescore, post_filter, min_score, "
+            "runtime_mappings, sort, from, size, fields, _source"
         )
     if (
         isinstance(body, dict)
@@ -2189,6 +2451,27 @@ def search_dsl_df(
         ):
             body = body["query"]
         out = _compile(ctx, body)
+    if knn_sec is not None:
+        # score-sum fusion, one full-outer join per knn section (ES 8
+        # allows a list); join on the key-name list so Spark coalesces
+        # the key columns of the two sides
+        for ks in _aslist(knn_sec):
+            kdf = _leaf_knn(ctx, dict(ks))
+            out = (
+                out.withColumnRenamed("score", "_qs")
+                .join(
+                    kdf.withColumnRenamed("score", "_ks"),
+                    ctx.keys,
+                    "full_outer",
+                )
+                .select(
+                    *ctx.keys,
+                    (
+                        F.coalesce(F.col("_qs"), F.lit(0.0))
+                        + F.coalesce(F.col("_ks"), F.lit(0.0))
+                    ).alias("score"),
+                )
+            )
     if filter_sql:
         out = out.join(ctx.filter_ids(filter_sql), ctx.keys, "left_semi")
     if rescore is not None:

@@ -3057,13 +3057,15 @@ class IncrementalIndexReader:
 
         return profile_dsl(self, body, k=k, filter_sql=filter_sql)
 
-    def search_request(self, body: dict) -> dict:
+    def search_request(self, body: dict, source: DataFrame | None = None) -> dict:
         """The full ES `_search` response shape over the LIVE index:
-        {"hits": ranked DataFrame, "aggregations": DataFrame | None} —
-        post_filter narrows hits only (index/dsl.py search_request)."""
+        {"hits": ranked DataFrame, "aggregations": DataFrame | None,
+        "suggest": {name: DataFrame} | None} — post_filter narrows hits
+        only; `highlight` needs the corpus `source`; top-level `knn`
+        fuses with the query by score sum (index/dsl.py search_request)."""
         from .dsl import search_request
 
-        return search_request(self, body)
+        return search_request(self, body, source=source)
 
     def aggs_dsl_df(
         self,

@@ -5321,14 +5321,16 @@ class IndexReader:
 
         return profile_dsl(self, body, k=k, filter_sql=filter_sql)
 
-    def search_request(self, body: dict) -> dict:
+    def search_request(self, body: dict, source: DataFrame | None = None) -> dict:
         """The full ES `_search` response shape from one request body:
-        {"hits": ranked DataFrame, "aggregations": DataFrame | None} —
-        post_filter narrows hits only, aggs see the query match set
-        (index/dsl.py search_request)."""
+        {"hits": ranked DataFrame, "aggregations": DataFrame | None,
+        "suggest": {name: DataFrame} | None} — post_filter narrows hits
+        only, aggs see the query match set; a `highlight` section needs
+        the corpus `source` (no stored _source); top-level `knn` fuses
+        with the query by score sum (index/dsl.py search_request)."""
         from .dsl import search_request
 
-        return search_request(self, body)
+        return search_request(self, body, source=source)
 
     def aggs_dsl_df(
         self,

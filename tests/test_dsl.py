@@ -927,3 +927,43 @@ def test_terms_set_missing_terms_rejected(spark, setup):
     with pytest.raises(ValueError, match="terms_set"):
         r.search_dsl_df({"terms_set": {"lang": {
             "minimum_should_match_field": "dl"}}})
+
+
+def test_flat_bool_fast_path_parity(spark, setup):
+    """The one-scan flat-bool kernel route is score-identical to the
+    generic per-leaf compiler (forced via a no-op clause boost)."""
+    d, r, docs = setup
+    clauses = {
+        "must": [{"match": {"content": "merge buffer"}}],
+        "should": [{"match": {"content": "stream"}},
+                   {"match": {"content": "segment index"}}],
+        "must_not": [{"match": {"content": "error"}}],
+    }
+    fast = _scores(r.search_dsl_df({"bool": clauses}, k=None))
+    slow_clauses = {
+        "must": [{"match": {"content": {"query": "merge buffer",
+                                        "boost": 1.0}}}],
+        "should": clauses["should"],
+        "must_not": clauses["must_not"],
+    }
+    slow = _scores(r.search_dsl_df({"bool": slow_clauses}, k=None))
+    assert set(fast) == set(slow) and len(fast) > 0
+    for did, s in slow.items():
+        assert fast[did] == pytest.approx(s, rel=1e-9)
+    # duplicate term across clauses must NOT take the kernel (it would
+    # score the shared term once instead of twice)
+    dup = {"must": [{"match": {"content": "merge"}}],
+           "should": [{"match": {"content": "merge stream"}}]}
+    sdup = _scores(r.search_dsl_df({"bool": dup}, k=None))
+    sslow = _scores(r.search_dsl_df({"bool": {
+        "must": [{"match": {"content": {"query": "merge", "boost": 1.0}}}],
+        "should": dup["should"]}}, k=None))
+    for did, s in sslow.items():
+        assert sdup[did] == pytest.approx(s, rel=1e-9)
+    # pure-should flat bool: >=1 clause qualifies (ES msm default)
+    ps = _scores(r.search_dsl_df({"bool": {"should": clauses["should"]}},
+                                 k=None))
+    assert set(ps) == set(_scores(r.search_dsl_df(
+        {"bool": {"should": [
+            {"match": {"content": {"query": "stream", "boost": 1.0}}},
+            {"match": {"content": "segment index"}}]}}, k=None)))

@@ -316,3 +316,60 @@ def test_knn_df_requires_sidecar(spark, tmp_path):
     rr = IndexReader(spark, idx)
     with pytest.raises(ValueError, match="requires enable_ann"):
         rr.knn_df("emb", [1.0, 0.0, 0.0], num_candidates=5).collect()
+
+
+def test_top_level_knn_hybrid(spark, setup):
+    """ES 8 top-level `knn` alongside `query`: both sides run, a doc's
+    final score is the SUM of its BM25 score and its knn score; docs
+    found by only one side keep that side's score."""
+    d, r, docs = setup
+    KK = 7
+    match = {"match": {"content": "merge buffer"}}
+    qscores = {
+        x["doc_id"]: x["score"]
+        for x in r.search_dsl_df({"query": match}, k=None).collect()
+    }
+    kscores = dict(
+        (did, s) for s, did in [(s, i) for s, i in _brute(docs, QV, KK)]
+    )
+    want = {
+        did: qscores.get(did, 0.0) + kscores.get(did, 0.0)
+        for did in set(qscores) | set(kscores)
+    }
+    got = {
+        x["doc_id"]: x["score"]
+        for x in r.search_dsl_df(
+            {"query": match,
+             "knn": {"field": "emb", "query_vector": QV, "k": KK}},
+            k=None,
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for did, s in want.items():
+        assert got[did] == pytest.approx(s, rel=1e-9)
+    # knn-only body (no query) stays the DSL leaf — same scores as knn side
+    leaf = {
+        x["doc_id"]: x["score"]
+        for x in r.search_dsl_df(
+            {"knn": {"field": "emb", "query_vector": QV, "k": KK}}
+        ).collect()
+    }
+    assert leaf == {k: pytest.approx(v, rel=1e-9) for k, v in kscores.items()}
+
+
+def test_top_level_knn_profile_parity(spark, setup):
+    """profile_dsl on a hybrid body: the query tree shows the fusion
+    node with both children, and the hits match search_dsl_df."""
+    d, r, docs = setup
+    body = {"query": {"match": {"content": "merge buffer"}},
+            "knn": {"field": "emb", "query_vector": QV, "k": 5}}
+    p = r.profile_dsl(body, k=8)
+    assert p["query_tree"]["type"] == "knn_hybrid"
+    kinds = [c["type"] for c in p["query_tree"]["children"]]
+    assert "knn" in kinds and len(kinds) == 2
+    direct = r.search_dsl_df(body, k=8).collect()
+    via = p["hits"].collect()
+    assert [(x["doc_id"], x["score"]) for x in via] == [
+        (x["doc_id"], x["score"]) for x in direct
+    ]
+    assert "TakeOrderedAndProject" in p["physical_plan"] or "Sort" in p["physical_plan"]
