@@ -189,6 +189,76 @@ def geo_bbox_sql(
     return f"({lat_ok} AND {lon_ok})"
 
 
+def point_in_rings_sql(
+    lat_col: str, lon_col: str, rings: list[list[list[float]]]
+) -> str:
+    """Even-odd ray-casting point-in-polygon as ONE static boolean SQL
+    expression over (lat_col, lon_col) — the geo_shape query's
+    filter-context predicate (query-dsl-geo-shape-query.html). The
+    polygon's vertices are query-time literals, so every edge folds to
+    a constant-coefficient CASE term and the whole test stays inside
+    whole-stage codegen: no UDF, no explode, no join (the ip_range /
+    geotile precedent).
+
+    `rings` are GeoJSON linear rings ([lon, lat] vertices, first ==
+    last optional); crossing PARITY over all rings together implements
+    holes (a point inside the outer ring and inside a hole crosses an
+    even number of edges) and multi-polygons alike. Horizontal edges
+    never cross the horizontal ray and are dropped (also avoiding the
+    zero-slope division)."""
+    terms: list[str] = []
+    for ring in rings:
+        pts = [(float(p[0]), float(p[1])) for p in ring]
+        if len(pts) >= 2 and pts[0] == pts[-1]:
+            pts = pts[:-1]
+        if len(pts) < 3:
+            raise ValueError(f"polygon ring needs >= 3 distinct points: {ring}")
+        n = len(pts)
+        for i in range(n):
+            x1, y1 = pts[i]
+            x2, y2 = pts[(i + 1) % n]
+            if y1 == y2:
+                continue
+            slope = (x2 - x1) / (y2 - y1)
+            terms.append(
+                f"(CASE WHEN ({y1!r} > {lat_col}) != ({y2!r} > {lat_col}) "
+                f"AND {lon_col} < {slope!r} * ({lat_col} - {y1!r}) + {x1!r} "
+                "THEN 1 ELSE 0 END)"
+            )
+    if not terms:
+        raise ValueError("polygon has no non-horizontal edges")
+    return f"(({' + '.join(terms)}) % 2 = 1)"
+
+
+def geo_shape_rings(shape) -> list[list[list[float]]]:
+    """Normalize a geo_shape query shape — GeoJSON dict (Polygon /
+    MultiPolygon / the ES `envelope`) or a WKT string — to a flat list
+    of linear rings for point_in_rings_sql."""
+    if isinstance(shape, str):
+        gj = wkt_to_geojson_py(shape)
+        if gj is None:
+            raise ValueError(f"unparseable WKT shape {shape!r}")
+        import json as _json
+
+        shape = _json.loads(gj)
+    if not isinstance(shape, dict) or "type" not in shape:
+        raise ValueError("shape wants GeoJSON {'type', 'coordinates'} or WKT")
+    kind = str(shape["type"]).lower()
+    coords = shape.get("coordinates")
+    if kind == "polygon":
+        return list(coords)
+    if kind == "multipolygon":
+        return [ring for poly in coords for ring in poly]
+    if kind == "envelope":
+        # ES envelope: [[minLon, maxLat], [maxLon, minLat]]
+        (x1, y2), (x2, y1) = coords
+        return [[[x1, y1], [x2, y1], [x2, y2], [x1, y2], [x1, y1]]]
+    raise ValueError(
+        f"unsupported geo_shape type {shape['type']!r}; supported: "
+        "Polygon, MultiPolygon, envelope (points are the indexed side)"
+    )
+
+
 _GEOHASH32 = np.frombuffer(b"0123456789bcdefghjkmnpqrstuvwxyz", dtype="S1")
 
 

@@ -891,6 +891,48 @@ def _leaf_geo_bbox(ctx, body):
     return _set_score(ctx, ctx.filter_ids(sql), body.get("boost", 1.0))
 
 
+def _leaf_geo_shape(ctx, body):
+    """ES `geo_shape` query over indexed POINTS (the engine's geo model:
+    planted lat/lon metadata columns; the shape side comes from the
+    query). Polygon / MultiPolygon / envelope bodies — GeoJSON or WKT
+    (the A6 detector's six shapes parse via wkt_to_geojson_py,
+    GeoJSONShapeSerializer.java:38-202) — compile to ONE even-odd
+    ray-casting boolean expression with literal edge coefficients
+    (functions/geo.py point_in_rings_sql): filter context, no UDF,
+    whole-stage codegen. Relations over points: intersects == within ==
+    point-in-shape; disjoint negates; contains is rejected (a point
+    cannot contain a polygon — ES semantics)."""
+    from ..functions.geo import geo_shape_rings, point_in_rings_sql
+
+    body = dict(body)
+    boost = float(body.pop("boost", 1.0))
+    lat_col = body.pop("lat_col", "lat")
+    lon_col = body.pop("lon_col", "lon")
+    if "shape" in body:
+        spec = body
+    else:
+        _field, spec = _one(body)
+        spec = dict(spec) if isinstance(spec, dict) else {"shape": spec}
+    relation = str(spec.get("relation", "intersects")).lower()
+    if relation == "contains":
+        raise ValueError(
+            "geo_shape relation 'contains' is impossible over point "
+            "fields (a point cannot contain a shape) — ES rejects it too"
+        )
+    if relation not in ("intersects", "within", "disjoint"):
+        raise ValueError(f"unsupported geo_shape relation {relation!r}")
+    rings = geo_shape_rings(spec.get("shape"))
+    for col in (lat_col, lon_col):
+        if col not in ctx.meta_cols():
+            raise ValueError(
+                f"geo column {col!r} not in docs metadata {ctx.meta_cols()}"
+            )
+    sql = point_in_rings_sql(lat_col, lon_col, rings)
+    if relation == "disjoint":
+        sql = f"(NOT {sql})"
+    return _set_score(ctx, ctx.filter_ids(sql), boost)
+
+
 def _leaf_query_string(ctx, body):
     if isinstance(body, str):
         body = {"query": body}
@@ -1351,6 +1393,7 @@ _LEAFS = {
     "script": _leaf_script_query,
     "geo_distance": _leaf_geo_distance,
     "geo_bounding_box": _leaf_geo_bbox,
+    "geo_shape": _leaf_geo_shape,
     "query_string": _leaf_query_string,
     "simple_query_string": _leaf_query_string,
     "more_like_this": _leaf_mlt,

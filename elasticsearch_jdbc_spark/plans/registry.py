@@ -3220,6 +3220,85 @@ def geo_index_q(spark, sf_dir):
     )
 
 
+_GEO_SHAPE = {
+    "type": "Polygon",
+    "coordinates": [
+        [[-70.0, -45.0], [70.0, -45.0], [70.0, 45.0], [-70.0, 45.0],
+         [-70.0, -45.0]],
+        # hole: docs inside it are excluded by the even-odd parity
+        [[-25.0, -18.0], [25.0, -18.0], [25.0, 18.0], [-25.0, 18.0],
+         [-25.0, -18.0]],
+    ],
+}
+
+
+def _geo_shape_sql() -> str:
+    """geo_shape oracle: the same even-odd ray cast, evaluated the OTHER
+    way — a DuckDB list-lambda over the literal edge list with runtime
+    slope division (the Spark side unrolls constant-coefficient CASE
+    terms, functions/geo.py point_in_rings_sql), over lat/lon re-derived
+    from the planted doc_id arithmetic (corpus_from_documents)."""
+    edges = []
+    for ring in _GEO_SHAPE["coordinates"]:
+        pts = [(float(x), float(y)) for x, y in ring[:-1]]
+        for i in range(len(pts)):
+            x1, y1 = pts[i]
+            x2, y2 = pts[(i + 1) % len(pts)]
+            edges.append(
+                f"{{'x1': {x1!r}, 'y1': {y1!r}, 'x2': {x2!r}, 'y2': {y2!r}}}"
+            )
+    elist = "[" + ", ".join(edges) + "]"
+    return f"""
+    WITH pts AS (
+      SELECT doc_id,
+             CAST((doc_id * 7919) % 160 - 80 + 0.25 AS DOUBLE) AS lat,
+             CAST((doc_id * 104729) % 360 - 180 + 0.25 AS DOUBLE) AS lon
+      FROM documents
+    ),
+    flagged AS (
+      SELECT doc_id,
+             len(list_filter({elist}, e ->
+               (e.y1 > lat) <> (e.y2 > lat)
+               AND lon < (e.x2 - e.x1) * (lat - e.y1) / (e.y2 - e.y1) + e.x1
+             )) % 2 = 1 AS inside
+      FROM pts
+    )
+    SELECT q, doc_id FROM (
+      SELECT 'intersects' AS q, doc_id FROM flagged WHERE inside
+      UNION ALL
+      SELECT 'disjoint', doc_id FROM flagged WHERE NOT inside
+    ) ORDER BY q, doc_id
+    """
+
+
+@_reg("geo_shape_index_search", _geo_shape_sql())
+def geo_shape_index_q(spark, sf_dir):
+    """ES `geo_shape` query (polygon-with-hole over indexed points)
+    through the REAL engine, ORACLE-CHECKED: the query shape's edges
+    fold to ONE constant-coefficient even-odd parity expression in
+    filter context (no UDF, no join — functions/geo.py
+    point_in_rings_sql; shapes parse from GeoJSON or WKT,
+    GeoJSONShapeSerializer.java:38-202 parity). Both relations over the
+    same shape: intersects (point in shape, hole excluded) and disjoint
+    (the complement) — full unranked match sets, ordered by (q, doc_id)."""
+    from ..index import IndexReader
+
+    idx = _registry_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    ids = _index_docid_map(spark, idx)
+    out = None
+    for rel in ("intersects", "disjoint"):
+        hits = reader.search_dsl_df(
+            {"geo_shape": {"shape": _GEO_SHAPE, "relation": rel}}, k=None
+        ).withColumn("q", F.lit(rel))
+        out = hits if out is None else out.unionByName(hits)
+    return (
+        out.join(ids, "doc_id")
+        .select("q", F.col("documents_doc_id").alias("doc_id"))
+        .orderBy("q", "doc_id")
+    )
+
+
 _COMPOSITE_AFTER = ("en", 40.0)
 
 

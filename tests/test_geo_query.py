@@ -200,3 +200,133 @@ def test_geo_live_upsert_moves_doc(spark, idx, tmp_path):
     rows = ri.search_sorted_df(Q, sort=[(expr, "asc")], k=5).collect()
     dists = [row["sort_0"] for row in rows]
     assert dists == sorted(dists)
+
+
+def _pip(lat, lon, rings):
+    """Brute even-odd ray casting (holes = parity across all rings)."""
+    inside = False
+    for ring in rings:
+        pts = [(float(x), float(y)) for x, y in ring]
+        if pts[0] == pts[-1]:
+            pts = pts[:-1]
+        n = len(pts)
+        for i in range(n):
+            x1, y1 = pts[i]
+            x2, y2 = pts[(i + 1) % n]
+            if (y1 > lat) != (y2 > lat) and lon < (x2 - x1) * (lat - y1) / (
+                y2 - y1
+            ) + x1:
+                inside = not inside
+    return inside
+
+
+POLY_HOLE = {
+    "type": "Polygon",
+    "coordinates": [
+        [[-60.0, -40.0], [60.0, -40.0], [60.0, 40.0], [-60.0, 40.0],
+         [-60.0, -40.0]],
+        [[-20.0, -15.0], [20.0, -15.0], [20.0, 15.0], [-20.0, 15.0],
+         [-20.0, -15.0]],
+    ],
+}
+
+
+def test_geo_shape_polygon_with_hole(spark, idx):
+    """geo_shape over points: even-odd parity matches the brute ray
+    caster, including the hole (docs inside the hole excluded)."""
+    d, _ = idx
+    r = IndexReader(spark, d)
+    meta = _meta(spark, d)
+    rings = POLY_HOLE["coordinates"]
+    want = {did for did, (la, lo) in meta.items() if _pip(la, lo, rings)}
+    got = {
+        x["doc_id"]
+        for x in r.search_dsl_df(
+            {"geo_shape": {"shape": POLY_HOLE}}, k=None
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+    # some doc must be excluded BY THE HOLE specifically (inside outer,
+    # outside match set)
+    outer_only = {
+        did for did, (la, lo) in meta.items() if _pip(la, lo, rings[:1])
+    }
+    assert outer_only - want, "fixture degenerate: hole excludes nobody"
+    # disjoint = complement
+    dis = {
+        x["doc_id"]
+        for x in r.search_dsl_df(
+            {"geo_shape": {"shape": POLY_HOLE, "relation": "disjoint"}},
+            k=None,
+        ).collect()
+    }
+    assert dis == set(meta) - want
+
+
+def test_geo_shape_wkt_envelope_multipolygon(spark, idx):
+    d, _ = idx
+    r = IndexReader(spark, d)
+    meta = _meta(spark, d)
+    # WKT polygon (triangle)
+    wkt = "POLYGON ((-100 -50, 100 -50, 0 70, -100 -50))"
+    tri = [[[-100.0, -50.0], [100.0, -50.0], [0.0, 70.0], [-100.0, -50.0]]]
+    got = {
+        x["doc_id"]
+        for x in r.search_dsl_df({"geo_shape": {"shape": wkt}}, k=None).collect()
+    }
+    assert got == {d2 for d2, (la, lo) in meta.items() if _pip(la, lo, tri)}
+    # envelope == bbox
+    env = {"type": "envelope", "coordinates": [[-30.0, 50.0], [40.0, -10.0]]}
+    gote = {
+        x["doc_id"]
+        for x in r.search_dsl_df({"geo_shape": {"shape": env}}, k=None).collect()
+    }
+    want = {
+        d2 for d2, (la, lo) in meta.items()
+        if -10.0 < la and la < 50.0 and -30.0 < lo and lo < 40.0
+    }
+    assert gote == want
+    # multipolygon: union of two disjoint boxes
+    mp = {"type": "MultiPolygon", "coordinates": [
+        [[[-170.0, -70.0], [-120.0, -70.0], [-120.0, -20.0], [-170.0, -20.0],
+          [-170.0, -70.0]]],
+        [[[120.0, 20.0], [170.0, 20.0], [170.0, 70.0], [120.0, 70.0],
+          [120.0, 20.0]]],
+    ]}
+    gotm = {
+        x["doc_id"]
+        for x in r.search_dsl_df({"geo_shape": {"shape": mp}}, k=None).collect()
+    }
+    rings = [ring for poly in mp["coordinates"] for ring in poly]
+    assert gotm == {d2 for d2, (la, lo) in meta.items() if _pip(la, lo, rings)}
+    assert len(gotm) > 0
+
+
+def test_geo_shape_field_form_and_validation(spark, idx):
+    d, _ = idx
+    r = IndexReader(spark, d)
+    # ES field-keyed form {field: {shape, relation}} works too
+    a = r.search_dsl_df(
+        {"geo_shape": {"location": {"shape": POLY_HOLE}}}, k=None
+    ).count()
+    b = r.search_dsl_df({"geo_shape": {"shape": POLY_HOLE}}, k=None).count()
+    assert a == b > 0
+    with pytest.raises(ValueError, match="contains"):
+        r.search_dsl_df(
+            {"geo_shape": {"shape": POLY_HOLE, "relation": "contains"}})
+    with pytest.raises(ValueError, match="relation"):
+        r.search_dsl_df(
+            {"geo_shape": {"shape": POLY_HOLE, "relation": "overlaps"}})
+    with pytest.raises(ValueError, match="unsupported geo_shape type"):
+        r.search_dsl_df(
+            {"geo_shape": {"shape": {"type": "LineString",
+                                     "coordinates": [[0, 0], [1, 1]]}}})
+    with pytest.raises(ValueError, match=">= 3 distinct"):
+        r.search_dsl_df(
+            {"geo_shape": {"shape": {"type": "Polygon",
+                                     "coordinates": [[[0, 0], [1, 1]]]}}})
+    # composes as filter context inside bool
+    hybrid = r.search_dsl_df({"bool": {
+        "must": [{"match": {"content": "merge"}}],
+        "filter": [{"geo_shape": {"shape": POLY_HOLE}}]}}, k=None)
+    assert hybrid.count() > 0
