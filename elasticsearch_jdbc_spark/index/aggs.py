@@ -232,24 +232,9 @@ def adjacency_matrix(
     )
 
 
-def geotile_grid(
-    df: DataFrame,
-    lat_col: str = "lat",
-    lon_col: str = "lon",
-    precision: int = 7,
-) -> DataFrame:
-    """ES `geotile_grid` aggregation: bucket points into web-mercator
-    map tiles at `precision` (zoom 0..29), key "z/x/y" — the ES tile-key
-    format. Pure closed-form math (no geohash bit interleave), so the
-    whole bucketing is one whole-stage-codegen projection + one groupBy,
-    and the identical formula runs in any SQL engine:
-
-      x = floor((lon + 180) / 360 * 2^z)
-      y = floor((1 - ln(tan(lat') + 1/cos(lat')) / pi) / 2 * 2^z)
-
-    with latitude clamped to the web-mercator domain (|lat| <= 85.0511…,
-    the ES/OSM convention). Returns (key, doc_count) ordered by count
-    desc then key (the ES bucket order)."""
+def geotile_key(lat_col: str, lon_col: str, precision: int):
+    """The web-mercator "z/x/y" tile-key Column (shared by the typed
+    geotile_grid surface and the request-body bucket kind)."""
     if not 0 <= precision <= 29:
         raise ValueError(f"precision must be 0..29, got {precision}")
     n = float(2 ** precision)
@@ -269,7 +254,28 @@ def geotile_grid(
     # the x floor lands exactly at 2^z for lon = +180; clamp into range
     x = F.least(x, F.lit(int(n) - 1)).cast("long")
     y = F.least(F.greatest(y, F.lit(0)), F.lit(int(n) - 1)).cast("long")
-    key = F.concat_ws("/", F.lit(precision), x, y)
+    return F.concat_ws("/", F.lit(precision), x, y)
+
+
+def geotile_grid(
+    df: DataFrame,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    precision: int = 7,
+) -> DataFrame:
+    """ES `geotile_grid` aggregation: bucket points into web-mercator
+    map tiles at `precision` (zoom 0..29), key "z/x/y" — the ES tile-key
+    format. Pure closed-form math (no geohash bit interleave), so the
+    whole bucketing is one whole-stage-codegen projection + one groupBy,
+    and the identical formula runs in any SQL engine:
+
+      x = floor((lon + 180) / 360 * 2^z)
+      y = floor((1 - ln(tan(lat') + 1/cos(lat')) / pi) / 2 * 2^z)
+
+    with latitude clamped to the web-mercator domain (|lat| <= 85.0511…,
+    the ES/OSM convention). Returns (key, doc_count) ordered by count
+    desc then key (the ES bucket order)."""
+    key = geotile_key(lat_col, lon_col, precision)
     return (
         df.filter(F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull())
         .groupBy(key.alias("key"))

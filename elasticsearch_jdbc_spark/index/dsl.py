@@ -205,6 +205,24 @@ def _field_spec(body: dict):
     return field, spec
 
 
+def _plain_text_query(query) -> str | None:
+    """A bare default-options {'match': {content: <str>}} body -> its
+    text; None otherwise (the typed-surface dispatch precondition)."""
+    if not isinstance(query, dict) or len(query) != 1:
+        return None
+    kind, spec = next(iter(query.items()))
+    if kind != "match":
+        return None
+    try:
+        f, s = _field_spec(spec)
+    except ValueError:
+        return None
+    if f not in ("content", "text", "_all") or set(s) - {"query"}:
+        return None
+    v = s["query"]
+    return v if isinstance(v, str) else None
+
+
 def _text_field_check(ctx: _Ctx, field: str):
     """Resolve a text-query field: per-field boosts dict on a fields
     corpus; None on a plain corpus (where only the content pseudo-fields
@@ -1718,6 +1736,7 @@ _METRIC_KINDS = (
 _BUCKET_KINDS = (
     "terms", "histogram", "date_histogram", "range", "filters", "missing",
     "rare_terms", "multi_terms", "categorize_text", "global",
+    "geotile_grid", "sampler", "diversified_sampler",
 )
 
 
@@ -1770,10 +1789,14 @@ def _bucket_key(ctx: _Ctx, rows: DataFrame, name: str, kind: str, spec: dict):
     """Attach the bucket key column `name` to `rows` (exploding when a doc
     lands in several buckets — range/filters). Returns (rows, level_meta)
     where level_meta carries the post-aggregation cut knobs."""
-    sized = ("terms", "multi_terms", "categorize_text")
+    sized = ("terms", "multi_terms", "categorize_text", "geotile_grid")
     meta = {
         "name": name,
-        "size": (int(spec.get("size", 10)) if kind in sized else None),
+        "size": (
+            int(spec.get("size", 10000 if kind == "geotile_grid" else 10))
+            if kind in sized
+            else None
+        ),
         "min_doc_count": int(
             spec.get("min_doc_count", 1 if kind in sized else 0)
         ),
@@ -1789,6 +1812,22 @@ def _bucket_key(ctx: _Ctx, rows: DataFrame, name: str, kind: str, spec: dict):
         if dict(rows.dtypes).get(spec["field"], "").startswith("array"):
             return rows.withColumn(name, F.explode(F.array_distinct(c))), meta
         return rows.withColumn(name, c), meta
+    if kind == "geotile_grid":
+        # web-mercator z/x/y bucket key (the typed aggs.geotile_grid
+        # closed form — one codegen projection, no geohash interleave);
+        # bucket order = doc_count desc, key asc, size cut like terms
+        from .aggs import geotile_key
+
+        key = geotile_key(
+            spec.get("lat_col", "lat"),
+            spec.get("lon_col", "lon"),
+            int(spec.get("precision", 7)),
+        )
+        rows = rows.filter(
+            F.col(spec.get("lat_col", "lat")).isNotNull()
+            & F.col(spec.get("lon_col", "lon")).isNotNull()
+        )
+        return rows.withColumn(name, key), meta
     if kind == "multi_terms":
         # ES returns the key as an array; flattened output joins the
         # parts with '|' (engine-native single-column key chain)
@@ -2153,7 +2192,11 @@ def aggs_dsl_df(
     Grammar: {name: {<kind>: spec [, "aggs": {...}]}} with bucket kinds
     terms / histogram / date_histogram / range / filters / missing /
     rare_terms (doc_count <= max_doc_count, default 1) / multi_terms
-    (composite key, parts '|'-joined into one column) and
+    (composite key, parts '|'-joined into one column) / geotile_grid
+    (web-mercator z/x/y key) / sampler + diversified_sampler (row-set
+    restrictors before the subtree; no key of their own) — plus
+    top-level dispatches to the typed kernels for composite,
+    significant_terms, and terms+top_hits — and
     metric kinds avg / sum / min / max / value_count / cardinality /
     stats / percentiles / weighted_avg (field "_score" targets the
     relevance score). Engine-native restrictions (documented): ONE bucket
@@ -2185,6 +2228,76 @@ def aggs_dsl_df(
     if len(aggs) == 1:
         (_cname, _cspec), = aggs.items()
         _ckinds = [k for k in _cspec if k != "aggs"]
+        if _ckinds == ["significant_terms"]:
+            # request-body significant_terms: dispatch to the typed
+            # one-scan JLH kernel. Engine-native: it runs over the
+            # indexed TEXT terms with a plain match foreground (the
+            # typed surface's contract), so the body query must be a
+            # bare match on the content pseudo-field.
+            spec = dict(_cspec["significant_terms"])
+            qtext = _plain_text_query(query)
+            if qtext is None:
+                raise ValueError(
+                    "significant_terms in a request body needs a bare "
+                    "{'match': {'content': <text>}} query (engine-native:"
+                    " the significant_terms_df foreground contract)"
+                )
+            if spec.get("field") not in (None, "content", "text", "_all"):
+                raise ValueError(
+                    "significant_terms runs over the indexed text terms; "
+                    f"field {spec.get('field')!r} unsupported"
+                )
+            return reader.significant_terms_df(
+                qtext,
+                size=int(spec.get("size", 10)),
+                min_doc_count=int(spec.get("min_doc_count", 3)),
+                filter_sql=filter_sql,
+            )
+        if (
+            _ckinds == ["terms"]
+            and len(_cspec.get("aggs") or {}) == 1
+            and next(
+                k
+                for s in _cspec["aggs"].values()
+                for k in s
+                if k != "aggs"
+            )
+            == "top_hits"
+        ):
+            # terms bucket whose ONLY sub-agg is top_hits: the ES
+            # drill-down shape, dispatched to the typed top_hits_df
+            # kernel (bucket winners broadcast back, per-hit window over
+            # winners' rows only). Engine-native: relevance-sorted hits
+            # (the ES default); an explicit non-_score sort is rejected.
+            spec = dict(_cspec["terms"])
+            (_hname, _hspec), = _cspec["aggs"].items()
+            hspec = dict(_hspec["top_hits"])
+            hs = hspec.get("sort")
+            if hs is not None:
+                names = []
+                for e0 in _aslist(hs):
+                    names.extend(
+                        e0.keys() if isinstance(e0, dict) else [e0]
+                    )
+                if any(n != "_score" for n in names):
+                    raise ValueError(
+                        "top_hits in a request body supports the default "
+                        "_score sort only (engine-native)"
+                    )
+            qtext = _plain_text_query(query)
+            if qtext is None:
+                raise ValueError(
+                    "terms+top_hits in a request body needs a bare "
+                    "{'match': {'content': <text>}} query (engine-native:"
+                    " the top_hits_df contract)"
+                )
+            return reader.top_hits_df(
+                qtext,
+                spec["field"],
+                n_buckets=int(spec.get("size", 10)),
+                size=int(hspec.get("size", 3)),
+                filter_sql=filter_sql,
+            )
         if _ckinds == ["composite"]:
             from .query import _composite_agg
 
@@ -2268,6 +2381,33 @@ def aggs_dsl_df(
                 "name": name, "size": None, "min_doc_count": 0,
                 "max_doc_count": None,
             }
+        elif kind in ("sampler", "diversified_sampler"):
+            # samplers restrict the ROW SET before the sub-tree runs —
+            # they add no bucket key (ES: one implicit bucket). sampler =
+            # top shard_size rows by score; diversified_sampler further
+            # caps per-value contributions (aggs.diversified_sampler's
+            # one-window plan). Dispatch to the typed kernels and
+            # continue compiling the subtree over the sample.
+            sub = s0.get("aggs") or {}
+            if not sub:
+                raise ValueError(f"{kind} needs sub-aggregations")
+            if kind == "sampler":
+                shard = int(spec.get("shard_size", 100))
+                rows = rows.orderBy(
+                    F.desc("_score"), *[F.asc(c) for c in ctx.keys]
+                ).limit(shard)
+            else:
+                from .aggs import diversified_sampler as _divsamp
+
+                rows = _divsamp(
+                    rows,
+                    spec["field"],
+                    [("_score", "desc")] + [(c, "asc") for c in ctx.keys],
+                    max_docs_per_value=int(spec.get("max_docs_per_value", 1)),
+                    shard_size=spec.get("shard_size"),
+                )
+            node = sub
+            continue
         else:
             rows, meta = _bucket_key(ctx, rows, name, kind, spec)
         levels.append(meta)

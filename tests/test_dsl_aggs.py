@@ -515,3 +515,106 @@ def test_composite_dsl_desc_and_missing_bucket(spark, setup):
         r.aggs_dsl_df({"p": {"composite": {"sources": [
             {"g": {"terms": {"field": "grp"}}}]},
             "aggs": {"t": {"terms": {"field": "lang"}}}}})
+
+
+MB = {"match": {"content": "merge buffer"}}
+
+
+def test_significant_terms_dsl_parity(spark, setup):
+    """Request-body significant_terms == the typed JLH kernel."""
+    d, r, docs = setup
+    via = r.aggs_dsl_df(
+        {"sig": {"significant_terms": {"size": 5}}}, query=MB
+    ).collect()
+    typed = r.significant_terms_df("merge buffer", size=5).collect()
+    assert [tuple(x) for x in via] == [tuple(x) for x in typed]
+    assert len(via) == 5
+    with pytest.raises(ValueError, match="bare"):
+        r.aggs_dsl_df(
+            {"sig": {"significant_terms": {}}},
+            query={"bool": {"must": [MB]}},
+        )
+
+
+def test_top_hits_dsl_parity(spark, setup):
+    """terms bucket + top_hits sub-agg == the typed top_hits_df."""
+    d, r, docs = setup
+    body = {"by_lang": {"terms": {"field": "lang", "size": 4},
+                        "aggs": {"top": {"top_hits": {"size": 2}}}}}
+    via = r.aggs_dsl_df(body, query=MB).collect()
+    typed = r.top_hits_df("merge buffer", "lang", n_buckets=4, size=2).collect()
+    assert [tuple(x) for x in via] == [tuple(x) for x in typed]
+    assert all(x["hit_rank"] <= 2 for x in via) and len(via) > 0
+    with pytest.raises(ValueError, match="_score sort only"):
+        r.aggs_dsl_df(
+            {"b": {"terms": {"field": "lang"},
+                   "aggs": {"t": {"top_hits": {"sort": [{"dl": "desc"}]}}}}},
+            query=MB,
+        )
+
+
+def test_sampler_kinds_dsl(spark, setup):
+    """sampler / diversified_sampler restrict the row set before the
+    subtree; checked against a brute sample built from the match set."""
+    d, r, docs = setup
+    scores = {
+        x["doc_id"]: x["score"]
+        for x in r.search_dsl_df(MB, k=None).collect()
+    }
+    # diversified: top-1 per lang by (score desc, doc_id asc)
+    best = {}
+    for did, s in scores.items():
+        lang = docs[did]["lang"]
+        if lang is None:
+            continue
+        cur = best.get(lang)
+        if cur is None or (-s, did) < (-scores[cur], cur):
+            best[lang] = did
+    out = r.aggs_dsl_df(
+        {"div": {"diversified_sampler": {"field": "lang",
+                                         "max_docs_per_value": 1},
+                 "aggs": {"by_lang": {"terms": {"field": "lang"}}}}},
+        query=MB,
+    ).collect()
+    assert {x["by_lang"]: x["by_lang_doc_count"] for x in out} == {
+        lang: 1 for lang in best
+    }
+    # plain sampler: subtree sees exactly shard_size rows
+    tot = r.aggs_dsl_df(
+        {"s": {"sampler": {"shard_size": 7},
+               "aggs": {"by_lang": {"terms": {"field": "lang"}}}}},
+        query=MB,
+    ).collect()
+    assert sum(x["by_lang_doc_count"] for x in tot) == min(7, len(scores))
+    with pytest.raises(ValueError, match="sub-aggregations"):
+        r.aggs_dsl_df({"s": {"sampler": {"shard_size": 3}}}, query=MB)
+
+
+def test_geotile_grid_bucket_dsl(spark, tmp_path):
+    """geotile_grid as a request-body bucket kind == the typed surface,
+    and composes with metric sub-aggs."""
+    from elasticsearch_jdbc_spark.index.aggs import geotile_grid
+
+    d = str(tmp_path / "gt")
+    corpus = synthetic_corpus(spark, n_files=120, seed=9)
+    did = F.regexp_extract("path", r"(\d+)", 1).cast("long")
+    corpus = corpus.withColumn(
+        "lat", ((did * 7919) % 160 - 80).cast("double") + 0.25
+    ).withColumn("lon", ((did * 104729) % 360 - 180).cast("double") + 0.25)
+    IndexBuilder(spark, d, partitions=2).build(corpus, resume=False)
+    r = IndexReader(spark, d)
+    via = r.aggs_dsl_df(
+        {"tiles": {"geotile_grid": {"precision": 3}}}
+    ).collect()
+    pts = spark.read.parquet(f"{d}/docs").select("lat", "lon")
+    typed = geotile_grid(pts, precision=3).collect()
+    assert {x["tiles"]: x["tiles_doc_count"] for x in via} == {
+        x["key"]: x["doc_count"] for x in typed
+    }
+    assert len(via) > 3
+    # nested metric under the tile key
+    withm = r.aggs_dsl_df(
+        {"tiles": {"geotile_grid": {"precision": 2},
+                   "aggs": {"mean_lat": {"avg": {"field": "lat"}}}}}
+    ).collect()
+    assert all(x["mean_lat"] is not None for x in withm)
