@@ -1013,6 +1013,14 @@ def _leaf_knn(ctx, body):
                 / F.lit(2.0)
             ).alias("score"),
         )
+    sim = body.get("similarity")
+    if sim is not None:
+        # ES knn.similarity: minimum raw similarity for a match — under
+        # the (1 + cos) / 2 score mapping, a cosine threshold s becomes
+        # a score threshold (1 + s) / 2, applied BEFORE the k cut
+        scored = scored.filter(
+            F.col("score") >= (1.0 + float(sim)) / 2.0
+        )
     top = scored.orderBy(F.desc("score"), *[F.asc(c) for c in ctx.keys]).limit(k)
     return _scale(top, body.get("boost", 1.0))
 
@@ -1580,6 +1588,7 @@ def _apply_sort(ctx: _Ctx, out: DataFrame, sort) -> tuple:
     long column. Sort columns still decorate the output."""
     docs = ctx.docs()
     entries = []
+    resolved = []  # (output column name, direction) per entry
     cols, order = [], []
     for i, s in enumerate(_aslist(sort)):
         if isinstance(s, str):
@@ -1595,14 +1604,17 @@ def _apply_sort(ctx: _Ctx, out: DataFrame, sort) -> tuple:
             raise ValueError(f"bad sort entry {s!r}")
         if f == "_score":
             col = F.col("score")
+            rname = "score"
         elif f in out.columns:
             # already on the match set (a collapse key, collapse_count, a
             # column an earlier entry joined) — no second join
             col = F.col(f)
+            rname = f
         elif f in docs.columns:
             if f not in cols:
                 cols.append(f)
             col = F.col(f)
+            rname = f
         elif _SORT_IDENT.fullmatch(f):
             meta = [c for c in docs.columns if c not in ("doc_id", "segment")]
             raise ValueError(f"unknown sort field {f!r}; docs table has {meta}")
@@ -1611,12 +1623,14 @@ def _apply_sort(ctx: _Ctx, out: DataFrame, sort) -> tuple:
             docs = docs.withColumn(name, F.expr(f))
             cols.append(name)
             col = F.col(name)
+            rname = name
         asc = direction != "desc"
         if missing == "_first":
             order.append(col.asc_nulls_first() if asc else col.desc_nulls_first())
         else:
             order.append(col.asc_nulls_last() if asc else col.desc_nulls_last())
         entries.append((f, direction, missing))
+        resolved.append((rname, direction))
     if cols:
         out = out.join(docs.select(*ctx.keys, *cols), ctx.keys)
     isort = ctx.r0.manifest.get("index_sort")
@@ -1632,7 +1646,7 @@ def _apply_sort(ctx: _Ctx, out: DataFrame, sort) -> tuple:
         )
         if ok:
             order = [F.asc("doc_id")]
-    return out, order
+    return out, order, resolved
 
 
 def profile_dsl(
@@ -1662,8 +1676,8 @@ def profile_dsl(
     if isinstance(q, dict) and len(q) > 1:
         q = {kk: vv for kk, vv in q.items() if kk not in (
             "collapse", "runtime_mappings", "sort", "size", "from",
-            "fields", "_source", "rescore", "post_filter", "min_score",
-            "aggs", "aggregations", "highlight", "suggest")}
+            "search_after", "fields", "_source", "rescore", "post_filter",
+            "min_score", "aggs", "aggregations", "highlight", "suggest")}
     knn_hybrid = None
     if isinstance(q, dict) and "knn" in q and "query" in q:
         # top-level knn + query: profile both sides under one fusion node
@@ -1736,7 +1750,7 @@ _METRIC_KINDS = (
 _BUCKET_KINDS = (
     "terms", "histogram", "date_histogram", "range", "filters", "missing",
     "rare_terms", "multi_terms", "categorize_text", "global",
-    "geotile_grid", "sampler", "diversified_sampler",
+    "geotile_grid", "sampler", "diversified_sampler", "random_sampler",
 )
 
 
@@ -2381,13 +2395,15 @@ def aggs_dsl_df(
                 "name": name, "size": None, "min_doc_count": 0,
                 "max_doc_count": None,
             }
-        elif kind in ("sampler", "diversified_sampler"):
+        elif kind in ("sampler", "diversified_sampler", "random_sampler"):
             # samplers restrict the ROW SET before the sub-tree runs —
             # they add no bucket key (ES: one implicit bucket). sampler =
-            # top shard_size rows by score; diversified_sampler further
-            # caps per-value contributions (aggs.diversified_sampler's
-            # one-window plan). Dispatch to the typed kernels and
-            # continue compiling the subtree over the sample.
+            # top shard_size rows by score; random_sampler = the
+            # deterministic md5-threshold subset (one codegen filter);
+            # diversified_sampler further caps per-value contributions
+            # (aggs.diversified_sampler's one-window plan). Dispatch to
+            # the typed kernels and continue compiling the subtree over
+            # the sample.
             sub = s0.get("aggs") or {}
             if not sub:
                 raise ValueError(f"{kind} needs sub-aggregations")
@@ -2396,6 +2412,14 @@ def aggs_dsl_df(
                 rows = rows.orderBy(
                     F.desc("_score"), *[F.asc(c) for c in ctx.keys]
                 ).limit(shard)
+            elif kind == "random_sampler":
+                from .aggs import random_sampler as _rsamp
+
+                rows = _rsamp(
+                    rows,
+                    float(spec["probability"]),
+                    seed=int(spec.get("seed", 0)),
+                )
             else:
                 from .aggs import diversified_sampler as _divsamp
 
@@ -2528,9 +2552,12 @@ def search_dsl_df(
     expressions (the ES script-sort surface, returned as sort_<i>); the
     tier tie-break is always appended (ES _shard_doc). `size` overrides
     the `k` argument; `from` skips rows AFTER the global order — fine for
-    shallow pages, use search_after for deep pagination (the same advice
-    ES gives). Plan: sort columns join from the (pruned) docs scan; the
-    cut is ONE TakeOrdered on the sort keys.
+    shallow pages; `search_after` (the previous page's last sort values,
+    optionally + the doc-id tie-break) paginates DEEP: the cursor
+    predicate filters strictly past the boundary BEFORE the cut, so page
+    N never materializes N×k rows (the same advice ES gives). Plan: sort
+    columns join from the (pruned) docs scan; the cut is ONE TakeOrdered
+    on the sort keys.
 
     `fields` / `_source` (response shaping): enrich the ranked page with
     docs metadata columns — a list of names (or ES {"field": name}
@@ -2548,16 +2575,21 @@ def search_dsl_df(
         body = dict(body)
         runtime = _parse_runtime(body.pop("runtime_mappings"))
     ctx = _Ctx(reader, runtime=runtime)
-    sort = size = fields_sel = None
+    sort = size = fields_sel = search_after = None
     offset = 0
     if isinstance(body, dict) and len(body) > 1 and (
         "sort" in body or "size" in body or "from" in body
-        or "fields" in body or "_source" in body
+        or "fields" in body or "_source" in body or "search_after" in body
     ):
         body = dict(body)
         sort = body.pop("sort", None)
         size = body.pop("size", None)
+        search_after = body.pop("search_after", None)
         offset = int(body.pop("from", 0) or 0)
+        if search_after is not None and offset:
+            raise ValueError(
+                "search_after cannot be combined with from (ES contract)"
+            )
         # response shaping: `fields` / `_source` enrich hits with docs
         # metadata columns (runtime fields included — the ctx docs view
         # carries them). _source: true = all metadata; false = keys+score
@@ -2616,7 +2648,8 @@ def search_dsl_df(
             f"unsupported request-body sections {extra}; supported: "
             "query, retriever, knn, aggs / highlight / suggest (via "
             "search_request), collapse, rescore, post_filter, min_score, "
-            "runtime_mappings, sort, from, size, fields, _source"
+            "runtime_mappings, sort, from, size, search_after, fields, "
+            "_source"
         )
     if (
         isinstance(body, dict)
@@ -2693,7 +2726,7 @@ def search_dsl_df(
             # the map-side-combinable max_by aggregate. (Sorting on
             # `collapse_count` — an engine extension, the column only
             # exists post-collapse — keeps the post-collapse sort.)
-            out, order = _apply_sort(ctx, out, sort)
+            out, order, _sr = _apply_sort(ctx, out, sort)
             sort = None  # consumed — the ordered cut reuses `order`
             if cf not in out.columns:
                 out = out.join(ctx.docs().select(*ctx.keys, cf), ctx.keys)
@@ -2744,8 +2777,48 @@ def search_dsl_df(
                 )
                 .select(F.col("_head.*"), cf, "collapse_count")
             )
+    sort_resolved = []
     if sort is not None:
-        out, order = _apply_sort(ctx, out, sort)
+        out, order, sort_resolved = _apply_sort(ctx, out, sort)
+    if search_after is not None:
+        # ES request-body search_after: deep pagination that filters
+        # strictly past the previous page's last sort values BEFORE the
+        # ordered cut — page N never materializes N×k rows (the same
+        # cursor discipline as the typed search_after surfaces). The
+        # cursor is the sort values, optionally + the tier doc id as the
+        # trailing tie-break (ES _shard_doc). Engine-native: null sort
+        # values cannot sit on a cursor boundary (pass a non-null
+        # tie-break) — the lexicographic strict comparison drops them.
+        if collapse is not None:
+            raise ValueError(
+                "search_after cannot be combined with collapse (ES "
+                "contract)"
+            )
+        if not sort_resolved:
+            raise ValueError(
+                "search_after requires a sort section (ES contract)"
+            )
+        cur = list(search_after)
+        names = [n for n, _ in sort_resolved]
+        dirs = [d for _, d in sort_resolved]
+        if len(cur) == len(names) + 1:
+            names.append("doc_id")
+            dirs.append("asc")
+        elif len(cur) != len(names):
+            raise ValueError(
+                f"search_after wants {len(names)} values (or +1 for the "
+                f"doc-id tie-break), got {len(cur)}"
+            )
+        pred = None
+        prefix_eq = None
+        for n, d, v in zip(names, dirs, cur):
+            c, lit = F.col(n), F.lit(v)
+            strict = (c < lit) if d == "desc" else (c > lit)
+            clause = strict if prefix_eq is None else (prefix_eq & strict)
+            pred = clause if pred is None else (pred | clause)
+            eq = c.eqNullSafe(lit)
+            prefix_eq = eq if prefix_eq is None else (prefix_eq & eq)
+        out = out.filter(pred)
 
     def shape(df):
         if fields_sel is None:

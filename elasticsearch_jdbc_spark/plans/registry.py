@@ -8693,6 +8693,65 @@ def dsl_sort_page_q(spark, sf_dir):
 
 
 @_reg(
+    "dsl_search_after_search",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    match AS (
+      SELECT doc_id FROM tok
+      WHERE list_has_any(toks, ['slow', 'query', 'scan'])
+    ),
+    page AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id DESC) AS rn
+      FROM match
+    )
+    SELECT CAST(rn - 5 AS INT) AS page_rank, CAST(doc_id AS BIGINT) AS doc_id
+    FROM page WHERE rn > 5 AND rn <= 15
+    """,
+)
+def dsl_search_after_q(spark, sf_dir):
+    """Request-body `search_after` through the REAL engine,
+    ORACLE-CHECKED: page 1 (size 5) on a UNIQUE runtime sort key hands
+    its last sort value to the cursor; page 2 (size 10) must be the
+    from=5 page EXACTLY — the same relation dsl_sort_page_search proves
+    via `from`, reached through the cursor discipline instead. Plan:
+    the cursor predicate filters BEFORE the TakeOrdered cut, so deep
+    pages never materialize from+size rows (the ES deep-pagination
+    contract)."""
+    from ..index import IndexReader
+
+    idx = _registry_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    rm = {
+        "doc_num": {
+            "type": "long",
+            "script": {
+                "source": r"cast(regexp_extract(path, 'doc/(\\d+)\\.txt', 1) as bigint)"
+            },
+        },
+    }
+    base = {
+        "query": {"match": {"content": "slow query scan"}},
+        "runtime_mappings": rm,
+        "sort": [{"doc_num": "desc"}],
+    }
+    p1 = reader.search_dsl_df({**base, "size": 5}).collect()
+    cursor = [p1[-1]["doc_num"]]
+    out = reader.search_dsl_df(
+        {**base, "size": 10, "search_after": cursor}
+    )
+    w = W.orderBy(F.desc("doc_num"))
+    return (
+        out.select("doc_num")
+        .withColumn("page_rank", F.row_number().over(w).cast("int"))
+        .select("page_rank", F.col("doc_num").cast("long").alias("doc_id"))
+    )
+
+
+@_reg(
     "index_sort_search",
     """
     WITH tok AS (
@@ -8794,6 +8853,7 @@ _WINDOW_R5 = [
     "best_fields_index_search",
     "runtime_fields_search",
     "dsl_sort_page_search",
+    "dsl_search_after_search",
     "index_sort_search",
     "percolate_index_search",
     "termvectors_index_search",
@@ -8808,7 +8868,6 @@ _WINDOW_R5 = [
     "sparse_vector_search",
     "prefix_index_search",
     "wildcard_index_search",
-    "fscore_index_search",
     # -- never-checked aggregations --
     "categorize_text_agg",
     "scripted_metric_agg",

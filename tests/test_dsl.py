@@ -967,3 +967,39 @@ def test_flat_bool_fast_path_parity(spark, setup):
         {"bool": {"should": [
             {"match": {"content": {"query": "stream", "boost": 1.0}}},
             {"match": {"content": "segment index"}}]}}, k=None)))
+
+
+def test_body_search_after_pagination(spark, setup):
+    """Request-body search_after: cursor pages equal the from-based
+    pages on a unique sort key, tie-break cursor works on a non-unique
+    key, and the guards fire."""
+    d, r, docs = setup
+    base = {"query": {"match": {"content": "merge buffer"}}}
+    body = {**base, "sort": [{"dl": "desc"}], "size": 5}
+    all_rows = r.search_dsl_df({**base, "sort": [{"dl": "desc"}],
+                                "size": 10000}).collect()
+    page1 = r.search_dsl_df(body).collect()
+    assert [x["doc_id"] for x in page1] == [x["doc_id"] for x in all_rows[:5]]
+    # dl is non-unique -> cursor carries (dl, doc_id) with the tie-break
+    cur = [page1[-1]["dl"], page1[-1]["doc_id"]]
+    page2 = r.search_dsl_df({**body, "search_after": cur}).collect()
+    assert [x["doc_id"] for x in page2] == [
+        x["doc_id"] for x in all_rows[5:10]
+    ]
+    # walk to exhaustion: union of pages == the full sorted set, no dups
+    seen = [x["doc_id"] for x in page1]
+    cur_rows = page2
+    while cur_rows:
+        seen.extend(x["doc_id"] for x in cur_rows)
+        c = [cur_rows[-1]["dl"], cur_rows[-1]["doc_id"]]
+        cur_rows = r.search_dsl_df({**body, "search_after": c}).collect()
+    assert seen == [x["doc_id"] for x in all_rows]
+    with pytest.raises(ValueError, match="requires a sort"):
+        r.search_dsl_df({**base, "size": 5, "search_after": [1]})
+    with pytest.raises(ValueError, match="from"):
+        r.search_dsl_df({**body, "from": 5, "search_after": [1, 2]})
+    with pytest.raises(ValueError, match="wants 1 values"):
+        r.search_dsl_df({**body, "search_after": [1, 2, 3]})
+    with pytest.raises(ValueError, match="collapse"):
+        r.search_dsl_df({**body, "collapse": {"field": "lang"},
+                         "search_after": [3.0]})
