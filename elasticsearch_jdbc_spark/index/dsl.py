@@ -2242,6 +2242,28 @@ def aggs_dsl_df(
     if len(aggs) == 1:
         (_cname, _cspec), = aggs.items()
         _ckinds = [k for k in _cspec if k != "aggs"]
+        if _ckinds == ["significant_text"]:
+            # request-body significant_text: the re-analysis foreground
+            # variant (filter_duplicate_text folds byte-identical token
+            # streams to one vote) — same dispatch contract as
+            # significant_terms below
+            spec = dict(_cspec["significant_text"])
+            qtext = _plain_text_query(query)
+            if qtext is None:
+                raise ValueError(
+                    "significant_text in a request body needs a bare "
+                    "{'match': {'content': <text>}} query (engine-native:"
+                    " the significant_text_df foreground contract)"
+                )
+            return reader.significant_text_df(
+                qtext,
+                size=int(spec.get("size", 10)),
+                min_doc_count=int(spec.get("min_doc_count", 3)),
+                filter_duplicate_text=bool(
+                    spec.get("filter_duplicate_text", False)
+                ),
+                filter_sql=filter_sql,
+            )
         if _ckinds == ["significant_terms"]:
             # request-body significant_terms: dispatch to the typed
             # one-scan JLH kernel. Engine-native: it runs over the

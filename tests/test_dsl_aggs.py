@@ -618,3 +618,31 @@ def test_geotile_grid_bucket_dsl(spark, tmp_path):
                    "aggs": {"mean_lat": {"avg": {"field": "lat"}}}}}
     ).collect()
     assert all(x["mean_lat"] is not None for x in withm)
+
+
+def test_random_sampler_body_kind(spark, setup):
+    """random_sampler as a body kind == the typed md5-threshold subset."""
+    from elasticsearch_jdbc_spark.index.aggs import random_sampler
+
+    d, r, docs = setup
+    out = r.aggs_dsl_df(
+        {"s": {"random_sampler": {"probability": 0.4, "seed": 7},
+               "aggs": {"n": {"value_count": {"field": "dl"}}}}}
+    ).collect()
+    docs_df = spark.read.parquet(f"{d}/docs")
+    want = random_sampler(docs_df, 0.4, seed=7).count()
+    assert out[0]["n"] == want and 0 < want < docs_df.count()
+
+
+def test_significant_text_body_dispatch(spark, setup):
+    d, r, docs = setup
+    via = r.aggs_dsl_df(
+        {"s": {"significant_text": {"size": 5,
+                                    "filter_duplicate_text": True}}},
+        query=MB,
+    ).collect()
+    typed = r.significant_text_df(
+        "merge buffer", size=5, filter_duplicate_text=True
+    ).collect()
+    assert [tuple(x) for x in via] == [tuple(x) for x in typed]
+    assert len(via) == 5

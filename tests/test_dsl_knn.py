@@ -373,3 +373,21 @@ def test_top_level_knn_profile_parity(spark, setup):
         (x["doc_id"], x["score"]) for x in direct
     ]
     assert "TakeOrderedAndProject" in p["physical_plan"] or "Sort" in p["physical_plan"]
+
+
+def test_knn_similarity_threshold(spark, setup):
+    """ES knn.similarity: a raw-cosine floor applied before the k cut —
+    brute threshold parity, and the cut still fills from survivors."""
+    d, r, docs = setup
+    sims = sorted(
+        (_knn_score(x["emb"], QV) * 2.0 - 1.0 for x in docs
+         if x["emb"] is not None),
+        reverse=True,
+    )
+    thr = (sims[4] + sims[5]) / 2.0  # exactly 5 docs above
+    out = r.search_dsl_df(
+        {"knn": {"field": "emb", "query_vector": QV, "k": 20,
+                 "similarity": thr}}
+    ).collect()
+    assert len(out) == 5
+    assert all(x["score"] >= (1.0 + thr) / 2.0 - 1e-12 for x in out)
