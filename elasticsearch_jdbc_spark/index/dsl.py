@@ -480,6 +480,12 @@ def _leaf_nested(ctx, body):
         )
     elem_fields = [f.name for f in dt.elementType.fields]
     pred = _nested_elem_sql(path, inner, elem_fields)
+    if spec.get("inner_hits") is not None:
+        raise ValueError(
+            "inner_hits rides the typed surface — reader.nested_df(path, "
+            "query, inner_hits_size=n) — not the composable DSL leaf "
+            "(leaves return (keys, score) only)"
+        )
     sql = f"exists({path}, e -> {pred})"
     if mode == "sum":
         matched = ctx.docs().filter(F.expr(sql))
@@ -491,6 +497,50 @@ def _leaf_nested(ctx, body):
             ).alias("score"),
         )
     return _set_score(ctx, ctx.filter_ids(sql), boost)
+
+
+def nested_df(
+    reader,
+    path: str,
+    query: dict,
+    score_mode: str = "avg",
+    boost: float = 1.0,
+    k: int | None = None,
+    inner_hits_size: int | None = None,
+) -> DataFrame:
+    """Typed ES `nested` query surface (both reader tiers). With
+    `inner_hits_size`, each hit also carries `inner_hits` — the first n
+    MATCHING elements of the array (ES nested inner_hits) — and
+    `inner_hits_total`, the full matching-element count. One extra
+    projection over the same docs scan (`slice(filter(path, ...))`), no
+    explode, no join beyond the leaf's own."""
+    ctx = _Ctx(reader)
+    out = _leaf_nested(
+        ctx,
+        {"path": path, "query": query, "score_mode": score_mode,
+         "boost": boost},
+    )
+    if inner_hits_size is not None:
+        if inner_hits_size < 1:
+            raise ValueError("inner_hits_size must be >= 1")
+        dt = {f.name: f.dataType for f in ctx.docs().schema.fields}[path]
+        pred = _nested_elem_sql(
+            path, query, [f.name for f in dt.elementType.fields]
+        )
+        deco = ctx.docs().select(
+            *ctx.keys,
+            F.expr(
+                f"slice(filter({path}, e -> {pred}), 1, {int(inner_hits_size)})"
+            ).alias("inner_hits"),
+            F.expr(f"size(filter({path}, e -> {pred}))").alias(
+                "inner_hits_total"
+            ),
+        )
+        out = out.join(deco, ctx.keys)
+    if k is not None:
+        order = [F.desc("score")] + [F.asc(c) for c in ctx.keys]
+        out = out.orderBy(*order).limit(int(k))
+    return out
 
 
 def _leaf_ids(ctx, body):

@@ -3031,10 +3031,19 @@ class IncrementalIndexReader:
         score_mode: str = "avg",
         boost: float = 1.0,
         k: int | None = None,
+        inner_hits_size: int | None = None,
     ) -> DataFrame:
         """ES `nested` query over the LIVE index (same-element scoped
         predicates on an array-of-structs column; tombstone masking and
-        segment recency inherited) — see index/dsl.py _leaf_nested."""
+        segment recency inherited) — see index/dsl.py _leaf_nested.
+        `inner_hits_size` adds matching elements per hit (inner_hits)."""
+        if inner_hits_size is not None:
+            from .dsl import nested_df
+
+            return nested_df(
+                self, path, query, score_mode=score_mode, boost=boost,
+                k=k, inner_hits_size=inner_hits_size,
+            )
         from .dsl import search_dsl_df
 
         return search_dsl_df(

@@ -5293,12 +5293,22 @@ class IndexReader:
         score_mode: str = "avg",
         boost: float = 1.0,
         k: int | None = None,
+        inner_hits_size: int | None = None,
     ) -> DataFrame:
         """ES `nested` query, typed surface: per-element scoped
         predicates over an array-of-structs docs column — all inner
         predicates must hit the SAME element. Compiles to Spark's
         `exists(path, e -> ...)` higher-order function (see
-        index/dsl.py _leaf_nested for grammar and score_mode rules)."""
+        index/dsl.py _leaf_nested for grammar and score_mode rules).
+        `inner_hits_size` adds the matching elements per hit
+        (`inner_hits` + `inner_hits_total` — ES nested inner_hits)."""
+        if inner_hits_size is not None:
+            from .dsl import nested_df
+
+            return nested_df(
+                self, path, query, score_mode=score_mode, boost=boost,
+                k=k, inner_hits_size=inner_hits_size,
+            )
         from .dsl import search_dsl_df
 
         return search_dsl_df(

@@ -178,3 +178,34 @@ def test_live_tier_upsert(spark, idx, tmp_path):
             ["segment", "doc_id"],
         ).select("path").collect()
     ) == ["0", "1"]
+
+
+def test_inner_hits(spark, idx):
+    """inner_hits returns the MATCHING elements per hit (size-capped)
+    plus the full matching count; the DSL leaf rejects inner_hits."""
+    r = IndexReader(spark, idx)
+    q = {"range": {"comments.stars": {"gte": 1}}}
+    rows = r.nested_df("comments", q, inner_hits_size=1).collect()
+    docs = {
+        x["path"]: x["comments"]
+        for x in spark.read.parquet(f"{idx}/docs").collect()
+    }
+    paths = {
+        x["doc_id"]: x["path"]
+        for x in spark.read.parquet(f"{idx}/docs").collect()
+    }
+    for row in rows:
+        want = [c for c in docs[paths[row["doc_id"]]] if c["stars"] >= 1]
+        assert row["inner_hits_total"] == len(want)
+        assert len(row["inner_hits"]) == 1
+        got = row["inner_hits"][0]
+        assert (got["author"], got["stars"]) == (
+            want[0]["author"], want[0]["stars"])
+    assert {p for p, c in docs.items()
+            if any(e["stars"] >= 1 for e in c)} == {
+        paths[x["doc_id"]] for x in rows}
+    with pytest.raises(ValueError, match="typed surface"):
+        r.search_dsl_df({"nested": {"path": "comments", "query": q,
+                                    "inner_hits": {}}})
+    with pytest.raises(ValueError, match=">= 1"):
+        r.nested_df("comments", q, inner_hits_size=0)
