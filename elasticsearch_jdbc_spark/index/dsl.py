@@ -1652,9 +1652,49 @@ def _apply_sort(ctx: _Ctx, out: DataFrame, sort) -> tuple:
                 missing = spec.get("missing", "_last")
         else:
             raise ValueError(f"bad sort entry {s!r}")
+        head, _, leaf = f.partition(".")
         if f == "_score":
             col = F.col("score")
             rname = "score"
+        elif (
+            leaf
+            and _NESTED_IDENT.fullmatch(head)
+            and _NESTED_IDENT.fullmatch(leaf)
+            and dict(docs.dtypes).get(head, "").startswith("array<struct")
+        ):
+            # ES nested sort: sort a doc by an aggregate of a field
+            # across its array-of-structs elements — `mode` min (asc
+            # default) / max (desc default) / sum / avg
+            # (sort-search-results.html nested sorting). One
+            # whole-stage-codegen projection, no explode.
+            mode = "min"
+            if isinstance(s, dict):
+                mspec = next(iter(s.values()))
+                if isinstance(mspec, dict):
+                    mode = mspec.get(
+                        "mode", "max" if direction == "desc" else "min"
+                    )
+            elif direction == "desc":
+                mode = "max"
+            vals = f"transform({head}, e -> cast(e.{leaf} as double))"
+            exprs = {
+                "min": f"array_min({vals})",
+                "max": f"array_max({vals})",
+                "sum": f"aggregate({vals}, 0D, (a, x) -> a + coalesce(x, 0D))",
+                "avg": (
+                    f"aggregate({vals}, 0D, (a, x) -> a + coalesce(x, 0D))"
+                    f" / nullif(size({head}), 0)"
+                ),
+            }
+            if mode not in exprs:
+                raise ValueError(
+                    f"nested sort mode {mode!r}: one of {sorted(exprs)}"
+                )
+            name = f"sort_{i}"
+            docs = docs.withColumn(name, F.expr(exprs[mode]))
+            cols.append(name)
+            col = F.col(name)
+            rname = name
         elif f in out.columns:
             # already on the match set (a collapse key, collapse_count, a
             # column an earlier entry joined) — no second join

@@ -209,3 +209,44 @@ def test_inner_hits(spark, idx):
                                     "inner_hits": {}}})
     with pytest.raises(ValueError, match=">= 1"):
         r.nested_df("comments", q, inner_hits_size=0)
+
+
+def test_nested_sort_modes(spark, idx):
+    """ES nested sorting: order docs by an aggregate of an array-of-
+    structs field — desc defaults to mode max, asc to min; sum/avg via
+    the aggregate fold."""
+    r = IndexReader(spark, idx)
+    docs = {
+        x["path"]: [e["stars"] for e in x["comments"]]
+        for x in spark.read.parquet(f"{idx}/docs").collect()
+    }
+    base = {"query": {"match_all": {}}}
+
+    def order_of(entry):
+        out = r.search_dsl_df({**base, "sort": [entry], "size": 10})
+        return _paths_ordered(spark, idx, out)
+
+    nonempty = {p: v for p, v in docs.items() if v}
+    # desc -> max per doc; empty arrays (null aggregate) sort last
+    want = sorted(nonempty, key=lambda p: (-max(nonempty[p]), p))
+    got = order_of({"comments.stars": {"order": "desc"}})
+    assert got[: len(want)] == want
+    # asc -> min
+    want = sorted(nonempty, key=lambda p: (min(nonempty[p]), p))
+    got = order_of({"comments.stars": {"order": "asc",
+                                       "missing": "_last"}})
+    assert got[: len(want)] == want
+    # explicit sum mode
+    want = sorted(nonempty, key=lambda p: (-sum(nonempty[p]), p))
+    got = order_of({"comments.stars": {"order": "desc", "mode": "sum"}})
+    assert got[: len(want)] == want
+    with pytest.raises(ValueError, match="nested sort mode"):
+        order_of({"comments.stars": {"order": "desc", "mode": "median"}})
+
+
+def _paths_ordered(spark, d, df):
+    docs = {
+        x["doc_id"]: x["path"]
+        for x in spark.read.parquet(f"{d}/docs").collect()
+    }
+    return [docs[x["doc_id"]] for x in df.collect()]
