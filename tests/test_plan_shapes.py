@@ -288,3 +288,42 @@ def test_flat_bool_single_postings_scan(spark, idx):
         "must_not": [{"match": {"content": "zebra"}}],
     }}, k=None)
     assert _phys(slow).count("FileScan") > 1
+
+
+def test_nested_and_geo_shape_are_scan_only(spark, tmp_path):
+    """The round-5 filter-context leaves stay whole-stage-codegen
+    projections over the docs scan: no UDF, no explode, no join."""
+    d = str(tmp_path / "r5")
+    docs = [
+        ("r", f"{i}", "c", "t", "merge sort quick value",
+         [(f"u{i % 3}", i % 5)], float(i % 90) - 45.0, float(i % 180) - 90.0)
+        for i in range(30)
+    ]
+    IndexBuilder(spark, d, partitions=2).build(
+        spark.createDataFrame(
+            docs,
+            "repo string, path string, commit string, lang string,"
+            " content string,"
+            " comments array<struct<author string, stars bigint>>,"
+            " lat double, lon double",
+        ),
+        resume=False,
+    )
+    r = IndexReader(spark, d)
+    nested = r.nested_df(
+        "comments",
+        {"bool": {"must": [{"term": {"comments.author": "u1"}},
+                           {"range": {"comments.stars": {"gte": 2}}}]}},
+    )
+    plan = _opt(nested)
+    assert "Join" not in plan and "Generate" not in plan  # no explode
+    assert "MapInPandas" not in _phys(nested) and "BatchEvalPython" not in _phys(nested)
+    shape = r.search_dsl_df(
+        {"geo_shape": {"shape": {"type": "Polygon", "coordinates": [
+            [[-50.0, -30.0], [50.0, -30.0], [50.0, 30.0], [-50.0, 30.0],
+             [-50.0, -30.0]]]}}},
+        k=None,
+    )
+    plan = _opt(shape)
+    assert "Join" not in plan and "Sort" not in plan and "Limit" not in plan
+    assert "MapInPandas" not in _phys(shape)
