@@ -567,6 +567,28 @@ def _leaf_prefix(ctx, body):
     return _scale(df, spec.get("boost", 1.0))
 
 
+def _leaf_match_bool_prefix(ctx, body):
+    """ES match_bool_prefix (query-dsl-match-bool-prefix-query.html):
+    every analyzed token but the last becomes a term clause, the last a
+    prefix clause, all under bool SHOULD (any token qualifies — the
+    search-as-you-type companion that, unlike match_phrase_prefix,
+    imposes no position constraint). Pure composition of existing
+    leaves; scores sum like the bool they compile to."""
+    field, spec = _field_spec(body)
+    _text_field_check(ctx, field)
+    from ..functions.tokenizer import tokenize_py
+
+    toks = tokenize_py(str(spec["query"]))
+    if not toks:
+        raise ValueError("match_bool_prefix analyzed to no tokens")
+    clauses: list[dict] = [
+        {"match": {field: t}} for t in toks[:-1]
+    ] + [{"prefix": {field: {"query": toks[-1]}}}]
+    return _compound_bool(
+        ctx, {"should": clauses, "boost": float(spec.get("boost", 1.0))}
+    )
+
+
 def _leaf_match_none(ctx, body):
     # ES match_none: the empty match set — the identity element of the
     # should/dis_max algebra, an empty relation of the tier's key shape
@@ -1461,6 +1483,7 @@ _LEAFS = {
     "intervals": _leaf_intervals,
     "match_none": _leaf_match_none,
     "match_phrase_prefix": _leaf_match_phrase_prefix,
+    "match_bool_prefix": _leaf_match_bool_prefix,
     "combined_fields": _leaf_combined_fields,
     "terms_set": _leaf_terms_set,
     "has_child": _leaf_has_child,

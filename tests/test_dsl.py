@@ -1003,3 +1003,24 @@ def test_body_search_after_pagination(spark, setup):
     with pytest.raises(ValueError, match="collapse"):
         r.search_dsl_df({**body, "collapse": {"field": "lang"},
                          "search_after": [3.0]})
+
+
+def test_match_bool_prefix(spark, setup):
+    """match_bool_prefix == bool should of term clauses + a prefix on
+    the last analyzed token."""
+    d, r, docs = setup
+    got = _scores(r.search_dsl_df(
+        {"match_bool_prefix": {"content": "merge buf"}}, k=None))
+    want = _scores(r.search_dsl_df(
+        {"bool": {"should": [
+            {"match": {"content": {"query": "merge", "boost": 1.0}}},
+            {"prefix": {"content": {"query": "buf"}}}]}}, k=None))
+    assert set(got) == set(want) and len(got) > 0
+    for did, s in want.items():
+        assert got[did] == pytest.approx(s, rel=1e-9)
+    # the prefix leg really matches tokens beyond the literal 'buf'
+    lit = _scores(r.search_dsl_df(
+        {"bool": {"should": [{"match": {"content": "merge buf"}}]}}, k=None))
+    assert set(got) - set(lit)
+    with pytest.raises(ValueError, match="no tokens"):
+        r.search_dsl_df({"match_bool_prefix": {"content": "..."}})
