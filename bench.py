@@ -101,13 +101,23 @@ def bench_index(spark) -> dict:
     corpus = corpus_from_documents(spark, SF_DIR)
     n_docs = corpus.count()
     idx_dir = "/dev/shm/bench_idx_docs"
-    b = IndexBuilder(spark, idx_dir, partitions=CPUS)
-    b.reset()
-    s0 = _steal_ticks(aff)
-    t0 = time.time()
-    b.build(corpus, resume=False)
-    build_s = time.time() - t0
-    steal = _steal_pct(_steal_ticks(aff) - s0, build_s, len(aff))
+    # clean-window retry (the scaling section's policy, VERDICT r4 #7):
+    # a sample whose window the hypervisor stole >= 2% of is re-timed,
+    # up to 3 attempts; the headline is the LOWEST-STEAL sample (ties ->
+    # fastest) and every attempt is reported
+    attempts = []
+    for _ in range(3):
+        b = IndexBuilder(spark, idx_dir, partitions=CPUS)
+        b.reset()
+        s0 = _steal_ticks(aff)
+        t0 = time.time()
+        b.build(corpus, resume=False)
+        build_s = time.time() - t0
+        steal = _steal_pct(_steal_ticks(aff) - s0, build_s, len(aff))
+        attempts.append((round(steal, 1), round(build_s, 2)))
+        if steal < 2.0:
+            break
+    steal, build_s = min(attempts)
     reader = IndexReader(spark, idx_dir)
     t0 = time.time()
     hits = reader.search("fast key merge sort window", k=10)
@@ -115,11 +125,14 @@ def bench_index(spark) -> dict:
     shutil.rmtree(idx_dir, ignore_errors=True)
     return {
         "n_docs": n_docs,
-        "build_s": round(build_s, 2),
+        "build_s": build_s,
         "files_per_sec": round(n_docs / build_s, 1),
         "search_s": round(search_s, 3),
         "top1": hits[0][0] if hits else None,
-        "steal_pct": round(steal, 1),
+        "steal_pct": steal,
+        "attempts": [
+            {"steal_pct": s, "build_s": t} for s, t in attempts
+        ],
     }
 
 
