@@ -347,7 +347,18 @@ def _leaf_exists(ctx, body):
     boost = float(body.get("boost", 1.0)) if isinstance(body, dict) else 1.0
     if field not in ctx.meta_cols():
         raise ValueError(f"exists wants a docs metadata column, got {field!r}")
-    return _set_score(ctx, ctx.filter_ids(f"{field} IS NOT NULL"), boost)
+    dt = dict(ctx.docs().dtypes).get(field, "")
+    if dt.startswith("array"):
+        # ES exists = "has at least one indexed value": an empty array
+        # (or one holding only nulls) has none and must NOT match
+        sql = (
+            f"{field} IS NOT NULL AND exists({field}, x -> x IS NOT NULL)"
+        )
+    elif dt.startswith("map"):
+        sql = f"{field} IS NOT NULL AND size({field}) > 0"
+    else:
+        sql = f"{field} IS NOT NULL"
+    return _set_score(ctx, ctx.filter_ids(sql), boost)
 
 
 _NESTED_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")

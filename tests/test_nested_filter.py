@@ -86,3 +86,36 @@ def test_array_filter_live_index(spark, tmp_path):
         ).collect()
     )
     assert paths == ["1", "2"]
+
+
+def test_exists_array_semantics(spark, tmp_path):
+    """ES exists = "has at least one indexed value": an empty array (or
+    one holding only nulls) must NOT match (round-5 fix; IS NOT NULL
+    alone would match the empty array)."""
+    from elasticsearch_jdbc_spark.index import IndexBuilder, IndexReader
+
+    idx = str(tmp_path / "exarr")
+    docs = [
+        ("r", "0", "c", "t", "alpha", ["x"]),
+        ("r", "1", "c", "t", "alpha", []),
+        ("r", "2", "c", "t", "alpha", None),
+        ("r", "3", "c", "t", "alpha", [None]),
+    ]
+    IndexBuilder(spark, idx, partitions=1).build(
+        spark.createDataFrame(
+            docs,
+            "repo string, path string, commit string, lang string,"
+            " content string, tags array<string>",
+        ),
+        resume=False,
+    )
+    r = IndexReader(spark, idx)
+    hits = r.search_dsl_df({"exists": {"field": "tags"}}, k=None)
+    paths = {
+        x["path"]
+        for x in hits.join(
+            spark.read.parquet(f"{idx}/docs").select("doc_id", "path"),
+            "doc_id",
+        ).collect()
+    }
+    assert paths == {"0"}
