@@ -265,8 +265,21 @@ def _leaf_match_phrase(ctx, body):
 
 
 def _leaf_match_bool_prefix(ctx, body):
+    """ES match_bool_prefix (query-dsl-match-bool-prefix-query.html):
+    every analyzed token but the last becomes a term clause, the last a
+    prefix clause — the search-as-you-type companion that, unlike
+    match_phrase_prefix, imposes no position constraint. Delegates to
+    the typed one-postings-scan kernel (match_bool_prefix_df: term
+    clauses + the prefix expansion as a final or-group inside ONE
+    search_bool_df call), which also carries ES's `operator` option;
+    score-identical to the bool-should-of-leaves composition
+    (pinned by test_match_bool_prefix)."""
     field, spec = _field_spec(body)
     boosts = _text_field_check(ctx, field)
+    from ..functions.tokenizer import tokenize_py
+
+    if not tokenize_py(str(spec["query"])):
+        raise ValueError("match_bool_prefix analyzed to no tokens")
     df = ctx.reader.match_bool_prefix_df(
         spec["query"], k=None,
         operator=spec.get("operator", "or"), boosts=boosts,
@@ -576,28 +589,6 @@ def _leaf_prefix(ctx, body):
         limit=int(spec.get("rewrite_limit", 128)), boosts=boosts,
     )
     return _scale(df, spec.get("boost", 1.0))
-
-
-def _leaf_match_bool_prefix(ctx, body):
-    """ES match_bool_prefix (query-dsl-match-bool-prefix-query.html):
-    every analyzed token but the last becomes a term clause, the last a
-    prefix clause, all under bool SHOULD (any token qualifies — the
-    search-as-you-type companion that, unlike match_phrase_prefix,
-    imposes no position constraint). Pure composition of existing
-    leaves; scores sum like the bool they compile to."""
-    field, spec = _field_spec(body)
-    _text_field_check(ctx, field)
-    from ..functions.tokenizer import tokenize_py
-
-    toks = tokenize_py(str(spec["query"]))
-    if not toks:
-        raise ValueError("match_bool_prefix analyzed to no tokens")
-    clauses: list[dict] = [
-        {"match": {field: t}} for t in toks[:-1]
-    ] + [{"prefix": {field: {"query": toks[-1]}}}]
-    return _compound_bool(
-        ctx, {"should": clauses, "boost": float(spec.get("boost", 1.0))}
-    )
 
 
 def _leaf_match_none(ctx, body):
@@ -1494,7 +1485,6 @@ _LEAFS = {
     "intervals": _leaf_intervals,
     "match_none": _leaf_match_none,
     "match_phrase_prefix": _leaf_match_phrase_prefix,
-    "match_bool_prefix": _leaf_match_bool_prefix,
     "combined_fields": _leaf_combined_fields,
     "terms_set": _leaf_terms_set,
     "has_child": _leaf_has_child,

@@ -1024,3 +1024,15 @@ def test_match_bool_prefix(spark, setup):
     assert set(got) - set(lit)
     with pytest.raises(ValueError, match="no tokens"):
         r.search_dsl_df({"match_bool_prefix": {"content": "..."}})
+    # operator 'and': every clause must hit — a strict subset, identical
+    # scores on the surviving docs, and equal to the typed surface
+    got_and = _scores(r.search_dsl_df(
+        {"match_bool_prefix":
+            {"content": {"query": "merge buf", "operator": "and"}}},
+        k=None))
+    assert set(got_and) < set(got) and len(got_and) > 0
+    typed_and = _scores(r.match_bool_prefix_df(
+        "merge buf", k=None, operator="and"))
+    assert got_and.keys() == typed_and.keys()
+    for did, s in typed_and.items():
+        assert got_and[did] == pytest.approx(s, rel=1e-9)
