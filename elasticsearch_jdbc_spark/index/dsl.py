@@ -1859,7 +1859,8 @@ def compile_dsl(reader, body: dict) -> DataFrame:
 
 _METRIC_KINDS = (
     "avg", "sum", "min", "max", "value_count", "cardinality", "stats",
-    "percentiles", "weighted_avg",
+    "percentiles", "percentile_ranks", "weighted_avg", "extended_stats",
+    "boxplot", "top_metrics", "geo_bounds", "geo_centroid",
 )
 _BUCKET_KINDS = (
     "terms", "histogram", "date_histogram", "range", "filters", "missing",
@@ -1909,6 +1910,125 @@ def _metric_exprs(name: str, kind: str, spec: dict) -> list:
             (
                 F.sum(F.col(v) * F.col(w)) / F.sum(F.when(F.col(v).isNotNull(), F.col(w)))
             ).alias(name)
+        ]
+    if kind == "extended_stats":
+        # the typed aggs.extended_stats field set, flattened with the
+        # {name}_ prefix — every moment is a sum shape, so the whole
+        # block stays ONE partial-aggregable pass
+        sig = float(spec.get("sigma", 2.0))
+        c = col.cast("double")
+        return [
+            F.count(c).alias(f"{name}_count"),
+            F.round(F.min(c), 6).alias(f"{name}_min"),
+            F.round(F.max(c), 6).alias(f"{name}_max"),
+            F.round(F.sum(c), 6).alias(f"{name}_sum"),
+            F.round(F.avg(c), 6).alias(f"{name}_avg"),
+            F.round(F.sum(c * c), 6).alias(f"{name}_sum_of_squares"),
+            F.round(F.var_pop(c), 6).alias(f"{name}_variance"),
+            F.round(F.var_samp(c), 6).alias(f"{name}_variance_sampling"),
+            F.round(F.stddev_pop(c), 6).alias(f"{name}_std_deviation"),
+            F.round(F.stddev_samp(c), 6).alias(f"{name}_std_deviation_sampling"),
+            F.round(F.avg(c) + F.lit(sig) * F.stddev_pop(c), 6).alias(
+                f"{name}_std_upper"
+            ),
+            F.round(F.avg(c) - F.lit(sig) * F.stddev_pop(c), 6).alias(
+                f"{name}_std_lower"
+            ),
+        ]
+    if kind == "percentile_ranks":
+        # inverse percentiles: % of non-null observations <= each probe
+        # value (aggs.percentile_ranks, exact) — one conditional mean per
+        # probe, columns suffixed with the probe value
+        values = [float(v) for v in spec.get("values", ())]
+        if not values:
+            raise ValueError("percentile_ranks needs at least one probe value")
+        c = col.cast("double")
+        return [
+            F.round(
+                F.avg(F.when(c <= F.lit(v), 1.0).otherwise(0.0)) * 100.0, 6
+            ).alias(
+                f"{name}_{str(v).rstrip('0').rstrip('.').replace('.', '_').replace('-', 'm')}"
+            )
+            for v in values
+        ]
+    if kind == "boxplot":
+        # min / q1 / q2 / q3 / max (aggs.boxplot: exact percentile at
+        # oracle scale; percentile_approx is the one-word cluster swap)
+        src = "_score" if field == "_score" else field
+        c = col.cast("double")
+        return [
+            F.round(F.min(c), 6).alias(f"{name}_min"),
+            F.round(F.expr(f"percentile({src}, 0.25)"), 6).alias(f"{name}_q1"),
+            F.round(F.expr(f"percentile({src}, 0.5)"), 6).alias(f"{name}_q2"),
+            F.round(F.expr(f"percentile({src}, 0.75)"), 6).alias(f"{name}_q3"),
+            F.round(F.max(c), 6).alias(f"{name}_max"),
+        ]
+    if kind == "top_metrics":
+        # per-bucket metric values from the row ranked first by the sort
+        # field. size=1 (the ES default) compiles to max_by/min_by — still
+        # ONE partial-aggregable pass, no window; size>1 needs the typed
+        # aggs.top_metrics (row_number window) and is rejected here.
+        if int(spec.get("size", 1)) != 1:
+            raise ValueError(
+                "top_metrics body kind supports size=1 only; use "
+                "aggs.top_metrics for size>1"
+            )
+        sort = spec.get("sort")
+        if not isinstance(sort, dict) or len(sort) != 1:
+            raise ValueError("top_metrics wants sort: {field: asc|desc}")
+        s_field, s_order = next(iter(sort.items()))
+        if isinstance(s_order, dict):
+            s_order = s_order.get("order", "asc")
+        if s_order not in ("asc", "desc"):
+            raise ValueError(f"top_metrics sort order must be asc|desc, got {s_order!r}")
+        mets = spec.get("metrics")
+        mets = [mets] if isinstance(mets, dict) else list(mets or ())
+        if not mets:
+            raise ValueError("top_metrics needs at least one metric")
+        s = F.col(s_field)
+        out = []
+        for m in mets:
+            mc = F.col(m["field"]).cast("double")
+            # deterministic tie-break on equal sort keys: the SMALLEST
+            # metric value (the typed top_metrics rule; ES leaves ties
+            # unspecified) — encoded as the struct's second key
+            if s_order == "desc":
+                out.append(
+                    F.max_by(mc, F.struct(s.alias("s"), (-mc).alias("t")))
+                    .alias(f"{name}_{m['field']}")
+                )
+            else:
+                out.append(
+                    F.min_by(mc, F.struct(s.alias("s"), mc.alias("t")))
+                    .alias(f"{name}_{m['field']}")
+                )
+        out.append(
+            (F.max(s) if s_order == "desc" else F.min(s)).alias(
+                f"{name}_sort_value"
+            )
+        )
+        return out
+    if kind == "geo_bounds":
+        # tightest bounding box over the engine's split lat/lon columns
+        # (the geotile_grid body-kind convention); NULL coords ignored
+        lat = F.col(spec.get("lat_col", "lat")).cast("double")
+        lon = F.col(spec.get("lon_col", "lon")).cast("double")
+        ok_lat = F.when(lon.isNotNull(), lat)
+        ok_lon = F.when(lat.isNotNull(), lon)
+        return [
+            F.round(F.max(ok_lat), 6).alias(f"{name}_top_left_lat"),
+            F.round(F.min(ok_lon), 6).alias(f"{name}_top_left_lon"),
+            F.round(F.min(ok_lat), 6).alias(f"{name}_bottom_right_lat"),
+            F.round(F.max(ok_lon), 6).alias(f"{name}_bottom_right_lon"),
+        ]
+    if kind == "geo_centroid":
+        lat = F.col(spec.get("lat_col", "lat")).cast("double")
+        lon = F.col(spec.get("lon_col", "lon")).cast("double")
+        both = lat.isNotNull() & lon.isNotNull()
+        return [
+            F.round(F.avg(F.when(both, lat)), 6).alias(f"{name}_lat"),
+            F.round(F.avg(F.when(both, lon)), 6).alias(f"{name}_lon"),
+            F.sum(both.cast("long")).alias(f"{name}_count"),
         ]
     raise ValueError(f"unknown metric aggregation {kind!r}")
 
@@ -2326,8 +2446,9 @@ def aggs_dsl_df(
     top-level dispatches to the typed kernels for composite,
     significant_terms, and terms+top_hits — and
     metric kinds avg / sum / min / max / value_count / cardinality /
-    stats / percentiles / weighted_avg (field "_score" targets the
-    relevance score). Engine-native restrictions (documented): ONE bucket
+    stats / percentiles / percentile_ranks / extended_stats / boxplot /
+    top_metrics (size=1) / geo_bounds / geo_centroid / weighted_avg
+    (field "_score" targets the relevance score). Engine-native restrictions (documented): ONE bucket
     agg per nesting level (sibling metrics live at the INNERMOST level);
     the whole tree computes in one groupBy over the flattened key chain,
     parent doc_counts as window sums — no per-bucket subqueries, no

@@ -646,3 +646,106 @@ def test_significant_text_body_dispatch(spark, setup):
     ).collect()
     assert [tuple(x) for x in via] == [tuple(x) for x in typed]
     assert len(via) == 5
+
+
+def test_extended_stats_and_boxplot_body_kinds(spark, setup):
+    """extended_stats / boxplot / percentile_ranks as body metric kinds
+    == the typed aggs surfaces, top-level and under a bucket."""
+    from elasticsearch_jdbc_spark.index.aggs import boxplot, extended_stats
+
+    d, r, docs = setup
+    docs_df = spark.read.parquet(f"{d}/docs")
+    got = r.aggs_dsl_df(
+        {"es": {"extended_stats": {"field": "dl", "sigma": 3.0}}}
+    ).collect()[0]
+    want = extended_stats(docs_df, "dl", sigma=3.0).collect()[0]
+    for f in ("count", "min", "max", "sum", "avg", "sum_of_squares",
+              "variance", "variance_sampling", "std_deviation",
+              "std_deviation_sampling", "std_upper", "std_lower"):
+        assert got[f"es_{f}"] == pytest.approx(want[f], rel=1e-9), f
+
+    got = r.aggs_dsl_df({"bx": {"boxplot": {"field": "dl"}}}).collect()[0]
+    want = boxplot(docs_df, "dl").collect()[0]
+    for f in ("min", "q1", "q2", "q3", "max"):
+        assert got[f"bx_{f}"] == pytest.approx(want[f], rel=1e-9), f
+
+    vals = sorted(v["dl"] for v in docs.values())
+    probe = vals[len(vals) // 2]
+    got = r.aggs_dsl_df(
+        {"pr": {"percentile_ranks": {"field": "dl", "values": [probe]}}}
+    ).collect()[0]
+    brute = 100.0 * sum(1 for v in vals if v <= probe) / len(vals)
+    key = f"pr_{str(float(probe)).rstrip('0').rstrip('.').replace('.', '_')}"
+    assert got[key] == pytest.approx(brute, abs=1e-6)
+
+    # under a terms bucket: per-lang parity with brute computation
+    rows = r.aggs_dsl_df(
+        {"by_lang": {"terms": {"field": "lang", "size": 100},
+                     "aggs": {"es": {"extended_stats": {"field": "dl"}}}}}
+    ).collect()
+    import statistics
+
+    for x in rows:
+        dls = [v["dl"] for v in docs.values() if v["lang"] == x["by_lang"]]
+        assert x["es_count"] == len(dls)
+        # body kinds round to 6 decimals (the typed-surface rule)
+        assert x["es_avg"] == pytest.approx(
+            sum(dls) / len(dls), abs=1e-6)
+        if len(dls) > 1:
+            assert x["es_std_deviation_sampling"] == pytest.approx(
+                statistics.stdev(dls), abs=1e-5)
+
+
+def test_top_metrics_and_geo_body_kinds(spark, setup):
+    """top_metrics (size=1) / geo_bounds / geo_centroid body kinds vs
+    brute recompute; top_metrics tie-break = smallest metric."""
+    d, r, docs = setup
+
+    rows = r.aggs_dsl_df(
+        {"by_lang": {"terms": {"field": "lang", "size": 100},
+                     "aggs": {"tm": {"top_metrics": {
+                         "metrics": [{"field": "dl"}],
+                         "sort": {"doc_id": "desc"}}}}}}
+    ).collect()
+    for x in rows:
+        grp = [v for v in docs.values() if v["lang"] == x["by_lang"]]
+        top = max(grp, key=lambda v: v["doc_id"])
+        assert x["tm_dl"] == pytest.approx(float(top["dl"]))
+        assert x["tm_sort_value"] == top["doc_id"]
+    # asc order picks the minimum sort row
+    one = r.aggs_dsl_df(
+        {"tm": {"top_metrics": {"metrics": [{"field": "dl"}],
+                                "sort": {"doc_id": {"order": "asc"}}}}}
+    ).collect()[0]
+    low = min(docs.values(), key=lambda v: v["doc_id"])
+    assert one["tm_dl"] == pytest.approx(float(low["dl"]))
+    with pytest.raises(ValueError, match="size=1"):
+        r.aggs_dsl_df({"tm": {"top_metrics": {
+            "metrics": [{"field": "dl"}], "sort": {"doc_id": "asc"},
+            "size": 3}}})
+
+    # geo kinds over planted coordinates (split lat/lon convention)
+    from pyspark.sql import functions as SF
+
+    d2 = str(d) + "_geo"
+    corpus = synthetic_corpus(spark, n_files=60, seed=9)
+    did = SF.crc32("path")
+    corpus = corpus.withColumn(
+        "lat", ((did % 160) - 80).cast("double") + 0.5
+    ).withColumn("lon", ((did % 360) - 180).cast("double") + 0.5)
+    IndexBuilder(spark, d2, partitions=2).build(corpus, resume=False)
+    r2 = IndexReader(spark, d2)
+    pts = [(x["lat"], x["lon"])
+           for x in spark.read.parquet(f"{d2}/docs").collect()]
+    got = r2.aggs_dsl_df(
+        {"gb": {"geo_bounds": {}}, "gc": {"geo_centroid": {}}}
+    ).collect()[0]
+    lats = [p[0] for p in pts]
+    lons = [p[1] for p in pts]
+    assert got["gb_top_left_lat"] == pytest.approx(max(lats))
+    assert got["gb_top_left_lon"] == pytest.approx(min(lons))
+    assert got["gb_bottom_right_lat"] == pytest.approx(min(lats))
+    assert got["gb_bottom_right_lon"] == pytest.approx(max(lons))
+    assert got["gc_lat"] == pytest.approx(sum(lats) / len(lats), abs=1e-6)
+    assert got["gc_lon"] == pytest.approx(sum(lons) / len(lons), abs=1e-6)
+    assert got["gc_count"] == len(pts)
