@@ -4401,6 +4401,82 @@ def aggs_body_top_hits_q(spark, sf_dir):
     )
 
 
+@_reg(
+    "aggs_body_metrics",
+    """
+    -- extended_stats / boxplot / percentile_ranks / top_metrics as
+    -- request-body METRIC kinds under a terms bucket, re-derived from
+    -- the planted lat/lon doc_id arithmetic (corpus_from_documents).
+    -- Spark rounds every derived stat to 6 decimals; DuckDB mirrors.
+    WITH pts AS (
+      SELECT lang,
+             ((doc_id * 7919) % 160 - 80 + 0.25) AS lat,
+             ((doc_id * 104729) % 360 - 180 + 0.25) AS lon
+      FROM documents
+    ),
+    tm AS (
+      SELECT lang, lat, lon,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY lon DESC, lat ASC
+             ) AS rn
+      FROM pts
+    )
+    SELECT p.lang AS by_lang,
+           CAST(COUNT(*) AS BIGINT) AS by_lang_doc_count,
+           CAST(COUNT(*) AS BIGINT) AS es_count,
+           ROUND(MIN(p.lat), 6) AS es_min,
+           ROUND(MAX(p.lat), 6) AS es_max,
+           ROUND(SUM(p.lat), 6) AS es_sum,
+           ROUND(AVG(p.lat), 6) AS es_avg,
+           ROUND(SUM(p.lat * p.lat), 6) AS es_sum_of_squares,
+           ROUND(var_pop(p.lat), 6) AS es_variance,
+           ROUND(var_samp(p.lat), 6) AS es_variance_sampling,
+           ROUND(stddev_pop(p.lat), 6) AS es_std_deviation,
+           ROUND(stddev_samp(p.lat), 6) AS es_std_deviation_sampling,
+           ROUND(AVG(p.lat) + 2.0 * stddev_pop(p.lat), 6) AS es_std_upper,
+           ROUND(AVG(p.lat) - 2.0 * stddev_pop(p.lat), 6) AS es_std_lower,
+           ROUND(MIN(p.lat), 6) AS bx_min,
+           ROUND(quantile_cont(p.lat, 0.25), 6) AS bx_q1,
+           ROUND(quantile_cont(p.lat, 0.5), 6) AS bx_q2,
+           ROUND(quantile_cont(p.lat, 0.75), 6) AS bx_q3,
+           ROUND(MAX(p.lat), 6) AS bx_max,
+           ROUND(100.0 * AVG(CASE WHEN p.lat <= 0.25 THEN 1.0 ELSE 0.0 END), 6)
+             AS pr_0_25,
+           MAX(t.lat) AS tm_lat,
+           MAX(p.lon) AS tm_sort_value
+    FROM pts p
+    LEFT JOIN (SELECT lang, lat FROM tm WHERE rn = 1) t
+      ON t.lang = p.lang
+    GROUP BY p.lang
+    """,
+)
+def aggs_body_metrics_q(spark, sf_dir):
+    """extended_stats / boxplot / percentile_ranks / top_metrics reached
+    through the REQUEST-BODY metric grammar (aggs_dsl_df) under a terms
+    bucket — the round-5 metric-kind parity wiring, oracle-checked
+    against DuckDB's independent recompute of the planted lat/lon
+    arithmetic. ONE groupBy pass for the whole block (every kind
+    compiles to aggregate Columns; top_metrics size=1 is max_by with the
+    smallest-metric tie-break, mirrored by the oracle's
+    ORDER BY lon DESC, lat ASC window)."""
+    from ..index import IndexReader
+
+    idx = _registry_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    return reader.aggs_dsl_df(
+        {"by_lang": {"terms": {"field": "lang", "size": 100},
+                     "aggs": {
+                         "es": {"extended_stats": {"field": "lat"}},
+                         "bx": {"boxplot": {"field": "lat"}},
+                         "pr": {"percentile_ranks": {"field": "lat",
+                                                     "values": [0.25]}},
+                         "tm": {"top_metrics": {
+                             "metrics": [{"field": "lat"}],
+                             "sort": {"lon": "desc"}}},
+                     }}}
+    )
+
+
 _NESTED_QUERY_SQL = """
 -- ES `nested` query oracle: per-element scoped predicates over an
 -- array-of-structs field, re-derived from the SAME doc_id arithmetic
@@ -8843,6 +8919,7 @@ _WINDOW_R5 = [
     "aggs_body_geotile",          # request-body geotile_grid bucket kind
     "aggs_body_sigterms",         # request-body significant_terms dispatch
     "aggs_body_top_hits",         # request-body terms+top_hits dispatch
+    "aggs_body_metrics",          # request-body metric kinds (r5 wiring)
     # -- never-checked search/DSL surfaces (r3-r4 additions) --
     "msearch_index_search",
     "composite_index_search",
