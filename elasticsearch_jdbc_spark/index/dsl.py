@@ -1862,6 +1862,10 @@ _METRIC_KINDS = (
     "percentiles", "percentile_ranks", "weighted_avg", "extended_stats",
     "boxplot", "top_metrics", "geo_bounds", "geo_centroid",
 )
+_PIPELINE_KINDS = (
+    "derivative", "cumulative_sum", "moving_fn", "serial_diff",
+    "bucket_script", "bucket_selector", "bucket_sort",
+)
 _BUCKET_KINDS = (
     "terms", "histogram", "date_histogram", "range", "filters", "missing",
     "rare_terms", "multi_terms", "categorize_text", "global",
@@ -2448,7 +2452,11 @@ def aggs_dsl_df(
     metric kinds avg / sum / min / max / value_count / cardinality /
     stats / percentiles / percentile_ranks / extended_stats / boxplot /
     top_metrics (size=1) / geo_bounds / geo_centroid / weighted_avg
-    (field "_score" targets the relevance score). Engine-native restrictions (documented): ONE bucket
+    (field "_score" targets the relevance score) — and, at the same
+    innermost level, pipeline kinds derivative / cumulative_sum /
+    moving_fn / serial_diff / bucket_script / bucket_selector /
+    bucket_sort referencing sibling metrics via buckets_path
+    (_apply_body_pipelines). Engine-native restrictions (documented): ONE bucket
     agg per nesting level (sibling metrics live at the INNERMOST level);
     the whole tree computes in one groupBy over the flattened key chain,
     parent doc_counts as window sums — no per-bucket subqueries, no
@@ -2605,6 +2613,7 @@ def aggs_dsl_df(
     levels: list[dict] = []
     node = aggs
     metric_cols: list = []
+    pipe_specs: dict = {}
     while True:
         buckets = {
             n: s for n, s in node.items() if next(iter(s)) in _BUCKET_KINDS
@@ -2614,7 +2623,12 @@ def aggs_dsl_df(
             for n, s in node.items()
             if next(iter(s)) in _METRIC_KINDS
         }
-        unknown = set(node) - set(buckets) - set(metrics)
+        pipes = {
+            n: s
+            for n, s in node.items()
+            if next(iter(s)) in _PIPELINE_KINDS
+        }
+        unknown = set(node) - set(buckets) - set(metrics) - set(pipes)
         if unknown:
             kinds = {next(iter(node[n])) for n in unknown}
             raise ValueError(f"unknown aggregation kind(s) {sorted(kinds)}")
@@ -2623,15 +2637,16 @@ def aggs_dsl_df(
                 "one bucket aggregation per level (engine-native "
                 f"restriction); got {sorted(buckets)}"
             )
-        if buckets and metrics:
+        if buckets and (metrics or pipes):
             raise ValueError(
                 "metrics live at the innermost level (engine-native "
                 "restriction); move them under the bucket's aggs"
             )
-        if metrics:
+        if metrics or pipes:
             for n, s in metrics.items():
                 kind, spec = _one({k: v for k, v in s.items() if k != "aggs"})
                 metric_cols.extend(_metric_exprs(n, kind, spec))
+            pipe_specs = pipes
             break
         if not buckets:
             break
@@ -2691,6 +2706,7 @@ def aggs_dsl_df(
             continue
         else:
             rows, meta = _bucket_key(ctx, rows, name, kind, spec)
+        meta["kind"] = kind
         levels.append(meta)
         node = s0.get("aggs") or {}
         if not node:
@@ -2698,6 +2714,11 @@ def aggs_dsl_df(
 
     keys = [lv["name"] for lv in levels]
     if not keys:
+        if pipe_specs:
+            raise ValueError(
+                "pipeline aggregations need an enclosing bucket "
+                "aggregation (ES contract)"
+            )
         return rows.agg(*(metric_cols or [F.count(F.lit(1)).alias("doc_count")]))
     inner = rows.groupBy(*keys).agg(
         F.count(F.lit(1)).alias(f"{keys[-1]}_doc_count"), *metric_cols
@@ -2727,7 +2748,140 @@ def aggs_dsl_df(
             inner = inner.withColumn("_rk", rk).filter(
                 F.col("_rk") <= lv["size"]
             ).drop("_rk")
+    if pipe_specs:
+        inner = _apply_body_pipelines(
+            inner, keys, levels[-1].get("kind"), pipe_specs
+        )
     return inner.orderBy(*keys)
+
+
+def _apply_body_pipelines(inner, keys, innermost_kind, pipes):
+    """ES pipeline aggregations reached through the REQUEST BODY: the
+    sibling-of-metrics entries at the innermost level, referencing
+    sibling metric columns via `buckets_path` ("_count" = the bucket's
+    doc_count, "_key" in sorts = the bucket key; dotted stats paths
+    flatten with '_', the engine's suffix rule). All compile onto the
+    typed kernels (aggs.pipeline_aggs / bucket_selector / bucket_sort):
+    ONE WindowExec over the bucket LIST (never raw rows), partitioned by
+    the parent key chain and ordered by the innermost bucket key asc —
+    the ES reduce-time order. Runs AFTER min_doc_count/size cuts (ES
+    pipelines see the returned buckets). Engine-native deltas
+    (documented): bucket_script / bucket_selector scripts are SQL
+    expressions with `params.X` substituted by the resolved column
+    (Painless arithmetic/comparison syntax is SQL-compatible for the
+    common cases); the final relation stays ordered by the key chain, so
+    bucket_sort contributes its from/size truncation, not presentation
+    order; gap_policy is fixed at `skip` (NULL propagates)."""
+    from .aggs import bucket_selector as _bselector
+    from .aggs import bucket_sort as _bsort
+    from .aggs import pipeline_aggs as _paggs
+
+    cols = set(inner.columns)
+
+    def path_col(p, allow_key=False):
+        p = str(p)
+        if p == "_count":
+            return f"{keys[-1]}_doc_count"
+        if p == "_key" and allow_key:
+            return keys[-1]
+        c = p.replace(".", "_")
+        if c not in cols:
+            raise ValueError(
+                f"buckets_path {p!r} does not resolve to a bucket column; "
+                f"have {sorted(cols)}"
+            )
+        return c
+
+    def subst(script, paths):
+        out = str(script)
+        # longest param name first so params.ab never partially
+        # rewrites as params.a's substitution
+        for k in sorted(paths, key=len, reverse=True):
+            out = out.replace(f"params.{k}", path_col(paths[k]))
+        if "params." in out:
+            raise ValueError(f"unresolved params.* in script {script!r}")
+        return out
+
+    ordered_kinds = ("derivative", "cumulative_sum", "moving_fn", "serial_diff")
+    specs: dict = {}
+    selector_sql = None
+    sort_spec = None
+    for name, s in pipes.items():
+        kind, spec = _one(s)
+        if kind in ordered_kinds and innermost_kind not in (
+            "histogram", "date_histogram",
+        ):
+            raise ValueError(
+                f"{kind} requires a histogram/date_histogram parent "
+                "(ES contract)"
+            )
+        if kind == "derivative":
+            specs[name] = ("derivative", path_col(spec["buckets_path"]))
+        elif kind == "cumulative_sum":
+            specs[name] = ("cumulative_sum", path_col(spec["buckets_path"]))
+        elif kind == "serial_diff":
+            specs[name] = (
+                "serial_diff", path_col(spec["buckets_path"]),
+                int(spec.get("lag", 1)),
+            )
+        elif kind == "moving_fn":
+            m = re.fullmatch(
+                r"\s*MovingFunctions\."
+                r"(unweightedAvg|max|min|sum|stdDev)\(\s*values\s*\)\s*",
+                str(spec.get("script", "")),
+            )
+            if not m:
+                raise ValueError(
+                    "moving_fn script must be MovingFunctions."
+                    "unweightedAvg|max|min|sum|stdDev(values) "
+                    "(engine-native whitelist)"
+                )
+            fn = {
+                "unweightedAvg": "moving_avg", "max": "moving_max",
+                "min": "moving_min", "sum": "moving_sum",
+                "stdDev": "moving_stddev",
+            }[m.group(1)]
+            specs[name] = (
+                fn, path_col(spec["buckets_path"]), int(spec["window"])
+            )
+        elif kind == "bucket_script":
+            specs[name] = (
+                "bucket_script",
+                subst(spec["script"], dict(spec.get("buckets_path") or {})),
+            )
+        elif kind == "bucket_selector":
+            selector_sql = subst(
+                spec["script"], dict(spec.get("buckets_path") or {})
+            )
+        elif kind == "bucket_sort":
+            entries = []
+            for e in _aslist(spec.get("sort") or ()):
+                if isinstance(e, str):
+                    entries.append((path_col(e, allow_key=True), "asc"))
+                else:
+                    f0, o = _one(e)
+                    order = o.get("order", "asc") if isinstance(o, dict) else str(o)
+                    entries.append((path_col(f0, allow_key=True), order))
+            sort_spec = (
+                entries,
+                None if spec.get("size") is None else int(spec["size"]),
+                int(spec.get("from", 0)),
+            )
+    if specs:
+        inner = _paggs(inner, keys[-1], specs, partition_cols=keys[:-1])
+    if selector_sql is not None:
+        inner = _bselector(inner, selector_sql)
+    if sort_spec is not None:
+        entries, size, from_ = sort_spec
+        if not entries:
+            # ES allows bucket_sort with only from/size — truncation in
+            # the current (key-chain) order
+            entries = [(keys[-1], "asc")]
+        inner = _bsort(
+            inner, entries, size=size, from_=from_,
+            partition_cols=keys[:-1],
+        )
+    return inner
 
 
 def _retriever_compile(ctx, spec) -> DataFrame:

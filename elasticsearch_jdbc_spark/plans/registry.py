@@ -4477,6 +4477,64 @@ def aggs_body_metrics_q(spark, sf_dir):
     )
 
 
+@_reg(
+    "aggs_body_pipeline",
+    """
+    -- derivative / cumulative_sum / moving_fn / bucket_script as
+    -- request-body PIPELINE kinds over a lat histogram, re-derived with
+    -- DuckDB window functions over the same bucket list. All planted
+    -- values are dyadic (k + 0.25), so every sum is exact in binary
+    -- floating point and the comparison is deterministic.
+    WITH pts AS (
+      SELECT ((doc_id * 7919) % 160 - 80 + 0.25) AS lat,
+             ((doc_id * 104729) % 360 - 180 + 0.25) AS lon
+      FROM documents
+    ),
+    b AS (
+      SELECT floor(lat / 20.0) * 20.0 AS by_bin,
+             CAST(COUNT(*) AS BIGINT) AS by_bin_doc_count,
+             SUM(lon) AS total
+      FROM pts GROUP BY 1
+    )
+    SELECT by_bin, by_bin_doc_count, total,
+           total - lag(total) OVER (ORDER BY by_bin) AS deriv,
+           SUM(CAST(by_bin_doc_count AS DOUBLE))
+             OVER (ORDER BY by_bin ROWS UNBOUNDED PRECEDING) AS cum,
+           AVG(total) OVER (ORDER BY by_bin
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mavg,
+           total / by_bin_doc_count AS ratio
+    FROM b
+    """,
+)
+def aggs_body_pipeline_q(spark, sf_dir):
+    """ES pipeline aggregations reached through the REQUEST BODY
+    (derivative, cumulative_sum over _count, moving_fn with the
+    MovingFunctions whitelist, bucket_script with params substitution)
+    — the round-5 _apply_body_pipelines wiring, oracle-checked against
+    DuckDB's independent window recompute over the identical bucket
+    list. Plan: one groupBy for the buckets + ONE WindowExec over the
+    bucket list for all four pipeline columns — never over raw rows."""
+    from ..index import IndexReader
+
+    idx = _registry_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    return reader.aggs_dsl_df(
+        {"by_bin": {"histogram": {"field": "lat", "interval": 20},
+                    "aggs": {
+                        "total": {"sum": {"field": "lon"}},
+                        "deriv": {"derivative": {"buckets_path": "total"}},
+                        "cum": {"cumulative_sum": {"buckets_path": "_count"}},
+                        "mavg": {"moving_fn": {
+                            "buckets_path": "total", "window": 3,
+                            "script":
+                                "MovingFunctions.unweightedAvg(values)"}},
+                        "ratio": {"bucket_script": {
+                            "buckets_path": {"t": "total", "n": "_count"},
+                            "script": "params.t / params.n"}},
+                    }}}
+    )
+
+
 _NESTED_QUERY_SQL = """
 -- ES `nested` query oracle: per-element scoped predicates over an
 -- array-of-structs field, re-derived from the SAME doc_id arithmetic
@@ -8920,6 +8978,7 @@ _WINDOW_R5 = [
     "aggs_body_sigterms",         # request-body significant_terms dispatch
     "aggs_body_top_hits",         # request-body terms+top_hits dispatch
     "aggs_body_metrics",          # request-body metric kinds (r5 wiring)
+    "aggs_body_pipeline",         # request-body pipeline kinds (r5 wiring)
     # -- never-checked search/DSL surfaces (r3-r4 additions) --
     "msearch_index_search",
     "composite_index_search",

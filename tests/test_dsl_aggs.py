@@ -749,3 +749,82 @@ def test_top_metrics_and_geo_body_kinds(spark, setup):
     assert got["gc_lat"] == pytest.approx(sum(lats) / len(lats), abs=1e-6)
     assert got["gc_lon"] == pytest.approx(sum(lons) / len(lons), abs=1e-6)
     assert got["gc_count"] == len(pts)
+
+
+def test_pipeline_aggs_body_kinds(spark, setup):
+    """derivative / cumulative_sum / moving_fn / bucket_script through
+    the request-body grammar == brute recompute over the bucket list."""
+    d, r, docs = setup
+    rows = [x.asDict() for x in r.aggs_dsl_df(
+        {"by_dl": {"histogram": {"field": "dl", "interval": 50},
+                   "aggs": {
+                       "total": {"sum": {"field": "dl"}},
+                       "deriv": {"derivative": {"buckets_path": "total"}},
+                       "cum": {"cumulative_sum": {"buckets_path": "_count"}},
+                       "mavg": {"moving_fn": {
+                           "buckets_path": "total", "window": 2,
+                           "script": "MovingFunctions.unweightedAvg(values)"}},
+                       "ratio": {"bucket_script": {
+                           "buckets_path": {"t": "total", "n": "_count"},
+                           "script": "params.t / params.n"}},
+                   }}}
+    ).collect()]
+    assert len(rows) > 2
+    rows.sort(key=lambda x: x["by_dl"])
+    run = 0
+    for i, x in enumerate(rows):
+        if i == 0:
+            assert x["deriv"] is None
+        else:
+            assert x["deriv"] == pytest.approx(
+                x["total"] - rows[i - 1]["total"], rel=1e-12)
+        run += x["by_dl_doc_count"]
+        assert x["cum"] == pytest.approx(run)
+        lo = max(0, i - 1)
+        want = sum(y["total"] for y in rows[lo:i + 1]) / (i + 1 - lo)
+        assert x["mavg"] == pytest.approx(want, rel=1e-12)
+        assert x["ratio"] == pytest.approx(
+            x["total"] / x["by_dl_doc_count"], rel=1e-12)
+
+
+def test_bucket_selector_and_sort_body_kinds(spark, setup):
+    """bucket_selector filters buckets by metric predicate;
+    bucket_sort truncates top-N by metric; both parent-partitioned."""
+    d, r, docs = setup
+    import collections as C
+
+    full = C.Counter(v["lang"] for v in docs.values())
+    cut = sorted(full.values())[len(full) // 2]
+    kept = [x["by_lang"] for x in r.aggs_dsl_df(
+        {"by_lang": {"terms": {"field": "lang", "size": 100},
+                     "aggs": {"keep": {"bucket_selector": {
+                         "buckets_path": {"n": "_count"},
+                         "script": f"params.n >= {cut}"}}}}}
+    ).collect()]
+    assert sorted(kept) == sorted(
+        k for k, v in full.items() if v >= cut) and 0 < len(kept) < len(full)
+
+    top2 = [x["by_lang"] for x in r.aggs_dsl_df(
+        {"by_lang": {"terms": {"field": "lang", "size": 100},
+                     "aggs": {"top": {"bucket_sort": {
+                         "sort": [{"_count": {"order": "desc"}},
+                                  {"_key": "asc"}],
+                         "size": 2}}}}}
+    ).collect()]
+    want = sorted(full.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+    assert sorted(top2) == sorted(k for k, _ in want)
+
+    # guards: ordered kinds demand a histogram parent; pipelines demand
+    # a bucket; unresolved buckets_path named
+    with pytest.raises(ValueError, match="histogram"):
+        r.aggs_dsl_df(
+            {"by_lang": {"terms": {"field": "lang"},
+                         "aggs": {"d": {"derivative":
+                                        {"buckets_path": "_count"}}}}})
+    with pytest.raises(ValueError, match="enclosing bucket"):
+        r.aggs_dsl_df({"d": {"cumulative_sum": {"buckets_path": "_count"}}})
+    with pytest.raises(ValueError, match="does not resolve"):
+        r.aggs_dsl_df(
+            {"by_dl": {"histogram": {"field": "dl", "interval": 50},
+                       "aggs": {"d": {"derivative":
+                                      {"buckets_path": "nope"}}}}})
