@@ -2532,6 +2532,41 @@ def aggs_dsl_df(
                 min_doc_count=int(spec.get("min_doc_count", 3)),
                 filter_sql=filter_sql,
             )
+        if _ckinds == ["median_absolute_deviation"]:
+            # two-pass kernel (scalar median broadcast between passes) —
+            # not expressible as one aggregate Column, so it dispatches
+            # top-level like composite. `{name}` carries the MAD (the ES
+            # response value); `{name}_median` is the engine's bonus
+            # column (the typed surface's second output).
+            from .aggs import median_absolute_deviation as _mad
+
+            if _cspec.get("aggs"):
+                raise ValueError(
+                    "median_absolute_deviation takes no sub-aggregations"
+                )
+            spec = dict(_cspec["median_absolute_deviation"])
+            return _mad(rows, spec["field"]).select(
+                F.col("mad").alias(_cname),
+                F.col("median").alias(f"{_cname}_median"),
+            )
+        if _ckinds == ["string_stats"]:
+            # length stats are one JVM pass; the entropy side is the
+            # Arrow char-histogram kernel — dispatches top-level to the
+            # typed aggs.string_stats, columns flattened with the
+            # {name}_ prefix (the ES response field set)
+            from .aggs import string_stats as _sstats
+
+            if _cspec.get("aggs"):
+                raise ValueError("string_stats takes no sub-aggregations")
+            spec = dict(_cspec["string_stats"])
+            out = _sstats(rows, spec["field"])
+            return out.select(
+                *[
+                    F.col(c).alias(f"{_cname}_{c}")
+                    for c in ("count", "min_length", "max_length",
+                              "avg_length", "entropy")
+                ]
+            )
         if (
             _ckinds == ["terms"]
             and len(_cspec.get("aggs") or {}) == 1

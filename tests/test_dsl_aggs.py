@@ -828,3 +828,41 @@ def test_bucket_selector_and_sort_body_kinds(spark, setup):
             {"by_dl": {"histogram": {"field": "dl", "interval": 50},
                        "aggs": {"d": {"derivative":
                                       {"buckets_path": "nope"}}}}})
+
+
+def test_mad_and_string_stats_body_dispatch(spark, setup):
+    """median_absolute_deviation / string_stats as top-level body
+    dispatches onto the typed two-pass kernels, query-scoped."""
+    import statistics
+
+    d, r, docs = setup
+    got = r.aggs_dsl_df(
+        {"m": {"median_absolute_deviation": {"field": "dl"}}}
+    ).collect()[0]
+    dls = sorted(float(v["dl"]) for v in docs.values())
+    med = statistics.median(dls)
+    mad = statistics.median(sorted(abs(x - med) for x in dls))
+    assert got["m_median"] == pytest.approx(med, abs=1e-6)
+    assert got["m"] == pytest.approx(mad, abs=1e-6)
+
+    got = r.aggs_dsl_df(
+        {"s": {"string_stats": {"field": "lang"}}},
+        query={"match": {"content": "merge"}},
+    ).collect()[0]
+    m = {x["doc_id"] for x in r.match_df("merge").collect()}
+    langs = [docs[k]["lang"] for k in m]
+    assert got["s_count"] == len(langs)
+    assert got["s_min_length"] == min(len(x) for x in langs)
+    assert got["s_max_length"] == max(len(x) for x in langs)
+    assert got["s_avg_length"] == pytest.approx(
+        sum(len(x) for x in langs) / len(langs), abs=1e-6)
+    import collections as C
+    import math
+
+    cnt = C.Counter("".join(langs))
+    tot = sum(cnt.values())
+    ent = -sum(n / tot * math.log2(n / tot) for n in cnt.values())
+    assert got["s_entropy"] == pytest.approx(ent, abs=1e-5)
+    with pytest.raises(ValueError, match="sub-aggregations"):
+        r.aggs_dsl_df({"m": {"median_absolute_deviation": {"field": "dl"},
+                             "aggs": {"x": {"avg": {"field": "dl"}}}}})
