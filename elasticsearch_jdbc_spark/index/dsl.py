@@ -1869,7 +1869,8 @@ _PIPELINE_KINDS = (
 _BUCKET_KINDS = (
     "terms", "histogram", "date_histogram", "range", "filters", "missing",
     "rare_terms", "multi_terms", "categorize_text", "global",
-    "geotile_grid", "sampler", "diversified_sampler", "random_sampler",
+    "geotile_grid", "geohash_grid", "sampler", "diversified_sampler",
+    "random_sampler", "ip_range", "ip_prefix", "geo_distance",
 )
 
 
@@ -2041,16 +2042,25 @@ def _bucket_key(ctx: _Ctx, rows: DataFrame, name: str, kind: str, spec: dict):
     """Attach the bucket key column `name` to `rows` (exploding when a doc
     lands in several buckets — range/filters). Returns (rows, level_meta)
     where level_meta carries the post-aggregation cut knobs."""
-    sized = ("terms", "multi_terms", "categorize_text", "geotile_grid")
+    sized = (
+        "terms", "multi_terms", "categorize_text", "geotile_grid",
+        "geohash_grid",
+    )
     meta = {
         "name": name,
         "size": (
-            int(spec.get("size", 10000 if kind == "geotile_grid" else 10))
+            int(spec.get(
+                "size",
+                10000 if kind in ("geotile_grid", "geohash_grid") else 10,
+            ))
             if kind in sized
             else None
         ),
         "min_doc_count": int(
-            spec.get("min_doc_count", 1 if kind in sized else 0)
+            spec.get(
+                "min_doc_count",
+                1 if (kind in sized or kind == "ip_prefix") else 0,
+            )
         ),
         "max_doc_count": (
             int(spec.get("max_doc_count", 1)) if kind == "rare_terms" else None
@@ -2080,6 +2090,105 @@ def _bucket_key(ctx: _Ctx, rows: DataFrame, name: str, kind: str, spec: dict):
             & F.col(spec.get("lon_col", "lon")).isNotNull()
         )
         return rows.withColumn(name, key), meta
+    if kind == "geohash_grid":
+        # base32 geohash cell key — the Arrow-batched encode kernel
+        # (functions/geo.py geohash_np), size cut like geotile/terms
+        from ..functions.geo import geohash_udf
+
+        gh = geohash_udf(int(spec.get("precision", 5)))
+        lat = F.col(spec.get("lat_col", "lat"))
+        lon = F.col(spec.get("lon_col", "lon"))
+        rows = rows.filter(lat.isNotNull() & lon.isNotNull())
+        return rows.withColumn(name, gh(lat, lon)), meta
+    if kind in ("ip_range", "geo_distance"):
+        # multi-bucket tagging kinds (a doc may land in several
+        # overlapping buckets, like `range`): ONE codegen projection
+        # tags every matching label, explode keys the buckets; docs
+        # matching no bucket drop (inner explode). Same from-inclusive /
+        # to-exclusive rule as the typed kernels.
+        from .aggs import _cidr_bounds, _ipv4_to_long
+
+        labels = []
+        ranges = _aslist(spec.get("ranges") or ())
+        if not ranges:
+            raise ValueError(f"{kind} needs at least one range")
+        if kind == "ip_range":
+            v = _ipv4_to_long(F.col(spec["field"]))
+            for rg in ranges:
+                if "mask" in rg:
+                    lo, hi = _cidr_bounds(rg["mask"])
+                    label = rg.get("key", rg["mask"])
+                else:
+                    lo = (
+                        None if rg.get("from") is None
+                        else _cidr_bounds(rg["from"] + "/32")[0]
+                    )
+                    hi = (
+                        None if rg.get("to") is None
+                        else _cidr_bounds(rg["to"] + "/32")[0]
+                    )
+                    label = rg.get(
+                        "key", f"{rg.get('from', '')}-{rg.get('to', '')}"
+                    )
+                cond = v.isNotNull()
+                if lo is not None:
+                    cond = cond & (v >= F.lit(lo))
+                if hi is not None:
+                    cond = cond & (v < F.lit(hi))
+                labels.append(F.when(cond, F.lit(label)))
+        else:
+            from ..functions.geo import haversine_km
+
+            origin = spec.get("origin") or {}
+            lat0 = float(origin["lat"])
+            lon0 = float(origin["lon"])
+            latc = F.col(spec.get("lat_col", "lat"))
+            lonc = F.col(spec.get("lon_col", "lon"))
+            dist = haversine_km(latc, lonc, F.lit(lat0), F.lit(lon0))
+            for rg in ranges:
+                lo, hi = rg.get("from"), rg.get("to")
+                label = rg.get(
+                    "key",
+                    f"{'' if lo is None else lo}-{'' if hi is None else hi}",
+                )
+                cond = latc.isNotNull() & lonc.isNotNull()
+                if lo is not None:
+                    cond = cond & (dist >= F.lit(float(lo)))
+                if hi is not None:
+                    cond = cond & (dist < F.lit(float(hi)))
+                labels.append(F.when(cond, F.lit(label)))
+        return (
+            rows.withColumn(
+                name, F.explode(F.array_compact(F.array(*labels)))
+            ),
+            meta,
+        )
+    if kind == "ip_prefix":
+        # /prefix_length network rollup keyed by the canonical network
+        # address string — the typed ip_prefix's codegen mask+format
+        from .aggs import _ipv4_to_long
+
+        plen = int(spec["prefix_length"])
+        if not 0 <= plen <= 32:
+            raise ValueError(f"prefix_length must be 0..32, got {plen}")
+        v = _ipv4_to_long(F.col(spec["field"]))
+        masked = (
+            F.floor(v / F.lit(2 ** (32 - plen))) * F.lit(2 ** (32 - plen))
+            if plen < 32
+            else v
+        )
+        key = F.concat_ws(
+            ".",
+            F.floor(masked / 16777216).cast("long"),
+            (F.floor(masked / 65536) % 256).cast("long"),
+            (F.floor(masked / 256) % 256).cast("long"),
+            (masked % 256).cast("long"),
+        )
+        rows = rows.withColumn(
+            name,
+            F.when(v.isNotNull(), F.concat(key, F.lit(f"/{plen}"))),
+        ).filter(F.col(name).isNotNull())
+        return rows, meta
     if kind == "multi_terms":
         # ES returns the key as an array; flattened output joins the
         # parts with '|' (engine-native single-column key chain)
@@ -2445,10 +2554,13 @@ def aggs_dsl_df(
     terms / histogram / date_histogram / range / filters / missing /
     rare_terms (doc_count <= max_doc_count, default 1) / multi_terms
     (composite key, parts '|'-joined into one column) / geotile_grid
-    (web-mercator z/x/y key) / sampler + diversified_sampler (row-set
+    (web-mercator z/x/y key) / geohash_grid (base32 cell key) /
+    ip_range + geo_distance (multi-bucket tagging) / ip_prefix (subnet
+    rollup) / sampler + diversified_sampler (row-set
     restrictors before the subtree; no key of their own) — plus
     top-level dispatches to the typed kernels for composite,
-    significant_terms, and terms+top_hits — and
+    significant_terms, significant_text, terms+top_hits,
+    median_absolute_deviation, and string_stats — and
     metric kinds avg / sum / min / max / value_count / cardinality /
     stats / percentiles / percentile_ranks / extended_stats / boxplot /
     top_metrics (size=1) / geo_bounds / geo_centroid / weighted_avg

@@ -866,3 +866,105 @@ def test_mad_and_string_stats_body_dispatch(spark, setup):
     with pytest.raises(ValueError, match="sub-aggregations"):
         r.aggs_dsl_df({"m": {"median_absolute_deviation": {"field": "dl"},
                              "aggs": {"x": {"avg": {"field": "dl"}}}}})
+
+
+def test_geohash_ip_and_geo_distance_bucket_kinds(spark, tmp_path):
+    """geohash_grid / ip_range / ip_prefix / geo_distance as body bucket
+    kinds == the typed kernels over planted coordinates/addresses."""
+    from elasticsearch_jdbc_spark.index.aggs import (
+        geo_distance_agg,
+        geohash_grid,
+        ip_prefix,
+        ip_range,
+    )
+
+    d = str(tmp_path / "idx")
+    corpus = synthetic_corpus(spark, n_files=80, seed=4)
+    did = F.crc32("path")
+    corpus = (
+        corpus.withColumn("lat", ((did % 160) - 80).cast("double") + 0.5)
+        .withColumn("lon", ((did % 360) - 180).cast("double") + 0.5)
+        .withColumn(
+            "addr",
+            F.concat_ws(
+                ".",
+                F.lit(10),
+                (did % 3).cast("long"),
+                (did % 256).cast("long"),
+                ((did * 7) % 256).cast("long"),
+            ),
+        )
+    )
+    IndexBuilder(spark, d, partitions=2).build(corpus, resume=False)
+    r = IndexReader(spark, d)
+    docs_df = spark.read.parquet(f"{d}/docs")
+
+    got = {
+        (x["gh"], x["gh_doc_count"])
+        for x in r.aggs_dsl_df(
+            {"gh": {"geohash_grid": {"precision": 2}}}
+        ).collect()
+    }
+    want = {
+        (x["key"], x["doc_count"])
+        for x in geohash_grid(docs_df, precision=2).collect()
+    }
+    assert got == want and len(got) > 1
+
+    ranges = [{"mask": "10.0.0.0/16", "key": "netzero"},
+              {"from": "10.1.0.0", "to": "10.2.255.255", "key": "mid"}]
+    got = {
+        (x["nets"], x["nets_doc_count"])
+        for x in r.aggs_dsl_df(
+            {"nets": {"ip_range": {"field": "addr", "ranges": ranges}}}
+        ).collect()
+    }
+    want = {
+        (x["key"], x["doc_count"])
+        for x in ip_range(docs_df, "addr", ranges).collect()
+    }
+    assert got == want and len(got) == 2
+
+    got = {
+        (x["pfx"], x["pfx_doc_count"])
+        for x in r.aggs_dsl_df(
+            {"pfx": {"ip_prefix": {"field": "addr",
+                                   "prefix_length": 16}}}
+        ).collect()
+    }
+    want = {
+        (x["key"], x["doc_count"])
+        for x in ip_prefix(docs_df, "addr", 16).collect()
+    }
+    assert got == want and len(got) == 3
+
+    rings = [{"to": 5000, "key": "near"},
+             {"from": 5000, "to": 12000, "key": "midr"},
+             {"from": 12000, "key": "far"}]
+    got = {
+        (x["rings"], x["rings_doc_count"])
+        for x in r.aggs_dsl_df(
+            {"rings": {"geo_distance": {"origin": {"lat": 0.0, "lon": 0.0},
+                                        "ranges": rings}}}
+        ).collect()
+    }
+    want = {
+        (x["key"], x["doc_count"])
+        for x in geo_distance_agg(
+            docs_df, "lat", "lon", 0.0, 0.0, rings
+        ).collect()
+    }
+    assert got == want and len(got) >= 2
+
+    # sub-metrics compose under the new kinds (one groupBy, same tree)
+    rows = r.aggs_dsl_df(
+        {"pfx": {"ip_prefix": {"field": "addr", "prefix_length": 16},
+                 "aggs": {"mdl": {"avg": {"field": "dl"}}}}}
+    ).collect()
+    dmap = [x.asDict() for x in docs_df.collect()]
+    for x in rows:
+        net = int(x["pfx"].split(".")[1])
+        grp = [v["dl"] for v in dmap
+               if int(v["addr"].split(".")[1]) == net]
+        assert x["pfx_doc_count"] == len(grp)
+        assert x["mdl"] == pytest.approx(sum(grp) / len(grp), rel=1e-9)
