@@ -1863,8 +1863,9 @@ _METRIC_KINDS = (
     "boxplot", "top_metrics", "geo_bounds", "geo_centroid",
 )
 _PIPELINE_KINDS = (
-    "derivative", "cumulative_sum", "moving_fn", "serial_diff",
-    "bucket_script", "bucket_selector", "bucket_sort",
+    "derivative", "cumulative_sum", "moving_fn", "moving_percentiles",
+    "serial_diff", "bucket_script", "bucket_selector", "bucket_sort",
+    "normalize", "avg_bucket", "sum_bucket", "min_bucket", "max_bucket",
 )
 _BUCKET_KINDS = (
     "terms", "histogram", "date_histogram", "range", "filters", "missing",
@@ -2932,7 +2933,10 @@ def _apply_body_pipelines(inner, keys, innermost_kind, pipes):
         if p == "_key" and allow_key:
             return keys[-1]
         c = p.replace(".", "_")
-        if c not in cols:
+        # pipeline outputs are addressable too (bucket_sort on a
+        # derivative, selector on a normalize, ...) — they exist by the
+        # time the sort/selector stages run
+        if c not in cols and c not in pipes:
             raise ValueError(
                 f"buckets_path {p!r} does not resolve to a bucket column; "
                 f"have {sorted(cols)}"
@@ -2949,8 +2953,13 @@ def _apply_body_pipelines(inner, keys, innermost_kind, pipes):
             raise ValueError(f"unresolved params.* in script {script!r}")
         return out
 
-    ordered_kinds = ("derivative", "cumulative_sum", "moving_fn", "serial_diff")
+    ordered_kinds = (
+        "derivative", "cumulative_sum", "moving_fn", "moving_percentiles",
+        "serial_diff",
+    )
     specs: dict = {}
+    norm_specs: list = []
+    sibling_reducers: dict = {}
     selector_sql = None
     sort_spec = None
     for name, s in pipes.items():
@@ -2991,6 +3000,27 @@ def _apply_body_pipelines(inner, keys, innermost_kind, pipes):
             specs[name] = (
                 fn, path_col(spec["buckets_path"]), int(spec["window"])
             )
+        elif kind == "moving_percentiles":
+            # engine-native: buckets_path names ONE flattened percentile
+            # (or any metric) column, and `percent` is explicit — the ES
+            # shape carries the parent percentiles agg's percents
+            specs[name] = (
+                "moving_percentile",
+                path_col(spec["buckets_path"]),
+                int(spec["window"]),
+                float(spec.get("percent", 50.0)),
+            )
+        elif kind == "normalize":
+            norm_specs.append((
+                name,
+                path_col(spec["buckets_path"]),
+                str(spec.get("method", "percent_of_sum")),
+            ))
+        elif kind in ("avg_bucket", "sum_bucket", "min_bucket", "max_bucket"):
+            # sibling reducers: ES returns the scalar BESIDE the bucket
+            # array; the flattened relation repeats it per bucket row of
+            # the parent group (documented shape delta)
+            sibling_reducers[name] = (kind[:3], path_col(spec["buckets_path"]))
         elif kind == "bucket_script":
             specs[name] = (
                 "bucket_script",
@@ -3016,6 +3046,23 @@ def _apply_body_pipelines(inner, keys, innermost_kind, pipes):
             )
     if specs:
         inner = _paggs(inner, keys[-1], specs, partition_cols=keys[:-1])
+    if norm_specs:
+        from .aggs import normalize as _normalize
+
+        for name, c, method in norm_specs:
+            inner = _normalize(
+                inner, c, method=method,
+                partition_cols=keys[:-1], out=name,
+            )
+    if sibling_reducers:
+        from pyspark.sql.window import Window as _W
+
+        w = _W.partitionBy(*keys[:-1])
+        fns = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max}
+        for name, (fn0, c) in sibling_reducers.items():
+            inner = inner.withColumn(
+                name, fns[fn0](F.col(c).cast("double")).over(w)
+            )
     if selector_sql is not None:
         inner = _bselector(inner, selector_sql)
     if sort_spec is not None:

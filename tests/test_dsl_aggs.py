@@ -968,3 +968,56 @@ def test_geohash_ip_and_geo_distance_bucket_kinds(spark, tmp_path):
                if int(v["addr"].split(".")[1]) == net]
         assert x["pfx_doc_count"] == len(grp)
         assert x["mdl"] == pytest.approx(sum(grp) / len(grp), rel=1e-9)
+
+
+def test_normalize_and_sibling_reducers_body_kinds(spark, setup):
+    """normalize / moving_percentiles / avg_bucket-family through the
+    body grammar == brute recompute over the bucket list."""
+    d, r, docs = setup
+    rows = [x.asDict() for x in r.aggs_dsl_df(
+        {"by_dl": {"histogram": {"field": "dl", "interval": 50},
+                   "aggs": {
+                       "total": {"sum": {"field": "dl"}},
+                       "pct": {"normalize": {
+                           "buckets_path": "total",
+                           "method": "percent_of_sum"}},
+                       "z": {"normalize": {
+                           "buckets_path": "_count",
+                           "method": "z-score"}},
+                       "mp": {"moving_percentiles": {
+                           "buckets_path": "total", "window": 2,
+                           "percent": 50.0}},
+                       "mean_n": {"avg_bucket": {"buckets_path": "_count"}},
+                       "tot_max": {"max_bucket": {"buckets_path": "total"}},
+                   }}}
+    ).collect()]
+    rows.sort(key=lambda x: x["by_dl"])
+    tot = sum(x["total"] for x in rows)
+    ns = [x["by_dl_doc_count"] for x in rows]
+    mean = sum(ns) / len(ns)
+    sd = (sum((n - mean) ** 2 for n in ns) / len(ns)) ** 0.5
+    import statistics
+
+    for i, x in enumerate(rows):
+        assert x["pct"] == pytest.approx(x["total"] / tot, rel=1e-12)
+        assert x["z"] == pytest.approx((x["by_dl_doc_count"] - mean) / sd,
+                                       rel=1e-9)
+        lo = max(0, i - 1)
+        assert x["mp"] == pytest.approx(
+            statistics.median(y["total"] for y in rows[lo:i + 1]),
+            rel=1e-12)
+        assert x["mean_n"] == pytest.approx(mean, rel=1e-12)
+        assert x["tot_max"] == pytest.approx(
+            max(y["total"] for y in rows), rel=1e-12)
+    # bucket_sort may reference a pipeline output (engine extension)
+    top = [x.asDict() for x in r.aggs_dsl_df(
+        {"by_dl": {"histogram": {"field": "dl", "interval": 50},
+                   "aggs": {
+                       "total": {"sum": {"field": "dl"}},
+                       "d": {"derivative": {"buckets_path": "total"}},
+                       "cut": {"bucket_sort": {
+                           "sort": [{"d": "desc"}], "size": 1}}}}}
+    ).collect()]
+    want_total_deltas = [rows[i]["total"] - rows[i - 1]["total"]
+                         for i in range(1, len(rows))]
+    assert len(top) == 1 and top[0]["d"] == pytest.approx(max(want_total_deltas))
