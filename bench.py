@@ -312,10 +312,27 @@ def _clean_window_guard() -> list[str]:
     return offenders
 
 
+def _membw_probe_s() -> float:
+    """Time one 200 MB numpy stream op — the BASELINE.md diagnostic for
+    the host's memory-bandwidth-contended mode, which hypervisor-steal
+    counters MISS (same code has measured 0.04 s vs ~20 s minutes apart
+    at 0% steal). Recorded at window start and end so every BENCH
+    artifact carries its own contention context: ≲0.1 s = clean,
+    ≫0.5 s = the contended host mode (numbers inflated through no fault
+    of the engine)."""
+    import numpy as np
+
+    a = np.zeros(200 * 1024 * 1024 // 8)
+    t0 = time.time()
+    a * 1.5
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     from elasticsearch_jdbc_spark.session import get_spark
 
     contended = _clean_window_guard()
+    membw_start = _membw_probe_s()
     t_total = time.time()
     spark = get_spark("bench", cores=CPUS)
     queries, queries_steal = bench_queries(spark)
@@ -333,6 +350,7 @@ def main() -> None:
         "index_build": index,
         "scaling": scaling,
         "bench_total_s": total,
+        "membw_probe_s": {"start": membw_start, "end": _membw_probe_s()},
     }
     if contended:
         result["contended_window"] = contended[:5]
