@@ -2645,6 +2645,71 @@ def aggs_dsl_df(
                 min_doc_count=int(spec.get("min_doc_count", 3)),
                 filter_sql=filter_sql,
             )
+        if _ckinds == ["adjacency_matrix"]:
+            # k named filters -> k + k(k-1)/2 intersection counts in ONE
+            # partial-aggregable pass (typed aggs.adjacency_matrix).
+            # Engine-native: filters are SQL predicates over the docs
+            # metadata (the `filters` bucket kind accepts DSL bodies,
+            # but the matrix's one-pass boolean-column plan needs
+            # Catalyst expressions); sub-aggs rejected (one-row shape).
+            from .aggs import adjacency_matrix as _adjm
+
+            if _cspec.get("aggs"):
+                raise ValueError("adjacency_matrix takes no sub-aggregations")
+            spec = dict(_cspec["adjacency_matrix"])
+            flt = spec.get("filters")
+            if not isinstance(flt, dict) or not all(
+                isinstance(v, str) for v in flt.values()
+            ):
+                raise ValueError(
+                    "adjacency_matrix wants filters: {name: <sql "
+                    "predicate>} (engine-native: the one-pass boolean-"
+                    "column plan compiles Catalyst expressions)"
+                )
+            out = _adjm(rows, flt, separator=spec.get("separator", "&"))
+            return out.select(
+                F.col("key").alias(_cname),
+                F.col("doc_count").alias(f"{_cname}_doc_count"),
+            )
+        if _ckinds == ["auto_date_histogram"]:
+            # interval chosen from ONE min/max scalar collect (bounded,
+            # documented), then the usual date_trunc groupBy; the chosen
+            # unit rides every row as {name}_interval (ES returns the
+            # settled interval in the response the same way)
+            from .aggs import auto_date_histogram as _adh
+
+            if _cspec.get("aggs"):
+                raise ValueError(
+                    "auto_date_histogram takes no sub-aggregations "
+                    "(engine-native; use date_histogram for subtrees)"
+                )
+            spec = dict(_cspec["auto_date_histogram"])
+            unit, out = _adh(
+                rows, spec["field"], int(spec.get("buckets", 10))
+            )
+            return out.select(
+                F.col("bucket").alias(_cname),
+                F.col("n_docs").cast("long").alias(f"{_cname}_doc_count"),
+                F.lit(unit).alias(f"{_cname}_interval"),
+            )
+        if _ckinds == ["variable_width_histogram"]:
+            # deterministic exact-quantile variant (typed kernel) —
+            # ES's streaming clustering is order-dependent by its own
+            # docs; the quantile boundaries are the reproducible twin
+            from .aggs import variable_width_histogram as _vwh
+
+            if _cspec.get("aggs"):
+                raise ValueError(
+                    "variable_width_histogram takes no sub-aggregations"
+                )
+            spec = dict(_cspec["variable_width_histogram"])
+            out = _vwh(rows, spec["field"], int(spec.get("buckets", 10)))
+            return out.select(
+                F.col("key").alias(_cname),
+                F.col("min").alias(f"{_cname}_min"),
+                F.col("max").alias(f"{_cname}_max"),
+                F.col("doc_count").alias(f"{_cname}_doc_count"),
+            )
         if _ckinds == ["median_absolute_deviation"]:
             # two-pass kernel (scalar median broadcast between passes) —
             # not expressible as one aggregate Column, so it dispatches

@@ -1021,3 +1021,53 @@ def test_normalize_and_sibling_reducers_body_kinds(spark, setup):
     want_total_deltas = [rows[i]["total"] - rows[i - 1]["total"]
                          for i in range(1, len(rows))]
     assert len(top) == 1 and top[0]["d"] == pytest.approx(max(want_total_deltas))
+
+
+def test_adjacency_auto_dh_vwh_body_dispatch(spark, setup):
+    """adjacency_matrix / auto_date_histogram / variable_width_histogram
+    as top-level body dispatches onto the typed kernels."""
+    from elasticsearch_jdbc_spark.index.aggs import (
+        adjacency_matrix,
+        auto_date_histogram,
+        variable_width_histogram,
+    )
+
+    d, r, docs = setup
+    docs_df = spark.read.parquet(f"{d}/docs")
+
+    flt = {"rusty": "lang = 'rust'", "long": "dl >= 150"}
+    got = {(x["adj"], x["adj_doc_count"])
+           for x in r.aggs_dsl_df(
+               {"adj": {"adjacency_matrix": {"filters": flt}}}).collect()}
+    # typed twin runs over the docs relation + _score (absent there) —
+    # predicates only touch metadata, so recompute typed over docs_df
+    want = {(x["key"], x["doc_count"])
+            for x in adjacency_matrix(docs_df, flt).collect()}
+    assert got == want
+    n_rust = sum(1 for v in docs.values() if v["lang"] == "rust")
+    n_both = sum(1 for v in docs.values()
+                 if v["lang"] == "rust" and v["dl"] >= 150)
+    assert ("rusty", n_rust) in got
+    if n_both:
+        assert ("long&rusty", n_both) in got
+
+    rows = r.aggs_dsl_df(
+        {"adh": {"auto_date_histogram": {"field": "ts", "buckets": 5}}}
+    ).collect()
+    # the aggs fixture's ts column exists only on the corpus side of the
+    # planted metadata; assert response shape + totals
+    assert sum(x["adh_doc_count"] for x in rows) == len(docs)
+    assert len(rows) <= 5 and len({x["adh_interval"] for x in rows}) == 1
+
+    got = [x.asDict() for x in r.aggs_dsl_df(
+        {"v": {"variable_width_histogram": {"field": "dl", "buckets": 4}}}
+    ).collect()]
+    want = [x.asDict() for x in
+            variable_width_histogram(docs_df, "dl", 4).collect()]
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g["v"] == w["key"] and g["v_min"] == w["min"]
+        assert g["v_max"] == w["max"] and g["v_doc_count"] == w["doc_count"]
+    with pytest.raises(ValueError, match="sql predicate"):
+        r.aggs_dsl_df({"adj": {"adjacency_matrix": {
+            "filters": {"q": {"match": {"content": "x"}}}}}})
