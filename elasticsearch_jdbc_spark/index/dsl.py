@@ -1860,7 +1860,7 @@ def compile_dsl(reader, body: dict) -> DataFrame:
 _METRIC_KINDS = (
     "avg", "sum", "min", "max", "value_count", "cardinality", "stats",
     "percentiles", "percentile_ranks", "weighted_avg", "extended_stats",
-    "boxplot", "top_metrics", "geo_bounds", "geo_centroid",
+    "boxplot", "top_metrics", "geo_bounds", "geo_centroid", "t_test",
 )
 _PIPELINE_KINDS = (
     "derivative", "cumulative_sum", "moving_fn", "moving_percentiles",
@@ -2026,6 +2026,37 @@ def _metric_exprs(name: str, kind: str, spec: dict) -> list:
             F.round(F.min(ok_lon), 6).alias(f"{name}_top_left_lon"),
             F.round(F.min(ok_lat), 6).alias(f"{name}_bottom_right_lat"),
             F.round(F.max(ok_lon), 6).alias(f"{name}_bottom_right_lon"),
+        ]
+    if kind == "t_test":
+        # Welch t statistic between two populations of `field` selected
+        # by group_field == a / b (engine-native spec; ES's per-side
+        # filter bodies reduce to this for the metadata-column case).
+        # Closed form over per-group (n, mean, s2) — aggregate Columns
+        # only, so the block joins the tree's single groupBy pass.
+        v = F.col(spec["field"]).cast("double")
+        g = F.col(spec["group_field"])
+        in_a = g == F.lit(spec["a"])
+        in_b = g == F.lit(spec["b"])
+        ok = v.isNotNull()
+        n_a = F.count(F.when(ok & in_a, 1))
+        n_b = F.count(F.when(ok & in_b, 1))
+        mean_a = F.avg(F.when(ok & in_a, v))
+        mean_b = F.avg(F.when(ok & in_b, v))
+        var_a = F.var_samp(F.when(ok & in_a, v))
+        var_b = F.var_samp(F.when(ok & in_b, v))
+        sa, sb = var_a / n_a, var_b / n_b
+        se = F.sqrt(sa + sb)
+        dof = (
+            (sa + sb) * (sa + sb)
+            / (sa * sa / (n_a - 1) + sb * sb / (n_b - 1))
+        )
+        return [
+            n_a.cast("long").alias(f"{name}_n_a"),
+            n_b.cast("long").alias(f"{name}_n_b"),
+            F.round(mean_a, 6).alias(f"{name}_mean_a"),
+            F.round(mean_b, 6).alias(f"{name}_mean_b"),
+            F.round((mean_a - mean_b) / se, 6).alias(f"{name}_t_stat"),
+            F.round(dof, 4).alias(f"{name}_welch_df"),
         ]
     if kind == "geo_centroid":
         lat = F.col(spec.get("lat_col", "lat")).cast("double")

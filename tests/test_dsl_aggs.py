@@ -1071,3 +1071,30 @@ def test_adjacency_auto_dh_vwh_body_dispatch(spark, setup):
     with pytest.raises(ValueError, match="sql predicate"):
         r.aggs_dsl_df({"adj": {"adjacency_matrix": {
             "filters": {"q": {"match": {"content": "x"}}}}}})
+
+
+def test_t_test_metric_body_kind(spark, setup):
+    """t_test as a body metric kind == the typed aggs.t_test."""
+    from elasticsearch_jdbc_spark.index.aggs import t_test
+
+    d, r, docs = setup
+    docs_df = spark.read.parquet(f"{d}/docs")
+    langs = sorted({v["lang"] for v in docs.values()})[:2]
+    got = r.aggs_dsl_df(
+        {"tt": {"t_test": {"field": "dl", "group_field": "lang",
+                           "a": langs[0], "b": langs[1]}}}
+    ).collect()[0]
+    want = t_test(docs_df, "dl", "lang", langs[0], langs[1]).collect()[0]
+    for f in ("n_a", "n_b", "mean_a", "mean_b", "t_stat", "welch_df"):
+        assert got[f"tt_{f}"] == pytest.approx(want[f], abs=1e-6), f
+    # and under a bucket: group sizes recompute per bucket
+    rows = r.aggs_dsl_df(
+        {"by_repo": {"terms": {"field": "repo", "size": 3},
+                     "aggs": {"tt": {"t_test": {
+                         "field": "dl", "group_field": "lang",
+                         "a": langs[0], "b": langs[1]}}}}}
+    ).collect()
+    for x in rows:
+        grp = [v for v in docs.values() if v["repo"] == x["by_repo"]]
+        assert x["tt_n_a"] == sum(1 for v in grp if v["lang"] == langs[0])
+        assert x["tt_n_b"] == sum(1 for v in grp if v["lang"] == langs[1])
