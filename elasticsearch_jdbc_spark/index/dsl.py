@@ -2530,7 +2530,11 @@ def _apply_suggest(reader, suggest: dict) -> dict:
 def search_request(reader, body: dict, source: DataFrame | None = None) -> dict:
     """The full ES `_search` response shape from ONE request body:
     {"hits": <ranked DataFrame>, "aggregations": <DataFrame | None>,
-    "suggest": <{name: DataFrame} | None>}.
+    "suggest": <{name: DataFrame} | None>,
+    "total": <{"value", "relation"} | None — the `track_total_hits`
+    section: True = exact count of the query match set ("eq"), an
+    integer = the count clamped at the cap ("gte" past it); post_filter
+    and min_score narrow it, the page cut never does>.
 
     The body splits exactly as ES does: `query` + hit-shaping params
     (sort/from/size/fields/_source/collapse/rescore/min_score/
@@ -2553,10 +2557,34 @@ def search_request(reader, body: dict, source: DataFrame | None = None) -> dict:
         aggs = body.pop("aggregations", None)
     highlight = body.pop("highlight", None)
     suggest = body.pop("suggest", None)
+    tth = body.pop("track_total_hits", None)
     if "query" not in body:
         body["query"] = {"match_all": {}}
     rm = body.get("runtime_mappings")
     query = body["query"]
+    total = None
+    if tth:
+        # ES hits.total: the query match-set size independent of the
+        # page cut; post_filter and min_score narrow it (they narrow
+        # hits), sort/from/size never do. True -> exact ("eq");
+        # an integer cap -> the exact count clamped with "gte" (ES
+        # stops counting at the cap; the engine counts one unranked
+        # aggregation either way — no top-k, nothing collected).
+        q_only: dict = {"query": query}
+        for sec in ("post_filter", "min_score"):
+            if sec in body:
+                q_only[sec] = body[sec]
+        if rm:
+            q_only["runtime_mappings"] = rm
+        n = search_dsl_df(reader, q_only, k=None).count()
+        if tth is True:
+            total = {"value": n, "relation": "eq"}
+        else:
+            cap = int(tth)
+            total = {
+                "value": min(n, cap),
+                "relation": "eq" if n <= cap else "gte",
+            }
     hits = search_dsl_df(reader, body)
     if highlight is not None:
         hits = _apply_highlight(reader, hits, highlight, query, source)
@@ -2568,7 +2596,10 @@ def search_request(reader, body: dict, source: DataFrame | None = None) -> dict:
             runtime_mappings=rm,
         )
     suggest_out = _apply_suggest(reader, suggest) if suggest else None
-    return {"hits": hits, "aggregations": aggs_df, "suggest": suggest_out}
+    return {
+        "hits": hits, "aggregations": aggs_df, "suggest": suggest_out,
+        "total": total,
+    }
 
 
 def aggs_dsl_df(

@@ -119,3 +119,40 @@ def test_sections_on_live_tier(spark, setup, tmp_path):
     assert any(
         x["suggestion"] == "stream" for x in res["suggest"]["s"].collect()
     )
+
+
+def test_track_total_hits(spark, setup):
+    """track_total_hits: exact count of the query match set, unmoved by
+    the page cut, narrowed by post_filter; integer caps clamp with
+    'gte' (the ES hits.total contract)."""
+    d, r, corpus = setup
+    full = r.search_dsl_df(
+        {"match": {"content": "merge"}}, k=None).count()
+    res = r.search_request({
+        "query": {"match": {"content": "merge"}},
+        "size": 3, "track_total_hits": True,
+    })
+    assert res["total"] == {"value": full, "relation": "eq"}
+    assert res["hits"].count() == 3  # the page cut never moves total
+
+    res = r.search_request({
+        "query": {"match": {"content": "merge"}},
+        "track_total_hits": 5,
+    })
+    assert res["total"] == {"value": 5, "relation": "gte"} and full > 5
+
+    res = r.search_request({
+        "query": {"match": {"content": "merge"}},
+        "track_total_hits": full + 10,
+    })
+    assert res["total"] == {"value": full, "relation": "eq"}
+
+    pf = r.search_request({
+        "query": {"match": {"content": "merge"}},
+        "post_filter": {"term": {"lang": "rust"}},
+        "track_total_hits": True,
+    })
+    assert 0 < pf["total"]["value"] < full
+
+    off = r.search_request({"query": {"match": {"content": "merge"}}})
+    assert off["total"] is None
