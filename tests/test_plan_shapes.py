@@ -327,3 +327,57 @@ def test_nested_and_geo_shape_are_scan_only(spark, tmp_path):
     plan = _opt(shape)
     assert "Join" not in plan and "Sort" not in plan and "Limit" not in plan
     assert "MapInPandas" not in _phys(shape)
+
+
+def test_body_metric_kinds_one_aggregation_no_window(spark, idx):
+    """The round-5 metric kinds (extended_stats / boxplot /
+    percentile_ranks / top_metrics size=1 / t_test) all compile to
+    aggregate Columns inside the tree's SINGLE aggregation — no
+    WindowExec (max_by carries top_metrics), no join, no second scan."""
+    r = IndexReader(spark, idx)
+    phys = _phys(r.aggs_dsl_df({
+        "h": {"histogram": {"field": "dl", "interval": 50},
+              "aggs": {
+                  "es": {"extended_stats": {"field": "dl"}},
+                  "bx": {"boxplot": {"field": "dl"}},
+                  "pr": {"percentile_ranks": {"field": "dl",
+                                              "values": [10.0]}},
+                  "tm": {"top_metrics": {"metrics": [{"field": "dl"}],
+                                         "sort": {"req": "desc"}}},
+                  "tt": {"t_test": {"field": "dl", "group_field": "lang",
+                                    "a": "t", "b": "x"}},
+              }}}))
+    assert "Window" not in phys
+    assert "CartesianProduct" not in phys
+    assert "Join" not in phys
+
+
+def test_body_pipeline_kinds_one_window_over_buckets(spark, idx):
+    """derivative + cumulative_sum + moving_fn + serial_diff +
+    bucket_script all ride ONE WindowExec over the bucket list (the
+    typed pipeline_aggs contract) — the window never sees raw rows."""
+    r = IndexReader(spark, idx)
+    df = r.aggs_dsl_df({
+        "h": {"histogram": {"field": "dl", "interval": 50},
+              "aggs": {
+                  "t": {"sum": {"field": "dl"}},
+                  "d": {"derivative": {"buckets_path": "t"}},
+                  "c": {"cumulative_sum": {"buckets_path": "_count"}},
+                  "m": {"moving_fn": {
+                      "buckets_path": "t", "window": 2,
+                      "script": "MovingFunctions.unweightedAvg(values)"}},
+                  "s": {"serial_diff": {"buckets_path": "t"}},
+                  "r": {"bucket_script": {
+                      "buckets_path": {"a": "t", "b": "_count"},
+                      "script": "params.a / params.b"}},
+              }}})
+    phys = _phys(df)
+    # Spark materializes one Window node per distinct frame spec, but
+    # all share one partitioning — the scale contract is the SHUFFLE
+    # count: the bucket aggregation's partial/final pair plus at most
+    # one exchange feeding the window chain, never a per-kind shuffle
+    # and never a window over raw rows (the windows sit above the
+    # HashAggregate output).
+    assert phys.count("Window") <= 4
+    assert phys.count("Exchange") <= 3
+    assert "CartesianProduct" not in phys
