@@ -1866,6 +1866,7 @@ _PIPELINE_KINDS = (
     "derivative", "cumulative_sum", "moving_fn", "moving_percentiles",
     "serial_diff", "bucket_script", "bucket_selector", "bucket_sort",
     "normalize", "avg_bucket", "sum_bucket", "min_bucket", "max_bucket",
+    "cumulative_cardinality",
 )
 _BUCKET_KINDS = (
     "terms", "histogram", "date_histogram", "range", "filters", "missing",
@@ -2889,6 +2890,7 @@ def aggs_dsl_df(
     node = aggs
     metric_cols: list = []
     pipe_specs: dict = {}
+    pipe_metrics: dict = {}
     while True:
         buckets = {
             n: s for n, s in node.items() if next(iter(s)) in _BUCKET_KINDS
@@ -2922,6 +2924,7 @@ def aggs_dsl_df(
                 kind, spec = _one({k: v for k, v in s.items() if k != "aggs"})
                 metric_cols.extend(_metric_exprs(n, kind, spec))
             pipe_specs = pipes
+            pipe_metrics = metrics
             break
         if not buckets:
             break
@@ -3025,12 +3028,14 @@ def aggs_dsl_df(
             ).drop("_rk")
     if pipe_specs:
         inner = _apply_body_pipelines(
-            inner, keys, levels[-1].get("kind"), pipe_specs
+            inner, keys, levels[-1].get("kind"), pipe_specs,
+            rows=rows, metrics_node=pipe_metrics,
         )
     return inner.orderBy(*keys)
 
 
-def _apply_body_pipelines(inner, keys, innermost_kind, pipes):
+def _apply_body_pipelines(inner, keys, innermost_kind, pipes,
+                          rows=None, metrics_node=None):
     """ES pipeline aggregations reached through the REQUEST BODY: the
     sibling-of-metrics entries at the innermost level, referencing
     sibling metric columns via `buckets_path` ("_count" = the bucket's
@@ -3087,6 +3092,7 @@ def _apply_body_pipelines(inner, keys, innermost_kind, pipes):
     specs: dict = {}
     norm_specs: list = []
     sibling_reducers: dict = {}
+    cc_specs: list = []
     selector_sql = None
     sort_spec = None
     for name, s in pipes.items():
@@ -3143,6 +3149,29 @@ def _apply_body_pipelines(inner, keys, innermost_kind, pipes):
                 path_col(spec["buckets_path"]),
                 str(spec.get("method", "percent_of_sum")),
             ))
+        elif kind == "cumulative_cardinality":
+            # EXACT running-distinct curve (typed kernel): buckets_path
+            # names a sibling `cardinality` agg whose FIELD supplies the
+            # keys (the ES shape), or the spec carries `field` directly.
+            # Needs the raw rows (keys per bucket, not the bucket list)
+            # and a single-level bucket (the typed kernel's global curve).
+            if len(keys) != 1:
+                raise ValueError(
+                    "cumulative_cardinality supports a single bucket "
+                    "level (engine-native)"
+                )
+            fld = spec.get("field")
+            if fld is None:
+                path = spec.get("buckets_path")
+                sib = (metrics_node or {}).get(path)
+                card = (sib or {}).get("cardinality")
+                if not card:
+                    raise ValueError(
+                        "cumulative_cardinality wants buckets_path -> a "
+                        "sibling cardinality agg (or an explicit field)"
+                    )
+                fld = card["field"]
+            cc_specs.append((name, fld))
         elif kind in ("avg_bucket", "sum_bucket", "min_bucket", "max_bucket"):
             # sibling reducers: ES returns the scalar BESIDE the bucket
             # array; the flattened relation repeats it per bucket row of
@@ -3173,6 +3202,15 @@ def _apply_body_pipelines(inner, keys, innermost_kind, pipes):
             )
     if specs:
         inner = _paggs(inner, keys[-1], specs, partition_cols=keys[:-1])
+    if cc_specs:
+        from .aggs import cumulative_cardinality as _cc
+
+        for name, fld in cc_specs:
+            curve = _cc(
+                rows.select(F.col(keys[-1]), F.col(fld)), keys[-1], fld
+            ).select(keys[-1], F.col("value").alias(name))
+            # the curve is bucket-list-sized; broadcast onto the buckets
+            inner = inner.join(F.broadcast(curve), keys[-1], "left")
     if norm_specs:
         from .aggs import normalize as _normalize
 

@@ -1098,3 +1098,36 @@ def test_t_test_metric_body_kind(spark, setup):
         grp = [v for v in docs.values() if v["repo"] == x["by_repo"]]
         assert x["tt_n_a"] == sum(1 for v in grp if v["lang"] == langs[0])
         assert x["tt_n_b"] == sum(1 for v in grp if v["lang"] == langs[1])
+
+
+def test_cumulative_cardinality_body_kind(spark, setup):
+    """cumulative_cardinality via buckets_path -> sibling cardinality
+    (the ES shape): running count of distinct keys by first bucket."""
+    d, r, docs = setup
+    rows = [x.asDict() for x in r.aggs_dsl_df(
+        {"by_day": {"date_histogram": {"field": "ts",
+                                       "calendar_interval": "day"},
+                    "aggs": {
+                        "langs": {"cardinality": {"field": "lang",
+                                                  "exact": True}},
+                        "tot": {"cumulative_cardinality": {
+                            "buckets_path": "langs"}}}}}
+    ).collect()]
+    rows.sort(key=lambda x: x["by_day"])
+    seen: set = set()
+    for x in rows:
+        day = x["by_day"]
+        for v in docs.values():
+            if v["ts"].replace(hour=0, minute=0, second=0,
+                               microsecond=0) <= day:
+                seen.add(v["lang"])
+        # recompute: distinct langs whose FIRST day <= this bucket
+        assert x["tot"] == len(seen)
+    assert rows[-1]["tot"] == len({v["lang"] for v in docs.values()})
+    with pytest.raises(ValueError, match="single bucket"):
+        r.aggs_dsl_df(
+            {"a": {"terms": {"field": "lang"},
+                   "aggs": {"b": {"histogram": {"field": "dl",
+                                                "interval": 50},
+                                  "aggs": {"c": {"cumulative_cardinality":
+                                                 {"field": "repo"}}}}}}})
