@@ -519,6 +519,7 @@ class IndexBuilder:
         t0 = time.time()
         k1, b, bs = self.k1, self.b, self.block_size
         wpos = self.with_positions
+        flds = self.fields
         avgdl = stats["avgdl"]
         ing = self._phase_done("ingest")
         offsets = {int(k): v for k, v in ing["offsets"].items()}
@@ -559,7 +560,7 @@ class IndexBuilder:
                     tbl = pa.table(
                         {"doc_id": doc_id, "dl": tbl.column("dl"), "tokens": tbl.column("tokens")}
                     )
-                    out = _segment_from_tokens(tbl, bs, avgdl, k1, b, wpos)
+                    out = _segment_from_tokens(tbl, bs, avgdl, k1, b, wpos, flds)
                     if out is not None:
                         yield out
 
@@ -622,7 +623,8 @@ class IndexBuilder:
 
 
 def _segment_from_tokens(tbl, bs: int, avgdl: float, k1: float, b: float,
-                         with_positions: bool = False):
+                         with_positions: bool = False,
+                         fields: list | None = None):
     """One ingest partition's (doc_id, dl, tokens) -> encoded block rows.
 
     Single fused Arrow/numpy kernel, no per-row Python:
@@ -697,9 +699,33 @@ def _segment_from_tokens(tbl, bs: int, avgdl: float, k1: float, b: float,
         )
 
     if with_positions:
-        # token position within its doc
-        doc_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-        tokpos = np.arange(len(codes0), dtype=np.int64) - doc_starts[doc_idx]
+        if fields:
+            # multi-field corpus: positions restart at each field's start
+            # (ES keeps an independent position space per field — this is
+            # what makes span_first field-relative and span_field_masking
+            # alignable; within-field gaps are unchanged, and every
+            # position consumer is field-namespaced, so same-field phrase
+            # / span / intervals semantics cannot observe the rebase).
+            # Tokens are field-major per doc (ingest concatenation order),
+            # so (doc, field) runs are contiguous.
+            fid_vocab = np.zeros(nv, np.int8)
+            for i, f in enumerate(fields):
+                m = pa.compute.starts_with(
+                    vocab, f + "\x1f"
+                ).to_numpy(zero_copy_only=False)
+                fid_vocab[m] = i
+            tok_field = fid_vocab[codes0]
+            chg = np.ones(len(codes0), bool)
+            chg[1:] = (doc_idx[1:] != doc_idx[:-1]) | (
+                tok_field[1:] != tok_field[:-1]
+            )
+            run_starts = np.flatnonzero(chg)
+            run_id = np.cumsum(chg) - 1
+            tokpos = np.arange(len(codes0), dtype=np.int64) - run_starts[run_id]
+        else:
+            # token position within its doc
+            doc_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            tokpos = np.arange(len(codes0), dtype=np.int64) - doc_starts[doc_idx]
         tok_doc = doc_id[doc_idx]
         tok_blk = tok_doc // bs
         order2 = np.lexsort((tokpos, tok_doc, tok_blk, vrank[codes0]))

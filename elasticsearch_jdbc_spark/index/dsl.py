@@ -38,8 +38,10 @@ has_child, has_parent (join-field queries over a metadata FK column),
 prefix, fuzzy, wildcard, regexp, intervals (match /
 all_of / any_of rules — compositions compile onto the span algebra),
 span_term/span_near/span_first/span_or/span_not/span_within/
-span_containing/span_multi (prefix/fuzzy/wildcard rewrite), geo_distance,
-geo_bounding_box, distance_feature, script (filter-context SQL
+span_containing/span_multi (prefix/fuzzy/wildcard rewrite)/
+span_field_masking (per-field position spaces), geo_distance,
+geo_bounding_box, geo_shape, geo_polygon (deprecated-ES sugar over the
+same ray cast), distance_feature, script (filter-context SQL
 predicate), query_string, simple_query_string, bool,
 constant_score, dis_max, boosting, function_score (field_value_factor +
 script), script_score, rank_feature, wrapper, more_like_this, pinned.
@@ -938,6 +940,26 @@ def _span_to_native(node, fields_out: set):
         if "max_expansions" in body:
             out["max_expansions"] = int(body["max_expansions"])
         return {"span_multi": out}
+    if kind == "span_field_masking":
+        # the inner query keeps ITS field for execution/scoring; only the
+        # masked name participates in the surrounding single-field rule
+        # (ES: span-field-masking-query.html — deviation: scores use the
+        # actual field's statistics, ES uses the masked field's norms)
+        inner: set = set()
+        q = _span_to_native(body["query"], inner)
+        if len(inner) > 1:
+            raise ValueError(
+                f"span_field_masking inner query must target one field, "
+                f"got {sorted(inner)}"
+            )
+        mask = body.get("field")
+        if not isinstance(mask, str) or not mask.strip():
+            raise ValueError(
+                "span_field_masking wants {'query': span, 'field': name}"
+            )
+        fields_out.add(mask)
+        actual = next(iter(inner)) if inner else mask
+        return {"span_field": {"field": actual, "query": q}}
     if kind in ("span_near", "span_or"):
         out = {
             "clauses": [_span_to_native(c, fields_out) for c in body["clauses"]]
@@ -1022,6 +1044,53 @@ def _leaf_geo_shape(ctx, body):
     sql = point_in_rings_sql(lat_col, lon_col, rings)
     if relation == "disjoint":
         sql = f"(NOT {sql})"
+    return _set_score(ctx, ctx.filter_ids(sql), boost)
+
+
+def _geo_point_latlon(p) -> tuple[float, float]:
+    """One ES geo-point literal -> (lat, lon). ES accepts an object
+    ({"lat", "lon"}), a GeoJSON-order array ([lon, lat]), or a
+    "lat,lon" string (query-dsl-geo-polygon-query.html)."""
+    if isinstance(p, dict):
+        return float(p["lat"]), float(p["lon"])
+    if isinstance(p, str):
+        lat_s, lon_s = p.split(",")
+        return float(lat_s), float(lon_s)
+    if isinstance(p, (list, tuple)) and len(p) == 2:
+        lon, lat = p
+        return float(lat), float(lon)
+    raise ValueError(f"unparseable geo point {p!r}")
+
+
+def _leaf_geo_polygon(ctx, body):
+    """Deprecated-but-still-served ES `geo_polygon` query: the vertex
+    list closes into one linear ring and rides the geo_shape leaf's
+    even-odd ray-cast (point_in_rings_sql) — same filter-context,
+    codegen-only plan; exists so request bodies written against older
+    ES versions keep working (ES serves it behind a deprecation
+    warning; the replacement geo_shape leaf sits alongside)."""
+    from ..functions.geo import point_in_rings_sql
+
+    body = dict(body)
+    boost = float(body.pop("boost", 1.0))
+    lat_col = body.pop("lat_col", "lat")
+    lon_col = body.pop("lon_col", "lon")
+    if "points" in body:
+        spec = body
+    else:
+        _field, spec = _one(body)
+    points = spec.get("points") if isinstance(spec, dict) else None
+    if not points or len(points) < 3:
+        raise ValueError("geo_polygon wants 'points': [>=3 vertices]")
+    ring = [[lon, lat] for lat, lon in map(_geo_point_latlon, points)]
+    if ring[0] != ring[-1]:
+        ring.append(ring[0])
+    for col in (lat_col, lon_col):
+        if col not in ctx.meta_cols():
+            raise ValueError(
+                f"geo column {col!r} not in docs metadata {ctx.meta_cols()}"
+            )
+    sql = point_in_rings_sql(lat_col, lon_col, [ring])
     return _set_score(ctx, ctx.filter_ids(sql), boost)
 
 
@@ -1494,6 +1563,7 @@ _LEAFS = {
     "geo_distance": _leaf_geo_distance,
     "geo_bounding_box": _leaf_geo_bbox,
     "geo_shape": _leaf_geo_shape,
+    "geo_polygon": _leaf_geo_polygon,
     "query_string": _leaf_query_string,
     "simple_query_string": _leaf_query_string,
     "more_like_this": _leaf_mlt,
@@ -1516,7 +1586,7 @@ _COMPOUNDS = {
 
 _SPAN_KINDS = (
     "span_term", "span_near", "span_first", "span_or", "span_not",
-    "span_within", "span_containing", "span_multi",
+    "span_within", "span_containing", "span_multi", "span_field_masking",
 )
 
 

@@ -3595,6 +3595,16 @@ class IndexReader:
         analyzer (+ field namespacing); a multi-token text desugars to an
         ordered slop-0 span_near of its tokens."""
         kind, body = next(iter(spec.items()))
+        if kind == "span_field":
+            # ES span_field_masking: the subtree analyzes (and scores)
+            # against its ACTUAL field's namespace; the mask only names
+            # the field the SURROUNDING clauses see (the single-field
+            # rule) — position compatibility across the two fields is
+            # the caller's contract, exactly as in ES. On a plain
+            # (non-fields) corpus there is one token space, so the
+            # wrapper is an identity.
+            f = body["field"] if self.manifest.get("fields") else field
+            return self._analyze_span(body["query"], f)
         if kind == "span_term":
             toks = self._phrase_terms(body, field)
             if not toks:

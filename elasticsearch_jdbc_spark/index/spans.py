@@ -67,7 +67,7 @@ import numpy as np
 
 _SPAN_KINDS = (
     "span_term", "span_near", "span_first", "span_or", "span_not",
-    "span_within", "span_containing", "span_multi",
+    "span_within", "span_containing", "span_multi", "span_field",
 )
 
 _EMPTY = (np.empty(0, np.int64), np.empty(0, np.int64))
@@ -120,6 +120,19 @@ def validate_span(spec: dict) -> None:
             raise ValueError(
                 "span_multi wants {'match': {prefix|fuzzy|wildcard: ...}}"
             )
+    elif kind == "span_field":
+        # pre-analysis node only (ES span_field_masking): switches the
+        # analyzer's field namespace for its subtree, then vanishes
+        if (
+            not isinstance(body, dict)
+            or not isinstance(body.get("field"), str)
+            or not body["field"].strip()
+            or not isinstance(body.get("query"), dict)
+        ):
+            raise ValueError(
+                "span_field wants {'field': name, 'query': span spec}"
+            )
+        validate_span(body["query"])
     else:
         raise ValueError(f"unknown span kind {kind!r} (supported: {_SPAN_KINDS})")
 

@@ -330,3 +330,39 @@ def test_geo_shape_field_form_and_validation(spark, idx):
         "must": [{"match": {"content": "merge"}}],
         "filter": [{"geo_shape": {"shape": POLY_HOLE}}]}}, k=None)
     assert hybrid.count() > 0
+
+
+def test_geo_polygon_query(spark, idx):
+    """Deprecated ES geo_polygon leaf: the closed vertex ring matches the
+    geo_shape Polygon of the same ring exactly, in all three ES point
+    literal spellings (object / [lon,lat] array / "lat,lon" string)."""
+    d, _ = idx
+    r = IndexReader(spark, d)
+    meta = _meta(spark, d)
+    ring = POLY_HOLE["coordinates"][0]
+    want = {did for did, (la, lo) in meta.items() if _pip(la, lo, [ring])}
+    assert want and len(want) < len(meta), "fixture must discriminate"
+    verts = ring[:-1]  # geo_polygon bodies don't close the ring
+    as_obj = [{"lat": la, "lon": lo} for lo, la in verts]
+    as_arr = [[lo, la] for lo, la in verts]
+    as_str = [f"{la},{lo}" for lo, la in verts]
+    for pts in (as_obj, as_arr, as_str):
+        got = {
+            x["doc_id"]
+            for x in r.search_dsl_df(
+                {"geo_polygon": {"location": {"points": pts}}}, k=None
+            ).collect()
+        }
+        assert got == want
+    # equals the geo_shape leaf over the same (single) ring
+    shp = {
+        x["doc_id"]
+        for x in r.search_dsl_df(
+            {"geo_shape": {"shape": {"type": "Polygon",
+                                     "coordinates": [ring]}}}, k=None
+        ).collect()
+    }
+    assert shp == want
+    with pytest.raises(ValueError, match="points"):
+        r.search_dsl_df(
+            {"geo_polygon": {"location": {"points": as_obj[:2]}}})

@@ -458,3 +458,88 @@ def test_span_multi_rewrite_and_engine(spark, setup):
     )
     with pytest.raises(ValueError, match="prefix|fuzzy|wildcard"):
         r.search_span_df({"span_multi": {"match": {"regexp": "a.*"}}}, k=None)
+
+
+def test_span_field_masking(spark, tmp_path):
+    """ES span_field_masking: the masked clause reads ITS OWN field's
+    positions/terms, combines positionally with clauses on the masked
+    field, and satisfies the single-field rule under the mask
+    (span-field-masking-query.html; deviation: scores use the actual
+    field's statistics)."""
+    idx = str(tmp_path / "fmask")
+    rows = [
+        # body:quick@0 + title:brown@1 -> adjacent under the mask
+        ("r", "0", "c", "t", "quick brown fox", "quick brown fox jumps"),
+        # title:brown@0, body:quick@0 -> order violated, no match
+        ("r", "1", "c", "t", "brown quick fox", "quick stone wall"),
+        # brown only in BODY; masked clause reads TITLE -> no match
+        ("r", "2", "c", "t", "quick slate fox", "quick brown fox"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, lang string, "
+        "title string, body string",
+    )
+    IndexBuilder(
+        spark, idx, partitions=2, fields=["title", "body"],
+        with_positions=True,
+    ).build(df, resume=False)
+    r = IndexReader(spark, idx)
+    paths = {
+        x["doc_id"]: x["path"]
+        for x in spark.read.parquet(f"{idx}/docs").collect()
+    }
+    masked = {
+        "span_near": {
+            "clauses": [
+                {"span_term": {"body": "quick"}},
+                {"span_field_masking": {
+                    "query": {"span_term": {"title": "brown"}},
+                    "field": "body",
+                }},
+            ],
+            "slop": 0,
+            "in_order": True,
+        }
+    }
+    hits = r.search_dsl_df(masked, k=None).collect()
+    assert {paths[x["doc_id"]] for x in hits} == {"0"}
+    assert all(x["score"] > 0 for x in hits)
+    # without masking, mixing fields violates the single-field rule
+    with pytest.raises(ValueError, match="one field"):
+        r.search_dsl_df({
+            "span_near": {
+                "clauses": [
+                    {"span_term": {"body": "quick"}},
+                    {"span_term": {"title": "brown"}},
+                ],
+                "slop": 0, "in_order": True,
+            }
+        }, k=None)
+    # top-level masking node == the plain query on its actual field
+    top = r.search_dsl_df({
+        "span_field_masking": {
+            "query": {"span_term": {"title": "brown"}}, "field": "body",
+        }
+    }, k=None)
+    plain = r.search_dsl_df({"span_term": {"title": "brown"}}, k=None)
+    assert (
+        {x["doc_id"] for x in top.collect()}
+        == {x["doc_id"] for x in plain.collect()}
+        == {i for i, p in paths.items() if p in {"0", "1"}}
+    )
+    # native-grammar validation
+    with pytest.raises(ValueError, match="span_field"):
+        validate_span({"span_field": {"field": "", "query": {"span_term": "x"}}})
+    with pytest.raises(ValueError, match="span_field"):
+        validate_span({"span_field": {"field": "body"}})
+    # incremental twin agrees
+    inc = IncrementalIndexReader(spark, idx)
+    got_inc = {paths[x["doc_id"]] for x in inc.search_span_df(
+        {"span_near": {"clauses": [
+            {"span_term": "quick"},
+            {"span_field": {"field": "body", "query": {"span_term": "brown"}}},
+        ], "slop": 0, "in_order": True}},
+        k=None, field="body",
+    ).collect()}
+    assert got_inc == {"0", "2"}
