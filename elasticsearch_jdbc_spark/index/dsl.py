@@ -2569,6 +2569,8 @@ def _apply_suggest(reader, suggest: dict) -> dict:
                 max_edits=int(s.get("max_edits", 2)),
                 prefix_length=int(s.get("prefix_length", 1)),
                 field=field,
+                # ES body default: only suggest for absent terms
+                suggest_mode=str(s.get("suggest_mode", "missing")),
             )
         elif kind == "phrase":
             if text is None:

@@ -1066,6 +1066,7 @@ class IncrementalIndexReader:
         prefix_length: int = 1,
         field: str | None = None,
         min_df: int = 1,
+        suggest_mode: str = "always",
     ) -> DataFrame:
         """Term suggester over the LIVE index (ES `_suggest` on a
         continuously-fed index): one prefix-pruned scan over the UNION of
@@ -1073,10 +1074,14 @@ class IncrementalIndexReader:
         (the same cross-segment df convention as _global_dfs — like ES
         shard-local statistics, upserted docs still counted in the base
         segment make the frequency tie-break approximate until
-        compaction; the candidate SET is exact). Ranking and pruning are
-        identical to IndexReader.suggest_df, and on a fully-compacted or
-        delete-free index the output matches compact-then-suggest
-        row-for-row (pytest-verified)."""
+        compaction; the candidate SET is exact). Ranking, pruning and the
+        suggest_mode contract (missing/popular/always; engine default
+        "always") are identical to IndexReader.suggest_df, and on a
+        fully-compacted or delete-free index the output matches
+        compact-then-suggest row-for-row (pytest-verified)."""
+        from .query import _check_suggest_mode, _suggest_finalize
+
+        _check_suggest_mode(suggest_mode)
         r0 = self.readers[self.segments[0]]
         ns = r0._suggest_namespace(field)
         paths = [
@@ -1101,21 +1106,11 @@ class IncrementalIndexReader:
                 bare.alias("suggestion"),
                 F.levenshtein(bare, F.lit(tok), max_edits).alias("distance"),
                 F.col("df"),
-            ).filter((F.col("distance") >= 1) & (F.col("df") >= min_df))
+            ).filter(F.col("distance") >= 0)
             out = cand if out is None else out.unionByName(cand)
         if out is None:
             return self.spark.createDataFrame([], IndexReader.SUGGEST_SCHEMA)
-        from pyspark.sql.window import Window
-
-        w = Window.partitionBy("input_term").orderBy(
-            F.asc("distance"), F.desc("df"), F.asc("suggestion")
-        )
-        return (
-            out.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= size)
-            .drop("rn")
-            .orderBy("input_term", "distance", F.desc("df"), "suggestion")
-        )
+        return _suggest_finalize(out, size, min_df, suggest_mode)
 
     def suggest(
         self,
@@ -1125,14 +1120,18 @@ class IncrementalIndexReader:
         prefix_length: int = 1,
         field: str | None = None,
         min_df: int = 1,
+        suggest_mode: str = "always",
     ) -> dict[str, list[dict]]:
         """Interactive-tier live-index suggester (rank-identical to
-        suggest_df, pytest-verified): one pyarrow union-dataset
-        point-range read over every segment's dictionary (the same
-        pattern as _global_dfs), df summed across segments, bounded-DP
-        distances on the driver."""
+        suggest_df incl. suggest_mode, pytest-verified): one pyarrow
+        union-dataset point-range read over every segment's dictionary
+        (the same pattern as _global_dfs), df summed across segments,
+        bounded-DP distances on the driver."""
         import pyarrow.dataset as ds
 
+        from .query import _check_suggest_mode
+
+        _check_suggest_mode(suggest_mode)
         r0 = self.readers[self.segments[0]]
         ns = r0._suggest_namespace(field)
         union = ds.dataset(
@@ -1153,13 +1152,17 @@ class IncrementalIndexReader:
                 flt = (ds.field("term") >= pref) & (ds.field("term") < hi)
             t = union.to_table(filter=flt, columns=["term", "df"])
             dfs: dict[str, int] = {}
+            token_df = 0
             for term, df in zip(
                 t.column("term").to_pylist(), t.column("df").to_pylist()
             ):
                 if ns and not term.startswith(ns):
                     continue
                 bare = term[len(ns):]
-                if bare == tok or abs(len(bare) - len(tok)) > max_edits:
+                if bare == tok:
+                    token_df += int(df)
+                    continue
+                if abs(len(bare) - len(tok)) > max_edits:
                     continue
                 dfs[bare] = dfs.get(bare, 0) + df
             cands: list[tuple[int, int, str]] = []
@@ -1171,6 +1174,10 @@ class IncrementalIndexReader:
                     if r0._lev_within(bare, tok, d)
                 )
                 cands.append((dist, -df, bare))
+            if suggest_mode == "missing" and token_df > 0:
+                cands = []
+            elif suggest_mode == "popular":
+                cands = [c for c in cands if -c[1] > token_df]
             cands.sort()
             out[tok] = [
                 {"text": b, "distance": d, "df": -negdf}

@@ -387,6 +387,44 @@ def validate_query(
 # sentinel term for an unsatisfiable must clause (a must wildcard whose
 # dictionary expansion is empty): never indexed, so _bool_spec returns
 # None and the query correctly matches nothing
+def _check_suggest_mode(mode: str) -> None:
+    if mode not in ("missing", "popular", "always"):
+        raise ValueError(
+            f"suggest_mode {mode!r}; wants missing / popular / always"
+        )
+
+
+def _suggest_finalize(out, size: int, min_df: int, suggest_mode: str):
+    """Shared tail of both tiers' suggest_df: the candidate relation
+    (input_term, suggestion, distance >= 0, df) — including each token's
+    own distance-0 row when it is indexed — becomes the ranked,
+    mode-filtered suggestion page. ONE window pass computes the per-token
+    rank and the token's own df (suggest_mode's evidence) together."""
+    from pyspark.sql.window import Window
+
+    part = Window.partitionBy("input_term")
+    token_df = F.max(
+        F.when(F.col("distance") == 0, F.col("df"))
+    ).over(part)
+    out = out.withColumn("_token_df", token_df)
+    if suggest_mode == "missing":
+        out = out.filter(F.col("_token_df").isNull())
+    elif suggest_mode == "popular":
+        out = out.filter(
+            F.col("df") > F.coalesce(F.col("_token_df"), F.lit(0))
+        )
+    out = out.filter(
+        (F.col("distance") >= 1) & (F.col("df") >= min_df)
+    ).drop("_token_df")
+    w = part.orderBy(F.asc("distance"), F.desc("df"), F.asc("suggestion"))
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= size)
+        .drop("rn")
+        .orderBy("input_term", "distance", F.desc("df"), "suggestion")
+    )
+
+
 _QS_NOMATCH = "\x00__query_string_no_match__"
 
 
@@ -4024,6 +4062,7 @@ class IndexReader:
         prefix_length: int = 1,
         field: str | None = None,
         min_df: int = 1,
+        suggest_mode: str = "always",
     ) -> DataFrame:
         """Distributed ES term-suggester analogue (the `_suggest` endpoint's
         term suggester — "did you mean"): for each analyzed input token,
@@ -4033,7 +4072,15 @@ class IndexReader:
         (edit distance asc, document frequency desc, term asc) — the ES
         sort=score order: distance similarity first, corpus frequency as
         the tie-break. Exact dictionary hits (distance 0) are never
-        offered, as in ES suggest_mode=missing candidate lists.
+        offered as candidates.
+
+        suggest_mode (the ES knob; engine default is "always" — ES
+        defaults to "missing", a documented deviation): "missing" emits
+        suggestions only for input tokens ABSENT from the dictionary;
+        "popular" keeps only candidates with df strictly greater than the
+        input token's df; "always" suggests unconditionally. The token's
+        own df rides the same pruned scan (its distance-0 row), so no
+        extra dictionary pass.
 
         Scale shape: one dictionary scan per input token, pruned to the
         prefix point range on the term-sorted parquet (row-group min/max
@@ -4045,6 +4092,7 @@ class IndexReader:
         namespace. The reference ships documents to Elasticsearch and
         relies on its suggest endpoint (README.md quick-start indexes are
         served by stock ES APIs); this is the engine-native equivalent."""
+        _check_suggest_mode(suggest_mode)
         ns = self._suggest_namespace(field)
         terms_dir = os.path.join(self.index_dir, "terms")
         out: DataFrame | None = None
@@ -4067,24 +4115,16 @@ class IndexReader:
                     F.levenshtein(bare, F.lit(tok), max_edits).alias("distance"),
                     F.col("df").cast("long").alias("df"),
                 )
-                # threshold-capped levenshtein returns -1 above max_edits,
-                # so >= 1 both drops overflows and mutes exact hits
-                .filter((F.col("distance") >= 1) & (F.col("df") >= min_df))
+                # threshold-capped levenshtein returns -1 above max_edits;
+                # the distance-0 row (the token itself, when indexed) is
+                # KEPT through the scan — suggest_mode reads its df — and
+                # dropped after the window
+                .filter(F.col("distance") >= 0)
             )
             out = cand if out is None else out.unionByName(cand)
         if out is None:
             return self.spark.createDataFrame([], self.SUGGEST_SCHEMA)
-        from pyspark.sql.window import Window
-
-        w = Window.partitionBy("input_term").orderBy(
-            F.asc("distance"), F.desc("df"), F.asc("suggestion")
-        )
-        return (
-            out.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= size)
-            .drop("rn")
-            .orderBy("input_term", "distance", F.desc("df"), "suggestion")
-        )
+        return _suggest_finalize(out, size, min_df, suggest_mode)
 
     def suggest(
         self,
@@ -4094,13 +4134,15 @@ class IndexReader:
         prefix_length: int = 1,
         field: str | None = None,
         min_df: int = 1,
+        suggest_mode: str = "always",
     ) -> dict[str, list[dict]]:
         """Interactive-tier twin of suggest_df (same candidates, same
-        ranking — pytest-verified): pyarrow point-range dictionary read,
-        bounded-DP distances on the driver. Returns
-        {input_token: [{"text", "distance", "df"}, ...]}."""
+        ranking and suggest_mode contract — pytest-verified): pyarrow
+        point-range dictionary read, bounded-DP distances on the driver.
+        Returns {input_token: [{"text", "distance", "df"}, ...]}."""
         import pyarrow.dataset as ds
 
+        _check_suggest_mode(suggest_mode)
         ns = self._suggest_namespace(field)
         dset = ds.dataset(
             os.path.join(self.index_dir, "terms"), format="parquet"
@@ -4114,13 +4156,17 @@ class IndexReader:
                 flt = (ds.field("term") >= pref) & (ds.field("term") < hi)
             t = dset.to_table(filter=flt, columns=["term", "df"])
             cands: list[tuple[int, int, str]] = []
+            token_df = 0
             for term, df in zip(
                 t.column("term").to_pylist(), t.column("df").to_pylist()
             ):
                 if ns and not term.startswith(ns):
                     continue
                 bare = term[len(ns):]
-                if bare == tok or df < min_df:
+                if bare == tok:
+                    token_df = int(df)
+                    continue
+                if df < min_df:
                     continue
                 if abs(len(bare) - len(tok)) > max_edits:
                     continue
@@ -4131,6 +4177,10 @@ class IndexReader:
                     if self._lev_within(bare, tok, d)
                 )
                 cands.append((dist, -int(df), bare))
+            if suggest_mode == "missing" and token_df > 0:
+                cands = []
+            elif suggest_mode == "popular":
+                cands = [c for c in cands if -c[1] > token_df]
             cands.sort()
             out[tok] = [
                 {"text": b, "distance": d, "df": -negdf}

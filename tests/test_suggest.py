@@ -173,3 +173,71 @@ def test_suggest_incremental_sums_df(spark, tmp_path_factory):
     for tok, opts in drv.items():
         assert [(o["text"], o["distance"], o["df"]) for o in opts] == \
             df_rows.get(tok, []), tok
+
+
+def test_suggest_mode(spark, sg_idx, tmp_path):
+    """ES suggest_mode contract on all tiers (engine default 'always'; ES
+    body default 'missing' applied by the request-body dispatch):
+    missing mutes present tokens, popular keeps only candidates strictly
+    more frequent than the input token."""
+    r = sg_idx
+    # dfs: merge=3, merged=2, marge=1
+    # missing: present token -> nothing; absent token -> unchanged
+    assert r.suggest_df("merge", suggest_mode="missing").count() == 0
+    absent_always = [
+        (x["suggestion"], x["distance"], x["df"])
+        for x in r.suggest_df("merje").collect()
+    ]
+    absent_missing = [
+        (x["suggestion"], x["distance"], x["df"])
+        for x in r.suggest_df("merje", suggest_mode="missing").collect()
+    ]
+    assert absent_missing == absent_always and absent_always
+    # popular: df must strictly beat the input token's df
+    pop = [
+        (x["suggestion"], x["df"])
+        for x in r.suggest_df("merged", suggest_mode="popular").collect()
+    ]
+    assert pop == [("merge", 3)]  # marge (df 1) < merged (df 2) dropped
+    assert r.suggest_df("merge", suggest_mode="popular").count() == 0
+    # driver tier is rank-identical per mode
+    assert r.suggest("merge", suggest_mode="missing")["merge"] == []
+    drv_pop = r.suggest("merged", suggest_mode="popular")["merged"]
+    assert [(d["text"], d["df"]) for d in drv_pop] == [("merge", 3)]
+    with pytest.raises(ValueError, match="suggest_mode"):
+        r.suggest_df("merge", suggest_mode="sometimes")
+    with pytest.raises(ValueError, match="suggest_mode"):
+        r.suggest("merge", suggest_mode="sometimes")
+    # incremental twins agree (df summed across segments)
+    idx = str(tmp_path / "sgm")
+    df = spark.createDataFrame(DOCS, SCHEMA)
+    IndexBuilder(spark, idx, partitions=2).build(df, resume=False)
+    delta = spark.createDataFrame(
+        [("r", "9", "c", "t", "merge epsilon", "index")],
+        SCHEMA + ", _optype string",
+    )
+    apply_incremental(spark, idx, delta)
+    live = IncrementalIndexReader(spark, idx)
+    # merge now df 4 across segments; merged still 2
+    assert live.suggest_df("merge", suggest_mode="missing").count() == 0
+    lp = [
+        (x["suggestion"], x["df"])
+        for x in live.suggest_df("merged", suggest_mode="popular").collect()
+    ]
+    assert lp == [("merge", 4)]
+    assert live.suggest("merged", suggest_mode="popular")["merged"] == [
+        {"text": "merge", "distance": 1, "df": 4}
+    ]
+    assert live.suggest("merge", suggest_mode="missing")["merge"] == []
+    # body dispatch defaults to ES's 'missing'
+    res = r.search_request({
+        "query": {"match": {"content": "alpha"}},
+        "suggest": {"s": {"text": "merge", "term": {}}},
+    })
+    assert res["suggest"]["s"].count() == 0
+    res2 = r.search_request({
+        "query": {"match": {"content": "alpha"}},
+        "suggest": {"s": {"text": "merge",
+                          "term": {"suggest_mode": "always"}}},
+    })
+    assert res2["suggest"]["s"].count() > 0
