@@ -8954,6 +8954,230 @@ def index_sort_q(spark, sf_dir):
     )
 
 
+
+def _suggest_popular_sql() -> str:
+    """suggest_mode=popular oracle over the FIELDS corpus tagtext
+    namespace (the only edit-distance-dense vocabulary in the synthetic
+    corpus: tags t0..t6 are pairwise distance 1 with dfs that differ by
+    construction — t0..t4 ride doc_id%5 (+%7 overlap), t5..t6 only
+    doc_id%7, so roughly half the candidate set sits ABOVE and half
+    BELOW any present input token's df): candidates keep the standard
+    window (first char, +-2 length, distance 1..2) and the popular rule
+    keeps df strictly greater than the input token's own df (0 when the
+    token is absent — 't9' — where popular degrades to always, also
+    pinned here)."""
+    return """
+    WITH tags AS (
+      SELECT doc_id, t.term FROM (
+        SELECT doc_id,
+               list_distinct(['t' || CAST(doc_id % 5 AS VARCHAR),
+                              't' || CAST(doc_id % 7 AS VARCHAR)]) AS tg
+        FROM documents
+      ), UNNEST(tg) AS t(term)
+    ),
+    dict AS (SELECT term, COUNT(*) AS df FROM tags GROUP BY term),
+    q(input_term) AS (VALUES ('t3'), ('t9')),
+    tdf AS (
+      SELECT q.input_term, COALESCE(MAX(d.df), 0) AS token_df
+      FROM q LEFT JOIN dict d ON d.term = q.input_term
+      GROUP BY q.input_term
+    ),
+    cand AS (
+      SELECT q.input_term, d.term AS suggestion,
+             CAST(levenshtein(d.term, q.input_term) AS INT) AS distance,
+             d.df
+      FROM dict d JOIN q ON substr(d.term, 1, 1) = substr(q.input_term, 1, 1)
+      WHERE abs(length(d.term) - length(q.input_term)) <= 2
+        AND levenshtein(d.term, q.input_term) BETWEEN 1 AND 2
+    ),
+    filt AS (
+      SELECT c.* FROM cand c JOIN tdf USING (input_term)
+      WHERE c.df > tdf.token_df
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY input_term ORDER BY distance, df DESC, suggestion
+      ) AS rn FROM filt
+    )
+    SELECT input_term, suggestion, distance, df
+    FROM r WHERE rn <= 5
+    ORDER BY input_term, distance, df DESC, suggestion
+    """
+
+
+@_reg("suggest_popular_search", _suggest_popular_sql())
+def suggest_popular_q(spark, sf_dir):
+    """Term suggester suggest_mode=popular through the REAL fields-index
+    namespace path, ORACLE-CHECKED: the input token's own df rides the
+    same prefix-pruned dictionary scan (its distance-0 row) and gates
+    candidates to strictly-more-frequent terms — 't3' (present, df ~
+    0.31n) keeps only the more-frequent sibling tags; 't9' (absent,
+    token df 0) degrades popular to the full ranked candidate list. The
+    oracle re-derives tag dfs from the planted doc_id arithmetic."""
+    from ..index import IndexReader
+
+    idx = _registry_fields_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    return reader.suggest_df(
+        "t3 t9", size=5, field="tagtext", suggest_mode="popular"
+    )
+
+
+def _registry_fields_pos_index(spark, sf_dir) -> str:
+    """Resume-cached FIELDS index WITH POSITIONS over the documents
+    corpus (same two fields as _registry_fields_index): the
+    span_field_masking substrate — per-field position spaces, so the
+    2-token tagtext field occupies positions 0..1 regardless of the
+    content length."""
+    import hashlib as _h
+    import os as _os
+    import tempfile as _tmp
+
+    from ..index import IndexBuilder
+    from ..index.build import POSTINGS_SCHEMA
+    from ..sources import corpus_from_documents
+
+    layout = ",".join(POSTINGS_SCHEMA.names) + "|fields=content,tagtext|cfp1"
+    tag = _h.sha1(f"{sf_dir}|{layout}".encode()).hexdigest()[:10]
+    idx = _os.path.join(_tmp.gettempdir(), f"registry_fpidx_{tag}")
+    corpus = corpus_from_documents(spark, sf_dir).withColumn(
+        "tagtext", F.concat_ws(" ", "tags")
+    )
+    IndexBuilder(
+        spark, idx, partitions=8, fields=["content", "tagtext"],
+        with_positions=True,
+    ).build(corpus)
+    return idx
+
+
+def _span_masking_sql() -> str:
+    """span_field_masking oracle: per-FIELD position spaces recomputed in
+    SQL over the fields corpus (content positions 1..len, tag positions
+    1..2 — the rebase the postings kernel performs for multi-field
+    docs).
+      qid 0  span_near unordered slop 1 of (content:fast, tagtext:t3
+             masked as content): exists a in pos_c(fast), p in pos_t(t3)
+             with |a - p| <= 2 — only docs with 'fast' within the first
+             few CONTENT tokens can match, which is exactly what global
+             (concatenated) positions would get wrong
+      qid 1  span_first(tagtext:t3, end 1): t3 is the FIRST tag — i.e.
+             doc_id % 5 = 3 — impossible to express at all under
+             doc-global positions (the first tag would sit at
+             len(content)+1)
+    Scores: BM25 sum of the scoring leafs with per-field dfs and the
+    blended dl = len(content)+2 (the fields-index norm; every fields
+    oracle shares it)."""
+    return """
+    WITH tokc AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n,
+             SUM(len(toks) + 2) * 1.0 / COUNT(*) AS avgdl
+      FROM tokc
+    ),
+    dfc AS (
+      SELECT COUNT(*) AS df FROM tokc
+      WHERE len(list_filter(toks, t -> t = 'fast')) > 0
+    ),
+    dft AS (
+      SELECT COUNT(*) AS df FROM documents
+      WHERE doc_id % 5 = 3 OR doc_id % 7 = 3
+    ),
+    pos AS (
+      SELECT c.doc_id, len(c.toks) + 2 AS dl,
+             list_filter(range(1, len(c.toks) + 1),
+                         i -> c.toks[i] = 'fast') AS pf,
+             len(list_filter(c.toks, t -> t = 'fast')) AS tfc,
+             list_filter([CASE WHEN c.doc_id % 5 = 3 THEN 1 END,
+                          CASE WHEN c.doc_id % 7 = 3 THEN 2 END],
+                         x -> x IS NOT NULL) AS pt
+      FROM tokc c
+    ),
+    gated AS (
+      SELECT doc_id, dl, tfc, len(pt) AS tft,
+        len(list_filter(pf,
+            a -> len(list_filter(pt, b -> abs(a - b) <= 2)) > 0)) > 0 AS g0,
+        len(pt) > 0 AND pt[1] = 1 AS g1
+      FROM pos
+    ),
+    bm AS (
+      SELECT g.doc_id, g.g0, g.g1,
+        ln(1.0 + (stats.n - dfc.df + 0.5) / (dfc.df + 0.5)) * 2.2
+          * (g.tfc / (g.tfc + 1.2 * (0.25 + 0.75 * g.dl / stats.avgdl))) AS sc,
+        ln(1.0 + (stats.n - dft.df + 0.5) / (dft.df + 0.5)) * 2.2
+          * (g.tft / (g.tft + 1.2 * (0.25 + 0.75 * g.dl / stats.avgdl))) AS st
+      FROM gated g, stats, dfc, dft
+    ),
+    hits AS (
+      SELECT 0 AS query_id, doc_id, sc + st AS score FROM bm WHERE g0
+      UNION ALL
+      SELECT 1, doc_id, st FROM bm WHERE g1
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, score,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id
+             ) AS rank
+      FROM hits
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
+           ROUND(score, 4) AS score
+    FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+    """
+
+
+@_reg("span_masking_search", _span_masking_sql())
+def span_masking_q(spark, sf_dir):
+    """ES span_field_masking + field-relative span_first through the REAL
+    positional engine over a FIELDS corpus, ORACLE-CHECKED: the masked
+    tagtext clause aligns positionally with content clauses because the
+    postings kernel restarts positions at each field's start (per-field
+    position spaces — the ES model); the oracle re-derives both fields'
+    position lists independently in SQL. Top-10 per shape after the
+    internal-id -> documents.doc_id mapping (oracle tie-break)."""
+    from ..index import IndexReader
+
+    SPECS = [
+        (0, {"span_near": {"clauses": [
+            {"span_term": {"content": "fast"}},
+            {"span_field_masking": {
+                "query": {"span_term": {"tagtext": "t3"}},
+                "field": "content",
+            }},
+        ], "slop": 1, "in_order": False}}),
+        (1, {"span_first": {
+            "match": {"span_term": {"tagtext": "t3"}}, "end": 1,
+        }}),
+    ]
+    idx = _registry_fields_pos_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    ids = _index_docid_map(spark, idx)
+    out = None
+    for qid, spec in SPECS:
+        hits = reader.search_dsl_df(spec, k=None).withColumn(
+            "query_id", F.lit(qid)
+        )
+        out = hits if out is None else out.unionByName(hits)
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("documents_doc_id")
+    )
+    return (
+        out.join(ids, "doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "rank",
+            F.col("documents_doc_id").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------
 # Driver evidence-window curation, ROUND 5: the window ROTATES.
 #
