@@ -1931,19 +1931,77 @@ _METRIC_KINDS = (
     "avg", "sum", "min", "max", "value_count", "cardinality", "stats",
     "percentiles", "percentile_ranks", "weighted_avg", "extended_stats",
     "boxplot", "top_metrics", "geo_bounds", "geo_centroid", "t_test",
+    "rate",
 )
 _PIPELINE_KINDS = (
     "derivative", "cumulative_sum", "moving_fn", "moving_percentiles",
     "serial_diff", "bucket_script", "bucket_selector", "bucket_sort",
     "normalize", "avg_bucket", "sum_bucket", "min_bucket", "max_bucket",
-    "cumulative_cardinality",
+    "cumulative_cardinality", "stats_bucket", "extended_stats_bucket",
+    "percentiles_bucket",
 )
 _BUCKET_KINDS = (
-    "terms", "histogram", "date_histogram", "range", "filters", "missing",
+    "terms", "histogram", "date_histogram", "range", "date_range",
+    "filter", "filters", "missing",
     "rare_terms", "multi_terms", "categorize_text", "global",
     "geotile_grid", "geohash_grid", "sampler", "diversified_sampler",
     "random_sampler", "ip_range", "ip_prefix", "geo_distance",
 )
+
+
+_RATE_FIXED_SECS = {
+    "second": 1.0, "minute": 60.0, "hour": 3600.0,
+    "day": 86400.0, "week": 604800.0,
+}
+_RATE_CAL_MONTHS = {"month": 1.0, "quarter": 3.0, "year": 12.0}
+
+
+def _rate_expr(name: str, spec: dict, levels: list[dict]):
+    """ES `rate` metric: the per-bucket sum (of `field`, or the doc
+    count) normalized to `unit` — value = sum * unit_length /
+    bucket_length. Must sit under a date_histogram; the factor resolves
+    at compile time from the enclosing bucket's interval, so the metric
+    stays one aggregate Column in the tree's single groupBy pass.
+    Fixed-second units (second..week) and calendar month-family units
+    (month/quarter/year) each convert within their own family; mixing
+    families (a `day` rate under a `month` histogram) is rejected like
+    ES's incompatible-interval error."""
+    parent = next(
+        (lv for lv in reversed(levels) if "dh_cal" in lv or "dh_secs" in lv),
+        None,
+    )
+    if parent is None:
+        raise ValueError("rate needs an enclosing date_histogram bucket")
+    unit = spec.get("unit")
+    if unit is None:
+        factor = 1.0
+    elif "dh_secs" in parent:
+        if unit not in _RATE_FIXED_SECS:
+            raise ValueError(
+                f"rate unit {unit!r} incompatible with a fixed-interval "
+                "date_histogram; use second..week"
+            )
+        factor = _RATE_FIXED_SECS[unit] / float(parent["dh_secs"])
+    else:
+        cal = parent["dh_cal"]
+        if cal in _RATE_FIXED_SECS and unit in _RATE_FIXED_SECS:
+            factor = _RATE_FIXED_SECS[unit] / _RATE_FIXED_SECS[cal]
+        elif cal in _RATE_CAL_MONTHS and unit in _RATE_CAL_MONTHS:
+            factor = _RATE_CAL_MONTHS[unit] / _RATE_CAL_MONTHS[cal]
+        else:
+            raise ValueError(
+                f"rate unit {unit!r} incompatible with calendar_interval "
+                f"{cal!r} (fixed-second and month-family units do not mix)"
+            )
+    mode = spec.get("mode", "sum")
+    field = spec.get("field")
+    if field is None:
+        base = F.count(F.lit(1))
+    elif mode == "value_count":
+        base = F.count(F.col(field))
+    else:
+        base = F.sum(F.col(field))
+    return (base * F.lit(factor)).alias(name)
 
 
 def _metric_exprs(name: str, kind: str, spec: dict) -> list:
@@ -2149,6 +2207,9 @@ def _bucket_key(ctx: _Ctx, rows: DataFrame, name: str, kind: str, spec: dict):
         "terms", "multi_terms", "categorize_text", "geotile_grid",
         "geohash_grid",
     )
+    raw_spec = spec
+    if not isinstance(spec, dict):
+        spec = {}  # the `filter` kind takes a raw SQL string body
     meta = {
         "name": name,
         "size": (
@@ -2319,6 +2380,7 @@ def _bucket_key(ctx: _Ctx, rows: DataFrame, name: str, kind: str, spec: dict):
             }.get(cal)
             if unit is None:
                 raise ValueError(f"unsupported calendar_interval {cal!r}")
+            meta["dh_cal"] = unit
             return rows.withColumn(name, F.date_trunc(unit, F.col(fld))), meta
         fixed = spec.get("fixed_interval")
         if not fixed:
@@ -2333,7 +2395,41 @@ def _bucket_key(ctx: _Ctx, rows: DataFrame, name: str, kind: str, spec: dict):
         }[m.group(2)]
         ts = F.col(fld).cast("double")
         key = (F.floor(ts / F.lit(secs)) * F.lit(secs)).cast("timestamp")
+        meta["dh_secs"] = secs
         return rows.withColumn(name, key), meta
+    if kind == "date_range":
+        # range over a date field; from/to accept ES date math (the
+        # lt-exclusive upper / gte-inclusive lower contract, like range).
+        # Endpoints resolve ONCE at compile time (driver-side, same as
+        # ES's shard-request rewrite), so the bucket predicate stays a
+        # pure codegen expression over the scan.
+        from ..functions.datemath import parse_date_math
+
+        def _endpoint(v):
+            if isinstance(v, str):
+                return parse_date_math(v)
+            return v
+
+        fld = F.col(spec["field"]).cast("timestamp")
+        labels = []
+        for rg in spec["ranges"]:
+            lo, hi = _endpoint(rg.get("from")), _endpoint(rg.get("to"))
+            label = rg.get("key") or (
+                f"{'' if lo is None else lo.isoformat()}-"
+                f"{'' if hi is None else hi.isoformat()}"
+            )
+            cond = fld.isNotNull()
+            if lo is not None:
+                cond = cond & (fld >= F.lit(lo))
+            if hi is not None:
+                cond = cond & (fld < F.lit(hi))
+            labels.append(F.when(cond, F.lit(label)))
+        return (
+            rows.withColumn(
+                name, F.explode(F.array_compact(F.array(*labels)))
+            ),
+            meta,
+        )
     if kind == "range":
         fld = F.col(spec["field"]).cast("double")
         labels = []
@@ -2354,6 +2450,20 @@ def _bucket_key(ctx: _Ctx, rows: DataFrame, name: str, kind: str, spec: dict):
             rows.withColumn(name, F.explode(arr)),
             meta,
         )
+    if kind == "filter":
+        # ES single-filter bucket: the subtree aggregates over the rows
+        # matching the embedded query body (or a raw filter-SQL string);
+        # ONE implicit bucket keyed by the agg's own name. Query-body
+        # filters restrict via a left-semi join on the doc keys (the
+        # filters-kind member-join shape); string filters stay codegen.
+        if isinstance(raw_spec, str):
+            rows = rows.filter(F.expr(raw_spec))
+        elif isinstance(raw_spec, dict) and raw_spec:
+            member = _compile(ctx, raw_spec).select(*ctx.keys)
+            rows = rows.join(member, ctx.keys, "left_semi")
+        else:
+            raise ValueError("filter bucket needs a query body or SQL string")
+        return rows.withColumn(name, F.lit(name)), meta
     if kind == "filters":
         tags = []
         for fname, f0 in spec["filters"].items():
@@ -2994,6 +3104,9 @@ def aggs_dsl_df(
         if metrics or pipes:
             for n, s in metrics.items():
                 kind, spec = _one({k: v for k, v in s.items() if k != "aggs"})
+                if kind == "rate":
+                    metric_cols.append(_rate_expr(n, spec, levels))
+                    continue
                 metric_cols.extend(_metric_exprs(n, kind, spec))
             pipe_specs = pipes
             pipe_metrics = metrics
@@ -3249,6 +3362,17 @@ def _apply_body_pipelines(inner, keys, innermost_kind, pipes,
             # array; the flattened relation repeats it per bucket row of
             # the parent group (documented shape delta)
             sibling_reducers[name] = (kind[:3], path_col(spec["buckets_path"]))
+        elif kind in (
+            "stats_bucket", "extended_stats_bucket", "percentiles_bucket"
+        ):
+            # multi-valued sibling reducers — flattened like the metric
+            # family ({name}_count/{name}_avg/... , {name}_p50...), each
+            # value repeated per bucket row of the parent group
+            sibling_reducers[name] = (
+                kind,
+                path_col(spec["buckets_path"]),
+                [float(p) for p in _aslist(spec.get("percents") or [50.0])],
+            )
         elif kind == "bucket_script":
             specs[name] = (
                 "bucket_script",
@@ -3296,10 +3420,42 @@ def _apply_body_pipelines(inner, keys, innermost_kind, pipes,
 
         w = _W.partitionBy(*keys[:-1])
         fns = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max}
-        for name, (fn0, c) in sibling_reducers.items():
-            inner = inner.withColumn(
-                name, fns[fn0](F.col(c).cast("double")).over(w)
+        for name, red in sibling_reducers.items():
+            if len(red) == 2:
+                fn0, c = red
+                inner = inner.withColumn(
+                    name, fns[fn0](F.col(c).cast("double")).over(w)
+                )
+                continue
+            kind0, c, percents = red
+            v = F.col(c).cast("double")
+            if kind0 == "percentiles_bucket":
+                for p in percents:
+                    tag = str(int(p)) if p == int(p) else str(p).replace(".", "_")
+                    inner = inner.withColumn(
+                        f"{name}_p{tag}",
+                        F.expr(
+                            f"percentile(cast(`{c}` as double), {p / 100.0})"
+                        ).over(w),
+                    )
+                continue
+            inner = (
+                inner.withColumn(f"{name}_count", F.count(v).over(w))
+                .withColumn(f"{name}_min", F.min(v).over(w))
+                .withColumn(f"{name}_max", F.max(v).over(w))
+                .withColumn(f"{name}_avg", F.avg(v).over(w))
+                .withColumn(f"{name}_sum", F.sum(v).over(w))
             )
+            if kind0 == "extended_stats_bucket":
+                inner = (
+                    inner.withColumn(
+                        f"{name}_sum_of_squares", F.sum(v * v).over(w)
+                    )
+                    .withColumn(f"{name}_variance", F.var_pop(v).over(w))
+                    .withColumn(
+                        f"{name}_std_deviation", F.stddev_pop(v).over(w)
+                    )
+                )
     if selector_sql is not None:
         inner = _bselector(inner, selector_sql)
     if sort_spec is not None:

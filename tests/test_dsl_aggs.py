@@ -1131,3 +1131,120 @@ def test_cumulative_cardinality_body_kind(spark, setup):
                                                 "interval": 50},
                                   "aggs": {"c": {"cumulative_cardinality":
                                                  {"field": "repo"}}}}}}})
+
+
+def test_filter_single_bucket_kind(spark, setup):
+    """ES `filter` (single-bucket) kind: the subtree aggregates over the
+    matching rows only; one bucket keyed by the agg name. SQL-string and
+    query-body filters agree with brute recompute over the docs map."""
+    d, r, docs = setup
+    rows = [x.asDict() for x in r.aggs_dsl_df(
+        {"rusty": {"filter": "lang = 'rust'",
+                   "aggs": {"avg_dl": {"avg": {"field": "dl"}}}}}
+    ).collect()]
+    want = [v["dl"] for v in docs.values() if v["lang"] == "rust"]
+    assert len(rows) == 1 and rows[0]["rusty"] == "rusty"
+    assert rows[0]["rusty_doc_count"] == len(want)
+    assert rows[0]["avg_dl"] == pytest.approx(sum(want) / len(want))
+    # query-body filter restricts via the compiled match set
+    m = {x["doc_id"] for x in r.match_df("merge").collect()}
+    got = [x.asDict() for x in r.aggs_dsl_df(
+        {"mergey": {"filter": {"match": {"content": "merge"}},
+                    "aggs": {"n": {"value_count": {"field": "doc_id"}}}}}
+    ).collect()]
+    assert got[0]["mergey_doc_count"] == len(m) and got[0]["n"] == len(m)
+    with pytest.raises(ValueError, match="filter bucket"):
+        r.aggs_dsl_df({"bad": {"filter": {}}})
+
+
+def test_date_range_bucket_kind(spark, setup):
+    """`date_range` buckets: anchor||date-math endpoints, gte/lt bounds,
+    explicit keys, doc membership == brute recompute."""
+    d, r, docs = setup
+    lo = datetime.datetime(2023, 11, 15)
+    got = {
+        x["when"]: x["when_doc_count"]
+        for x in r.aggs_dsl_df(
+            {"when": {"date_range": {
+                "field": "ts",
+                "ranges": [
+                    {"key": "early", "to": "2023-11-15||/d"},
+                    {"key": "late", "from": "2023-11-15||/d"},
+                ]}}}
+        ).collect()
+    }
+    early = sum(1 for v in docs.values() if v["ts"] < lo)
+    late = sum(1 for v in docs.values() if v["ts"] >= lo)
+    assert got.get("early", 0) == early and got.get("late", 0) == late
+    assert early + late == len(docs) and early > 0 and late > 0
+
+
+def test_rate_metric_body_kind(spark, setup):
+    """`rate` under a date_histogram: sum (or doc count) scaled by
+    unit_length / bucket_length, resolved at compile time."""
+    d, r, docs = setup
+    rows = [x.asDict() for x in r.aggs_dsl_df(
+        {"by_day": {"date_histogram": {"field": "ts",
+                                       "calendar_interval": "day"},
+                    "aggs": {
+                        "dl_per_hour": {"rate": {"field": "dl",
+                                                 "unit": "hour"}},
+                        "docs_per_day": {"rate": {"unit": "day"}},
+                    }}}
+    ).collect()]
+    want: dict = collections.defaultdict(lambda: [0.0, 0])
+    for v in docs.values():
+        day = v["ts"].replace(hour=0, minute=0, second=0, microsecond=0)
+        want[day][0] += v["dl"]
+        want[day][1] += 1
+    assert len(rows) == len(want)
+    for x in rows:
+        s, n = want[x["by_day"]]
+        assert x["dl_per_hour"] == pytest.approx(s / 24.0, rel=1e-12)
+        assert x["docs_per_day"] == pytest.approx(float(n))
+    with pytest.raises(ValueError, match="incompatible"):
+        r.aggs_dsl_df(
+            {"b": {"date_histogram": {"field": "ts",
+                                      "calendar_interval": "month"},
+                   "aggs": {"r": {"rate": {"unit": "day"}}}}})
+    with pytest.raises(ValueError, match="enclosing date_histogram"):
+        r.aggs_dsl_df(
+            {"b": {"terms": {"field": "lang"},
+                   "aggs": {"r": {"rate": {"unit": "day"}}}}})
+
+
+def test_stats_bucket_family_body_kinds(spark, setup):
+    """stats_bucket / extended_stats_bucket / percentiles_bucket sibling
+    reducers over a sibling metric's bucket values == brute recompute."""
+    d, r, docs = setup
+    rows = [x.asDict() for x in r.aggs_dsl_df(
+        {"by_dl": {"histogram": {"field": "dl", "interval": 50},
+                   "aggs": {
+                       "total": {"sum": {"field": "dl"}},
+                       "st": {"stats_bucket": {"buckets_path": "total"}},
+                       "ext": {"extended_stats_bucket": {
+                           "buckets_path": "total"}},
+                       "pct": {"percentiles_bucket": {
+                           "buckets_path": "total",
+                           "percents": [50.0, 100.0]}},
+                   }}}
+    ).collect()]
+    tots = sorted(x["total"] for x in rows)
+    n = len(tots)
+    mean = sum(tots) / n
+    var = sum((t - mean) ** 2 for t in tots) / n
+    import statistics
+
+    for x in rows:
+        assert x["st_count"] == n
+        assert x["st_min"] == pytest.approx(min(tots))
+        assert x["st_max"] == pytest.approx(max(tots))
+        assert x["st_avg"] == pytest.approx(mean)
+        assert x["st_sum"] == pytest.approx(sum(tots))
+        assert x["ext_variance"] == pytest.approx(var, rel=1e-9)
+        assert x["ext_std_deviation"] == pytest.approx(var ** 0.5, rel=1e-9)
+        assert x["ext_sum_of_squares"] == pytest.approx(
+            sum(t * t for t in tots), rel=1e-12)
+        assert x["pct_p50"] == pytest.approx(
+            statistics.median(tots), rel=1e-12)
+        assert x["pct_p100"] == pytest.approx(max(tots))
