@@ -32,8 +32,9 @@ bodies the single-scan kernel cannot express.
 
 Supported nodes (ES query-dsl.html): match, match_all, match_none,
 match_phrase, match_phrase_prefix (span-compiled MultiPhraseQuery gate),
-match_bool_prefix, multi_match, combined_fields (BM25F term-centric
-blend), term, terms, terms_set, range, exists, ids, parent_id,
+match_bool_prefix, multi_match (best_fields / most_fields /
+combined_fields / cross_fields / phrase), combined_fields (BM25F
+term-centric blend), term, terms, terms_set, range, exists, ids, parent_id,
 has_child, has_parent (join-field queries over a metadata FK column),
 prefix, fuzzy, wildcard, regexp, intervals (match /
 all_of / any_of rules — compositions compile onto the span algebra),

@@ -2044,12 +2044,17 @@ class IncrementalIndexReader:
             return self.search_combined_df(
                 query, boosts, k, min_should_match, filter_sql=filter_sql
             )
+        if match_type == "cross_fields":
+            return self.search_cross_fields_df(
+                query, boosts, k, min_should_match, tie_breaker,
+                filter_sql=filter_sql,
+            )
         if match_type == "phrase":
             return self.search_phrase_df(query, k=k, filter_sql=filter_sql)
         raise ValueError(
             f"unknown multi_match type {match_type!r}; implemented: "
-            "best_fields, most_fields, combined_fields, phrase "
-            "(cross_fields -> use combined_fields)"
+            "best_fields, most_fields, combined_fields, cross_fields, "
+            "phrase"
         )
 
     def ids_df(self, ids: list, id_field: str = "path") -> DataFrame:
@@ -2279,6 +2284,154 @@ class IncrementalIndexReader:
         agg = scored.groupBy("segment", "doc_id").agg(
             F.sum("partial").alias("score"),
             F.count("*").alias("nmatch"),
+        )
+        if min_should_match > 1:
+            agg = agg.filter(F.col("nmatch") >= min_should_match)
+        agg = agg.select("segment", "doc_id", "score")
+        if filter_sql:
+            agg = agg.join(
+                self._filter_docs(filter_sql), ["segment", "doc_id"], "left_semi"
+            )
+        rank_map = self._rank_map()
+        if search_after is not None:
+            agg = self._apply_cursor(agg, search_after, rank_map)
+        if k is None:
+            return agg
+        return (
+            agg.orderBy(
+                F.desc("score"),
+                F.desc(rank_map[F.col("segment")]),
+                F.asc("doc_id"),
+            )
+            .limit(k)
+            .select("segment", "doc_id", "score")
+        )
+
+    def search_cross_fields_df(
+        self,
+        query: str,
+        boosts: dict[str, float] | None = None,
+        k: int | None = 10,
+        min_should_match: int = 1,
+        tie_breaker: float = 0.0,
+        search_after: tuple[float, str, int] | None = None,
+        filter_sql: str | None = None,
+    ) -> DataFrame:
+        """ES multi_match type=cross_fields on the LIVE tier: the
+        term-centric dis_max-over-fields blend of
+        IndexReader.search_cross_fields_df with live semantics — per
+        token the queried fields compete (max + tie_breaker) under a
+        BLENDED document frequency (max over fields of the
+        summed-across-segments dfs, the Lucene deleted-docs stats rule),
+        tokens sum, min_should_match counts tokens matched in ANY field.
+        Tombstones anti-join BEFORE aggregation; N/avgdl are the
+        tombstone-corrected globals; ranked cuts tie-break newest
+        segment first like every live surface."""
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        fields = self.fields
+        if not fields:
+            raise ValueError(
+                "cross_fields needs a fields-indexed corpus "
+                "(IndexBuilder(fields=[...]))"
+            )
+        boosts = boosts or {f: 1.0 for f in fields}
+        unknown = set(boosts) - set(fields)
+        if unknown:
+            raise ValueError(f"unknown fields {sorted(unknown)}; indexed: {fields}")
+        toks = self.readers[self.segments[0]].query_terms(query)
+        empty = self.spark.createDataFrame(
+            [], "segment string, doc_id long, score double"
+        )
+        if not toks:
+            return empty
+        terms, tmeta = [], {}
+        for gi, tok in enumerate(toks):
+            for f, w in boosts.items():
+                t = f + "\x1f" + tok
+                terms.append(t)
+                tmeta[t] = (float(w), gi)
+        scans = None
+        for s in self.segments:
+            p = self.readers[s]._postings_df(terms).withColumn("segment", F.lit(s))
+            scans = p if scans is None else scans.unionByName(p)
+        k1, b, avgdl, c = self.k1, self.b, self.avgdl, self.k1 + 1.0
+        n = float(self.n_docs)
+        t_items = list(tmeta.items())
+        out_schema = T.StructType(
+            [
+                T.StructField("segment", T.StringType(), False),
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("group_id", T.IntegerType(), False),
+                T.StructField("part", T.DoubleType(), False),
+            ]
+        )
+
+        def decode_blocks(batches):
+            from .codec import decode_block as _db
+
+            wmap = dict(t_items)
+            for pdf in batches:
+                segs, docs_all, grp_all, part_all = [], [], [], []
+                for seg, term, nrow, first, gaps, tfs, dls in zip(
+                    pdf["segment"], pdf["term"], pdf["n"], pdf["first_doc"],
+                    pdf["doc_gaps"], pdf["tfs"], pdf["dls"],
+                ):
+                    docs, tf, dl = _db(
+                        int(first), int(nrow), bytes(gaps), bytes(tfs), bytes(dls)
+                    )
+                    w, g = wmap[term]
+                    tf = tf.astype(np.float64)
+                    sat = tf / (tf + k1 * (1.0 - b + b * dl / avgdl))
+                    segs.append(np.full(len(docs), seg, dtype=object))
+                    docs_all.append(docs)
+                    grp_all.append(np.full(len(docs), g, np.int32))
+                    part_all.append(w * c * sat)
+                if docs_all:
+                    yield pd.DataFrame(
+                        {
+                            "segment": np.concatenate(segs),
+                            "doc_id": np.concatenate(docs_all),
+                            "group_id": np.concatenate(grp_all),
+                            "part": np.concatenate(part_all),
+                        }
+                    )
+
+        import math as _math
+
+        raw = self._global_term_dfs(terms)
+        group_df: dict[int, int] = {}
+        for t, (_, gi) in tmeta.items():
+            if t in raw:
+                group_df[gi] = max(group_df.get(gi, 0), raw[t])
+        if not group_df:
+            return empty
+        idf_map = F.create_map(
+            *[
+                x
+                for gi, d in group_df.items()
+                for x in (
+                    F.lit(gi),
+                    F.lit(_math.log(1.0 + (n - d + 0.5) / (d + 0.5))),
+                )
+            ]
+        )
+        partials = scans.mapInPandas(decode_blocks, out_schema)
+        tomb = self._tomb_df()
+        if tomb is not None:
+            partials = partials.join(tomb, ["segment", "doc_id"], "left_anti")
+        rel = partials.groupBy("segment", "doc_id", "group_id").agg(
+            F.max("part").alias("best"), F.sum("part").alias("total")
+        )
+        gscore = idf_map[F.col("group_id")] * (
+            F.col("best")
+            + F.lit(float(tie_breaker)) * (F.col("total") - F.col("best"))
+        )
+        agg = (
+            rel.select("segment", "doc_id", gscore.alias("gscore"))
+            .groupBy("segment", "doc_id")
+            .agg(F.sum("gscore").alias("score"), F.count("*").alias("nmatch"))
         )
         if min_should_match > 1:
             agg = agg.filter(F.col("nmatch") >= min_should_match)

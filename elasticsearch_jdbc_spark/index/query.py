@@ -4747,6 +4747,140 @@ class IndexReader:
             return agg
         return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def search_cross_fields_df(
+        self,
+        query: str,
+        boosts: dict[str, float] | None = None,
+        k: int | None = 10,
+        min_should_match: int = 1,
+        tie_breaker: float = 0.0,
+        search_after: tuple[float, int] | None = None,
+        filter_sql: str | None = None,
+    ) -> DataFrame:
+        """ES multi_match type=cross_fields (Lucene BlendedTermQuery,
+        MultiMatchQueryParser.java): TERM-centric — per query token the
+        queried fields compete (dis_max over the per-field saturated
+        scores + tie_breaker), tokens then SUM; each field's score uses
+        the BLENDED document frequency (max of the fields' dfs — the
+        pseudo collection statistics Lucene's blended rewrite installs),
+        so a term rare in one field but common in another scores
+        consistently wherever it matches. The transpose of best_fields
+        (which runs dis_max over per-FIELD totals). min_should_match
+        counts token groups matched in ANY field — the cross_fields
+        operator semantics (each term must appear somewhere, not all
+        terms in one field).
+
+        Plan: ONE postings scan over the field-namespaced variants (term
+        filter pushed to parquet), one vectorized decode emitting the
+        per-variant pre-idf saturated partial, one (doc, token-group)
+        max/sum aggregation, blended idf folded from a literal map
+        (driver-pruned dictionary read, no Spark job), one per-doc sum.
+        k=None returns the match set scored but UNRANKED."""
+        fields = self.manifest.get("fields")
+        if not fields:
+            raise ValueError(
+                "cross_fields needs a fields-indexed corpus "
+                "(IndexBuilder(fields=[...]))"
+            )
+        boosts = boosts or {f: 1.0 for f in fields}
+        unknown = set(boosts) - set(fields)
+        if unknown:
+            raise ValueError(f"unknown fields {sorted(unknown)}; indexed: {fields}")
+        toks = self.query_terms(query)
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        if not toks:
+            return empty
+        terms, weights, group_of = [], {}, {}
+        for gi, tok in enumerate(toks):
+            for f, w in boosts.items():
+                t = f + "\x1f" + tok
+                terms.append(t)
+                weights[t] = float(w)
+                group_of[t] = gi
+        k1, b, avgdl, c = self.k1, self.b, self.avgdl, self.k1 + 1.0
+        n = float(self.n_docs)
+        w_items = [(t, weights[t], group_of[t]) for t in terms]
+        out_schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("group_id", T.IntegerType(), False),
+                T.StructField("part", T.DoubleType(), False),
+            ]
+        )
+
+        def decode_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            wmap = {t: (w, g) for t, w, g in w_items}
+            for pdf in batches:
+                docs_all, grp_all, part_all = [], [], []
+                for term, nrow, first, gaps, tfs, dls in zip(
+                    pdf["term"], pdf["n"], pdf["first_doc"],
+                    pdf["doc_gaps"], pdf["tfs"], pdf["dls"],
+                ):
+                    docs, tf, dl = decode_block(
+                        int(first), int(nrow), bytes(gaps), bytes(tfs), bytes(dls)
+                    )
+                    w, g = wmap[term]
+                    tf = tf.astype(np.float64)
+                    sat = tf / (tf + k1 * (1.0 - b + b * dl / avgdl))
+                    docs_all.append(docs)
+                    grp_all.append(np.full(len(docs), g, np.int32))
+                    part_all.append(w * c * sat)
+                if docs_all:
+                    yield pd.DataFrame(
+                        {
+                            "doc_id": np.concatenate(docs_all),
+                            "group_id": np.concatenate(grp_all),
+                            "part": np.concatenate(part_all),
+                        }
+                    )
+
+        raw = self._term_dfs(terms)
+        group_df: dict[int, int] = {}
+        for t in terms:
+            if t in raw:
+                gi = group_of[t]
+                group_df[gi] = max(group_df.get(gi, 0), int(raw[t]))
+        if not group_df:
+            return empty
+        import math as _math
+
+        idf_map = F.create_map(
+            *[
+                x
+                for gi, d in group_df.items()
+                for x in (
+                    F.lit(gi),
+                    F.lit(_math.log(1.0 + (n - d + 0.5) / (d + 0.5))),
+                )
+            ]
+        )
+        partials = self._postings_df(terms).mapInPandas(decode_blocks, out_schema)
+        rel = partials.groupBy("doc_id", "group_id").agg(
+            F.max("part").alias("best"), F.sum("part").alias("total")
+        )
+        gscore = idf_map[F.col("group_id")] * (
+            F.col("best")
+            + F.lit(float(tie_breaker)) * (F.col("total") - F.col("best"))
+        )
+        agg = rel.select("doc_id", gscore.alias("gscore")).groupBy("doc_id").agg(
+            F.sum("gscore").alias("score"), F.count("*").alias("nmatch")
+        )
+        if min_should_match > 1:
+            agg = agg.filter(F.col("nmatch") >= min_should_match)
+        agg = agg.select("doc_id", "score")
+        if filter_sql:
+            agg = agg.join(self._filter_doc_ids(filter_sql), "doc_id", "left_semi")
+        if search_after is not None:
+            s0, d0 = float(search_after[0]), int(search_after[1])
+            eps = 1e-9 * max(1.0, abs(s0))
+            agg = agg.filter(
+                (F.col("score") < s0 - eps)
+                | ((F.col("score") <= s0 + eps) & (F.col("doc_id") > d0))
+            )
+        if k is None:
+            return agg
+        return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
     def search_best_fields_df(
         self,
         query: str,
@@ -4893,10 +5027,11 @@ class IndexReader:
                                        scores SUM)
           combined_fields           -> search_combined_df (BM25F
                                        term-centric blend)
+          cross_fields              -> search_cross_fields_df (per-term
+                                       dis_max over fields with blended
+                                       df)
           phrase                    -> search_phrase_df on the fields
-                                       corpus (positions required)
-        cross_fields is not implemented: use combined_fields, the
-        modern term-centric blend ES itself recommends over it."""
+                                       corpus (positions required)"""
         if match_type == "best_fields":
             return self.search_best_fields_df(
                 query, boosts, k, min_should_match, tie_breaker, filter_sql
@@ -4909,12 +5044,16 @@ class IndexReader:
             return self.search_combined_df(
                 query, boosts, k, min_should_match, filter_sql=filter_sql
             )
+        if match_type == "cross_fields":
+            return self.search_cross_fields_df(
+                query, boosts, k, min_should_match, tie_breaker, filter_sql=filter_sql
+            )
         if match_type == "phrase":
             return self.search_phrase_df(query, k=k, filter_sql=filter_sql)
         raise ValueError(
             f"unknown multi_match type {match_type!r}; implemented: "
-            "best_fields, most_fields, combined_fields, phrase "
-            "(cross_fields -> use combined_fields)"
+            "best_fields, most_fields, combined_fields, cross_fields, "
+            "phrase"
         )
 
     def ids_df(self, ids: list, id_field: str = "path") -> DataFrame:

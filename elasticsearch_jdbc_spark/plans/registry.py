@@ -7715,6 +7715,107 @@ def best_fields_index_q(spark, sf_dir):
     )
 
 
+def _cross_fields_sql() -> str:
+    """cross_fields oracle: per (token, doc) the two fields' saturated
+    BM25 partials fold max + 0.3 * rest (term-centric dis_max), scaled
+    by the BLENDED idf (df = max over fields of the per-field df — the
+    Lucene BlendedTermQuery pseudo stats), tokens sum."""
+    from ..index.bm25_df import B, K1, TOP_K, _query_term_pairs
+
+    pairs = _query_term_pairs() + [
+        (qid, "t3") for qid, _ in REFERENCE_QUERIES
+    ]
+    values = ", ".join(f"({qid}, '{t}')" for qid, t in pairs)
+    return f"""
+    WITH q(query_id, term) AS (VALUES {values}),
+    tokc AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    tokt AS (
+      SELECT doc_id,
+             ['t' || CAST(doc_id % 5 AS VARCHAR),
+              't' || CAST(doc_id % 7 AS VARCHAR)] AS toks
+      FROM documents
+    ),
+    flat AS (
+      SELECT doc_id, t.term, 'c' AS fld FROM tokc, UNNEST(toks) AS t(term)
+      UNION ALL
+      SELECT doc_id, t.term, 't' AS fld FROM tokt, UNNEST(toks) AS t(term)
+    ),
+    dls AS (SELECT doc_id, len(toks) + 2 AS dl FROM tokc),
+    tf AS (SELECT fld, term, doc_id, COUNT(*) AS tf FROM flat GROUP BY 1, 2, 3),
+    dff AS (SELECT fld, term, COUNT(DISTINCT doc_id) AS df FROM flat GROUP BY 1, 2),
+    dfb AS (SELECT term, MAX(df) AS df FROM dff GROUP BY term),
+    stats AS (
+      SELECT COUNT(*) AS n, SUM(len(toks) + 2) * 1.0 / COUNT(*) AS avgdl FROM tokc
+    ),
+    part AS (
+      SELECT q.query_id, tf.doc_id, tf.term,
+             {K1 + 1.0}
+             * (tf.tf / (tf.tf + {K1} * ({1.0 - B} + {B} * dls.dl / stats.avgdl)))
+             AS p
+      FROM tf JOIN q USING (term)
+              JOIN dls ON dls.doc_id = tf.doc_id, stats
+    ),
+    gscore AS (
+      SELECT part.query_id, part.doc_id, part.term,
+             ln(1.0 + (stats.n - dfb.df + 0.5) / (dfb.df + 0.5))
+             * (MAX(p) + 0.3 * (SUM(p) - MAX(p))) AS s
+      FROM part JOIN dfb USING (term), stats
+      GROUP BY part.query_id, part.doc_id, part.term, dfb.df, stats.n
+    ),
+    agg AS (
+      SELECT query_id, doc_id, SUM(s) AS score FROM gscore GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+      FROM agg
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, doc_id, ROUND(score, 4) AS score
+    FROM ranked WHERE rank <= {TOP_K}
+    """
+
+
+@_reg("cross_fields_index_search", _cross_fields_sql())
+def cross_fields_index_q(spark, sf_dir):
+    """ES multi_match type=cross_fields through the REAL engine,
+    ORACLE-CHECKED: term-centric dis_max over the queried fields
+    (max + tie_breaker * rest per token) under the BLENDED document
+    frequency (max over the fields' dfs — Lucene BlendedTermQuery's
+    pseudo collection statistics), tokens summing; ONE postings decode,
+    blended idfs folded from a driver-pruned dictionary read. Reference
+    queries extended with a tag token so the cross-field blend is live
+    (MultiMatchQueryBuilder Type.CROSS_FIELDS parity). k=None unranked;
+    top-10 after id mapping (oracle tie-break)."""
+    from ..index import IndexReader
+
+    idx = _registry_fields_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    ids = _index_docid_map(spark, idx)
+    out = None
+    for qid, qtext in REFERENCE_QUERIES:
+        hits = reader.search_cross_fields_df(
+            qtext + " t3", k=None, tie_breaker=0.3
+        ).withColumn("query_id", F.lit(qid))
+        out = hits if out is None else out.unionByName(hits)
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("documents_doc_id"))
+    return (
+        out.join(ids, "doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "rank",
+            F.col("documents_doc_id").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+    )
+
+
 def _combined_fields_sql() -> str:
     """combined_fields oracle (df_mode='max_field', the Lucene
     CombinedFieldQuery default): combined tf over the text field + the
@@ -9211,6 +9312,7 @@ _WINDOW_R5 = [
     "query_string_index_search",
     "top_hits_index_search",
     "best_fields_index_search",
+    "cross_fields_index_search",
     "runtime_fields_search",
     "dsl_sort_page_search",
     "dsl_search_after_search",
