@@ -128,8 +128,11 @@ def test_dispatcher(spark, idx):
     c = {x["doc_id"]: x["score"] for x in r.multi_match_df("quick merge", match_type="combined_fields", k=None).collect()}
     d = {x["doc_id"]: x["score"] for x in r.search_combined_df("quick merge", k=None).collect()}
     assert c == d
+    e = {x["doc_id"]: x["score"] for x in r.multi_match_df("quick merge", match_type="cross_fields", k=None).collect()}
+    f = {x["doc_id"]: x["score"] for x in r.search_cross_fields_df("quick merge", k=None).collect()}
+    assert e == f
     with pytest.raises(ValueError):
-        r.multi_match_df("x", match_type="cross_fields")
+        r.multi_match_df("x", match_type="nope_fields")
     with pytest.raises(ValueError):
         r.search_best_fields_df("x", tie_breaker=1.5)
 
