@@ -1932,7 +1932,7 @@ _METRIC_KINDS = (
     "avg", "sum", "min", "max", "value_count", "cardinality", "stats",
     "percentiles", "percentile_ranks", "weighted_avg", "extended_stats",
     "boxplot", "top_metrics", "geo_bounds", "geo_centroid", "t_test",
-    "rate",
+    "rate", "reverse_nested",
 )
 _PIPELINE_KINDS = (
     "derivative", "cumulative_sum", "moving_fn", "moving_percentiles",
@@ -1947,6 +1947,7 @@ _BUCKET_KINDS = (
     "rare_terms", "multi_terms", "categorize_text", "global",
     "geotile_grid", "geohash_grid", "sampler", "diversified_sampler",
     "random_sampler", "ip_range", "ip_prefix", "geo_distance",
+    "nested",
 )
 
 
@@ -2804,7 +2805,10 @@ def aggs_dsl_df(
     (web-mercator z/x/y key) / geohash_grid (base32 cell key) /
     ip_range + geo_distance (multi-bucket tagging) / ip_prefix (subnet
     rollup) / sampler + diversified_sampler (row-set
-    restrictors before the subtree; no key of their own) — plus
+    restrictors before the subtree; no key of their own) / nested
+    (top-level context switch to array<struct> elements; sub-aggs count
+    nested docs, fields address as '<path>.<field>', reverse_nested
+    metric recovers parent-doc counts) — plus
     top-level dispatches to the typed kernels for composite,
     significant_terms, significant_text, terms+top_hits,
     median_absolute_deviation, and string_stats — and
@@ -3074,6 +3078,7 @@ def aggs_dsl_df(
     metric_cols: list = []
     pipe_specs: dict = {}
     pipe_metrics: dict = {}
+    nested_path: str | None = None
     while True:
         buckets = {
             n: s for n, s in node.items() if next(iter(s)) in _BUCKET_KINDS
@@ -3108,6 +3113,35 @@ def aggs_dsl_df(
                 if kind == "rate":
                     metric_cols.append(_rate_expr(n, spec, levels))
                     continue
+                if kind == "reverse_nested":
+                    # ES reverse_nested: jump back from element context to
+                    # PARENT docs — in the one-groupBy tree the parent-doc
+                    # count per innermost bucket is count_distinct over the
+                    # doc keys, which the nested explode preserved on every
+                    # element row. Full reverse only; sub-aggs under
+                    # reverse_nested are out (engine-native restrictions).
+                    if nested_path is None:
+                        raise ValueError(
+                            "reverse_nested is only legal inside a nested "
+                            "aggregation (ES contract)"
+                        )
+                    if isinstance(spec, dict) and spec.get("path"):
+                        raise ValueError(
+                            "reverse_nested partial path unsupported; full "
+                            "reverse to parent docs only (engine-native "
+                            "restriction)"
+                        )
+                    if s.get("aggs"):
+                        raise ValueError(
+                            "sub-aggregations under reverse_nested "
+                            "unsupported (engine-native restriction)"
+                        )
+                    metric_cols.append(
+                        F.count_distinct(
+                            *[F.col(c) for c in ctx.keys]
+                        ).alias(f"{n}_doc_count")
+                    )
+                    continue
                 metric_cols.extend(_metric_exprs(n, kind, spec))
             pipe_specs = pipes
             pipe_metrics = metrics
@@ -3127,6 +3161,58 @@ def aggs_dsl_df(
             rows = docs.withColumn("_score", F.lit(0.0)).withColumn(
                 name, F.lit("global")
             )
+            meta = {
+                "name": name, "size": None, "min_doc_count": 0,
+                "max_doc_count": None,
+            }
+        elif kind == "nested":
+            # ES `nested` aggregation
+            # (search-aggregations-bucket-nested-aggregation): switch the
+            # aggregation context from parent docs to the ELEMENTS of an
+            # array-of-structs column. ONE explode — sub-aggs then run
+            # over element rows, so every doc_count below this level
+            # counts nested docs (the ES nested contract) and inner
+            # fields address ES-style as '<path>.<field>' (plain struct
+            # access on the exploded column, still whole-stage codegen —
+            # the array was built by the bracket fold,
+            # PlainKeyValueStreamListener.java:291-321). The level keys a
+            # single constant bucket (its name), doc_count = total
+            # element count via the same window-sum rule as every parent
+            # level. Top-level only (engine-native restriction, the
+            # `global` posture); reverse_nested metrics below recover
+            # parent-doc counts because the explode preserves the doc
+            # keys on every element row.
+            if levels:
+                raise ValueError(
+                    "nested must be the top-level aggregation "
+                    "(engine-native restriction)"
+                )
+            path = spec.get("path")
+            if not path or not isinstance(path, str):
+                raise ValueError(
+                    "nested wants {'path': <array<struct> docs column>}"
+                )
+            if name == path:
+                raise ValueError(
+                    "nested agg name must differ from its path (the "
+                    "bucket key column would shadow the element struct)"
+                )
+            from pyspark.sql.types import ArrayType, StructType
+
+            sch = {f.name: f.dataType for f in rows.schema.fields}
+            dt = sch.get(path)
+            if not (
+                isinstance(dt, ArrayType)
+                and isinstance(dt.elementType, StructType)
+            ):
+                raise ValueError(
+                    f"nested path {path!r} must be array<struct<...>>, "
+                    f"got {dt.simpleString() if dt is not None else 'no such column'}"
+                )
+            rows = rows.withColumn(path, F.explode(path)).withColumn(
+                name, F.lit(path)
+            )
+            nested_path = path
             meta = {
                 "name": name, "size": None, "min_doc_count": 0,
                 "max_doc_count": None,

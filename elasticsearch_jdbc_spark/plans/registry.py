@@ -4535,6 +4535,91 @@ def aggs_body_pipeline_q(spark, sf_dir):
     )
 
 
+@_reg(
+    "aggs_body_nested",
+    """
+    -- ES `nested` aggregation oracle: the element rows re-derived from
+    -- the SAME doc_id arithmetic that plants the Spark-side comments
+    -- column (element j in 0..2 kept while j < doc_id % 4; author =
+    -- 'u' || (doc_id + j) % 5, stars = (doc_id*7 + j*3) % 6). UNNEST is
+    -- DuckDB's explode; per-author element counts, DISTINCT-parent
+    -- counts (reverse_nested), and element-level means mirror the
+    -- engine's one-groupBy tree.
+    WITH elems AS (
+      SELECT doc_id,
+             'u' || CAST((doc_id + j) % 5 AS VARCHAR) AS author,
+             CAST((doc_id * 7 + j * 3) % 6 AS BIGINT) AS stars
+      FROM documents, UNNEST(range(3)) AS t(j)
+      WHERE j < doc_id % 4
+    ),
+    tot AS (SELECT COUNT(*) AS cn_doc_count FROM elems)
+    SELECT 'comments' AS cn,
+           tot.cn_doc_count,
+           author AS by_author,
+           CAST(COUNT(*) AS BIGINT) AS by_author_doc_count,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS parents_doc_count,
+           AVG(stars) AS avg_stars
+    FROM elems, tot
+    GROUP BY author, tot.cn_doc_count
+    ORDER BY by_author
+    """,
+)
+def aggs_body_nested_q(spark, sf_dir):
+    """ES `nested` aggregation + `reverse_nested` through the REQUEST
+    BODY, ORACLE-CHECKED: the planted `comments: array<struct<author,
+    stars>>` corpus (the same doc_id arithmetic as nested_query_search —
+    the bracket-fold array shape,
+    PlainKeyValueStreamListener.java:291-321); the body compiles to ONE
+    explode + ONE groupBy — sub-aggs count ELEMENTS (the ES nested
+    contract), `reverse_nested` recovers distinct-parent counts via
+    count_distinct over the preserved doc keys, `avg` addresses the
+    element field ES-style as 'comments.stars'. terms size=10 keeps all
+    5 authors; the nested level's own doc_count (total elements) rides
+    the window-sum rule every parent level uses."""
+    import hashlib as _h
+    import os as _os
+    import tempfile as _tmp
+
+    from ..index import IndexBuilder, IndexReader
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.select(
+        F.lit("r").alias("repo"),
+        F.format_string("doc/%d.txt", F.col("doc_id").cast("int")).alias("path"),
+        F.lit("c").alias("commit"),
+        F.lit("txt").alias("lang"),
+        F.lit("pad text").alias("content"),
+        F.expr(
+            "slice(transform(sequence(0, 2), j -> named_struct("
+            "'author', concat('u', cast((doc_id + j) % 5 as string)), "
+            "'stars', cast((doc_id * 7 + j * 3) % 6 as bigint))), "
+            "1, cast(doc_id % 4 as int))"
+        ).alias("comments"),
+    )
+    tag = _h.sha1(f"{sf_dir}|nstagg1".encode()).hexdigest()[:10]
+    idx = _os.path.join(_tmp.gettempdir(), f"registry_nstagg_{tag}")
+    IndexBuilder(spark, idx, partitions=4).build(corpus)
+    reader = IndexReader(spark, idx)
+    return reader.aggs_dsl_df(
+        {"cn": {"nested": {"path": "comments"}, "aggs": {
+            "by_author": {
+                "terms": {"field": "comments.author", "size": 10},
+                "aggs": {
+                    "parents": {"reverse_nested": {}},
+                    "avg_stars": {"avg": {"field": "comments.stars"}},
+                },
+            },
+        }}}
+    ).select(
+        "cn",
+        F.col("cn_doc_count").cast("long"),
+        "by_author",
+        F.col("by_author_doc_count").cast("long"),
+        F.col("parents_doc_count").cast("long"),
+        F.col("avg_stars").cast("double"),
+    )
+
+
 _NESTED_QUERY_SQL = """
 -- ES `nested` query oracle: per-element scoped predicates over an
 -- array-of-structs field, re-derived from the SAME doc_id arithmetic
@@ -9304,6 +9389,7 @@ _WINDOW_R5 = [
     "aggs_body_top_hits",         # request-body terms+top_hits dispatch
     "aggs_body_metrics",          # request-body metric kinds (r5 wiring)
     "aggs_body_pipeline",         # request-body pipeline kinds (r5 wiring)
+    "aggs_body_nested",           # nested + reverse_nested body kinds
     # -- never-checked search/DSL surfaces (r3-r4 additions) --
     "msearch_index_search",
     "composite_index_search",
