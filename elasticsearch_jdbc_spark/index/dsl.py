@@ -3644,11 +3644,15 @@ def search_dsl_df(
     columns join from the (pruned) docs scan; the cut is ONE TakeOrdered
     on the sort keys.
 
-    `fields` / `_source` (response shaping): enrich the ranked page with
-    docs metadata columns — a list of names (or ES {"field": name}
-    objects), `_source: true` = all metadata columns, runtime fields
-    included. The tiny ranked page joins the pruned docs projection
-    (hits_df's plan); ranking is re-established after the join."""
+    `fields` / `_source` / `docvalue_fields` (response shaping): enrich
+    the ranked page with docs metadata columns — a list of names (or ES
+    {"field": name} objects), `_source: true` = all metadata columns,
+    runtime fields included; docvalue_fields merges into the same
+    enrichment (the docs store IS columnar). `script_fields` adds
+    per-hit computed columns — the engine-native script dialect (Spark
+    SQL over docs columns + `_score`) evaluated inside codegen on the
+    tiny page. The page joins the pruned docs projection (hits_df's
+    plan); ranking is re-established after the join."""
     if isinstance(body, dict) and ("aggs" in body or "aggregations" in body):
         raise ValueError(
             "the body has an aggs section — search_dsl_df returns hits "
@@ -3661,10 +3665,13 @@ def search_dsl_df(
         runtime = _parse_runtime(body.pop("runtime_mappings"))
     ctx = _Ctx(reader, runtime=runtime)
     sort = size = fields_sel = search_after = None
+    script_fields: dict = {}
+    dv_sel: list = []
     offset = 0
     if isinstance(body, dict) and len(body) > 1 and (
         "sort" in body or "size" in body or "from" in body
         or "fields" in body or "_source" in body or "search_after" in body
+        or "docvalue_fields" in body or "script_fields" in body
     ):
         body = dict(body)
         sort = body.pop("sort", None)
@@ -3681,6 +3688,29 @@ def search_dsl_df(
         # only (the default here anyway); a list = that subset.
         fl = body.pop("fields", None)
         src = body.pop("_source", None)
+        # `docvalue_fields`: ES's columnar-values twin of `fields` — the
+        # engine's docs metadata IS columnar parquet, so the section is
+        # the same enrichment join; names merge with fields/_source
+        # (format specs are accepted and ignored — parquet values are
+        # already typed). `script_fields`: per-hit computed columns, the
+        # engine-native script dialect (Spark SQL over docs columns +
+        # `_score`, the script_score/runtime_mappings contract) —
+        # evaluated on the (tiny) ranked page after the enrichment join,
+        # whole-stage codegen, never a UDF.
+        dvf = body.pop("docvalue_fields", None)
+        if dvf is not None:
+            dv_sel = [
+                f["field"] if isinstance(f, dict) else f for f in _aslist(dvf)
+            ]
+        sfs = body.pop("script_fields", None)
+        if sfs is not None:
+            if not isinstance(sfs, dict) or not sfs:
+                raise ValueError(
+                    "script_fields wants {name: {'script': {'source': "
+                    "'<spark sql>'}}}"
+                )
+            for sname, sspec in sfs.items():
+                script_fields[sname] = _script_source(sspec)
         if fl is not None:
             fields_sel = [
                 f["field"] if isinstance(f, dict) else f for f in _aslist(fl)
@@ -3734,7 +3764,7 @@ def search_dsl_df(
             "query, retriever, knn, aggs / highlight / suggest (via "
             "search_request), collapse, rescore, post_filter, min_score, "
             "runtime_mappings, sort, from, size, search_after, fields, "
-            "_source"
+            "_source, docvalue_fields, script_fields"
         )
     if (
         isinstance(body, dict)
@@ -3906,18 +3936,41 @@ def search_dsl_df(
         out = out.filter(pred)
 
     def shape(df):
-        if fields_sel is None:
+        if fields_sel is None and not dv_sel and not script_fields:
             return df
         docs = ctx.docs()
         want = (
             [c for c in docs.columns if c not in ("doc_id", "segment")]
             if fields_sel is True
-            else list(fields_sel)
+            else list(fields_sel or [])
         )
+        want += [f for f in dv_sel if f not in want]
         unknown = [f for f in want if f not in docs.columns]
         if unknown:
             meta = [c for c in docs.columns if c not in ("doc_id", "segment")]
             raise ValueError(f"unknown fields {unknown}; docs table has {meta}")
+        if script_fields:
+            # scripts may reference ANY docs column: join the full
+            # metadata projection onto the (tiny) page, compute each
+            # script inside codegen, then drop the columns the response
+            # didn't ask for. `_score` aliases the relevance score.
+            add_all = [
+                c for c in docs.columns
+                if c not in ctx.keys and c not in df.columns
+            ]
+            joined = df.join(
+                docs.select(*ctx.keys, *add_all), ctx.keys, "left"
+            )
+            if "score" in joined.columns and "_score" not in joined.columns:
+                joined = joined.withColumn("_score", F.col("score"))
+            for sname, ssrc in script_fields.items():
+                joined = joined.withColumn(sname, F.expr(ssrc))
+            keep = (
+                list(df.columns)
+                + [f for f in want if f not in df.columns]
+                + list(script_fields)
+            )
+            return joined.select(*keep)
         add = [f for f in want if f not in df.columns]
         if not add:
             return df
@@ -3939,7 +3992,7 @@ def search_dsl_df(
         out = out.offset(offset)  # ES `from`: skip AFTER the global order
     if k is not None:
         out = out.limit(k)
-    if fields_sel is not None:
+    if fields_sel is not None or dv_sel or script_fields:
         # re-establish ranking after the enrichment join
         out = shape(out).orderBy(*order)
     return out

@@ -732,6 +732,60 @@ def test_body_fields_source(spark, setup):
         r.search_dsl_df({"query": base, "fields": ["nope"], "size": 2})
 
 
+def test_body_docvalue_and_script_fields(spark, setup):
+    """ES `docvalue_fields` (columnar-values twin of `fields` — same
+    enrichment join here) and `script_fields` (per-hit computed columns,
+    Spark-SQL script dialect, `_score` addressable), composing with
+    fields/sort, ranking preserved; malformed script_fields error."""
+    d, r, docs = setup
+    base = {"match": {"content": "merge buffer"}}
+    want = [x["doc_id"] for x in r.search_dsl_df(base, k=5).collect()]
+
+    # docvalue_fields: bare names and {"field": name, "format": ...}
+    rows = r.search_dsl_df(
+        {"query": base, "size": 5,
+         "docvalue_fields": ["lang", {"field": "dl", "format": "int"}]}
+    ).collect()
+    assert [x["doc_id"] for x in rows] == want
+    assert all(x["lang"] == docs[x["doc_id"]]["lang"] and
+               x["dl"] == docs[x["doc_id"]]["dl"] for x in rows)
+
+    # script_fields: computed from docs columns and _score
+    rows = r.search_dsl_df(
+        {"query": base, "size": 5,
+         "script_fields": {
+             "dl_sq": {"script": {"source": "dl * dl"}},
+             "boosted": {"script": "_score * 10"},
+         }}
+    ).collect()
+    assert [x["doc_id"] for x in rows] == want
+    for x in rows:
+        assert x["dl_sq"] == docs[x["doc_id"]]["dl"] ** 2
+        assert x["boosted"] == pytest.approx(10 * x["score"])
+    # scripts do NOT leak the joined metadata columns
+    assert "lang" not in {f for f in rows[0].asDict()}
+
+    # all three shaping sections compose; unknown docvalue field errors
+    rows = r.search_dsl_df(
+        {"query": base, "size": 3, "fields": ["repo"],
+         "docvalue_fields": ["lang"],
+         "script_fields": {"tag": {"script": "concat(repo, ':', lang)"}}}
+    ).collect()
+    assert all(x["tag"] == f"{x['repo']}:{x['lang']}" for x in rows)
+    with pytest.raises(ValueError, match="unknown fields"):
+        r.search_dsl_df(
+            {"query": base, "docvalue_fields": ["nope"], "size": 2})
+    with pytest.raises(ValueError, match="script_fields wants"):
+        r.search_dsl_df({"query": base, "script_fields": [], "size": 2})
+    # k=None unranked match set also shapes
+    out = r.search_dsl_df(
+        {"query": base, "script_fields": {"d2": {"script": "dl + 1"}}},
+        k=None,
+    )
+    assert "d2" in out.columns and out.count() == len(_ids(
+        r.search_dsl_df(base, k=None)))
+
+
 def test_body_rescore(spark, setup):
     """ES request-body rescore: window re-rank with any rescore query,
     the five score modes, weights, miss-keeps-query-score, and
