@@ -2606,26 +2606,27 @@ def _apply_highlight(reader, hits, hl, query_body, source):
         )
     if not isinstance(hl, dict) or not hl.get("fields"):
         raise ValueError("highlight wants {'fields': {<source col>: {...}}}")
-    if len(hl["fields"]) != 1:
-        raise ValueError(
-            "one highlight field per request (engine-native restriction)"
-        )
-    ((text_col, fspec),) = hl["fields"].items()
-    fspec = fspec or {}
-    pre = (_aslist(fspec.get("pre_tags") or hl.get("pre_tags")) or ["<em>"])[0]
-    post = (
-        _aslist(fspec.get("post_tags") or hl.get("post_tags")) or ["</em>"]
-    )[0]
-    # engine-native knob: fragment width in TOKENS (ES fragment_size is
-    # chars; ~8 chars/token maps the default 100 -> 12)
-    window = int(fspec.get("window", hl.get("window", 12)))
-    if text_col not in source.columns:
-        raise ValueError(
-            f"highlight field {text_col!r} not a source column; "
-            f"source has {source.columns}"
-        )
+    specs = []  # (text_col, window, pre, post) — per-field ES overrides
+    for text_col, fspec in hl["fields"].items():
+        fspec = fspec or {}
+        pre = (
+            _aslist(fspec.get("pre_tags") or hl.get("pre_tags")) or ["<em>"]
+        )[0]
+        post = (
+            _aslist(fspec.get("post_tags") or hl.get("post_tags"))
+            or ["</em>"]
+        )[0]
+        # engine-native knob: fragment width in TOKENS (ES fragment_size
+        # is chars; ~8 chars/token maps the default 100 -> 12)
+        window = int(fspec.get("window", hl.get("window", 12)))
+        if text_col not in source.columns:
+            raise ValueError(
+                f"highlight field {text_col!r} not a source column; "
+                f"source has {source.columns}"
+            )
+        specs.append((text_col, window, pre, post))
     from ..functions.tokenizer import tokenize_py
-    from .query import _snippet_map
+    from .query import _snippet_map, _snippet_map_multi
 
     terms: set[str] = set()
     if query_body is not None:
@@ -2636,8 +2637,16 @@ def _apply_highlight(reader, hits, hl, query_body, source):
     need = [c for c in key_cols if c not in hits.columns]
     if need:
         hits = hits.join(ctx.docs().select(*ctx.keys, *need), ctx.keys)
-    rows = hits.join(source.select(*key_cols, text_col), key_cols, "left")
-    out = _snippet_map(rows, text_col, terms, window, pre, post)
+    text_cols = [c for c, *_ in specs]
+    rows = hits.join(source.select(*key_cols, *text_cols), key_cols, "left")
+    if len(specs) == 1:
+        (text_col, window, pre, post), = specs
+        out = _snippet_map(rows, text_col, terms, window, pre, post)
+    else:
+        # several highlight fields: ONE mapInPandas pass computes every
+        # field's fragment; columns come back as {col}_snippet /
+        # {col}_n_hits (the ES per-field highlight object, flattened)
+        out = _snippet_map_multi(rows, specs, terms)
     return out.orderBy(F.desc("score"), *[F.asc(c) for c in ctx.keys])
 
 

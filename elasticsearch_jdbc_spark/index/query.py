@@ -116,6 +116,46 @@ def _snippet_map(
     return rows.mapInPandas(kern, out_schema)
 
 
+def _snippet_map_multi(
+    rows: DataFrame,
+    specs: list,
+    qterms: set,
+) -> DataFrame:
+    """Multi-field _snippet_map: `specs` is [(text_col, window, pre_tag,
+    post_tag), ...]; ONE mapInPandas pass replaces every text column
+    with {col}_snippet / {col}_n_hits (the ES per-field highlight
+    object, flattened), preserving all other columns. Still runs only
+    over the already-top-k page — text never leaves executors."""
+    cols = [c for c, *_ in specs]
+    out_fields = [f for f in rows.schema.fields if f.name not in cols]
+    for c in cols:
+        out_fields.append(T.StructField(f"{c}_snippet", T.StringType(), True))
+        out_fields.append(T.StructField(f"{c}_n_hits", T.IntegerType(), True))
+    out_schema = T.StructType(out_fields)
+    qt = frozenset(qterms)
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            new: dict = {}
+            for c, window, pre_tag, post_tag in specs:
+                snips, nhits = [], []
+                for txt in pdf[c]:
+                    sn, nh = build_snippet(
+                        txt if isinstance(txt, str) else "",
+                        qt, window, pre_tag, post_tag,
+                    )
+                    snips.append(sn)
+                    nhits.append(nh)
+                new[f"{c}_snippet"] = snips
+                new[f"{c}_n_hits"] = pd.array(nhits, dtype="int32")
+            pdf = pdf.drop(columns=cols)
+            for k, v in new.items():
+                pdf[k] = v
+            yield pdf
+
+    return rows.mapInPandas(kern, out_schema)
+
+
 _METRIC_OPS = {
     "avg": F.avg,
     "min": F.min,

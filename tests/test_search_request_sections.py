@@ -50,6 +50,43 @@ def test_highlight_section(spark, setup):
     assert res["aggregations"] is None and res["suggest"] is None
 
 
+def test_highlight_multi_field(spark, setup):
+    """Several highlight fields in one body: ONE kernel pass returns
+    {col}_snippet / {col}_n_hits per field (the ES per-field highlight
+    object, flattened); per-field tag overrides honored; the content
+    fragments match the single-field run exactly."""
+    d, r, corpus = setup
+    q = "merge segment stream"
+    res = r.search_request(
+        {"query": {"match": {"content": q}},
+         "size": 6,
+         "highlight": {"fields": {"content": {"pre_tags": ["<b>"],
+                                              "post_tags": ["</b>"]},
+                                  "path": {}}}},
+        source=corpus,
+    )
+    hits = res["hits"].collect()
+    assert len(hits) == 6
+    cols = set(hits[0].asDict())
+    assert {"content_snippet", "content_n_hits",
+            "path_snippet", "path_n_hits"} <= cols
+    single = r.search_request(
+        {"query": {"match": {"content": q}},
+         "size": 6,
+         "highlight": {"fields": {"content": {}},
+                       "pre_tags": ["<b>"], "post_tags": ["</b>"]}},
+        source=corpus,
+    )["hits"].collect()
+    assert [(x["doc_id"], x["content_snippet"], x["content_n_hits"])
+            for x in hits] == [
+        (x["doc_id"], x["snippet"], x["n_hits"]) for x in single
+    ]
+    for x in hits:
+        assert "<b>" in x["content_snippet"]
+        # query terms never appear in file paths: 0-hit field is graceful
+        assert x["path_n_hits"] == 0 and "<em>" not in (x["path_snippet"] or "")
+
+
 def test_highlight_bool_terms_and_validation(spark, setup):
     """Highlight terms come from every scoring clause of a compound
     query (must_not never highlights); missing source is a clear error."""
