@@ -4536,6 +4536,55 @@ def aggs_body_pipeline_q(spark, sf_dir):
 
 
 @_reg(
+    "script_fields_search",
+    """
+    -- docvalue_fields + script_fields oracle: the planted lat/lon
+    -- metadata (pure doc_id arithmetic, corpus_from_documents) makes
+    -- every shaped column re-derivable; the script dialect is Spark SQL
+    -- whose round/add match DuckDB bit-for-bit on these dyadic values.
+    WITH pts AS (
+      SELECT doc_id,
+             CAST((doc_id * 7919) % 160 - 80 + 0.25 AS DOUBLE) AS lat,
+             CAST((doc_id * 104729) % 360 - 180 + 0.25 AS DOUBLE) AS lon
+      FROM documents
+    )
+    SELECT doc_id, lon,
+           ROUND(lat * 2 + lon, 4) AS latlon,
+           lat + 0.5 AS lat2
+    FROM pts WHERE lat >= 70
+    """,
+)
+def script_fields_q(spark, sf_dir):
+    """Request-body `docvalue_fields` + `script_fields` through the REAL
+    engine, ORACLE-CHECKED: a filter-context range query returns its
+    full unranked match set (k=None) shaped with one docvalue column
+    (lon — the columnar enrichment join) and two script columns
+    (Spark-SQL script dialect, computed inside codegen on the page);
+    every value re-derived in DuckDB from the planted doc_id
+    arithmetic."""
+    from ..index import IndexReader
+
+    idx = _registry_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    ids = _index_docid_map(spark, idx)
+    out = reader.search_dsl_df(
+        {"query": {"range": {"lat": {"gte": 70}}},
+         "docvalue_fields": ["lon"],
+         "script_fields": {
+             "latlon": {"script": {"source": "round(lat * 2 + lon, 4)"}},
+             "lat2": {"script": "lat + 0.5"},
+         }},
+        k=None,
+    )
+    return out.join(ids, "doc_id").select(
+        F.col("documents_doc_id").alias("doc_id"),
+        F.col("lon").cast("double"),
+        F.col("latlon").cast("double"),
+        F.col("lat2").cast("double"),
+    )
+
+
+@_reg(
     "aggs_body_nested",
     """
     -- ES `nested` aggregation oracle: the element rows re-derived from
@@ -9390,6 +9439,7 @@ _WINDOW_R5 = [
     "aggs_body_metrics",          # request-body metric kinds (r5 wiring)
     "aggs_body_pipeline",         # request-body pipeline kinds (r5 wiring)
     "aggs_body_nested",           # nested + reverse_nested body kinds
+    "script_fields_search",       # docvalue_fields + script_fields shaping
     # -- never-checked search/DSL surfaces (r3-r4 additions) --
     "msearch_index_search",
     "composite_index_search",
