@@ -2232,8 +2232,34 @@ def _bucket_key(ctx: _Ctx, rows: DataFrame, name: str, kind: str, spec: dict):
             int(spec.get("max_doc_count", 1)) if kind == "rare_terms" else None
         ),
     }
+    if kind in ("terms", "multi_terms"):
+        # ES terms `order`: which buckets survive the size cut —
+        # {"_count"|"_key"|<metric name>: "asc"|"desc"} (metric ordering
+        # resolves at the innermost level where the metric columns
+        # live). Validated/applied in the cut pass; output rows stay
+        # key-chain ordered (engine-native contract — the ORDER selects
+        # buckets, it does not reshuffle the relation).
+        o = spec.get("order")
+        if o is not None:
+            if not isinstance(o, dict) or len(o) != 1:
+                raise ValueError(
+                    'terms order wants one {"_count"|"_key"|<metric>: '
+                    '"asc"|"desc"} entry'
+                )
+            (oname, odir), = o.items()
+            if str(odir).lower() not in ("asc", "desc"):
+                raise ValueError(f"terms order direction {odir!r}")
+            meta["order"] = (oname, str(odir).lower())
     if kind in ("terms", "rare_terms"):
         c = F.col(spec["field"])
+        if spec.get("missing") is not None:
+            # ES `missing`: docs without the field land in this bucket
+            if dict(rows.dtypes).get(spec["field"], "").startswith("array"):
+                raise ValueError(
+                    "terms missing over array fields unsupported "
+                    "(engine-native restriction)"
+                )
+            c = F.coalesce(c, F.lit(spec["missing"]))
         # ES array-field semantics: a doc contributes to EVERY element's
         # bucket (and once per bucket even with duplicate elements) —
         # keys explode, doc_count stays a doc count
@@ -2837,7 +2863,11 @@ def aggs_dsl_df(
     Output: one row per innermost bucket, flattened — each level
     contributes `{name}` (key) and `{name}_doc_count`, metrics contribute
     their (suffixed) columns; rows ordered by the key chain. terms levels
-    honor size (doc_count desc, key asc per parent) and min_doc_count."""
+    honor size (doc_count desc, key asc per parent), min_doc_count,
+    `missing` (null-field bucket), and `order` — {"_count"|"_key"|
+    <metric name>: "asc"|"desc"} picks WHICH buckets survive the size
+    cut (metric order at the innermost level, where the metric columns
+    live); the output relation stays key-chain ordered."""
     ctx = _Ctx(
         reader,
         runtime=_parse_runtime(runtime_mappings) if runtime_mappings else None,
@@ -3301,8 +3331,33 @@ def aggs_dsl_df(
             inner = inner.filter(dc <= lv["max_doc_count"])
         if lv["size"] is not None:
             parent = keys[:i]
+            order_spec = lv.get("order")
+            if order_spec:
+                oname, odir = order_spec
+                if oname == "_count":
+                    oc = dc
+                elif oname == "_key":
+                    oc = F.col(keys[i])
+                else:
+                    # metric-valued order: the metric columns exist only
+                    # at the innermost level of the one-groupBy tree
+                    if i != len(levels) - 1:
+                        raise ValueError(
+                            f"terms order by metric {oname!r} is only "
+                            "supported on the innermost bucket level "
+                            "(engine-native restriction)"
+                        )
+                    if oname not in inner.columns:
+                        raise ValueError(
+                            f"terms order references unknown metric "
+                            f"{oname!r}; have {sorted(inner.columns)}"
+                        )
+                    oc = F.col(oname)
+                oc = oc.desc() if odir == "desc" else oc.asc()
+            else:
+                oc = dc.desc()
             rk = F.dense_rank().over(
-                _W.partitionBy(*parent).orderBy(dc.desc(), F.col(keys[i]).asc())
+                _W.partitionBy(*parent).orderBy(oc, F.col(keys[i]).asc())
             )
             inner = inner.withColumn("_rk", rk).filter(
                 F.col("_rk") <= lv["size"]

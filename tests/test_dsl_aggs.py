@@ -211,6 +211,78 @@ def test_terms_size_and_min_doc_count(spark, setup):
     assert got == [k for k, v in sorted(full.items()) if v >= cut]
 
 
+def test_terms_order_and_missing(spark, setup):
+    """ES terms `order` picks WHICH buckets survive the size cut —
+    _key / _count / a sub-metric name — and `missing` routes null-field
+    docs into a named bucket."""
+    d, r, docs = setup
+    full = collections.Counter(v["lang"] for v in docs.values())
+
+    # order by _key asc: lexicographically first `size` languages
+    got = [
+        x["top"] for x in r.aggs_dsl_df(
+            {"top": {"terms": {"field": "lang", "size": 2,
+                               "order": {"_key": "asc"}}}}
+        ).collect()
+    ]
+    assert got == sorted(full)[:2]
+
+    # order by _count asc: the rarest languages win the cut
+    got = [
+        (x["top"], x["top_doc_count"]) for x in r.aggs_dsl_df(
+            {"top": {"terms": {"field": "lang", "size": 2,
+                               "order": {"_count": "asc"}}}}
+        ).collect()
+    ]
+    want = sorted(full.items(), key=lambda kv: (kv[1], kv[0]))[:2]
+    assert sorted(got) == sorted(want)
+
+    # order by a sub-metric: languages with the highest mean doc length
+    got = [
+        (x["top"], x["mean_dl"]) for x in r.aggs_dsl_df(
+            {"top": {"terms": {"field": "lang", "size": 2,
+                               "order": {"mean_dl": "desc"}},
+                     "aggs": {"mean_dl": {"avg": {"field": "dl"}}}}}
+        ).collect()
+    ]
+    per = collections.defaultdict(list)
+    for v in docs.values():
+        per[v["lang"]].append(v["dl"])
+    means = {k: sum(v) / len(v) for k, v in per.items()}
+    want_keys = sorted(means, key=lambda k: (-means[k], k))[:2]
+    assert sorted(k for k, _ in got) == sorted(want_keys)
+    for k, m in got:
+        assert m == pytest.approx(means[k], rel=1e-9)
+
+    # missing: null grp docs land in the named bucket
+    n_null = sum(1 for v in docs.values() if v["grp"] is None)
+    assert n_null > 0, "fixture must have null grp docs"
+    got = {
+        x["g"]: x["g_doc_count"] for x in r.aggs_dsl_df(
+            {"g": {"terms": {"field": "grp", "size": 10,
+                             "missing": "N/A"}}}
+        ).collect()
+    }
+    assert got["N/A"] == n_null
+    assert sum(got.values()) == len(docs)
+
+    # validation: bad order shape / unknown metric / metric above innermost
+    with pytest.raises(ValueError, match="terms order wants"):
+        r.aggs_dsl_df({"t": {"terms": {"field": "lang", "order": "_key"}}})
+    with pytest.raises(ValueError, match="unknown metric"):
+        r.aggs_dsl_df(
+            {"t": {"terms": {"field": "lang", "size": 2,
+                             "order": {"nope": "desc"}}}}
+        )
+    with pytest.raises(ValueError, match="innermost"):
+        r.aggs_dsl_df(
+            {"t": {"terms": {"field": "lang", "size": 2,
+                             "order": {"m": "desc"}},
+                   "aggs": {"g2": {"terms": {"field": "grp"},
+                                   "aggs": {"m": {"avg": {"field": "dl"}}}}}}}
+        )
+
+
 def test_top_level_metrics_and_score(spark, setup):
     d, r, docs = setup
     one = r.aggs_dsl_df(
