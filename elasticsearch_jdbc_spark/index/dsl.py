@@ -2395,6 +2395,25 @@ def _bucket_key(ctx: _Ctx, rows: DataFrame, name: str, kind: str, spec: dict):
             raise ValueError("histogram interval must be > 0")
         off = float(spec.get("offset", 0.0))
         key = F.floor((x - F.lit(off)) / F.lit(interval)) * F.lit(interval) + F.lit(off)
+        # ES fills empty histogram buckets when min_doc_count is 0 (its
+        # default); the engine stays SPARSE unless the body opts in with
+        # an EXPLICIT min_doc_count: 0 or extended_bounds (documented
+        # deviation — sparse relations are the 100-TB-safe default).
+        # The dense fill happens over the (tiny) bucket list after the
+        # one groupBy, never over raw rows.
+        meta["interval"] = interval
+        meta["offset"] = off
+        eb = spec.get("extended_bounds")
+        if eb is not None:
+            if not isinstance(eb, dict) or not {"min", "max"} <= set(eb):
+                raise ValueError(
+                    "extended_bounds wants {'min': lo, 'max': hi}"
+                )
+            meta["ebounds"] = (float(eb["min"]), float(eb["max"]))
+        meta["dense"] = (
+            eb is not None
+            or ("min_doc_count" in spec and int(spec["min_doc_count"]) == 0)
+        )
         return rows.withColumn(name, key), meta
     if kind == "date_histogram":
         fld = spec["field"]
@@ -3362,6 +3381,60 @@ def aggs_dsl_df(
             inner = inner.withColumn("_rk", rk).filter(
                 F.col("_rk") <= lv["size"]
             ).drop("_rk")
+    if any(lv.get("dense") for lv in levels):
+        if len(levels) != 1:
+            raise ValueError(
+                "histogram empty-bucket fill (explicit min_doc_count 0 / "
+                "extended_bounds) is only supported when the histogram "
+                "is the only bucket level (engine-native restriction)"
+            )
+        lv = levels[0]
+        key, interval = keys[0], float(lv["interval"])
+        lo_c = F.min(key).alias("_lo")
+        hi_c = F.max(key).alias("_hi")
+        if lv.get("ebounds"):
+            # extended_bounds snap to the bucket grid and widen the
+            # observed range (the ES contract: bounds EXTEND, never trim)
+            import math as _math
+
+            off = float(lv.get("offset", 0.0))
+            eb_lo = _math.floor((lv["ebounds"][0] - off) / interval) * interval + off
+            eb_hi = _math.floor((lv["ebounds"][1] - off) / interval) * interval + off
+            lo_c = F.least(F.min(key), F.lit(eb_lo)).alias("_lo")
+            hi_c = F.greatest(F.max(key), F.lit(eb_hi)).alias("_hi")
+            lo_c = F.coalesce(lo_c, F.lit(eb_lo)).alias("_lo")
+            hi_c = F.coalesce(hi_c, F.lit(eb_hi)).alias("_hi")
+        # dense bucket series from the (two-scalar) bounds row; join back
+        # on the integral bucket index so FP regeneration can never miss
+        series = (
+            inner.agg(lo_c, hi_c)
+            .select(
+                "_lo",
+                F.explode(
+                    F.sequence(
+                        F.lit(0).cast("long"),
+                        F.round(
+                            (F.col("_hi") - F.col("_lo")) / F.lit(interval)
+                        ).cast("long"),
+                    )
+                ).alias("_i"),
+            )
+            .select((F.col("_lo") + F.col("_i") * F.lit(interval)).alias(key))
+        )
+        bk = lambda c: F.round(F.col(c) / F.lit(interval)).cast("long")  # noqa: E731
+        inner = (
+            series.withColumn("_bk", bk(key))
+            .join(
+                inner.withColumn("_bk", bk(key)).drop(key),
+                "_bk",
+                "left",
+            )
+            .drop("_bk")
+            .withColumn(
+                f"{key}_doc_count",
+                F.coalesce(F.col(f"{key}_doc_count"), F.lit(0)),
+            )
+        )
     if pipe_specs:
         inner = _apply_body_pipelines(
             inner, keys, levels[-1].get("kind"), pipe_specs,

@@ -306,6 +306,82 @@ def test_top_level_metrics_and_score(spark, setup):
     assert got["best"] == pytest.approx(max(m.values()), rel=1e-12)
 
 
+def test_histogram_dense_fill(spark, setup):
+    """Explicit min_doc_count: 0 / extended_bounds fill empty histogram
+    buckets (the ES default behavior, opt-in here — documented sparse
+    deviation): a dense interval series appears with doc_count 0 and
+    null metrics; extended_bounds widen past the data, snapped to the
+    bucket grid; sparse stays the default."""
+    d, r, docs = setup
+    import collections as _c
+
+    interval = 2.0
+    byb = _c.Counter((v["dl"] // 2) * 2 for v in docs.values())
+    lo, hi = min(byb), max(byb)
+    n_buckets = int((hi - lo) / interval) + 1
+    assert n_buckets > len(byb), "fixture needs at least one gap"
+
+    # sparse default: only occupied buckets
+    sparse = r.aggs_dsl_df(
+        {"h": {"histogram": {"field": "dl", "interval": 2}}}).collect()
+    assert len(sparse) == len(byb)
+
+    # explicit min_doc_count 0: the dense series
+    dense = r.aggs_dsl_df(
+        {"h": {"histogram": {"field": "dl", "interval": 2,
+                             "min_doc_count": 0}},
+         }).collect()
+    assert len(dense) == n_buckets
+    got = {x["h"]: x["h_doc_count"] for x in dense}
+    assert [x["h"] for x in dense] == sorted(got)  # key-ordered
+    for k in got:
+        assert got[k] == byb.get(k, 0)
+
+    # metrics are null on empty buckets, real elsewhere
+    dense_m = r.aggs_dsl_df(
+        {"h": {"histogram": {"field": "dl", "interval": 2,
+                             "min_doc_count": 0},
+               "aggs": {"m": {"avg": {"field": "dl"}}}}}).collect()
+    for x in dense_m:
+        if x["h_doc_count"] == 0:
+            assert x["m"] is None
+        else:
+            assert x["m"] is not None
+
+    # extended_bounds widen beyond the data (grid-snapped) and imply fill
+    eb = r.aggs_dsl_df(
+        {"h": {"histogram": {"field": "dl", "interval": 2,
+                             "extended_bounds": {"min": lo - 15,
+                                                 "max": hi + 15}}}}
+    ).collect()
+    keys = [x["h"] for x in eb]
+    assert min(keys) < lo and max(keys) > hi
+    assert len(keys) == int((max(keys) - min(keys)) / interval) + 1
+
+    # pipeline over the dense series sees the zero buckets
+    cum = r.aggs_dsl_df(
+        {"h": {"histogram": {"field": "dl", "interval": 2,
+                             "min_doc_count": 0},
+               "aggs": {"c": {"cumulative_sum": {"buckets_path": "_count"}}}}}
+    ).collect()
+    run = 0.0
+    for x in cum:
+        run += x["h_doc_count"]
+        assert x["c"] == pytest.approx(run)
+
+    # restriction: dense fill only as the single bucket level
+    with pytest.raises(ValueError, match="only bucket level"):
+        r.aggs_dsl_df(
+            {"t": {"terms": {"field": "lang"}, "aggs": {
+                "h": {"histogram": {"field": "dl", "interval": 2,
+                                    "min_doc_count": 0}}}}}
+        )
+    with pytest.raises(ValueError, match="extended_bounds wants"):
+        r.aggs_dsl_df(
+            {"h": {"histogram": {"field": "dl", "interval": 2,
+                                 "extended_bounds": {"min": 1}}}})
+
+
 def test_aggs_validation(spark, setup):
     d, r, _ = setup
     with pytest.raises(ValueError, match="one bucket aggregation"):
