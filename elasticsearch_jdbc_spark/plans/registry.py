@@ -4536,6 +4536,110 @@ def aggs_body_pipeline_q(spark, sf_dir):
 
 
 @_reg(
+    "aggs_body_dense_histogram",
+    """
+    -- dense-histogram oracle: the engine's empty-bucket fill
+    -- (extended_bounds implies min_doc_count 0) re-derived with DuckDB
+    -- generate_series over the identical grid. All planted lats are
+    -- dyadic (k + 0.25) and the interval 25 divides exactly, so bucket
+    -- keys are exact doubles and the FP join is deterministic.
+    WITH pts AS (
+      SELECT ((doc_id * 7919) % 160 - 80 + 0.25) AS lat FROM documents
+    ),
+    b AS (
+      SELECT floor(lat / 25.0) * 25.0 AS h,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM pts GROUP BY 1
+    ),
+    bounds AS (
+      SELECT LEAST(MIN(h), floor(-120 / 25.0) * 25.0) AS lo,
+             GREATEST(MAX(h), floor(130 / 25.0) * 25.0) AS hi
+      FROM b
+    ),
+    series AS (
+      SELECT lo + 25.0 * i AS h
+      FROM bounds,
+           UNNEST(generate_series(0,
+             CAST(round((hi - lo) / 25.0) AS BIGINT))) AS t(i)
+    ),
+    dense AS (
+      SELECT series.h AS h, COALESCE(b.c, 0) AS h_doc_count
+      FROM series LEFT JOIN b ON series.h = b.h
+    )
+    SELECT h, h_doc_count,
+           SUM(CAST(h_doc_count AS DOUBLE))
+             OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS cum
+    FROM dense ORDER BY h
+    """,
+)
+def aggs_body_dense_histogram_q(spark, sf_dir):
+    """Histogram empty-bucket fill through the REQUEST BODY,
+    ORACLE-CHECKED: `extended_bounds` widens past the data (snapped to
+    the bucket grid, the ES contract: bounds extend, never trim) and
+    implies the ES min_doc_count-0 dense series — zero-count buckets
+    materialize from a sequence over the (two-scalar) bounds row, joined
+    back on the integral bucket index; a cumulative_sum pipeline then
+    runs over the DENSE bucket list (zero buckets advance nothing but
+    appear). DuckDB re-derives the grid with generate_series."""
+    from ..index import IndexReader
+
+    idx = _registry_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    return reader.aggs_dsl_df(
+        {"h": {"histogram": {"field": "lat", "interval": 25,
+                             "extended_bounds": {"min": -120, "max": 130}},
+               "aggs": {"cum": {"cumulative_sum":
+                                {"buckets_path": "_count"}}}}}
+    ).select(
+        F.col("h").cast("double"),
+        F.col("h_doc_count").cast("long"),
+        F.col("cum").cast("double"),
+    )
+
+
+@_reg(
+    "aggs_body_terms_order",
+    """
+    -- terms-order oracle: the size cut selected by a SUB-METRIC (mean
+    -- planted lon per lang, descending) — DuckDB re-ranks the full
+    -- bucket list with row_number over the same (metric desc, key asc)
+    -- order and applies the identical top-3 cut.
+    WITH b AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS top_doc_count,
+             AVG((doc_id * 104729) % 360 - 180 + 0.25) AS mean_lon
+      FROM documents GROUP BY lang
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY mean_lon DESC, lang ASC) AS rk
+      FROM b
+    )
+    SELECT lang AS top, top_doc_count, mean_lon
+    FROM ranked WHERE rk <= 3 ORDER BY top
+    """,
+)
+def aggs_body_terms_order_q(spark, sf_dir):
+    """ES terms `order` through the REQUEST BODY, ORACLE-CHECKED: the
+    size-3 cut keeps the languages with the highest mean planted lon —
+    order {"mean_lon": "desc"} re-ranks the dense_rank window by the
+    sub-metric column inside the same one-groupBy tree; DuckDB re-ranks
+    the full bucket list independently."""
+    from ..index import IndexReader
+
+    idx = _registry_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    return reader.aggs_dsl_df(
+        {"top": {"terms": {"field": "lang", "size": 3,
+                           "order": {"mean_lon": "desc"}},
+                 "aggs": {"mean_lon": {"avg": {"field": "lon"}}}}}
+    ).select(
+        "top",
+        F.col("top_doc_count").cast("long"),
+        F.col("mean_lon").cast("double"),
+    )
+
+
+@_reg(
     "script_fields_search",
     """
     -- docvalue_fields + script_fields oracle: the planted lat/lon
@@ -9440,6 +9544,8 @@ _WINDOW_R5 = [
     "aggs_body_pipeline",         # request-body pipeline kinds (r5 wiring)
     "aggs_body_nested",           # nested + reverse_nested body kinds
     "script_fields_search",       # docvalue_fields + script_fields shaping
+    "aggs_body_dense_histogram",  # empty-bucket fill + pipeline over it
+    "aggs_body_terms_order",      # terms order by sub-metric
     # -- never-checked search/DSL surfaces (r3-r4 additions) --
     "msearch_index_search",
     "composite_index_search",
