@@ -2428,6 +2428,14 @@ def _bucket_key(ctx: _Ctx, rows: DataFrame, name: str, kind: str, spec: dict):
             if unit is None:
                 raise ValueError(f"unsupported calendar_interval {cal!r}")
             meta["dh_cal"] = unit
+            if spec.get("extended_bounds") is not None or (
+                "min_doc_count" in spec and int(spec["min_doc_count"]) == 0
+            ):
+                raise ValueError(
+                    "date_histogram empty-bucket fill needs a "
+                    "fixed_interval — calendar buckets are not an "
+                    "arithmetic series (engine-native restriction)"
+                )
             return rows.withColumn(name, F.date_trunc(unit, F.col(fld))), meta
         fixed = spec.get("fixed_interval")
         if not fixed:
@@ -2443,6 +2451,29 @@ def _bucket_key(ctx: _Ctx, rows: DataFrame, name: str, kind: str, spec: dict):
         ts = F.col(fld).cast("double")
         key = (F.floor(ts / F.lit(secs)) * F.lit(secs)).cast("timestamp")
         meta["dh_secs"] = secs
+        # same opt-in dense-fill contract as histogram (fixed intervals
+        # only — calendar buckets are not an arithmetic series)
+        eb = spec.get("extended_bounds")
+        if eb is not None:
+            if not isinstance(eb, dict) or not {"min", "max"} <= set(eb):
+                raise ValueError(
+                    "extended_bounds wants {'min': lo, 'max': hi}"
+                )
+            from ..functions.datemath import parse_date_math
+
+            def _eb_epoch(v):
+                if isinstance(v, str):
+                    v = parse_date_math(v)
+                if hasattr(v, "timestamp"):
+                    import datetime as _dt
+
+                    return v.replace(tzinfo=_dt.timezone.utc).timestamp()
+                return float(v) / 1000.0  # ES epoch_millis
+            meta["ebounds"] = (_eb_epoch(eb["min"]), _eb_epoch(eb["max"]))
+        meta["dense"] = (
+            eb is not None
+            or ("min_doc_count" in spec and int(spec["min_doc_count"]) == 0)
+        )
         return rows.withColumn(name, key), meta
     if kind == "date_range":
         # range over a date field; from/to accept ES date math (the
@@ -3389,9 +3420,14 @@ def aggs_dsl_df(
                 "is the only bucket level (engine-native restriction)"
             )
         lv = levels[0]
-        key, interval = keys[0], float(lv["interval"])
-        lo_c = F.min(key).alias("_lo")
-        hi_c = F.max(key).alias("_hi")
+        key = keys[0]
+        is_date = "dh_secs" in lv
+        interval = float(lv["dh_secs"] if is_date else lv["interval"])
+        # work in the key's NUMERIC view (epoch seconds for
+        # date_histogram) so one arithmetic series serves both kinds
+        kn = F.col(key).cast("double") if is_date else F.col(key)
+        lo_c = F.min(kn).alias("_lo")
+        hi_c = F.max(kn).alias("_hi")
         if lv.get("ebounds"):
             # extended_bounds snap to the bucket grid and widen the
             # observed range (the ES contract: bounds EXTEND, never trim)
@@ -3400,12 +3436,15 @@ def aggs_dsl_df(
             off = float(lv.get("offset", 0.0))
             eb_lo = _math.floor((lv["ebounds"][0] - off) / interval) * interval + off
             eb_hi = _math.floor((lv["ebounds"][1] - off) / interval) * interval + off
-            lo_c = F.least(F.min(key), F.lit(eb_lo)).alias("_lo")
-            hi_c = F.greatest(F.max(key), F.lit(eb_hi)).alias("_hi")
-            lo_c = F.coalesce(lo_c, F.lit(eb_lo)).alias("_lo")
-            hi_c = F.coalesce(hi_c, F.lit(eb_hi)).alias("_hi")
+            lo_c = F.coalesce(
+                F.least(F.min(kn), F.lit(eb_lo)), F.lit(eb_lo)
+            ).alias("_lo")
+            hi_c = F.coalesce(
+                F.greatest(F.max(kn), F.lit(eb_hi)), F.lit(eb_hi)
+            ).alias("_hi")
         # dense bucket series from the (two-scalar) bounds row; join back
         # on the integral bucket index so FP regeneration can never miss
+        gen = F.col("_lo") + F.col("_i") * F.lit(interval)
         series = (
             inner.agg(lo_c, hi_c)
             .select(
@@ -3419,16 +3458,18 @@ def aggs_dsl_df(
                     )
                 ).alias("_i"),
             )
-            .select((F.col("_lo") + F.col("_i") * F.lit(interval)).alias(key))
+            .select((gen.cast("timestamp") if is_date else gen).alias(key))
         )
-        bk = lambda c: F.round(F.col(c) / F.lit(interval)).cast("long")  # noqa: E731
-        inner = (
-            series.withColumn("_bk", bk(key))
-            .join(
-                inner.withColumn("_bk", bk(key)).drop(key),
-                "_bk",
-                "left",
+
+        def bk(df):
+            n = F.col(key).cast("double") if is_date else F.col(key)
+            return df.withColumn(
+                "_bk", F.round(n / F.lit(interval)).cast("long")
             )
+
+        inner = (
+            bk(series)
+            .join(bk(inner).drop(key), "_bk", "left")
             .drop("_bk")
             .withColumn(
                 f"{key}_doc_count",

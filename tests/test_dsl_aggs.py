@@ -369,6 +369,35 @@ def test_histogram_dense_fill(spark, setup):
         run += x["h_doc_count"]
         assert x["c"] == pytest.approx(run)
 
+    # date_histogram fixed_interval dense fill: every 2h slot between
+    # the observed extremes appears, zero-count slots included
+    import collections as _c2
+    import datetime as _dt
+
+    by2h = _c2.Counter(
+        _dt.datetime.fromtimestamp(
+            (int(v["ts"].replace(tzinfo=_dt.timezone.utc).timestamp())
+             // 7200) * 7200,
+            tz=_dt.timezone.utc,
+        ).replace(tzinfo=None)
+        for v in docs.values()
+    )
+    dts = r.aggs_dsl_df(
+        {"t2": {"date_histogram": {"field": "ts", "fixed_interval": "2h",
+                                   "min_doc_count": 0}}}).collect()
+    lo_t, hi_t = min(by2h), max(by2h)
+    assert len(dts) == int((hi_t - lo_t).total_seconds() // 7200) + 1
+    for x in dts:
+        assert x["t2_doc_count"] == by2h.get(x["t2"], 0)
+    assert any(x["t2_doc_count"] == 0 for x in dts)
+
+    # calendar intervals cannot fill
+    with pytest.raises(ValueError, match="fixed_interval"):
+        r.aggs_dsl_df(
+            {"t2": {"date_histogram": {"field": "ts",
+                                       "calendar_interval": "day",
+                                       "min_doc_count": 0}}})
+
     # restriction: dense fill only as the single bucket level
     with pytest.raises(ValueError, match="only bucket level"):
         r.aggs_dsl_df(
