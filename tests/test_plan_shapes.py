@@ -381,3 +381,58 @@ def test_body_pipeline_kinds_one_window_over_buckets(spark, idx):
     assert phys.count("Window") <= 4
     assert phys.count("Exchange") <= 3
     assert "CartesianProduct" not in phys
+
+
+@pytest.fixture(scope="module")
+def nidx(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("ps") / "nidx")
+    docs = spark.range(40).select(
+        F.lit("r").alias("repo"),
+        F.col("id").cast("string").alias("path"),
+        F.lit("c").alias("commit"),
+        F.lit("t").alias("lang"),
+        F.lit("merge sort quick value").alias("content"),
+        F.expr(
+            "transform(sequence(0, cast(id % 3 as int)), j -> named_struct("
+            "'author', concat('u', cast((id + j) % 3 as string)), "
+            "'stars', cast((id * 7 + j) % 5 as bigint)))"
+        ).alias("comments"),
+    )
+    IndexBuilder(spark, d, partitions=2).build(docs, resume=False)
+    return d
+
+
+def test_nested_agg_one_explode_no_join(spark, nidx):
+    """The nested aggregation context switch is ONE Generate (explode)
+    feeding the tree's single aggregation — no join, no cartesian, no
+    second docs scan; reverse_nested's distinct-parent count rides the
+    same aggregation (its two-phase pair + the bucket-list windows are
+    the only exchanges, never one per kind)."""
+    r = IndexReader(spark, nidx)
+    phys = _phys(r.aggs_dsl_df({
+        "cn": {"nested": {"path": "comments"}, "aggs": {
+            "by": {"terms": {"field": "comments.author", "size": 10},
+                   "aggs": {
+                       "p": {"reverse_nested": {}},
+                       "m": {"avg": {"field": "comments.stars"}},
+                   }}}}}))
+    assert phys.count("Generate") == 1
+    assert "Join" not in phys and "CartesianProduct" not in phys
+    assert phys.count("Exchange") <= 4
+
+
+def test_dense_histogram_broadcast_series(spark, nidx):
+    """The empty-bucket fill generates its series from a TWO-SCALAR
+    bounds row (one Generate over the sequence) and joins it back as a
+    broadcast — never a shuffled join, never a window over raw rows;
+    the pipeline window still sits above the bucket list."""
+    r = IndexReader(spark, nidx)
+    phys = _phys(r.aggs_dsl_df({
+        "h": {"histogram": {"field": "dl", "interval": 2,
+                            "min_doc_count": 0},
+              "aggs": {"c": {"cumulative_sum":
+                             {"buckets_path": "_count"}}}}}))
+    assert phys.count("Generate") == 1
+    assert phys.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in phys and "CartesianProduct" not in phys
+    assert phys.count("Exchange") <= 3
