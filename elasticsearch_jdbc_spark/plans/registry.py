@@ -7562,7 +7562,6 @@ def terms_enum_q(spark, sf_dir):
 
 
 @_reg(
-    "date_math_range_search",
     """
     SELECT event_id, ts FROM events
     WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
@@ -9550,7 +9549,6 @@ _WINDOW_R5 = [
     "msearch_index_search",
     "composite_index_search",
     "collapse_index_search",
-    "geo_index_search",
     "query_string_index_search",
     "top_hits_index_search",
     "best_fields_index_search",
@@ -9567,11 +9565,7 @@ _WINDOW_R5 = [
     "dismax_index_search",
     "boosting_index_search",
     "mlt_index_search",
-    "date_math_range_search",
-    "span_within_search",
     "sparse_vector_search",
-    "prefix_index_search",
-    "wildcard_index_search",
     # -- never-checked aggregations --
     "categorize_text_agg",
     "scripted_metric_agg",
@@ -9593,6 +9587,14 @@ _WINDOW_R5 = [
     "hybrid_rrf_search",
     "knn_dsl_search",
     "knn_filtered",
+    # -- judge-verified in the r4 past-window dryrun: demoted below the
+    # never-checked set so the ~50-slot driver window spends every slot
+    # on entries with NO hard external evidence yet --
+    "span_within_search",
+    "date_math_range_search",
+    "geo_index_search",
+    "prefix_index_search",
+    "wildcard_index_search",
     # -- representative long-green core (regression keel, r1-r4 green) --
     "q1_pricing_summary",
     "q5_region_revenue",
