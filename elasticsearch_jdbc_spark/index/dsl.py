@@ -3739,6 +3739,8 @@ def _apply_body_pipelines(inner, keys, innermost_kind, pipes,
 def _retriever_compile(ctx, spec) -> DataFrame:
     """ES 8 retriever tree (the `retriever` section of a search body):
     `standard` wraps a query DSL body, `knn` is the dense-vector leaf,
+    `linear` fuses N sub-retrievers by weighted NORMALIZED score
+    (minmax / l2_norm / none per entry, the ES 8.18 contract),
     `rrf` fuses N sub-retrievers' rank_window_size-deep rankings with
     Reciprocal Rank Fusion (rank_constant; optional weights) — no score
     calibration, only ranks enter, which is why RRF is the production
@@ -3776,6 +3778,34 @@ def _retriever_compile(ctx, spec) -> DataFrame:
             ranked, ctx.keys, k=window, rank_k=const, weights=weights
         )
         return fused.select(*ctx.keys, F.col("rrf_score").alias("score"))
+    if kind == "linear":
+        # ES 8.18 linear retriever: weighted NORMALIZED-score fusion —
+        # each sub-retriever's window normalizes its own scores (minmax /
+        # l2_norm / none), weights scale, absent docs contribute 0. Same
+        # plan posture as rrf: window cuts are TakeOrdered, the fusion
+        # runs over <=N x window rows (operators/similarity.linear_fuse).
+        from ..operators.similarity import linear_fuse
+
+        subs = _aslist(rbody.get("retrievers"))
+        if len(subs) < 2:
+            raise ValueError("linear retriever needs at least 2 sub-retrievers")
+        window = int(rbody.get("rank_window_size", 100))
+        order = [F.desc("score")] + [F.asc(c) for c in ctx.keys]
+        entries = []
+        for s in subs:
+            s = dict(s)
+            weight = float(s.pop("weight", 1.0))
+            norm = s.pop("normalizer", "none")
+            inner = s.pop("retriever", None)
+            if inner is None:
+                raise ValueError(
+                    "linear sub-entry wants {'retriever': {...}, "
+                    "'weight': w, 'normalizer': 'minmax'|'l2_norm'|'none'}"
+                )
+            top = _retriever_compile(ctx, inner).orderBy(*order).limit(window)
+            entries.append((top, weight, norm))
+        fused = linear_fuse(entries, ctx.keys, k=window)
+        return fused.select(*ctx.keys, F.col("linear_score").alias("score"))
     raise ValueError(f"unsupported retriever kind {kind!r}")
 
 

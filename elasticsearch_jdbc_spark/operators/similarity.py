@@ -425,6 +425,77 @@ def rrf_fuse(
     )
 
 
+_LINEAR_NORMALIZERS = ("none", "minmax", "l2_norm")
+
+
+def linear_fuse(
+    ranked: list[tuple],
+    id_cols: list[str],
+    k: int = 10,
+    score_col: str = "score",
+) -> DataFrame:
+    """Weighted normalized-score fusion (the ES 8.18 `linear` retriever):
+    fuse N rankers' windows by SCORE — linear(d) = sum_i w_i *
+    norm_i(score_i(d)) — where each ranker's scores normalize within its
+    own window: `minmax` -> (s - min) / (max - min) (degenerate
+    max == min windows map every present doc to 1.0 — equally best),
+    `l2_norm` -> s / ||window scores||_2, `none` -> raw. Docs missing
+    from a ranker's window contribute 0 from it (the ES contract).
+
+    `ranked`: [(df, weight, normalizer), ...] — each df carries
+    (*id_cols, score_col) and is ALREADY window-cut (the caller owns the
+    rank_window_size TakeOrdered, like rrf_fuse). Plan: per-ranker
+    normalization constants are one tiny aggregate broadcast-joined back
+    onto the <=window rows (never a shuffle of raw rows), weighted
+    contributions union, ONE map-side-combinable groupBy on the
+    identity, one window-rank cut over the fused <=N x window relation —
+    nothing scales with corpus size. Also returns n_rankers; ties break
+    on id_cols ascending."""
+    if not ranked:
+        raise ValueError("linear_fuse needs at least one ranked input")
+    parts = []
+    for df, weight, norm in ranked:
+        if norm not in _LINEAR_NORMALIZERS:
+            raise ValueError(
+                f"unknown normalizer {norm!r}; supported: "
+                f"{_LINEAR_NORMALIZERS}"
+            )
+        s = F.col(score_col)
+        if norm == "minmax":
+            stats = df.agg(
+                F.min(s).alias("_mn"), F.max(s).alias("_mx")
+            )
+            df = df.crossJoin(F.broadcast(stats))
+            normed = F.when(
+                F.col("_mx") == F.col("_mn"), F.lit(1.0)
+            ).otherwise((s - F.col("_mn")) / (F.col("_mx") - F.col("_mn")))
+        elif norm == "l2_norm":
+            stats = df.agg(F.sqrt(F.sum(s * s)).alias("_l2"))
+            df = df.crossJoin(F.broadcast(stats))
+            normed = F.when(F.col("_l2") == 0, F.lit(0.0)).otherwise(
+                s / F.col("_l2")
+            )
+        else:
+            normed = s
+        parts.append(
+            df.select(
+                *id_cols,
+                (F.lit(float(weight)) * normed).alias("_lin"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    agg = out.groupBy(*id_cols).agg(
+        F.sum("_lin").alias("linear_score"), F.count("*").alias("n_rankers")
+    )
+    w_ = W.orderBy(F.desc("linear_score"), *[F.asc(c) for c in id_cols])
+    return (
+        agg.withColumn("fused_rank", F.row_number().over(w_))
+        .filter(F.col("fused_rank") <= k)
+    )
+
+
 def quantize_embeddings(
     df: DataFrame, vec_col: str, prefix: str = "q"
 ) -> DataFrame:

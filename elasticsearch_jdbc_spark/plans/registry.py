@@ -8753,6 +8753,133 @@ def _rrf_sql() -> str:
     """
 
 
+_LINEAR_RETRIEVER_SQL = """
+-- linear retriever oracle: the SAME two 60-deep windows as the rrf twin
+-- (BM25 'fast key' + knn-vs-vec_id-0, scores ROUNDED 9dp before the
+-- cut), then weighted minmax fusion: 2.0 * bm_norm + 1.0 * knn_norm.
+-- minmax inputs are identical 9dp doubles in both engines, so each
+-- correctly-rounded IEEE division is bitwise-identical and the rank cut
+-- is deterministic.
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+),
+knnw AS (
+  SELECT e.vec_id AS doc_id,
+         ROUND((1.0 + list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)) / 2.0, 9) AS s
+  FROM embeddings e, q
+  ORDER BY s DESC, e.vec_id LIMIT 60
+),
+kst AS (SELECT MIN(s) AS mn, MAX(s) AS mx FROM knnw),
+tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents
+),
+stats AS (SELECT COUNT(*) AS n, SUM(len(toks)) * 1.0 / COUNT(*) AS avgdl FROM tok),
+dft AS (
+  SELECT t.term, COUNT(DISTINCT doc_id) AS df
+  FROM tok, UNNEST(list_distinct(toks)) AS t(term)
+  GROUP BY t.term
+),
+idf AS (
+  SELECT term, ln(1.0 + (stats.n - df + 0.5) / (df + 0.5)) AS idf
+  FROM dft, stats
+),
+base AS (
+  SELECT doc_id, len(toks) AS dl,
+         len(list_filter(toks, x -> x = 'fast')) AS tf1,
+         len(list_filter(toks, x -> x = 'key'))  AS tf2
+  FROM tok
+),
+bmw AS (
+  SELECT doc_id, s FROM (
+    SELECT b.doc_id,
+           ROUND(
+             CASE WHEN b.tf1 > 0 THEN i1.idf * 2.2 * (b.tf1 / (b.tf1 + 1.2 * (0.25 + 0.75 * b.dl / stats.avgdl))) ELSE 0 END
+           + CASE WHEN b.tf2 > 0 THEN i2.idf * 2.2 * (b.tf2 / (b.tf2 + 1.2 * (0.25 + 0.75 * b.dl / stats.avgdl))) ELSE 0 END, 9) AS s
+    FROM base b
+    JOIN idf i1 ON i1.term = 'fast'
+    JOIN idf i2 ON i2.term = 'key', stats
+    WHERE b.tf1 > 0 OR b.tf2 > 0
+    ORDER BY s DESC, b.doc_id LIMIT 60
+  )
+),
+bst AS (SELECT MIN(s) AS mn, MAX(s) AS mx FROM bmw),
+contrib AS (
+  SELECT doc_id,
+         2.0 * (CASE WHEN bst.mx = bst.mn THEN 1.0
+                     ELSE (s - bst.mn) / (bst.mx - bst.mn) END) AS c
+  FROM bmw, bst
+  UNION ALL
+  SELECT doc_id,
+         1.0 * (CASE WHEN kst.mx = kst.mn THEN 1.0
+                     ELSE (s - kst.mn) / (kst.mx - kst.mn) END) AS c
+  FROM knnw, kst
+),
+fused AS (
+  SELECT doc_id, SUM(c) AS score, COUNT(*) AS n_rankers FROM contrib GROUP BY doc_id
+),
+ranked AS (
+  SELECT doc_id, score, n_rankers,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM fused
+)
+SELECT CAST(rank AS INT) AS rank, doc_id, ROUND(score, 6) AS score,
+       CAST(n_rankers AS INT) AS n_rankers
+FROM ranked WHERE rank <= 10 ORDER BY rank
+"""
+
+
+@_reg("linear_retriever_search", _LINEAR_RETRIEVER_SQL)
+def linear_retriever_q(spark, sf_dir):
+    """Weighted normalized-score hybrid retrieval (the ES 8.18 `linear`
+    retriever) through the REAL distributed operator, ORACLE-CHECKED:
+    the same two 60-deep windows as the rrf twin (unranked BM25 match
+    set + the knn DSL leaf, scores rounded 9dp after the id mapping so
+    the minmax inputs are identical doubles in both engines), fused by
+    operators/similarity.linear_fuse — per-window minmax constants are
+    ONE tiny aggregate broadcast back onto the <=60 rows, contributions
+    union into one map-side-combinable groupBy. Nothing scales with
+    corpus size."""
+    from ..index import IndexReader
+    from ..operators.similarity import linear_fuse
+
+    window = 60
+    idx = _registry_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    ids = _index_docid_map(spark, idx)
+    qv = [
+        float(x)
+        for x in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") == 0)
+        .head()["embedding"]
+    ]
+
+    def _win(df):
+        mapped = df.join(ids, "doc_id").select(
+            F.col("documents_doc_id").alias("doc_id"),
+            F.round("score", 9).alias("s"),
+        )
+        return mapped.orderBy(F.desc("s"), F.asc("doc_id")).limit(window)
+
+    bm = _win(reader.match_df("fast key"))
+    kn = _win(
+        reader.search_dsl_df(
+            {"knn": {"field": "emb", "query_vector": qv, "k": window}}, k=None
+        )
+    )
+    fused = linear_fuse(
+        [(bm, 2.0, "minmax"), (kn, 1.0, "minmax")],
+        ["doc_id"], k=10, score_col="s",
+    )
+    return fused.select(
+        F.col("fused_rank").cast("int").alias("rank"),
+        "doc_id",
+        F.round("linear_score", 6).alias("score"),
+        F.col("n_rankers").cast("int").alias("n_rankers"),
+    ).orderBy("rank")
+
+
 @_reg("rrf_retriever_search", _rrf_sql())
 def rrf_retriever_q(spark, sf_dir):
     """Reciprocal Rank Fusion hybrid retrieval (the ES 8 `rrf` retriever)
@@ -9587,6 +9714,7 @@ _WINDOW_R5 = [
     "hybrid_rrf_search",
     "knn_dsl_search",
     "knn_filtered",
+    "linear_retriever_search",  # ES 8.18 weighted normalized-score fusion
     # -- judge-verified in the r4 past-window dryrun: demoted below the
     # never-checked set so the ~50-slot driver window spends every slot
     # on entries with NO hard external evidence yet --

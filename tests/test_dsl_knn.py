@@ -211,6 +211,91 @@ def test_rrf_retriever_weights_and_live_twin(spark, setup):
     ]
 
 
+def _window(scores: dict, window: int) -> dict:
+    keep = sorted(scores, key=lambda i: (-scores[i], i))[:window]
+    return {i: scores[i] for i in keep}
+
+
+def test_linear_retriever_parity(spark, setup):
+    """ES 8.18 `retriever.linear` body: weighted NORMALIZED-score fusion
+    — minmax on the BM25 window, l2_norm on the knn window, weights 2 /
+    0.5, absent docs contribute 0; hand model end-to-end."""
+    d, r, docs = setup
+    window = 20
+    body = {
+        "retriever": {
+            "linear": {
+                "retrievers": [
+                    {"retriever": {"standard": {"query":
+                                   {"match": {"content": "merge"}}}},
+                     "weight": 2.0, "normalizer": "minmax"},
+                    {"retriever": {"knn": {"field": "emb",
+                                           "query_vector": QV, "k": window}},
+                     "weight": 0.5, "normalizer": "l2_norm"},
+                ],
+                "rank_window_size": window,
+            }
+        }
+    }
+    got = r.search_dsl_df(body, k=10).collect()
+    bm = _window(
+        {x["doc_id"]: x["score"] for x in r.match_df("merge").collect()},
+        window,
+    )
+    kn = _window({i: s for s, i in _brute(docs, QV, window)}, window)
+    mn, mx = min(bm.values()), max(bm.values())
+    l2 = sum(s * s for s in kn.values()) ** 0.5
+    want: dict = {}
+    for i, s in bm.items():
+        want[i] = want.get(i, 0.0) + 2.0 * (
+            1.0 if mx == mn else (s - mn) / (mx - mn)
+        )
+    for i, s in kn.items():
+        want[i] = want.get(i, 0.0) + 0.5 * (s / l2)
+    top = sorted(want, key=lambda i: (-want[i], i))[:10]
+    assert [x["doc_id"] for x in got] == top
+    for row in got:
+        assert row["score"] == pytest.approx(want[row["doc_id"]], rel=1e-9)
+    # live twin
+    ri = IncrementalIndexReader(spark, d)
+    live = ri.search_dsl_df(body, k=10).collect()
+    assert [(x["doc_id"], round(x["score"], 9)) for x in live] == [
+        (x["doc_id"], round(x["score"], 9)) for x in got
+    ]
+    # degenerate minmax window (single-score) maps to 1.0, not NaN
+    one = r.search_dsl_df(
+        {"retriever": {"linear": {"retrievers": [
+            {"retriever": {"standard": {"query":
+                           {"match": {"content": "merge"}}}},
+             "weight": 1.0, "normalizer": "minmax"},
+            {"retriever": {"standard": {"query":
+                           {"match": {"content": "merge"}}}},
+             "weight": 1.0, "normalizer": "minmax"},
+        ], "rank_window_size": 1}}},
+        k=1,
+    ).collect()
+    assert one[0]["score"] == pytest.approx(2.0)
+    # validation
+    with pytest.raises(ValueError, match="at least 2"):
+        r.search_dsl_df(
+            {"retriever": {"linear": {"retrievers": [
+                {"retriever": {"standard": {"query":
+                               {"match": {"content": "merge"}}}}}]}}},
+            k=3,
+        )
+    with pytest.raises(ValueError, match="unknown normalizer"):
+        r.search_dsl_df(
+            {"retriever": {"linear": {"retrievers": [
+                {"retriever": {"standard": {"query":
+                               {"match": {"content": "merge"}}}},
+                 "normalizer": "zscore"},
+                {"retriever": {"knn": {"field": "emb",
+                                       "query_vector": QV, "k": 5}}},
+            ]}}},
+            k=3,
+        )
+
+
 def test_standard_retriever_equals_plain_query(spark, setup):
     d, r, _ = setup
     q = {"match": {"content": "merge buffer"}}
