@@ -527,6 +527,88 @@ def embedding_near_pairs_lsh(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    threshold: float = 0.95,
+    round_dp: int = 9,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then prune near-
+    duplicate pairs WITHIN each cluster only — the trick that turns the
+    O(n^2) semantic-similarity sweep into k independent O((n/k)^2)
+    problems, each a co-partitioned self-join.
+
+    Engine-native determinism contract (documented deviations from the
+    paper's k-means): centroids are the k LOWEST-id vectors (re-derivable
+    in any SQL engine — no iterative fitting, which would make the
+    verdict depend on initialization); assignment is argmax cosine with
+    lowest-centroid-id tie-break; cosines round to `round_dp` decimals
+    BEFORE comparison so assignment and pruning are bitwise-reproducible
+    across engines and partitionings. Within a cluster, every pair with
+    cos >= threshold drops the HIGHER id — the lowest id of each
+    near-dup chain survives.
+
+    Plan: centroids broadcast (k rows) onto one scan for assignment (one
+    max_by aggregation — no window), the prune self-join shuffles on the
+    CLUSTER key only (never all-pairs), dropped ids anti-join back. At
+    100 TB: k scales with corpus size to bound (n/k)^2; the broadcast is
+    k x dim doubles.
+
+    Returns one row per input id: (id_col, cluster, kept)."""
+    from .similarity import cosine
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    dv = F.transform(vec_col, lambda x: x.cast("double"))
+    base = df.select(F.col(id_col).alias("_id"), dv.alias("_v"))
+    cents = (
+        base.orderBy("_id")
+        .limit(k)
+        .select(F.col("_id").alias("_cid"), F.col("_v").alias("_cv"))
+    )
+    sim = F.round(cosine(F.col("_v"), F.col("_cv")), round_dp)
+    assigned = (
+        base.crossJoin(F.broadcast(cents))
+        .select("_id", "_v", "_cid", sim.alias("_s"))
+        .groupBy("_id")
+        .agg(
+            F.max_by(
+                "_cid", F.struct(F.col("_s"), (-F.col("_cid")).alias("_t"))
+            ).alias("cluster"),
+            F.first("_v").alias("_v"),
+        )
+    )
+    a = assigned.select(
+        "cluster", F.col("_id").alias("id_a"), F.col("_v").alias("va")
+    )
+    b = assigned.select(
+        "cluster", F.col("_id").alias("id_b"), F.col("_v").alias("vb")
+    )
+    dropped = (
+        a.join(b, ["cluster"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.round(cosine(F.col("va"), F.col("vb")), round_dp)
+            >= F.lit(float(threshold))
+        )
+        .select(F.col("id_b").alias("_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dropped.withColumn("_dropped", F.lit(True)), "_id", "left"
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "cluster",
+            F.col("_dropped").isNull().alias("kept"),
+        )
+    )
+
+
 # ---------------- SimHash ----------------
 
 

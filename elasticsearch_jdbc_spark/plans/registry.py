@@ -1163,6 +1163,58 @@ def dedup_emb_q(spark, sf_dir):
 
 
 @_reg(
+    "dedup_semantic",
+    _EMB_AUG_SQL
+    + """
+    , c AS (
+      SELECT vec_id AS cid, emb AS ce FROM aug ORDER BY vec_id LIMIT 6
+    ),
+    sim AS (
+      SELECT a.vec_id, c.cid,
+             ROUND(list_cosine_similarity(a.emb, c.ce), 9) AS s
+      FROM aug a, c
+    ),
+    asg AS (
+      SELECT vec_id, cid AS cluster FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY s DESC, cid) AS rn
+        FROM sim
+      ) WHERE rn = 1
+    ),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM aug a
+      JOIN asg sa ON sa.vec_id = a.vec_id
+      JOIN aug b ON a.vec_id < b.vec_id
+      JOIN asg sb ON sb.vec_id = b.vec_id AND sb.cluster = sa.cluster
+      WHERE ROUND(list_cosine_similarity(a.emb, b.emb), 9) >= 0.95
+    )
+    SELECT asg.vec_id, asg.cluster,
+           (d.vec_id IS NULL) AS kept
+    FROM asg LEFT JOIN dropped d ON d.vec_id = asg.vec_id
+    ORDER BY asg.vec_id
+    """,
+)
+def dedup_semantic_q(spark, sf_dir):
+    """SemDeDup-style semantic dedup (Abbas et al. 2023) over the
+    planted-duplicate corpus, ORACLE-CHECKED end-to-end: k=6 lowest-id
+    centroids, argmax-cosine assignment (9dp-rounded, lowest-cid
+    tie-break), within-cluster prune at 0.95 dropping the higher id of
+    each near-dup pair. The planted x1.01-scaled twins (cosine exactly
+    1.0) and first-coordinate perturbations exercise the prune; DuckDB
+    re-derives centroids, assignment, and the kept verdict relationally.
+    Plan: k-row broadcast for assignment, the prune self-join shuffles
+    on the cluster key only — never all-pairs."""
+    from ..operators.dedup import semantic_dedup
+
+    e = _emb_augmented(spark, sf_dir)
+    return semantic_dedup(
+        e, "vec_id", "embedding", k=6, threshold=0.95
+    ).orderBy("vec_id")
+
+
+@_reg(
     "dedup_embedding_lsh",
     _EMB_AUG_SQL
     + """
@@ -9673,6 +9725,7 @@ _WINDOW_R5 = [
     "aggs_body_dense_histogram",  # empty-bucket fill + pipeline over it
     "aggs_body_terms_order",      # terms order by sub-metric
     "linear_retriever_search",  # ES 8.18 weighted normalized-score fusion
+    "dedup_semantic",            # SemDeDup cluster-then-prune
     # -- never-checked search/DSL surfaces (r3-r4 additions) --
     "msearch_index_search",
     "composite_index_search",
@@ -9688,7 +9741,6 @@ _WINDOW_R5 = [
     "percolate_index_search",
     "termvectors_index_search",
     "rescore_index_search",
-    "sigtext_index_search",
     "sigterms_index_search",
     "boosting_index_search",
     "mlt_index_search",
@@ -9718,8 +9770,10 @@ _WINDOW_R5 = [
     # window spends every slot on entries with NO hard external evidence
     # yet: five are judge-verified in the r4 past-window dryrun; dismax's
     # max+tie_breaker algebra is also exercised through the in-window
-    # best_fields/cross_fields entries --
+    # best_fields/cross_fields entries; sigtext shares the one-scan JLH
+    # significance kernel with the in-window sigterms --
     "dismax_index_search",
+    "sigtext_index_search",
     "span_within_search",
     "date_math_range_search",
     "geo_index_search",
