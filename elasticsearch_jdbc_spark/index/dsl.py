@@ -2264,8 +2264,29 @@ def _bucket_key(ctx: _Ctx, rows: DataFrame, name: str, kind: str, spec: dict):
         # bucket (and once per bucket even with duplicate elements) —
         # keys explode, doc_count stays a doc count
         if dict(rows.dtypes).get(spec["field"], "").startswith("array"):
-            return rows.withColumn(name, F.explode(F.array_distinct(c))), meta
-        return rows.withColumn(name, c), meta
+            rows = rows.withColumn(name, F.explode(F.array_distinct(c)))
+        else:
+            rows = rows.withColumn(name, c)
+        # ES include/exclude: restrict the bucket-key space — a list of
+        # exact values or a whole-term-anchored Java regex (the ES
+        # contract). Applied to the ROWS before the groupBy, so the
+        # filter sits below the aggregation, not on the bucket list.
+        for spec_key, positive in (("include", True), ("exclude", False)):
+            v = spec.get(spec_key)
+            if v is None:
+                continue
+            kcol = F.col(name)
+            if isinstance(v, (list, tuple)):
+                cond = kcol.isin(*v)
+            elif isinstance(v, str):
+                cond = kcol.cast("string").rlike(f"^(?:{v})$")
+            else:
+                raise ValueError(
+                    f"terms {spec_key} wants a value list or a regex "
+                    f"string, got {type(v).__name__}"
+                )
+            rows = rows.filter(cond if positive else ~cond)
+        return rows, meta
     if kind == "geotile_grid":
         # web-mercator z/x/y bucket key (the typed aggs.geotile_grid
         # closed form — one codegen projection, no geohash interleave);

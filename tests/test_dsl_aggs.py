@@ -266,6 +266,35 @@ def test_terms_order_and_missing(spark, setup):
     assert got["N/A"] == n_null
     assert sum(got.values()) == len(docs)
 
+    # include/exclude: value lists and whole-term-anchored regexes
+    full_keys = sorted(full)
+    got = sorted(
+        x["t"] for x in r.aggs_dsl_df(
+            {"t": {"terms": {"field": "lang", "size": 100,
+                             "include": full_keys[:2]}}}
+        ).collect()
+    )
+    assert got == full_keys[:2]
+    got = sorted(
+        x["t"] for x in r.aggs_dsl_df(
+            {"t": {"terms": {"field": "lang", "size": 100,
+                             "exclude": full_keys[0]}}}
+        ).collect()
+    )
+    assert got == full_keys[1:]
+    # regex include is whole-term anchored (ES contract): a prefix
+    # pattern without .* matches nothing unless it spans the term
+    pat = full_keys[0][0] + ".*"
+    got = sorted(
+        x["t"] for x in r.aggs_dsl_df(
+            {"t": {"terms": {"field": "lang", "size": 100,
+                             "include": pat}}}
+        ).collect()
+    )
+    assert got == [k for k in full_keys if k.startswith(full_keys[0][0])]
+    with pytest.raises(ValueError, match="include wants"):
+        r.aggs_dsl_df({"t": {"terms": {"field": "lang", "include": 7}}})
+
     # validation: bad order shape / unknown metric / metric above innermost
     with pytest.raises(ValueError, match="terms order wants"):
         r.aggs_dsl_df({"t": {"terms": {"field": "lang", "order": "_key"}}})
