@@ -242,6 +242,56 @@ def _text_field_check(ctx: _Ctx, field: str):
     return None
 
 
+def _parse_msm(msm, total: int) -> int:
+    """The full ES `minimum_should_match` syntax
+    (query-dsl-minimum-should-match.html) resolved against `total`
+    optional clauses: positive int (that many), negative int (total
+    minus that many), "N%" (floor of the percentage), "-N%" (total minus
+    the floored missing count — ES's documented rounding: -25% of 9 is
+    7, while 75% of 9 is 6), and conditional combinations "n<spec
+    [n<spec ...]" (the spec with the LARGEST n below total applies;
+    total <= every n means ALL clauses required). Values < 1 mean no
+    constraint (the Lucene contract); values > total simply match
+    nothing, as in Lucene."""
+    if isinstance(msm, bool):
+        raise ValueError(f"bad minimum_should_match {msm!r}")
+    if isinstance(msm, int):
+        v = msm
+    elif isinstance(msm, str):
+        s = msm.strip()
+        if "<" in s:
+            chosen = None
+            for part in s.split():
+                nstr, _, sub = part.partition("<")
+                try:
+                    n = int(nstr)
+                except ValueError:
+                    raise ValueError(
+                        f"bad minimum_should_match combination {msm!r}"
+                    ) from None
+                if not sub:
+                    raise ValueError(
+                        f"bad minimum_should_match combination {msm!r}"
+                    )
+                if total > n and (chosen is None or n > chosen[0]):
+                    chosen = (n, sub)
+            if chosen is None:
+                return total
+            return _parse_msm(chosen[1], total)
+        try:
+            if s.endswith("%"):
+                v = int(float(s[:-1]) / 100.0 * total)
+            else:
+                v = int(s)
+        except ValueError:
+            raise ValueError(f"bad minimum_should_match {msm!r}") from None
+    else:
+        raise ValueError(f"bad minimum_should_match {msm!r}")
+    if v < 0:
+        v = total + v
+    return max(v, 0)
+
+
 # ----------------------------------------------------------------- leafs
 
 
@@ -250,9 +300,12 @@ def _leaf_match(ctx, body):
     boosts = _text_field_check(ctx, field)
     q = spec["query"]
     msm = spec.get("minimum_should_match")
+    ntoks = len(ctx.r0.query_terms(q))
     if msm is None:
-        msm = len(ctx.r0.query_terms(q)) if spec.get("operator") == "and" else 1
-    df = ctx.reader.match_df(q, min_should_match=int(msm), boosts=boosts)
+        m = ntoks if spec.get("operator") == "and" else 1
+    else:
+        m = _parse_msm(msm, ntoks)
+    df = ctx.reader.match_df(q, min_should_match=m, boosts=boosts)
     return _scale(df, spec.get("boost", 1.0))
 
 
@@ -300,9 +353,12 @@ def _leaf_multi_match(ctx, body):
         for f0 in fields:
             name, _, w = f0.partition("^")
             boosts[name] = float(w) if w else 1.0
+    msm = body.get("minimum_should_match")
+    m = 1 if msm is None else _parse_msm(msm, len(ctx.r0.query_terms(q)))
     df = ctx.reader.multi_match_df(
         q, boosts=boosts, match_type=body.get("type", "best_fields"),
-        k=None, tie_breaker=float(body.get("tie_breaker", 0.0)),
+        k=None, min_should_match=m,
+        tie_breaker=float(body.get("tie_breaker", 0.0)),
     )
     return _scale(df, body.get("boost", 1.0))
 
@@ -448,7 +504,7 @@ def _nested_elem_sql(path: str, q: dict, elem_fields: list[str]) -> str:
             # filter-context should: msm defaults to 1 when there is no
             # must/filter sibling, else 0 (purely optional) — the ES rule
             msm = spec.get("minimum_should_match", 1 if not conj else 0)
-            msm = int(msm)
+            msm = _parse_msm(msm, len(should))
             if msm == 1:
                 exprs.append("(" + " OR ".join(f"({p})" for p in should) + ")")
             elif msm > 1:
@@ -657,10 +713,13 @@ def _leaf_combined_fields(ctx, body):
                 )
             boosts[name] = float(w) if w else 1.0
     msm = body.get("minimum_should_match")
+    ntoks = len(ctx.r0.query_terms(q))
     if msm is None:
-        msm = len(ctx.r0.query_terms(q)) if body.get("operator") == "and" else 1
+        m = ntoks if body.get("operator") == "and" else 1
+    else:
+        m = _parse_msm(msm, ntoks)
     df = ctx.reader.search_combined_df(
-        q, boosts=boosts, k=None, min_should_match=int(msm)
+        q, boosts=boosts, k=None, min_should_match=m
     )
     return _scale(df, body.get("boost", 1.0))
 
@@ -1322,7 +1381,7 @@ def _compound_bool(ctx, body):
                     F.sum("score").alias("score"),
                     F.countDistinct("_cl").alias("_n"),
                 )
-                .filter(F.col("_n") >= int(msm))
+                .filter(F.col("_n") >= _parse_msm(msm, len(should)))
                 .drop("_n")
             )
         else:
@@ -1338,12 +1397,13 @@ def _compound_bool(ctx, body):
                 ).withColumn(
                     "score", F.col("score") + F.coalesce(F.col(a), F.lit(0.0))
                 )
-            if int(msm) > 0:
+            m = _parse_msm(msm, len(should))
+            if m > 0:
                 n_hit = sum(
                     F.when(F.col(a).isNotNull(), 1).otherwise(0)
                     for a in hit_cols
                 )
-                base = base.filter(n_hit >= int(msm))
+                base = base.filter(n_hit >= m)
             base = base.drop(*hit_cols)
     for ndf in must_not:
         base = base.join(ndf.select(*ctx.keys), ctx.keys, "left_anti")
@@ -1424,36 +1484,154 @@ _FVF_MODS = {
 }
 
 
-def _compound_function_score(ctx, body):
-    inner = _compile(ctx, body["query"])
-    mode = body.get("boost_mode", "multiply")
-    if mode not in ("multiply", "sum"):
-        raise ValueError(f"boost_mode must be multiply|sum, got {mode!r}")
-    if "script_score" in body:
-        factor = F.expr(_script_source(body["script_score"])).cast("double")
-    elif "field_value_factor" in body:
-        fvf = body["field_value_factor"]
+_FS_KINDS = (
+    "script_score", "field_value_factor", "random_score",
+    "gauss", "exp", "linear", "weight",
+)
+
+
+def _fs_value(ctx, spec: dict):
+    """One function_score FUNCTION entry -> its value Column over the
+    docs view (weight multiplies; a weight-only entry IS the weight —
+    the ES weight function). random_score is the engine-native
+    deterministic variant: xxhash64(doc keys, seed) mapped to [0, 1) —
+    reproducible across runs and partitionings (ES's is also
+    deterministic given seed + field). Decay kinds gauss/exp/linear
+    cover numeric/date fields (functions/scoring.decay_expr); geo decay
+    rides the typed function_score_df surface."""
+    kinds = [k for k in spec if k in _FS_KINDS and k != "weight"]
+    if len(kinds) > 1:
+        raise ValueError(f"one function per entry; got {sorted(kinds)}")
+    w = F.lit(float(spec.get("weight", 1.0)))
+    if not kinds:
+        if "weight" not in spec:
+            raise ValueError(
+                "function entry needs one of script_score / "
+                "field_value_factor / random_score / gauss / exp / "
+                "linear / weight"
+            )
+        return w
+    kind = kinds[0]
+    fspec = spec[kind]
+    if kind == "script_score":
+        return w * F.expr(_script_source(fspec)).cast("double")
+    if kind == "field_value_factor":
         col = F.coalesce(
-            F.col(fvf["field"]).cast("double"),
-            F.lit(float(fvf.get("missing", 1.0))),
+            F.col(fspec["field"]).cast("double"),
+            F.lit(float(fspec.get("missing", 1.0))),
         )
-        mod = fvf.get("modifier", "none")
+        mod = fspec.get("modifier", "none")
         if mod not in _FVF_MODS:
             raise ValueError(f"unknown field_value_factor modifier {mod!r}")
         # ES applies factor BEFORE the modifier: modifier(factor * value)
-        factor = _FVF_MODS[mod](col * F.lit(float(fvf.get("factor", 1.0))))
-    else:
-        raise ValueError(
-            "function_score supports script_score / field_value_factor"
+        return w * _FVF_MODS[mod](col * F.lit(float(fspec.get("factor", 1.0))))
+    if kind == "random_score":
+        seed = int((fspec or {}).get("seed", 0))
+        h = F.xxhash64(*[F.col(c) for c in ctx.keys], F.lit(seed))
+        return w * (F.pmod(h, F.lit(1 << 52)).cast("double") / F.lit(float(1 << 52)))
+    # decay kinds over a numeric/date field
+    from ..functions.scoring import decay_expr
+
+    (field, dspec), = fspec.items()
+    origin = dspec["origin"]
+    if isinstance(origin, str):
+        import datetime as _dt
+
+        from ..functions.datemath import parse_date_math
+
+        origin = (
+            parse_date_math(origin)
+            .replace(tzinfo=_dt.timezone.utc)
+            .timestamp()
         )
-    combined = (
-        F.col("score") * factor if mode == "multiply" else F.col("score") + factor
+    return w * F.expr(
+        decay_expr(
+            kind, field, float(origin), float(dspec["scale"]),
+            offset=float(dspec.get("offset", 0.0)),
+            decay=float(dspec.get("decay", 0.5)),
+        )
     )
-    return (
-        inner.join(ctx.docs(), ctx.keys)
-        .withColumn("_f", combined)
-        .select(*ctx.keys, F.col("_f").alias("score"))
+
+
+def _compound_function_score(ctx, body):
+    """ES function_score: the single-function shorthands AND the
+    `functions` array — per-entry filter (a query body restricting which
+    docs the function applies to), weight, score_mode combining the
+    APPLYING functions (multiply / sum / avg / first / max / min; no
+    function applying = neutral 1.0), max_boost cap, boost_mode merging
+    with the query score (multiply / replace / sum / avg / max / min),
+    min_score cut. Everything evaluates inside codegen over ONE
+    hits-join-docs projection; per-entry filters join as broadcast
+    match-set indicators (tiny key sets, never a second corpus scan)."""
+    inner = _compile(ctx, body["query"])
+    bmode = body.get("boost_mode", "multiply")
+    if bmode not in ("multiply", "replace", "sum", "avg", "max", "min"):
+        raise ValueError(f"unsupported boost_mode {bmode!r}")
+    smode = body.get("score_mode", "multiply")
+    if smode not in ("multiply", "sum", "avg", "first", "max", "min"):
+        raise ValueError(f"unsupported score_mode {smode!r}")
+    entries = body.get("functions")
+    if entries is None:
+        shorthand = {k: body[k] for k in _FS_KINDS if k in body}
+        if not shorthand:
+            raise ValueError(
+                "function_score needs `functions` or one of "
+                f"{_FS_KINDS}"
+            )
+        entries = [shorthand]
+    rows = inner.join(ctx.docs(), ctx.keys)
+    vals, gates = [], []
+    for i, entry in enumerate(_aslist(entries)):
+        entry = dict(entry)
+        filt = entry.pop("filter", None)
+        vals.append(_fs_value(ctx, entry))
+        if filt is None:
+            gates.append(F.lit(True))
+        else:
+            flag = f"_fsm{i}"
+            ind = _compile(ctx, filt).select(*ctx.keys).withColumn(
+                flag, F.lit(True)
+            )
+            rows = rows.join(F.broadcast(ind), ctx.keys, "left")
+            gates.append(F.col(flag).isNotNull())
+    applied = [F.when(g, v) for g, v in zip(gates, vals)]
+    if smode == "multiply":
+        factor = applied[0].otherwise(1.0)
+        for a in applied[1:]:
+            factor = factor * a.otherwise(1.0)
+    elif smode == "sum":
+        n = sum(F.when(g, 1).otherwise(0) for g in gates)
+        s = sum(F.coalesce(a, F.lit(0.0)) for a in applied)
+        factor = F.when(n > 0, s).otherwise(1.0)
+    elif smode == "avg":
+        n = sum(F.when(g, 1).otherwise(0) for g in gates)
+        s = sum(F.coalesce(a, F.lit(0.0)) for a in applied)
+        factor = F.when(n > 0, s / n).otherwise(1.0)
+    elif smode == "first":
+        factor = F.coalesce(*applied, F.lit(1.0))
+    elif smode == "max":
+        factor = F.coalesce(F.greatest(*applied, F.lit(None).cast("double"))
+                            if len(applied) > 1 else applied[0], F.lit(1.0))
+    else:  # min
+        factor = F.coalesce(F.least(*applied, F.lit(None).cast("double"))
+                            if len(applied) > 1 else applied[0], F.lit(1.0))
+    if body.get("max_boost") is not None:
+        factor = F.least(factor, F.lit(float(body["max_boost"])))
+    s = F.col("score")
+    combined = {
+        "multiply": s * factor,
+        "replace": factor,
+        "sum": s + factor,
+        "avg": (s + factor) / F.lit(2.0),
+        "max": F.greatest(s, factor),
+        "min": F.least(s, factor),
+    }[bmode]
+    out = rows.withColumn("_f", combined).select(
+        *ctx.keys, F.col("_f").alias("score")
     )
+    if body.get("min_score") is not None:
+        out = out.filter(F.col("score") >= float(body["min_score"]))
+    return _scale(out, body.get("boost", 1.0))
 
 
 def _compound_rank_feature(ctx, body):
@@ -3901,6 +4079,7 @@ def search_dsl_df(
         "sort" in body or "size" in body or "from" in body
         or "fields" in body or "_source" in body or "search_after" in body
         or "docvalue_fields" in body or "script_fields" in body
+        or "stored_fields" in body
     ):
         body = dict(body)
         sort = body.pop("sort", None)
@@ -3931,6 +4110,12 @@ def search_dsl_df(
             dv_sel = [
                 f["field"] if isinstance(f, dict) else f for f in _aslist(dvf)
             ]
+        # `stored_fields`: the docs metadata IS the stored layer here —
+        # same enrichment; "_none_" is the ES opt-out (keys+score only,
+        # the default shape anyway)
+        stf = body.pop("stored_fields", None)
+        if stf is not None and stf != "_none_":
+            dv_sel += [f for f in _aslist(stf) if f not in dv_sel]
         sfs = body.pop("script_fields", None)
         if sfs is not None:
             if not isinstance(sfs, dict) or not sfs:
@@ -3993,7 +4178,7 @@ def search_dsl_df(
             "query, retriever, knn, aggs / highlight / suggest (via "
             "search_request), collapse, rescore, post_filter, min_score, "
             "runtime_mappings, sort, from, size, search_after, fields, "
-            "_source, docvalue_fields, script_fields"
+            "_source, docvalue_fields, script_fields, stored_fields"
         )
     if (
         isinstance(body, dict)

@@ -227,6 +227,114 @@ def test_function_and_script_score(spark, setup):
         assert got[k] == pytest.approx(want[k], rel=1e-12)
 
 
+def test_function_score_functions_array(spark, setup):
+    """ES functions array: per-entry filter + weight / random_score /
+    field_value_factor, score_mode combining the APPLYING functions,
+    max_boost cap, boost_mode replace — hand model end-to-end."""
+    d, r, docs = setup
+    m = _scores(r.match_df("merge"))
+    rust = {k for k in m if docs[k]["lang"] == "rust"}
+    fs = {
+        "function_score": {
+            "query": {"match": {"content": "merge"}},
+            "functions": [
+                {"filter": {"term": {"lang": {"query": "rust"}}},
+                 "weight": 3.0},
+                {"field_value_factor": {"field": "dl", "factor": 0.5},
+                 "weight": 2.0},
+            ],
+            "score_mode": "sum",
+            "boost_mode": "multiply",
+        }
+    }
+    got = _scores(r.search_dsl_df(fs, k=None))
+    assert got.keys() == m.keys()
+    for k in got:
+        f = (3.0 if k in rust else 0.0) + 2.0 * 0.5 * docs[k]["dl"]
+        assert got[k] == pytest.approx(m[k] * f, rel=1e-12)
+
+    # weight-only shorthand == scale; max_boost caps; replace drops _score
+    fs2 = {
+        "function_score": {
+            "query": {"match": {"content": "merge"}},
+            "functions": [{"field_value_factor": {"field": "dl"}}],
+            "max_boost": 50.0,
+            "boost_mode": "replace",
+        }
+    }
+    got = _scores(r.search_dsl_df(fs2, k=None))
+    for k in got:
+        assert got[k] == pytest.approx(min(docs[k]["dl"], 50.0), rel=1e-12)
+
+    # random_score: deterministic in [0, 1), stable across calls
+    rs = {
+        "function_score": {
+            "query": {"match": {"content": "merge"}},
+            "random_score": {"seed": 7},
+            "boost_mode": "replace",
+        }
+    }
+    a = _scores(r.search_dsl_df(rs, k=None))
+    b = _scores(r.search_dsl_df(rs, k=None))
+    assert a == b and all(0.0 <= v < 1.0 for v in a.values())
+    assert len(set(a.values())) > 1
+    # different seed -> different draw
+    rs2 = {"function_score": {"query": {"match": {"content": "merge"}},
+                              "random_score": {"seed": 8},
+                              "boost_mode": "replace"}}
+    assert _scores(r.search_dsl_df(rs2, k=None)) != a
+
+    # score_mode first / no-function-applies neutrality
+    fs3 = {
+        "function_score": {
+            "query": {"match": {"content": "merge"}},
+            "functions": [
+                {"filter": {"term": {"lang": {"query": "nope"}}},
+                 "weight": 9.0},
+            ],
+            "score_mode": "multiply",
+        }
+    }
+    got = _scores(r.search_dsl_df(fs3, k=None))
+    for k in got:
+        assert got[k] == pytest.approx(m[k], rel=1e-12)
+    with pytest.raises(ValueError, match="unsupported score_mode"):
+        r.search_dsl_df({"function_score": {
+            "query": {"match": {"content": "merge"}},
+            "weight": 2.0, "score_mode": "median"}}, k=3)
+
+
+def test_minimum_should_match_syntax(spark, setup):
+    """The full ES minimum_should_match syntax on the bool compound and
+    the match leaf: percentages, negatives, and n<spec combinations."""
+    d, r, docs = setup
+    clauses = [{"match": {"content": "merge"}},
+               {"match": {"content": "buffer"}},
+               {"match": {"content": "stream"}},
+               {"match": {"content": "quick"}}]
+    sets = [_ids(r.search_dsl_df(c, k=None)) for c in clauses]
+
+    def hits(ids, n):
+        return {i for i in ids if sum(i in s for s in sets) >= n}
+
+    allids = set().union(*sets)
+    for msm, n in (("50%", 2), ("75%", 3), (-1, 3), ("-25%", 3),
+                   ("2<75%", 3), ("9<75%", 4), ("2<50% 3<75%", 3)):
+        got = _ids(r.search_dsl_df(
+            {"bool": {"should": clauses, "minimum_should_match": msm}},
+            k=None))
+        assert got == hits(allids, n), (msm, n)
+    # match leaf percentage: 3 tokens, 67% -> 2 required
+    got = _ids(r.search_dsl_df(
+        {"match": {"content": {"query": "merge buffer stream",
+                               "minimum_should_match": "67%"}}}, k=None))
+    want = {i for i in allids if sum(i in s for s in sets[:3]) >= 2}
+    assert got == want
+    with pytest.raises(ValueError, match="bad minimum_should_match"):
+        r.search_dsl_df({"bool": {"should": clauses,
+                                  "minimum_should_match": "x%"}}, k=3)
+
+
 def test_span_via_dsl_both_spellings(spark, setup):
     d, r, _ = setup
     native = {
