@@ -4692,6 +4692,80 @@ def aggs_body_terms_order_q(spark, sf_dir):
 
 
 @_reg(
+    "fscore_msm_search",
+    """
+    -- minimum_should_match "67%" (floor -> 2 of 3) over three
+    -- filter-context clauses (score = matching-clause count), then the
+    -- function_score FUNCTIONS array: a filtered weight (lat > 0 ->
+    -- 3.0) and a field_value_factor (0.5 * lon), score_mode sum,
+    -- boost_mode multiply, max_boost 50 (binding for high lon) — every term re-derived from
+    -- the planted doc_id arithmetic.
+    WITH pts AS (
+      SELECT doc_id, lang,
+             CAST((doc_id * 7919) % 160 - 80 + 0.25 AS DOUBLE) AS lat,
+             CAST((doc_id * 104729) % 360 - 180 + 0.25 AS DOUBLE) AS lon
+      FROM documents
+    ),
+    gated AS (
+      SELECT doc_id, lat, lon,
+             (CASE WHEN lang = 'en' THEN 1 ELSE 0 END
+            + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+            + CASE WHEN lat >= 40 THEN 1 ELSE 0 END) AS nmatch
+      FROM pts
+    )
+    SELECT doc_id,
+           ROUND(CAST(nmatch AS DOUBLE)
+                 * LEAST((CASE WHEN lat > 0 THEN 3.0 ELSE 0.0 END)
+                         + 0.5 * lon, 50.0), 6) AS score
+    FROM gated WHERE nmatch >= 2
+    ORDER BY doc_id
+    """,
+)
+def fscore_msm_q(spark, sf_dir):
+    """ES minimum_should_match percentage syntax + the function_score
+    `functions` array through the REAL engine, ORACLE-CHECKED: a bool of
+    three filter-context should clauses gated at "67%" (the ES floor
+    rule: 2 of 3), its clause-count score then transformed by a
+    filtered weight function (lat > 0 -> 3.0, else the function does not
+    apply and contributes 0 under score_mode=sum) plus a
+    field_value_factor on the planted lon, capped by max_boost,
+    multiplied onto the query score. DuckDB re-derives clause counts,
+    function application, and the cap relationally. One hits-join-docs
+    projection, per-entry filters broadcast — no second corpus scan."""
+    from ..index import IndexReader
+
+    idx = _registry_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    ids = _index_docid_map(spark, idx)
+    out = reader.search_dsl_df(
+        {"function_score": {
+            "query": {"bool": {
+                "should": [
+                    {"term": {"lang": {"query": "en"}}},
+                    {"script": {"script": {"source":
+                        "cast(regexp_extract(path, 'doc/(\\\\d+)', 1) "
+                        "as bigint) % 3 = 0"}}},
+                    {"range": {"lat": {"gte": 40}}},
+                ],
+                "minimum_should_match": "67%",
+            }},
+            "functions": [
+                {"filter": {"range": {"lat": {"gt": 0}}}, "weight": 3.0},
+                {"field_value_factor": {"field": "lon", "factor": 0.5}},
+            ],
+            "score_mode": "sum",
+            "boost_mode": "multiply",
+            "max_boost": 50.0,
+        }},
+        k=None,
+    )
+    return out.join(ids, "doc_id").select(
+        F.col("documents_doc_id").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    ).orderBy("doc_id")
+
+
+@_reg(
     "script_fields_search",
     """
     -- docvalue_fields + script_fields oracle: the planted lat/lon
@@ -9726,6 +9800,7 @@ _WINDOW_R5 = [
     "aggs_body_terms_order",      # terms order by sub-metric
     "linear_retriever_search",  # ES 8.18 weighted normalized-score fusion
     "dedup_semantic",            # SemDeDup cluster-then-prune
+    "fscore_msm_search",         # msm pct syntax + function_score functions
     # -- never-checked search/DSL surfaces (r3-r4 additions) --
     "msearch_index_search",
     "composite_index_search",
