@@ -9810,7 +9810,6 @@ _WINDOW_R5 = [
     "best_fields_index_search",
     "cross_fields_index_search",
     "runtime_fields_search",
-    "dsl_sort_page_search",
     "dsl_search_after_search",
     "index_sort_search",
     "percolate_index_search",
@@ -9848,6 +9847,7 @@ _WINDOW_R5 = [
     # best_fields/cross_fields entries; sigtext shares the one-scan JLH
     # significance kernel with the in-window sigterms --
     "dismax_index_search",
+    "dsl_sort_page_search",
     "sigtext_index_search",
     "span_within_search",
     "date_math_range_search",
