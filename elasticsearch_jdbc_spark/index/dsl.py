@@ -2184,11 +2184,36 @@ def _rate_expr(name: str, spec: dict, levels: list[dict]):
     return (base * F.lit(factor)).alias(name)
 
 
+def _metric_src(field, spec) -> str:
+    """SQL-string source for string-built metric expressions
+    (percentile calls): field / _score / script, with `missing`
+    coalesced — mirrors the Column path above."""
+    if spec.get("script") is not None and field is None:
+        src = f"({_script_source(spec['script'])})"
+    else:
+        src = "_score" if field == "_score" else field
+    if spec.get("missing") is not None:
+        src = f"coalesce({src}, {_sql_lit(spec['missing'])})"
+    return src
+
+
 def _metric_exprs(name: str, kind: str, spec: dict) -> list:
     """One ES metric sub-aggregation -> aggregate Columns. Multi-valued
-    metrics flatten into suffixed columns ({name}_count, {name}_p50...)."""
+    metrics flatten into suffixed columns ({name}_count, {name}_p50...).
+    `script` replaces `field` with a computed value (the engine script
+    dialect — Spark SQL over the row's columns, evaluated inside the
+    same aggregation pass); `missing` substitutes for null field values
+    BEFORE aggregating (the ES contract)."""
     field = spec.get("field")
-    col = F.col("_score") if field == "_score" else F.col(field) if field else None
+    if spec.get("script") is not None and field is None:
+        col = F.expr(_script_source(spec["script"]))
+    else:
+        col = (
+            F.col("_score") if field == "_score"
+            else F.col(field) if field else None
+        )
+    if col is not None and spec.get("missing") is not None:
+        col = F.coalesce(col, F.lit(spec["missing"]))
     if kind in ("avg", "sum", "min", "max"):
         fn = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max}[kind]
         return [fn(col).alias(name)]
@@ -2212,7 +2237,7 @@ def _metric_exprs(name: str, kind: str, spec: dict) -> list:
         ]
     if kind == "percentiles":
         ps = [float(p) for p in spec.get("percents", (25.0, 50.0, 75.0))]
-        src = "_score" if field == "_score" else field
+        src = _metric_src(field, spec)
         return [
             F.expr(f"percentile({src}, {p / 100.0})").alias(
                 f"{name}_p{str(p).rstrip('0').rstrip('.').replace('.', '_')}"
@@ -2269,7 +2294,7 @@ def _metric_exprs(name: str, kind: str, spec: dict) -> list:
     if kind == "boxplot":
         # min / q1 / q2 / q3 / max (aggs.boxplot: exact percentile at
         # oracle scale; percentile_approx is the one-word cluster swap)
-        src = "_score" if field == "_score" else field
+        src = _metric_src(field, spec)
         c = col.cast("double")
         return [
             F.round(F.min(c), 6).alias(f"{name}_min"),
@@ -2616,6 +2641,18 @@ def _bucket_key(ctx: _Ctx, rows: DataFrame, name: str, kind: str, spec: dict):
         return rows.withColumn(name, key), meta
     if kind == "date_histogram":
         fld = spec["field"]
+        tz = spec.get("time_zone")
+        if tz:
+            # ES time_zone: bucket BOUNDARIES shift to the zone's local
+            # midnight/hour, keys stay UTC instants — truncate in the
+            # zone, convert back (calendar intervals; fixed intervals
+            # are zone-invariant epochs except for the offset, which ES
+            # also expresses via `offset`)
+            def _tz_key(unit):
+                return F.to_utc_timestamp(
+                    F.date_trunc(unit, F.from_utc_timestamp(F.col(fld), tz)),
+                    tz,
+                )
         cal = spec.get("calendar_interval")
         if cal:
             unit = {
@@ -2635,7 +2672,8 @@ def _bucket_key(ctx: _Ctx, rows: DataFrame, name: str, kind: str, spec: dict):
                     "fixed_interval — calendar buckets are not an "
                     "arithmetic series (engine-native restriction)"
                 )
-            return rows.withColumn(name, F.date_trunc(unit, F.col(fld))), meta
+            key = _tz_key(unit) if tz else F.date_trunc(unit, F.col(fld))
+            return rows.withColumn(name, key), meta
         fixed = spec.get("fixed_interval")
         if not fixed:
             raise ValueError("date_histogram needs calendar_interval/fixed_interval")

@@ -335,6 +335,57 @@ def test_top_level_metrics_and_score(spark, setup):
     assert got["best"] == pytest.approx(max(m.values()), rel=1e-12)
 
 
+def test_metric_script_missing_and_tz(spark, setup):
+    """ES metric `script` (computed source) and `missing` (null
+    substitution) params; date_histogram `time_zone` shifts bucket
+    boundaries to the zone's local day while keys stay UTC instants."""
+    d, r, docs = setup
+    one = r.aggs_dsl_df(
+        {"s2": {"sum": {"script": {"source": "dl * 2"}}},
+         "p": {"percentiles": {"script": "dl * 2", "percents": [50.0]}},
+         "g": {"value_count": {"field": "grp"}},
+         "gm": {"value_count": {"field": "grp", "missing": "N/A"}}}
+    ).collect()[0]
+    tot = sum(v["dl"] for v in docs.values())
+    assert one["s2"] == 2 * tot
+    import statistics
+    assert one["p_p50"] == pytest.approx(
+        statistics.median(2 * v["dl"] for v in docs.values()))
+    n_null = sum(1 for v in docs.values() if v["grp"] is None)
+    assert one["g"] == len(docs) - n_null and one["gm"] == len(docs)
+
+    # avg with missing: nulls count as the substitute
+    got = r.aggs_dsl_df(
+        {"m": {"value_count": {"field": "grp", "missing": "zz"}}}).collect()
+    assert got[0]["m"] == len(docs)
+
+    # time_zone: +05:00 shifts day boundaries; recompute by hand
+    import collections as _c
+    import datetime as _dt
+
+    tz = _dt.timezone(_dt.timedelta(hours=5))
+    want = _c.Counter()
+    for v in docs.values():
+        loc = v["ts"].replace(tzinfo=_dt.timezone.utc).astimezone(tz)
+        day0 = loc.replace(hour=0, minute=0, second=0, microsecond=0)
+        want[day0.astimezone(_dt.timezone.utc).replace(tzinfo=None)] += 1
+    got = {
+        x["t"]: x["t_doc_count"]
+        for x in r.aggs_dsl_df(
+            {"t": {"date_histogram": {"field": "ts",
+                                      "calendar_interval": "day",
+                                      "time_zone": "+05:00"}}}).collect()
+    }
+    assert got == dict(want)
+    # and it differs from the UTC bucketing (the shift is real)
+    utc = {
+        x["t"] for x in r.aggs_dsl_df(
+            {"t": {"date_histogram": {"field": "ts",
+                                      "calendar_interval": "day"}}}).collect()
+    }
+    assert set(got) != utc
+
+
 def test_histogram_dense_fill(spark, setup):
     """Explicit min_doc_count: 0 / extended_bounds fill empty histogram
     buckets (the ES default behavior, opt-in here — documented sparse
