@@ -1526,8 +1526,12 @@ def _fs_value(ctx, spec: dict):
         # ES applies factor BEFORE the modifier: modifier(factor * value)
         return w * _FVF_MODS[mod](col * F.lit(float(fspec.get("factor", 1.0))))
     if kind == "random_score":
+        # hash the STABLE doc identity (the manifest key columns), not
+        # the internal (segment, doc_id) keys — same draw on the base
+        # and live tiers for the same document
         seed = int((fspec or {}).get("seed", 0))
-        h = F.xxhash64(*[F.col(c) for c in ctx.keys], F.lit(seed))
+        idc = list(ctx.r0.manifest["key_cols"])
+        h = F.xxhash64(*[F.col(c) for c in idc], F.lit(seed))
         return w * (F.pmod(h, F.lit(1 << 52)).cast("double") / F.lit(float(1 << 52)))
     # decay kinds over a numeric/date field
     from ..functions.scoring import decay_expr
