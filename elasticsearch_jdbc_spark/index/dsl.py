@@ -1933,6 +1933,12 @@ def _apply_sort(ctx: _Ctx, out: DataFrame, sort) -> tuple:
         if f == "_score":
             col = F.col("score")
             rname = "score"
+        elif f in ("_id", "_doc"):
+            # ES _id / _doc sort: the doc identity / index order — both
+            # map to the engine's monotone internal doc_id (the builder
+            # assigns ids in key order, so _id order IS _doc order here)
+            col = F.col("doc_id")
+            rname = "doc_id"
         elif (
             leaf
             and _NESTED_IDENT.fullmatch(head)
@@ -4285,6 +4291,25 @@ def search_dsl_df(
                 f"collapse field {cf!r} not a docs metadata column; "
                 f"have {ctx.meta_cols()}"
             )
+        ih = collapse.get("inner_hits")
+        ih_name, ih_size = None, 0
+        if ih is not None:
+            # ES collapse.inner_hits: each collapsed row also carries its
+            # group's top-N members, ordered like the head selection —
+            # engine-native shape: an array<struct<doc keys, score>>
+            # column named by the request. Costs ONE window shuffle on
+            # the collapse key (the same key the collapse groups on).
+            if not isinstance(ih, dict):
+                raise ValueError("inner_hits wants {'name': ..., 'size': n}")
+            unknown_ih = set(ih) - {"name", "size"}
+            if unknown_ih:
+                raise ValueError(
+                    f"unsupported inner_hits options {sorted(unknown_ih)}; "
+                    "supported: name, size (members order = the head-"
+                    "selection order)"
+                )
+            ih_name = str(ih.get("name", "inner_hits"))
+            ih_size = int(ih.get("size", 3))
         sort_names = []
         if sort is not None:
             for e in _aslist(sort):
@@ -4309,17 +4334,26 @@ def search_dsl_df(
             from pyspark.sql.window import Window
 
             wkey = Window.partitionBy(cf)
-            out = (
-                out.withColumn(
-                    "collapse_count", F.count(F.lit(1)).over(wkey)
-                )
-                .withColumn(
-                    "_rn",
-                    F.row_number().over(wkey.orderBy(*(list(order) + tie))),
-                )
-                .filter(F.col("_rn") == 1)
-                .drop("_rn")
+            ranked = out.withColumn(
+                "collapse_count", F.count(F.lit(1)).over(wkey)
+            ).withColumn(
+                "_rn",
+                F.row_number().over(wkey.orderBy(*(list(order) + tie))),
             )
+            out = ranked.filter(F.col("_rn") == 1).drop("_rn")
+            if ih_name:
+                members = (
+                    ranked.filter(F.col("_rn") <= ih_size)
+                    .groupBy(cf)
+                    .agg(
+                        F.sort_array(
+                            F.collect_list(
+                                F.struct("_rn", *ctx.keys, "score")
+                            )
+                        ).alias(ih_name)
+                    )
+                )
+                out = out.join(members, cf, "left")
         else:
             # per-key head via max_by — a map-side-combinable aggregate,
             # NOT a window over the full match set (collapse_df's plan
@@ -4338,6 +4372,7 @@ def search_dsl_df(
                 ordkey = F.struct(
                     F.col("score"), (-F.col("doc_id")).alias("_nd")
                 )
+            pre = out
             out = (
                 out.groupBy(cf)
                 .agg(
@@ -4348,6 +4383,31 @@ def search_dsl_df(
                 )
                 .select(F.col("_head.*"), cf, "collapse_count")
             )
+            if ih_name:
+                from pyspark.sql.window import Window
+
+                if ctx.live:
+                    mtie = [
+                        F.desc(rank_map[F.col("segment")]), F.asc("doc_id")
+                    ]
+                else:
+                    mtie = [F.asc("doc_id")]
+                w_ih = Window.partitionBy(cf).orderBy(
+                    F.desc("score"), *mtie
+                )
+                members = (
+                    pre.withColumn("_rn", F.row_number().over(w_ih))
+                    .filter(F.col("_rn") <= ih_size)
+                    .groupBy(cf)
+                    .agg(
+                        F.sort_array(
+                            F.collect_list(
+                                F.struct("_rn", *ctx.keys, "score")
+                            )
+                        ).alias(ih_name)
+                    )
+                )
+                out = out.join(members, cf, "left")
     sort_resolved = []
     if sort is not None:
         out, order, sort_resolved = _apply_sort(ctx, out, sort)

@@ -1067,6 +1067,60 @@ def test_collapse_head_by_sort(spark, setup):
     }
 
 
+def test_collapse_inner_hits_and_id_sort(spark, setup):
+    """collapse.inner_hits returns each group's top-N members (ordered
+    like the head selection) as an array column; `_id` / `_doc` sort
+    entries map to the monotone internal doc id."""
+    d, r, docs = setup
+    base = {"match": {"content": "merge"}}
+    m = _scores(r.search_dsl_df(base, k=None))
+    out = r.search_dsl_df(
+        {"query": base,
+         "collapse": {"field": "lang",
+                      "inner_hits": {"name": "members", "size": 2}},
+         "size": 10},
+    ).collect()
+    per = {}
+    for i, s in m.items():
+        per.setdefault(docs[i]["lang"], []).append((i, s))
+    for row in out:
+        want = sorted(per[row["lang"]], key=lambda t: (-t[1], t[0]))[:2]
+        got = [(x["doc_id"], x["score"]) for x in row["members"]]
+        assert got == want
+        assert row["doc_id"] == want[0][0]
+        # member order column is the rank
+        assert [x["_rn"] for x in row["members"]] == list(
+            range(1, len(want) + 1))
+    # head-by-sort path carries inner_hits too
+    out2 = r.search_dsl_df(
+        {"query": base, "sort": [{"dl": "desc"}],
+         "collapse": {"field": "lang",
+                      "inner_hits": {"name": "members", "size": 2}},
+         "size": 10},
+    ).collect()
+    for row in out2:
+        ids = [x["doc_id"] for x in row["members"]]
+        want = sorted(
+            (i for i, _ in per[row["lang"]]),
+            key=lambda i: (-docs[i]["dl"], i),
+        )[:2]
+        assert ids == want and row["doc_id"] == want[0]
+    with pytest.raises(ValueError, match="unsupported inner_hits"):
+        r.search_dsl_df(
+            {"query": base,
+             "collapse": {"field": "lang",
+                          "inner_hits": {"sort": [{"dl": "asc"}]}}},
+            k=3)
+    # _id / _doc sorts
+    ids_sorted = sorted(m)
+    got = [x["doc_id"] for x in r.search_dsl_df(
+        {"query": base, "sort": [{"_id": "asc"}], "size": 5}).collect()]
+    assert got == ids_sorted[:5]
+    got = [x["doc_id"] for x in r.search_dsl_df(
+        {"query": base, "sort": ["_doc"], "size": 5}).collect()]
+    assert got == ids_sorted[:5]
+
+
 def test_rescore_sort_rejected(spark, setup):
     """ES rejects rescore combined with a sort other than _score
     (ADVICE r4); a bare _score sort stays allowed."""
