@@ -1565,8 +1565,9 @@ def _compound_function_score(ctx, body):
     function applying = neutral 1.0), max_boost cap, boost_mode merging
     with the query score (multiply / replace / sum / avg / max / min),
     min_score cut. Everything evaluates inside codegen over ONE
-    hits-join-docs projection; per-entry filters join as broadcast
-    match-set indicators (tiny key sets, never a second corpus scan)."""
+    hits-join-docs projection; per-entry filters join as match-set
+    indicator relations on the doc keys (AQE broadcasts the small ones;
+    never a second corpus scan)."""
     inner = _compile(ctx, body["query"])
     bmode = body.get("boost_mode", "multiply")
     if bmode not in ("multiply", "replace", "sum", "avg", "max", "min"):
@@ -1596,7 +1597,10 @@ def _compound_function_score(ctx, body):
             ind = _compile(ctx, filt).select(*ctx.keys).withColumn(
                 flag, F.lit(True)
             )
-            rows = rows.join(F.broadcast(ind), ctx.keys, "left")
+            # no broadcast HINT: a function filter can match most of the
+            # corpus (its indicator is corpus-sized) — AQE picks the
+            # broadcast when the match set is actually small
+            rows = rows.join(ind, ctx.keys, "left")
             gates.append(F.col(flag).isNotNull())
     applied = [F.when(g, v) for g, v in zip(gates, vals)]
     if smode == "multiply":

@@ -4731,7 +4731,8 @@ def fscore_msm_q(spark, sf_dir):
     field_value_factor on the planted lon, capped by max_boost,
     multiplied onto the query score. DuckDB re-derives clause counts,
     function application, and the cap relationally. One hits-join-docs
-    projection, per-entry filters broadcast — no second corpus scan."""
+    projection, per-entry filters join as indicator relations — no
+    second corpus scan."""
     from ..index import IndexReader
 
     idx = _registry_index(spark, sf_dir)
