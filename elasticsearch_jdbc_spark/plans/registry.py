@@ -9846,7 +9846,9 @@ _WINDOW_R5 = [
     # yet: five are judge-verified in the r4 past-window dryrun; dismax's
     # max+tie_breaker algebra is also exercised through the in-window
     # best_fields/cross_fields entries; sigtext shares the one-scan JLH
-    # significance kernel with the in-window sigterms --
+    # significance kernel with the in-window sigterms; sort_page's
+    # _apply_sort + shallow-cut machinery also runs under the in-window
+    # index_sort / search_after / collapse entries --
     "dismax_index_search",
     "dsl_sort_page_search",
     "sigtext_index_search",
