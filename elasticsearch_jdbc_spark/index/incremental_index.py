@@ -960,7 +960,11 @@ class IncrementalIndexReader:
         index), scoring through search_terms_df with tombstones masked."""
         expanded: list[str] = []
         groups: list[list[str]] = []
-        for pat in pattern.split():
+        # spaces only — bare split() would shred the \x1f field
+        # namespace separator (see IndexReader.search_wildcard_df)
+        for pat in pattern.split(" "):
+            if not pat:
+                continue
             g = sorted(
                 {
                     t

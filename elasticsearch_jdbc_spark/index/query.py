@@ -3994,7 +3994,12 @@ class IndexReader:
         for min_should_match. k=None returns the unranked match set."""
         expanded: list[str] = []
         groups: list[list[str]] = []
-        for pat in pattern.split():
+        # split on SPACES only: bare str.split() treats \x1c-\x1f as
+        # whitespace, which would shred the \x1f field-namespace
+        # separator of fields-corpus patterns into two dead tokens
+        for pat in pattern.split(" "):
+            if not pat:
+                continue
             g = self.expand_wildcard(pat.lower(), limit)
             for t in g:
                 if t not in expanded:

@@ -468,6 +468,24 @@ def test_dsl_fields_corpus_routing(spark, tmp_path):
     assert got.keys() == want.keys()
     for k in got:
         assert got[k] == pytest.approx(want[k], rel=1e-12)
+    # wildcard / prefix namespace into the field (regression: bare
+    # str.split() treats the \x1f namespace separator as whitespace and
+    # shredded fields-corpus wildcard patterns into two dead tokens)
+    got = {paths[i] for i in _ids(
+        r.search_dsl_df({"wildcard": {"title": {"value": "eng*"}}}, k=None))}
+    assert got == {"0", "2"}
+    got = {paths[i] for i in _ids(
+        r.search_dsl_df({"wildcard": {"body": {"value": "boil*s"}}}, k=None))}
+    assert got == {"2"}
+    got = {paths[i] for i in _ids(
+        r.search_dsl_df({"prefix": {"title": {"value": "spa"}}}, k=None))}
+    assert got == {"0"}
+    # live twin of the fields wildcard
+    live = IncrementalIndexReader(spark, idx)
+    got = {paths[i] for i in {
+        x["doc_id"] for x in live.search_dsl_df(
+            {"wildcard": {"title": {"value": "eng*"}}}, k=None).collect()}}
+    assert got == {"0", "2"}
     # unknown field rejected
     with pytest.raises(ValueError, match="unknown field"):
         r.search_dsl_df({"match": {"nope": "x"}})
