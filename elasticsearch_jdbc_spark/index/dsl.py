@@ -1261,12 +1261,29 @@ def _leaf_sparse_vector(ctx, body):
 
 
 def _leaf_mlt(ctx, body):
+    like = body["like"]
+    if isinstance(like, list):
+        # ES accepts a LIST of like-texts (concatenated term source) and
+        # {_id/_index} doc references — the latter are impossible here:
+        # the index stores no _source (the database is authoritative),
+        # so there is no stored text to expand a doc reference from
+        if any(not isinstance(x, str) for x in like):
+            raise ValueError(
+                "more_like_this doc references ({'_id': ...}) are "
+                "unsupported: the index stores no _source — pass the "
+                "document's text itself"
+            )
+        like = " ".join(like)
+    flds = body.get("fields")
+    if flds and not ctx.fields:
+        flds = None  # plain corpus: content pseudo-field only
     df = ctx.reader.more_like_this_df(
-        body["like"], k=None,
+        like, k=None,
         max_query_terms=int(body.get("max_query_terms", 25)),
         min_term_freq=int(body.get("min_term_freq", 2)),
         min_doc_freq=int(body.get("min_doc_freq", 2)),
         min_should_match=body.get("minimum_should_match", "30%"),
+        fields=flds,
     )
     return _scale(df, body.get("boost", 1.0))
 

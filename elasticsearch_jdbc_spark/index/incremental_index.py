@@ -530,6 +530,7 @@ class IncrementalIndexReader:
         min_should_match="30%",
         filter_sql: str | None = None,
         exclude_self: bool = True,
+        fields: list[str] | None = None,
     ) -> DataFrame:
         """ES more_like_this over the LIVE index: `like` is free text or a
         {key_col: value} doc reference resolved across segments (newest
@@ -559,6 +560,22 @@ class IncrementalIndexReader:
             from ..functions.tokenizer import tokenize_py
 
             tokens = tokenize_py(like)
+            mfields = self.fields
+            if fields:
+                unknown = set(fields) - set(mfields or ())
+                if unknown:
+                    raise ValueError(
+                        f"unknown MLT fields {sorted(unknown)}; "
+                        f"indexed: {mfields}"
+                    )
+            if mfields:
+                # fields corpus: namespace like-tokens per queried field
+                # (see IndexReader._mlt_select_terms)
+                tokens = [
+                    f + "\x1f" + t
+                    for t in tokens
+                    for f in (fields or mfields)
+                ]
         tf = Counter(tokens)
         cands = sorted(t for t, c in tf.items() if c >= min_term_freq)
         dfs = self._global_dfs(cands)

@@ -1312,6 +1312,7 @@ class IndexReader:
         max_query_terms: int,
         min_term_freq: int,
         min_doc_freq: int,
+        fields: list[str] | None = None,
     ) -> tuple[list[str], int | None]:
         """Shared MLT term selection: the doc's (or free text's) terms with
         tf >= min_term_freq and df >= min_doc_freq, ranked by tf*idf
@@ -1324,6 +1325,16 @@ class IndexReader:
             tokens, src = self._mlt_doc_tokens(like)
         else:
             tokens, src = tokenize_py(like), None
+            mfields = self.manifest.get("fields")
+            if mfields:
+                # fields corpus: the dictionary is field-namespaced —
+                # expand each like-token to its per-field variants so
+                # selection and scoring hit real terms (ES MLT `fields`)
+                tokens = [
+                    f + "\x1f" + t
+                    for t in tokens
+                    for f in (fields or mfields)
+                ]
         tf = Counter(tokens)
         cands = sorted(t for t, c in tf.items() if c >= min_term_freq)
         dfs = self._term_dfs(cands)
@@ -1346,6 +1357,7 @@ class IndexReader:
         min_should_match="30%",
         filter_sql: str | None = None,
         exclude_self: bool = True,
+        fields: list[str] | None = None,
     ) -> DataFrame:
         """ES more_like_this: find docs similar to `like` — free text, or
         a {key_col: value} reference to an indexed doc (resolved via
@@ -1358,8 +1370,15 @@ class IndexReader:
         (bounded), the scoring fans out over postings. The source doc
         itself is excluded by default. k=None returns the unranked match
         set."""
+        mfields = self.manifest.get("fields")
+        if fields:
+            unknown = set(fields) - set(mfields or ())
+            if unknown:
+                raise ValueError(
+                    f"unknown MLT fields {sorted(unknown)}; indexed: {mfields}"
+                )
         sel, src = self._mlt_select_terms(
-            like, max_query_terms, min_term_freq, min_doc_freq
+            like, max_query_terms, min_term_freq, min_doc_freq, fields=fields
         )
         if not sel:
             return self.spark.createDataFrame([], "doc_id long, score double")

@@ -486,6 +486,26 @@ def test_dsl_fields_corpus_routing(spark, tmp_path):
         x["doc_id"] for x in live.search_dsl_df(
             {"wildcard": {"title": {"value": "eng*"}}}, k=None).collect()}}
     assert got == {"0", "2"}
+    # more_like_this namespaces like-tokens per field on a fields corpus
+    # (regression: raw tokens matched nothing in the namespaced dict);
+    # list-of-texts concatenates, field scoping restricts, doc refs err
+    got = {paths[i] for i in _ids(r.search_dsl_df(
+        {"more_like_this": {"like": ["spark engine"], "min_term_freq": 1,
+                            "min_doc_freq": 1}}, k=None))}
+    assert got == {"0", "1", "2"}
+    got = {paths[i] for i in _ids(r.search_dsl_df(
+        {"more_like_this": {"fields": ["body"], "like": "spark engine",
+                            "min_term_freq": 1, "min_doc_freq": 1}},
+        k=None))}
+    assert got == {"1"}
+    with pytest.raises(ValueError, match="doc references"):
+        r.search_dsl_df({"more_like_this": {"like": [{"_id": "1"}],
+                                            "min_term_freq": 1}}, k=3)
+    with pytest.raises(ValueError, match="unknown MLT fields"):
+        r.search_dsl_df({"more_like_this": {"fields": ["nope"],
+                                            "like": "spark",
+                                            "min_term_freq": 1,
+                                            "min_doc_freq": 1}}, k=3)
     # unknown field rejected
     with pytest.raises(ValueError, match="unknown field"):
         r.search_dsl_df({"match": {"nope": "x"}})
