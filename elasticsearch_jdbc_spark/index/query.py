@@ -256,6 +256,11 @@ def parse_query_string(q: str, default_operator: str = "or") -> list[tuple]:
       wor*  w?rd     wildcard term (expands against the dictionary)
       word~  word~1  fuzzy (AUTO / explicit edit distance)
       field:word     fielded term (multi-field indexes)
+      a AND b / &&   both clauses must (the Lucene pairwise rule:
+                     AND promotes BOTH neighbors unless +/- signed)
+      a OR b / ||    both clauses should (demotes an unsigned neighbor)
+      NOT b / !b     next clause must_not
+      (uppercase AND/OR/NOT only — lowercase are terms, as in Lucene)
 
     No parens/ranges/regex — those callers use the typed surfaces
     (search_bool_df / facet_df / filter_sql) directly. occur is one of
@@ -265,26 +270,62 @@ def parse_query_string(q: str, default_operator: str = "or") -> list[tuple]:
         raise ValueError(f"default_operator must be or|and, got {default_operator!r}")
     bare = "must" if default_operator == "and" else "should"
     out: list[tuple] = []
+    # a clause is LOCKED once its occur came from a +/- sign or a
+    # connective action — the Lucene classic-parser rule ("a AND b OR c"
+    # keeps +b: the OR never demotes an AND-promoted neighbor)
+    locked: list[bool] = []
+    pending: str | None = None
     for m in _QS_TOKEN.finditer(q):
         sign, phrase, slop, word = m.groups()
+        if phrase is None and not sign and word in (
+            "AND", "&&", "OR", "||", "NOT", "!"
+        ):
+            pending = {
+                "AND": "and", "&&": "and", "OR": "or", "||": "or",
+                "NOT": "not", "!": "not",
+            }[word]
+            continue
         occur = {"+": "must", "-": "must_not"}.get(sign, bare)
+        lock = sign in ("+", "-")
+        if pending == "and":
+            if not lock:
+                occur, lock = "must", True
+            if out and not locked[-1] and out[-1][0] == "should":
+                out[-1] = ("must",) + out[-1][1:]
+                locked[-1] = True
+        elif pending == "or":
+            if not lock:
+                occur, lock = "should", True
+            if out and not locked[-1] and out[-1][0] == "must":
+                out[-1] = ("should",) + out[-1][1:]
+                locked[-1] = True
+        elif pending == "not":
+            if not lock:
+                occur, lock = "must_not", True
+        pending = None
+        signed = lock
         if phrase is not None:
             if phrase.strip():
                 out.append((occur, "phrase", (phrase, int(slop or 0))))
+                locked.append(signed)
             continue
         if ":" in word:
             f, t = word.split(":", 1)
             if f and t:
                 out.append((occur, "fielded", (f, t)))
+                locked.append(signed)
                 continue
         fm = re.fullmatch(r"(.+?)~(\d?)", word)
         if fm:
             out.append((occur, "fuzzy", (fm.group(1), fm.group(2))))
+            locked.append(signed)
             continue
         if "*" in word or "?" in word:
             out.append((occur, "wildcard", word))
+            locked.append(signed)
             continue
         out.append((occur, "term", word))
+        locked.append(signed)
     return out
 
 

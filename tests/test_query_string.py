@@ -56,6 +56,53 @@ def test_parser_goldens():
     assert parse_query_string('""') == []
 
 
+def test_parser_connectives():
+    """Lucene AND/OR/NOT (uppercase only) with the classic-parser
+    pairwise rules: AND promotes both neighbors, OR demotes an unsigned
+    default-must neighbor, NOT negates the next clause, +/- signs and
+    connective-set occurs never get overridden."""
+    assert parse_query_string("title:spark AND body:merge") == [
+        ("must", "fielded", ("title", "spark")),
+        ("must", "fielded", ("body", "merge")),
+    ]
+    assert parse_query_string("a b AND c") == [
+        ("should", "term", "a"),
+        ("must", "term", "b"),
+        ("must", "term", "c"),
+    ]
+    # the classic QueryParser quirk: "a AND b OR c" keeps +b
+    assert parse_query_string("a AND b OR c") == [
+        ("must", "term", "a"),
+        ("must", "term", "b"),
+        ("should", "term", "c"),
+    ]
+    assert parse_query_string("a NOT b") == [
+        ("should", "term", "a"),
+        ("must_not", "term", "b"),
+    ]
+    assert parse_query_string("+a AND -b") == [
+        ("must", "term", "a"),
+        ("must_not", "term", "b"),
+    ]
+    assert parse_query_string("a && b || c ! d") == [
+        ("must", "term", "a"),
+        ("must", "term", "b"),
+        ("should", "term", "c"),
+        ("must_not", "term", "d"),
+    ]
+    # OR under default_operator=and demotes both neighbors
+    assert parse_query_string("a OR b", default_operator="and") == [
+        ("should", "term", "a"),
+        ("should", "term", "b"),
+    ]
+    # lowercase and/or/not are plain terms (Lucene contract)
+    assert parse_query_string("and or not") == [
+        ("should", "term", "and"),
+        ("should", "term", "or"),
+        ("should", "term", "not"),
+    ]
+
+
 def _scores(df, ident=("doc_id",)):
     if len(ident) == 1:
         return {row[ident[0]]: row["score"] for row in df.collect()}
