@@ -1164,6 +1164,25 @@ def _leaf_query_string(ctx, body):
     return _scale(df, body.get("boost", 1.0))
 
 
+def _leaf_simple_query_string(ctx, body):
+    """ES simple_query_string: the same mini-language with the SQS infix
+    spellings — standalone `+` means AND and `|` means OR
+    (simple-query-string-syntax) — translated token-wise onto the
+    query_string parser; `-`, quotes, `*`, `~N` already coincide.
+    `flags` is accepted and ignored (all supported features stay on —
+    SQS flags only ever REMOVE syntax, and unknown syntax here degrades
+    to plain terms, the SQS contract of never erroring)."""
+    if isinstance(body, str):
+        body = {"query": body}
+    body = dict(body)
+    body["query"] = " ".join(
+        {"+": "AND", "|": "OR"}.get(t, t)
+        for t in str(body["query"]).split(" ")
+    )
+    body.pop("flags", None)
+    return _leaf_query_string(ctx, body)
+
+
 def _leaf_knn(ctx, body):
     """ES `knn` search clause over an embedding METADATA column, scored
     (1 + cosine) / 2 (ES's cosine-similarity mapping) so hybrid
@@ -1769,7 +1788,7 @@ _LEAFS = {
     "geo_shape": _leaf_geo_shape,
     "geo_polygon": _leaf_geo_polygon,
     "query_string": _leaf_query_string,
-    "simple_query_string": _leaf_query_string,
+    "simple_query_string": _leaf_simple_query_string,
     "more_like_this": _leaf_mlt,
     "knn": _leaf_knn,
     "sparse_vector": _leaf_sparse_vector,

@@ -103,6 +103,26 @@ def test_parser_connectives():
     ]
 
 
+def test_sqs_infix_operators(spark, idx):
+    """simple_query_string spells AND as `+` and OR as `|` — the DSL
+    leaf translates token-wise onto the same parser; `flags` accepted
+    and ignored."""
+    from elasticsearch_jdbc_spark.index import IndexReader
+
+    r = IndexReader(spark, idx)
+    plus = {x["doc_id"] for x in r.search_dsl_df(
+        {"simple_query_string": {"query": "merge + stream",
+                                 "flags": "ALL"}}, k=None).collect()}
+    want = {x["doc_id"] for x in r.search_dsl_df(
+        {"query_string": {"query": "merge AND stream"}}, k=None).collect()}
+    assert plus == want and plus
+    bar = {x["doc_id"] for x in r.search_dsl_df(
+        {"simple_query_string": {"query": "merge | stream"}}, k=None).collect()}
+    wor = {x["doc_id"] for x in r.search_dsl_df(
+        {"query_string": {"query": "merge OR stream"}}, k=None).collect()}
+    assert bar == wor and plus < bar
+
+
 def _scores(df, ident=("doc_id",)):
     if len(ident) == 1:
         return {row[ident[0]]: row["score"] for row in df.collect()}
