@@ -109,7 +109,7 @@ def test_sqs_infix_operators(spark, idx):
     and ignored."""
     from elasticsearch_jdbc_spark.index import IndexReader
 
-    r = IndexReader(spark, idx)
+    r = IndexReader(spark, idx[0])
     plus = {x["doc_id"] for x in r.search_dsl_df(
         {"simple_query_string": {"query": "merge + stream",
                                  "flags": "ALL"}}, k=None).collect()}
