@@ -280,9 +280,12 @@ def _parse_msm(msm, total: int) -> int:
             return _parse_msm(chosen[1], total)
         try:
             if s.endswith("%"):
-                v = int(float(s[:-1]) / 100.0 * total)
-            else:
-                v = int(s)
+                # the sign is textual, not numeric: "-N%" means N percent
+                # MISSING (total minus the floored count) even at -0.x%
+                neg = s.startswith("-")
+                v = int(abs(float(s[:-1])) / 100.0 * total)
+                return total - v if neg else v
+            v = int(s)
         except ValueError:
             raise ValueError(f"bad minimum_should_match {msm!r}") from None
     else:

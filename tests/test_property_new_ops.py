@@ -95,3 +95,50 @@ def test_pipeline_agg_identities(vals):
     assert [csum[0]] + [csum[i] - csum[i - 1] for i in range(1, len(vals))] == vals
     sd1 = [None] + [float(b - a) for a, b in zip(vals, vals[1:])]
     assert sd1 == deriv
+
+
+@given(st.integers(-20, 40), st.integers(0, 30))
+@settings(max_examples=300, deadline=None)
+def test_msm_integer_and_negative(m, total):
+    """_parse_msm: integers pass through; negatives subtract from the
+    total; never below zero; string spellings agree with ints."""
+    from elasticsearch_jdbc_spark.index.dsl import _parse_msm
+
+    v = _parse_msm(m, total)
+    assert v == max(0, m if m >= 0 else total + m)
+    assert _parse_msm(str(m), total) == v
+
+
+@given(st.floats(0.0, 100.0, allow_nan=False), st.integers(0, 50))
+@settings(max_examples=300, deadline=None)
+def test_msm_percentage_bounds_and_duality(pct, total):
+    """"N%" floors to at most total; "-N%" is its documented dual:
+    total - floor(N% of total) — the ES rounding asymmetry — and both
+    are monotone in the percentage."""
+    from elasticsearch_jdbc_spark.index.dsl import _parse_msm
+
+    pos = _parse_msm(f"{pct}%", total)
+    neg = _parse_msm(f"-{pct}%", total)
+    assert 0 <= pos <= total
+    assert neg == total - int(pct / 100.0 * total)
+    assert pos == int(pct / 100.0 * total)
+    if pct <= 90.0:
+        assert _parse_msm(f"{pct + 10.0}%", total) >= pos
+
+
+@given(st.integers(0, 12), st.integers(1, 10), st.integers(1, 99))
+@settings(max_examples=300, deadline=None)
+def test_msm_combination_picks_largest_below(total, n1, pctn):
+    """"n<spec" combos: the spec with the LARGEST n below total applies;
+    total <= every n requires ALL clauses."""
+    from elasticsearch_jdbc_spark.index.dsl import _parse_msm
+
+    n2 = n1 + 3
+    combo = f"{n1}<2 {n2}<{pctn}%"
+    got = _parse_msm(combo, total)
+    if total <= n1:
+        assert got == total
+    elif total <= n2:
+        assert got == 2
+    else:
+        assert got == int(pctn / 100.0 * total)
