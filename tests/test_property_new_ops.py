@@ -142,3 +142,24 @@ def test_msm_combination_picks_largest_below(total, n1, pctn):
         assert got == 2
     else:
         assert got == int(pctn / 100.0 * total)
+
+
+@given(st.lists(st.sampled_from(
+    list("abc") + ["+", "-", "~1", ":", "x*", "?", "||", "!", "&&",
+                   "AND", "OR", "NOT", '"a b"', "f:v", "+a", "-b"]),
+    max_size=15).map(" ".join))
+@settings(max_examples=400, deadline=None)
+def test_query_string_parser_total(q):
+    """parse_query_string is TOTAL on arbitrary search-box input (the
+    never-crash contract): every clause has a valid occur/kind shape and
+    uppercase connectives never leak through as clauses."""
+    from elasticsearch_jdbc_spark.index.query import parse_query_string
+
+    out = parse_query_string(q)
+    for occur, kind, val in out:
+        assert occur in ("must", "should", "must_not")
+        assert kind in ("term", "phrase", "wildcard", "fuzzy", "fielded")
+        assert val not in ("AND", "OR", "NOT", "&&", "||", "!")
+    # default_operator=and parses the same clause kinds
+    out2 = parse_query_string(q, default_operator="and")
+    assert [(k, v) for _, k, v in out2] == [(k, v) for _, k, v in out]
