@@ -436,3 +436,16 @@ def test_dense_histogram_broadcast_series(spark, nidx):
     assert phys.count("BroadcastHashJoin") == 1
     assert "SortMergeJoin" not in phys and "CartesianProduct" not in phys
     assert phys.count("Exchange") <= 3
+
+
+def test_cross_fields_single_decode_filter_pushed(spark, fidx):
+    """cross_fields: ONE postings scan over the field-namespaced term
+    variants (filter pushed to parquet), one vectorized decode, one
+    TakeOrdered cut — never a scan per field or per token."""
+    r = IndexReader(spark, fidx)
+    phys = _phys(r.search_cross_fields_df("merge quick", k=5,
+                                          tie_breaker=0.3))
+    assert phys.count("MapInPandas") == 1
+    assert phys.count("FileScan") == 1
+    assert "TakeOrderedAndProject" in phys
+    assert "PushedFilters: [In(term" in phys
