@@ -383,8 +383,32 @@ def _leaf_terms(ctx, body):
     body = dict(body)
     boost = float(body.pop("boost", 1.0))
     field, values = _one(body)
+    if isinstance(values, dict) and "id" in values and "path" in values:
+        # ES terms LOOKUP: the referenced doc's `path` field values
+        # BECOME the terms set (query-dsl-terms-query.html#query-dsl-
+        # terms-lookup). Engine-native: the lookup doc lives in THIS
+        # corpus (`index` is accepted and ignored — one corpus per
+        # reader); `id` addresses the doc identity column (`id_field`,
+        # default 'path' like ids_df). One mget point read resolves the
+        # predicate; filter context, like ES (constant score).
+        from .query import terms_lookup_sql
+
+        if field not in ctx.meta_cols():
+            raise ValueError(
+                f"terms lookup targets a docs metadata column; {field!r} "
+                f"not in {ctx.meta_cols()}"
+            )
+        like = {str(values.get("id_field", "path")): values["id"]}
+        is_arr = dict(ctx.docs().dtypes).get(field, "").startswith("array")
+        sql = terms_lookup_sql(
+            ctx.reader, like, str(values["path"]), field, array_target=is_arr
+        )
+        return _set_score(ctx, ctx.filter_ids(sql), boost)
     if not isinstance(values, list) or not values:
-        raise ValueError("terms query wants {field: [v, ...]}")
+        raise ValueError(
+            "terms query wants {field: [v, ...]} (or the lookup shape "
+            "{field: {'id': ..., 'path': ...}})"
+        )
     if field in ctx.meta_cols():
         lits = ", ".join(_sql_lit(v) for v in values)
         return _set_score(ctx, ctx.filter_ids(f"{field} IN ({lits})"), boost)

@@ -66,3 +66,41 @@ def test_terms_lookup_live_newest_version(spark, tmp_path):
     r = IncrementalIndexReader(spark, idx)
     # lookup resolves the upserted (newest) version: wants = [rs]
     assert r.terms_lookup({"path": "0"}, "wants", "lang") == "lang IN ('rs')"
+
+
+def test_terms_lookup_dsl_leaf(spark, tmp_path):
+    """The ES lookup shape through the `terms` DSL leaf: the referenced
+    doc's `path` field values become the terms set; filter-context
+    constant score; missing doc matches nothing."""
+    idx = str(tmp_path / "dslidx")
+    docs = spark.createDataFrame(
+        [
+            ("r", "0", "c", "py", "merge segment", ["py", "go"]),
+            ("r", "1", "c", "go", "buffer stream", ["py"]),
+            ("r", "2", "c", "rs", "quick scan", []),
+        ],
+        SCHEMA,
+    )
+    IndexBuilder(spark, idx, partitions=2).build(docs, resume=False)
+    r = IndexReader(spark, idx)
+    paths = {
+        x["doc_id"]: x["path"]
+        for x in spark.read.parquet(f"{idx}/docs").collect()
+    }
+    out = r.search_dsl_df(
+        {"terms": {"lang": {"id": "0", "path": "wants"}}}, k=None
+    ).collect()
+    assert {paths[x["doc_id"]] for x in out} == {"0", "1"}  # lang in py/go
+    assert {x["score"] for x in out} == {1.0}
+    # boost scales the constant score; missing lookup doc -> empty
+    out = r.search_dsl_df(
+        {"terms": {"lang": {"id": "0", "path": "wants"}, "boost": 2.5}},
+        k=None,
+    ).collect()
+    assert {x["score"] for x in out} == {2.5}
+    assert (
+        r.search_dsl_df(
+            {"terms": {"lang": {"id": "nope", "path": "wants"}}}, k=None
+        ).count()
+        == 0
+    )
