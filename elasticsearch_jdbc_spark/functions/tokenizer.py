@@ -103,6 +103,27 @@ def tokens_udf(s: pd.Series) -> pd.Series:
     return tokenize_pandas(s)
 
 
+def tokens_col(c):
+    """Pure-Catalyst (whole-stage-codegen) twin of ``tokenize_py``: a
+    Column expression producing the SAME token array as the pandas/Python
+    paths, for surfaces that tokenize STORED text at query time without
+    ever leaving the JVM (the percolate query's stored-query field). Java
+    regex supports the camel lookarounds verbatim, so the chain is
+    regexp_replace(camel) -> lower -> split(non-alnum) -> drop empties —
+    no UDF, no Arrow hop. Parity with tokenize_py is pinned by a
+    property test (test_percolate_dsl.py); the ASCII token classes make
+    the two regex engines agree on any input."""
+    if isinstance(c, str):
+        c = F.col(c)
+    return F.filter(
+        F.split(
+            F.lower(F.regexp_replace(c.cast("string"), _CAMEL.pattern, " ")),
+            "[^a-z0-9]+",
+        ),
+        lambda t: t != "",
+    )
+
+
 def tokenize_spans_py(text: str) -> list[tuple[str, int, int]]:
     """Span-aware tokenizer: [(token, start, end)] with start/end in
     ORIGINAL text coordinates (token = lowercase(text[start:end]) after

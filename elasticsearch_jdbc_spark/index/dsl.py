@@ -36,7 +36,8 @@ match_bool_prefix, multi_match (best_fields / most_fields /
 combined_fields / cross_fields / phrase), combined_fields (BM25F
 term-centric blend), term, terms, terms_set, range, exists, ids, parent_id,
 has_child, has_parent (join-field queries over a metadata FK column),
-prefix, fuzzy, wildcard, regexp, intervals (match /
+prefix, fuzzy, wildcard, regexp, percolate (reverse search: stored
+saved-query text vs a supplied document), intervals (match /
 all_of / any_of rules — compositions compile onto the span algebra),
 span_term/span_near/span_first/span_or/span_not/span_within/
 span_containing/span_multi (prefix/fuzzy/wildcard rewrite)/
@@ -774,6 +775,108 @@ def _leaf_terms_set(ctx, body):
         msm_sql=script,
     )
     return _set_score(ctx, df.select(*ctx.keys), float(spec.get("boost", 1.0)))
+
+
+def _percolate_required_col(msm, n):
+    """Per-doc `minimum_should_match` for the percolate leaf: the
+    _parse_msm grammar resolved against a COLUMN of per-query term
+    counts instead of one int — positive/negative ints and "N%"/"-N%"
+    with the same textual-sign floor rounding. The "n<spec" conditional
+    form needs a scalar total and is rejected (engine-native
+    restriction, documented). Clamped to [1, n] like _mlt_min_match —
+    the percolate family's rule."""
+    if isinstance(msm, bool):
+        raise ValueError(f"bad minimum_should_match {msm!r}")
+    if isinstance(msm, int):
+        v = F.lit(msm) if msm >= 0 else (n + F.lit(msm))
+    elif isinstance(msm, str):
+        s = msm.strip()
+        if "<" in s:
+            raise ValueError(
+                "percolate minimum_should_match: conditional 'n<spec' "
+                "combinations need a per-request clause count and are "
+                "unsupported here (engine-native restriction)"
+            )
+        try:
+            if s.endswith("%"):
+                neg = s.startswith("-")
+                cnt = F.floor(
+                    n.cast("double") * F.lit(abs(float(s[:-1])) / 100.0)
+                ).cast("int")
+                v = (n - cnt) if neg else cnt
+            else:
+                v = F.lit(int(s))
+        except ValueError:
+            raise ValueError(f"bad minimum_should_match {msm!r}") from None
+    else:
+        raise ValueError(f"bad minimum_should_match {msm!r}")
+    return F.greatest(F.lit(1), F.least(v.cast("int"), n))
+
+
+def _leaf_percolate(ctx, body):
+    """ES `percolate` query (percolate-query.html): reverse search — the
+    index stores QUERIES and the body supplies the DOCUMENT; the match
+    set is the stored queries the document satisfies (the alerting /
+    saved-search shape the reference feeds via ES 2.x's .percolator
+    type, README.md's percolation section). Engine-native shape
+    (documented): each stored query is TEXT in a docs metadata column
+    (`field`); it matches when >= minimum_should_match of its DISTINCT
+    terms occur in the document's token set, msm resolved PER QUERY
+    against that query's own term count (the percolate_df /
+    _mlt_min_match model, applied in the reverse direction). score =
+    matched stored-term count (percolate_df's `matched`), times boost.
+
+    Plan: the document tokenizes once on the driver (bytes, not data);
+    each stored query tokenizes JVM-side via the codegen tokenizer
+    (tokens_col — bit-identical token stream to the pandas indexing
+    path) and intersects with the literal document-token array. ONE
+    docs-table scan, whole-stage codegen end to end — no postings, no
+    shuffle, no UDF; cost is O(stored queries) regardless of document
+    size."""
+    from ..functions.tokenizer import tokenize_py, tokens_col
+
+    spec = dict(body)
+    field = spec.get("field")
+    if not field or field not in ctx.meta_cols():
+        raise ValueError(
+            f"percolate wants 'field' naming the docs metadata column "
+            f"holding stored query text; {field!r} not in {ctx.meta_cols()}"
+        )
+    if "documents" in spec:
+        raise ValueError(
+            "percolate supports a single 'document' (engine-native "
+            "restriction); issue one percolate query per document"
+        )
+    doc = spec.get("document")
+    if doc is None:
+        raise ValueError("percolate needs a 'document'")
+    if isinstance(doc, dict):
+        text = " ".join(str(v) for v in doc.values() if v is not None)
+    else:
+        text = str(doc)
+    have = sorted(set(tokenize_py(text)))
+    stored = F.array_distinct(tokens_col(F.col(field)))
+    n = F.size(stored)
+    matched = (
+        F.size(F.array_intersect(stored, F.array(*[F.lit(t) for t in have])))
+        if have
+        else F.lit(0)
+    )
+    out = (
+        ctx.docs()
+        .filter(F.col(field).isNotNull())
+        .select(
+            *ctx.keys,
+            matched.cast("double").alias("score"),
+            n.alias("_n"),
+            _percolate_required_col(
+                spec.get("minimum_should_match", 1), n
+            ).alias("_req"),
+        )
+        .filter((F.col("_n") > 0) & (F.col("score") >= F.col("_req")))
+        .select(*ctx.keys, "score")
+    )
+    return _scale(out, spec.get("boost", 1.0))
 
 
 def _inner_match_text(q) -> str:
@@ -1806,6 +1909,7 @@ _LEAFS = {
     "match_phrase_prefix": _leaf_match_phrase_prefix,
     "combined_fields": _leaf_combined_fields,
     "terms_set": _leaf_terms_set,
+    "percolate": _leaf_percolate,
     "has_child": _leaf_has_child,
     "has_parent": _leaf_has_parent,
     "distance_feature": _leaf_distance_feature,

@@ -1496,7 +1496,8 @@ def _registry_index(spark, sf_dir, with_positions: bool = False) -> str:
     # pc1: planted parent ref metadata (ES join-field parent/child)
     # emb1: planted dense-vector metadata (embeddings join) for knn/hybrid
     # rf1: planted rank-features map for sparse_vector scoring
-    layout = ",".join(POSTINGS_SCHEMA.names) + f"|pos={with_positions}|geo1|tags1|pc1|emb1|rf1"
+    # perc1: planted stored_query saved-query metadata (ES percolator)
+    layout = ",".join(POSTINGS_SCHEMA.names) + f"|pos={with_positions}|geo1|tags1|pc1|emb1|rf1|perc1"
     tag = _h.sha1(f"{sf_dir}|{layout}".encode()).hexdigest()[:10]
     idx = _os.path.join(_tmp.gettempdir(), f"registry_idx_{tag}")
     IndexBuilder(spark, idx, partitions=8, with_positions=with_positions).build(
@@ -6266,6 +6267,70 @@ def percolate_index_q(spark, sf_dir):
             F.col("documents_doc_id").alias("doc_id"),
             F.col("matched").cast("long").alias("matched"),
         )
+    )
+
+
+@_reg(
+    "percolate_dsl_search",
+    """
+    WITH q AS (
+      SELECT doc_id,
+             (['spark','batch','merge','filter','window'])[(doc_id % 5) + 1] AS t1,
+             (['join','scan','hash','sort'])[(doc_id % 4) + 1] AS t2
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(t1 IN ('spark','join','hash','value') AS INT)
+           + CAST(t2 IN ('spark','join','hash','value') AS INT) AS matched
+      FROM q
+    )
+    SELECT 'all' AS mode, doc_id, CAST(matched AS DOUBLE) AS score
+    FROM m WHERE matched = 2
+    UNION ALL
+    SELECT 'any' AS mode, doc_id, CAST(matched AS DOUBLE) AS score
+    FROM m WHERE matched >= 1
+    """,
+)
+def percolate_dsl_q(spark, sf_dir):
+    """ES `percolate` QUERY (the request-body reverse-search leaf,
+    percolate-query.html) through the REAL engine, ORACLE-CHECKED: the
+    index's docs REGISTER saved queries (the planted stored_query
+    metadata — pure doc_id arithmetic over two disjoint vocabularies),
+    and the body supplies a document; the leaf returns the registered
+    queries the document satisfies. Two bodies exercise both msm paths:
+    minimum_should_match "100%" (the per-query Column-resolved
+    percentage — every stored term must occur in the document) and the
+    default 1 (any stored term). score = matched stored-term count, the
+    percolate_df contract. Plan: ONE docs-table scan per body, the
+    stored query tokenized JVM-side by the codegen tokenizer
+    (tokens_col) and intersected with the literal document-token array —
+    whole-stage codegen end to end, no postings, no shuffle, no UDF. The
+    oracle re-derives both match sets from the same modular arithmetic
+    in DuckDB."""
+    from ..index import IndexReader
+
+    doc = {"text": "spark join hash value"}
+    idx = _registry_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    ids = _index_docid_map(spark, idx)
+    out = None
+    for mode, body in (
+        (
+            "all",
+            {"percolate": {"field": "stored_query", "document": doc,
+                           "minimum_should_match": "100%"}},
+        ),
+        ("any", {"percolate": {"field": "stored_query", "document": doc}}),
+    ):
+        hits = reader.search_dsl_df(body, k=None).withColumn(
+            "mode", F.lit(mode)
+        )
+        out = hits if out is None else out.unionByName(hits)
+    return out.join(ids, "doc_id").select(
+        "mode",
+        F.col("documents_doc_id").alias("doc_id"),
+        F.round("score", 4).alias("score"),
     )
 
 

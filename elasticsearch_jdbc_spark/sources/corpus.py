@@ -188,6 +188,10 @@ def corpus_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic, re-derivable in any SQL engine) — the ES
     rank_features/sparse_vector substrate (ELSER-style weighted-token
     scoring).
+
+    stored_query: deterministic planted two-term saved-query text — the
+    ES percolator substrate (docs register queries; the `percolate` DSL
+    leaf reverse-matches them against a supplied document).
     """
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
@@ -228,4 +232,25 @@ def corpus_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.lit(0.05) + (F.col("doc_id") % 7) / F.lit(7.0)).cast("double"),
             ),
         ).alias("rfeat"),
+        # stored_query: deterministic planted two-term query text (pure
+        # doc_id modular arithmetic over two disjoint vocabularies,
+        # re-derivable in any SQL engine) — the ES percolator substrate:
+        # each doc REGISTERS a saved query, and the `percolate` DSL leaf
+        # matches the registered queries a supplied document satisfies.
+        F.concat(
+            F.element_at(
+                F.array(
+                    F.lit("spark"), F.lit("batch"), F.lit("merge"),
+                    F.lit("filter"), F.lit("window"),
+                ),
+                (F.col("doc_id") % 5 + 1).cast("int"),
+            ),
+            F.lit(" "),
+            F.element_at(
+                F.array(
+                    F.lit("join"), F.lit("scan"), F.lit("hash"), F.lit("sort")
+                ),
+                (F.col("doc_id") % 4 + 1).cast("int"),
+            ),
+        ).alias("stored_query"),
     )

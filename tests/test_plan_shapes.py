@@ -449,3 +449,32 @@ def test_cross_fields_single_decode_filter_pushed(spark, fidx):
     assert phys.count("FileScan") == 1
     assert "TakeOrderedAndProject" in phys
     assert "PushedFilters: [In(term" in phys
+
+
+def test_percolate_leaf_scan_only_codegen(spark, tmp_path):
+    """The percolate DSL leaf is ONE docs-table scan with the stored
+    query tokenized by the pure-Catalyst tokenizer: no postings read, no
+    join, no shuffle, no sort, no Python — percolation cost stays
+    O(stored queries) at any corpus scale."""
+    d = str(tmp_path / "perc")
+    IndexBuilder(spark, d, partitions=2).build(
+        spark.createDataFrame(
+            [("r", f"{i}", "c", "t", "merge sort", f"q{i % 4} merge")
+             for i in range(30)],
+            "repo string, path string, commit string, lang string,"
+            " content string, stored_query string",
+        ),
+        resume=False,
+    )
+    r = IndexReader(spark, d)
+    df = r.search_dsl_df(
+        {"percolate": {"field": "stored_query",
+                       "document": "merge q1 value",
+                       "minimum_should_match": "100%"}},
+        k=None,
+    )
+    phys = _phys(df)
+    assert phys.count("FileScan") == 1
+    assert "Exchange" not in phys and "Join" not in phys
+    assert "Sort" not in phys and "TakeOrdered" not in phys
+    assert "MapInPandas" not in phys and "BatchEvalPython" not in phys
