@@ -2306,7 +2306,7 @@ _BUCKET_KINDS = (
     "rare_terms", "multi_terms", "categorize_text", "global",
     "geotile_grid", "geohash_grid", "sampler", "diversified_sampler",
     "random_sampler", "ip_range", "ip_prefix", "geo_distance",
-    "nested",
+    "nested", "children", "parent",
 )
 
 
@@ -3311,7 +3311,10 @@ def aggs_dsl_df(
     restrictors before the subtree; no key of their own) / nested
     (top-level context switch to array<struct> elements; sub-aggs count
     nested docs, fields address as '<path>.<field>', reverse_nested
-    metric recovers parent-doc counts) — plus
+    metric recovers parent-doc counts) / children + parent (top-level
+    join-field context switch: one left-semi join on the
+    parent_field/id_field columns; sub-aggs run over child docs /
+    distinct referenced parents) — plus
     top-level dispatches to the typed kernels for composite,
     significant_terms, significant_text, terms+top_hits,
     median_absolute_deviation, and string_stats — and
@@ -3720,6 +3723,58 @@ def aggs_dsl_df(
                 name, F.lit(path)
             )
             nested_path = path
+            meta = {
+                "name": name, "size": None, "min_doc_count": 0,
+                "max_doc_count": None,
+            }
+        elif kind in ("children", "parent"):
+            # ES `children` / `parent` aggregations (join-field,
+            # search-aggregations-bucket-children-aggregation): switch
+            # the aggregation context from the query-scoped docs to
+            # their CHILD docs (children) or to the distinct PARENT docs
+            # they reference (parent). The join field is the has_child
+            # column model: children carry the parent's `id_field` value
+            # in their `parent_field` metadata column (engine-native
+            # spec {parent_field, id_field}, defaults parent/path; ES's
+            # mapped-relation `type` key is accepted and inert —
+            # documented). ONE left-semi join on the join key — the
+            # probe side is the scoped docs' key column only, AQE
+            # broadcasts it when small and never forces a broadcast of a
+            # corpus-sized side (the function_score filter rule). The
+            # level keys a single constant bucket; doc_count below this
+            # level counts docs in the NEW context (child docs /
+            # distinct parents — the ES contract). Top-level only
+            # (engine-native restriction, the global/nested posture).
+            if levels:
+                raise ValueError(
+                    f"{kind} must be the top-level aggregation "
+                    "(engine-native restriction)"
+                )
+            pf = spec.get("parent_field", "parent")
+            idf = spec.get("id_field", "path")
+            for c in (pf, idf):
+                if c not in ctx.meta_cols():
+                    raise ValueError(
+                        f"{kind} join column {c!r} not in docs metadata "
+                        f"{ctx.meta_cols()}"
+                    )
+            if kind == "children":
+                ref = rows.select(F.col(idf).alias("__ca_key"))
+                side = ctx.docs().filter(F.col(pf).isNotNull())
+                rows = side.join(
+                    ref, side[pf] == ref["__ca_key"], "left_semi"
+                )
+            else:
+                ref = rows.filter(F.col(pf).isNotNull()).select(
+                    F.col(pf).alias("__ca_key")
+                )
+                side = ctx.docs()
+                rows = side.join(
+                    ref, side[idf] == ref["__ca_key"], "left_semi"
+                )
+            rows = rows.withColumn("_score", F.lit(0.0)).withColumn(
+                name, F.lit(kind)
+            )
             meta = {
                 "name": name, "size": None, "min_doc_count": 0,
                 "max_doc_count": None,

@@ -4901,6 +4901,72 @@ def aggs_body_nested_q(spark, sf_dir):
     )
 
 
+@_reg(
+    "aggs_body_children",
+    """
+    -- ES `children` aggregation oracle: the join-field topology is the
+    -- planted parent metadata (every 10th doc is a parent; children
+    -- reference their decade's parent by path — pure doc_id
+    -- arithmetic). Scope = docs whose token stream contains 'spark';
+    -- children of scoped docs re-derive as doc_id % 10 <> 0 with the
+    -- decade base in the scoped set; lang buckets + the planted-lat
+    -- mean mirror the engine's one-groupBy tree over the switched
+    -- context.
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    scoped AS (
+      SELECT doc_id FROM tok WHERE list_contains(toks, 'spark')
+    ),
+    kids AS (
+      SELECT d.doc_id, d.lang,
+             CAST((d.doc_id * 7919) % 160 - 80 + 0.25 AS DOUBLE) AS lat
+      FROM documents d
+      WHERE d.doc_id % 10 <> 0
+        AND (d.doc_id - d.doc_id % 10) IN (SELECT doc_id FROM scoped)
+    )
+    SELECT 'children' AS kids,
+           (SELECT COUNT(*) FROM kids) AS kids_doc_count,
+           lang AS by_lang,
+           COUNT(*) AS by_lang_doc_count,
+           ROUND(AVG(lat), 4) AS avg_lat
+    FROM kids GROUP BY lang
+    """,
+)
+def aggs_body_children_q(spark, sf_dir):
+    """ES `children` aggregation (join-field) through the REQUEST BODY,
+    ORACLE-CHECKED: the aggregation context switches from the
+    query-scoped docs ('spark' term match) to their CHILD docs via ONE
+    left-semi join on the planted parent/path join columns (the
+    has_child column model); the subtree then buckets CHILDREN by lang
+    with the planted-lat mean — every doc_count below the switch counts
+    child docs, the ES contract. Plan: unranked match set -> one narrow
+    semi join (probe side is the scoped key column only; AQE broadcasts
+    when small, never a forced corpus-side broadcast) -> the tree's
+    single groupBy."""
+    from ..index import IndexReader
+
+    idx = _registry_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    out = reader.aggs_dsl_df(
+        {"kids": {"children": {}, "aggs": {
+            "by_lang": {"terms": {"field": "lang", "size": 50},
+                        "aggs": {"avg_lat": {"avg": {"field": "lat"}}}},
+        }}},
+        query={"term": {"content": "spark"}},
+    )
+    return out.select(
+        "kids",
+        F.col("kids_doc_count").cast("long"),
+        "by_lang",
+        F.col("by_lang_doc_count").cast("long"),
+        F.round("avg_lat", 4).alias("avg_lat"),
+    )
+
+
 _NESTED_QUERY_SQL = """
 -- ES `nested` query oracle: per-element scoped predicates over an
 -- array-of-structs field, re-derived from the SAME doc_id arithmetic

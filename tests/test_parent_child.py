@@ -365,3 +365,91 @@ def test_dsl_distance_feature_leaf(spark, idx):
     with pytest.raises(ValueError, match="pivot"):
         r.search_dsl_df({"distance_feature": {
             "field": "req", "origin": 0, "pivot": 0}}, k=None)
+
+
+# ---------------------------------------------------------------- aggs
+
+
+def test_children_agg_body(spark, idx):
+    """ES `children` aggregation: the body switches context from the
+    query-scoped PARENT docs to their child docs; sub-aggs count and
+    aggregate CHILD rows (the ES contract). Scope 'corpus' -> p0, p1;
+    their children k0..k3 bucket by parent with avg(req)."""
+    r = IndexReader(spark, idx)
+    out = r.aggs_dsl_df(
+        {"kids": {"children": {}, "aggs": {
+            "by_parent": {"terms": {"field": "parent", "size": 10},
+                          "aggs": {"avg_req": {"avg": {"field": "req"}}}},
+        }}},
+        query={"term": {"content": "corpus"}},
+    ).collect()
+    got = {
+        x["by_parent"]: (
+            x["kids"], x["kids_doc_count"], x["by_parent_doc_count"],
+            x["avg_req"],
+        )
+        for x in out
+    }
+    assert got == {
+        "p0": ("children", 4, 2, 1.5),
+        "p1": ("children", 4, 2, 2.5),
+    }
+
+
+def test_parent_agg_body(spark, idx):
+    """ES `parent` aggregation: context switches to the DISTINCT parent
+    docs the scoped rows reference. Scope 'alpha' -> {p2, k0, k1, k2};
+    refs {p0, p1} -> 2 parent docs."""
+    r = IndexReader(spark, idx)
+    out = r.aggs_dsl_df(
+        {"par": {"parent": {}, "aggs": {
+            "n_req": {"value_count": {"field": "req"}},
+        }}},
+        query={"term": {"content": "alpha"}},
+    ).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert (row["par"], row["par_doc_count"], row["n_req"]) == ("parent", 2, 2)
+
+
+def test_children_parent_agg_guards(spark, idx):
+    r = IndexReader(spark, idx)
+    with pytest.raises(ValueError, match="top-level"):
+        r.aggs_dsl_df({"t": {"terms": {"field": "parent"}, "aggs": {
+            "kids": {"children": {}, "aggs": {
+                "n": {"value_count": {"field": "req"}}}}}}})
+    with pytest.raises(ValueError, match="join column"):
+        r.aggs_dsl_df({"kids": {"children": {"parent_field": "nope"},
+                                "aggs": {"n": {"value_count":
+                                               {"field": "req"}}}}})
+
+
+def test_children_agg_live_tier(spark, idx, tmp_path):
+    """Live tier: deleting a parent removes its children from the
+    children context (the scoped parent set no longer contains it)."""
+    import shutil
+
+    d = str(tmp_path / "live")
+    shutil.copytree(idx, d)
+    body = {"kids": {"children": {}, "aggs": {
+        "by_parent": {"terms": {"field": "parent", "size": 10}},
+    }}}
+    r0 = IncrementalIndexReader(spark, d)
+    got0 = {
+        x["by_parent"]: x["by_parent_doc_count"]
+        for x in r0.aggs_dsl_df(
+            body, query={"term": {"content": "corpus"}}).collect()
+    }
+    assert got0 == {"p0": 2, "p1": 2}
+    ops = spark.createDataFrame(
+        [("r", "p1", "c", "t", "", None, None, None, "delete")],
+        SCHEMA + ", _optype string",
+    )
+    apply_incremental(spark, d, ops)
+    r1 = IncrementalIndexReader(spark, d)
+    got1 = {
+        x["by_parent"]: x["by_parent_doc_count"]
+        for x in r1.aggs_dsl_df(
+            body, query={"term": {"content": "corpus"}}).collect()
+    }
+    assert got1 == {"p0": 2}

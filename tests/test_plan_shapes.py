@@ -478,3 +478,20 @@ def test_percolate_leaf_scan_only_codegen(spark, tmp_path):
     assert "Exchange" not in phys and "Join" not in phys
     assert "Sort" not in phys and "TakeOrdered" not in phys
     assert "MapInPandas" not in phys and "BatchEvalPython" not in phys
+
+
+def test_children_agg_semi_join_no_cartesian(spark, idx):
+    """The children/parent context switch is ONE left-semi join on the
+    join key — never a cartesian product, never a forced broadcast of
+    the corpus side; the subtree still compiles to the single groupBy."""
+    r = IndexReader(spark, idx)
+    df = r.aggs_dsl_df(
+        {"kids": {"children": {}, "aggs": {
+            "by_parent": {"terms": {"field": "parent", "size": 10}}}}},
+        query={"term": {"content": "merge"}},
+    )
+    phys = _phys(df)
+    assert "CartesianProduct" not in phys
+    assert "LeftSemi" in phys
+    plan = _opt(df)
+    assert plan.count("Aggregate") <= 3  # partial/final of the ONE groupBy
