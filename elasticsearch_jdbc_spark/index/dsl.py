@@ -2290,8 +2290,8 @@ def compile_dsl(reader, body: dict) -> DataFrame:
 _METRIC_KINDS = (
     "avg", "sum", "min", "max", "value_count", "cardinality", "stats",
     "percentiles", "percentile_ranks", "weighted_avg", "extended_stats",
-    "boxplot", "top_metrics", "geo_bounds", "geo_centroid", "t_test",
-    "rate", "reverse_nested",
+    "boxplot", "top_metrics", "geo_bounds", "geo_centroid", "geo_line",
+    "t_test", "rate", "reverse_nested",
 )
 _PIPELINE_KINDS = (
     "derivative", "cumulative_sum", "moving_fn", "moving_percentiles",
@@ -2542,6 +2542,51 @@ def _metric_exprs(name: str, kind: str, spec: dict) -> list:
             F.round(F.min(ok_lat), 6).alias(f"{name}_bottom_right_lat"),
             F.round(F.max(ok_lon), 6).alias(f"{name}_bottom_right_lon"),
         ]
+    if kind == "geo_line":
+        # ES geo_line (search-aggregations-metrics-geoline.html): per
+        # bucket, the (lon, lat) points ordered by the sort field as a
+        # GeoJSON LineString coordinate array, truncated to `size` (ES
+        # caps size at 10000 — same cap here). Engine-native: split
+        # lat/lon columns (the geo body-kind convention) and a NUMERIC
+        # sort field. Aggregate shape: collect_list of (sort, lon, lat)
+        # structs -> array_sort (struct order = sort key, then lon/lat
+        # as the deterministic tie-break) -> reverse for desc -> slice
+        # -> transform to [lon, lat] pairs: ONE aggregate Column plus
+        # codegen array projections, inside the tree's single groupBy.
+        # Like ES, the per-bucket point set is collected before the
+        # size cut — bucket sizes are bounded by the same 10k contract.
+        sort = spec.get("sort")
+        sort_field = sort.get("field") if isinstance(sort, dict) else sort
+        if not sort_field:
+            raise ValueError("geo_line wants sort: {'field': <column>}")
+        order = spec.get("sort_order", "asc")
+        if order not in ("asc", "desc"):
+            raise ValueError(f"geo_line sort_order must be asc|desc, got {order!r}")
+        size = int(spec.get("size", 10000))
+        if not (1 <= size <= 10000):
+            raise ValueError("geo_line size must be in [1, 10000] (the ES cap)")
+        lat = F.col(spec.get("lat_col", "lat")).cast("double")
+        lon = F.col(spec.get("lon_col", "lon")).cast("double")
+        sv = F.col(sort_field).cast("double")
+        pts = F.collect_list(
+            F.when(
+                sv.isNotNull() & lat.isNotNull() & lon.isNotNull(),
+                F.struct(sv.alias("s"), lon.alias("x"), lat.alias("y")),
+            )
+        )
+        arr = F.array_sort(pts)
+        if order == "desc":
+            arr = F.reverse(arr)
+        arr = F.slice(arr, 1, size)
+        out = [
+            F.transform(arr, lambda p: F.array(p["x"], p["y"])).alias(name),
+            F.lit("LineString").alias(f"{name}_type"),
+        ]
+        if spec.get("include_sort"):
+            out.append(
+                F.transform(arr, lambda p: p["s"]).alias(f"{name}_sort_values")
+            )
+        return out
     if kind == "t_test":
         # Welch t statistic between two populations of `field` selected
         # by group_field == a / b (engine-native spec; ES's per-side

@@ -4967,6 +4967,75 @@ def aggs_body_children_q(spark, sf_dir):
     )
 
 
+@_reg(
+    "aggs_body_geo_line",
+    """
+    -- ES geo_line oracle: per-lang LineString tracks over the planted
+    -- lat/lon coordinates (pure doc_id arithmetic), points ordered by
+    -- (lat, lon) — the engine's struct sort (sort key, then lon/lat
+    -- tie-break) with sort field = lat reduces to exactly this order —
+    -- truncated to 5 and FLATTENED to (pos, lon, lat, sort_value) rows
+    -- (scalar columns hash portably; the array shape itself is pinned
+    -- in tests/test_dsl_aggs.py). ROW_NUMBER re-derives the ordered
+    -- positions the engine's array_sort produces.
+    WITH pts AS (
+      SELECT lang,
+             CAST((doc_id * 7919) % 160 - 80 + 0.25 AS DOUBLE) AS lat,
+             CAST((doc_id * 104729) % 360 - 180 + 0.25 AS DOUBLE) AS lon
+      FROM documents
+    ),
+    ranked AS (
+      SELECT lang, lat, lon,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY lat, lon) - 1
+               AS pos,
+             COUNT(*) OVER (PARTITION BY lang) AS cnt
+      FROM pts
+    )
+    SELECT lang AS by_lang,
+           CAST(cnt AS BIGINT) AS by_lang_doc_count,
+           CAST(pos AS BIGINT) AS pos,
+           lon, lat,
+           lat AS sort_value
+    FROM ranked WHERE pos < 5
+    """,
+)
+def aggs_body_geo_line_q(spark, sf_dir):
+    """ES `geo_line` metric aggregation through the REQUEST BODY,
+    ORACLE-CHECKED: per-lang bucket, the (lon, lat) track ordered by the
+    numeric sort field (the planted lat — so the engine's deterministic
+    (sort, lon, lat) struct order is re-derivable), truncated to size=5
+    with include_sort values. ONE aggregate Column (collect_list ->
+    array_sort -> slice -> transform) inside the tree's single groupBy —
+    no window, no second pass. The LineString array flattens to
+    per-position scalar rows for the driver hash (posexplode over the
+    zipped track/sort arrays); the oracle recomputes the order with a
+    DuckDB window."""
+    from ..index import IndexReader
+
+    idx = _registry_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    out = reader.aggs_dsl_df(
+        {"by_lang": {"terms": {"field": "lang", "size": 50}, "aggs": {
+            "track": {"geo_line": {"sort": {"field": "lat"}, "size": 5,
+                                   "include_sort": True}},
+        }}}
+    )
+    return out.select(
+        "by_lang",
+        F.col("by_lang_doc_count").cast("long"),
+        F.posexplode(F.arrays_zip("track", "track_sort_values")).alias(
+            "pos", "z"
+        ),
+    ).select(
+        "by_lang",
+        "by_lang_doc_count",
+        F.col("pos").cast("long"),
+        F.col("z.track")[0].alias("lon"),
+        F.col("z.track")[1].alias("lat"),
+        F.col("z.track_sort_values").alias("sort_value"),
+    )
+
+
 _NESTED_QUERY_SQL = """
 -- ES `nested` query oracle: per-element scoped predicates over an
 -- array-of-structs field, re-derived from the SAME doc_id arithmetic

@@ -1505,3 +1505,52 @@ def test_stats_bucket_family_body_kinds(spark, setup):
         assert x["pct_p50"] == pytest.approx(
             statistics.median(tots), rel=1e-12)
         assert x["pct_p100"] == pytest.approx(max(tots))
+
+
+def test_geo_line_metric_kind(spark, setup):
+    """ES geo_line: per-bucket [lon, lat] track ordered by the sort
+    field, truncated to size, include_sort values — vs hand computation.
+    Engine-native split coordinate columns (lat_col/lon_col)."""
+    d, r, docs = setup
+    body = {"by_lang": {"terms": {"field": "lang", "size": 10}, "aggs": {
+        "track": {"geo_line": {"sort": {"field": "doc_id"}, "size": 3,
+                               "lat_col": "dl", "lon_col": "doc_id",
+                               "include_sort": True}},
+    }}}
+    got = {x["by_lang"]: x for x in r.aggs_dsl_df(body).collect()}
+    bylang = collections.defaultdict(list)
+    for x in docs.values():
+        bylang[x["lang"]].append(x)
+    for lang, rows in bylang.items():
+        want = sorted(rows, key=lambda x: x["doc_id"])[:3]
+        assert got[lang]["track"] == [
+            [float(x["doc_id"]), float(x["dl"])] for x in want
+        ]
+        assert got[lang]["track_type"] == "LineString"
+        assert got[lang]["track_sort_values"] == [
+            float(x["doc_id"]) for x in want
+        ]
+    # desc reverses the walk
+    body["by_lang"]["aggs"]["track"]["geo_line"]["sort_order"] = "desc"
+    got_d = {x["by_lang"]: x for x in r.aggs_dsl_df(body).collect()}
+    for lang, rows in bylang.items():
+        want = sorted(rows, key=lambda x: -x["doc_id"])[:3]
+        assert got_d[lang]["track"] == [
+            [float(x["doc_id"]), float(x["dl"])] for x in want
+        ]
+
+
+def test_geo_line_guards(spark, setup):
+    d, r, docs = setup
+    with pytest.raises(ValueError, match="geo_line wants sort"):
+        r.aggs_dsl_df({"t": {"terms": {"field": "lang"}, "aggs": {
+            "g": {"geo_line": {"lat_col": "dl", "lon_col": "dl"}}}}})
+    with pytest.raises(ValueError, match=r"\[1, 10000\]"):
+        r.aggs_dsl_df({"t": {"terms": {"field": "lang"}, "aggs": {
+            "g": {"geo_line": {"sort": {"field": "doc_id"}, "size": 0,
+                               "lat_col": "dl", "lon_col": "dl"}}}}})
+    with pytest.raises(ValueError, match="sort_order"):
+        r.aggs_dsl_df({"t": {"terms": {"field": "lang"}, "aggs": {
+            "g": {"geo_line": {"sort": {"field": "doc_id"},
+                               "sort_order": "up",
+                               "lat_col": "dl", "lon_col": "dl"}}}}})
