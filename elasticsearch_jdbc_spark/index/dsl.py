@@ -43,7 +43,7 @@ span_term/span_near/span_first/span_or/span_not/span_within/
 span_containing/span_multi (prefix/fuzzy/wildcard rewrite)/
 span_field_masking (per-field position spaces), geo_distance,
 geo_bounding_box, geo_shape, geo_polygon (deprecated-ES sugar over the
-same ray cast), distance_feature, script (filter-context SQL
+same ray cast), shape (the cartesian x/y twin), distance_feature, script (filter-context SQL
 predicate), query_string, simple_query_string, bool,
 constant_score, dis_max, boosting, function_score (field_value_factor +
 script), script_score, rank_feature, wrapper, more_like_this, pinned.
@@ -1237,6 +1237,21 @@ def _leaf_geo_shape(ctx, body):
     return _set_score(ctx, ctx.filter_ids(sql), boost)
 
 
+def _leaf_shape(ctx, body):
+    """ES `shape` query (cartesian, query-dsl-shape-query.html): the
+    planar twin of geo_shape over indexed cartesian POINTS (x/y docs
+    metadata columns, defaults x_col='x' / y_col='y'). Same GeoJSON/WKT
+    shape grammar and the same even-odd ray cast — the polygon test's
+    edge coefficients are coordinate-system-agnostic (nothing
+    great-circle in it), so the geo kernel applies verbatim with y in
+    the 'lat' slot and x in the 'lon' slot. Relations intersects /
+    within / disjoint; contains rejected over points (ES semantics)."""
+    body = dict(body)
+    body.setdefault("lat_col", body.pop("y_col", "y"))
+    body.setdefault("lon_col", body.pop("x_col", "x"))
+    return _leaf_geo_shape(ctx, body)
+
+
 def _geo_point_latlon(p) -> tuple[float, float]:
     """One ES geo-point literal -> (lat, lon). ES accepts an object
     ({"lat", "lon"}), a GeoJSON-order array ([lon, lat]), or a
@@ -1917,6 +1932,7 @@ _LEAFS = {
     "geo_distance": _leaf_geo_distance,
     "geo_bounding_box": _leaf_geo_bbox,
     "geo_shape": _leaf_geo_shape,
+    "shape": _leaf_shape,
     "geo_polygon": _leaf_geo_polygon,
     "query_string": _leaf_query_string,
     "simple_query_string": _leaf_simple_query_string,

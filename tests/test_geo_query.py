@@ -366,3 +366,56 @@ def test_geo_polygon_query(spark, idx):
     with pytest.raises(ValueError, match="points"):
         r.search_dsl_df(
             {"geo_polygon": {"location": {"points": as_obj[:2]}}})
+
+
+def test_shape_query_cartesian(spark, tmp_path):
+    """ES `shape` (cartesian twin of geo_shape): same ray cast over
+    planar x/y metadata columns — polygon membership, disjoint, field-
+    style body, contains rejection."""
+    from elasticsearch_jdbc_spark.index import IndexBuilder, IndexReader
+
+    d = str(tmp_path / "shape")
+    docs = [
+        ("r", f"{i}", "c", "t", "pad", float(i % 7) * 10.0 - 30.0,
+         float(i % 5) * 10.0 - 20.0)
+        for i in range(35)
+    ]
+    IndexBuilder(spark, d, partitions=2).build(
+        spark.createDataFrame(
+            docs,
+            "repo string, path string, commit string, lang string,"
+            " content string, x double, y double",
+        ),
+        resume=False,
+    )
+    r = IndexReader(spark, d)
+    square = {"type": "Polygon", "coordinates": [
+        [[-15.0, -15.0], [15.0, -15.0], [15.0, 15.0], [-15.0, 15.0],
+         [-15.0, -15.0]]]}
+
+    def paths(df):
+        m = spark.read.parquet(f"{d}/docs").select("doc_id", "path")
+        return sorted(
+            x["path"] for x in df.join(m, "doc_id").select("path").collect()
+        )
+
+    inside = {
+        p for _, p, _, _, _, x, y in docs if -15 < x < 15 and -15 < y < 15
+    }
+    got = paths(r.search_dsl_df({"shape": {"shape": square}}, k=None))
+    assert got == sorted(inside)
+    # field-style body + disjoint
+    got_d = paths(r.search_dsl_df(
+        {"shape": {"geometry": {"shape": square, "relation": "disjoint"}}},
+        k=None,
+    ))
+    assert got_d == sorted({p for _, p, *_ in docs} - inside)
+    # explicit column naming
+    got_named = paths(r.search_dsl_df(
+        {"shape": {"shape": square, "x_col": "x", "y_col": "y"}}, k=None))
+    assert got_named == sorted(inside)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="contains"):
+        r.search_dsl_df(
+            {"shape": {"shape": square, "relation": "contains"}}, k=None)
