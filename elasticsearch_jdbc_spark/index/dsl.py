@@ -2322,7 +2322,7 @@ _BUCKET_KINDS = (
     "rare_terms", "multi_terms", "categorize_text", "global",
     "geotile_grid", "geohash_grid", "sampler", "diversified_sampler",
     "random_sampler", "ip_range", "ip_prefix", "geo_distance",
-    "nested", "children", "parent",
+    "nested", "children", "parent", "time_series",
 )
 
 
@@ -2652,7 +2652,7 @@ def _bucket_key(ctx: _Ctx, rows: DataFrame, name: str, kind: str, spec: dict):
     where level_meta carries the post-aggregation cut knobs."""
     sized = (
         "terms", "multi_terms", "categorize_text", "geotile_grid",
-        "geohash_grid",
+        "geohash_grid", "time_series",
     )
     raw_spec = spec
     if not isinstance(spec, dict):
@@ -2662,7 +2662,9 @@ def _bucket_key(ctx: _Ctx, rows: DataFrame, name: str, kind: str, spec: dict):
         "size": (
             int(spec.get(
                 "size",
-                10000 if kind in ("geotile_grid", "geohash_grid") else 10,
+                10000
+                if kind in ("geotile_grid", "geohash_grid", "time_series")
+                else 10,
             ))
             if kind in sized
             else None
@@ -2854,6 +2856,33 @@ def _bucket_key(ctx: _Ctx, rows: DataFrame, name: str, kind: str, spec: dict):
         if len(parts) < 2:
             raise ValueError("multi_terms needs at least 2 terms sources")
         return rows.withColumn(name, F.concat_ws("|", *parts)), meta
+    if kind == "time_series":
+        # ES TSDB `time_series` bucket (the downsample companion,
+        # search-aggregations-bucket-time-series-aggregation): one
+        # bucket per time series, keyed by the dimension tuple — the
+        # engine's _tsid analogue. ES derives the dimensions from
+        # dimension-flagged mappings; engine-native the body names them
+        # ({"dimensions": [<docs column>, ...]}, documented). The key
+        # joins with '|' (the multi_terms single-column key-chain rule);
+        # size defaults to ES's 10000 cap. Sub-aggs (typically a
+        # date_histogram + metrics) nest normally — the whole tree
+        # stays ONE groupBy over (tsid, ...) keys.
+        dims = spec.get("dimensions")
+        if not dims or not isinstance(dims, list):
+            raise ValueError(
+                "time_series wants {'dimensions': [<docs column>, ...]} "
+                "(engine-native: ES derives dimensions from mappings)"
+            )
+        if name in rows.columns and name not in dims:
+            # the key column would silently overwrite a docs column the
+            # subtree may still address (e.g. the date_histogram field)
+            raise ValueError(
+                f"time_series agg name {name!r} shadows a docs column; "
+                "pick a name that is not a field"
+            )
+        parts = [F.col(d).cast("string") for d in dims]
+        key = parts[0] if len(parts) == 1 else F.concat_ws("|", *parts)
+        return rows.withColumn(name, key), meta
     if kind == "histogram":
         x = F.col(spec["field"]).cast("double")
         interval = float(spec["interval"])
@@ -3368,7 +3397,7 @@ def aggs_dsl_df(
     (composite key, parts '|'-joined into one column) / geotile_grid
     (web-mercator z/x/y key) / geohash_grid (base32 cell key) /
     ip_range + geo_distance (multi-bucket tagging) / ip_prefix (subnet
-    rollup) / sampler + diversified_sampler (row-set
+    rollup) / time_series (TSDB per-dimension-tuple buckets) / sampler + diversified_sampler (row-set
     restrictors before the subtree; no key of their own) / nested
     (top-level context switch to array<struct> elements; sub-aggs count
     nested docs, fields address as '<path>.<field>', reverse_nested

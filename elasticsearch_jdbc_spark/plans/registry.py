@@ -5036,6 +5036,44 @@ def aggs_body_geo_line_q(spark, sf_dir):
     )
 
 
+@_reg(
+    "aggs_body_time_series",
+    """
+    -- ES TSDB time_series oracle: one bucket per dimension tuple (the
+    -- _tsid analogue) — the '|'-joined (source, lang) key groups the
+    -- raw documents table directly; planted-lat means re-derive from
+    -- the same modular arithmetic.
+    SELECT (source || '|' || lang) AS series,
+           CAST(COUNT(*) AS BIGINT) AS series_doc_count,
+           ROUND(AVG(CAST((doc_id * 7919) % 160 - 80 + 0.25 AS DOUBLE)), 4)
+             AS avg_lat
+    FROM documents GROUP BY 1
+    """,
+)
+def aggs_body_time_series_q(spark, sf_dir):
+    """ES TSDB `time_series` bucket aggregation through the REQUEST
+    BODY, ORACLE-CHECKED: one bucket per (repo, lang) dimension tuple —
+    the engine's _tsid analogue ('|'-joined key, the multi_terms
+    single-column key-chain rule; engine-native: the body names the
+    dimension columns, where ES derives them from dimension-flagged
+    mappings). Sub-metric = planted-lat mean. The whole tree is the one
+    distributed groupBy; series count stays under the ES 10000 default
+    cap, so no cut applies and the oracle is the plain GROUP BY."""
+    from ..index import IndexReader
+
+    idx = _registry_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    out = reader.aggs_dsl_df(
+        {"series": {"time_series": {"dimensions": ["repo", "lang"]},
+                    "aggs": {"avg_lat": {"avg": {"field": "lat"}}}}}
+    )
+    return out.select(
+        "series",
+        F.col("series_doc_count").cast("long"),
+        F.round("avg_lat", 4).alias("avg_lat"),
+    )
+
+
 _NESTED_QUERY_SQL = """
 -- ES `nested` query oracle: per-element scoped predicates over an
 -- array-of-structs field, re-derived from the SAME doc_id arithmetic

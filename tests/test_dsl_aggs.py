@@ -1554,3 +1554,58 @@ def test_geo_line_guards(spark, setup):
             "g": {"geo_line": {"sort": {"field": "doc_id"},
                                "sort_order": "up",
                                "lat_col": "dl", "lon_col": "dl"}}}}})
+
+
+def test_time_series_bucket_kind(spark, setup):
+    """ES TSDB time_series bucket: one bucket per dimension tuple (the
+    _tsid analogue), sub-aggs nest normally — vs hand computation.
+    concat_ws skips NULL dimension values (a series without that dim)."""
+    d, r, docs = setup
+    body = {"series": {"time_series": {"dimensions": ["lang", "grp"]},
+                       "aggs": {"avg_dl": {"avg": {"field": "dl"}}}}}
+    got = {
+        x["series"]: (x["series_doc_count"], round(x["avg_dl"], 6))
+        for x in r.aggs_dsl_df(body).collect()
+    }
+    series = collections.defaultdict(list)
+    for x in docs.values():
+        key = "|".join(p for p in (x["lang"], x["grp"]) if p is not None)
+        series[key].append(x["dl"])
+    want = {
+        k: (len(v), round(sum(v) / len(v), 6)) for k, v in series.items()
+    }
+    assert got == want
+    with pytest.raises(ValueError, match="dimensions"):
+        r.aggs_dsl_df({"series": {"time_series": {}, "aggs": {
+            "n": {"value_count": {"field": "dl"}}}}})
+
+
+def test_time_series_with_date_histogram_subtree(spark, setup):
+    """The TSDB shape: time_series -> date_histogram -> metric, all in
+    the one-groupBy tree; per-series bucket sums re-derive by hand."""
+    d, r, docs = setup
+    body = {"series": {"time_series": {"dimensions": ["lang"]}, "aggs": {
+        "by_hour": {"date_histogram": {"field": "ts",
+                                       "fixed_interval": "6h"},
+                    "aggs": {"sum_dl": {"sum": {"field": "dl"}}}},
+    }}}
+    rows = r.aggs_dsl_df(body).collect()
+    got = {
+        (x["series"], x["by_hour"]): (x["by_hour_doc_count"], x["sum_dl"])
+        for x in rows
+    }
+    # a key name shadowing a non-dimension docs column is rejected (it
+    # would overwrite the column the subtree still addresses)
+    with pytest.raises(ValueError, match="shadows"):
+        r.aggs_dsl_df({"ts": {"time_series": {"dimensions": ["lang"]},
+                              "aggs": {"by_hour": {"date_histogram": {
+                                  "field": "ts", "fixed_interval": "6h"}}}}})
+    want = collections.defaultdict(lambda: [0, 0])
+    for x in docs.values():
+        epoch = int(x["ts"].timestamp())
+        bucket = epoch - epoch % 21600
+        k = (x["lang"], datetime.datetime.fromtimestamp(
+            bucket, datetime.timezone.utc).replace(tzinfo=None))
+        want[k][0] += 1
+        want[k][1] += x["dl"]
+    assert got == {k: tuple(v) for k, v in want.items()}
