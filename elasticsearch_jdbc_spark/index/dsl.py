@@ -372,9 +372,13 @@ def _leaf_term(ctx, body):
     v = spec["query"]
     boost = float(spec.get("boost", 1.0))
     if field in ctx.meta_cols():
-        return _set_score(
-            ctx, ctx.filter_ids(f"{field} = {_sql_lit(v)}"), boost
-        )
+        if dict(ctx.docs().dtypes).get(field, "").startswith("array"):
+            # ES keyword-array semantics: a multi-valued field matches
+            # when ANY element equals the term
+            sql = f"array_contains({field}, {_sql_lit(v)})"
+        else:
+            sql = f"{field} = {_sql_lit(v)}"
+        return _set_score(ctx, ctx.filter_ids(sql), boost)
     _text_field_check(ctx, field)
     tok = (field + "\x1f" + str(v)) if ctx.fields else str(v)
     return _scale(ctx.reader.search_terms_df([tok], None), boost)
@@ -412,7 +416,12 @@ def _leaf_terms(ctx, body):
         )
     if field in ctx.meta_cols():
         lits = ", ".join(_sql_lit(v) for v in values)
-        return _set_score(ctx, ctx.filter_ids(f"{field} IN ({lits})"), boost)
+        if dict(ctx.docs().dtypes).get(field, "").startswith("array"):
+            # ES keyword-array semantics: any element in the value set
+            sql = f"arrays_overlap({field}, array({lits}))"
+        else:
+            sql = f"{field} IN ({lits})"
+        return _set_score(ctx, ctx.filter_ids(sql), boost)
     _text_field_check(ctx, field)
     toks = [
         (field + "\x1f" + str(v)) if ctx.fields else str(v) for v in values
@@ -1472,18 +1481,22 @@ def _flat_bool_fast(ctx, body):
     plain corpus, the whole bool routes through the search_bool_df
     kernel — one postings scan over the union of terms, conjunction and
     exclusion as aggregation predicates — instead of one postings scan
-    per leaf plus joins (VERDICT r4 #4). Returns None (fall back to the
-    generic compiler) whenever exact score parity is not guaranteed:
-    fields corpora (per-field namespaces/boosts), filter clauses,
-    explicit minimum_should_match, non-match clauses, per-clause
-    options, stopword-empty clauses, or a term shared by two clauses
-    (the kernel scans each term once; the per-leaf path would sum it
-    twice)."""
+    per leaf plus joins (VERDICT r4 #4). `filter` clauses STAY on the
+    fast path: filter context never scores (ES contract), so each one
+    compiles independently and semi-joins the kernel's match set — for
+    the common match-must + metadata-filter body the postings are still
+    scanned ONCE (metadata filters compile to docs scans). Returns None
+    (fall back to the generic compiler) whenever exact score parity is
+    not guaranteed: fields corpora (per-field namespaces/boosts),
+    explicit minimum_should_match, non-match scoring clauses,
+    per-clause options, stopword-empty clauses, or a term shared by two
+    clauses (the kernel scans each term once; the per-leaf path would
+    sum it twice)."""
     if ctx.fields or ctx.runtime:
         return None
-    if body.get("filter") or "minimum_should_match" in body:
+    if "minimum_should_match" in body:
         return None
-    known = {"must", "should", "must_not", "boost"}
+    known = {"must", "should", "must_not", "filter", "boost"}
     if any(k not in known for k in body):
         return None
 
@@ -1524,6 +1537,10 @@ def _flat_bool_fast(ctx, body):
         must_not=[t for c in must_not for t in c],
         k=None,
     )
+    for q in _aslist(body.get("filter")):
+        out = out.join(
+            _compile(ctx, q).select(*ctx.keys), ctx.keys, "left_semi"
+        )
     return _scale(out, float(body.get("boost", 1.0)))
 
 

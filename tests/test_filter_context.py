@@ -142,3 +142,48 @@ def test_base_stats(spark, idx):
     st = r.stats()
     assert st["n_segments"] == 1 and st["n_docs"] == r.n_docs
     assert st["with_positions"] is True and st["n_terms"] > 0
+
+
+def test_term_and_terms_on_array_metadata(spark, tmp_path):
+    """ES keyword-array semantics through the term/terms leaves: a
+    multi-valued metadata field matches when ANY element equals the term
+    (term -> array_contains, terms -> arrays_overlap) — previously a
+    Catalyst type-mismatch error."""
+    from elasticsearch_jdbc_spark.index import IndexBuilder, IndexReader
+
+    d = str(tmp_path / "arr")
+    docs = [
+        ("r", "0", "c", "t", "pad", ["red", "blue"]),
+        ("r", "1", "c", "t", "pad", ["green"]),
+        ("r", "2", "c", "t", "pad", []),
+        ("r", "3", "c", "t", "pad", None),
+        ("r", "4", "c", "t", "pad", ["blue", "black"]),
+    ]
+    IndexBuilder(spark, d, partitions=2).build(
+        spark.createDataFrame(
+            docs,
+            "repo string, path string, commit string, lang string,"
+            " content string, tags array<string>",
+        ),
+        resume=False,
+    )
+    r = IndexReader(spark, d)
+    m = {
+        x["doc_id"]: x["path"]
+        for x in spark.read.parquet(f"{d}/docs").collect()
+    }
+
+    def paths(body):
+        return sorted(
+            m[x["doc_id"]]
+            for x in r.search_dsl_df(body, k=None).collect()
+        )
+
+    assert paths({"term": {"tags": "blue"}}) == ["0", "4"]
+    assert paths({"term": {"tags": "nope"}}) == []
+    assert paths({"terms": {"tags": ["green", "black"]}}) == ["1", "4"]
+    # composes in filter context (the flat-bool fast path included)
+    assert paths({"bool": {
+        "must": [{"match": {"content": "pad"}}],
+        "filter": [{"term": {"tags": "blue"}}],
+    }}) == ["0", "4"]

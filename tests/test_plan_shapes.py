@@ -495,3 +495,28 @@ def test_children_agg_semi_join_no_cartesian(spark, idx):
     assert "LeftSemi" in phys
     plan = _opt(df)
     assert plan.count("Aggregate") <= 3  # partial/final of the ONE groupBy
+
+
+def test_flat_bool_with_filter_stays_fast(spark, idx):
+    """A flat bool WITH metadata filter clauses still routes through the
+    one-scan kernel: exactly ONE postings FileScan (the filters add a
+    docs scan, never a second postings decode), and scores are
+    byte-identical to the generic per-leaf compiler (filter context
+    never scores)."""
+    r = IndexReader(spark, idx)
+    body = {"bool": {
+        "must": [{"match": {"content": "merge"}}],
+        "filter": [{"range": {"req": {"gte": 1}}},
+                   {"exists": {"field": "parent"}}],
+        "must_not": [{"match": {"content": "zebra"}}],
+    }}
+    df = r.search_dsl_df(body, k=None)
+    phys = _phys(df)
+    assert phys.count("MapInPandas") == 1  # one postings decode
+    # generic compiler (forced via an explicit msm, which bails the fast
+    # path without changing must-only semantics) agrees exactly
+    slow_body = {"bool": dict(body["bool"], minimum_should_match=0)}
+    slow = r.search_dsl_df(slow_body, k=None)
+    fast_rows = {tuple(x) for x in df.collect()}
+    slow_rows = {tuple(x) for x in slow.collect()}
+    assert fast_rows == slow_rows and fast_rows
