@@ -250,3 +250,26 @@ def test_profile_names_the_surface():
     assert prof == {
         "type": "percolate", "surface": "_leaf_percolate", "children": []
     }
+
+
+def test_percolate_required_col_matches_parse_msm(spark):
+    """The per-doc Column msm grammar must agree with the scalar
+    _parse_msm + the percolate family's [1, n] clamp for every (form, n)
+    pair — one Spark job over the whole grid."""
+    from elasticsearch_jdbc_spark.index.dsl import (
+        _parse_msm,
+        _percolate_required_col,
+    )
+
+    forms = [1, 2, 5, -1, -3, "2", "60%", "100%", "-25%", "-100%", "0%"]
+    ns = list(range(1, 9))
+    df = spark.createDataFrame([(n,) for n in ns], "n int")
+    cols = [
+        _percolate_required_col(m, F.col("n")).alias(f"m{i}")
+        for i, m in enumerate(forms)
+    ]
+    got = {r["n"]: r.asDict() for r in df.select("n", *cols).collect()}
+    for n in ns:
+        for i, m in enumerate(forms):
+            want = max(1, min(_parse_msm(m, n), n))
+            assert got[n][f"m{i}"] == want, (m, n)

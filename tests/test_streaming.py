@@ -207,3 +207,70 @@ def test_stream_latest_version_stateful(spark, tmp_path):
     )
     rows = stream_latest_version(b, ("repo", "path", "commit"), "updated_at").collect()
     assert [(r["path"], r["content"]) for r in rows] == [("A", "A-v2")]
+
+
+def test_stream_percolate_matches_percolate_df(spark, tmp_path):
+    """Streaming percolation: (a) parity — on the same rows, the
+    stateless stream operator's (doc, query_id, matched) alerts equal
+    IndexReader.percolate_df over an index of those rows; (b) a real
+    AvailableNow run over a file source emits the same alerts."""
+    from elasticsearch_jdbc_spark.index import IndexBuilder, IndexReader
+    from elasticsearch_jdbc_spark.streaming import stream_percolate
+    from elasticsearch_jdbc_spark.sources import synthetic_corpus
+
+    QUERIES = [
+        (0, "merge segment buffer"),          # default msm=1 disjunction
+        (1, "merge buffer", 2),               # conjunction
+        (2, "cluster config", "50%"),         # percentage
+        (3, "zzzz absent term", 3),           # never hits
+    ]
+    corpus = synthetic_corpus(spark, n_files=80, seed=91).cache()
+
+    # (a) batch parity vs the index-tier percolator
+    d = str(tmp_path / "idx")
+    IndexBuilder(spark, d, partitions=2).build(corpus, resume=False)
+    r = IndexReader(spark, d)
+    keys = spark.read.parquet(f"{d}/docs").select("doc_id", "repo", "path")
+    want = {
+        (x["query_id"], x["repo"], x["path"]): x["matched"]
+        for x in r.percolate_df(QUERIES).join(keys, "doc_id").collect()
+    }
+    got = {
+        (x["query_id"], x["repo"], x["path"]): x["matched"]
+        for x in stream_percolate(corpus, QUERIES).collect()
+    }
+    assert got == want and want
+
+    # (b) the same operator through a real streaming query
+    src, out, ck = (str(tmp_path / n) for n in ("src", "out", "ck"))
+    corpus.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(corpus.schema).parquet(src)
+    q = (
+        stream_percolate(stream, QUERIES)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    streamed = {
+        (x["query_id"], x["repo"], x["path"]): x["matched"]
+        for x in spark.read.parquet(out).collect()
+    }
+    assert streamed == want
+
+
+def test_stream_percolate_edge_shapes(spark):
+    from elasticsearch_jdbc_spark.streaming import stream_percolate
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, ""), (3, None)], "id long, content string"
+    )
+    # empty/None documents never alert; dict query shape accepted
+    got = stream_percolate(df, {7: "beta"}).collect()
+    assert [(x["id"], x["query_id"], x["matched"]) for x in got] == [(1, 7, 1)]
+    # a query set with no tokenizable text -> empty result, schema kept
+    none = stream_percolate(df, [(0, "!!!")])
+    assert none.count() == 0
+    assert {"query_id", "matched"} <= set(none.columns)
