@@ -864,6 +864,14 @@ def _leaf_percolate(ctx, body):
     else:
         text = str(doc)
     have = sorted(set(tokenize_py(text)))
+    if len(have) > 10000:
+        # the document's distinct tokens become plan literals; cap like
+        # ES's indices.query.bool.max_clause_count posture so one huge
+        # document cannot build an unbounded Catalyst expression
+        raise ValueError(
+            f"percolate document has {len(have)} distinct tokens; "
+            "cap is 10000 (plan-literal bound)"
+        )
     stored = F.array_distinct(tokens_col(F.col(field)))
     n = F.size(stored)
     matched = (
@@ -2324,6 +2332,7 @@ _METRIC_KINDS = (
     "avg", "sum", "min", "max", "value_count", "cardinality", "stats",
     "percentiles", "percentile_ranks", "weighted_avg", "extended_stats",
     "boxplot", "top_metrics", "geo_bounds", "geo_centroid", "geo_line",
+    "cartesian_bounds", "cartesian_centroid",
     "t_test", "rate", "reverse_nested",
 )
 _PIPELINE_KINDS = (
@@ -2658,6 +2667,31 @@ def _metric_exprs(name: str, kind: str, spec: dict) -> list:
         return [
             F.round(F.avg(F.when(both, lat)), 6).alias(f"{name}_lat"),
             F.round(F.avg(F.when(both, lon)), 6).alias(f"{name}_lon"),
+            F.sum(both.cast("long")).alias(f"{name}_count"),
+        ]
+    if kind == "cartesian_bounds":
+        # ES cartesian_bounds (the planar twin of geo_bounds over
+        # point-typed x/y columns — the `shape` query's coordinate
+        # convention): tightest axis-aligned box, NULL coords ignored
+        x = F.col(spec.get("x_col", "x")).cast("double")
+        y = F.col(spec.get("y_col", "y")).cast("double")
+        ok_x = F.when(y.isNotNull(), x)
+        ok_y = F.when(x.isNotNull(), y)
+        return [
+            F.round(F.min(ok_x), 6).alias(f"{name}_top_left_x"),
+            F.round(F.max(ok_y), 6).alias(f"{name}_top_left_y"),
+            F.round(F.max(ok_x), 6).alias(f"{name}_bottom_right_x"),
+            F.round(F.min(ok_y), 6).alias(f"{name}_bottom_right_y"),
+        ]
+    if kind == "cartesian_centroid":
+        # planar centroid — arithmetic mean per axis (the ES contract
+        # for point fields), same shape as geo_centroid
+        x = F.col(spec.get("x_col", "x")).cast("double")
+        y = F.col(spec.get("y_col", "y")).cast("double")
+        both = x.isNotNull() & y.isNotNull()
+        return [
+            F.round(F.avg(F.when(both, x)), 6).alias(f"{name}_x"),
+            F.round(F.avg(F.when(both, y)), 6).alias(f"{name}_y"),
             F.sum(both.cast("long")).alias(f"{name}_count"),
         ]
     raise ValueError(f"unknown metric aggregation {kind!r}")

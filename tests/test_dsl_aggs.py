@@ -1609,3 +1609,28 @@ def test_time_series_with_date_histogram_subtree(spark, setup):
         want[k][0] += 1
         want[k][1] += x["dl"]
     assert got == {k: tuple(v) for k, v in want.items()}
+
+
+def test_cartesian_bounds_and_centroid(spark, setup):
+    """ES cartesian_bounds / cartesian_centroid: the planar twins of the
+    geo metrics over x/y point columns — vs hand computation (x=doc_id,
+    y=dl via explicit column naming)."""
+    d, r, docs = setup
+    body = {"by_lang": {"terms": {"field": "lang", "size": 10}, "aggs": {
+        "box": {"cartesian_bounds": {"x_col": "doc_id", "y_col": "dl"}},
+        "c": {"cartesian_centroid": {"x_col": "doc_id", "y_col": "dl"}},
+    }}}
+    got = {x["by_lang"]: x for x in r.aggs_dsl_df(body).collect()}
+    bylang = collections.defaultdict(list)
+    for x in docs.values():
+        bylang[x["lang"]].append((x["doc_id"], x["dl"]))
+    for lang, pts in bylang.items():
+        xs, ys = [p[0] for p in pts], [p[1] for p in pts]
+        row = got[lang]
+        assert (row["box_top_left_x"], row["box_top_left_y"]) == (
+            min(xs), max(ys))
+        assert (row["box_bottom_right_x"], row["box_bottom_right_y"]) == (
+            max(xs), min(ys))
+        assert row["c_x"] == round(sum(xs) / len(xs), 6)
+        assert row["c_y"] == round(sum(ys) / len(ys), 6)
+        assert row["c_count"] == len(pts)
