@@ -5037,6 +5037,56 @@ def aggs_body_geo_line_q(spark, sf_dir):
 
 
 @_reg(
+    "aggs_body_parent",
+    """
+    -- ES `parent` aggregation oracle: the DISTINCT parents referenced
+    -- by the scoped docs ('spark' token match) — children reference
+    -- their decade base by path (pure doc_id arithmetic), so the parent
+    -- set re-derives as the distinct decade bases of scoped non-parent
+    -- docs; the planted-lat mean aggregates over those parent docs.
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    refs AS (
+      SELECT DISTINCT (doc_id - doc_id % 10) AS pid
+      FROM tok WHERE list_contains(toks, 'spark') AND doc_id % 10 <> 0
+    )
+    SELECT 'parent' AS par,
+           CAST(COUNT(*) AS BIGINT) AS par_doc_count,
+           ROUND(AVG(CAST((d.doc_id * 7919) % 160 - 80 + 0.25 AS DOUBLE)), 4)
+             AS avg_lat
+    FROM documents d JOIN refs ON d.doc_id = refs.pid
+    """,
+)
+def aggs_body_parent_q(spark, sf_dir):
+    """ES `parent` aggregation (join-field) through the REQUEST BODY,
+    ORACLE-CHECKED: the context switches from the query-scoped docs to
+    the DISTINCT parent docs they reference (one left-semi join on the
+    planted parent/path columns — the children twin, reversed); the
+    single implicit bucket carries the distinct-parent doc_count and a
+    planted-lat mean over parent docs. Same plan posture as
+    aggs_body_children: scoped key column probe side, AQE-broadcast
+    when small, then the tree's single groupBy."""
+    from ..index import IndexReader
+
+    idx = _registry_index(spark, sf_dir)
+    reader = IndexReader(spark, idx)
+    out = reader.aggs_dsl_df(
+        {"par": {"parent": {}, "aggs": {
+            "avg_lat": {"avg": {"field": "lat"}}}}},
+        query={"term": {"content": "spark"}},
+    )
+    return out.select(
+        "par",
+        F.col("par_doc_count").cast("long"),
+        F.round("avg_lat", 4).alias("avg_lat"),
+    )
+
+
+@_reg(
     "aggs_body_time_series",
     """
     -- ES TSDB time_series oracle: one bucket per dimension tuple (the
