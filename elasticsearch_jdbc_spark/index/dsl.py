@@ -814,7 +814,10 @@ def _percolate_required_col(msm, n):
                 ).cast("int")
                 v = (n - cnt) if neg else cnt
             else:
-                v = F.lit(int(s))
+                iv = int(s)
+                # a negative integer STRING means n-minus, same as the
+                # int form (the _parse_msm grammar)
+                v = F.lit(iv) if iv >= 0 else (n + F.lit(iv))
         except ValueError:
             raise ValueError(f"bad minimum_should_match {msm!r}") from None
     else:
@@ -1506,6 +1509,12 @@ def _flat_bool_fast(ctx, body):
         return None
     known = {"must", "should", "must_not", "filter", "boost"}
     if any(k not in known for k in body):
+        return None
+    if body.get("filter") and not body.get("must"):
+        # should+filter without must: ES defaults msm to 0 when a filter
+        # clause exists, so docs matching ONLY the filter qualify (score
+        # 0) — the kernel path requires >=1 should term and would drop
+        # them; the generic compiler handles this shape correctly
         return None
 
     def clause_tokens(key):
@@ -2924,9 +2933,11 @@ def _bucket_key(ctx: _Ctx, rows: DataFrame, name: str, kind: str, spec: dict):
                 "time_series wants {'dimensions': [<docs column>, ...]} "
                 "(engine-native: ES derives dimensions from mappings)"
             )
-        if name in rows.columns and name not in dims:
+        if name in rows.columns:
             # the key column would silently overwrite a docs column the
-            # subtree may still address (e.g. the date_histogram field)
+            # subtree may still address (including a dimension column —
+            # a multi-dim key named after one dimension would replace
+            # that dimension with the joined tsid string)
             raise ValueError(
                 f"time_series agg name {name!r} shadows a docs column; "
                 "pick a name that is not a field"

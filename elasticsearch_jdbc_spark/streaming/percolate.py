@@ -31,8 +31,12 @@ from ..functions.tokenizer import tokenize_py, tokens_col
 
 def _query_rows(queries, min_should_match) -> list[tuple[int, list, int]]:
     """[(query_id, distinct_terms, required)] — the percolate_df query
-    map, resolved driver-side: per-query msm (int or 'N%') clamps to
-    [1, n_terms] (the _mlt_min_match rule)."""
+    map, resolved driver-side. The msm grammar is the percolate DSL
+    leaf's (_percolate_required_col): positive/negative ints and
+    'N%'/'-N%' with the textual-sign floor rounding, clamped to
+    [1, n_terms] — the same rule the same alerting body gets through the
+    index tier, so one registered rule fires on the same documents on
+    every percolate surface."""
     if isinstance(queries, dict):
         queries = list(queries.items())
     out = []
@@ -41,11 +45,16 @@ def _query_rows(queries, min_should_match) -> list[tuple[int, list, int]]:
         terms = sorted(set(tokenize_py(text)))
         if not terms:
             continue
-        if isinstance(msm, str) and msm.endswith("%"):
-            m = int(float(msm[:-1]) / 100.0 * len(terms))
+        n = len(terms)
+        if isinstance(msm, str) and msm.strip().endswith("%"):
+            s = msm.strip()
+            cnt = int(abs(float(s[:-1])) / 100.0 * n)
+            m = (n - cnt) if s.startswith("-") else cnt
         else:
             m = int(msm)
-        out.append((int(qid), terms, max(1, min(m, len(terms)))))
+            if m < 0:
+                m = n + m
+        out.append((int(qid), terms, max(1, min(m, n))))
     return out
 
 
@@ -67,10 +76,14 @@ def stream_percolate(
     and the operator applies unchanged to batch DataFrames."""
     qrows = _query_rows(queries, min_should_match)
     if not qrows:
-        # no usable queries -> no alerts; keep the schema contract
-        return docs.withColumn("query_id", F.lit(0)).withColumn(
-            "matched", F.lit(0)
-        ).limit(0)
+        # no usable queries -> no alerts; keep the schema contract.
+        # filter(False), not limit(0): limit is unsupported on streaming
+        # DataFrames and would throw at plan time
+        return (
+            docs.withColumn("query_id", F.lit(0))
+            .withColumn("matched", F.lit(0))
+            .filter(F.lit(False))
+        )
     toks = F.array_distinct(tokens_col(F.col(text_col)))
     entries = [
         F.struct(

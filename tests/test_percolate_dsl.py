@@ -261,7 +261,8 @@ def test_percolate_required_col_matches_parse_msm(spark):
         _percolate_required_col,
     )
 
-    forms = [1, 2, 5, -1, -3, "2", "60%", "100%", "-25%", "-100%", "0%"]
+    forms = [1, 2, 5, -1, -3, "2", "-1", "-3", "60%", "100%", "-25%",
+             "-100%", "0%"]
     ns = list(range(1, 9))
     df = spark.createDataFrame([(n,) for n in ns], "n int")
     cols = [

@@ -520,3 +520,22 @@ def test_flat_bool_with_filter_stays_fast(spark, idx):
     fast_rows = {tuple(x) for x in df.collect()}
     slow_rows = {tuple(x) for x in slow.collect()}
     assert fast_rows == slow_rows and fast_rows
+
+
+def test_flat_bool_should_filter_no_must_falls_back(spark, idx):
+    """should+filter WITHOUT must: ES defaults minimum_should_match to 0
+    when a filter clause exists, so docs matching only the filter
+    qualify at score 0 — the one-scan kernel cannot express that, so
+    the fast path must fall back to the generic compiler (regression
+    guard for the round-5 fast-path widening)."""
+    r = IndexReader(spark, idx)
+    body = {"bool": {
+        "should": [{"match": {"content": "zebra"}}],   # matches nothing
+        "filter": [{"range": {"req": {"gte": 1}}}],
+    }}
+    out = r.search_dsl_df(body, k=None)
+    # every doc passes the filter; none matches the should -> ALL docs
+    # at score 0 (the ES contract), not the empty set
+    rows = out.collect()
+    assert len(rows) == len(DOCS)
+    assert {x["score"] for x in rows} == {0.0}

@@ -274,3 +274,40 @@ def test_stream_percolate_edge_shapes(spark):
     none = stream_percolate(df, [(0, "!!!")])
     assert none.count() == 0
     assert {"query_id", "matched"} <= set(none.columns)
+
+
+def test_stream_percolate_empty_queries_on_stream(spark, tmp_path):
+    """The empty-query fallback must plan on a STREAMING DataFrame
+    (limit(0) would throw at plan time; filter(False) does not)."""
+    from elasticsearch_jdbc_spark.streaming import stream_percolate
+
+    src = str(tmp_path / "src")
+    df = spark.createDataFrame([(1, "alpha")], "id long, content string")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = stream_percolate(stream, [(0, "!!!")])   # tokenizes to nothing
+    assert out.isStreaming
+    assert {"query_id", "matched"} <= set(out.columns)
+
+
+def test_stream_percolate_negative_msm_matches_dsl_leaf(spark):
+    """Negative msm forms resolve n-minus (the percolate DSL grammar):
+    '-1' on a 3-term query requires 2 matched terms, not 1."""
+    from elasticsearch_jdbc_spark.streaming import stream_percolate
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha"), (3, "alpha beta gamma")],
+        "id long, content string",
+    )
+    got = {
+        x["id"]: x["matched"]
+        for x in stream_percolate(
+            df, [(0, "alpha beta gamma", -1)]).collect()
+    }
+    assert got == {1: 2, 3: 3}   # doc 2 matches only 1 of required 2
+    pct = {
+        x["id"]: x["matched"]
+        for x in stream_percolate(
+            df, [(0, "alpha beta gamma", "-50%")]).collect()
+    }
+    assert pct == {1: 2, 3: 3}   # required = 3 - floor(1.5) = 2
