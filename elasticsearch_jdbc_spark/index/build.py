@@ -708,7 +708,10 @@ def _segment_from_tokens(tbl, bs: int, avgdl: float, k1: float, b: float,
             # / span / intervals semantics cannot observe the rebase).
             # Tokens are field-major per doc (ingest concatenation order),
             # so (doc, field) runs are contiguous.
-            fid_vocab = np.zeros(nv, np.int8)
+            # int32, not int8: a corpus can declare >127 fields, and an
+            # overflowing field id would corrupt run detection (or raise
+            # under numpy 2.x)
+            fid_vocab = np.zeros(nv, np.int32)
             for i, f in enumerate(fields):
                 m = pa.compute.starts_with(
                     vocab, f + "\x1f"

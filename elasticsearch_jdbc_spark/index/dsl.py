@@ -1336,13 +1336,23 @@ def _leaf_simple_query_string(ctx, body):
     query_string parser; `-`, quotes, `*`, `~N` already coincide.
     `flags` is accepted and ignored (all supported features stay on —
     SQS flags only ever REMOVE syntax, and unknown syntax here degrades
-    to plain terms, the SQS contract of never erroring)."""
+    to plain terms, the SQS contract of never erroring). The rewrite is
+    QUOTE-AWARE: operators inside a quoted phrase are literal in ES
+    (analysis drops them), so a standalone + or | inside quotes passes
+    through untouched instead of corrupting the phrase with an
+    AND/OR token. Unspaced infix (foo+bar) degrades to plain terms
+    (documented SQS degradation, never an error)."""
     if isinstance(body, str):
         body = {"query": body}
     body = dict(body)
-    body["query"] = " ".join(
-        {"+": "AND", "|": "OR"}.get(t, t)
-        for t in str(body["query"]).split(" ")
+    segs = re.split(r'("[^"]*"(?:~\d+)?)', str(body["query"]))
+    body["query"] = "".join(
+        seg
+        if i % 2  # quoted phrase (+ optional ~slop): untouched
+        else " ".join(
+            {"+": "AND", "|": "OR"}.get(t, t) for t in seg.split(" ")
+        )
+        for i, seg in enumerate(segs)
     )
     body.pop("flags", None)
     return _leaf_query_string(ctx, body)
@@ -2171,15 +2181,16 @@ def _apply_sort(ctx: _Ctx, out: DataFrame, sort) -> tuple:
             # default) / max (desc default) / sum / avg
             # (sort-search-results.html nested sorting). One
             # whole-stage-codegen projection, no explode.
-            mode = "min"
+            # explicit mode wins; otherwise the ES default follows the
+            # direction (desc -> max, asc -> min) for EVERY entry shape,
+            # including the {'field': 'desc'} dict shorthand
+            mode = None
             if isinstance(s, dict):
                 mspec = next(iter(s.values()))
                 if isinstance(mspec, dict):
-                    mode = mspec.get(
-                        "mode", "max" if direction == "desc" else "min"
-                    )
-            elif direction == "desc":
-                mode = "max"
+                    mode = mspec.get("mode")
+            if mode is None:
+                mode = "max" if direction == "desc" else "min"
             vals = f"transform({head}, e -> cast(e.{leaf} as double))"
             exprs = {
                 "min": f"array_min({vals})",
@@ -2224,7 +2235,7 @@ def _apply_sort(ctx: _Ctx, out: DataFrame, sort) -> tuple:
         else:
             order.append(col.asc_nulls_last() if asc else col.desc_nulls_last())
         entries.append((f, direction, missing))
-        resolved.append((rname, direction))
+        resolved.append((rname, direction, missing))
     if cols:
         out = out.join(docs.select(*ctx.keys, *cols), ctx.keys)
     isort = ctx.r0.manifest.get("index_sort")
@@ -3244,6 +3255,9 @@ def _apply_highlight(reader, hits, hl, query_body, source):
     typed highlight_df's: hits join docs keys, left-join the source on
     the key columns (k rows prune the scan), ONE mapInPandas snippet
     kernel over the k survivors — text never reaches the driver."""
+    # capture the page's resolved sort BEFORE any reassignment of
+    # `hits` (joins return new objects without the sideband)
+    page_sort = list(getattr(hits, "_sort_resolved", None) or [])
     if source is None:
         raise ValueError(
             "the body has a highlight section — the index stores no "
@@ -3293,7 +3307,21 @@ def _apply_highlight(reader, hits, hl, query_body, source):
         # field's fragment; columns come back as {col}_snippet /
         # {col}_n_hits (the ES per-field highlight object, flattened)
         out = _snippet_map_multi(rows, specs, terms)
-    return out.orderBy(F.desc("score"), *[F.asc(c) for c in ctx.keys])
+    # restore the page's ORDER: the body's sort when one was present
+    # (search_dsl_df decorates the resolved sort columns onto the page
+    # and sidebands their names), else relevance — highlighting must
+    # never re-rank a sorted page by score (it used to)
+    order = []
+    for n, d, m in page_sort:
+        c = F.col(n)
+        asc = d != "desc"
+        if m == "_first":
+            order.append(c.asc_nulls_first() if asc else c.desc_nulls_first())
+        else:
+            order.append(c.asc_nulls_last() if asc else c.desc_nulls_last())
+    if not order:
+        order = [F.desc("score")]
+    return out.orderBy(*order, *[F.asc(c) for c in ctx.keys])
 
 
 def _apply_suggest(reader, suggest: dict) -> dict:
@@ -4808,20 +4836,48 @@ def search_dsl_df(
                 "search_after requires a sort section (ES contract)"
             )
         cur = list(search_after)
-        names = [n for n, _ in sort_resolved]
-        dirs = [d for _, d in sort_resolved]
-        if len(cur) == len(names) + 1:
-            names.append("doc_id")
-            dirs.append("asc")
-        elif len(cur) != len(names):
-            raise ValueError(
-                f"search_after wants {len(names)} values (or +1 for the "
-                f"doc-id tie-break), got {len(cur)}"
-            )
+        names = [n for n, *_ in sort_resolved]
+        dirs = [d for _, d, *_ in sort_resolved]
+        # (column expr, direction, cursor literal) triples — the sort
+        # entries plus the TIER's tie-break: base appends asc doc_id
+        # (+1 cursor value); live ordering is (segment recency-rank
+        # desc, doc_id asc), so its cursor tie-break is +2 values
+        # (segment, doc_id) — a bare doc_id cannot disambiguate a
+        # sort-value tie that straddles segments and would drop or
+        # duplicate page-boundary rows (the typed surfaces' cursor rule)
+        ents = [
+            (F.col(n), d, F.lit(v))
+            for n, d, v in zip(names, dirs, cur[: len(names)])
+        ]
+        rest = cur[len(names):]
+        if ctx.live:
+            if len(rest) == 2:
+                seg, did = rest
+                if seg not in reader.segments:
+                    raise ValueError(
+                        f"search_after cursor segment {seg!r} not in "
+                        f"{reader.segments}"
+                    )
+                rm = reader._rank_map()
+                ents.append((rm[F.col("segment")], "desc", rm[F.lit(seg)]))
+                ents.append((F.col("doc_id"), "asc", F.lit(did)))
+            elif rest:
+                raise ValueError(
+                    f"search_after wants {len(names)} values (or +2 for "
+                    "the live-tier (segment, doc_id) tie-break), got "
+                    f"{len(cur)}"
+                )
+        else:
+            if len(rest) == 1:
+                ents.append((F.col("doc_id"), "asc", F.lit(rest[0])))
+            elif rest:
+                raise ValueError(
+                    f"search_after wants {len(names)} values (or +1 for "
+                    f"the doc-id tie-break), got {len(cur)}"
+                )
         pred = None
         prefix_eq = None
-        for n, d, v in zip(names, dirs, cur):
-            c, lit = F.col(n), F.lit(v)
+        for c, d, lit in ents:
             strict = (c < lit) if d == "desc" else (c > lit)
             clause = strict if prefix_eq is None else (prefix_eq & strict)
             pred = clause if pred is None else (pred | clause)
@@ -4873,7 +4929,9 @@ def search_dsl_df(
         return df.join(docs.select(*ctx.keys, *add), ctx.keys, "left")
 
     if k is None and not offset:
-        return shape(out)  # unranked match set (+ sort cols if any)
+        res = shape(out)  # unranked match set (+ sort cols if any)
+        res._sort_resolved = sort_resolved
+        return res
     if order is None:
         order = [F.desc("score")]
     if ctx.live:
@@ -4889,4 +4947,8 @@ def search_dsl_df(
     if fields_sel is not None or dv_sel or script_fields:
         # re-establish ranking after the enrichment join
         out = shape(out).orderBy(*order)
+    # sideband for search_request: which columns carry the body's sort
+    # (so post-page enrichment like highlight can restore THAT order,
+    # not blindly score desc)
+    out._sort_resolved = sort_resolved
     return out

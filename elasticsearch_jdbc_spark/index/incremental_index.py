@@ -556,6 +556,12 @@ class IncrementalIndexReader:
                 break
             if tokens is None:
                 raise KeyError(f"no live doc matches {like!r}")
+            if fields and self.fields:
+                # ES MLT `fields` on a doc reference: restrict the
+                # like-token pool to the requested fields' namespaces
+                # (the IndexReader._mlt_select_terms rule)
+                pres = tuple(f + "\x1f" for f in fields)
+                tokens = [t for t in tokens if t.startswith(pres)]
         else:
             from ..functions.tokenizer import tokenize_py
 

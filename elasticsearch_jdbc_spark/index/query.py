@@ -285,6 +285,11 @@ def parse_query_string(q: str, default_operator: str = "or") -> list[tuple]:
                 "NOT": "not", "!": "not",
             }[word]
             continue
+        if phrase is None and not sign and len(word) > 1 and word.startswith("!"):
+            # ATTACHED negation ("!b", Lucene prefix operator): same as
+            # the "-" sign — previously this fell through as a positive
+            # term for b, the opposite of the documented meaning
+            sign, word = "-", word[1:]
         occur = {"+": "must", "-": "must_not"}.get(sign, bare)
         lock = sign in ("+", "-")
         if pending == "and":
@@ -1364,6 +1369,13 @@ class IndexReader:
 
         if isinstance(like, dict):
             tokens, src = self._mlt_doc_tokens(like)
+            if fields and self.manifest.get("fields"):
+                # ES MLT `fields` on a DOC REFERENCE: restrict the
+                # like-token pool to the requested fields' namespaces —
+                # previously validated but silently ignored, so term
+                # selection drew from ALL indexed fields
+                pres = tuple(f + "\x1f" for f in fields)
+                tokens = [t for t in tokens if t.startswith(pres)]
         else:
             tokens, src = tokenize_py(like), None
             mfields = self.manifest.get("fields")

@@ -15,6 +15,8 @@ order-insensitive value-hash matches):
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -28,6 +30,12 @@ ORACLE_SQL: dict = {}
 
 
 def _reg(name: str, sql: str | None = None):
+    # a pasted SQL string in the name slot silently becomes the registry
+    # KEY and drops the oracle (it happened: date_math_range_search) —
+    # registry names are short snake_case slugs, enforce that here
+    if not re.fullmatch(r"[a-z0-9_]{1,64}", name):
+        raise ValueError(f"registry name must be a snake_case slug, got {name!r}")
+
     def deco(fn):
         QUERIES[name] = fn
         if sql is not None:
@@ -7977,6 +7985,7 @@ def terms_enum_q(spark, sf_dir):
 
 
 @_reg(
+    "date_math_range_search",
     """
     SELECT event_id, ts FROM events
     WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'

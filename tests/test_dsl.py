@@ -1290,3 +1290,95 @@ def test_match_bool_prefix(spark, setup):
     assert got_and.keys() == typed_and.keys()
     for did, s in typed_and.items():
         assert got_and[did] == pytest.approx(s, rel=1e-9)
+
+
+def test_body_search_after_live_tier_segment_cursor(spark, tmp_path):
+    """Live tier: the body search_after cursor's tie-break is (segment,
+    doc_id) — +2 values — because the tier's ordering is (segment
+    recency-rank desc, doc_id asc). Sort-value ties that straddle base
+    and delta must paginate with no loss and no duplication (regression:
+    a bare doc_id tie-break dropped page-boundary rows)."""
+    from elasticsearch_jdbc_spark.index import (
+        IncrementalIndexReader,
+        IndexBuilder,
+        apply_incremental,
+    )
+
+    d = str(tmp_path / "sa_live")
+    schema = (
+        "repo string, path string, commit string, lang string,"
+        " content string, grp long"
+    )
+    # every doc carries grp 0/1 -> massive sort ties across segments
+    base = [("r", f"b{i}", "c", "t", "alpha beta", i % 2) for i in range(8)]
+    IndexBuilder(spark, d, partitions=2).build(
+        spark.createDataFrame(base, schema), resume=False
+    )
+    ops = spark.createDataFrame(
+        [("r", f"d{i}", "c", "t", "alpha beta", i % 2, "index")
+         for i in range(6)],
+        schema + ", _optype string",
+    )
+    apply_incremental(spark, d, ops)
+    r = IncrementalIndexReader(spark, d)
+    body = {"query": {"match": {"content": "alpha"}},
+            "sort": [{"grp": "asc"}], "size": 3}
+    seen = []
+    cursor = None
+    for _ in range(10):
+        b = dict(body)
+        if cursor is not None:
+            b["search_after"] = cursor
+        page = r.search_dsl_df(b).collect()
+        if not page:
+            break
+        live = {
+            (x["segment"], x["doc_id"]): x["path"]
+            for x in r.live_docs().select(
+                "segment", "doc_id", "path").collect()
+        }
+        seen += [live[(x["segment"], x["doc_id"])] for x in page]
+        last = page[-1]
+        cursor = [last["grp"], last["segment"], last["doc_id"]]
+    want = sorted(p for _, p, *_ in base) + [f"d{i}" for i in range(6)]
+    assert sorted(seen) == sorted(want), "no loss, no duplication"
+    assert len(seen) == 14
+    # a bare +1 doc-id tie-break is rejected on the live tier
+    with pytest.raises(ValueError, match=r"\+2"):
+        r.search_dsl_df({**body, "search_after": [0, 3]})
+
+
+def test_simple_query_string_quote_aware_rewrite(spark, tmp_path):
+    """SQS operators inside a quoted phrase are literal (ES: analysis
+    drops them) — the +/| infix rewrite must not corrupt the phrase
+    with an AND/OR token."""
+    from elasticsearch_jdbc_spark.index import IndexBuilder, IndexReader
+
+    d = str(tmp_path / "sqs")
+    docs = [
+        ("r", "0", "c", "t", "fast key lookup path"),
+        ("r", "1", "c", "t", "fast lane key lookup"),   # not adjacent
+        ("r", "2", "c", "t", "slow key"),
+    ]
+    IndexBuilder(spark, d, partitions=1, with_positions=True).build(
+        spark.createDataFrame(
+            docs,
+            "repo string, path string, commit string, lang string,"
+            " content string",
+        ),
+        resume=False,
+    )
+    r = IndexReader(spark, d)
+    m = {x["doc_id"]: x["path"]
+         for x in spark.read.parquet(f"{d}/docs").collect()}
+
+    def paths(q):
+        df = r.search_dsl_df({"simple_query_string": {"query": q}}, k=None)
+        return sorted(m[x["doc_id"]] for x in df.collect())
+
+    # in-phrase '+' is literal: the slop-0 phrase still matches doc 0
+    assert paths('"fast + key"') == ["0"]
+    assert paths('"fast key"') == ["0"]
+    # standalone + OUTSIDE quotes still means AND
+    assert paths("fast + key") == ["0", "1"]
+    assert paths("slow | lane") == ["1", "2"]

@@ -109,3 +109,44 @@ def test_incremental_resolves_newest_live(spark, idx, tmp_path):
         (row["segment"], row["doc_id"]) != (top["segment"], top["doc_id"])
         for row in excl
     )
+
+
+def test_mlt_fields_restriction_on_doc_reference(spark, tmp_path):
+    """ES MLT `fields` with a DOC-REFERENCE like on a fields corpus:
+    term selection must draw only from the requested fields' namespaces
+    (regression: the restriction was validated, then silently ignored).
+    Both tiers."""
+    d = str(tmp_path / "fidx")
+    docs = [
+        ("r", f"{i}", "c", "t",
+         "merge merge segment segment buffer buffer",
+         "zebra zebra yonder yonder quill quill")
+        for i in range(30)
+    ]
+    IndexBuilder(spark, d, partitions=2, fields=["content", "extra"]).build(
+        spark.createDataFrame(
+            docs,
+            "repo string, path string, commit string, lang string,"
+            " content string, extra string",
+        ),
+        resume=False,
+    )
+    like = {"repo": "r", "path": "0"}
+    for r in (IndexReader(spark, d), IncrementalIndexReader(spark, d)):
+        hits = r.more_like_this_df(
+            like, k=5, min_term_freq=1, min_doc_freq=1,
+            min_should_match=1, fields=["extra"],
+        )
+        assert hits.count() > 0
+        # restricting to a namespace with NO overlap vs content terms:
+        # selection from 'extra' only — the same like restricted to
+        # 'content' must select a disjoint term set; prove it via the
+        # base reader's selection hook
+        r0 = r.readers[r.segments[0]] if hasattr(r, "segments") else r
+        sel_extra, _ = r0._mlt_select_terms(
+            like, 25, 1, 1, fields=["extra"])
+        sel_content, _ = r0._mlt_select_terms(
+            like, 25, 1, 1, fields=["content"])
+        assert sel_extra and all(t.startswith("extra\x1f") for t in sel_extra)
+        assert sel_content and all(
+            t.startswith("content\x1f") for t in sel_content)

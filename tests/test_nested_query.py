@@ -242,6 +242,11 @@ def test_nested_sort_modes(spark, idx):
     assert got[: len(want)] == want
     with pytest.raises(ValueError, match="nested sort mode"):
         order_of({"comments.stars": {"order": "desc", "mode": "median"}})
+    # the {'field': 'desc'} dict SHORTHAND must also default to mode max
+    # (regression: it used to stay at min, inverting tie groups)
+    want = sorted(nonempty, key=lambda p: (-max(nonempty[p]), p))
+    got = order_of({"comments.stars": "desc"})
+    assert got[: len(want)] == want
 
 
 def _paths_ordered(spark, d, df):

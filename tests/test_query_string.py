@@ -248,3 +248,19 @@ def test_incremental_twin_and_upsert(spark, idx, tmp_path):
     )
     assert (hit["segment"], hit["doc_id"]) not in after
     assert any(seg.startswith("delta") for seg, _ in after)
+
+
+def test_attached_negation():
+    """`!b` (attached Lucene prefix NOT) must exclude b, same as `-b`
+    and `! b` — regression: it used to parse as a POSITIVE term."""
+    from elasticsearch_jdbc_spark.index.query import parse_query_string
+
+    assert parse_query_string("a !b") == [
+        ("should", "term", "a"), ("must_not", "term", "b")]
+    assert parse_query_string("a AND !b") == [
+        ("must", "term", "a"), ("must_not", "term", "b")]
+    assert parse_query_string("!field:x") == [
+        ("must_not", "fielded", ("field", "x"))]
+    # degenerate bangs still parse (never-error contract)
+    assert parse_query_string("!") == []
+    assert parse_query_string("!!")[0][0] == "must_not"

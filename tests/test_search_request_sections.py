@@ -193,3 +193,27 @@ def test_track_total_hits(spark, setup):
 
     off = r.search_request({"query": {"match": {"content": "merge"}}})
     assert off["total"] is None
+
+
+def test_highlight_preserves_body_sort_order(spark, setup):
+    """A body with BOTH `sort` and `highlight`: the returned hits keep
+    the requested sort order (regression: highlighting used to re-rank
+    the page by score desc, discarding the sort section)."""
+    d, r, corpus = setup
+    res = r.search_request(
+        {"query": {"match": {"content": "merge"}},
+         "sort": [{"dl": "asc"}],
+         "size": 8,
+         "highlight": {"fields": {"content": {}}}},
+        source=corpus,
+    )
+    rows = res["hits"].collect()
+    assert len(rows) == 8
+    dls = [x["dl"] for x in rows]
+    assert dls == sorted(dls), "hits must come back in the body's sort order"
+    # and the page IS the sorted page (same doc set as the no-highlight run)
+    plain = r.search_dsl_df(
+        {"query": {"match": {"content": "merge"}},
+         "sort": [{"dl": "asc"}], "size": 8},
+    ).collect()
+    assert [x["doc_id"] for x in rows] == [x["doc_id"] for x in plain]
