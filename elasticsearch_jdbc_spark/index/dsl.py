@@ -284,7 +284,10 @@ def _parse_msm(msm, total: int) -> int:
                 # the sign is textual, not numeric: "-N%" means N percent
                 # MISSING (total minus the floored count) even at -0.x%
                 neg = s.startswith("-")
-                v = int(abs(float(s[:-1])) / 100.0 * total)
+                # multiply BEFORE dividing (the Lucene evaluation order,
+                # p * n / 100): int(58/100.0 * 100) is 57 under binary
+                # floating point, while int(58 * 100 / 100.0) is 58
+                v = int(abs(float(s[:-1])) * total / 100.0)
                 return total - v if neg else v
             v = int(s)
         except ValueError:
@@ -358,7 +361,14 @@ def _leaf_multi_match(ctx, body):
             name, _, w = f0.partition("^")
             boosts[name] = float(w) if w else 1.0
     msm = body.get("minimum_should_match")
-    m = 1 if msm is None else _parse_msm(msm, len(ctx.r0.query_terms(q)))
+    ntoks = len(ctx.r0.query_terms(q))
+    if msm is None:
+        # ES `operator`: "and" requires EVERY analyzed term to match
+        # (in some field — the term-centric reading all multi_match
+        # types share under the engine's msm model); default OR
+        m = ntoks if body.get("operator") == "and" else 1
+    else:
+        m = _parse_msm(msm, ntoks)
     df = ctx.reader.multi_match_df(
         q, boosts=boosts, match_type=body.get("type", "best_fields"),
         k=None, min_should_match=m,
@@ -809,8 +819,9 @@ def _percolate_required_col(msm, n):
         try:
             if s.endswith("%"):
                 neg = s.startswith("-")
+                # multiply before dividing (the _parse_msm FP rule)
                 cnt = F.floor(
-                    n.cast("double") * F.lit(abs(float(s[:-1])) / 100.0)
+                    n.cast("double") * F.lit(abs(float(s[:-1]))) / F.lit(100.0)
                 ).cast("int")
                 v = (n - cnt) if neg else cnt
             else:
@@ -2196,9 +2207,12 @@ def _apply_sort(ctx: _Ctx, out: DataFrame, sort) -> tuple:
                 "min": f"array_min({vals})",
                 "max": f"array_max({vals})",
                 "sum": f"aggregate({vals}, 0D, (a, x) -> a + coalesce(x, 0D))",
+                # avg over EXISTING values only (ES ignores missing
+                # element values; dividing by the full element count
+                # would understate docs with null-valued elements)
                 "avg": (
                     f"aggregate({vals}, 0D, (a, x) -> a + coalesce(x, 0D))"
-                    f" / nullif(size({head}), 0)"
+                    f" / nullif(size(filter({vals}, x -> x IS NOT NULL)), 0)"
                 ),
             }
             if mode not in exprs:
@@ -2526,9 +2540,14 @@ def _metric_exprs(name: str, kind: str, spec: dict) -> list:
         if not values:
             raise ValueError("percentile_ranks needs at least one probe value")
         c = col.cast("double")
+        # nulls are NOT observations (ES ignores missing values): avg
+        # over a when() that leaves null rows null, so they drop out of
+        # both numerator and denominator
         return [
             F.round(
-                F.avg(F.when(c <= F.lit(v), 1.0).otherwise(0.0)) * 100.0, 6
+                F.avg(
+                    F.when(c <= F.lit(v), 1.0).when(c.isNotNull(), 0.0)
+                ) * 100.0, 6
             ).alias(
                 f"{name}_{str(v).rstrip('0').rstrip('.').replace('.', '_').replace('-', 'm')}"
             )
@@ -2954,7 +2973,16 @@ def _bucket_key(ctx: _Ctx, rows: DataFrame, name: str, kind: str, spec: dict):
                 "pick a name that is not a field"
             )
         parts = [F.col(d).cast("string") for d in dims]
-        key = parts[0] if len(parts) == 1 else F.concat_ws("|", *parts)
+        if len(parts) == 1:
+            key = parts[0]
+        else:
+            # NULL dimensions must stay distinguishable: concat_ws SKIPS
+            # nulls, which would merge (null,'a') and ('a',null) into one
+            # series — mark them with a sentinel token instead
+            key = F.concat_ws(
+                "|",
+                *[F.coalesce(p, F.lit("\x00")) for p in parts],
+            )
         return rows.withColumn(name, key), meta
     if kind == "histogram":
         x = F.col(spec["field"]).cast("double")
@@ -3220,6 +3248,11 @@ def _highlight_texts(q: dict) -> list[str]:
     elif kind == "terms":
         b = {k: v for k, v in dict(spec).items() if k != "boost"}
         _f, vals = _one(b)
+        if isinstance(vals, dict):
+            # terms LOOKUP shape ({'id': ..., 'path': ...}): the term set
+            # resolves at query time from another doc — stringifying the
+            # dict would inject 'id'/'path' junk into the highlight terms
+            vals = []
         out.extend(str(v) for v in _aslist(vals))
     elif kind in (
         "multi_match", "combined_fields", "query_string",
@@ -4688,6 +4721,7 @@ def search_dsl_df(
             raise ValueError("post_filter must be a query object")
         out = out.join(_compile(ctx, post_filter), ctx.keys, "left_semi")
     order = None
+    collapse_sr: list = []
     if collapse is not None:
         if not isinstance(collapse, dict) or "field" not in collapse:
             raise ValueError("collapse wants {'field': <docs column>}")
@@ -4728,7 +4762,7 @@ def search_dsl_df(
             # the map-side-combinable max_by aggregate. (Sorting on
             # `collapse_count` — an engine extension, the column only
             # exists post-collapse — keeps the post-collapse sort.)
-            out, order, _sr = _apply_sort(ctx, out, sort)
+            out, order, collapse_sr = _apply_sort(ctx, out, sort)
             sort = None  # consumed — the ordered cut reuses `order`
             if cf not in out.columns:
                 out = out.join(ctx.docs().select(*ctx.keys, cf), ctx.keys)
@@ -4814,7 +4848,10 @@ def search_dsl_df(
                     )
                 )
                 out = out.join(members, cf, "left")
-    sort_resolved = []
+    # collapse-with-sort consumed the sort section above but its
+    # resolved columns still decorate the page — keep them on the
+    # sideband so highlight restores THAT order, not score desc
+    sort_resolved = collapse_sr
     if sort is not None:
         out, order, sort_resolved = _apply_sort(ctx, out, sort)
     if search_after is not None:
@@ -4838,6 +4875,13 @@ def search_dsl_df(
         cur = list(search_after)
         names = [n for n, *_ in sort_resolved]
         dirs = [d for _, d, *_ in sort_resolved]
+        if len(cur) < len(names):
+            # zip would silently truncate, building a wrong predicate
+            # (and an empty cursor would leave no predicate at all)
+            raise ValueError(
+                f"search_after wants {len(names)} values "
+                f"(one per sort entry), got {len(cur)}"
+            )
         # (column expr, direction, cursor literal) triples — the sort
         # entries plus the TIER's tie-break: base appends asc doc_id
         # (+1 cursor value); live ordering is (segment recency-rank

@@ -1347,7 +1347,8 @@ class IndexReader:
         """ES MLT minimum_should_match: '30%'-style percentages floor to a
         term count (clamped to [1, n_terms]); ints pass through."""
         if isinstance(min_should_match, str) and min_should_match.endswith("%"):
-            m = int(float(min_should_match[:-1]) / 100.0 * n_terms)
+            # multiply before dividing (the Lucene FP evaluation order)
+            m = int(float(min_should_match[:-1]) * n_terms / 100.0)
         else:
             m = int(min_should_match)
         return max(1, min(m, n_terms))

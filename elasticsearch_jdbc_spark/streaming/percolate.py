@@ -48,7 +48,7 @@ def _query_rows(queries, min_should_match) -> list[tuple[int, list, int]]:
         n = len(terms)
         if isinstance(msm, str) and msm.strip().endswith("%"):
             s = msm.strip()
-            cnt = int(abs(float(s[:-1])) / 100.0 * n)
+            cnt = int(abs(float(s[:-1])) * n / 100.0)
             m = (n - cnt) if s.startswith("-") else cnt
         else:
             m = int(msm)

@@ -1382,3 +1382,44 @@ def test_simple_query_string_quote_aware_rewrite(spark, tmp_path):
     # standalone + OUTSIDE quotes still means AND
     assert paths("fast + key") == ["0", "1"]
     assert paths("slow | lane") == ["1", "2"]
+
+
+def test_multi_match_operator_and(spark, tmp_path):
+    """multi_match `operator: and` requires EVERY analyzed term to match
+    (regression: the option was silently ignored -> OR semantics)."""
+    from elasticsearch_jdbc_spark.index import IndexBuilder, IndexReader
+
+    d = str(tmp_path / "mmop")
+    docs = [
+        ("r", "0", "c", "t", "merge segment", "x"),
+        ("r", "1", "c", "t", "merge only", "x"),
+        ("r", "2", "c", "t", "nothing here", "segment"),
+    ]
+    IndexBuilder(spark, d, partitions=1, fields=["content", "extra"]).build(
+        spark.createDataFrame(
+            docs,
+            "repo string, path string, commit string, lang string,"
+            " content string, extra string",
+        ),
+        resume=False,
+    )
+    r = IndexReader(spark, d)
+    m = {x["doc_id"]: x["path"]
+         for x in spark.read.parquet(f"{d}/docs").collect()}
+
+    def paths(body):
+        return sorted(
+            m[x["doc_id"]]
+            for x in r.search_dsl_df(body, k=None).collect()
+        )
+
+    # OR default: any term in any field
+    assert paths({"multi_match": {"query": "merge segment"}}) == ["0", "1", "2"]
+    # operator and: every term, each in SOME field (doc 2: segment via
+    # `extra` only, no merge anywhere -> excluded; doc 1 lacks segment)
+    assert paths({"multi_match": {"query": "merge segment",
+                                  "operator": "and"}}) == ["0"]
+    # explicit msm still wins over operator
+    assert paths({"multi_match": {"query": "merge segment",
+                                  "operator": "and",
+                                  "minimum_should_match": 1}}) == ["0", "1", "2"]

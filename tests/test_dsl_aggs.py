@@ -1559,7 +1559,7 @@ def test_geo_line_guards(spark, setup):
 def test_time_series_bucket_kind(spark, setup):
     """ES TSDB time_series bucket: one bucket per dimension tuple (the
     _tsid analogue), sub-aggs nest normally — vs hand computation.
-    concat_ws skips NULL dimension values (a series without that dim)."""
+    NULL dimension values carry a sentinel token (distinct tuples stay distinct)."""
     d, r, docs = setup
     body = {"series": {"time_series": {"dimensions": ["lang", "grp"]},
                        "aggs": {"avg_dl": {"avg": {"field": "dl"}}}}}
@@ -1569,7 +1569,10 @@ def test_time_series_bucket_kind(spark, setup):
     }
     series = collections.defaultdict(list)
     for x in docs.values():
-        key = "|".join(p for p in (x["lang"], x["grp"]) if p is not None)
+        # NULL dims carry a sentinel so distinct tuples stay distinct
+        key = "|".join(
+            p if p is not None else "\x00" for p in (x["lang"], x["grp"])
+        )
         series[key].append(x["dl"])
     want = {
         k: (len(v), round(sum(v) / len(v), 6)) for k, v in series.items()
@@ -1634,3 +1637,34 @@ def test_cartesian_bounds_and_centroid(spark, setup):
         assert row["c_x"] == round(sum(xs) / len(xs), 6)
         assert row["c_y"] == round(sum(ys) / len(ys), 6)
         assert row["c_count"] == len(pts)
+
+
+def test_percentile_ranks_ignores_nulls(spark, setup):
+    """percentile_ranks: null field values are not observations (the ES
+    missing-value rule) — regression: they used to count in the
+    denominator as values above every probe."""
+    d, r, docs = setup
+    got = r.aggs_dsl_df({"pr": {"percentile_ranks": {
+        "field": "grp_len", "values": [1.0]}}},
+        runtime_mappings={"grp_len": "length(grp)"},
+    ).collect()[0]
+    vals = [len(x["grp"]) for x in docs.values() if x["grp"] is not None]
+    want = round(100.0 * sum(1 for v in vals if v <= 1.0) / len(vals), 6)
+    assert got["pr_1"] == want
+
+
+def test_time_series_null_dims_stay_distinct(spark, setup):
+    """Multi-dimension series with NULL values must not merge: (x, null)
+    and (null, x) are different series (concat_ws would fold them)."""
+    d, r, docs = setup
+    out = r.aggs_dsl_df(
+        {"series": {"time_series": {"dimensions": ["grp", "lang"]},
+                    "aggs": {"n": {"value_count": {"field": "dl"}}}}}
+    ).collect()
+    got = {x["series"]: x["series_doc_count"] for x in out}
+    want = collections.Counter(
+        "|".join(v if v is not None else "\x00"
+                 for v in (x["grp"], x["lang"]))
+        for x in docs.values()
+    )
+    assert got == dict(want)

@@ -80,7 +80,7 @@ def _brute(msm=1):
             continue
         if isinstance(msm, str) and msm.endswith("%"):
             neg = msm.startswith("-")
-            cnt = int(abs(float(msm[:-1])) / 100.0 * n)
+            cnt = int(abs(float(msm[:-1])) * n / 100.0)
             req = (n - cnt) if neg else cnt
         else:
             req = int(msm) if int(msm) >= 0 else n + int(msm)
@@ -263,7 +263,7 @@ def test_percolate_required_col_matches_parse_msm(spark):
 
     forms = [1, 2, 5, -1, -3, "2", "-1", "-3", "60%", "100%", "-25%",
              "-100%", "0%"]
-    ns = list(range(1, 9))
+    ns = list(range(1, 9)) + [50, 58, 100]  # 100: the 58% FP-floor edge
     df = spark.createDataFrame([(n,) for n in ns], "n int")
     cols = [
         _percolate_required_col(m, F.col("n")).alias(f"m{i}")
@@ -274,3 +274,26 @@ def test_percolate_required_col_matches_parse_msm(spark):
         for i, m in enumerate(forms):
             want = max(1, min(_parse_msm(m, n), n))
             assert got[n][f"m{i}"] == want, (m, n)
+
+
+def test_stream_query_rows_matches_required_col(spark):
+    """The streaming percolator's driver-side msm resolution and the DSL
+    leaf's Column resolution are separate implementations of ONE grammar
+    — this grid comparison makes any drift fail loudly."""
+    from elasticsearch_jdbc_spark.index.dsl import _percolate_required_col
+    from elasticsearch_jdbc_spark.streaming.percolate import _query_rows
+
+    forms = [1, 3, -1, "2", "-1", "58%", "60%", "100%", "-25%", "-50%"]
+    letters = "abcdefgh"
+    texts = {n: " ".join(letters[:n]) for n in (1, 2, 3, 5, 8)}
+    df = spark.createDataFrame([(n,) for n in texts], "n int")
+    cols = [
+        _percolate_required_col(m, F.col("n")).alias(f"m{i}")
+        for i, m in enumerate(forms)
+    ]
+    col_req = {r["n"]: r.asDict() for r in df.select("n", *cols).collect()}
+    for i, m in enumerate(forms):
+        rows = _query_rows([(n, t, m) for n, t in texts.items()], 1)
+        stream_req = {qid: req for qid, _terms, req in rows}
+        for n in texts:
+            assert stream_req[n] == col_req[n][f"m{i}"], (m, n)
