@@ -188,6 +188,15 @@ def _sql_lit(v) -> str:
     return "'" + str(v).replace("'", "''") + "'"
 
 
+def _operator(spec: dict) -> str:
+    """ES `operator` option, normalized: case-insensitive (Operator
+    .fromString), unknown values rejected instead of silently ignored."""
+    op = str(spec.get("operator", "or")).lower()
+    if op not in ("and", "or"):
+        raise ValueError(f"operator must be and|or, got {spec['operator']!r}")
+    return op
+
+
 def _set_score(ctx: _Ctx, df: DataFrame, boost: float) -> DataFrame:
     return df.select(*ctx.keys, F.lit(float(boost)).cast("double").alias("score"))
 
@@ -309,7 +318,7 @@ def _leaf_match(ctx, body):
     msm = spec.get("minimum_should_match")
     ntoks = len(ctx.r0.query_terms(q))
     if msm is None:
-        m = ntoks if spec.get("operator") == "and" else 1
+        m = ntoks if _operator(spec) == "and" else 1
     else:
         m = _parse_msm(msm, ntoks)
     df = ctx.reader.match_df(q, min_should_match=m, boosts=boosts)
@@ -345,7 +354,7 @@ def _leaf_match_bool_prefix(ctx, body):
         raise ValueError("match_bool_prefix analyzed to no tokens")
     df = ctx.reader.match_bool_prefix_df(
         spec["query"], k=None,
-        operator=spec.get("operator", "or"), boosts=boosts,
+        operator=_operator(spec), boosts=boosts,
     )
     return _scale(df, spec.get("boost", 1.0))
 
@@ -365,8 +374,9 @@ def _leaf_multi_match(ctx, body):
     if msm is None:
         # ES `operator`: "and" requires EVERY analyzed term to match
         # (in some field — the term-centric reading all multi_match
-        # types share under the engine's msm model); default OR
-        m = ntoks if body.get("operator") == "and" else 1
+        # types share under the engine's msm model; the per-field AND
+        # of ES best_fields is a documented deviation, README ledger)
+        m = ntoks if _operator(body) == "and" else 1
     else:
         m = _parse_msm(msm, ntoks)
     df = ctx.reader.multi_match_df(
@@ -762,7 +772,7 @@ def _leaf_combined_fields(ctx, body):
     msm = body.get("minimum_should_match")
     ntoks = len(ctx.r0.query_terms(q))
     if msm is None:
-        m = ntoks if body.get("operator") == "and" else 1
+        m = ntoks if _operator(body) == "and" else 1
     else:
         m = _parse_msm(msm, ntoks)
     df = ctx.reader.search_combined_df(
@@ -873,10 +883,20 @@ def _leaf_percolate(ctx, body):
     doc = spec.get("document")
     if doc is None:
         raise ValueError("percolate needs a 'document'")
-    if isinstance(doc, dict):
-        text = " ".join(str(v) for v in doc.values() if v is not None)
-    else:
-        text = str(doc)
+
+    def _doc_values(v) -> list:
+        # ES analyzes field VALUES only: flatten nested objects/arrays
+        # recursively — stringifying a dict would tokenize its KEYS and
+        # repr punctuation into spurious matchable tokens
+        if v is None:
+            return []
+        if isinstance(v, dict):
+            return [x for sub in v.values() for x in _doc_values(sub)]
+        if isinstance(v, (list, tuple)):
+            return [x for sub in v for x in _doc_values(sub)]
+        return [str(v)]
+
+    text = " ".join(_doc_values(doc)) if isinstance(doc, dict) else str(doc)
     have = sorted(set(tokenize_py(text)))
     if len(have) > 10000:
         # the document's distinct tokens become plan literals; cap like
@@ -1357,14 +1377,23 @@ def _leaf_simple_query_string(ctx, body):
         body = {"query": body}
     body = dict(body)
     segs = re.split(r'("[^"]*"(?:~\d+)?)', str(body["query"]))
-    body["query"] = "".join(
-        seg
-        if i % 2  # quoted phrase (+ optional ~slop): untouched
-        else " ".join(
-            {"+": "AND", "|": "OR"}.get(t, t) for t in seg.split(" ")
-        )
-        for i, seg in enumerate(segs)
-    )
+    out_segs = []
+    for i, seg in enumerate(segs):
+        if i % 2:  # quoted phrase (+ optional ~slop): untouched
+            out_segs.append(seg)
+            continue
+        toks = seg.split(" ")
+        # a sign character ATTACHED to the following quote ('+"a b"')
+        # ends this segment without trailing whitespace — leave it for
+        # the parser's own sign handling instead of gluing AND onto the
+        # quote
+        keep_last = i + 1 < len(segs) and seg != "" and not seg.endswith(" ")
+        body_toks = toks[:-1] if keep_last else toks
+        mapped = [{"+": "AND", "|": "OR"}.get(t, t) for t in body_toks]
+        if keep_last:
+            mapped.append(toks[-1])
+        out_segs.append(" ".join(mapped))
+    body["query"] = "".join(out_segs)
     body.pop("flags", None)
     return _leaf_query_string(ctx, body)
 
@@ -2972,17 +3001,14 @@ def _bucket_key(ctx: _Ctx, rows: DataFrame, name: str, kind: str, spec: dict):
                 f"time_series agg name {name!r} shadows a docs column; "
                 "pick a name that is not a field"
             )
-        parts = [F.col(d).cast("string") for d in dims]
-        if len(parts) == 1:
-            key = parts[0]
-        else:
-            # NULL dimensions must stay distinguishable: concat_ws SKIPS
-            # nulls, which would merge (null,'a') and ('a',null) into one
-            # series — mark them with a sentinel token instead
-            key = F.concat_ws(
-                "|",
-                *[F.coalesce(p, F.lit("\x00")) for p in parts],
-            )
+        # NULL dimensions must stay distinguishable AND consistent
+        # across arities: concat_ws SKIPS nulls (merging (null,'a') with
+        # ('a',null)), so every null dim — single-dimension included —
+        # carries the \x00 sentinel token
+        parts = [
+            F.coalesce(F.col(d).cast("string"), F.lit("\x00")) for d in dims
+        ]
+        key = parts[0] if len(parts) == 1 else F.concat_ws("|", *parts)
         return rows.withColumn(name, key), meta
     if kind == "histogram":
         x = F.col(spec["field"]).cast("double")

@@ -541,6 +541,15 @@ class IncrementalIndexReader:
         from collections import Counter
 
         r0 = self.readers[self.segments[0]]
+        if fields:
+            # validate for BOTH like shapes — a typo'd field on a doc
+            # reference must error, not silently select zero terms
+            unknown = set(fields) - set(self.fields or ())
+            if unknown:
+                raise ValueError(
+                    f"unknown MLT fields {sorted(unknown)}; "
+                    f"indexed: {self.fields}"
+                )
         src = None
         if isinstance(like, dict):
             tokens = None
@@ -567,13 +576,6 @@ class IncrementalIndexReader:
 
             tokens = tokenize_py(like)
             mfields = self.fields
-            if fields:
-                unknown = set(fields) - set(mfields or ())
-                if unknown:
-                    raise ValueError(
-                        f"unknown MLT fields {sorted(unknown)}; "
-                        f"indexed: {mfields}"
-                    )
             if mfields:
                 # fields corpus: namespace like-tokens per queried field
                 # (see IndexReader._mlt_select_terms)

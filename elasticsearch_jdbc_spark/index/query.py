@@ -1344,13 +1344,36 @@ class IndexReader:
 
     @staticmethod
     def _mlt_min_match(min_should_match, n_terms: int) -> int:
-        """ES MLT minimum_should_match: '30%'-style percentages floor to a
-        term count (clamped to [1, n_terms]); ints pass through."""
-        if isinstance(min_should_match, str) and min_should_match.endswith("%"):
-            # multiply before dividing (the Lucene FP evaluation order)
-            m = int(float(min_should_match[:-1]) * n_terms / 100.0)
+        """The percolate/MLT family's minimum_should_match: ints
+        (negative = n-minus) and 'N%'/'-N%' percentages with textual-sign
+        multiply-first flooring — the SAME grammar as the percolate DSL
+        leaf (_percolate_required_col) and stream_percolate, so one
+        registered rule resolves identically on every surface — clamped
+        to [1, n_terms]. Conditional 'n<spec' combinations are rejected
+        with a clear error (engine-native restriction on these
+        per-query-resolved surfaces)."""
+        if isinstance(min_should_match, bool):
+            raise ValueError(f"bad minimum_should_match {min_should_match!r}")
+        if isinstance(min_should_match, str):
+            s = min_should_match.strip()
+            if "<" in s:
+                raise ValueError(
+                    "minimum_should_match: conditional 'n<spec' "
+                    "combinations are unsupported here (engine-native "
+                    "restriction)"
+                )
+            if s.endswith("%"):
+                # multiply before dividing (the Lucene FP order)
+                cnt = int(abs(float(s[:-1])) * n_terms / 100.0)
+                m = n_terms - cnt if s.startswith("-") else cnt
+            else:
+                m = int(s)
+                if m < 0:
+                    m = n_terms + m
         else:
             m = int(min_should_match)
+            if m < 0:
+                m = n_terms + m
         return max(1, min(m, n_terms))
 
     def _mlt_select_terms(

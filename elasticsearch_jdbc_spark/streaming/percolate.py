@@ -31,12 +31,12 @@ from ..functions.tokenizer import tokenize_py, tokens_col
 
 def _query_rows(queries, min_should_match) -> list[tuple[int, list, int]]:
     """[(query_id, distinct_terms, required)] — the percolate_df query
-    map, resolved driver-side. The msm grammar is the percolate DSL
-    leaf's (_percolate_required_col): positive/negative ints and
-    'N%'/'-N%' with the textual-sign floor rounding, clamped to
-    [1, n_terms] — the same rule the same alerting body gets through the
-    index tier, so one registered rule fires on the same documents on
-    every percolate surface."""
+    map, resolved driver-side through THE canonical msm rule
+    (IndexReader._mlt_min_match — shared with percolate_df and
+    grid-tested against the DSL leaf's Column twin), so one registered
+    rule fires on the same documents on every percolate surface."""
+    from ..index.query import IndexReader
+
     if isinstance(queries, dict):
         queries = list(queries.items())
     out = []
@@ -45,16 +45,8 @@ def _query_rows(queries, min_should_match) -> list[tuple[int, list, int]]:
         terms = sorted(set(tokenize_py(text)))
         if not terms:
             continue
-        n = len(terms)
-        if isinstance(msm, str) and msm.strip().endswith("%"):
-            s = msm.strip()
-            cnt = int(abs(float(s[:-1])) * n / 100.0)
-            m = (n - cnt) if s.startswith("-") else cnt
-        else:
-            m = int(msm)
-            if m < 0:
-                m = n + m
-        out.append((int(qid), terms, max(1, min(m, n))))
+        req = IndexReader._mlt_min_match(msm, len(terms))
+        out.append((int(qid), terms, req))
     return out
 
 

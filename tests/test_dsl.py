@@ -1423,3 +1423,62 @@ def test_multi_match_operator_and(spark, tmp_path):
     assert paths({"multi_match": {"query": "merge segment",
                                   "operator": "and",
                                   "minimum_should_match": 1}}) == ["0", "1", "2"]
+
+
+def test_sqs_sign_attached_to_quote(spark, tmp_path):
+    """A '+' attached directly to a quoted phrase ('+\"a b\"') must stay
+    the parser's sign, not become AND glued onto the quote (regression
+    from the quote-aware rewrite)."""
+    from elasticsearch_jdbc_spark.index import IndexBuilder, IndexReader
+
+    d = str(tmp_path / "sqsq")
+    docs = [
+        ("r", "0", "c", "t", "fast key merge"),
+        ("r", "1", "c", "t", "fast merge"),
+    ]
+    IndexBuilder(spark, d, partitions=1, with_positions=True).build(
+        spark.createDataFrame(
+            docs,
+            "repo string, path string, commit string, lang string,"
+            " content string",
+        ),
+        resume=False,
+    )
+    r = IndexReader(spark, d)
+    m = {x["doc_id"]: x["path"]
+         for x in spark.read.parquet(f"{d}/docs").collect()}
+
+    def paths(q):
+        df = r.search_dsl_df({"simple_query_string": {"query": q}}, k=None)
+        return sorted(m[x["doc_id"]] for x in df.collect())
+
+    assert paths('merge +"fast key"') == ["0"]
+    assert paths('-"fast key" merge') == ["1"]
+
+
+def test_operator_case_and_validation(spark, tmp_path):
+    """`operator` is case-insensitive (ES Operator.fromString); unknown
+    values are rejected instead of silently meaning OR."""
+    from elasticsearch_jdbc_spark.index import IndexBuilder, IndexReader
+
+    d = str(tmp_path / "opcase")
+    IndexBuilder(spark, d, partitions=1).build(
+        spark.createDataFrame(
+            [("r", "0", "c", "t", "alpha beta"),
+             ("r", "1", "c", "t", "alpha only")],
+            "repo string, path string, commit string, lang string,"
+            " content string",
+        ),
+        resume=False,
+    )
+    r = IndexReader(spark, d)
+    up = r.search_dsl_df(
+        {"match": {"content": {"query": "alpha beta",
+                               "operator": "AND"}}}, k=None).count()
+    lo = r.search_dsl_df(
+        {"match": {"content": {"query": "alpha beta",
+                               "operator": "and"}}}, k=None).count()
+    assert up == lo == 1
+    with pytest.raises(ValueError, match="operator must be"):
+        r.search_dsl_df({"match": {"content": {
+            "query": "alpha", "operator": "banana"}}}, k=None)

@@ -1668,3 +1668,15 @@ def test_time_series_null_dims_stay_distinct(spark, setup):
         for x in docs.values()
     )
     assert got == dict(want)
+    # single-dimension series carry the SAME sentinel for nulls
+    one = {
+        x["s1"]: x["s1_doc_count"]
+        for x in r.aggs_dsl_df({"s1": {"time_series": {
+            "dimensions": ["grp"]},
+            "aggs": {"n": {"value_count": {"field": "dl"}}}}}).collect()
+    }
+    want1 = collections.Counter(
+        x["grp"] if x["grp"] is not None else "\x00"
+        for x in docs.values()
+    )
+    assert one == dict(want1)

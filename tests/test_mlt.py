@@ -150,3 +150,7 @@ def test_mlt_fields_restriction_on_doc_reference(spark, tmp_path):
         assert sel_extra and all(t.startswith("extra\x1f") for t in sel_extra)
         assert sel_content and all(
             t.startswith("content\x1f") for t in sel_content)
+        # a typo'd field on a DOC REFERENCE errors (it used to silently
+        # select zero terms on the live tier)
+        with pytest.raises(ValueError, match="unknown MLT fields"):
+            r.more_like_this_df(like, fields=["titel"])

@@ -297,3 +297,24 @@ def test_stream_query_rows_matches_required_col(spark):
         stream_req = {qid: req for qid, _terms, req in rows}
         for n in texts:
             assert stream_req[n] == col_req[n][f"m{i}"], (m, n)
+
+
+def test_nested_document_values_only(spark, idx):
+    """Nested document objects flatten to their VALUES — field names
+    and repr punctuation must not become matchable tokens."""
+    r = IndexReader(spark, idx)
+    # stored query 'config cluster zz' (doc 3): a nested document whose
+    # KEY is 'config' but whose values never mention it must not match
+    none = r.search_dsl_df(
+        {"percolate": {"field": "stored_query",
+                       "document": {"config": {"other": "nothing"}}}},
+        k=None,
+    )
+    assert _hits(spark, idx, none) == {}
+    # values nested two levels deep DO match
+    deep = r.search_dsl_df(
+        {"percolate": {"field": "stored_query",
+                       "document": {"a": {"b": ["config", "cluster"]}}}},
+        k=None,
+    )
+    assert _hits(spark, idx, deep) == {"3": 2.0}
