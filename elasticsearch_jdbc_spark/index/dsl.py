@@ -316,11 +316,9 @@ def _leaf_match(ctx, body):
     boosts = _text_field_check(ctx, field)
     q = spec["query"]
     msm = spec.get("minimum_should_match")
+    op = _operator(spec)  # validated even when msm overrides it
     ntoks = len(ctx.r0.query_terms(q))
-    if msm is None:
-        m = ntoks if _operator(spec) == "and" else 1
-    else:
-        m = _parse_msm(msm, ntoks)
+    m = (ntoks if op == "and" else 1) if msm is None else _parse_msm(msm, ntoks)
     df = ctx.reader.match_df(q, min_should_match=m, boosts=boosts)
     return _scale(df, spec.get("boost", 1.0))
 
@@ -370,15 +368,14 @@ def _leaf_multi_match(ctx, body):
             name, _, w = f0.partition("^")
             boosts[name] = float(w) if w else 1.0
     msm = body.get("minimum_should_match")
+    # ES `operator`: "and" requires EVERY analyzed term to match (in
+    # some field — the term-centric reading all multi_match types share
+    # under the engine's msm model; the per-field AND of ES best_fields
+    # is a documented deviation, README ledger). Validated even when an
+    # explicit msm overrides it.
+    op = _operator(body)
     ntoks = len(ctx.r0.query_terms(q))
-    if msm is None:
-        # ES `operator`: "and" requires EVERY analyzed term to match
-        # (in some field — the term-centric reading all multi_match
-        # types share under the engine's msm model; the per-field AND
-        # of ES best_fields is a documented deviation, README ledger)
-        m = ntoks if _operator(body) == "and" else 1
-    else:
-        m = _parse_msm(msm, ntoks)
+    m = (ntoks if op == "and" else 1) if msm is None else _parse_msm(msm, ntoks)
     df = ctx.reader.multi_match_df(
         q, boosts=boosts, match_type=body.get("type", "best_fields"),
         k=None, min_should_match=m,
@@ -770,11 +767,9 @@ def _leaf_combined_fields(ctx, body):
                 )
             boosts[name] = float(w) if w else 1.0
     msm = body.get("minimum_should_match")
+    op = _operator(body)  # validated even when msm overrides it
     ntoks = len(ctx.r0.query_terms(q))
-    if msm is None:
-        m = ntoks if _operator(body) == "and" else 1
-    else:
-        m = _parse_msm(msm, ntoks)
+    m = (ntoks if op == "and" else 1) if msm is None else _parse_msm(msm, ntoks)
     df = ctx.reader.search_combined_df(
         q, boosts=boosts, k=None, min_should_match=m
     )
@@ -896,7 +891,7 @@ def _leaf_percolate(ctx, body):
             return [x for sub in v for x in _doc_values(sub)]
         return [str(v)]
 
-    text = " ".join(_doc_values(doc)) if isinstance(doc, dict) else str(doc)
+    text = " ".join(_doc_values(doc))  # dict/list/scalar all flatten
     have = sorted(set(tokenize_py(text)))
     if len(have) > 10000:
         # the document's distinct tokens become plan literals; cap like
@@ -1391,7 +1386,13 @@ def _leaf_simple_query_string(ctx, body):
         body_toks = toks[:-1] if keep_last else toks
         mapped = [{"+": "AND", "|": "OR"}.get(t, t) for t in body_toks]
         if keep_last:
-            mapped.append(toks[-1])
+            last = toks[-1]
+            if last == "|":
+                # '|' is NOT a parser sign (only +/- are): detach it as
+                # the OR connective so the quoted phrase stays intact
+                mapped.extend(["OR", ""])
+            else:
+                mapped.append(last)
         out_segs.append(" ".join(mapped))
     body["query"] = "".join(out_segs)
     body.pop("flags", None)

@@ -1352,28 +1352,33 @@ class IndexReader:
         to [1, n_terms]. Conditional 'n<spec' combinations are rejected
         with a clear error (engine-native restriction on these
         per-query-resolved surfaces)."""
-        if isinstance(min_should_match, bool):
-            raise ValueError(f"bad minimum_should_match {min_should_match!r}")
-        if isinstance(min_should_match, str):
-            s = min_should_match.strip()
+        msm = min_should_match
+        if isinstance(msm, bool) or msm is None:
+            raise ValueError(f"bad minimum_should_match {msm!r}")
+        if isinstance(msm, str):
+            s = msm.strip()
             if "<" in s:
                 raise ValueError(
                     "minimum_should_match: conditional 'n<spec' "
                     "combinations are unsupported here (engine-native "
                     "restriction)"
                 )
-            if s.endswith("%"):
-                # multiply before dividing (the Lucene FP order)
-                cnt = int(abs(float(s[:-1])) * n_terms / 100.0)
-                m = n_terms - cnt if s.startswith("-") else cnt
-            else:
-                m = int(s)
-                if m < 0:
-                    m = n_terms + m
-        else:
-            m = int(min_should_match)
-            if m < 0:
-                m = n_terms + m
+            try:
+                if s.endswith("%"):
+                    # multiply before dividing (the Lucene FP order)
+                    cnt = int(abs(float(s[:-1])) * n_terms / 100.0)
+                    m = n_terms - cnt if s.startswith("-") else cnt
+                    return max(1, min(m, n_terms))
+                msm = int(s)
+            except ValueError:
+                raise ValueError(
+                    f"bad minimum_should_match {min_should_match!r}"
+                ) from None
+        if not isinstance(msm, int):
+            # floats etc. rejected like the DSL twin — never silently
+            # truncated
+            raise ValueError(f"bad minimum_should_match {min_should_match!r}")
+        m = n_terms + msm if msm < 0 else msm
         return max(1, min(m, n_terms))
 
     def _mlt_select_terms(

@@ -1454,6 +1454,9 @@ def test_sqs_sign_attached_to_quote(spark, tmp_path):
 
     assert paths('merge +"fast key"') == ["0"]
     assert paths('-"fast key" merge') == ["1"]
+    # '|' attached to a quote is NOT a parser sign: it detaches as the
+    # OR connective, keeping the phrase intact
+    assert paths('merge |"fast key"') == ["0", "1"]
 
 
 def test_operator_case_and_validation(spark, tmp_path):
@@ -1482,3 +1485,8 @@ def test_operator_case_and_validation(spark, tmp_path):
     with pytest.raises(ValueError, match="operator must be"):
         r.search_dsl_df({"match": {"content": {
             "query": "alpha", "operator": "banana"}}}, k=None)
+    # validation also runs when an explicit msm overrides the operator
+    with pytest.raises(ValueError, match="operator must be"):
+        r.search_dsl_df({"match": {"content": {
+            "query": "alpha", "operator": "banana",
+            "minimum_should_match": 1}}}, k=None)

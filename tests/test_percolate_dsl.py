@@ -318,3 +318,25 @@ def test_nested_document_values_only(spark, idx):
         k=None,
     )
     assert _hits(spark, idx, deep) == {"3": 2.0}
+    # a TOP-LEVEL list document flattens to values too (no repr keys)
+    lst = r.search_dsl_df(
+        {"percolate": {"field": "stored_query",
+                       "document": [{"config": "nothing"}]}},
+        k=None,
+    )
+    assert _hits(spark, idx, lst) == {}
+
+
+def test_mlt_min_match_strictness():
+    """The canonical scalar msm rule rejects what the Column twin
+    rejects: floats, None, bools, junk strings, n<spec combos."""
+    from elasticsearch_jdbc_spark.index.query import IndexReader
+
+    f = IndexReader._mlt_min_match
+    assert f("-25%", 8) == 6 and f(-2, 8) == 6 and f("-2", 8) == 6
+    assert f("58%", 100) == 58
+    import pytest as _pt
+
+    for bad in (2.5, None, True, "abc", "2<75%"):
+        with _pt.raises(ValueError):
+            f(bad, 5)
