@@ -204,10 +204,32 @@ def init_generation(
             _segment_manifest(generation_dir(root, src), "", fs)
         )
     keys = list(kwargs.get("key_cols", ("repo", "path", "commit")))
-    text_cols = list(kwargs.get("fields") or ()) or ["content"]
-    schema = T.StructType(
-        [T.StructField(c, T.StringType()) for c in (*keys, "lang", *text_cols)]
+    text_cols = (
+        list(kwargs.get("fields") or ())
+        or [kwargs.get("text_col", "content")]
     )
+    fields = [
+        T.StructField(c, T.StringType()) for c in (*keys, "lang", *text_cols)
+    ]
+    # index-sorted contract: the empty build's repartitionByRange needs
+    # the sort columns to RESOLVE, and later generations' docs must
+    # union with matching types — take them from the source docs schema
+    sort_cols = [c for c, _ in (kwargs.get("index_sort") or ())]
+    missing_sort = [c for c in sort_cols if c not in {f.name for f in fields}]
+    if missing_sort and src is not None:
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_type
+
+        sdocs = os.path.join(generation_dir(root, src), "docs")
+        pfile = next(
+            f for f in sorted(fs.listdir(sdocs)) if f.endswith(".parquet")
+        )
+        asch = pq.read_schema(os.path.join(sdocs, pfile))
+        for c in missing_sort:
+            fields.append(
+                T.StructField(c, from_arrow_type(asch.field(c).type))
+            )
+    schema = T.StructType(fields)
     gdir = generation_dir(root, name)
     IndexBuilder(spark, gdir, partitions=partitions, **kwargs).build(
         spark.createDataFrame([], schema), resume=False
@@ -335,6 +357,16 @@ def compact_to_generation(
     generation stays on disk untouched (drop_generation retires it once
     its readers drain). Returns the new generation's build manifest."""
     fs = fs or LocalFS()
+    if name in list_generations(root, fs) or fs.isdir(
+        generation_dir(root, name)
+    ):
+        # compact_to's reset() rmtree's its target — without this guard
+        # a name collision would silently destroy an existing generation
+        # (the LIVE one included: deleting the source mid-read)
+        raise ValueError(
+            f"generation {name!r} already exists under {root}; compact "
+            "to a fresh name, then drop_generation the old one"
+        )
     manifest = reader.compact_to(generation_dir(root, name), partitions=partitions)
     flip_alias(root, name, fs)
     return manifest

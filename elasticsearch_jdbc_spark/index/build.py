@@ -255,6 +255,7 @@ class IndexBuilder:
             "lang_filter": self.lang_filter,
             "fields": self.fields,
             "index_sort": self.index_sort,
+            "text_col": self.text_col,
             "k1": self.k1,
             "b": self.b,
             "block_size": self.block_size,

@@ -94,6 +94,9 @@ def _builder_kwargs_from_manifest(m: dict) -> dict:
         "lang_filter": m.get("lang_filter", False),
         "fields": m.get("fields"),
         "index_sort": m.get("index_sort"),
+        # part of the contract since round 5; older manifests predate
+        # the field and were all built with the default
+        "text_col": m.get("text_col", "content"),
         "key_cols": tuple(m["key_cols"]),
     }
 
@@ -153,6 +156,12 @@ def apply_incremental(
         builder_kwargs = _builder_kwargs_from_manifest(
             _segment_manifest(index_dir, segs_before[0], fs)
         )
+    # the index contract's text_col (recorded in the manifest since r5)
+    # wins over the call parameter once a base exists: update_by_query
+    # and other internal callers must not need to know the build-time
+    # column, and defaulting to 'content' on a text_col='body' index
+    # would tokenize the wrong column (or crash)
+    text_col = builder_kwargs.pop("text_col", text_col)
     keys = list(builder_kwargs["key_cols"])
 
     up = ops.filter(F.col("_optype").isin("index", "create", "update"))
@@ -166,15 +175,29 @@ def apply_incremental(
         else None
     )
     n_tomb = 0
+    staging = None
+    tomb_root = os.path.join(index_dir, "tombstones")
+    # sweep staging dirs abandoned by crashed runs (single-writer
+    # contract — anything staged and unpublished is dead)
+    if fs.isdir(tomb_root):
+        for d in fs.listdir(tomb_root):
+            if d.startswith(".staging-"):
+                fs.rmtree(os.path.join(tomb_root, d), ignore_errors=True)
     if reader is not None:
-        tomb_dir = os.path.join(index_dir, "tombstones", f"delta={delta_id}")
+        # tombstones STAGE first and publish LAST: writing them live
+        # before the delta build opened a crash window in which every
+        # upserted doc's old version was masked while its new version
+        # did not exist yet (data loss visible to any reader). With the
+        # staged order a crash leaves DUPLICATE versions instead —
+        # recoverable, never destructive.
+        staging = os.path.join(tomb_root, f".staging-delta={delta_id}")
         live = reader.live_docs()  # (segment, doc_id, *keys, dl)
         new_tombs = live.join(F.broadcast(affected), keys, "left_semi").select(
             "segment", "doc_id", "dl"
         )
-        fs.makedirs(tomb_dir)
-        new_tombs.write.mode("overwrite").parquet(tomb_dir)
-        n_tomb = _parquet_dir_rows(tomb_dir, fs)
+        fs.makedirs(staging)
+        new_tombs.write.mode("overwrite").parquet(staging)
+        n_tomb = _parquet_dir_rows(staging, fs)
 
     n_up = up.count()
     if n_up:
@@ -201,6 +224,10 @@ def apply_incremental(
         # introduces it; without this the new delta would stay invisible)
         if fs.exists(os.path.join(index_dir, "segments.json")):
             _commit_segments(index_dir, segs_before + [f"delta={delta_id}"], fs)
+    if staging is not None:
+        # one atomic rename publishes the batch's deletions AFTER the
+        # delta (and its commit point) are fully visible
+        fs.rename(staging, os.path.join(tomb_root, f"delta={delta_id}"))
     return {"delta": delta_id, "upserts": int(n_up), "tombstones": int(n_tomb)}
 
 
@@ -255,7 +282,10 @@ class IncrementalIndexReader:
             dirs = sorted(
                 os.path.join(tdir, d)
                 for d in self.fs.listdir(tdir)
+                # '.staging-*' holds a batch not yet published
+                # (apply_incremental's staged-tombstone order)
                 if self.fs.isdir(os.path.join(tdir, d))
+                and not d.startswith(".")
             )
         if self._pin_tombstones:
             self._tomb_dirs_cache = dirs
@@ -392,14 +422,22 @@ class IncrementalIndexReader:
         return self.readers[self.segments[0]].analyze(text, lang=lang)
 
     def live_docs(self) -> DataFrame:
-        """(segment, doc_id, *keys, dl) for every non-tombstoned doc."""
+        """(segment, doc_id, *keys, dl) for every non-tombstoned doc.
+        Segments may carry different metadata columns (schema evolution:
+        a later batch adds or omits a field, like ES sparse fields) —
+        the union fills the gaps with NULL instead of failing every live
+        surface on the first differently-shaped delta."""
         out = None
         for s in self.segments:
             base = os.path.join(self.index_dir, s) if s else self.index_dir
             d = self.spark.read.parquet(os.path.join(base, "docs")).withColumn(
                 "segment", F.lit(s)
             )
-            out = d if out is None else out.unionByName(d)
+            out = (
+                d
+                if out is None
+                else out.unionByName(d, allowMissingColumns=True)
+            )
         tomb = self._tomb_df()
         if tomb is not None:
             out = out.join(tomb, ["segment", "doc_id"], "left_anti")
@@ -2060,8 +2098,11 @@ class IncrementalIndexReader:
         """ES `multi_match` dispatcher on the LIVE tier — same routing
         contract as IndexReader.multi_match_df."""
         if match_type == "best_fields":
+            # filter_sql by KEYWORD: positionally it lands in
+            # search_after and crashes (or silently drops the filter)
             return self.search_best_fields_df(
-                query, boosts, k, min_should_match, tie_breaker, filter_sql
+                query, boosts, k, min_should_match, tie_breaker,
+                filter_sql=filter_sql,
             )
         if match_type == "most_fields":
             terms, weights, groups = self._fields_expansion(query, boosts)
@@ -4299,8 +4340,14 @@ class IncrementalIndexReader:
         )
         for alias, expr in (script_fields or {}).items():
             joined = joined.withColumn(alias, F.expr(expr))
+        # tie-break by segment RANK (newest wins), never the segment
+        # string — lexicographic order puts delta=10 before delta=2 and
+        # base first, contradicting the cut search_df made (_seg_rank)
+        rank_map = self._rank_map()
         return joined.orderBy(
-            F.desc("score"), F.asc("segment"), F.asc("doc_id")
+            F.desc("score"),
+            F.desc(rank_map[F.col("segment")]),
+            F.asc("doc_id"),
         )
 
     def field_caps(self) -> dict:
@@ -4526,6 +4573,16 @@ class IncrementalIndexReader:
         )
         b.reset()
         manifest = b.build(self.live_tokenized(deltas), resume=False)
+        # ngram-LM maintenance (the apply_incremental inherit rule): a
+        # base with a bigram sidecar keeps the merged delta suggester-
+        # capable too — without this, phrase_suggest breaks on the first
+        # tiered compaction of an ngram-enabled index
+        from .phrase_suggest import NGRAMS_MANIFEST, build_ngram_stats
+
+        if self.fs.exists(os.path.join(self.index_dir, NGRAMS_MANIFEST)):
+            build_ngram_stats(
+                self.spark, os.path.join(self.index_dir, new_seg), fs=self.fs
+            )
         # tombstones targeting the surviving base segment carry forward into
         # one consolidated batch dir; tombstones targeting merged deltas are
         # already applied (their docs were dropped above)

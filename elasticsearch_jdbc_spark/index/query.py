@@ -5179,8 +5179,11 @@ class IndexReader:
           phrase                    -> search_phrase_df on the fields
                                        corpus (positions required)"""
         if match_type == "best_fields":
+            # filter_sql by KEYWORD: positionally it lands in
+            # search_after and crashes (or silently drops the filter)
             return self.search_best_fields_df(
-                query, boosts, k, min_should_match, tie_breaker, filter_sql
+                query, boosts, k, min_should_match, tie_breaker,
+                filter_sql=filter_sql,
             )
         if match_type == "most_fields":
             return self.search_fields_df(

@@ -55,6 +55,19 @@ def _snap_dir(repo_dir: str, name: str) -> str:
     return os.path.join(repo_dir, f"snap={name}")
 
 
+def _commit_rank(r: str) -> int:
+    """Restore copy order: data files (0) < per-segment manifests (1) <
+    the base manifest (2) < segments.json (3) — every commit-point file
+    lands only after the data it governs."""
+    if r == "segments.json":
+        return 3
+    if r == "manifest.json":
+        return 2
+    if os.path.basename(r) == "manifest.json":
+        return 1
+    return 0
+
+
 def create_snapshot(
     index_dir: str, repo_dir: str, name: str, fs=None
 ) -> dict:
@@ -78,12 +91,29 @@ def create_snapshot(
         top = r.split(os.sep, 1)[0]
         if top in skip_roots:
             continue
+        parts = r.split(os.sep)
+        if len(parts) > 1 and parts[-2].startswith(".staging-"):
+            # an unpublished tombstone batch is not part of any commit
+            continue
+        if r == "segments.json":
+            # the LIVE file may change mid-copy (a delta committing) and
+            # would then reference segments this snapshot excluded — the
+            # pinned list from the start of the snapshot is written
+            # below instead
+            continue
         rels.append(r)
     files = []
     for r in rels:
         src = os.path.join(index_dir, r)
         fs.copy_file(src, os.path.join(sdir, "files", r))
         files.append({"path": r, "size": fs.getsize(src)})
+    if fs.exists(os.path.join(index_dir, "segments.json")):
+        # re-synthesize the commit point from the PINNED segment list
+        pinned = json.dumps({"segments": segments})
+        fs.write_text(
+            os.path.join(sdir, "files", "segments.json"), pinned, ".tmp"
+        )
+        files.append({"path": "segments.json", "size": len(pinned)})
     manifest = {
         "name": name,
         "source": index_dir,
@@ -133,10 +163,14 @@ def restore_snapshot(
         raise FileExistsError(f"an index already exists at {dest_dir}")
     manifest = json.loads(fs.read_text(mpath))
     froot = os.path.join(_snap_dir(repo_dir, name), "files")
-    # manifest.json of the base segment LAST: a torn restore is invisible
-    # to readers, mirroring the builder's own commit protocol
+    # ALL commit-point files copy after their data: per-segment
+    # manifest.json files (a delta manifest landing before its postings
+    # would expose a half-copied segment to the directory-scan
+    # fallback), then the base manifest, then segments.json very last —
+    # a torn restore is invisible to readers, mirroring the builder's
+    # own commit protocol
     rels = [f["path"] for f in manifest["files"]]
-    rels.sort(key=lambda r: (r == "manifest.json",))
+    rels.sort(key=lambda r: (_commit_rank(r), r))
     for r in rels:
         fs.copy_file(os.path.join(froot, r), os.path.join(dest_dir, r))
     return manifest

@@ -68,6 +68,12 @@ class LocalFS:
         shutil.copyfile(src, tmp)
         os.replace(tmp, dst)
 
+    def rename(self, src: str, dst: str) -> None:
+        """Atomic move/publish of a file OR directory within the store
+        (POSIX rename) — the tombstone-batch publication primitive: a
+        staged directory becomes visible in one step or not at all."""
+        os.replace(src, dst)
+
 
 class MemoryFS:
     """In-memory fake with LocalFS's surface (driver-side tests only)."""
@@ -130,3 +136,21 @@ class MemoryFS:
         s, d = self._norm(src), self._norm(dst)
         self.makedirs(posixpath.dirname(d))
         self.files[d] = self.files[s]
+
+    def rename(self, src: str, dst: str) -> None:
+        s, d = self._norm(src), self._norm(dst)
+        if s in self.files:
+            self.makedirs(posixpath.dirname(d))
+            self.files[d] = self.files.pop(s)
+            return
+        if s not in self.dirs:
+            raise FileNotFoundError(s)
+        self.files = {
+            (d + q[len(s):] if q.startswith(s + "/") else q): v
+            for q, v in self.files.items()
+        }
+        self.dirs = {
+            (d if q == s else d + q[len(s):] if q.startswith(s + "/") else q)
+            for q in self.dirs
+        }
+        self.makedirs(posixpath.dirname(d))

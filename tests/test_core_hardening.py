@@ -1,0 +1,272 @@
+"""Regression pins for the round-5 core-hardening review: dispatcher
+keyword bugs, crash-window ordering in apply_incremental, snapshot
+commit-point pinning/ordering, schema evolution across segments,
+index-contract inheritance (text_col, index_sort generations), ngram
+sidecars across tiered compaction, and segment-rank tie-breaks."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_jdbc_spark.index import (
+    IncrementalIndexReader,
+    IndexBuilder,
+    IndexReader,
+    apply_incremental,
+)
+from elasticsearch_jdbc_spark.index.storage import LocalFS, MemoryFS
+
+SCHEMA = (
+    "repo string, path string, commit string, lang string, content string"
+)
+
+
+def _mk(spark, d, rows, schema=SCHEMA, **kw):
+    IndexBuilder(spark, d, partitions=2, **kw).build(
+        spark.createDataFrame(rows, schema), resume=False
+    )
+    return d
+
+
+def test_best_fields_filter_sql_keyword(spark, tmp_path):
+    """multi_match best_fields + filter_sql: the filter must APPLY (it
+    used to land positionally in search_after and crash)."""
+    d = str(tmp_path / "bf")
+    rows = [("r", f"{i}", "c", "t", "merge quick value",
+             "merge QUICK") for i in range(6)]
+    IndexBuilder(spark, d, partitions=1,
+                 fields=["content", "extra"]).build(
+        spark.createDataFrame(
+            rows, SCHEMA + ", extra string"), resume=False)
+    for r in (IndexReader(spark, d), IncrementalIndexReader(spark, d)):
+        out = r.multi_match_df(
+            "merge", match_type="best_fields", k=10,
+            filter_sql="path in ('1', '2')",
+        ).collect()
+        assert len(out) == 2
+
+
+def test_fs_rename_local_and_memory(tmp_path):
+    lfs = LocalFS()
+    src = str(tmp_path / "a")
+    os.makedirs(src)
+    open(os.path.join(src, "x.txt"), "w").write("1")
+    lfs.rename(src, str(tmp_path / "b"))
+    assert not os.path.exists(src)
+    assert open(str(tmp_path / "b/x.txt")).read() == "1"
+    mfs = MemoryFS()
+    mfs.makedirs("/t/a")
+    mfs.write_text("/t/a/x.txt", "1")
+    mfs.rename("/t/a", "/t/b")
+    assert not mfs.isdir("/t/a") and mfs.isdir("/t/b")
+    assert mfs.read_text("/t/b/x.txt") == "1"
+    mfs.rename("/t/b/x.txt", "/t/b/y.txt")
+    assert mfs.read_text("/t/b/y.txt") == "1"
+
+
+def test_staged_tombstones_never_masked_early(spark, tmp_path):
+    """A stale '.staging-*' tombstone dir (a crashed batch) must be
+    ignored by readers and swept by the next apply; the published batch
+    still lands under the plain delta=N name."""
+    d = _mk(spark, str(tmp_path / "st"),
+            [("r", f"{i}", "c", "t", "alpha beta") for i in range(6)])
+    # forge a stale staging dir holding a would-be tombstone for doc 0
+    r0 = IncrementalIndexReader(spark, d)
+    stale = os.path.join(d, "tombstones", ".staging-delta=9")
+    os.makedirs(stale)
+    r0.live_docs().filter(F.col("path") == "0").select(
+        "segment", "doc_id", "dl"
+    ).write.mode("overwrite").parquet(stale)
+    r1 = IncrementalIndexReader(spark, d)
+    assert r1.live_docs().count() == 6  # staging is NOT a tombstone source
+    # a real batch sweeps the stale dir and publishes its own atomically
+    ops = spark.createDataFrame(
+        [("r", "1", "c", "t", "alpha beta", "delete")],
+        SCHEMA + ", _optype string",
+    )
+    apply_incremental(spark, d, ops)
+    assert not os.path.exists(stale)
+    r2 = IncrementalIndexReader(spark, d)
+    assert r2.live_docs().count() == 5
+    assert sorted(
+        x["path"] for x in r2.live_docs().select("path").collect()
+    ) == ["0", "2", "3", "4", "5"]
+
+
+def test_live_docs_schema_evolution(spark, tmp_path):
+    """A delta batch with a DIFFERENT metadata column set must not break
+    live surfaces: missing columns union as NULL (ES sparse fields)."""
+    d = _mk(spark, str(tmp_path / "ev"),
+            [("r", "0", "c", "t", "alpha", 5)],
+            SCHEMA + ", stars long")
+    ops = spark.createDataFrame(
+        [("r", "1", "c", "t", "alpha", "new", "index")],
+        SCHEMA + ", extra string, _optype string",
+    )
+    apply_incremental(spark, d, ops)
+    r = IncrementalIndexReader(spark, d)
+    rows = {x["path"]: x for x in r.live_docs().collect()}
+    assert rows["0"]["stars"] == 5 and rows["0"]["extra"] is None
+    assert rows["1"]["extra"] == "new" and rows["1"]["stars"] is None
+    # filter context over the evolved column still compiles
+    got = r.search_dsl_df(
+        {"bool": {"must": [{"match": {"content": "alpha"}}],
+                  "filter": [{"exists": {"field": "stars"}}]}},
+        k=None,
+    )
+    assert got.count() == 1
+
+
+def test_update_by_query_custom_text_col(spark, tmp_path):
+    """text_col is part of the recorded index contract: update batches
+    on a text_col='body' index must tokenize 'body' (it used to default
+    back to 'content' and crash)."""
+    schema = "repo string, path string, commit string, lang string, body string"
+    d = str(tmp_path / "tc")
+    IndexBuilder(spark, d, partitions=1, text_col="body").build(
+        spark.createDataFrame(
+            [("r", "0", "c", "t", "alpha beta"),
+             ("r", "1", "c", "t", "gamma delta")], schema),
+        resume=False,
+    )
+    ops = spark.createDataFrame(
+        [("r", "0", "c", "t", "epsilon zeta", "index")],
+        schema + ", _optype string",
+    )
+    apply_incremental(spark, d, ops)
+    r = IncrementalIndexReader(spark, d)
+    assert r.search_df("epsilon", k=None).count() == 1
+    assert r.search_df("alpha", k=None).count() == 0  # old version masked
+
+
+def test_live_hits_df_segment_rank_tiebreak(spark, tmp_path):
+    """Equal-score ties in hits_df order by segment RANK (newest first),
+    not the segment string (which puts base first)."""
+    d = _mk(spark, str(tmp_path / "tie"),
+            [("r", "base0", "c", "t", "alpha")])
+    ops = spark.createDataFrame(
+        [("r", "newdoc", "c", "t", "alpha", "index")],
+        SCHEMA + ", _optype string",
+    )
+    apply_incremental(spark, d, ops)
+    r = IncrementalIndexReader(spark, d)
+    rows = r.hits_df("alpha", k=2).collect()
+    assert len(rows) == 2
+    assert rows[0]["segment"].startswith("delta="), "newest wins ties"
+
+
+def test_snapshot_pins_commit_point(spark, tmp_path):
+    """create_snapshot writes the PINNED segment list as segments.json —
+    never the live file's bytes — and skips uncommitted delta dirs."""
+    from elasticsearch_jdbc_spark.index.incremental_index import (
+        _commit_segments,
+    )
+    from elasticsearch_jdbc_spark.index.snapshot import (
+        create_snapshot,
+        restore_snapshot,
+    )
+
+    d = _mk(spark, str(tmp_path / "sp"),
+            [("r", "0", "c", "t", "alpha beta")])
+    ops = spark.createDataFrame(
+        [("r", "1", "c", "t", "alpha", "index")], SCHEMA + ", _optype string"
+    )
+    apply_incremental(spark, d, ops)
+    # commit point lists ONLY the base — delta=0 exists but uncommitted
+    _commit_segments(d, [""])
+    repo = str(tmp_path / "repo")
+    m = create_snapshot(d, repo, "s1")
+    assert m["segments"] == [""]
+    snap_cp = json.loads(
+        open(os.path.join(repo, "snap=s1", "files", "segments.json")).read()
+    )
+    assert snap_cp == {"segments": [""]}
+    dest = str(tmp_path / "restored")
+    restore_snapshot(repo, "s1", dest)
+    rr = IncrementalIndexReader(spark, dest)
+    assert rr.segments == [""]
+    assert rr.live_docs().count() == 1
+
+
+def test_restore_orders_commit_files_last():
+    """The restore copy order: data files, then delta manifests, then
+    the base manifest, then segments.json very last."""
+    from elasticsearch_jdbc_spark.index.snapshot import _commit_rank
+
+    rels = [
+        "segments.json", "manifest.json", "delta=0/manifest.json",
+        "delta=0/postings/p.parquet", "docs/d.parquet", "terms/t.parquet",
+    ]
+    ordered = sorted(rels, key=lambda r: (_commit_rank(r), r))
+    assert ordered[-1] == "segments.json"
+    assert ordered[-2] == "manifest.json"
+    assert ordered[-3] == "delta=0/manifest.json"
+    assert set(ordered[:3]) == {
+        "delta=0/postings/p.parquet", "docs/d.parquet", "terms/t.parquet"
+    }
+
+
+def test_compact_deltas_keeps_ngram_sidecar(spark, tmp_path):
+    """Tiered compaction rebuilds the merged delta's bigram sidecar so
+    phrase_suggest keeps working on ngram-enabled indexes."""
+    from elasticsearch_jdbc_spark.index.phrase_suggest import (
+        build_ngram_stats,
+    )
+
+    d = _mk(spark, str(tmp_path / "ng"),
+            [("r", f"{i}", "c", "t", "merge segment buffer stream")
+             for i in range(30)])
+    build_ngram_stats(spark, d)
+    for i in range(2):
+        ops = spark.createDataFrame(
+            [("r", f"n{i}", "c", "t", "merge segment extra", "index")],
+            SCHEMA + ", _optype string",
+        )
+        apply_incremental(spark, d, ops)
+    r = IncrementalIndexReader(spark, d)
+    assert r.phrase_suggest("merge segmant")  # works pre-compaction
+    merged = r.compact_deltas(max_ratio=10.0)
+    assert merged is not None
+    r2 = IncrementalIndexReader(spark, d)
+    assert len(r2.segments) == 2  # base + one merged delta
+    assert r2.phrase_suggest("merge segmant")  # still works
+
+
+def test_generation_lifecycle_with_index_sort(spark, tmp_path):
+    """init_generation/rollover on an index-sorted contract: the empty
+    build's sort columns resolve with the SOURCE's types (it used to
+    crash in repartitionByRange)."""
+    from elasticsearch_jdbc_spark.index.alias import (
+        compact_to_generation,
+        flip_alias,
+        generation_dir,
+        init_generation,
+        record_generation,
+    )
+
+    root = str(tmp_path / "gens")
+    g1 = generation_dir(root, "g-000001")
+    IndexBuilder(spark, g1, partitions=1,
+                 index_sort=[("stars", "desc")]).build(
+        spark.createDataFrame(
+            [("r", "0", "c", "t", "alpha", 5),
+             ("r", "1", "c", "t", "beta", 9)],
+            SCHEMA + ", stars long"),
+        resume=False,
+    )
+    record_generation(root, "g-000001", 1.0)
+    flip_alias(root, "g-000001")
+    g2 = init_generation(spark, root, "g-000002")
+    assert os.path.exists(os.path.join(g2, "manifest.json"))
+    # the empty generation inherited the sort contract
+    m = json.loads(open(os.path.join(g2, "manifest.json")).read())
+    assert m["index_sort"] == [["stars", "desc"]] or m["index_sort"] == [("stars", "desc")]
+    # collision guard: compacting onto an existing generation refuses
+    r = IncrementalIndexReader(spark, g1)
+    with pytest.raises(ValueError, match="already exists"):
+        compact_to_generation(r, root, "g-000002")
