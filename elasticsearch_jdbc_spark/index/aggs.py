@@ -305,6 +305,12 @@ def matrix_stats(df: DataFrame, cols: list[str]) -> DataFrame:
         aggs += [
             F.covar_pop(F.col(a), F.col(b)).alias(f"cov_{a}_{b}"),
             F.corr(F.col(a), F.col(b)).alias(f"corr_{a}_{b}"),
+            # the n the covariance/correlation were computed over:
+            # COMPLETE pairs, not least(n_a, n_b) — with disjoint null
+            # patterns least() fabricates a sample size
+            F.count(
+                F.when(F.col(a).isNotNull() & F.col(b).isNotNull(), 1)
+            ).alias(f"nn_{a}_{b}"),
         ]
     row = df.agg(*aggs)
     cells = []
@@ -323,7 +329,7 @@ def matrix_stats(df: DataFrame, cols: list[str]) -> DataFrame:
         cells.append(
             F.struct(
                 F.lit(a).alias("field_a"), F.lit(b).alias("field_b"),
-                F.least(F.col(f"n_{a}"), F.col(f"n_{b}")).cast("long").alias("count"),
+                F.col(f"nn_{a}_{b}").cast("long").alias("count"),
                 F.round(F.col(f"mean_{a}"), 6).alias("mean_a"),
                 F.round(F.col(f"var_{a}"), 6).alias("variance_a"),
                 F.round(F.col(f"cov_{a}_{b}"), 6).alias("covariance"),
@@ -663,17 +669,35 @@ def zero_fill_buckets(
         span = buckets.agg(
             lo.cast("double").alias("_lo"), hi.cast("double").alias("_hi")
         )
-        grid = span.filter(F.col("_lo").isNotNull()).select(
-            F.explode(
-                F.sequence(
-                    F.lit(0),
-                    ((F.col("_hi") - F.col("_lo")) / F.lit(step)).cast("long"),
-                )
-            ).alias("_i"),
-            "_lo",
-        ).select(
-            (F.col("_lo") + F.col("_i") * F.lit(step)).alias(bucket_col)
+        # the fill joins on an INTEGER grid index, never the float key:
+        # the i-th grid value lo + i*step need not bit-match the bucket
+        # key floor(v/step)*step, and the grid length (hi-lo)/step
+        # truncates under FP noise (0.5/0.1 -> 4.999... -> 4, silently
+        # dropping the last real bucket) — round() + index equi-join
+        # make the fill exact
+        n_col = F.round((F.col("_hi") - F.col("_lo")) / F.lit(step)).cast(
+            "long"
         )
+        keyed = (
+            buckets.join(F.broadcast(span))
+            .withColumn(
+                "_i",
+                F.round(
+                    (F.col(bucket_col).cast("double") - F.col("_lo"))
+                    / F.lit(step)
+                ).cast("long"),
+            )
+            .drop("_lo", "_hi", bucket_col)
+        )
+        grid = (
+            span.filter(F.col("_lo").isNotNull())
+            .select(F.explode(F.sequence(F.lit(0), n_col)).alias("_i"), "_lo")
+            .select(
+                "_i",
+                (F.col("_lo") + F.col("_i") * F.lit(step)).alias(bucket_col),
+            )
+        )
+        out = grid.join(keyed, "_i", "left").drop("_i")
     else:
         stride = _UNIT_STRIDE.get(str(interval))
         if stride is None:
@@ -687,7 +711,7 @@ def zero_fill_buckets(
                 F.expr(f"sequence(_lo, _hi, {stride})")
             ).alias(bucket_col)
         )
-    out = grid.join(buckets, bucket_col, "left")
+        out = grid.join(buckets, bucket_col, "left")
     filled = out.select(
         bucket_col,
         *[
@@ -1113,7 +1137,12 @@ def cumulative_cardinality(
     min), the firsts roll up per bucket (tiny relation), and a running
     sum over the zero-filled bucket list yields the curve — the raw
     relation shuffles ONCE on the key, buckets never hold key sets.
-    Returns (bucket_col, new_keys, value) ordered by bucket."""
+    Returns (bucket_col, new_keys, value) ordered by bucket. Rows with
+    a NULL bucket value are excluded up front (a date_histogram never
+    emits them; left in, min() would drop their keys while the NULL
+    bucket row never equi-joins — a leading zero bucket plus an
+    undercounted curve)."""
+    df = df.filter(F.col(bucket_col).isNotNull())
     firsts = df.groupBy(key_col).agg(F.min(bucket_col).alias("_fb"))
     per_b = firsts.groupBy(F.col("_fb").alias(bucket_col)).agg(
         F.count("*").alias("new_keys")
@@ -1706,6 +1735,11 @@ def bucket_count_ks_test(
     posture — aggregation output, single tiny partition), broadcast-
     joined to the literal fractions by bucket rank."""
     n = buckets.count()
+    if n == 0:
+        raise ValueError(
+            "bucket_count_ks_test needs a non-empty bucket list (the "
+            "parent aggregation matched nothing)"
+        )
     if fractions is None:
         fractions = [1.0 / n] * n
     if len(fractions) != n:

@@ -2120,6 +2120,21 @@ class IncrementalIndexReader:
                 filter_sql=filter_sql,
             )
         if match_type == "phrase":
+            if self.fields:
+                from .query import _phrase_over_fields
+
+                out = _phrase_over_fields(
+                    self, self.fields, ["segment", "doc_id"], query,
+                    boosts, filter_sql=filter_sql,
+                )
+                if k is None:
+                    return out
+                rank_map = self._rank_map()
+                return out.orderBy(
+                    F.desc("score"),
+                    F.desc(rank_map[F.col("segment")]),
+                    F.asc("doc_id"),
+                ).limit(k)
             return self.search_phrase_df(query, k=k, filter_sql=filter_sql)
         raise ValueError(
             f"unknown multi_match type {match_type!r}; implemented: "
@@ -3745,9 +3760,18 @@ class IncrementalIndexReader:
                     ),
                 )
             )
+        from .query import _phrase_over_fields
+
         for occ, text, slop in phrases:
-            p = self.search_phrase_df(
-                text, k=None, slop=slop, filter_sql=filter_sql
+            p = (
+                _phrase_over_fields(
+                    self, self.fields, ["segment", "doc_id"], text, None,
+                    slop=slop, filter_sql=filter_sql,
+                )
+                if self.fields
+                else self.search_phrase_df(
+                    text, k=None, slop=slop, filter_sql=filter_sql
+                )
             )
             (exclusions if occ == "must_not" else components).append(
                 p if occ == "must_not" else (occ, p)

@@ -566,6 +566,37 @@ def _compile_query_string(
     return must, should, must_not, phrases
 
 
+def _phrase_over_fields(
+    reader, fields, keys, text, boosts=None, slop=0, filter_sql=None
+):
+    """Phrase matching on a FIELDS corpus: per-field phrase match folded
+    best_fields-style — per doc, the MAX weighted per-field phrase score
+    (the ES multi_match type=phrase / query_string quoted-phrase
+    contract; without this, every quoted query on a fields-indexed
+    corpus raised the pass-field ValueError). One positional pass per
+    queried field; phrase match sets are tiny relative to the corpus,
+    so the union + max groupBy on the doc keys is narrow. Returns the
+    UNRANKED set — the caller applies its tier's cut."""
+    weights = dict(boosts) if boosts else {f: 1.0 for f in fields}
+    unknown = set(weights) - set(fields)
+    if unknown:
+        raise ValueError(
+            f"unknown phrase fields {sorted(unknown)}; indexed: {fields}"
+        )
+    parts = []
+    for f, w in sorted(weights.items()):
+        part = reader.search_phrase_df(
+            text, k=None, slop=slop, field=f, filter_sql=filter_sql
+        )
+        if float(w) != 1.0:
+            part = part.withColumn("score", F.col("score") * F.lit(float(w)))
+        parts.append(part.select(*keys, "score"))
+    u = parts[0]
+    for part in parts[1:]:
+        u = u.unionByName(part)
+    return u.groupBy(*keys).agg(F.max("score").alias("score"))
+
+
 def _combine_query_string(
     components: list[tuple[str, DataFrame]],
     exclusions: list[DataFrame],
@@ -2241,6 +2272,11 @@ class IndexReader:
         out = F.broadcast(hits).join(docs, "doc_id") if k is not None else hits.join(docs, "doc_id")
         for alias, expr in (script_fields or {}).items():
             out = out.withColumn(alias, F.expr(expr))
+        if k is None:
+            # the k=None contract everywhere in the engine: UNRANKED —
+            # a global sort of the full enriched match set is exactly
+            # the scan-scale funnel bulk consumers opt out of
+            return out
         return out.orderBy(F.desc("score"), F.asc("doc_id"))
 
     def terms_lookup(
@@ -3701,7 +3737,13 @@ class IndexReader:
         scoring runs once per Arrow batch, nothing collects.
 
         _stats_override = ({term: idf}, avgdl): the incremental reader's
-        hook — per-segment fan-out scored with GLOBAL stats."""
+        hook — per-segment fan-out scored with GLOBAL stats.
+
+        Engine-native delta (documented, README deviations #31):
+        repeated query tokens fold to the DISTINCT term set — the
+        window gate and gap budget count each term once; use
+        match_phrase for exact duplicate multiplicity.
+        """
         if not self.manifest.get("with_positions"):
             raise ValueError("index was built without positions")
         if max_gaps < 0:
@@ -5198,6 +5240,17 @@ class IndexReader:
                 query, boosts, k, min_should_match, tie_breaker, filter_sql=filter_sql
             )
         if match_type == "phrase":
+            fields = self.manifest.get("fields")
+            if fields:
+                out = _phrase_over_fields(
+                    self, fields, ["doc_id"], query, boosts,
+                    filter_sql=filter_sql,
+                )
+                if k is None:
+                    return out
+                return out.orderBy(
+                    F.desc("score"), F.asc("doc_id")
+                ).limit(k)
             return self.search_phrase_df(query, k=k, filter_sql=filter_sql)
         raise ValueError(
             f"unknown multi_match type {match_type!r}; implemented: "
@@ -6172,9 +6225,17 @@ class IndexReader:
                     ),
                 )
             )
+        mfields = self.manifest.get("fields")
         for occ, text, slop in phrases:
-            p = self.search_phrase_df(
-                text, k=None, slop=slop, filter_sql=filter_sql
+            p = (
+                _phrase_over_fields(
+                    self, mfields, ["doc_id"], text, None,
+                    slop=slop, filter_sql=filter_sql,
+                )
+                if mfields
+                else self.search_phrase_df(
+                    text, k=None, slop=slop, filter_sql=filter_sql
+                )
             )
             (exclusions if occ == "must_not" else components).append(
                 p if occ == "must_not" else (occ, p)

@@ -2444,7 +2444,7 @@ def geotile_grid_q(spark, sf_dir):
     FROM v
     UNION ALL
     SELECT 'u_bucket', 'value',
-           CAST(LEAST(COUNT(u_bucket), COUNT(value)) AS BIGINT),
+           CAST(COUNT(CASE WHEN u_bucket IS NOT NULL AND value IS NOT NULL THEN 1 END) AS BIGINT),
            ROUND(AVG(u_bucket), 6),
            ROUND(var_pop(u_bucket), 6),
            ROUND(covar_pop(u_bucket, value), 6),

@@ -270,3 +270,110 @@ def test_generation_lifecycle_with_index_sort(spark, tmp_path):
     r = IncrementalIndexReader(spark, g1)
     with pytest.raises(ValueError, match="already exists"):
         compact_to_generation(r, root, "g-000002")
+
+
+def test_phrase_on_fields_corpus_all_surfaces(spark, tmp_path):
+    """Quoted phrases on a fields-indexed corpus: multi_match
+    type=phrase and query_string phrases fold per-field matches
+    best_fields-style instead of raising the pass-field error. Both
+    tiers."""
+    d = str(tmp_path / "phf")
+    rows = [
+        ("r", "0", "c", "t", "fast key lookup", "other words"),
+        ("r", "1", "c", "t", "other words", "fast key here"),
+        ("r", "2", "c", "t", "fast lane key", "nothing"),
+    ]
+    IndexBuilder(spark, d, partitions=1, with_positions=True,
+                 fields=["content", "extra"]).build(
+        spark.createDataFrame(rows, SCHEMA + ", extra string"),
+        resume=False,
+    )
+    for r in (IndexReader(spark, d), IncrementalIndexReader(spark, d)):
+        m = {x["doc_id"]: x["path"]
+             for x in spark.read.parquet(f"{d}/docs").collect()}
+        got = sorted(
+            m[x["doc_id"]]
+            for x in r.multi_match_df("fast key", match_type="phrase",
+                                      k=None).collect()
+        )
+        assert got == ["0", "1"]  # phrase found in EITHER field
+        qs = sorted(
+            m[x["doc_id"]]
+            for x in r.query_string_df('"fast key" lane', k=None).collect()
+        )
+        assert "0" in qs and "1" in qs and "2" in qs
+        # negated phrase excludes across fields too
+        neg = sorted(
+            m[x["doc_id"]]
+            for x in r.query_string_df('fast -"fast key"', k=None).collect()
+        )
+        assert neg == ["2"]
+
+
+def test_zero_fill_fp_grid_exact(spark):
+    """Histogram dense fill joins on an integer grid index: buckets at
+    0.0..0.5 step 0.1 keep all six (the FP quotient used to truncate the
+    grid to five and ulp-mismatched keys zeroed real counts)."""
+    from elasticsearch_jdbc_spark.index.aggs import zero_fill_buckets
+
+    buckets = spark.createDataFrame(
+        [(i * 0.1, 10 + i) for i in range(6) if i != 2],
+        "bucket double, n_docs long",
+    )
+    out = zero_fill_buckets(buckets, 0.1).collect()
+    assert len(out) == 6
+    got = {round(x["bucket"], 6): x["n_docs"] for x in out}
+    assert got[0.5] == 15          # the last REAL bucket survives
+    assert got[0.2] == 0           # the gap fills with zero
+    assert sum(v for v in got.values()) == 10 + 11 + 13 + 14 + 15
+
+
+def test_matrix_stats_complete_pair_count(spark):
+    """The pair row's count is the COMPLETE-pair n the covariance was
+    computed over, not least(n_a, n_b)."""
+    from elasticsearch_jdbc_spark.index.aggs import matrix_stats
+
+    df = spark.createDataFrame(
+        [(1.0, None), (2.0, None), (None, 5.0), (4.0, 6.0), (5.0, 7.0)],
+        "a double, b double",
+    )
+    rows = {(x["field_a"], x["field_b"]): x
+            for x in matrix_stats(df, ["a", "b"]).collect()}
+    assert rows[("a", "b")]["count"] == 2  # only two complete pairs
+    assert rows[("a", "a")]["count"] == 4
+    assert rows[("b", "b")]["count"] == 3
+
+
+def test_cumulative_cardinality_null_buckets(spark):
+    """NULL bucket values are excluded: no leading NULL bucket, no
+    undercounted curve."""
+    from elasticsearch_jdbc_spark.index.aggs import cumulative_cardinality
+
+    df = spark.createDataFrame(
+        [(None, "u1"), ("2024-01-01", "u1"), ("2024-01-01", "u2"),
+         ("2024-01-02", "u2"), ("2024-01-02", "u3")],
+        "b string, u string",
+    )
+    out = cumulative_cardinality(df, "b", "u").collect()
+    assert [x["b"] for x in out] == ["2024-01-01", "2024-01-02"]
+    assert [x["value"] for x in out] == [2, 3]
+
+
+def test_ks_test_empty_buckets_clear_error(spark):
+    from elasticsearch_jdbc_spark.index.aggs import bucket_count_ks_test
+
+    empty = spark.createDataFrame([], "k string, n long")
+    with pytest.raises(ValueError, match="non-empty bucket list"):
+        bucket_count_ks_test(empty, "k", "n")
+
+
+def test_hits_df_k_none_unranked(spark, tmp_path):
+    """hits_df honors the engine-wide k=None unranked contract: no
+    global Sort over the full enriched match set."""
+    d = _mk(spark, str(tmp_path / "hk"),
+            [("r", f"{i}", "c", "t", "alpha beta") for i in range(5)])
+    r = IndexReader(spark, d)
+    df = r.hits_df("alpha", k=None)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Sort" not in plan
+    assert df.count() == 5
