@@ -23,6 +23,8 @@ DataFrame-native and shuffle-conscious:
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -45,8 +47,18 @@ def _spread(df: DataFrame) -> DataFrame:
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One survivor (min id) per distinct text; content compared by sha256
-    so the shuffle carries 32-byte keys, not documents."""
-    h = df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("h"))
+    so the shuffle carries 32-byte keys, not documents. NULL text is
+    MISSING content, not duplicate content: sha2(NULL) is NULL and
+    groupBy clusters NULLs, so every null-text doc would collapse into
+    one keep_id and be deleted downstream — they key by their own id
+    instead (always singleton survivors)."""
+    h = df.select(
+        F.col(id_col),
+        F.coalesce(
+            F.sha2(F.col(text_col), 256),
+            F.concat(F.lit("\x00null-"), F.col(id_col).cast("string")),
+        ).alias("h"),
+    )
     return h.groupBy("h").agg(
         F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies")
     )
@@ -240,10 +252,21 @@ def minhash_signatures(
                 gstarts = (gends - gdoc_lens)[gdoc_lens > 0]
                 nonempty = np.flatnonzero(gdoc_lens > 0)
                 if len(gh):
-                    # (num_perm, n_grams) permuted -> min per doc segment
-                    ph = (a[:, None] * gh[None, :] + b[:, None]) % np.uint64(_MERSENNE)
-                    mins = np.minimum.reduceat(ph, gstarts, axis=1)
-                    out_sig[nonempty, :] = mins.T
+                    # (num_perm, n_grams) permuted -> min per doc
+                    # segment, CHUNKED over the permutation axis: the
+                    # full matrix plus its broadcast temporaries peaks
+                    # at ~3 x num_perm x n_grams x 8B per task (>1.5 GB
+                    # on a 10k-doc Arrow batch of long documents) —
+                    # 8 perms at a time bounds the transient to ~1/8
+                    # with bit-identical output
+                    M = np.uint64(_MERSENNE)
+                    for p0 in range(0, nperm, 8):
+                        p1 = min(p0 + 8, nperm)
+                        ph = (
+                            a[p0:p1, None] * gh[None, :] + b[p0:p1, None]
+                        ) % M
+                        mins = np.minimum.reduceat(ph, gstarts, axis=1)
+                        out_sig[nonempty, p0:p1] = mins.T
             yield pd.DataFrame(
                 {"id": ids, "sig": [s.astype(np.int64).tolist() for s in out_sig]}
             )
@@ -270,6 +293,13 @@ def minhash_lsh_pairs(
     The only shuffles are the signature groupBy and the (band, bucket)
     self-join; bucket collisions are rare so the join is near-uniform.
     """
+    if bands < 1 or num_perm % bands != 0:
+        # bands > num_perm would yield rows=0 — a constant bucket that
+        # degenerates the "linear" LSH path into the full O(n^2) cross
+        # product; non-divisible values would silently discard perms
+        raise ValueError(
+            f"bands ({bands}) must divide num_perm ({num_perm})"
+        )
     rows = num_perm // bands
     sigs = minhash_signatures(df, id_col, text_col, n, num_perm, seed)
     band_cols = F.explode(
@@ -361,6 +391,13 @@ def minhash_dedup(
     chained near-dups converge by iterating (not needed for dedup-keep
     decisions).
     """
+    if bands < 1 or num_perm % bands != 0:
+        # bands > num_perm would yield rows=0 — a constant bucket that
+        # degenerates the "linear" LSH path into the full O(n^2) cross
+        # product; non-divisible values would silently discard perms
+        raise ValueError(
+            f"bands ({bands}) must divide num_perm ({num_perm})"
+        )
     rows = num_perm // bands
     sigs = minhash_signatures(df, id_col, text_col, n, num_perm, seed)
     band_structs = F.explode(
@@ -789,7 +826,12 @@ def paragraph_dedup(
     hot-set join is broadcast-sized in practice (AQE picks it up)."""
     lines = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+        # split() takes a Java REGEX; the separator is a literal (it is
+        # rejoined literally below), so metachars like '|' must be
+        # quoted or they shred the text character-by-character
+        F.posexplode(
+            F.split(F.col(text_col), re.escape(sep))
+        ).alias("pos", "line"),
     )
     norm = F.lower(F.trim(F.col("line")))
     keyed = lines.withColumn("k", F.sha2(norm, 256)).withColumn(
@@ -960,11 +1002,18 @@ def exact_substring_scrub(
         F.count("*").alias("n_kept"),
     )
     totals = stream.groupBy("id").agg(F.count("*").alias("n_tokens"))
-    return totals.join(rebuilt, "id", "left").select(
+    # anchor on the INPUT ids: empty/whitespace-only docs emit no token
+    # rows, so deriving the output from the token stream silently
+    # dropped them — row loss for any pipeline writing the scrub back
+    base = df.select(F.col(id_col).alias("id"))
+    return base.join(totals, "id", "left").join(rebuilt, "id", "left").select(
         F.col("id").alias(id_col),
         F.coalesce("_text", F.lit("")).alias(text_col),
-        "n_tokens",
-        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        (
+            F.coalesce("n_tokens", F.lit(0))
+            - F.coalesce("n_kept", F.lit(0))
+        ).alias("n_removed"),
     )
 
 

@@ -27,7 +27,13 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """NULL (never a crash, never rank-1) for zero-norm vectors: under
+    the project's ANSI runtime 0/0 raises mid-job, and with ANSI off it
+    is NaN — which sorts FIRST under desc, making a zero-filled missing
+    embedding everyone's top neighbor. NULL scores drop out of every
+    threshold filter and sort last in the top-k cuts."""
+    denom = _norm(a) * _norm(b)
+    return F.when(denom > 0, _dot(a, b) / denom)
 
 
 def knn_bruteforce(
@@ -113,6 +119,11 @@ def kmeans_centroids(
         .limit(sample)
         .collect()
     )
+    if not rows:
+        raise ValueError(
+            "no vectors to cluster: the corpus is empty (or a filter "
+            "matched nothing)"
+        )
     x = np.array([r[1] for r in rows], dtype=np.float64)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     order = np.lexsort(x.T[::-1])
@@ -331,10 +342,24 @@ def knn_lsh(
         queries.select(qid_col, F.col(qvec_col).alias(vec_col)),
         vec_col, dim, n_planes, n_tables, seed,
     ).select(qid_col, F.col(vec_col).alias(qvec_col), "table", "lsh_bucket")
+    if probe_hamming > 2:
+        raise ValueError(
+            "probe_hamming supports 0 (exact bucket), 1 or 2 "
+            "(engine-native cap: the probe set grows O(n_planes^d))"
+        )
     if probe_hamming >= 1:
+        masks = [1 << i for i in range(n_planes)]
+        if probe_hamming >= 2:
+            # distance-2 probes were previously silently DROPPED (any
+            # requested radius >= 2 behaved as 1)
+            masks += [
+                (1 << i) | (1 << j)
+                for i in range(n_planes)
+                for j in range(i + 1, n_planes)
+            ]
         probes = F.array(
             F.col("lsh_bucket"),
-            *[F.col("lsh_bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+            *[F.col("lsh_bucket").bitwiseXOR(F.lit(m)) for m in masks],
         )
         qb = qb.select(
             qid_col, qvec_col, "table", F.explode(probes).alias("lsh_bucket")

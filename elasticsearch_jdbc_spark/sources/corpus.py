@@ -152,6 +152,11 @@ def synthetic_corpus(
     Generated with mapInPandas over spark.range so generation is distributed
     and row-deterministic (independent of partition count/order).
     """
+    if avg_tokens < 2:
+        # n_tok = avg//2 + h%avg: avg_tokens < 2 yields zero-token rows
+        # whose contents vanish from the generator's groupby, crashing
+        # the mapInPandas task with a length-mismatch mid-job
+        raise ValueError("avg_tokens must be >= 2")
     parts = partitions or spark.sparkContext.defaultParallelism
     base = spark.range(0, n_files, 1, parts)
 

@@ -377,3 +377,100 @@ def test_hits_df_k_none_unranked(spark, tmp_path):
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "Sort" not in plan
     assert df.count() == 5
+
+
+def test_cosine_zero_norm_null_not_crash(spark):
+    """Zero-norm embeddings score NULL — never a DIVIDE_BY_ZERO under
+    ANSI, never a NaN rank-1 neighbor."""
+    from elasticsearch_jdbc_spark.operators.similarity import knn_bruteforce
+
+    corpus = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.6, 0.8])],
+        "vec_id long, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "query_id long, qvec array<double>"
+    )
+    rows = knn_bruteforce(corpus, q, k=3).collect()
+    ids = [x["neighbor_id"] for x in rows]
+    assert ids[0] == 1            # the true neighbor leads
+    assert 0 not in ids[:2]       # the zero vector never outranks real ones
+
+
+def test_minhash_bands_validation_and_chunk_identity(spark):
+    from elasticsearch_jdbc_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta " * 3) for i in range(4)],
+        "id long, text string",
+    )
+    with pytest.raises(ValueError, match="must divide"):
+        minhash_lsh_pairs(df, "id", "text", num_perm=8, bands=16)
+    with pytest.raises(ValueError, match="must divide"):
+        minhash_lsh_pairs(df, "id", "text", num_perm=64, bands=12)
+    # the permutation-chunked kernel is bit-identical at a non-multiple
+    # perm count (num_perm=20 -> chunks 8+8+4)
+    sigs = {x["id"]: x["sig"]
+            for x in minhash_signatures(df, "id", "text",
+                                        num_perm=20).collect()}
+    assert len(sigs) == 4 and all(len(s) == 20 for s in sigs.values())
+    assert sigs[0] == sigs[1]  # identical docs, identical signatures
+
+
+def test_exact_dedup_null_text_singletons(spark):
+    from elasticsearch_jdbc_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "same"), (4, "same")],
+        "id long, text string",
+    )
+    out = {x["keep_id"]: x["n_copies"] for x in exact_dedup(df, "id", "text").collect()}
+    assert out == {1: 1, 2: 1, 3: 2}  # null texts never cluster
+
+
+def test_paragraph_dedup_metachar_separator(spark):
+    from elasticsearch_jdbc_spark.operators.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [(1, "keep me|dup line|tail one"), (2, "dup line|other text")],
+        "id long, text string",
+    )
+    out = {x["id"]: x["text"]
+           for x in paragraph_dedup(df, "id", "text", sep="|",
+                                    max_docs=1).collect()}
+    # 'dup line' occurs in BOTH docs -> dropped everywhere; the other
+    # lines survive intact (previously '|' split per CHARACTER and the
+    # reassembled text was shredded)
+    assert out[1] == "keep me|tail one"
+    assert out[2] == "other text"
+
+
+def test_substring_scrub_keeps_empty_docs(spark):
+    from elasticsearch_jdbc_spark.operators.dedup import exact_substring_scrub
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l"), (2, ""), (3, "   ")],
+        "id long, text string",
+    )
+    out = {x["id"]: x for x in exact_substring_scrub(df, "id", "text").collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[2]["n_tokens"] == 0 and out[2]["n_removed"] == 0
+    assert out[3]["text"] == ""
+
+
+def test_knn_ivf_empty_filter_clear_error(spark):
+    from elasticsearch_jdbc_spark.operators.similarity import kmeans_centroids
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="no vectors to cluster"):
+        kmeans_centroids(empty, k=2, vec_col="embedding")
+
+
+def test_synthetic_corpus_avg_tokens_guard(spark):
+    from elasticsearch_jdbc_spark.sources import synthetic_corpus
+
+    with pytest.raises(ValueError, match="avg_tokens"):
+        synthetic_corpus(spark, n_files=5, avg_tokens=1)
