@@ -153,9 +153,11 @@ def date_math_range_sql(
     now: _dt.datetime | None = None,
 ) -> str:
     """Compile an ES date range query with date-math bounds into a
-    filter_sql fragment over a timestamp column — gte/gt round DOWN,
-    lte rounds UP to the unit's last instant (the ES bound-context
-    rounding rule); lt rounds down (exclusive of the whole unit)."""
+    filter_sql fragment over a timestamp column — the ES bound-context
+    rounding rule (common-options.html#date-math): gte and lt round
+    DOWN to the unit's first instant; gt and lte round UP to its last
+    instant, so gt EXCLUDES the whole rounded unit and lte INCLUDES
+    it."""
     if gte is not None and gt is not None:
         raise ValueError("pass at most one of gte/gt")
     if lte is not None and lt is not None:
@@ -164,7 +166,9 @@ def date_math_range_sql(
     if gte is not None:
         preds.append(f"{col} >= timestamp'{parse_date_math(gte, now)}'")
     if gt is not None:
-        preds.append(f"{col} > timestamp'{parse_date_math(gt, now)}'")
+        preds.append(
+            f"{col} > timestamp'{parse_date_math(gt, now, round_up=True)}'"
+        )
     if lte is not None:
         preds.append(
             f"{col} <= timestamp'{parse_date_math(lte, now, round_up=True)}'"

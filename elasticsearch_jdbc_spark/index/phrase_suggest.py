@@ -393,11 +393,18 @@ def phrase_suggest_df(
     score = score + edits.cast("double") * F.lit(math.log(error_discount))
     suggestion = F.concat_ws(" ", *[F.col(f"w{i}") for i in range(len(tokens))])
     identity = " ".join(tokens)
+    # rank by the RAW score (the driver twin's rule) and round only for
+    # display — ranking by the rounded value let two near-tied phrases
+    # collapse and re-break by text, so the two tiers could disagree on
+    # the top suggestion
     return (
         beam.select(
-            suggestion.alias("suggestion"), F.round(score, 4).alias("score")
+            suggestion.alias("suggestion"),
+            score.cast("double").alias("_raw"),
+            F.round(score, 4).alias("score"),
         )
         .filter(F.col("suggestion") != identity)
-        .orderBy(F.desc("score"), F.asc("suggestion"))
+        .orderBy(F.desc("_raw"), F.asc("suggestion"))
         .limit(size)
+        .drop("_raw")
     )

@@ -33,7 +33,11 @@ def chunk_documents(
 ) -> DataFrame:
     """Slice each document's whitespace-token stream into windows of
     `max_tokens` with `overlap` tokens shared between consecutive
-    windows. Documents with zero tokens yield no rows."""
+    windows. Documents with zero tokens yield no rows. A tail start
+    landing within `overlap` of the document end is SKIPPED: its window
+    would sit entirely inside the previous one — a fully redundant
+    training example that inflates token counts and triplicates
+    boundary text."""
     if max_tokens < 1:
         raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
     if not (0 <= overlap < max_tokens):
@@ -47,7 +51,10 @@ def chunk_documents(
     base = df.select(F.col(id_col), toks.alias("toks")).filter(
         F.size("toks") >= 1
     )
-    starts = F.expr(f"sequence(0, size(toks) - 1, {stride})")
+    starts = F.filter(
+        F.expr(f"sequence(0, size(toks) - 1, {stride})"),
+        lambda st: (st == 0) | (F.size("toks") - st > overlap),
+    )
     chunks = F.transform(
         starts,
         lambda s: F.struct(

@@ -67,7 +67,10 @@ def parse_labels(
 
     control, fields = [], []
     for raw in labels:
-        if raw.startswith("_"):
+        if raw in CONTROL_KEYS:
+            # the reference diverts only its FIXED control-key set
+            # (ControlKeys); any other underscore-prefixed label is an
+            # ordinary field and folds into the JSON body
             control.append(raw)
             continue
         label = remap(raw)
@@ -86,14 +89,20 @@ def parse_labels(
 # ---------------------------------------------------------------------------
 
 
-def _json_scalar(c: Column, detect_json: bool = False) -> Column:
+def _json_scalar(
+    c: Column, detect_json: bool = False, plain: bool = False
+) -> Column:
     """One value -> its JSON text. Strings are escaped via to_json(array(v))
     minus the brackets (never a Python escaper); numerics/booleans render
-    plain (the reference suppresses scientific notation,
-    ValueListenerTests.java:262-280 — Spark's decimal/long casts are plain).
-    With detect_json, a string cell that parses as a JSON object/array is
-    inlined as structure (PlainKeyValueStreamListener.java:181-192)."""
+    PLAIN — unquoted, by SOURCE TYPE (`plain`, resolved from the input
+    schema like the reference's JDBC-type dispatch; the reference
+    suppresses scientific notation, ValueListenerTests.java:262-280 —
+    Spark's decimal/long casts are plain). With detect_json, a string
+    cell that parses as a JSON object/array is inlined as structure
+    (PlainKeyValueStreamListener.java:181-192)."""
     s = c.cast("string")
+    if plain:
+        return s
     arr = F.to_json(F.array(s))  # '["escaped"]'
     quoted = arr.substr(F.lit(2), F.length(arr) - 2)
     if detect_json:
@@ -101,14 +110,19 @@ def _json_scalar(c: Column, detect_json: bool = False) -> Column:
     return quoted
 
 
-def _render_cell(vs: Column, detect_json: bool, ignore_null: bool) -> Column:
+def _render_cell(
+    vs: Column, detect_json: bool, ignore_null: bool, plain: bool = False
+) -> Column:
     """Deduped ordered value array -> JSON fragment (Values.java:161-176):
     0 values -> null (or omit under ignore_null), 1 -> scalar, n -> array.
     Returns NULL column when the field should be omitted entirely."""
-    frag_one = _json_scalar(F.element_at(vs, 1), detect_json)
+    frag_one = _json_scalar(F.element_at(vs, 1), detect_json, plain)
     frag_many = F.concat(
         F.lit("["),
-        F.array_join(F.transform(vs, lambda v: _json_scalar(v, detect_json)), ","),
+        F.array_join(
+            F.transform(vs, lambda v: _json_scalar(v, detect_json, plain)),
+            ",",
+        ),
         F.lit("]"),
     )
     empty = F.lit(None).cast("string") if ignore_null else F.lit("null")
@@ -146,8 +160,18 @@ def _nest(tree: dict) -> Column:
         out.append((k, _nest(v) if isinstance(v, dict) else v))
     if self_frag is None:
         return _obj(out)
-    # strip the outer braces of the self object and splice children in
-    inner = F.trim(self_frag).substr(F.lit(2), F.length(F.trim(self_frag)) - 2)
+    # splice the self OBJECT's body together with the children; a
+    # non-object self value (a scalar under a path that also has
+    # children — the reference only ever merges objects here) lands in
+    # an engine-native "value" slot instead of producing malformed
+    # JSON, and an EMPTY self body is skipped (concat_ws skips nulls
+    # but not empty strings)
+    t = F.trim(self_frag)
+    stripped = t.substr(F.lit(2), F.length(t) - 2)
+    inner = F.when(t.rlike(r"^\{.*\}$"), stripped).otherwise(
+        F.concat(F.lit('"value":'), t)
+    )
+    inner = F.when(F.length(F.trim(inner)) > 0, inner)
     parts = [
         F.when(frag.isNotNull(), F.concat(F.lit(f'"{k}":'), frag))
         for k, frag in out
@@ -189,6 +213,13 @@ def fold_documents(
     """
     labels = labels or [c for c in df.columns if c != order_col]
     spec = parse_labels(labels, column_name_map)
+    _dtypes = dict(df.dtypes)
+    _PLAIN = ("tinyint", "smallint", "int", "bigint", "float", "double",
+              "boolean")
+
+    def _is_plain(label: str) -> bool:
+        t = _dtypes.get(label, "")
+        return t in _PLAIN or t.startswith("decimal")
     if "_source" in spec["control"]:
         # the cell IS the body (PlainKeyValueStreamListener.java:149-157)
         aggs = [F.min(F.struct(order_col, "_source"))["_source"].alias("doc")]
@@ -279,7 +310,9 @@ def fold_documents(
                         # (Values null rule applied element-wise)
                         frag_i = F.when(
                             e[f"s{i}"].isNotNull(),
-                            _json_scalar(e[f"s{i}"], detect_json),
+                            _json_scalar(
+                                e[f"s{i}"], detect_json, _is_plain(_raw)
+                            ),
                         )
                         node = etree
                         for p in sp[:-1]:
@@ -296,7 +329,14 @@ def fold_documents(
             )
             insert(parts, frag)
         else:
-            insert(parts, _render_cell(F.col(slots[raw]), detect_json, ignore_null))
+            insert(
+                parts,
+                _render_cell(
+                    F.col(slots[raw]), detect_json, ignore_null,
+                    # seq cells comma-split into STRING pieces
+                    kind == "scalar" and _is_plain(raw),
+                ),
+            )
 
     doc = _nest(tree)
     keep = ["_id"] + [c for c in spec["control"] if c != "_id"]

@@ -181,8 +181,15 @@ def temperature_resample(
         .select(domain_col, "_thr")
     )
     bucket = _bucket_hex(key_cols, salt)
+    # NULL-SAFE domain join: a plain equi-join drops the entire
+    # NULL-domain cohort (NULL never equals NULL), silently deleting
+    # rows even at alpha=1.0
     return (
-        df.join(F.broadcast(rates), domain_col)
+        df.join(
+            F.broadcast(rates),
+            df[domain_col].eqNullSafe(rates[domain_col]),
+        )
+        .drop(rates[domain_col])
         .filter(bucket < F.col("_thr"))
         .drop("_thr")
     )

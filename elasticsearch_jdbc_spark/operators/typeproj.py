@@ -53,7 +53,11 @@ def project_decimal(col: str | Column, scale: int, rounding: str = "halfup") -> 
     if rounding not in ROUNDING_MODES:
         raise ValueError(f"unknown rounding mode {rounding!r}")
     scaled = c * (10 ** scale)
-    unscale = F.lit(float(10 ** scale))
+    # a DECIMAL unscale literal, never float: dividing the exact scaled
+    # integer by a float64 literal would squeeze it through a 53-bit
+    # mantissa and silently corrupt the low digits of wide decimals —
+    # exactly the float round-trip this function's contract forbids
+    unscale = F.lit(10 ** scale).cast("decimal(38,0)")
     if rounding == "halfup":
         return F.round(c, scale)
     if rounding == "halfeven":

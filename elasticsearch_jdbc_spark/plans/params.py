@@ -24,6 +24,8 @@ Catalyst, so a `ts > :watermark` predicate still pushes down to parquet).
 
 from __future__ import annotations
 
+import re
+
 import datetime as dt
 from typing import Any
 
@@ -89,7 +91,14 @@ def resolve_params(
             return (last_row or {}).get(p, p)
         if key.startswith("meta."):
             return (meta or {}).get(p, p)
-        raise KeyError(f"unknown pseudo-variable {p!r}")
+        if re.fullmatch(r"\$[a-z][a-z0-9_.]*", p):
+            # identifier-shaped: almost certainly a typo'd pseudo-var —
+            # binding it silently would hide the mistake
+            raise KeyError(f"unknown pseudo-variable {p!r}")
+        # otherwise a LITERAL that merely starts with '$' (a price,
+        # '$5.99') passes through — the reference's bind() fallback;
+        # raising here crashed the job on any dollar-prefixed literal
+        return p
 
     return [one(p) for p in params]
 

@@ -6727,6 +6727,7 @@ def pipeline_lm_quality_q(spark, sf_dir):
              array_to_string(toks[s.i * 48 + 1 : s.i * 48 + 64], ' ') AS chunk
       FROM ne, UNNEST(range(0, CAST(ceil(len(toks) / 48.0) AS BIGINT))) AS s(i)
       WHERE s.i * 48 < len(toks)
+        AND (s.i = 0 OR len(toks) - s.i * 48 > 16)
     )
     SELECT doc_id, chunk_id, n_tokens, chunk FROM w
     """,

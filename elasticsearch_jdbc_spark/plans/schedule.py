@@ -169,14 +169,17 @@ def cron_next(expr: str, after: dt.datetime) -> dt.datetime | None:
     semantics). Returns None when no time matches within the year range
     (e.g. a past literal year). Walks days (month/dom/dow match, including
     L/W/# modifiers), then picks the smallest allowed (hour, min, sec) —
-    at most ~5 years of O(1) day steps."""
+    walks to the end of the parsed year range (2199)."""
     f = parse_cron(expr)
     secs = sorted(f["sec"])
     mins = sorted(f["min"])
     hours = sorted(f["hour"])
     t = (after + dt.timedelta(seconds=1)).replace(microsecond=0)
     day = t.date()
-    horizon = day + dt.timedelta(days=366 * 5)
+    # walk to the end of the parsed year range: a 5-year horizon
+    # returned None for valid far-out schedules (Feb 29 across the
+    # non-leap 2100, literal years) — ~60k day steps worst case, cheap
+    horizon = dt.date(2200, 1, 1)
     first_day = True
     while day < horizon:
         if _day_matches(day, f):

@@ -24,12 +24,13 @@ def _chunks(spark, texts, **kw):
 def test_windows_and_overlap(spark):
     text = " ".join(f"w{i}" for i in range(10))
     got = _chunks(spark, [text], max_tokens=4, overlap=1)[0]
-    # stride 3: starts 0,3,6,9
+    # stride 3: starts 0,3,6 — the start-9 window is just [w9], fully
+    # contained in the previous window, so it is skipped (no redundant
+    # training example)
     assert got == [
         (0, 4, "w0 w1 w2 w3"),
         (1, 4, "w3 w4 w5 w6"),
         (2, 4, "w6 w7 w8 w9"),
-        (3, 1, "w9"),
     ]
     # every token appears; consecutive windows share exactly `overlap`
     toks = [c.split() for _, _, c in got]

@@ -100,3 +100,22 @@ class TestRangeSql:
         sql = date_math_range_sql("ts", gte="now-1d/d", lte="now/d", now=NOW)
         got = sorted(r["ts"] for r in df.filter(sql).collect())
         assert got == [dt.datetime(2026, 8, 17, 5), dt.datetime(2026, 8, 18, 9)]
+
+
+def test_range_sql_gt_rounds_up():
+    """ES bound-context rounding: gt with /unit rounding EXCLUDES the
+    entire rounded unit (regression: gt rounded down, including almost
+    the whole unit)."""
+    from elasticsearch_jdbc_spark.functions.datemath import (
+        date_math_range_sql,
+    )
+
+    sql = date_math_range_sql("ts", gt="2014-11-18||/M")
+    assert "2014-11-30 23:59:59" in sql, sql
+    # gte still rounds down; lt still rounds down; lte still rounds up
+    assert "2014-11-01 00:00:00" in date_math_range_sql(
+        "ts", gte="2014-11-18||/M")
+    assert "2014-11-01 00:00:00" in date_math_range_sql(
+        "ts", lt="2014-11-18||/M")
+    assert "2014-11-30 23:59:59" in date_math_range_sql(
+        "ts", lte="2014-11-18||/M")

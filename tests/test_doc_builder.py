@@ -196,3 +196,52 @@ def test_fold_order_independent_of_partitioning(spark):
     d1 = {r["_id"]: r["doc"] for r in fold_documents(df1, labels, "_seq").collect()}
     d8 = {r["_id"]: r["doc"] for r in fold_documents(df8, labels, "_seq").collect()}
     assert d1 == d8
+
+
+def test_numeric_and_boolean_render_plain(spark):
+    """JDBC numerics/booleans render UNQUOTED (the reference's Jackson
+    typing); strings stay quoted/escaped."""
+    import json
+
+    from elasticsearch_jdbc_spark.operators.doc_builder import fold_documents
+
+    df = spark.createDataFrame(
+        [(1, 0, "Joe", 42, 3.5, True)],
+        "_id long, _seq long, name string, age long, score double, ok boolean",
+    )
+    doc = fold_documents(df).collect()[0]["doc"]
+    parsed = json.loads(doc)
+    assert parsed == {"name": "Joe", "age": 42, "score": 3.5, "ok": True}
+    assert '"age":42' in doc and '"ok":true' in doc  # genuinely unquoted
+
+
+def test_scalar_self_under_children_valid_json(spark):
+    """A scalar value on a path that also has children lands in the
+    engine-native 'value' slot (previously malformed JSON: the splice
+    stripped the scalar's first/last characters)."""
+    import json
+
+    from elasticsearch_jdbc_spark.operators.doc_builder import fold_documents
+
+    df = spark.createDataFrame(
+        [(1, 0, "Joe", "blue")],
+        "_id long, _seq long, person string, `person.hair` string",
+    )
+    doc = fold_documents(df).collect()[0]["doc"]
+    parsed = json.loads(doc)
+    assert parsed == {"person": {"value": "Joe", "hair": "blue"}}
+
+
+def test_underscore_field_not_in_control_set_folds(spark):
+    """Only the reference's fixed control-key set diverts; other
+    underscore labels are ordinary JSON fields."""
+    import json
+
+    from elasticsearch_jdbc_spark.operators.doc_builder import fold_documents
+
+    df = spark.createDataFrame(
+        [(1, 0, "x", "v")],
+        "_id long, _seq long, `_custom` string, plain string",
+    )
+    doc = fold_documents(df).collect()[0]["doc"]
+    assert json.loads(doc) == {"_custom": "x", "plain": "v"}

@@ -102,3 +102,10 @@ def test_empty_frame_capture(spark):
 
     df = spark.createDataFrame([], "seq int, v int")
     assert capture_last_row(df, "seq") == {}
+
+
+def test_dollar_literal_passes_through():
+    """A literal that merely starts with '$' binds as-is (the reference
+    bind() fallback); identifier-shaped '$bogus' still raises."""
+    assert resolve_params(["$5.99"], {}) == ["$5.99"]
+    assert resolve_params(["$ not-a-var"], {}) == ["$ not-a-var"]

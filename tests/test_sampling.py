@@ -163,3 +163,20 @@ def test_temperature_resample(spark):
 
     with _pytest.raises(ValueError, match="alpha"):
         temperature_resample(df, "dom", ["doc_id"], alpha=0.0)
+
+
+def test_temperature_resample_keeps_null_domains(spark):
+    """The NULL-domain cohort survives (null-safe rates join); at
+    alpha=1.0 every row passes through."""
+    from elasticsearch_jdbc_spark.operators.sampling import (
+        temperature_resample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, None if i % 2 else "d0") for i in range(40)],
+        "doc_id long, source string",
+    )
+    out = temperature_resample(df, alpha=1.0, domain_col="source",
+                               key_cols=["doc_id"])
+    assert out.count() == 40
+    assert out.filter(F.col("source").isNull()).count() == 20

@@ -103,3 +103,16 @@ def test_bad_field_counts_and_values():
 
 def test_interval_next():
     assert interval_next(T0, 90) == dt.datetime(2026, 1, 1, 10, 3, 33)
+
+
+def test_cron_next_far_horizon():
+    """Valid schedules whose next fire is years out resolve instead of
+    returning None (Feb 29 across the non-leap 2100; literal years)."""
+    import datetime as dt
+
+    from elasticsearch_jdbc_spark.plans.schedule import cron_next
+
+    got = cron_next("0 0 0 29 2 ?", dt.datetime(2097, 1, 1))
+    assert got is not None and (got.year, got.month, got.day) == (2104, 2, 29)
+    lit = cron_next("0 0 0 1 1 ? 2035", dt.datetime(2026, 1, 1))
+    assert lit is not None and lit.year == 2035

@@ -94,3 +94,28 @@ def test_exact_number_dispatch(spark):
     got = [r["v"] for r in df.select(
         TP.decimal_exact_number("x", 2).alias("v")).collect()]
     assert got == [2.0, 2.25]
+
+
+def test_wide_decimal_floor_exact(spark):
+    """floor/down/up on 18+ digit values: the unscale divisor must stay
+    DECIMAL (a float64 divisor silently corrupted the low digits)."""
+    from decimal import Decimal
+
+    from elasticsearch_jdbc_spark.operators.typeproj import project_decimal
+
+    df = spark.createDataFrame(
+        [(Decimal("123456789012345678.99"),)], "v decimal(38,18)"
+    )
+    got = {
+        m: df.select(project_decimal("v", 2, m).alias("r")).collect()[0]["r"]
+        for m in ("floor", "ceiling", "down", "up")
+    }
+    assert got["floor"] == Decimal("123456789012345678.99")
+    assert got["down"] == Decimal("123456789012345678.99")
+    assert got["ceiling"] == Decimal("123456789012345678.99")
+    # a value needing actual rounding at scale 2
+    df2 = spark.createDataFrame(
+        [(Decimal("123456789012345678.994"),)], "v decimal(38,18)"
+    )
+    r = df2.select(project_decimal("v", 2, "floor").alias("r")).collect()[0]["r"]
+    assert r == Decimal("123456789012345678.99")
