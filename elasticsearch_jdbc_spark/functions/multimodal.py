@@ -64,8 +64,16 @@ def decode_image_stub(payload: bytes, meta: dict) -> tuple[int, int, np.ndarray]
     Deterministic fake: dims from metadata, 8-dim 'embedding' from a
     sha256-seeded projection of the payload bytes.
     """
-    w = int((meta or {}).get("w", 0)) or None
-    h = int((meta or {}).get("h", 0)) or None
+    def _dim(v):
+        # malformed metadata degrades to None, like a missing key — one
+        # bad row must not fail the whole mapInPandas task
+        try:
+            return int(v) or None
+        except (TypeError, ValueError):
+            return None
+
+    w = _dim((meta or {}).get("w", 0))
+    h = _dim((meta or {}).get("h", 0))
     digest = hashlib.sha256(payload).digest()
     rng = np.random.default_rng(int.from_bytes(digest[:8], "little"))
     feat = rng.standard_normal(8).astype(np.float32)
@@ -157,7 +165,14 @@ def frame_sample_stub(media: DataFrame, every_n: int = 10) -> DataFrame:
         .select(
             "media_id",
             F.explode(
-                F.sequence(F.lit(0), (F.length("payload") / every_n).cast("int"), F.lit(every_n))
+                # every_n-th frame over the FULL frame range — the
+                # previous length/every_n upper bound divided twice and
+                # emitted ~1/every_n of the intended samples
+                F.sequence(
+                    F.lit(0),
+                    (F.length("payload") - 1).cast("int"),
+                    F.lit(every_n),
+                )
             ).alias("frame_no"),
         )
     )

@@ -86,6 +86,27 @@ def _conditional(df: DataFrame, body: dict, target: str, new: Column) -> DataFra
     return df.withColumn(target, new)
 
 
+def _reject_if(body, name: str, df=None, target=None) -> None:
+    """Type- or shape-changing processors cannot take a row-level `if`
+    onto an EXISTING column: a DataFrame column is single-typed, so the
+    when/otherwise branch coercion either fails analysis (split/join:
+    array vs string) or re-wraps the false branch in a STRICT cast that
+    crashes on exactly the unparseable values try_cast exists to
+    tolerate (convert). A `target_field` that is a NEW column is fine —
+    the false branch is NULL, which carries any type. Rejecting loudly
+    beats the previous silent-ignore (rename/remove) and runtime
+    crashes."""
+    if body.get("if") is None:
+        return
+    if df is not None and target is not None and target not in df.columns:
+        return
+    raise ValueError(
+        f"{name} processor supports `if` only with a NEW target_field "
+        "(engine-native restriction: the result column is single-typed);"
+        " split the pipeline or pre-filter instead"
+    )
+
+
 def _p_set(df, body):
     field = _need(body, "field", "set")
     if "copy_from" in body:
@@ -98,6 +119,7 @@ def _p_set(df, body):
 
 
 def _p_rename(df, body):
+    _reject_if(body, "rename")
     if _missing_ok(df, body, "rename"):
         return df
     field, target = body["field"], _need(body, "target_field", "rename")
@@ -107,6 +129,7 @@ def _p_rename(df, body):
 
 
 def _p_remove(df, body):
+    _reject_if(body, "remove")
     fields = body.get("field")
     fields = [fields] if isinstance(fields, str) else list(fields or [])
     if not fields:
@@ -124,6 +147,7 @@ def _p_convert(df, body):
     if t not in _CONVERT:
         raise ValueError(f"convert: type {t!r} not in {sorted(_CONVERT)}")
     target = body.get("target_field", body["field"])
+    _reject_if(body, "convert", df, target)
     return _conditional(
         df, body, target, F.col(body["field"]).try_cast(_CONVERT[t])
     )
@@ -145,6 +169,7 @@ def _p_split(df, body):
     if _missing_ok(df, body, "split"):
         return df
     target = body.get("target_field", body["field"])
+    _reject_if(body, "split", df, target)
     arr = F.split(F.col(body["field"]), _need(body, "separator", "split"))
     if not body.get("preserve_trailing", False):
         # ES default: drop trailing empty fields. Highest 1-based index
@@ -167,6 +192,7 @@ def _p_join(df, body):
     if _missing_ok(df, body, "join"):
         return df
     target = body.get("target_field", body["field"])
+    _reject_if(body, "join", df, target)
     return _conditional(
         df, body, target,
         F.array_join(F.col(body["field"]), _need(body, "separator", "join")),
@@ -311,9 +337,16 @@ def _p_csv(df, body):
         return df
     targets = _need(body, "target_fields", "csv")
     sep = body.get("separator", ",")
-    arr = F.split(F.col(body["field"]), re.escape(sep))
+    quote = body.get("quote", '"')
+    # from_csv honors quoted fields containing the separator (the ES
+    # csv processor's quote contract); a naive split mis-parsed them
+    parsed = F.from_csv(
+        F.col(body["field"]),
+        ", ".join(f"_c{i} STRING" for i in range(len(targets))),
+        {"sep": sep, "quote": quote},
+    )
     for i, t in enumerate(targets):
-        val = F.element_at(arr, i + 1)
+        val = parsed[f"_c{i}"]
         if body.get("trim", False):
             val = F.trim(val)
         df = _conditional(df, body, t, val)
@@ -335,7 +368,9 @@ def _p_script(df, body):
 
 def _p_drop(df, body):
     cond = _need(body, "if", "drop")
-    return df.filter(~F.expr(cond).cast("boolean"))
+    # ES: a null/false condition means DO NOT drop — a bare ~cond is
+    # NULL for null-condition rows and the filter would drop them
+    return df.filter(~F.coalesce(F.expr(cond).cast("boolean"), F.lit(False)))
 
 
 _PROCESSORS = {
